@@ -1,0 +1,97 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1, seed=42).
+
+Schema is exactly BASELINE.json's input_hint:
+``repo:string, path:string, commit:string, lang:string, content:string``.
+
+Content mixes hot code terms (``def``, ``import``, ... — the skew the salted
+merge must handle), long-tail identifiers, and natural-language docstrings.
+The reference golden-query sentences (FIXTURES.md F3, verbatim from
+/root/reference/main.py:184-193 and tests/test_index_query.py:31-33) are
+embedded as the docstring of exactly one known document each, so golden
+queries have a known best document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import CORPUS_SCHEMA
+
+SEED = 42
+
+HOT_TERMS = ["def", "import", "self", "return", "class", "for", "if", "else",
+             "while", "try", "except", "none", "true", "false", "print", "len"]
+
+# Golden sentences (FIXTURES.md F3). Doc i carries sentence GOLDEN_SENTENCES[i].
+GOLDEN_SENTENCES = [
+    "Determine a user's timezone",
+    "Converting ARBG to RGB alpha blending",
+    "Regex: To pull out a sub-string between two tags in a string",
+    "ASP.Net Custom Client-Side Validation",
+    "What are the preferred versions of Vim and Emacs on Mac OS X",
+    "Normalizing a Table with Low Integrity",
+    "What is the best way to store connection string in .NET DLLs?",
+    "What are the advantages of using SVN over CVS",
+    "i have a pen i have an apple",
+    "numpy python",
+    "please work",
+    "maple story good game",
+]
+
+_EXTS = [(".py", "python"), (".js", "javascript"), (".java", "java"), (".go", "go")]
+
+
+def _content_for(i: int, rng: np.random.Generator, n_lines: int) -> str:
+    lines = []
+    if i < len(GOLDEN_SENTENCES):
+        lines.append(f'"""{GOLDEN_SENTENCES[i]}"""')
+    for _ in range(n_lines):
+        k = int(rng.integers(0, 10_000))
+        words = [
+            HOT_TERMS[int(rng.integers(0, len(HOT_TERMS)))],
+            f"var_{k % 997}",
+            HOT_TERMS[int(rng.integers(0, len(HOT_TERMS)))],
+            f"helper_{k % 211}",
+            f"field_{k % 53}",
+        ]
+        rng.shuffle(words)
+        lines.append(" ".join(words))
+    return "\n".join(lines)
+
+
+def generate_corpus(n_rows: int, seed: int = SEED) -> pa.Table:
+    """Deterministic corpus table. Same (n_rows, seed) → identical bytes."""
+    rng = np.random.default_rng(seed)
+    repo, path, commit, lang, content = [], [], [], [], []
+    for i in range(n_rows):
+        ext, lg = _EXTS[i % len(_EXTS)]
+        repo.append(f"org{i % 7}/repo{i % 53}")
+        path.append(f"src/pkg{i % 11}/mod{i}{ext}")
+        commit.append(hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40])
+        lang.append(lg)
+        n_lines = int(rng.integers(3, 40))
+        content.append(_content_for(i, rng, n_lines))
+    return pa.table(
+        {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content},
+        schema=CORPUS_SCHEMA,
+    )
+
+
+def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
+                 rows_per_file: int = 10_000) -> list[str]:
+    """Write the corpus as multiple parquet files (partitioned source for
+    resumable builds). Returns the file paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_corpus(n_rows, seed)
+    paths = []
+    for start in range(0, max(n_rows, 1), rows_per_file):
+        part = table.slice(start, rows_per_file)
+        p = os.path.join(out_dir, f"part-{start // rows_per_file:05d}.parquet")
+        pq.write_table(part, p)
+        paths.append(p)
+    return paths

@@ -1,0 +1,291 @@
+"""BM25 top-k query engine over the sharded segment index.
+
+Two scorers, verified rank-identical in tests:
+
+- ``exhaustive``: term-at-a-time over all postings of the query terms
+  (decoded fully, NumPy-vectorized) — the distributed analog of the
+  reference's ``brute_force_search`` (/root/reference/index/hash_index.py:
+  81-90) and the conformance ground truth.
+- ``wand``: document-at-a-time block-max WAND (SURVEY.md §2.6 T1/T2) with
+  lazy per-block decode via the skip metadata — candidate pruning with
+  exact re-scoring, the analog of the reference's LSH-candidates → exact
+  Jaccard re-rank (/root/reference/index/index_new.py:65-72).
+
+Scoring: float64, idf = ln((N-df+0.5)/(df+0.5)+1) from GLOBAL stats only,
+contributions accumulated in sorted-term order so scores are bitwise
+identical to the oracle (oracle.py). Tie-break: score desc, doc_id asc.
+
+Query fan-out: the index is doc-sharded, so each shard's top-k is
+independent; ``search`` runs shards sequentially on the driver (test scale)
+and ``BM25SearchActor`` is the actor-pool stage (index loaded once per
+actor, /root/reference/models/api.py:30-78 pattern) for batch-query
+throughput via ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .build import idf as idf_fn
+from .build import load_stats
+from .codec import bm25_tf_part, decode_block, decode_doc_ids, decode_tfs
+from .text import clean_query
+
+
+class _DocLens:
+    """Per-shard doc_id → doc_len lookup (the Lucene-norms analog)."""
+
+    def __init__(self, docs_dir: str):
+        t = pq.read_table(docs_dir, columns=["doc_id", "doc_len", "shard"])
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        lens = np.asarray(t["doc_len"]).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.lens = lens[order]
+
+    def lookup(self, doc_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.ids, doc_ids)
+        return self.lens[pos]
+
+
+class TermShardIterator:
+    """Lazy cursor over one (term, shard) segment: blocks decode on demand."""
+
+    __slots__ = ("idf", "ids_buf", "tfs_buf", "skip_first", "skip_doc_off",
+                 "skip_tf_off", "bmax_score", "df", "block_size", "block",
+                 "pos", "ids", "tfs", "cur_doc", "exhausted", "max_ub", "term")
+
+    def __init__(self, term, idf, row, block_size):
+        self.term = term
+        self.idf = idf
+        self.ids_buf = row["doc_ids"]
+        self.tfs_buf = row["tfs"]
+        self.skip_first = np.asarray(row["skip_first_doc"], dtype=np.int64)
+        self.skip_doc_off = np.asarray(row["skip_doc_offset"], dtype=np.int32)
+        self.skip_tf_off = np.asarray(row["skip_tf_offset"], dtype=np.int32)
+        self.bmax_score = np.asarray(row["block_max_score"], dtype=np.float64)
+        self.df = int(row["df"])
+        self.block_size = block_size
+        self.block = -1
+        self.ids = self.tfs = None
+        self.pos = 0
+        self.exhausted = self.df == 0
+        self.max_ub = float(self.idf * self.bmax_score.max()) if len(self.bmax_score) else 0.0
+        self.cur_doc = -1
+        if not self.exhausted:
+            self._load_block(0)
+
+    def _load_block(self, b: int) -> None:
+        self.block = b
+        self.ids, self.tfs = decode_block(
+            self.ids_buf, self.tfs_buf, self.skip_doc_off, self.skip_tf_off,
+            b, self.df, self.block_size)
+        self.pos = 0
+        self.cur_doc = int(self.ids[0])
+
+    def block_ub(self) -> float:
+        return float(self.idf * self.bmax_score[self.block])
+
+    def next_geq(self, target: int) -> None:
+        """Advance to the first doc >= target (block skip via skip_first)."""
+        if self.exhausted or self.cur_doc >= target:
+            return
+        n_blocks = len(self.skip_first)
+        # last block whose first_doc <= target
+        b = int(np.searchsorted(self.skip_first, target, side="right")) - 1
+        b = max(b, self.block)
+        if b != self.block:
+            self._load_block(b)
+        while True:
+            pos = int(np.searchsorted(self.ids[self.pos:], target)) + self.pos
+            if pos < len(self.ids):
+                self.pos = pos
+                self.cur_doc = int(self.ids[pos])
+                return
+            if self.block + 1 >= n_blocks:
+                self.exhausted = True
+                self.cur_doc = np.iinfo(np.int64).max
+                return
+            self._load_block(self.block + 1)
+
+    def current_tf(self) -> int:
+        return int(self.tfs[self.pos])
+
+
+class QueryEngine:
+    """Loads stats + doc lens once; segment rows fetched per query with
+    parquet predicate pushdown on ``term`` (and cached)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.n_docs = self.stats["n_docs"]
+        self.avgdl = float(self.stats["avgdl"])
+        self.k1 = float(self.stats["k1"])
+        self.b = float(self.stats["b"])
+        self.block_size = int(self.stats["block_size"])
+        self.doclens = _DocLens(os.path.join(index_dir, "docs"))
+        self._seg_dir = os.path.join(index_dir, "segments")
+        self._seg_cache: dict[str, list[dict]] = {}
+
+    def _segments_for(self, terms: list[str]) -> dict[str, list[dict]]:
+        missing = [t for t in terms if t not in self._seg_cache]
+        if missing:
+            t = pq.read_table(self._seg_dir, filters=[("term", "in", missing)])
+            rows = t.to_pylist()
+            for m in missing:
+                self._seg_cache[m] = []
+            for r in rows:
+                self._seg_cache[r["term"]].append(r)
+        return {t: self._seg_cache[t] for t in terms}
+
+    # ---------- exhaustive TAAT ----------
+
+    def _search_exhaustive(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        segs = self._segments_for(terms)
+        id_chunks, score_chunks = [], []
+        for t in terms:  # sorted order → deterministic accumulation
+            rows = segs[t]
+            if not rows:
+                continue
+            df_global = sum(r["df"] for r in rows)
+            w = idf_fn(self.n_docs, df_global)
+            for r in rows:
+                ids = decode_doc_ids(r["doc_ids"], self.block_size)
+                tfs = decode_tfs(r["tfs"])
+                dls = self.doclens.lookup(ids)
+                part = bm25_tf_part(tfs, dls, self.avgdl, self.k1, self.b)
+                id_chunks.append(ids)
+                score_chunks.append(w * part)
+        if not id_chunks:
+            return []
+        all_ids = np.concatenate(id_chunks)
+        all_scores = np.concatenate(score_chunks)
+        # stable per-doc accumulation in input (sorted-term) order
+        uniq, inverse = np.unique(all_ids, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inverse, all_scores)
+        order = np.lexsort((uniq, -acc))
+        top = order[:k]
+        return [(int(uniq[i]), float(acc[i])) for i in top]
+
+    # ---------- block-max WAND (DAAT) ----------
+
+    def _search_wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        segs = self._segments_for(terms)
+        term_idf = {}
+        for t in terms:
+            rows = segs[t]
+            if rows:
+                term_idf[t] = idf_fn(self.n_docs, sum(r["df"] for r in rows))
+        # shards are disjoint doc ranges → WAND per shard, then global merge
+        by_shard: dict[int, list[TermShardIterator]] = {}
+        for t in terms:
+            for r in segs[t]:
+                by_shard.setdefault(r["shard"], []).append(
+                    TermShardIterator(t, term_idf[t], r, self.block_size))
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+        for iters in by_shard.values():
+            self._wand_shard(iters, k, heap)
+        res = sorted([(-d, s) for s, d in heap], key=lambda x: (-x[1], x[0]))
+        return [(d, s) for d, s in res[:k]]
+
+    def _wand_shard(self, iters: list[TermShardIterator],
+                    k: int, heap: list[tuple[float, int]]) -> None:
+        term_order = sorted({it.term for it in iters})
+        iters = [it for it in iters if not it.exhausted]
+        INF = np.iinfo(np.int64).max
+        while True:
+            iters = [it for it in iters if not it.exhausted]
+            if not iters:
+                return
+            iters.sort(key=lambda it: it.cur_doc)
+            theta = heap[0][0] if len(heap) >= k else -1.0
+            # pivot: first prefix whose max-score sum could beat theta
+            ub = 0.0
+            pivot = -1
+            for i, it in enumerate(iters):
+                ub += it.max_ub
+                if ub > theta or (len(heap) < k):
+                    pivot = i
+                    break
+            if pivot < 0:
+                return  # even all terms together cannot beat theta
+            pivot_doc = iters[pivot].cur_doc
+            if pivot_doc == INF:
+                return
+            if iters[0].cur_doc == pivot_doc:
+                # shallow block-max check before full evaluation
+                for it in iters:
+                    if it.cur_doc > pivot_doc:
+                        break
+                shallow = sum(it.block_ub() for it in iters if it.cur_doc == pivot_doc)
+                if len(heap) >= k and shallow < theta:
+                    # current blocks can't beat theta: advance past pivot_doc
+                    iters[0].next_geq(pivot_doc + 1)
+                    continue
+                # full evaluation, contributions in sorted-term order
+                contrib = {}
+                for it in iters:
+                    if it.cur_doc == pivot_doc:
+                        dl = self.doclens.lookup(np.array([pivot_doc], dtype=np.int64))
+                        part = bm25_tf_part(np.array([it.current_tf()], dtype=np.int64),
+                                            dl, self.avgdl, self.k1, self.b)[0]
+                        contrib[it.term] = contrib.get(it.term, 0.0) + it.idf * part
+                score = 0.0
+                for t in term_order:
+                    if t in contrib:
+                        score += contrib[t]
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                for it in iters:
+                    if it.cur_doc == pivot_doc:
+                        it.next_geq(pivot_doc + 1)
+            else:
+                # advance the earliest iterator to the pivot doc
+                iters[0].next_geq(pivot_doc)
+
+    def search(self, query: str, k: int = 10,
+               method: str = "exhaustive") -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), score desc then doc_id asc. Query-side
+        tokenization = reference cleanQuery; duplicate terms count once."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        if method == "wand":
+            return self._search_wand(terms, k)
+        return self._search_exhaustive(terms, k)
+
+
+class BM25SearchActor:
+    """Actor-pool stage for batch-query throughput: index state loaded once
+    per actor (__init__), scoring per batch (__call__) — the stateful-stage
+    pattern of SURVEY.md §2.3 F6."""
+
+    def __init__(self, index_dir: str, k: int = 10, method: str = "wand"):
+        self.engine = QueryEngine(index_dir)
+        self.k = k
+        self.method = method
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        queries = batch["query"].to_pylist()
+        q_out, d_out, r_out, s_out = [], [], [], []
+        for q in queries:
+            for rank, (doc_id, score) in enumerate(
+                    self.engine.search(q, self.k, self.method), 1):
+                q_out.append(q)
+                d_out.append(doc_id)
+                r_out.append(rank)
+                s_out.append(score)
+        return pa.table({"query": q_out, "doc_id": d_out,
+                         "rank": r_out, "score": s_out})

@@ -1,0 +1,136 @@
+"""End-to-end: distributed build → query, rank-identical (docIDs AND
+bitwise float64 scores) to the single-process oracle on the FIXTURES
+corpus + reference query set (SURVEY.md §5), plus round-trip reload
+(/root/reference/tests/minhash_index_test.py:33-40 analog) and the
+per-row sha256 invariant (BASELINE.json input_hint)."""
+
+import hashlib
+
+import pyarrow.parquet as pq
+import pytest
+
+from stacksearch_ray.corpus import GOLDEN_SENTENCES, generate_corpus, write_corpus
+from stacksearch_ray.oracle import OracleBM25
+from stacksearch_ray.schema import doc_id_for
+
+N_DOCS = 400
+
+QUERIES = [
+    "Determine a user's timezone",
+    "Converting ARBG to RGB alpha blending",
+    "Regex: To pull out a sub-string between two tags in a string",
+    "ASP.Net Custom Client-Side Validation",
+    "What are the preferred versions of Vim and Emacs on Mac OS X",
+    "Normalizing a Table with Low Integrity",
+    "What is the best way to store connection string in .NET DLLs?",
+    "What are the advantages of using SVN over CVS",
+    "numpy python",
+    "def return var_1 helper_3",
+    "import class field_7",
+    "zzz_no_such_term",
+]
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tmp_path_factory):
+    from stacksearch_ray.build import build_index
+
+    root = tmp_path_factory.mktemp("idx")
+    corpus_dir = str(root / "corpus")
+    index_dir = str(root / "index")
+    write_corpus(corpus_dir, N_DOCS, rows_per_file=100)
+    stats = build_index(corpus_dir, index_dir, num_shards=4, term_buckets=8)
+    return corpus_dir, index_dir, stats
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    tbl = generate_corpus(N_DOCS)
+    docs = {
+        doc_id_for(r, p, c): t
+        for r, p, c, t in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(),
+                              tbl["commit"].to_pylist(), tbl["content"].to_pylist())
+    }
+    return OracleBM25(docs), docs
+
+
+def test_stats_match_oracle(built_index, oracle):
+    _, _, stats = built_index
+    o, _ = oracle
+    assert stats["n_docs"] == o.n_docs
+    assert stats["avgdl"] == o.avgdl
+
+
+def test_rank_identity_both_scorers(built_index, oracle):
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    o, _ = oracle
+    eng = QueryEngine(index_dir)
+    for q in QUERIES:
+        expected = o.search(q, 10)
+        assert eng.search(q, 10, method="exhaustive") == expected, q
+        assert eng.search(q, 10, method="wand") == expected, q
+
+
+def test_golden_docs_in_top10(built_index, oracle):
+    """Reference behavior proxy (/root/reference/tests/test_index_query.py:
+    31-33): the doc embedding each golden sentence ranks in its query's
+    top-10."""
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    eng = QueryEngine(index_dir)
+    tbl = generate_corpus(N_DOCS)
+    for i, sentence in enumerate(GOLDEN_SENTENCES):
+        expected_doc = doc_id_for(tbl["repo"][i].as_py(), tbl["path"][i].as_py(),
+                                  tbl["commit"][i].as_py())
+        got = [d for d, _ in eng.search(sentence, 10)]
+        assert expected_doc in got, sentence
+
+
+def test_roundtrip_reload(built_index):
+    """Fresh engine over the same on-disk index → identical results
+    (save→load→same-search, minhash_index_test.py:33-40 analog)."""
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    a, b = QueryEngine(index_dir), QueryEngine(index_dir)
+    for q in QUERIES[:4]:
+        assert a.search(q, 10) == b.search(q, 10)
+
+
+def test_sha256_invariant(built_index):
+    """100% per-row content sha256 equality source → docs table."""
+    corpus_dir, index_dir, _ = built_index
+    src = pq.read_table(corpus_dir)
+    expected = {
+        doc_id_for(r, p, c): hashlib.sha256(t.encode()).hexdigest()
+        for r, p, c, t in zip(src["repo"].to_pylist(), src["path"].to_pylist(),
+                              src["commit"].to_pylist(), src["content"].to_pylist())
+    }
+    docs = pq.read_table(index_dir + "/docs", columns=["doc_id", "content_sha256"])
+    got = dict(zip(docs["doc_id"].to_pylist(), docs["content_sha256"].to_pylist()))
+    assert len(got) == len(expected)  # no empty docs in the synthetic corpus
+    for doc_id, sha in got.items():
+        assert expected[doc_id] == sha
+
+
+def test_batch_search_actor(built_index, oracle):
+    """Actor-pool batch query stage returns the same results as the driver
+    engine (stateful map_batches pattern)."""
+    import ray.data as rd
+
+    from stacksearch_ray.query import BM25SearchActor, QueryEngine
+
+    _, index_dir, _ = built_index
+    qds = rd.from_items([{"query": q} for q in QUERIES[:6]])
+    out = qds.map_batches(
+        BM25SearchActor, batch_format="pyarrow", batch_size=3,
+        concurrency=2, fn_constructor_kwargs={"index_dir": index_dir, "k": 5},
+    ).to_pandas()
+    eng = QueryEngine(index_dir)
+    for q in QUERIES[:6]:
+        got = out[out["query"] == q].sort_values("rank")
+        expected = eng.search(q, 5)
+        assert list(zip(got["doc_id"], got["score"])) == expected
