@@ -1,0 +1,64 @@
+"""Index-build entrypoint for `ray job submit` (north_rule).
+
+    ray job submit -- python scripts/build_cli.py \
+        --source /data/corpus --index-dir /data/index --num-shards 64
+
+Locally: python scripts/build_cli.py --source ... --index-dir ...
+Owns the Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="Build the BM25 index")
+    p.add_argument("--source", required=True, help="parquet file/dir of the corpus")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--content-col", default="content")
+    p.add_argument("--id-col", default=None, help="existing int64 id column")
+    p.add_argument("--num-shards", type=int, default=8)
+    p.add_argument("--term-buckets", type=int, default=32)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--resumable", action="store_true",
+                   help="checkpointed build with manifest/lineage (restart-safe)")
+    p.add_argument("--files-per-partition", type=int, default=1)
+    args = p.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.checkpoint import build_index_resumable
+
+    t0 = time.time()
+    kwargs = dict(content_col=args.content_col, id_col=args.id_col,
+                  num_shards=args.num_shards, term_buckets=args.term_buckets)
+    if args.resumable:
+        kwargs.pop("term_buckets")
+        stats = build_index_resumable(args.source, args.index_dir,
+                                      files_per_partition=args.files_per_partition,
+                                      **kwargs)
+    else:
+        stats = build_index(args.source, args.index_dir, **kwargs)
+    wall = time.time() - t0
+    print(json.dumps({"stats": stats, "wall_s": round(wall, 2)}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

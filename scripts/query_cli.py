@@ -1,0 +1,39 @@
+"""Query entrypoint: top-k BM25 search against a built index.
+
+    python scripts/query_cli.py --index-dir /data/index -k 10 "merge sort join"
+
+No Ray session needed — querying reads segments with parquet predicate
+pushdown on the driver; use BM25SearchActor via map_batches for bulk
+query workloads instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="BM25 top-k query")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--method", choices=["wand", "exhaustive"], default="wand")
+    p.add_argument("query", nargs="+")
+    args = p.parse_args()
+
+    from stacksearch_ray.query import QueryEngine
+
+    eng = QueryEngine(args.index_dir)
+    for q in args.query:
+        res = eng.search(q, args.k, method=args.method)
+        print(json.dumps({"query": q,
+                          "results": [{"doc_id": d, "score": s} for d, s in res]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

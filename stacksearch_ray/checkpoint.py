@@ -1,0 +1,263 @@
+"""Resumable checkpointed index build (north_rule; SURVEY.md §4, §7 step 8).
+
+Same result as ``build.build_index`` (verified in tests), different
+execution strategy optimized for restartability at cluster scale:
+
+  phase "partitions": one task per input-file partition, SINGLE tokenize
+      pass emitting both the docs part and the (shard,term)-sorted
+      postings part, written temp-then-rename; lineage (input files, rows,
+      postings, sha256 rollup, wall seconds) recorded in manifest.json.
+  phase "stats": streaming scan of staged docs → stats.json.
+  phase "shards": one task per index shard k, reading staged postings
+      with parquet predicate pushdown on ``shard`` (partition files are
+      shard-sorted so row groups prune), encoding all of shard k's
+      segments, temp-then-rename; per-shard lineage in the manifest.
+  phase "term_dict": groupby(term) Sum(df/cf) over segments.
+
+On restart every phase skips units the manifest marks done (and whose
+outputs exist). ``stop_after_partitions`` injects a deterministic
+interrupt for the resume test (FIXTURES.md F6).
+
+Scale notes: tasks are scheduled through Ray Data (`from_items(units) →
+map_batches(worker, batch_size=1)`) so backpressure and retries apply; a
+shard task materializes one shard's postings — choose num_shards so that
+fits a worker (S grows with the corpus). Staged postings are columnar
+parquet (term dictionary-encodes well) — the explicit, restartable analog
+of the shuffle's in-flight state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .build import IndexBuildConfig, SegmentEncoder, _resolve_doc_ids
+from .schema import sha256_batch, shard_of
+from .state.manifest import Manifest, atomic_write_parquet
+from .text import term_frequencies
+
+
+class BuildInterrupted(RuntimeError):
+    """Raised by the deterministic failure-injection hook (resume test)."""
+
+
+def _list_parquet_files(source: str | list[str]) -> list[str]:
+    if isinstance(source, list):
+        return sorted(source)
+    if os.path.isfile(source):
+        return [source]
+    out = []
+    for root, _, files in os.walk(source):
+        out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
+                       columns: list[str], docs_path: str, postings_path: str) -> dict:
+    t0 = time.time()
+    batch = pq.read_table(files, columns=columns)
+    doc_ids = _resolve_doc_ids(batch, cfg)
+    content = batch[cfg.content_col].combine_chunks()
+    tf = term_frequencies(content)
+
+    shas = sha256_batch(content)
+    docs_cols: dict[str, object] = {"doc_id": doc_ids}
+    for m in cfg.meta_cols:
+        if m in batch.column_names:
+            docs_cols[m] = batch[m].combine_chunks()
+    docs_cols["content_sha256"] = pa.array(shas, type=pa.string())
+    docs_cols["doc_len"] = tf.doc_lens
+    docs_cols["shard"] = shard_of(doc_ids, cfg.num_shards)
+    docs = pa.table(docs_cols)
+    docs = docs.filter(pc.greater(docs["doc_len"], 0))
+
+    p_doc = doc_ids[tf.doc_idx]
+    p_len = tf.doc_lens[tf.doc_idx]
+    p_shard = shard_of(p_doc, cfg.num_shards)
+    postings = pa.table({
+        "term": tf.terms,
+        "doc_id": p_doc,
+        "tf": tf.tf,
+        "doc_len": p_len,
+        "shard": p_shard,
+    }).sort_by([("shard", "ascending"), ("term", "ascending")])
+
+    atomic_write_parquet(docs, docs_path)
+    atomic_write_parquet(postings, postings_path)
+
+    rollup = hashlib.sha256("".join(shas).encode()).hexdigest()
+    return {
+        "pid": pid,
+        "input_files": files,
+        "rows": batch.num_rows,
+        "docs": docs.num_rows,
+        "postings": postings.num_rows,
+        "content_sha256_rollup": rollup,
+        "wall_s": round(time.time() - t0, 3),
+    }
+
+
+def _encode_shard(shard: int, stage_postings_dir: str, seg_path: str,
+                  encoder: SegmentEncoder) -> dict:
+    t0 = time.time()
+    dset = pads.dataset(stage_postings_dir, format="parquet")
+    table = dset.to_table(filter=pads.field("shard") == shard)
+    seg_table = encoder(table) if table.num_rows else None
+    if seg_table is None:
+        from .schema import SEGMENTS_SCHEMA
+
+        seg_table = SEGMENTS_SCHEMA.empty_table()
+    atomic_write_parquet(seg_table, seg_path)
+    return {
+        "shard": shard,
+        "postings": table.num_rows,
+        "terms": seg_table.num_rows,
+        "wall_s": round(time.time() - t0, 3),
+    }
+
+
+def build_index_resumable(source: str | list[str], index_dir: str,
+                          cfg: IndexBuildConfig | None = None,
+                          files_per_partition: int = 1,
+                          stop_after_partitions: int | None = None,
+                          concurrency: int | None = None,
+                          **cfg_overrides) -> dict:
+    """Checkpointed build; safe to re-run after any interruption."""
+    cfg = cfg or IndexBuildConfig()
+    for k, v in cfg_overrides.items():
+        setattr(cfg, k, v)
+    os.makedirs(index_dir, exist_ok=True)
+    docs_dir = os.path.join(index_dir, "docs")
+    segments_dir = os.path.join(index_dir, "segments")
+    stage_postings = os.path.join(index_dir, "stage", "postings")
+    term_dict_dir = os.path.join(index_dir, "term_dict")
+
+    manifest = Manifest.load_or_create(index_dir)
+    manifest.data["config"] = {
+        "num_shards": cfg.num_shards, "block_size": cfg.block_size,
+        "k1": cfg.k1, "b": cfg.b, "content_col": cfg.content_col,
+        "id_col": cfg.id_col, "files_per_partition": files_per_partition,
+    }
+
+    files = _list_parquet_files(source)
+    parts = [files[i:i + files_per_partition]
+             for i in range(0, len(files), files_per_partition)]
+    need_cols = {cfg.content_col} | set(cfg.meta_cols)
+    if cfg.id_col:
+        need_cols.add(cfg.id_col)
+    else:
+        need_cols |= set(cfg.key_cols)
+    schema = pads.dataset(files[0], format="parquet").schema
+    columns = [c for c in schema.names if c in need_cols]
+
+    # ---- phase: partitions ----
+    units = []
+    for i, pfiles in enumerate(parts):
+        pid = f"part-{i:05d}"
+        docs_path = os.path.join(docs_dir, f"{pid}.parquet")
+        postings_path = os.path.join(stage_postings, f"{pid}.parquet")
+        if manifest.partition_done(pid, [docs_path, postings_path]):
+            continue
+        units.append({"pid": pid, "files": pfiles,
+                      "docs_path": docs_path, "postings_path": postings_path})
+    if stop_after_partitions is not None:
+        allowed = stop_after_partitions
+    else:
+        allowed = len(units)
+    todo, deferred = units[:allowed], units[allowed:]
+    if todo:
+        def run_unit(b: pa.Table) -> pa.Table:
+            rows = []
+            for u in b.to_pylist():
+                rows.append(_process_partition(u["files"], u["pid"], cfg, columns,
+                                               u["docs_path"], u["postings_path"]))
+            return pa.Table.from_pylist([
+                {"pid": r["pid"], "lineage": __import__("json").dumps(r)} for r in rows])
+
+        res = (
+            rd.from_items(todo)
+            .map_batches(run_unit, batch_size=1, batch_format="pyarrow",
+                         concurrency=concurrency)
+            .take_all()
+        )
+        import json as _json
+
+        for r in res:
+            rec = _json.loads(r["lineage"])
+            manifest.mark_partition(rec.pop("pid"), **rec)
+        manifest.save()
+    if deferred:
+        manifest.save()
+        raise BuildInterrupted(
+            f"stopped after {allowed} partitions ({len(deferred)} remaining)")
+
+    # ---- phase: stats ----
+    n_docs, total_len = 0, 0
+    for rb in pads.dataset(docs_dir).to_batches(columns=["doc_len"]):
+        n_docs += rb.num_rows
+        total_len += int(pc.sum(rb.column(0)).as_py() or 0)
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+    stats = {
+        "n_docs": n_docs, "total_len": total_len, "avgdl": avgdl,
+        "k1": cfg.k1, "b": cfg.b, "num_shards": cfg.num_shards,
+        "block_size": cfg.block_size, "content_col": cfg.content_col,
+        "id_col": cfg.id_col,
+    }
+    import json as _json
+
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        _json.dump(stats, f, indent=1)
+    manifest.mark_phase("stats", n_docs=n_docs, avgdl=avgdl)
+    manifest.save()
+
+    # ---- phase: shards ----
+    encoder = SegmentEncoder(avgdl=avgdl, k1=cfg.k1, b=cfg.b,
+                             block_size=cfg.block_size)
+    shard_units = []
+    for k in range(cfg.num_shards):
+        seg_path = os.path.join(segments_dir, f"shard-{k:05d}.parquet")
+        if manifest.shard_done(k, [seg_path]):
+            continue
+        shard_units.append({"shard": k, "seg_path": seg_path})
+    if shard_units:
+        def run_shard(b: pa.Table) -> pa.Table:
+            rows = []
+            for u in b.to_pylist():
+                rows.append(_encode_shard(u["shard"], stage_postings,
+                                          u["seg_path"], encoder))
+            return pa.Table.from_pylist([
+                {"shard": r["shard"], "lineage": _json.dumps(r)} for r in rows])
+
+        res = (
+            rd.from_items(shard_units)
+            .map_batches(run_shard, batch_size=1, batch_format="pyarrow",
+                         concurrency=concurrency)
+            .take_all()
+        )
+        for r in res:
+            rec = _json.loads(r["lineage"])
+            manifest.mark_shard(rec.pop("shard"), **rec)
+        manifest.save()
+
+    # ---- phase: term_dict ----
+    if not manifest.phase_done("term_dict"):
+        from ray.data.aggregate import Sum
+
+        (
+            rd.read_parquet(segments_dir, columns=["term", "df", "cf"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .write_parquet(term_dict_dir)
+        )
+        manifest.mark_phase("term_dict")
+        manifest.save()
+    return stats
