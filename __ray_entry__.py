@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + golden-query BM25
+search) on sf0.001. ``queries()`` exposes one callable per implemented
+operator/pipeline (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (column names match exactly;
+floats travel as *_micros int64).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +17,165 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BM25 index build over sf0.001 documents + reference
+    golden-query search through the WAND scorer."""
+    from stacksearch_ray.pipelines import documents as P
+    from stacksearch_ray.query import QueryEngine
+
+    eng: QueryEngine = P._index_for("/root/testdata/sf0.001")
+    golden = [
+        "Determine a user's timezone",
+        "Converting ARBG to RGB alpha blending",
+        "merge sort join stream window",
+        "spark query filter batch",
+    ]
+    rows = []
+    for q in golden:
+        for rank, (doc_id, score) in enumerate(eng.search(q, 10, "wand"), 1):
+            rows.append({"query": q, "rank": rank, "doc_id": doc_id,
+                         "score": score})
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from stacksearch_ray.pipelines import documents as P
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # tokenize / index-side aggregates (M2-M8, A1-A7)
+        "term_counts": P.term_counts,
+        "term_df": P.term_df,
+        "token_stats": lambda sf: P.token_stats(sf).drop_columns(
+            ["stopword_ratio_micros"]),
+        "corpus_stats": P.corpus_stats,
+        # BM25 top-k (T1-T4): same oracle for both scorers = rank identity
+        "bm25_topk": P.bm25_topk,
+        "bm25_topk_wand": P.bm25_topk_wand,
+        "docstore_join": P.docstore_join,
+        # dedup (§2.7 + training-data ops)
+        "exact_dedup": P.exact_dedup,
+        "minhash_clusters": P.minhash_clusters,
+        "simhash_sigs": P.simhash_sigs,
+        "ngram_fingerprints": P.doc_fingerprints,
+        # filters / projections / source pruning (S1/S2, M5-M6)
+        "filter_en_long": P.filter_en_long,
+        # text analysis
+        "lang_token_totals": P.lang_token_totals,
+        "top_terms_per_lang": P.top_terms_per_lang,
+        "lang_id": P.lang_id,
+        # similarity search
+        "knn_cosine": P.knn_cosine,
+        "knn_ann_lsh": P.knn_ann_lsh,
+        "embedding_pairs": P.embedding_pairs,
+        # streaming-shaped + generic columnar
+        "events_window": P.events_window,
+        "lineitem_agg": P.lineitem_agg,
+        # multimodal plumbing (stubbed decode)
+        "multimodal_features": P.multimodal_features,
+        "video_frame_sample": P.video_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from stacksearch_ray.pipelines.documents import BM25_QUERY
+    from stacksearch_ray.pipelines.sql import (
+        bm25_scores_sql,
+        bm25_topk_sql,
+        kept_tokens_cte,
+    )
+
+    kept = kept_tokens_cte()
+    bm25 = bm25_topk_sql(BM25_QUERY, 10)
+    return {
+        "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
+        "term_df": f"WITH {kept} SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term",
+        "token_stats": f"""
+WITH {kept},
+all_toks AS (
+  SELECT doc_id, count(*) AS n FROM toks WHERE term <> '' GROUP BY doc_id
+),
+kept_counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n, 0) AS n_tokens,
+       coalesce(k.n, 0) AS n_kept
+FROM documents d
+LEFT JOIN all_toks a ON d.doc_id = a.doc_id
+LEFT JOIN kept_counts k ON d.doc_id = k.doc_id""",
+        "corpus_stats": f"""
+WITH {kept},
+dl AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
+SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_len,
+       CAST(round(sum(n)::DOUBLE / count(*) * 1e6) AS BIGINT) AS avgdl_micros
+FROM dl""",
+        "bm25_topk": bm25,
+        "bm25_topk_wand": bm25,
+        "docstore_join": bm25_scores_sql(BM25_QUERY) + """,
+topk AS (
+  SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micros
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT t.doc_id, d.lang, d.source, t.score_micros
+FROM topk t JOIN documents d ON t.doc_id = d.doc_id""",
+        "exact_dedup": """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)""",
+        "filter_en_long": """
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 200""",
+        "lang_token_totals": f"""
+WITH {kept},
+dl AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(coalesce(dl.n, 0)) AS BIGINT) AS total_tokens
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+GROUP BY d.lang""",
+        "top_terms_per_lang": f"""
+WITH {kept},
+lt AS (
+  SELECT d.lang, k.term, count(*) AS cnt
+  FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+  GROUP BY d.lang, k.term
+),
+ranked AS (
+  SELECT lang, term, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, term ASC) AS rank
+  FROM lt
+)
+SELECT lang, term, cnt, rank FROM ranked WHERE rank <= 3""",
+        "events_window": """
+SELECT event_type,
+       CAST(epoch_us(ts) // 60000000 AS BIGINT) AS w,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM events GROUP BY 1, 2""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS BIGINT) AS sum_qty_micros,
+       CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_price_micros,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "knn_cosine": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding::DOUBLE[], q.qe) AS sim
+  FROM embeddings, q
+)
+SELECT vec_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        "embedding_pairs": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) * 1e6)
+            AS BIGINT) AS sim_micros
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.45""",
+        # rows-only (non-SQL-expressible): minhash_clusters, simhash_sigs,
+        # ngram_fingerprints, lang_id, knn_ann_lsh, multimodal_features,
+        # video_frame_sample
+    }

@@ -1,0 +1,337 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- exact_dedup:      content-hash groupby, keep min doc_id (SQL-oracle-able)
+- minhash_lsh:      shingle → minhash → band → bucket-groupby candidates →
+                    signature-Jaccard verify → min-label clustering
+- simhash:          64-bit simhash + banded Hamming grouping
+- ngram_jaccard:    exact token-set Jaccard pairs (small-side broadcast;
+                    the brute-force oracle for the sketch paths)
+- embedding near-dup lives in similarity.py (cosine_pairs)
+
+Scale notes (SURVEY.md §4): candidate generation is a groupby on
+(band_id, band_hash) — an all-to-all but on (bands × n_docs) short rows;
+verification joins signatures back by doc_id pair. Here the signature
+side is broadcast via ray.put (fits up to ~10M docs at num_perm=128);
+beyond that swap the broadcast for a hash-partitioned pair join keyed on
+doc_id buckets. Clustering is iterative min-label propagation
+(groupby-based), no driver union-find on big inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from ..text import tokenize_array
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------- exact dedup ----------------
+
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     algo: str = "md5") -> pa.Table:
+    import hashlib
+
+    vals = batch[text_col].to_pylist()
+    h = [getattr(hashlib, algo)((v or "").encode()).hexdigest() for v in vals]
+    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+
+
+def exact_dedup_groups(ds: Dataset, text_col: str = "text",
+                       id_col: str = "doc_id") -> Dataset:
+    """(content_hash, keep_id, n_dups): one row per distinct content; the
+    kept representative is the min doc_id — groupby + aggregate, partials
+    combined per block by Ray's hash aggregate."""
+    return (
+        ds.map_batches(lambda b: add_content_hash(b, text_col),
+                       batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+    )
+
+
+# ---------------- minhash ----------------
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
+                             num_perm: int, shingle_k: int,
+                             a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Per-doc minhash signature over token k-shingles. Vectorized: shingle
+    hashes via pandas hash_array on joined strings, then min over
+    (a*h+b) mod p per permutation using np.minimum.reduceat."""
+    content = batch[text_col].combine_chunks()
+    flat, doc_idx, doc_lens = tokenize_array(content)
+    n = len(content)
+    toks = np.asarray(flat.to_pylist(), dtype=object)
+    # build shingles per doc (python join over small slices; hashes vectorized)
+    starts = np.concatenate(([0], np.cumsum(doc_lens)))
+    shingles, sdoc = [], []
+    for d in range(n):
+        s, e = starts[d], starts[d + 1]
+        words = toks[s:e]
+        if len(words) == 0:
+            continue
+        k = min(shingle_k, len(words))
+        for i in range(len(words) - k + 1):
+            shingles.append(" ".join(words[i:i + k]))
+            sdoc.append(d)
+    sigs = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.uint64)
+    if shingles:
+        sdoc = np.asarray(sdoc, dtype=np.int64)
+        h = pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hv = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+        # docs are contiguous in sdoc
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(sdoc)) + 1))
+        mins = np.minimum.reduceat(hv, bounds, axis=0)
+        sigs[sdoc[bounds]] = mins
+    return pa.table({
+        "doc_id": batch[id_col].combine_chunks(),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64)), num_perm),
+        "n_tokens": doc_lens,
+    })
+
+
+def minhash_signatures(ds: Dataset, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 128,
+                       shingle_k: int = 3, seed: int = 7) -> Dataset:
+    a, b = _minhash_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return minhash_signatures_batch(batch, text_col, id_col,
+                                        num_perm, shingle_k, a, b)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _bands_batch(batch: pa.Table, num_bands: int, num_perm: int) -> pa.Table:
+    rows_per_band = num_perm // num_bands
+    sig = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
+    doc = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+    n = len(doc)
+    band_hash = np.empty((n, num_bands), dtype=np.int64)
+    for bnd in range(num_bands):
+        seg = sig[:, bnd * rows_per_band:(bnd + 1) * rows_per_band]
+        band_hash[:, bnd] = pd.util.hash_array(
+            np.ascontiguousarray(seg).view(
+                [("", seg.dtype)] * rows_per_band).ravel()).view(np.int64)
+    return pa.table({
+        "doc_id": np.repeat(doc, num_bands),
+        "band": np.tile(np.arange(num_bands, dtype=np.int32), n),
+        "band_hash": band_hash.reshape(-1),
+    })
+
+
+def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
+                         id_col: str = "doc_id", num_perm: int = 128,
+                         num_bands: int = 16, shingle_k: int = 3,
+                         threshold: float = 0.8, seed: int = 7,
+                         max_iters: int = 10) -> Dataset:
+    """(doc_id, cluster_id): connected components over verified near-dup
+    pairs; singletons keep cluster_id == doc_id.
+
+    Stages: signatures → band explode → groupby(band, band_hash) candidate
+    pairs → signature-Jaccard ≥ threshold verify (signatures broadcast via
+    ray.put; see module docstring for the >10M-doc join variant) →
+    iterative min-label propagation until fixpoint.
+    """
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
+    sigs_mat = sigs.to_pandas()
+    sig_arr = np.stack(sigs_mat["sig"].to_numpy()).astype(np.int64)
+    doc_arr = sigs_mat["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(doc_arr)
+    doc_arr, sig_arr = doc_arr[order], sig_arr[order]
+    sig_ref = ray.put((doc_arr, sig_arr))
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+
+    bands = sigs.map_batches(
+        lambda t: _bands_batch(t, num_bands, num_perm), batch_format="pyarrow")
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pandas")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        docs, sigm = ray.get(sig_ref)
+        a = np.asarray(batch["a"].combine_chunks()).astype(np.int64)
+        b = np.asarray(batch["b"].combine_chunks()).astype(np.int64)
+        ia = np.searchsorted(docs, a)
+        ib = np.searchsorted(docs, b)
+        est = (sigm[ia] == sigm[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({"a": a[keep], "b": b[keep]})
+
+    pairs = (cand.map_batches(verify, batch_format="pyarrow")
+             .groupby(["a", "b"]).map_groups(
+                 lambda g: g.head(1), batch_format="pandas"))
+    pairs_pdf = pairs.to_pandas()
+
+    # min-label propagation on the driver over the (small) verified pair set;
+    # at scale this loop becomes groupby(node).aggregate(Min(label)) rounds.
+    label = {int(d): int(d) for d in doc_arr}
+    edges = list(zip(pairs_pdf["a"].astype(int), pairs_pdf["b"].astype(int)))
+    for _ in range(max_iters):
+        changed = False
+        for x, y in edges:
+            m = min(label[x], label[y])
+            if label[x] != m or label[y] != m:
+                label[x] = label[y] = m
+                changed = True
+        if not changed:
+            break
+    out = pa.table({
+        "doc_id": np.array(sorted(label), dtype=np.int64),
+        "cluster_id": np.array([label[d] for d in sorted(label)], dtype=np.int64),
+    })
+    return rd.from_arrow(out)
+
+
+# ---------------- simhash ----------------
+
+def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """64-bit simhash over kept tokens (tf-weighted bit votes), vectorized."""
+    content = batch[text_col].combine_chunks()
+    flat, doc_idx, doc_lens = tokenize_array(content)
+    n = len(content)
+    out = np.zeros((n, 64), dtype=np.int64)
+    if len(flat):
+        h = pd.util.hash_array(
+            np.asarray(flat.to_pylist(), dtype=object)).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64) * 2 - 1
+        np.add.at(out, doc_idx, bits)
+    sim = ((out > 0).astype(np.uint64)
+           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    sim[np.asarray(doc_lens) == 0] = 0
+    return pa.table({
+        "doc_id": batch[id_col].combine_chunks(),
+        "simhash": sim.view(np.int64),
+    })
+
+
+def simhash_signatures(ds: Dataset, text_col: str = "text",
+                       id_col: str = "doc_id") -> Dataset:
+    return ds.map_batches(lambda b: simhash_batch(b, text_col, id_col),
+                          batch_format="pyarrow")
+
+
+def simhash_near_dup_pairs(ds: Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", max_hamming: int = 3) -> Dataset:
+    """Candidate pairs with Hamming(simhash) ≤ max_hamming via the 4-band
+    pigeonhole trick (any pair within distance 3 shares ≥1 of 4 16-bit
+    bands), verified exactly."""
+    sigs = simhash_signatures(ds, text_col, id_col)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        sim = np.asarray(batch["simhash"].combine_chunks()).view(np.uint64)
+        doc = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        parts = [(sim >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)]
+        return pa.table({
+            "doc_id": np.repeat(doc, 4),
+            "band": np.tile(np.arange(4, dtype=np.int32), len(doc)),
+            "band_hash": np.stack(parts, axis=1).reshape(-1).view(np.int64),
+            "simhash": np.repeat(sim.view(np.int64), 4),
+        })
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = u["doc_id"].to_numpy()
+        sims = u["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        ham = np.zeros(len(ai), dtype=np.int64)
+        x = sims[ai] ^ sims[bi]
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            x = x & (x - np.uint64(1))
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                             "hamming": ham[keep]})
+
+    return (
+        sigs.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+# ---------------- exact n-gram Jaccard (brute-force oracle path) ----------------
+
+def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.5) -> Dataset:
+    """Exact token-SET Jaccard ≥ threshold over all pairs. The small side
+    (full token-set table) is broadcast via ray.put and each batch compares
+    its docs against all docs with larger ids — O(n²/2) exact, the ground
+    truth the sketch paths approximate. Use only at oracle scales."""
+    def tok_sets(batch: pa.Table) -> pa.Table:
+        content = batch[text_col].combine_chunks()
+        flat, doc_idx, doc_lens = tokenize_array(content)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        starts = np.concatenate(([0], np.cumsum(doc_lens)))
+        sets = [sorted(set(toks[starts[i]:starts[i + 1]])) for i in range(len(content))]
+        return pa.table({
+            "doc_id": batch[id_col].combine_chunks(),
+            "tokens": pa.array(sets, type=pa.list_(pa.string())),
+        })
+
+    tok_ds = ds.map_batches(tok_sets, batch_format="pyarrow")
+    all_pdf = tok_ds.to_pandas().sort_values("doc_id")
+    all_ids = all_pdf["doc_id"].to_numpy().astype(np.int64)
+    all_sets = [frozenset(t) for t in all_pdf["tokens"]]
+    ref = ray.put((all_ids, all_sets))
+
+    def compare(batch: pa.Table) -> pa.Table:
+        ids_all, sets_all = ray.get(ref)
+        pos = {int(d): i for i, d in enumerate(ids_all)}
+        a_out, b_out, j_out = [], [], []
+        for d, toks in zip(batch["doc_id"].to_pylist(), batch["tokens"].to_pylist()):
+            s = frozenset(toks)
+            i0 = pos[int(d)]
+            for j in range(i0 + 1, len(ids_all)):
+                t = sets_all[j]
+                if not s and not t:
+                    continue
+                inter = len(s & t)
+                if inter == 0:
+                    continue
+                jac = inter / (len(s) + len(t) - inter)
+                if jac >= threshold:
+                    a_out.append(int(d))
+                    b_out.append(int(ids_all[j]))
+                    j_out.append(jac)
+        return pa.table({
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "jaccard_micros": pa.array([int(round(x * 1e6)) for x in j_out], pa.int64()),
+        })
+
+    return tok_ds.map_batches(compare, batch_format="pyarrow")

@@ -1,0 +1,318 @@
+"""Driver-conformance pipelines over /root/testdata tables (SURVEY.md §2
+operator inventory → __ray_entry__.queries()).
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table whose column names match the DuckDB oracle in
+__ray_entry__.oracle_sql() exactly. Floats are returned as *_micros
+int64 so value hashes are stable across engines.
+
+The documents table maps onto the engine's corpus as
+``doc_id→doc_id, text→content`` (FIXTURES.md F5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..build import build_index
+from ..functions.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_clusters,
+    simhash_signatures,
+)
+from ..functions.similarity import cosine_pairs, knn_brute_force, knn_lsh
+from ..functions.textstats import (
+    LangIdScorer,
+    fingerprint_batch,
+    token_stats_batch,
+)
+from ..query import QueryEngine
+from ..text import term_frequencies
+
+BM25_QUERY = "merge sort join stream window"
+CACHE_ROOT = "/tmp/stacksearch_ray_cache"
+
+_engines: dict[str, QueryEngine] = {}
+
+
+def _docs(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _index_for(sf_dir: str) -> QueryEngine:
+    """Build (once per sf_dir per process) the BM25 index over documents."""
+    if sf_dir not in _engines:
+        tag = sf_dir.strip("/").replace("/", "_")
+        index_dir = os.path.join(CACHE_ROOT, tag, "index")
+        if not os.path.exists(os.path.join(index_dir, "stats.json")):
+            build_index(_docs(sf_dir), index_dir, content_col="text",
+                        id_col="doc_id", meta_cols=("lang", "source"),
+                        num_shards=4, term_buckets=16)
+        _engines[sf_dir] = QueryEngine(index_dir)
+    return _engines[sf_dir]
+
+
+def _postings_ds(sf_dir: str):
+    def explode(batch: pa.Table) -> pa.Table:
+        tf = term_frequencies(batch["text"].combine_chunks())
+        doc_ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "term": tf.terms,
+            "doc_id": doc_ids[tf.doc_idx],
+            "tf": tf.tf,
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow"))
+
+
+# ---------------- SQL-oracle-backed entries ----------------
+
+def term_counts(sf_dir: str):
+    """(term, cf): collection frequency — per-batch partial counts then a
+    small groupby-sum (pre-aggregated shuffle)."""
+    return (_postings_ds(sf_dir)
+            .groupby("term")
+            .aggregate(Sum("tf", alias_name="cf")))
+
+
+def term_df(sf_dir: str):
+    """(term, df): document frequency."""
+    return (_postings_ds(sf_dir)
+            .groupby("term")
+            .aggregate(Count(alias_name="df")))
+
+
+def token_stats(sf_dir: str):
+    """(doc_id, n_tokens, n_kept, stopword_ratio_micros) per doc."""
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(token_stats_batch, batch_format="pyarrow"))
+
+
+def corpus_stats(sf_dir: str):
+    """One row: n_docs (≥1 kept token), total_len, avgdl_micros."""
+    ts = token_stats(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater(b["n_kept"], 0)), batch_format="pyarrow")
+    agg = ts.aggregate(Sum("n_kept", alias_name="total_len"),
+                       Count(alias_name="n_docs"))
+    n, tot = int(agg["n_docs"]), int(agg["total_len"])
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "total_len": pa.array([tot], pa.int64()),
+        "avgdl_micros": pa.array([int(round(tot / n * 1e6))], pa.int64()),
+    })
+
+
+def bm25_topk(sf_dir: str):
+    """Top-10 BM25 (exhaustive scorer) for the fixed query."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, method="exhaustive")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([int(round(s * 1e6)) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+def bm25_topk_wand(sf_dir: str):
+    """Same result via block-max WAND (oracle: same SQL — rank identity)."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, method="wand")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([int(round(s * 1e6)) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+def docstore_join(sf_dir: str):
+    """Top-k ids joined back to the doc-store (J1/J2 analog): broadcast
+    semi-join of the small result set against the documents table."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, method="wand")
+    scores = {d: int(round(s * 1e6)) for d, s in res}
+    ids = pa.array(list(scores), pa.int64())
+
+    def join(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch["doc_id"], value_set=ids))
+        sm = [scores[d] for d in hit["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": hit["doc_id"],
+            "lang": hit["lang"],
+            "source": hit["source"],
+            "score_micros": pa.array(sm, pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "source"])
+            .map_batches(join, batch_format="pyarrow"))
+
+
+def exact_dedup(sf_dir: str):
+    """(content_hash, keep_id, n_dups) per distinct text."""
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return exact_dedup_groups(ds, text_col="text", id_col="doc_id")
+
+
+def filter_en_long(sf_dir: str):
+    """Filter + project with predicate pushdown at the read."""
+    import pyarrow.dataset as pads
+
+    return rd.read_parquet(
+        _docs(sf_dir), columns=["doc_id", "source", "n_chars"],
+        filter=(pads.field("lang") == "en") & (pads.field("n_chars") >= 200))
+
+
+def lang_token_totals(sf_dir: str):
+    """(lang, n_docs, total_tokens): kept tokens per language."""
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from ..text import tokenize_array
+
+        _, _, kept = tokenize_array(batch["text"].combine_chunks())
+        return pa.table({"lang": batch["lang"], "n_kept": kept})
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["lang", "text"])
+            .map_batches(per_batch, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_kept", alias_name="total_tokens")))
+
+
+def top_terms_per_lang(sf_dir: str):
+    """Top-3 terms by count per language (cnt desc, term asc)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        tf = term_frequencies(batch["text"].combine_chunks())
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        return pa.table({
+            "lang": pa.array(list(langs[tf.doc_idx]), pa.string()),
+            "term": tf.terms,
+            "tf": tf.tf,
+        })
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["cnt", "term"], ascending=[False, True])
+             .head(3).reset_index(drop=True))
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["lang", "text"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby(["lang", "term"])
+            .aggregate(Sum("tf", alias_name="cnt"))
+            .groupby("lang")
+            .map_groups(top3, batch_format="pandas"))
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-minute window counts/sums per event_type (streaming-shaped
+    workload as groupby over (key, window))."""
+    def win(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64())  # microseconds
+        w = pc.divide(ts, 60_000_000)
+        vm = pc.round(pc.multiply(batch["value"].combine_chunks(), 1e6))
+        return pa.table({
+            "event_type": batch["event_type"],
+            "w": w,
+            "value_micros": vm.cast(pa.int64()),
+        })
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "ts", "value"])
+            .map_batches(win, batch_format="pyarrow")
+            .groupby(["event_type", "w"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("value_micros", alias_name="sum_value_micros")))
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped aggregate (generic columnar capability check)."""
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = pc.round(pc.multiply(batch["l_quantity"].combine_chunks(), 1e6))
+        price = pc.round(pc.multiply(batch["l_extendedprice"].combine_chunks(), 1e6))
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_micros": qty.cast(pa.int64()),
+            "price_micros": price.cast(pa.int64()),
+        })
+
+    return (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_linestatus",
+                                     "l_quantity", "l_extendedprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty_micros", alias_name="sum_qty_micros"),
+                       Sum("price_micros", alias_name="sum_price_micros"),
+                       Count(alias_name="count_order")))
+
+
+def knn_cosine(sf_dir: str):
+    """Exact cosine top-10 to the vec_id=0 embedding."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, q, k=10)
+    return out.drop_columns(["query_id"])
+
+
+def embedding_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (sim ≥ 0.45 — testdata max is ~0.51)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return cosine_pairs(ds, threshold=0.45)
+
+
+# ---------------- rows-only entries (no SQL oracle) ----------------
+
+def minhash_clusters(sf_dir: str):
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return minhash_lsh_clusters(ds, num_perm=64, num_bands=16, threshold=0.5)
+
+
+def simhash_sigs(sf_dir: str):
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return simhash_signatures(ds)
+
+
+def doc_fingerprints(sf_dir: str):
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(fingerprint_batch, batch_format="pyarrow"))
+
+
+def lang_id(sf_dir: str):
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(LangIdScorer, batch_format="pyarrow",
+                         batch_size=256, concurrency=2))
+
+
+def knn_ann_lsh(sf_dir: str):
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return knn_lsh(ds, q, k=10, n_planes=8, multiprobe=2).drop_columns(["query_id"])
+
+
+def multimodal_features(sf_dir: str):
+    """Binary-payload plumbing over a deterministic synthetic media table
+    (stubbed decode — see functions/multimodal.py)."""
+    from ..functions.multimodal import decode_features, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(60))
+    return decode_features(ds, fake=True, batch_size=16, concurrency=2)
+
+
+def video_frame_sample(sf_dir: str):
+    from ..functions.multimodal import sample_frames, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(60))
+    return sample_frames(ds, stride_ms=5000, fake=True)

@@ -1,0 +1,70 @@
+"""DuckDB oracle SQL builders mirroring the engine's semantics exactly.
+
+The canonical tokenization CTE replicates clean_query
+(/root/reference/dataprocess/cleaners.py:38-41): lower → drop
+non-[a-z0-9 \\n] → whitespace split → drop '' → drop English stopwords.
+Validated token-for-token against the Python tokenizer in tests.
+"""
+
+from __future__ import annotations
+
+from ..stopwords import ENGLISH_STOPWORDS
+from ..text import clean_query
+
+
+def sql_stopword_list() -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS)
+
+
+def kept_tokens_cte(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    return f"""
+toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(string_split_regex(
+             regexp_replace(lower({text_col}), '[^a-z0-9 \n]+', '', 'g'),
+             '\\s+')) AS term
+  FROM {table}
+),
+kept AS (
+  SELECT doc_id, term FROM toks
+  WHERE term <> '' AND term NOT IN ({sql_stopword_list()})
+)"""
+
+
+def bm25_scores_sql(query: str, k1: float = 1.2, b: float = 0.75) -> str:
+    """CTE chain ending in ``scores(doc_id, score)`` for a query string."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (({k1} + 1.0) * tf.tf
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)"""
+
+
+def bm25_topk_sql(query: str, k: int = 10) -> str:
+    return bm25_scores_sql(query) + f"""
+SELECT doc_id,
+       CAST(round(score * 1e6) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""

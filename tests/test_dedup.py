@@ -1,0 +1,76 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts, ids=None):
+    import ray.data as rd
+
+    ids = ids or list(range(len(texts)))
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts, pa.string())}))
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "the quick brown fox jumps over the lazy dog again and again today",   # exact dup of 0
+    "the quick brown fox jumps over the lazy dog again and again tonight",  # near dup
+    "import numpy as np def main return values sorted unique array",
+    "completely different content about database query optimization plans",
+    "another unrelated document mentioning graphs trees and traversal",
+]
+
+
+def test_exact_dedup(ray_session):
+    from stacksearch_ray.functions.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(_docs_ds(TEXTS)).to_pandas()
+    assert len(out) == 5  # 6 docs, one exact dup pair
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and dup["keep_id"].iloc[0] == 0
+
+
+def test_minhash_identical_signatures(ray_session):
+    from stacksearch_ray.functions.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_docs_ds(TEXTS[:2] + TEXTS[4:5]),
+                              num_perm=64).to_pandas().sort_values("doc_id")
+    s = [np.asarray(x) for x in sigs["sig"]]
+    assert (s[0] == s[1]).all()          # identical docs → identical sigs
+    assert (s[0] == s[2]).mean() < 0.5   # unrelated docs → mostly different
+
+
+def test_minhash_lsh_clusters(ray_session):
+    from stacksearch_ray.functions.dedup import minhash_lsh_clusters
+
+    out = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
+                               threshold=0.5).to_pandas()
+    lbl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lbl[0] == lbl[1] == 0         # exact dups clustered, min-label
+    assert lbl[2] == 0                   # near dup joins the cluster
+    assert lbl[4] == 4 and lbl[5] == 5   # singletons keep own id
+
+
+def test_simhash_pairs(ray_session):
+    from stacksearch_ray.functions.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    sigs = simhash_signatures(_docs_ds(TEXTS)).to_pandas().sort_values("doc_id")
+    assert sigs["simhash"].iloc[0] == sigs["simhash"].iloc[1]
+    pairs = simhash_near_dup_pairs(_docs_ds(TEXTS), max_hamming=3).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in got
+    assert pairs[(pairs["a"] == 0) & (pairs["b"] == 1)]["hamming"].iloc[0] == 0
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    from stacksearch_ray.functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs_ds(TEXTS), threshold=0.5).to_pandas()
+    got = dict(((a, b), j) for a, b, j in
+               zip(out["a"], out["b"], out["jaccard_micros"]))
+    assert got[(0, 1)] == 1_000_000
+    assert (0, 2) in got and got[(0, 2)] >= 500_000
+    assert (0, 4) not in got

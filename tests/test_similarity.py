@@ -1,0 +1,83 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _emb_ds(mat, ids=None):
+    import ray.data as rd
+
+    ids = ids if ids is not None else np.arange(len(mat))
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def _oracle_topk(mat, q, k):
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = m @ qn
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return list(order[:k])
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(3)
+    return rng.standard_normal((200, 32))
+
+
+def test_knn_brute_force_matches_oracle(ray_session, corpus):
+    from stacksearch_ray.functions.similarity import knn_brute_force
+
+    queries = corpus[[5, 17]]
+    out = knn_brute_force(_emb_ds(corpus), queries, k=10).to_pandas()
+    for qi in (0, 1):
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        # float32 storage: compare against oracle on the f32-rounded matrix
+        expect = _oracle_topk(corpus.astype(np.float32).astype(np.float64),
+                              corpus.astype(np.float32)[[5, 17][qi]].astype(np.float64), 10)
+        assert got == expect
+        assert got[0] == [5, 17][qi]  # self is nearest
+
+
+def test_knn_lsh_recall(ray_session):
+    from stacksearch_ray.functions.similarity import knn_brute_force, knn_lsh
+
+    # clustered corpus: LSH needs angular locality (random gaussians are
+    # near-orthogonal and defeat any hash family)
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((20, 32)) * 3.0
+    mat = np.concatenate([c + 0.2 * rng.standard_normal((10, 32)) for c in centers])
+    queries = mat[[5, 105, 155]]
+    exact = knn_brute_force(_emb_ds(mat), queries, k=10).to_pandas()
+    approx = knn_lsh(_emb_ds(mat), queries, k=10, n_planes=8,
+                     multiprobe=2).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+    # the query vector itself always lands in its own probed bucket
+    assert approx[(approx["query_id"] == 0) & (approx["rank"] == 1)]["vec_id"].iloc[0] == 5
+
+
+def test_cosine_pairs(ray_session, corpus):
+    from stacksearch_ray.functions.similarity import cosine_pairs
+
+    mat = corpus.copy()
+    mat[50] = mat[20] * 2.0          # exact direction dup (cos = 1)
+    mat[51] = mat[20] + 0.01 * np.random.default_rng(0).standard_normal(32)
+    out = cosine_pairs(_emb_ds(mat), threshold=0.98).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert (20, 50) in got and (20, 51) in got and (50, 51) in got
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    full = m @ m.T
+    iu = np.triu_indices(len(mat), k=1)
+    expect = {(int(a), int(b)) for a, b in zip(*[x[full[iu] >= 0.98] for x in
+                                                 (iu[0], iu[1])])}
+    # float32 storage may flip borderline pairs; compare on clear margin
+    clear = {(a, b) for a, b in expect if full[a, b] >= 0.981}
+    assert clear <= got

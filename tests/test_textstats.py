@@ -1,0 +1,50 @@
+import numpy as np
+import pyarrow as pa
+
+from stacksearch_ray.functions.textstats import (
+    LangIdScorer,
+    fingerprint_batch,
+    token_stats_batch,
+)
+from stacksearch_ray.text import clean_query
+
+
+def _batch(texts, ids=None):
+    ids = ids or list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_stats():
+    t = token_stats_batch(_batch(["The quick brown fox", "the the the", ""]))
+    assert t["n_tokens"].to_pylist() == [4, 3, 0]
+    assert t["n_kept"].to_pylist() == [len(clean_query("The quick brown fox")), 0, 0]
+    # stopword ratio: 1/4 dropped
+    assert t["stopword_ratio_micros"].to_pylist() == [250000, 1000000, 0]
+
+
+def test_langid():
+    s = LangIdScorer()
+    t = s(_batch([
+        "the cat is on the mat and it is happy",
+        "der Hund ist nicht mit der Katze und",
+        "le chat est dans la maison avec le chien",
+        "el perro es un animal y no es una persona",
+        "zzz qqq www",
+    ]))
+    assert t["lang_pred"].to_pylist()[:4] == ["en", "de", "fr", "es"]
+    assert t["lang_pred"].to_pylist()[4] == "und"
+
+
+def test_fingerprint_deterministic_and_order_sensitive():
+    a = fingerprint_batch(_batch(["alpha beta gamma delta"]))
+    b = fingerprint_batch(_batch(["alpha beta gamma delta"]))
+    c = fingerprint_batch(_batch(["delta gamma beta alpha"]))
+    assert a["fingerprint"].to_pylist() == b["fingerprint"].to_pylist()
+    assert a["fingerprint"].to_pylist() != c["fingerprint"].to_pylist()
+    assert a["doc_len"].to_pylist() == [4]
+
+
+def test_fingerprint_empty():
+    t = fingerprint_batch(_batch(["", "the of"]))
+    assert t["fingerprint"].to_pylist()[0] == t["fingerprint"].to_pylist()[1]
