@@ -1,0 +1,235 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+    GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
+    python bench.py --scaling      # N vs 4N CPU scaling evidence
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
+
+Headline = end-to-end index build over the sf documents table + golden
+query latency + the operator suite. The scaling run uses a larger
+deterministic synthetic corpus (cached in /tmp) so compute dominates
+fixed session overhead, and times build phases only (corpus generation
+and ray.init excluded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "400000"))
+BENCH_LINES = (10, 80)  # heavier docs than the test corpus
+SCALE_CORPUS = f"/tmp/ssr_bench_corpus_{BENCH_ROWS}_h"
+SCALE_SHARDS = 64
+
+# Scaling levels (N vs 4N). This sandbox VM advertises 32 vCPUs but
+# measurably degrades beyond ~16 concurrent CPU-bound workers (kernel
+# system-time inflation: 881 CPU-s system vs 58 CPU-s user at 32 procs,
+# plus hypervisor steal) — so the clean N→4N proxy here is 2 vs 8, where
+# per-task CPU time is flat (see BASELINE.md). Override via env.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+
+# Single-node task-pool cap: beyond this the sandbox kernel thrashes
+# (measured above). On a real multi-node cluster this cap would be
+# per-node, not global.
+MAX_TASKS = min(16, NUM_CPUS)
+
+GOLDEN_QUERIES = [
+    "merge sort join stream window",
+    "spark query filter batch group",
+    "fast key order table scan",
+    "customer data row slow hash",
+]
+
+
+def _ensure_scale_corpus() -> str:
+    marker = os.path.join(SCALE_CORPUS, "_DONE")
+    if not os.path.exists(marker):
+        from stacksearch_ray.corpus import write_corpus
+
+        shutil.rmtree(SCALE_CORPUS, ignore_errors=True)
+        write_corpus(SCALE_CORPUS, BENCH_ROWS, rows_per_file=BENCH_ROWS // 64,
+                     lines=BENCH_LINES)
+        open(marker, "w").write("ok")
+    return SCALE_CORPUS
+
+
+SCALE_ONLY = os.environ.get("GRAFT_SCALE_ONLY") == "1"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import BM25SearchActor, QueryEngine
+
+    timings: dict[str, float] = {}
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    if SCALE_ONLY:
+        return _scale_build_only(ray, rd, timings)
+
+    # warm page cache (untimed)
+    rd.read_parquet(docs_path).count()
+
+    # ---- index build over the sf documents table ----
+    idx_dir = f"/tmp/ssr_bench_idx_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(docs_path, idx_dir, content_col="text", id_col="doc_id",
+                meta_cols=("lang", "source"), num_shards=8, term_buckets=32)
+    timings["build_documents"] = time.time() - t0
+
+    # ---- query latency (warm engine, p50 over golden set) ----
+    eng = QueryEngine(idx_dir)
+    for q in GOLDEN_QUERIES:  # warm segment cache
+        eng.search(q, 10, "auto")
+        eng.search(q, 10, "wand")
+    for method in ("auto", "wand"):
+        lat = []
+        for _ in range(50):
+            for q in GOLDEN_QUERIES:
+                t0 = time.time()
+                eng.search(q, 10, method)
+                lat.append(time.time() - t0)
+        suffix = "" if method == "auto" else "_wand"
+        timings[f"query_p50{suffix}"] = statistics.median(lat)
+        timings[f"query_p95{suffix}"] = statistics.quantiles(lat, n=20)[18]
+
+    # ---- batch query throughput via actor pool ----
+    qds = rd.from_items([{"query": GOLDEN_QUERIES[i % len(GOLDEN_QUERIES)]}
+                         for i in range(400)]).repartition(8)
+    t0 = time.time()
+    qds.map_batches(BM25SearchActor, batch_format="pyarrow", batch_size=50,
+                    concurrency=4,
+                    fn_constructor_kwargs={"index_dir": idx_dir, "k": 10},
+                    ).count()
+    timings["batch_query_400"] = time.time() - t0
+
+    # ---- operator suite over sf tables ----
+    from stacksearch_ray.pipelines import documents as P
+
+    for name, fn in [("term_counts", P.term_counts),
+                     ("exact_dedup", P.exact_dedup),
+                     ("minhash_clusters", P.minhash_clusters),
+                     ("knn_cosine", P.knn_cosine),
+                     ("token_stats", P.token_stats)]:
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the lazy Dataset
+        timings[name] = time.time() - t0
+
+    # ---- scale corpus build: the scaling-evidence workload, through the
+    # resumable (checkpointed, sort-free) build path ----
+    from stacksearch_ray.checkpoint import build_index_resumable
+
+    corpus = _ensure_scale_corpus()
+    rd.read_parquet(corpus).count()  # warm
+    scale_idx = f"/tmp/ssr_bench_scale_idx_{os.getpid()}"
+    shutil.rmtree(scale_idx, ignore_errors=True)
+    t0 = time.time()
+    build_index_resumable(corpus, scale_idx, num_shards=SCALE_SHARDS,
+                          files_per_partition=1, concurrency=MAX_TASKS)
+    timings["build_scale_corpus"] = time.time() - t0
+    timings["build_scale_docs_per_s"] = BENCH_ROWS / timings["build_scale_corpus"]
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(scale_idx, ignore_errors=True)
+    ray.shutdown()
+
+    headline = (timings["build_documents"] + timings["build_scale_corpus"]
+                + timings["batch_query_400"])
+    return {
+        "metric": "index-build + BM25 query (documents + synthetic corpus)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_ROWS,
+    }
+
+
+def _scale_build_only(ray, rd, timings: dict) -> dict:
+    from stacksearch_ray.checkpoint import build_index_resumable
+
+    corpus = _ensure_scale_corpus()
+    rd.read_parquet(corpus).count()  # warm
+    scale_idx = f"/tmp/ssr_bench_scale_idx_{os.getpid()}"
+    shutil.rmtree(scale_idx, ignore_errors=True)
+    t0 = time.time()
+    build_index_resumable(corpus, scale_idx, num_shards=SCALE_SHARDS,
+                          files_per_partition=1, concurrency=MAX_TASKS)
+    timings["build_scale_corpus"] = time.time() - t0
+    timings["build_scale_docs_per_s"] = BENCH_ROWS / timings["build_scale_corpus"]
+    shutil.rmtree(scale_idx, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "scale-corpus index build",
+        "value": round(timings["build_scale_corpus"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_ROWS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job + same input at N and 4N CPUs in fresh processes (sandbox
+    proxy for N vs 4N nodes); efficiency from the scale-corpus build
+    throughput. Levels default to 2 vs 8 — see SCALE_LO note above."""
+    _ensure_scale_corpus()  # shared, warmed input
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ROWS=str(BENCH_ROWS), GRAFT_SCALE_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(SCALE_LO), run(SCALE_HI)
+    t_lo = lo["queries"]["build_scale_corpus"]
+    t_hi = hi["queries"]["build_scale_corpus"]
+    eff = (t_lo / t_hi) / (SCALE_HI / SCALE_LO)
+    return {
+        "metric": f"scaling efficiency (build, {SCALE_LO} vs {SCALE_HI} cpus)",
+        f"sec_{SCALE_LO}": t_lo,
+        f"sec_{SCALE_HI}": t_hi,
+        f"docs_per_s_{SCALE_LO}": round(BENCH_ROWS / t_lo, 1),
+        f"docs_per_s_{SCALE_HI}": round(BENCH_ROWS / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "bench_rows": BENCH_ROWS,
+        "cpus": [SCALE_LO, SCALE_HI],
+        "full_lo": lo,
+        "full_hi": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -43,7 +43,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from .codec import BLOCK_SIZE, BM25_B, BM25_K1, encode_segment
 from .schema import doc_ids_batch, sha256_batch, shard_of
@@ -65,7 +64,7 @@ class IndexBuildConfig:
     id_col: str | None = None  # existing int64 id column; None → derive from key_cols
     key_cols: tuple[str, ...] = ("repo", "path", "commit")
     meta_cols: tuple[str, ...] = ("repo", "path", "commit", "lang")
-    batch_size: int = 512
+    batch_size: int = 2048
     concurrency: int | None = None  # actor-pool size for encode; None → tasks
 
 
@@ -113,10 +112,12 @@ def make_postings_fn(cfg: IndexBuildConfig):
         p_doc = doc_ids[tf.doc_idx]
         p_len = tf.doc_lens[tf.doc_idx]
         shard = shard_of(p_doc, cfg.num_shards)
-        bucket = (
-            pd.util.hash_array(np.asarray(tf.terms.to_pylist(), dtype=object))
+        # hash the (small) per-batch vocab, not every (doc, term) pair
+        vocab_bucket = (
+            pd.util.hash_array(np.asarray(tf.vocab.to_pylist(), dtype=object))
             % np.uint64(cfg.term_buckets)
         ).astype(np.int64)
+        bucket = vocab_bucket[tf.codes]
         gkey = shard.astype(np.int64) * cfg.term_buckets + bucket
         return pa.table(
             {
@@ -279,12 +280,9 @@ def build_index(source: str | list[str], index_dir: str,
     seg_ds.write_parquet(segments_dir)
 
     # ---- global term dictionary (df, cf summed over shards) ----
-    (
-        rd.read_parquet(segments_dir, columns=["term", "df", "cf"])
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-        .write_parquet(term_dict_dir)
-    )
+    from .checkpoint import _write_term_dict
+
+    _write_term_dict(segments_dir, term_dict_dir)
     return stats
 
 

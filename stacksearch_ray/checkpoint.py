@@ -64,7 +64,12 @@ def _list_parquet_files(source: str | list[str]) -> list[str]:
 def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
                        columns: list[str], docs_path: str, postings_path: str) -> dict:
     t0 = time.time()
-    batch = pq.read_table(files, columns=columns)
+    # one OS thread per task: Ray already runs num_cpus tasks in parallel,
+    # so Arrow's internal pool would only oversubscribe (measured 2.8x
+    # CPU-time inflation at 32 workers before this cap)
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+    batch = pq.read_table(files, columns=columns, use_threads=False)
     doc_ids = _resolve_doc_ids(batch, cfg)
     content = batch[cfg.content_col].combine_chunks()
     tf = term_frequencies(content)
@@ -92,7 +97,11 @@ def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
     }).sort_by([("shard", "ascending"), ("term", "ascending")])
 
     atomic_write_parquet(docs, docs_path)
-    atomic_write_parquet(postings, postings_path)
+    # row groups aligned to shard boundaries → shard tasks read only
+    # their own row groups via predicate pushdown
+    shard_col = np.asarray(postings["shard"].combine_chunks())
+    bounds = (np.flatnonzero(np.diff(shard_col)) + 1).tolist()
+    atomic_write_parquet(postings, postings_path, row_group_boundaries=bounds)
 
     rollup = hashlib.sha256("".join(shas).encode()).hexdigest()
     return {
@@ -109,8 +118,11 @@ def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
 def _encode_shard(shard: int, stage_postings_dir: str, seg_path: str,
                   encoder: SegmentEncoder) -> dict:
     t0 = time.time()
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
     dset = pads.dataset(stage_postings_dir, format="parquet")
-    table = dset.to_table(filter=pads.field("shard") == shard)
+    table = dset.scanner(filter=pads.field("shard") == shard,
+                         use_threads=False).to_table()
     seg_table = encoder(table) if table.num_rows else None
     if seg_table is None:
         from .schema import SEGMENTS_SCHEMA
@@ -250,6 +262,26 @@ def build_index_resumable(source: str | list[str], index_dir: str,
 
     # ---- phase: term_dict ----
     if not manifest.phase_done("term_dict"):
+        _write_term_dict(segments_dir, term_dict_dir)
+        manifest.mark_phase("term_dict")
+        manifest.save()
+    return stats
+
+
+# below this row count the Ray groupby's fixed shuffle cost dominates and a
+# driver-side Arrow hash aggregate wins; above it, shuffle distributed
+_TERM_DICT_RAY_THRESHOLD = 20_000_000
+
+
+def _write_term_dict(segments_dir: str, term_dict_dir: str) -> None:
+    dset = pads.dataset(segments_dir, format="parquet")
+    if dset.count_rows() < _TERM_DICT_RAY_THRESHOLD:
+        t = dset.to_table(columns=["term", "df", "cf"])
+        agg = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        agg = agg.rename_columns(["term", "df", "cf"])
+        os.makedirs(term_dict_dir, exist_ok=True)
+        pq.write_table(agg, os.path.join(term_dict_dir, "term_dict.parquet"))
+    else:
         from ray.data.aggregate import Sum
 
         (
@@ -258,6 +290,3 @@ def build_index_resumable(source: str | list[str], index_dir: str,
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
             .write_parquet(term_dict_dir)
         )
-        manifest.mark_phase("term_dict")
-        manifest.save()
-    return stats

@@ -46,36 +46,46 @@ GOLDEN_SENTENCES = [
 _EXTS = [(".py", "python"), (".js", "javascript"), (".java", "java"), (".go", "go")]
 
 
-def _content_for(i: int, rng: np.random.Generator, n_lines: int) -> str:
-    lines = []
-    if i < len(GOLDEN_SENTENCES):
-        lines.append(f'"""{GOLDEN_SENTENCES[i]}"""')
-    for _ in range(n_lines):
-        k = int(rng.integers(0, 10_000))
-        words = [
-            HOT_TERMS[int(rng.integers(0, len(HOT_TERMS)))],
-            f"var_{k % 997}",
-            HOT_TERMS[int(rng.integers(0, len(HOT_TERMS)))],
-            f"helper_{k % 211}",
-            f"field_{k % 53}",
-        ]
+_LINE_POOL_SIZE = 8192
+
+
+def _line_pool(rng: np.random.Generator) -> np.ndarray:
+    """Deterministic pool of pseudo-code lines; docs sample from it so
+    generation is vectorized (a Python loop per line does not scale to
+    the multi-100k-row bench corpora)."""
+    k = rng.integers(0, 10_000, size=_LINE_POOL_SIZE)
+    h1 = rng.integers(0, len(HOT_TERMS), size=_LINE_POOL_SIZE)
+    h2 = rng.integers(0, len(HOT_TERMS), size=_LINE_POOL_SIZE)
+    pool = np.empty(_LINE_POOL_SIZE, dtype=object)
+    for i in range(_LINE_POOL_SIZE):
+        words = [HOT_TERMS[h1[i]], f"var_{k[i] % 997}", HOT_TERMS[h2[i]],
+                 f"helper_{k[i] % 211}", f"field_{k[i] % 53}"]
         rng.shuffle(words)
-        lines.append(" ".join(words))
-    return "\n".join(lines)
+        pool[i] = " ".join(words)
+    return pool
 
 
-def generate_corpus(n_rows: int, seed: int = SEED) -> pa.Table:
-    """Deterministic corpus table. Same (n_rows, seed) → identical bytes."""
+def generate_corpus(n_rows: int, seed: int = SEED,
+                    lines: tuple[int, int] = (3, 40)) -> pa.Table:
+    """Deterministic corpus table. Same (n_rows, seed, lines) → identical
+    bytes. ``lines`` controls per-doc size (bench uses heavier docs)."""
     rng = np.random.default_rng(seed)
+    pool = _line_pool(rng)
+    n_lines = rng.integers(lines[0], lines[1], size=n_rows)
+    idx = rng.integers(0, _LINE_POOL_SIZE, size=int(n_lines.sum()))
+    offsets = np.concatenate(([0], np.cumsum(n_lines)))
     repo, path, commit, lang, content = [], [], [], [], []
+    join = "\n".join
     for i in range(n_rows):
         ext, lg = _EXTS[i % len(_EXTS)]
         repo.append(f"org{i % 7}/repo{i % 53}")
         path.append(f"src/pkg{i % 11}/mod{i}{ext}")
         commit.append(hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40])
         lang.append(lg)
-        n_lines = int(rng.integers(3, 40))
-        content.append(_content_for(i, rng, n_lines))
+        body = join(list(pool[idx[offsets[i]:offsets[i + 1]]]))
+        if i < len(GOLDEN_SENTENCES):
+            body = f'"""{GOLDEN_SENTENCES[i]}"""\n' + body
+        content.append(body)
     return pa.table(
         {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content},
         schema=CORPUS_SCHEMA,
@@ -83,11 +93,12 @@ def generate_corpus(n_rows: int, seed: int = SEED) -> pa.Table:
 
 
 def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
-                 rows_per_file: int = 10_000) -> list[str]:
+                 rows_per_file: int = 10_000,
+                 lines: tuple[int, int] = (3, 40)) -> list[str]:
     """Write the corpus as multiple parquet files (partitioned source for
     resumable builds). Returns the file paths."""
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_corpus(n_rows, seed)
+    table = generate_corpus(n_rows, seed, lines)
     paths = []
     for start in range(0, max(n_rows, 1), rows_per_file):
         part = table.slice(start, rows_per_file)

@@ -52,13 +52,20 @@ class _DocLens:
         pos = np.searchsorted(self.ids, doc_ids)
         return self.lens[pos]
 
+    def lookup_one(self, doc_id: int) -> float:
+        return float(self.lens[self.ids.searchsorted(doc_id)])
+
 
 class TermShardIterator:
-    """Lazy cursor over one (term, shard) segment: blocks decode on demand."""
+    """Lazy cursor over one (term, shard) segment: blocks decode on demand.
+
+    Hot-loop members are plain Python scalars/lists where accessed per-doc
+    (numpy scalar indexing costs ~µs each and dominated early profiles)."""
 
     __slots__ = ("idf", "ids_buf", "tfs_buf", "skip_first", "skip_doc_off",
                  "skip_tf_off", "bmax_score", "df", "block_size", "block",
-                 "pos", "ids", "tfs", "cur_doc", "exhausted", "max_ub", "term")
+                 "pos", "ids", "tfs", "ids_list", "tfs_list", "cur_doc",
+                 "exhausted", "max_ub", "term")
 
     def __init__(self, term, idf, row, block_size):
         self.term = term
@@ -68,14 +75,16 @@ class TermShardIterator:
         self.skip_first = np.asarray(row["skip_first_doc"], dtype=np.int64)
         self.skip_doc_off = np.asarray(row["skip_doc_offset"], dtype=np.int32)
         self.skip_tf_off = np.asarray(row["skip_tf_offset"], dtype=np.int32)
-        self.bmax_score = np.asarray(row["block_max_score"], dtype=np.float64)
+        self.bmax_score = [float(x) for x in row["block_max_score"]]
         self.df = int(row["df"])
         self.block_size = block_size
         self.block = -1
         self.ids = self.tfs = None
+        self.ids_list: list[int] = []
+        self.tfs_list: list[int] = []
         self.pos = 0
         self.exhausted = self.df == 0
-        self.max_ub = float(self.idf * self.bmax_score.max()) if len(self.bmax_score) else 0.0
+        self.max_ub = (self.idf * max(self.bmax_score)) if self.bmax_score else 0.0
         self.cur_doc = -1
         if not self.exhausted:
             self._load_block(0)
@@ -85,11 +94,13 @@ class TermShardIterator:
         self.ids, self.tfs = decode_block(
             self.ids_buf, self.tfs_buf, self.skip_doc_off, self.skip_tf_off,
             b, self.df, self.block_size)
+        self.ids_list = self.ids.tolist()
+        self.tfs_list = self.tfs.tolist()
         self.pos = 0
-        self.cur_doc = int(self.ids[0])
+        self.cur_doc = self.ids_list[0]
 
     def block_ub(self) -> float:
-        return float(self.idf * self.bmax_score[self.block])
+        return self.idf * self.bmax_score[self.block]
 
     def next_geq(self, target: int) -> None:
         """Advance to the first doc >= target (block skip via skip_first)."""
@@ -97,24 +108,29 @@ class TermShardIterator:
             return
         n_blocks = len(self.skip_first)
         # last block whose first_doc <= target
-        b = int(np.searchsorted(self.skip_first, target, side="right")) - 1
+        b = int(self.skip_first.searchsorted(target, side="right")) - 1
         b = max(b, self.block)
         if b != self.block:
             self._load_block(b)
+        import bisect
+
         while True:
-            pos = int(np.searchsorted(self.ids[self.pos:], target)) + self.pos
-            if pos < len(self.ids):
+            pos = bisect.bisect_left(self.ids_list, target, self.pos)
+            if pos < len(self.ids_list):
                 self.pos = pos
-                self.cur_doc = int(self.ids[pos])
+                self.cur_doc = self.ids_list[pos]
                 return
             if self.block + 1 >= n_blocks:
                 self.exhausted = True
-                self.cur_doc = np.iinfo(np.int64).max
+                self.cur_doc = _INF_DOC
                 return
             self._load_block(self.block + 1)
 
     def current_tf(self) -> int:
-        return int(self.tfs[self.pos])
+        return self.tfs_list[self.pos]
+
+
+_INF_DOC = np.iinfo(np.int64).max
 
 
 class QueryEngine:
@@ -132,6 +148,11 @@ class QueryEngine:
         self.doclens = _DocLens(os.path.join(index_dir, "docs"))
         self._seg_dir = os.path.join(index_dir, "segments")
         self._seg_cache: dict[str, list[dict]] = {}
+        self._dec_cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+        self.max_cached_segments = 20_000
+        # candidate-postings threshold below which vectorized exhaustive
+        # scoring beats per-doc WAND pivoting (method="auto")
+        self.wand_min_postings = 100_000
 
     def _segments_for(self, terms: list[str]) -> dict[str, list[dict]]:
         missing = [t for t in terms if t not in self._seg_cache]
@@ -146,7 +167,30 @@ class QueryEngine:
 
     # ---------- exhaustive TAAT ----------
 
-    def _search_exhaustive(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def _decoded(self, term: str, row_i: int, row: dict
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, doc_lens, idf-free bm25 parts) for one segment
+        row, cached — idf is applied per query (it depends only on global
+        df, which is fixed), so the cache is query-independent."""
+        key = (term, row_i)
+        hit = self._dec_cache.get(key)
+        if hit is None:
+            ids = decode_doc_ids(row["doc_ids"], self.block_size)
+            tfs = decode_tfs(row["tfs"])
+            dls = self.doclens.lookup(ids)
+            part = bm25_tf_part(tfs, dls, self.avgdl, self.k1, self.b)
+            hit = (ids, tfs, dls, part)
+            if len(self._dec_cache) < self.max_cached_segments:
+                self._dec_cache[key] = hit
+        return hit
+
+    def _search_exhaustive(self, terms: list[str], k: int,
+                           scorer: str = "bm25") -> list[tuple[int, float]]:
+        custom = None
+        if scorer != "bm25":
+            from .registry import get_scorer
+
+            custom = get_scorer(scorer)
         segs = self._segments_for(terms)
         id_chunks, score_chunks = [], []
         for t in terms:  # sorted order → deterministic accumulation
@@ -155,13 +199,14 @@ class QueryEngine:
                 continue
             df_global = sum(r["df"] for r in rows)
             w = idf_fn(self.n_docs, df_global)
-            for r in rows:
-                ids = decode_doc_ids(r["doc_ids"], self.block_size)
-                tfs = decode_tfs(r["tfs"])
-                dls = self.doclens.lookup(ids)
-                part = bm25_tf_part(tfs, dls, self.avgdl, self.k1, self.b)
+            for i, r in enumerate(rows):
+                ids, tfs, dls, part = self._decoded(t, i, r)
                 id_chunks.append(ids)
-                score_chunks.append(w * part)
+                if custom is None:
+                    score_chunks.append(w * part)
+                else:
+                    score_chunks.append(
+                        custom(tfs, dls, df_global, self.n_docs, self.avgdl))
         if not id_chunks:
             return []
         all_ids = np.concatenate(id_chunks)
@@ -221,21 +266,24 @@ class QueryEngine:
                 return
             if iters[0].cur_doc == pivot_doc:
                 # shallow block-max check before full evaluation
+                shallow = 0.0
                 for it in iters:
-                    if it.cur_doc > pivot_doc:
-                        break
-                shallow = sum(it.block_ub() for it in iters if it.cur_doc == pivot_doc)
+                    if it.cur_doc == pivot_doc:
+                        shallow += it.block_ub()
                 if len(heap) >= k and shallow < theta:
                     # current blocks can't beat theta: advance past pivot_doc
                     iters[0].next_geq(pivot_doc + 1)
                     continue
-                # full evaluation, contributions in sorted-term order
-                contrib = {}
+                # full evaluation — scalar float math, contributions summed
+                # in sorted-term order (bitwise identity with the oracle)
+                dl = self.doclens.lookup_one(pivot_doc)
+                norm = self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl))
+                k1p1 = self.k1 + 1.0
+                contrib: dict[str, float] = {}
                 for it in iters:
                     if it.cur_doc == pivot_doc:
-                        dl = self.doclens.lookup(np.array([pivot_doc], dtype=np.int64))
-                        part = bm25_tf_part(np.array([it.current_tf()], dtype=np.int64),
-                                            dl, self.avgdl, self.k1, self.b)[0]
+                        tf = float(it.current_tf())
+                        part = k1p1 * tf / (tf + norm)
                         contrib[it.term] = contrib.get(it.term, 0.0) + it.idf * part
                 score = 0.0
                 for t in term_order:
@@ -253,13 +301,28 @@ class QueryEngine:
                 # advance the earliest iterator to the pivot doc
                 iters[0].next_geq(pivot_doc)
 
-    def search(self, query: str, k: int = 10,
-               method: str = "exhaustive") -> list[tuple[int, float]]:
+    def search(self, query: str, k: int = 10, method: str = "auto",
+               scorer: str = "bm25") -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc. Query-side
-        tokenization = reference cleanQuery; duplicate terms count once."""
+        tokenization = reference cleanQuery; duplicate terms count once.
+
+        method="auto" picks vectorized exhaustive scoring when the
+        candidate posting count is small (WAND's per-doc pivoting only
+        pays off when block skipping can elide real work) and block-max
+        WAND otherwise. All methods are rank-identical (tested).
+
+        ``scorer``: a registry.py scorer name (§2.10 pluggable-ranking
+        hook); non-bm25 scorers use the exhaustive path (block-max
+        metadata only upper-bounds BM25)."""
         terms = sorted(set(clean_query(query)))
         if not terms:
             return []
+        if scorer != "bm25":
+            return self._search_exhaustive(terms, k, scorer)
+        if method == "auto":
+            segs = self._segments_for(terms)
+            n_postings = sum(r["df"] for rows in segs.values() for r in rows)
+            method = "wand" if n_postings >= self.wand_min_postings else "exhaustive"
         if method == "wand":
             return self._search_wand(terms, k)
         return self._search_exhaustive(terms, k)
@@ -270,7 +333,7 @@ class BM25SearchActor:
     per actor (__init__), scoring per batch (__call__) — the stateful-stage
     pattern of SURVEY.md §2.3 F6."""
 
-    def __init__(self, index_dir: str, k: int = 10, method: str = "wand"):
+    def __init__(self, index_dir: str, k: int = 10, method: str = "auto"):
         self.engine = QueryEngine(index_dir)
         self.k = k
         self.method = method

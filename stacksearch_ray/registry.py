@@ -1,0 +1,94 @@
+"""User-extension registries (SURVEY.md §2.10).
+
+The reference exposes pluggable hash/distance/feature hooks
+(`hash_func` injection /root/reference/index/index_new.py:16,
+`distance_func`/`key_extractor` /root/reference/index/hash_index.py:27-28,
+`HParams.getFeatureExtractor` /root/reference/hparams.py:32-36,
+`resolve_data_set` /root/reference/dataprocess/api.py:124-138).
+
+Ours: named registries for tokenizers, scorers and sources. A scorer is
+``fn(tf, doc_len, df, n_docs, avgdl) -> float64 ndarray`` (idf-inclusive,
+vectorized over postings); the query engine's exhaustive path accepts any
+registered scorer, so ranking functions beyond BM25 (TF-IDF, constant,
+user-defined) plug in without touching the engine.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+import numpy as np
+
+_TOKENIZERS: dict[str, Callable] = {}
+_SCORERS: dict[str, Callable] = {}
+_SOURCES: dict[str, Callable] = {}
+
+
+def register_tokenizer(name: str):
+    def deco(fn):
+        _TOKENIZERS[name] = fn
+        return fn
+    return deco
+
+
+def get_tokenizer(name: str) -> Callable:
+    return _TOKENIZERS[name]
+
+
+def register_scorer(name: str):
+    def deco(fn):
+        _SCORERS[name] = fn
+        return fn
+    return deco
+
+
+def get_scorer(name: str) -> Callable:
+    return _SCORERS[name]
+
+
+def register_source(name: str):
+    def deco(fn):
+        _SOURCES[name] = fn
+        return fn
+    return deco
+
+
+def get_source(name: str) -> Callable:
+    return _SOURCES[name]
+
+
+def names() -> dict[str, list[str]]:
+    return {"tokenizers": sorted(_TOKENIZERS), "scorers": sorted(_SCORERS),
+            "sources": sorted(_SOURCES)}
+
+
+# ---- built-ins ----
+
+from .text import clean_query  # noqa: E402
+
+register_tokenizer("reference")(clean_query)
+
+
+@register_scorer("bm25")
+def bm25_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
+                n_docs: int, avgdl: float,
+                k1: float = 1.2, b: float = 0.75) -> np.ndarray:
+    from .codec import bm25_tf_part
+
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    return idf * bm25_tf_part(tf, doc_len, avgdl, k1, b)
+
+
+@register_scorer("tfidf")
+def tfidf_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
+                 n_docs: int, avgdl: float) -> np.ndarray:
+    idf = math.log(n_docs / max(df, 1))
+    return idf * np.log1p(tf.astype(np.float64))
+
+
+@register_scorer("match_count")
+def match_count_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
+                       n_docs: int, avgdl: float) -> np.ndarray:
+    """Coordination-level ranking: one point per matched query term."""
+    return np.ones(len(tf), dtype=np.float64)

@@ -73,11 +73,26 @@ class Manifest:
                                      "finished_at": time.time(), **info}
 
 
-def atomic_write_parquet(table, final_path: str) -> None:
-    """Write parquet temp-then-rename so outputs are all-or-nothing."""
+def atomic_write_parquet(table, final_path: str,
+                         row_group_boundaries=None) -> None:
+    """Write parquet temp-then-rename so outputs are all-or-nothing.
+
+    ``row_group_boundaries``: optional sorted row offsets; one parquet row
+    group is emitted per span so downstream predicate pushdown on the
+    sort key prunes to exactly the matching groups (used to align staged
+    postings row groups to shard boundaries — without this every shard
+    task decompresses every partition's full postings)."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(final_path), exist_ok=True)
     tmp = final_path + ".tmp"
-    pq.write_table(table, tmp)
+    if row_group_boundaries is None:
+        pq.write_table(table, tmp)
+    else:
+        bounds = [0, *row_group_boundaries, table.num_rows]
+        bounds = sorted({b for b in bounds if 0 <= b <= table.num_rows})
+        with pq.ParquetWriter(tmp, table.schema) as w:
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                if hi > lo:
+                    w.write_table(table.slice(lo, hi - lo))
     os.replace(tmp, final_path)

@@ -130,6 +130,8 @@ class BatchTermFreqs:
     terms: pa.Array      # string, the term of each pair
     tf: np.ndarray       # int64 term frequency of each pair
     doc_lens: np.ndarray  # int64 per-row surviving token count
+    codes: np.ndarray    # int64 per-pair index into vocab
+    vocab: pa.Array      # string, distinct terms of the batch
 
 
 def term_frequencies(content: pa.Array | pa.ChunkedArray) -> BatchTermFreqs:
@@ -145,6 +147,8 @@ def term_frequencies(content: pa.Array | pa.ChunkedArray) -> BatchTermFreqs:
             terms=pa.array([], type=pa.string()),
             tf=np.empty(0, dtype=np.int64),
             doc_lens=doc_lens,
+            codes=np.empty(0, dtype=np.int64),
+            vocab=pa.array([], type=pa.string()),
         )
     dict_arr = flat.dictionary_encode()
     codes = np.asarray(dict_arr.indices).astype(np.int64)
@@ -160,4 +164,6 @@ def term_frequencies(content: pa.Array | pa.ChunkedArray) -> BatchTermFreqs:
         terms=terms,
         tf=counts.astype(np.int64),
         doc_lens=doc_lens,
+        codes=pair_code,
+        vocab=vocab,
     )
