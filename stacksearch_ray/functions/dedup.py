@@ -183,10 +183,12 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
         keep = est >= threshold
         return pa.table({"a": a[keep], "b": b[keep]})
 
-    pairs = (cand.map_batches(verify, batch_format="pyarrow")
-             .groupby(["a", "b"]).map_groups(
-                 lambda g: g.head(1), batch_format="pandas"))
-    pairs_pdf = pairs.to_pandas()
+    # pair dedup happens driver-side with the clustering below (the
+    # verified pair set is tiny vs the corpus); a groupby shuffle here
+    # would cost more than it saves at any scale where the driver loop
+    # is still the right clustering strategy
+    pairs_pdf = (cand.map_batches(verify, batch_format="pyarrow")
+                 .to_pandas().drop_duplicates(["a", "b"]))
 
     # min-label propagation on the driver over the (small) verified pair set;
     # at scale this loop becomes groupby(node).aggregate(Min(label)) rounds.

@@ -74,18 +74,27 @@ def clean_string(to_clean: str | None, *, strip_html: bool = False) -> str | Non
     return _CLEAN_RE.sub("", to_clean).lower()
 
 
-def clean_query(to_clean: str) -> list[str]:
+def clean_query(to_clean: str, max_tokens: int | None = None) -> list[str]:
     """Reference ``cleanQuery`` (cleaners.py:38-41). THE tokenizer.
 
     regex-drop non ``[a-zA-Z0-9 \\n]`` → lowercase → whitespace split →
     drop English stopwords. Both the index build and the query side use
     exactly this.
+
+    ``max_tokens`` replicates ``Post.toWordsArray(limit=16)``
+    (/root/reference/dataprocess/models.py:54-61, hparams.py:26): the
+    reference truncates AFTER stopword removal. The engine indexes full
+    content by default (the cap was a model-input constraint, SURVEY.md
+    M4); the knob exists for parity tests.
     """
     cleaned = _CLEAN_RE.sub("", to_clean).lower()
-    return [w for w in cleaned.split() if w not in ENGLISH_STOPWORD_SET]
+    toks = [w for w in cleaned.split() if w not in ENGLISH_STOPWORD_SET]
+    return toks[:max_tokens] if max_tokens is not None else toks
 
 
-def tokenize_array(content: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+def tokenize_array(content: pa.Array | pa.ChunkedArray,
+                   max_tokens: int | None = None
+                   ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """Vectorized ``clean_query`` over a string column.
 
     Returns ``(flat_tokens, doc_idx, doc_lens)``:
@@ -118,6 +127,15 @@ def tokenize_array(content: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.nd
     )
     flat = flat.filter(pa.array(keep_np))
     doc_idx = doc_idx[keep_np]
+    if max_tokens is not None and len(doc_idx):
+        # per-doc position of each surviving token; cap post-stopword (M4)
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], doc_idx))))
+        pos = np.arange(len(doc_idx)) - np.repeat(
+            np.arange(len(doc_idx))[starts],
+            np.diff(np.concatenate((starts, [len(doc_idx)]))))
+        cap = pos < max_tokens
+        flat = flat.filter(pa.array(cap))
+        doc_idx = doc_idx[cap]
     doc_lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
     return flat, doc_idx, doc_lens
 

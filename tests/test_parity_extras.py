@@ -1,0 +1,64 @@
+"""Parity extras: M4 max_tokens cap, K1 TSV sink, medium-scale rank
+identity between scorers on a heavier corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stacksearch_ray.corpus import write_corpus
+from stacksearch_ray.text import clean_query, tokenize_array
+
+
+def test_max_tokens_cap_matches_reference_semantics():
+    # toWordsArray truncates AFTER stopword removal (models.py:54-61)
+    s = "the alpha beta gamma delta epsilon zeta eta theta"
+    assert clean_query(s, max_tokens=3) == ["alpha", "beta", "gamma"]
+    assert clean_query(s) == clean_query(s, max_tokens=None)
+
+    arr = pa.array([s, "x " * 40, None])
+    flat, doc_idx, lens = tokenize_array(arr, max_tokens=3)
+    assert lens.tolist() == [3, 3, 0]
+    toks = flat.to_pylist()
+    assert [toks[j] for j in np.flatnonzero(doc_idx == 0)] == ["alpha", "beta", "gamma"]
+
+
+def test_projector_tsv_sink(ray_session, tmp_path):
+    import ray.data as rd
+
+    from stacksearch_ray.sinks import export_projector_tsv
+
+    ds = rd.from_items([
+        {"vec": [0.1, 0.2], "doc_id": 1, "title": "has\ttab"},
+        {"vec": [0.3, 0.4], "doc_id": 2, "title": "two\nlines"},
+    ])
+    vecs, meta = export_projector_tsv(ds, str(tmp_path), "vec",
+                                      ["doc_id", "title"])
+    vlines = open(vecs).read().splitlines()
+    mlines = open(meta).read().splitlines()
+    assert len(vlines) == 2 and len(mlines) == 3  # header + rows
+    assert mlines[0] == "doc_id\ttitle"
+    assert vlines[0] == "0.1\t0.2"
+    assert "\t" in mlines[1] and mlines[1].count("\t") == 1  # tabs escaped
+
+
+def test_medium_scale_scorer_identity(ray_session, tmp_path_factory):
+    """WAND == exhaustive (ids + scores) on a heavier 3k-doc corpus with
+    realistic long-tail terms — 60 pseudo-random queries."""
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("medium")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 3000, rows_per_file=500, lines=(10, 60))
+    idx = str(root / "idx")
+    build_index(corpus, idx, num_shards=8, term_buckets=16)
+    eng = QueryEngine(idx)
+    rng = np.random.default_rng(5)
+    vocab = (["def", "import", "return", "class"]
+             + [f"var_{i}" for i in range(0, 997, 37)]
+             + [f"helper_{i}" for i in range(0, 211, 11)]
+             + ["zzz_missing"])
+    for _ in range(60):
+        q = " ".join(rng.choice(vocab, size=int(rng.integers(1, 5)),
+                                replace=False))
+        assert eng.search(q, 10, "wand") == eng.search(q, 10, "exhaustive"), q
