@@ -68,9 +68,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": P.knn_cosine,
         "knn_ann_lsh": P.knn_ann_lsh,
         "embedding_pairs": P.embedding_pairs,
-        # streaming-shaped + generic columnar
+        # invariant surfaced as a driver-checked query
+        "content_hashes": P.content_hashes,
+        # streaming-shaped + generic columnar + joins
         "events_window": P.events_window,
+        "events_sessions": P.events_sessions,
         "lineitem_agg": P.lineitem_agg,
+        "orders_by_segment": P.orders_by_segment,
+        # eval harness (rows-only)
+        "eval_recall": P.eval_recall,
         # multimodal plumbing (stubbed decode)
         "multimodal_features": P.multimodal_features,
         "video_frame_sample": P.video_frame_sample,
@@ -145,18 +151,40 @@ ranked AS (
   FROM lt
 )
 SELECT lang, term, cnt, rank FROM ranked WHERE rank <= 3""",
+        "content_hashes": f"""
+WITH {kept}
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM kept)""",
         "events_window": """
 SELECT event_type,
        CAST(epoch_us(ts) // 60000000 AS BIGINT) AS w,
        count(*) AS n,
        CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       count(*) FILTER (gap IS NULL OR gap > 1800000000) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id""",
         "lineitem_agg": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS BIGINT) AS sum_qty_micros,
        CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_price_micros,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_segment": """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+           AS total_price_micros
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment""",
         "knn_cosine": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 sims AS (

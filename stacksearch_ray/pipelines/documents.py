@@ -271,7 +271,87 @@ def embedding_pairs(sf_dir: str):
     return cosine_pairs(ds, threshold=0.45)
 
 
+def content_hashes(sf_dir: str):
+    """Per-row sha256 invariant, driver-checkable: the engine's docs table
+    (built via the full index pipeline) vs SQL sha256(text)."""
+    eng = _index_for(sf_dir)
+    return (rd.read_parquet(os.path.join(eng.index_dir, "docs"),
+                            columns=["doc_id", "content_sha256"]))
+
+
+def events_sessions(sf_dir: str):
+    """Sessionization (gap > 30 min splits) per user — the streaming-shaped
+    workload as groupby(key).map_groups over ts-sorted groups."""
+    GAP_US = 1_800_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")
+        gap = us.diff()
+        n = int(((gap.isna()) | (gap > GAP_US)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": np.array([n], dtype=np.int64),
+                             "n_events": np.array([len(g)], dtype=np.int64)})
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "event_id"])
+            .groupby("user_id")
+            .map_groups(sessions, batch_format="pandas"))
+
+
+def orders_by_segment(sf_dir: str):
+    """orders ⋈ customer via broadcast of the small dimension side
+    (ray.put once, numpy searchsorted lookup per batch — no shuffle),
+    then a grouped aggregate."""
+    import ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.asarray(cust["c_custkey"]).astype(np.int64)
+    segs = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], segs[order]))
+
+    def join(batch: pa.Table) -> pa.Table:
+        k, s = ray.get(ref)
+        ck = np.asarray(batch["o_custkey"].combine_chunks()).astype(np.int64)
+        seg = s[np.searchsorted(k, ck)]
+        price = pc.round(pc.multiply(batch["o_totalprice"].combine_chunks(), 1e6))
+        return pa.table({
+            "c_mktsegment": pa.array(list(seg), pa.string()),
+            "price_micros": price.cast(pa.int64()),
+        })
+
+    return (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey", "o_totalprice"])
+            .map_batches(join, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("price_micros", alias_name="total_price_micros")))
+
+
 # ---------------- rows-only entries (no SQL oracle) ----------------
+
+
+def eval_recall(sf_dir: str):
+    """E3 eval harness through the driver: queries derived from the first
+    tokens of 20 documents, expected = the source doc; recall@10 per
+    (config, variant) for bm25 vs tfidf scorers."""
+    from ..eval import evaluate
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    docs = pq.read_table(_docs(sf_dir), columns=["doc_id", "text"])
+    pairs = []
+    for i in range(0, min(200, docs.num_rows), 10):
+        toks = clean_query(docs["text"][i].as_py())[:5]
+        if toks:
+            pairs.append((" ".join(toks), int(docs["doc_id"][i].as_py())))
+    _, summary = evaluate(
+        {"bm25": {"index_dir": eng.index_dir},
+         "tfidf": {"index_dir": eng.index_dir, "scorer": "tfidf"}},
+        pairs, k=10)
+    return summary
 
 def minhash_clusters(sf_dir: str):
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
