@@ -154,6 +154,21 @@ def run_bench() -> dict:
     timings["build_scale_corpus"] = time.time() - t0
     timings["build_scale_docs_per_s"] = BENCH_ROWS / timings["build_scale_corpus"]
 
+    # ---- distributed query serving on the scale index ----
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    sharded = ShardedQueryEngine(scale_idx, num_workers=min(8, MAX_TASKS))
+    scale_queries = ["def return var_1 helper_3", "var_7 helper_11 field_13",
+                     "import class field_7", "for if var_100 helper_50"]
+    sharded.warm(scale_queries)
+    lat = []
+    for _ in range(10):
+        for q in scale_queries:
+            t0 = time.time()
+            sharded.search(q, 10)
+            lat.append(time.time() - t0)
+    timings["query_p50_sharded_scale"] = statistics.median(lat)
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(scale_idx, ignore_errors=True)
     ray.shutdown()

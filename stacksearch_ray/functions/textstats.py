@@ -21,7 +21,7 @@ _STOP_ARR = pa.array(sorted(ENGLISH_STOPWORD_SET), type=pa.string())
 def _all_tokens(content: pa.Array) -> tuple[pa.ListArray, np.ndarray]:
     """Cleaned whitespace tokens per row BEFORE stopword drop (list array +
     per-row counts, '' removed)."""
-    cleaned = pc.utf8_lower(pc.replace_substring_regex(content, CLEAN_PATTERN, ""))
+    cleaned = pc.ascii_lower(pc.replace_substring_regex(content, CLEAN_PATTERN, ""))
     toks = pc.utf8_split_whitespace(cleaned)
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     toks = toks.fill_null([])

@@ -135,9 +135,14 @@ _INF_DOC = np.iinfo(np.int64).max
 
 class QueryEngine:
     """Loads stats + doc lens once; segment rows fetched per query with
-    parquet predicate pushdown on ``term`` (and cached)."""
+    parquet predicate pushdown on ``term`` (and cached).
 
-    def __init__(self, index_dir: str):
+    ``shard_subset``: restrict to a subset of index shards (the
+    sharded-query fan-out, SURVEY.md E2). With a subset, per-term global
+    df comes from the term_dict (a subset's local df would skew idf);
+    scores stay bitwise identical to the full engine."""
+
+    def __init__(self, index_dir: str, shard_subset: list[int] | None = None):
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         self.n_docs = self.stats["n_docs"]
@@ -147,23 +152,47 @@ class QueryEngine:
         self.block_size = int(self.stats["block_size"])
         self.doclens = _DocLens(os.path.join(index_dir, "docs"))
         self._seg_dir = os.path.join(index_dir, "segments")
+        self._term_dict_dir = os.path.join(index_dir, "term_dict")
+        self.shard_subset = sorted(shard_subset) if shard_subset is not None else None
         self._seg_cache: dict[str, list[dict]] = {}
+        self._df_cache: dict[str, int] = {}
         self._dec_cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
         self.max_cached_segments = 20_000
         # candidate-postings threshold below which vectorized exhaustive
-        # scoring beats per-doc WAND pivoting (method="auto")
-        self.wand_min_postings = 100_000
+        # scoring beats per-doc WAND pivoting (method="auto"): WAND's
+        # Python-loop pivoting costs ~2µs/doc, NumPy TAAT ~0.2µs/posting,
+        # so WAND must skip >90% to win — realistic only on large sparse
+        # candidate sets
+        self.wand_min_postings = 2_000_000
 
     def _segments_for(self, terms: list[str]) -> dict[str, list[dict]]:
         missing = [t for t in terms if t not in self._seg_cache]
         if missing:
-            t = pq.read_table(self._seg_dir, filters=[("term", "in", missing)])
+            filters = [("term", "in", missing)]
+            if self.shard_subset is not None:
+                filters.append(("shard", "in", self.shard_subset))
+            t = pq.read_table(self._seg_dir, filters=filters)
             rows = t.to_pylist()
             for m in missing:
                 self._seg_cache[m] = []
             for r in rows:
                 self._seg_cache[r["term"]].append(r)
         return {t: self._seg_cache[t] for t in terms}
+
+    def _df_global(self, terms: list[str],
+                   segs: dict[str, list[dict]]) -> dict[str, int]:
+        """Global df per term. Full engine: sum over the term's segment
+        rows (all shards visible). Shard subset: term_dict lookup."""
+        if self.shard_subset is None:
+            return {t: sum(r["df"] for r in segs[t]) for t in terms}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            t = pq.read_table(self._term_dict_dir, columns=["term", "df"],
+                              filters=[("term", "in", missing)])
+            found = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+            for m in missing:
+                self._df_cache[m] = int(found.get(m, 0))
+        return {t: self._df_cache[t] for t in terms}
 
     # ---------- exhaustive TAAT ----------
 
@@ -192,12 +221,13 @@ class QueryEngine:
 
             custom = get_scorer(scorer)
         segs = self._segments_for(terms)
+        dfs = self._df_global(terms, segs)
         id_chunks, score_chunks = [], []
         for t in terms:  # sorted order → deterministic accumulation
             rows = segs[t]
             if not rows:
                 continue
-            df_global = sum(r["df"] for r in rows)
+            df_global = dfs[t]
             w = idf_fn(self.n_docs, df_global)
             for i, r in enumerate(rows):
                 ids, tfs, dls, part = self._decoded(t, i, r)
@@ -223,11 +253,11 @@ class QueryEngine:
 
     def _search_wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         segs = self._segments_for(terms)
+        dfs = self._df_global(terms, segs)
         term_idf = {}
         for t in terms:
-            rows = segs[t]
-            if rows:
-                term_idf[t] = idf_fn(self.n_docs, sum(r["df"] for r in rows))
+            if segs[t]:
+                term_idf[t] = idf_fn(self.n_docs, dfs[t])
         # shards are disjoint doc ranges → WAND per shard, then global merge
         by_shard: dict[int, list[TermShardIterator]] = {}
         for t in terms:
@@ -256,7 +286,9 @@ class QueryEngine:
             pivot = -1
             for i, it in enumerate(iters):
                 ub += it.max_ub
-                if ub > theta or (len(heap) < k):
+                # >= not >: a doc whose upper bound exactly ties theta can
+                # still enter the heap via the doc_id-asc tie-break
+                if ub >= theta or (len(heap) < k):
                     pivot = i
                     break
             if pivot < 0:
@@ -326,6 +358,61 @@ class QueryEngine:
         if method == "wand":
             return self._search_wand(terms, k)
         return self._search_exhaustive(terms, k)
+
+
+class _ShardWorker:
+    """One query-serving worker owning a disjoint shard subset."""
+
+    def __init__(self, index_dir: str, shards: list[int]):
+        self.engine = QueryEngine(index_dir, shard_subset=shards)
+
+    def search(self, query: str, k: int, method: str = "auto",
+               scorer: str = "bm25") -> list[tuple[int, float]]:
+        return self.engine.search(query, k, method=method, scorer=scorer)
+
+    def warm(self, queries: list[str]) -> int:
+        for q in queries:
+            self.engine.search(q, 10)
+        return 1
+
+
+class ShardedQueryEngine:
+    """Distributed query serving: the index's doc-id shards are
+    partitioned across a pool of Ray actors, each holding its subset's
+    postings/doclens hot; a query fans out, each worker returns its
+    local top-k, and the driver merges (score desc, doc_id asc).
+
+    This is the SURVEY.md E2 fan-out — the one place raw @ray.remote
+    actors are justified over the Dataset API (per-query RPC against
+    long-lived mutable cache state). Results are bitwise identical to
+    the single-process QueryEngine (global df from term_dict)."""
+
+    def __init__(self, index_dir: str, num_workers: int = 8,
+                 num_cpus_per_worker: float = 1.0):
+        import ray
+
+        stats = load_stats(index_dir)
+        n_shards = int(stats["num_shards"])
+        num_workers = min(num_workers, n_shards)
+        chunks = np.array_split(np.arange(n_shards), num_workers)
+        worker_cls = ray.remote(num_cpus=num_cpus_per_worker)(_ShardWorker)
+        self.workers = [worker_cls.remote(index_dir, c.tolist())
+                        for c in chunks if len(c)]
+
+    def search(self, query: str, k: int = 10, method: str = "auto",
+               scorer: str = "bm25") -> list[tuple[int, float]]:
+        import ray
+
+        futs = [w.search.remote(query, k, method, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def warm(self, queries: list[str]) -> None:
+        import ray
+
+        ray.get([w.warm.remote(queries) for w in self.workers])
 
 
 class BM25SearchActor:

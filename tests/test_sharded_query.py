@@ -1,0 +1,52 @@
+"""Sharded query fan-out (SURVEY.md E2): worker-pool results must be
+bitwise identical to the single-process engine, including with shard
+subsets whose local df differs from global df."""
+
+import pytest
+
+from stacksearch_ray.corpus import write_corpus
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    from stacksearch_ray.build import build_index
+
+    root = tmp_path_factory.mktemp("sharded")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 600, rows_per_file=100)
+    idx = str(root / "idx")
+    build_index(corpus, idx, num_shards=8, term_buckets=16)
+    return idx
+
+
+def test_sharded_identity(index_dir):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    sharded = ShardedQueryEngine(index_dir, num_workers=3)  # uneven split
+    for q in ["def return var_1", "Determine a user's timezone",
+              "helper_3 field_7 import", "numpy python", "zzz_missing", ""]:
+        assert sharded.search(q, 10) == eng.search(q, 10), q
+
+
+def test_shard_subset_uses_global_df(index_dir):
+    from stacksearch_ray.query import QueryEngine
+
+    full = QueryEngine(index_dir)
+    sub = QueryEngine(index_dir, shard_subset=[0, 1, 2])
+    q = "def return var_1"
+    full_res = dict(full.search(q, 1000))
+    # every doc the subset returns must carry the SAME score as in the
+    # full engine (global idf) — a local-df idf would differ
+    for doc_id, score in sub.search(q, 20):
+        assert full_res[doc_id] == score
+
+
+def test_sharded_custom_scorer(index_dir):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    sharded = ShardedQueryEngine(index_dir, num_workers=2)
+    q = "def import class"
+    assert (sharded.search(q, 10, scorer="tfidf")
+            == eng.search(q, 10, scorer="tfidf"))
