@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": P.events_sessions,
         "lineitem_agg": P.lineitem_agg,
         "orders_by_segment": P.orders_by_segment,
+        # sketches (rows-only: approximate by design)
+        "approx_vocab": P.approx_vocab,
         # eval harness (rows-only)
         "eval_recall": P.eval_recall,
         # multimodal plumbing (stubbed decode)

@@ -38,8 +38,10 @@ from ..functions.textstats import (
 from ..query import QueryEngine
 from ..text import term_frequencies
 
+from ..schema import INDEX_FORMAT_VERSION
+
 BM25_QUERY = "merge sort join stream window"
-CACHE_ROOT = "/tmp/stacksearch_ray_cache"
+CACHE_ROOT = f"/tmp/stacksearch_ray_cache/v{INDEX_FORMAT_VERSION}"
 
 _engines: dict[str, QueryEngine] = {}
 
@@ -331,6 +333,17 @@ def orders_by_segment(sf_dir: str):
 
 
 # ---------------- rows-only entries (no SQL oracle) ----------------
+
+
+def approx_vocab(sf_dir: str):
+    """HLL approximate vocabulary size (mergeable-sketch pre-aggregation;
+    rows-only — approximate by design, accuracy pinned in pytest)."""
+    from ..functions.sketches import approx_distinct_tokens
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["text"])
+    est = approx_distinct_tokens(ds)
+    return pa.table({"approx_distinct_terms": pa.array([int(round(est))],
+                                                       pa.int64())})
 
 
 def eval_recall(sf_dir: str):

@@ -1,0 +1,49 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stacksearch_ray.functions.sketches import HLL
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(2)
+    # HLL consumes uniform 64-bit hashes (the operator hashes inputs with
+    # pd.util.hash_array); emulate that full range here
+    a = rng.integers(0, 2**64, 60_000, dtype=np.uint64)
+    b = rng.integers(0, 2**64, 60_000, dtype=np.uint64)
+    h1 = HLL().add_hashes(a)
+    h2 = HLL().add_hashes(b)
+    exact = len(np.unique(np.concatenate((a, b))))
+    merged = HLL.from_bytes(h1.to_bytes()).merge(h2)
+    assert abs(merged.estimate() - exact) / exact < 0.05
+    # merge is idempotent and order-insensitive
+    m2 = HLL().merge(h2).merge(h1).merge(h1)
+    assert m2.estimate() == merged.estimate()
+
+
+def test_hll_small_range_linear_counting():
+    vals = np.arange(50, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h = HLL().add_hashes(vals)
+    assert abs(h.estimate() - 50) <= 3
+
+
+def test_approx_distinct_dataset(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.sketches import (
+        approx_distinct,
+        approx_distinct_tokens,
+    )
+
+    n = 20_000
+    ids = np.arange(n) % 3777  # 3777 distinct
+    ds = rd.from_arrow(pa.table({"v": pa.array(ids, pa.int64())})).repartition(8)
+    est = approx_distinct(ds, "v")
+    assert abs(est - 3777) / 3777 < 0.05
+
+    docs = rd.from_items([{"text": f"alpha tok_{i % 211} beta tok_{i % 97}"}
+                          for i in range(2000)])
+    est_t = approx_distinct_tokens(docs)
+    # vocabulary: alpha, beta + 211 + 97 distinct tok_k... tok_k overlap:
+    # tok_0..tok_210 and tok_0..tok_96 share names → 211 + 2 distinct
+    assert abs(est_t - 213) / 213 < 0.06
