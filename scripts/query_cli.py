@@ -27,6 +27,10 @@ def main() -> int:
 
     from stacksearch_ray.query import QueryEngine
 
+    if not os.path.exists(os.path.join(args.index_dir, "stats.json")):
+        print(f"error: {args.index_dir} is not a built index "
+              "(no stats.json; run scripts/build_cli.py first)", file=sys.stderr)
+        return 2
     eng = QueryEngine(args.index_dir)
     for q in args.query:
         res = eng.search(q, args.k, method=args.method)

@@ -141,14 +141,20 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          id_col: str = "doc_id", num_perm: int = 128,
                          num_bands: int = 16, shingle_k: int = 3,
                          threshold: float = 0.8, seed: int = 7,
-                         max_iters: int = 10) -> Dataset:
+                         max_iters: int = 10,
+                         clustering: str = "driver") -> Dataset:
     """(doc_id, cluster_id): connected components over verified near-dup
     pairs; singletons keep cluster_id == doc_id.
 
     Stages: signatures → band explode → groupby(band, band_hash) candidate
     pairs → signature-Jaccard ≥ threshold verify (signatures broadcast via
     ray.put; see module docstring for the >10M-doc join variant) →
-    iterative min-label propagation until fixpoint.
+    min-label propagation until fixpoint.
+
+    ``clustering="driver"`` loops over the (small) verified pair set on
+    the driver; ``"distributed"`` runs groupby-based label-propagation
+    rounds (functions/joins.py) — the path for pair sets that outgrow
+    driver memory. Identical results (tested).
     """
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
     sigs_mat = sigs.to_pandas()
@@ -187,11 +193,16 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     # verified pair set is tiny vs the corpus); a groupby shuffle here
     # would cost more than it saves at any scale where the driver loop
     # is still the right clustering strategy
-    pairs_pdf = (cand.map_batches(verify, batch_format="pyarrow")
-                 .to_pandas().drop_duplicates(["a", "b"]))
+    verified = cand.map_batches(verify, batch_format="pyarrow")
 
-    # min-label propagation on the driver over the (small) verified pair set;
-    # at scale this loop becomes groupby(node).aggregate(Min(label)) rounds.
+    if clustering == "distributed":
+        from .joins import propagate_min_labels
+
+        labels = propagate_min_labels(verified, doc_arr, max_iters=max_iters)
+        labels = labels.sort_values("doc_id").reset_index(drop=True)
+        return rd.from_arrow(pa.Table.from_pandas(labels, preserve_index=False))
+
+    pairs_pdf = verified.to_pandas().drop_duplicates(["a", "b"])
     label = {int(d): int(d) for d in doc_arr}
     edges = list(zip(pairs_pdf["a"].astype(int), pairs_pdf["b"].astype(int)))
     for _ in range(max_iters):

@@ -1,0 +1,119 @@
+"""Join primitives (SURVEY.md §2.5 at scale).
+
+- broadcast_join: small dimension side shipped once via ray.put, merged
+  per batch — no shuffle. THE default for dim tables / lookup maps.
+- hash_join: both sides large — explicit partitioned hash join: tag each
+  side, bucket by key hash, groupby(bucket) and merge matching buckets
+  pairwise in pandas. Portable across Ray versions; on Ray ≥ 2.49 the
+  native ``Dataset.join`` (hash-partitioned) exists and is used when
+  ``native=True``.
+
+Skew note: a hot join key lands one bucket; raise num_buckets or
+pre-salt the hot keys into sub-buckets on both sides (the same trick the
+index build uses for hot terms).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def broadcast_join(large: Dataset, small_df: pd.DataFrame, on: str,
+                   how: str = "inner") -> Dataset:
+    """Merge a broadcast pandas dimension table into every batch."""
+    ref = ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how=how)
+
+    return large.map_batches(merge, batch_format="pandas")
+
+
+def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int) -> Dataset:
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[on].combine_chunks()
+        if pa.types.is_integer(keys.type):
+            h = pd.util.hash_array(np.asarray(keys).astype(np.int64))
+        else:
+            h = pd.util.hash_array(np.asarray(keys.to_pylist(), dtype=object))
+        bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        return (batch.append_column("__bucket", pa.array(bucket))
+                     .append_column("__side", pa.array([side] * len(batch))))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
+              num_buckets: int = 32, suffixes: tuple[str, str] = ("", "_r"),
+              ) -> Dataset:
+    """Partitioned hash join via groupby(bucket) + per-bucket pandas merge."""
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+    tagged = _tag_and_bucket(left, on, "l", num_buckets).union(
+        _tag_and_bucket(right, on, "r", num_buckets))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # union null-fills the other side's columns; slice back to the
+        # original schemas before merging
+        l = g[g["__side"] == "l"][left_cols]
+        r = g[g["__side"] == "r"][right_cols]
+        return l.merge(r, on=on, how=how, suffixes=suffixes)
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+
+
+def propagate_min_labels(pairs: Dataset, node_ids: np.ndarray,
+                         max_iters: int = 20,
+                         num_buckets: int = 16) -> pd.DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: each round, every node's label becomes the min of its
+    own and its neighbors' labels (groupby-aggregate over the edge
+    list); stop at fixpoint. The scale path for dedup clustering when
+    the verified-pair set outgrows the driver (functions/dedup.py uses
+    the driver loop below that size).
+
+    ``pairs``: Dataset with int64 columns a, b. Returns pandas
+    (doc_id, cluster_id) for all ``node_ids`` (singletons keep own id).
+
+    The per-round neighbor-label lookup broadcasts the label map
+    (ray.put) — fine to ~10⁸ nodes; beyond that swap the broadcast for
+    ``hash_join(edges, labels, on='dst')``, same round structure.
+    """
+    from ray.data.aggregate import Min
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()]),
+        }), batch_format="pyarrow")
+
+    labels = pd.DataFrame({"node": np.sort(node_ids),
+                           "label": np.sort(node_ids)})
+    for _ in range(max_iters):
+        lbl_ref = ray.put(labels.set_index("node")["label"])
+
+        def neighbor_labels(t: pa.Table) -> pa.Table:
+            lbl = ray.get(lbl_ref)
+            src = np.asarray(t["src"].combine_chunks())
+            dst = np.asarray(t["dst"].combine_chunks())
+            return pa.table({"node": src,
+                             "cand": lbl.reindex(dst).to_numpy()})
+
+        cand = (edges.map_batches(neighbor_labels, batch_format="pyarrow")
+                .groupby("node").aggregate(Min("cand", alias_name="cand"))
+                .to_pandas())
+        merged = labels.merge(cand, on="node", how="left")
+        new = np.minimum(merged["label"],
+                         merged["cand"].fillna(merged["label"]).astype(np.int64))
+        if (new == labels["label"]).all():
+            break
+        labels = pd.DataFrame({"node": labels["node"], "label": new})
+    return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})

@@ -1,0 +1,86 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500),
+                         "x": rng.integers(0, 1000, 500)})
+    right = pd.DataFrame({"k": rng.integers(0, 60, 200),
+                          "y": rng.integers(0, 1000, 200)})
+    return left, right
+
+
+def _canon(df):
+    return (df.sort_values(list(df.columns)).reset_index(drop=True)
+            .astype({c: "int64" for c in df.columns}))
+
+
+def test_hash_join_matches_pandas(ray_session, tables):
+    from stacksearch_ray.functions.joins import hash_join
+
+    left, right = tables
+    got = hash_join(_ds(left), _ds(right), on="k", num_buckets=8).to_pandas()
+    expect = left.merge(right, on="k", how="inner")
+    assert _canon(got[["k", "x", "y"]]).equals(_canon(expect[["k", "x", "y"]]))
+
+
+def test_broadcast_join(ray_session, tables):
+    from stacksearch_ray.functions.joins import broadcast_join
+
+    left, right = tables
+    dim = right.drop_duplicates("k")
+    got = broadcast_join(_ds(left), dim, on="k").to_pandas()
+    expect = left.merge(dim, on="k", how="inner")
+    assert _canon(got[["k", "x", "y"]]).equals(_canon(expect[["k", "x", "y"]]))
+
+
+def test_distributed_label_propagation(ray_session):
+    from stacksearch_ray.functions.joins import propagate_min_labels
+
+    # two chains + a singleton: {1-2-3-4}, {10-11}, {99}
+    pairs = pd.DataFrame({"a": [1, 2, 3, 10], "b": [2, 3, 4, 11]})
+    nodes = np.array([1, 2, 3, 4, 10, 11, 99], dtype=np.int64)
+    out = propagate_min_labels(_ds(pairs), nodes).set_index("doc_id")["cluster_id"]
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[10] == out[11] == 10
+    assert out[99] == 99
+
+
+def test_distributed_equals_driver_clustering(ray_session):
+    """Distributed propagation == the driver union-loop used by
+    minhash_lsh_clusters, on a random graph."""
+    from stacksearch_ray.functions.joins import propagate_min_labels
+
+    rng = np.random.default_rng(8)
+    n = 200
+    a = rng.integers(0, n, 150)
+    b = rng.integers(0, n, 150)
+    keep = a != b
+    pairs = pd.DataFrame({"a": np.minimum(a, b)[keep].astype(np.int64),
+                          "b": np.maximum(a, b)[keep].astype(np.int64)})
+    nodes = np.arange(n, dtype=np.int64)
+    dist = propagate_min_labels(_ds(pairs), nodes).set_index("doc_id")["cluster_id"]
+
+    label = {int(d): int(d) for d in nodes}
+    edges = list(zip(pairs["a"], pairs["b"]))
+    for _ in range(50):
+        changed = False
+        for x, y in edges:
+            m = min(label[x], label[y])
+            if label[x] != m or label[y] != m:
+                label[x] = label[y] = m
+                changed = True
+        if not changed:
+            break
+    for node in nodes:
+        assert dist[node] == label[int(node)], node
