@@ -28,7 +28,6 @@ import heapq
 import os
 
 import numpy as np
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .build import idf as idf_fn

@@ -1,0 +1,54 @@
+"""Checkpoint crash-debris recovery: leftover temp files and
+manifest/output disagreements must heal on resume."""
+
+import json
+import os
+
+import pytest
+
+from stacksearch_ray.corpus import write_corpus
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    d = str(tmp_path / "corpus")
+    write_corpus(d, 200, rows_per_file=50)
+    return d
+
+
+def test_leftover_tmp_file_is_overwritten(ray_session, corpus_dir, tmp_path):
+    from stacksearch_ray.checkpoint import build_index_resumable
+    from stacksearch_ray.query import QueryEngine
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(os.path.join(idx, "docs"), exist_ok=True)
+    # simulate a crash mid-write: garbage .tmp where a partition will write
+    with open(os.path.join(idx, "docs", "part-00000.parquet.tmp"), "w") as f:
+        f.write("garbage from a crashed writer")
+    build_index_resumable(corpus_dir, idx, num_shards=2)
+    eng = QueryEngine(idx)
+    assert len(eng.search("def return", 5)) == 5
+    # the garbage tmp was replaced by the real atomic write
+    assert not os.path.exists(os.path.join(idx, "docs", "part-00000.parquet.tmp"))
+
+
+def test_manifest_done_but_output_missing_recomputes(ray_session, corpus_dir, tmp_path):
+    from stacksearch_ray.checkpoint import build_index_resumable
+
+    idx = str(tmp_path / "idx")
+    build_index_resumable(corpus_dir, idx, num_shards=2)
+    victim = os.path.join(idx, "segments", "shard-00001.parquet")
+    os.remove(victim)  # output lost after manifest marked done
+    build_index_resumable(corpus_dir, idx, num_shards=2)
+    assert os.path.exists(victim)
+
+
+def test_corrupt_manifest_fails_loudly(ray_session, corpus_dir, tmp_path):
+    from stacksearch_ray.checkpoint import build_index_resumable
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx, exist_ok=True)
+    with open(os.path.join(idx, "manifest.json"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(json.JSONDecodeError):
+        build_index_resumable(corpus_dir, idx, num_shards=2)
