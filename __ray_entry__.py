@@ -65,8 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": P.minhash_clusters,
         "simhash_sigs": P.simhash_sigs,
         "ngram_fingerprints": P.doc_fingerprints,
-        # filters / projections / source pruning (S1/S2, M5-M6)
+        # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
         "filter_en_long": P.filter_en_long,
+        "union_langs": P.union_langs,
+        "docs_range": P.docs_range,
         # text analysis
         "lang_token_totals": P.lang_token_totals,
         "top_terms_per_lang": P.top_terms_per_lang,
@@ -139,6 +141,12 @@ FROM documents GROUP BY md5(text)""",
         "filter_en_long": """
 SELECT doc_id, source, n_chars FROM documents
 WHERE lang = 'en' AND n_chars >= 200""",
+        "union_langs": """
+SELECT doc_id, lang FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang FROM documents WHERE lang = 'de'""",
+        "docs_range": """
+SELECT doc_id, source, n_chars FROM documents LIMIT 100 OFFSET 100""",
         "lang_token_totals": f"""
 WITH {kept},
 dl AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)

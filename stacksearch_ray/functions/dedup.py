@@ -69,35 +69,56 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
                              num_perm: int, shingle_k: int,
                              a: np.ndarray, b: np.ndarray) -> pa.Table:
-    """Per-doc minhash signature over token k-shingles. Vectorized: shingle
-    hashes via pandas hash_array on joined strings, then min over
-    (a*h+b) mod p per permutation using np.minimum.reduceat."""
+    """Per-doc minhash signature over token k-shingles. Fully vectorized:
+    shingle identity = rolling polynomial hash over per-token hashes (no
+    string building), permuted with (a·h+b) Mersenne-folded, per-doc min
+    via np.minimum.reduceat."""
     content = batch[text_col].combine_chunks()
     flat, doc_idx, doc_lens = tokenize_array(content)
     n = len(content)
-    toks = np.asarray(flat.to_pylist(), dtype=object)
-    # build shingles per doc (python join over small slices; hashes vectorized)
-    starts = np.concatenate(([0], np.cumsum(doc_lens)))
-    shingles, sdoc = [], []
-    for d in range(n):
-        s, e = starts[d], starts[d + 1]
-        words = toks[s:e]
-        if len(words) == 0:
-            continue
-        k = min(shingle_k, len(words))
-        for i in range(len(words) - k + 1):
-            shingles.append(" ".join(words[i:i + k]))
-            sdoc.append(d)
     sigs = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.uint64)
-    if shingles:
-        sdoc = np.asarray(sdoc, dtype=np.int64)
-        h = pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
+    if len(flat):
+        # shingle identity via rolling polynomial hash of token hashes —
+        # no string building, fully vectorized (shingle h = ((h0·C+h1)·C+h2))
+        tok_h = pd.util.hash_array(
+            np.asarray(flat.to_pylist(), dtype=object)).astype(np.uint64)
+        C = np.uint64(0x100000001B3)
+        hs = [tok_h.copy()]           # hs[j]: window hash of length j+1
+        valids = [np.ones(len(tok_h), dtype=bool)]
         with np.errstate(over="ignore"):
-            hv = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-        # docs are contiguous in sdoc
-        bounds = np.concatenate(([0], np.flatnonzero(np.diff(sdoc)) + 1))
-        mins = np.minimum.reduceat(hv, bounds, axis=0)
-        sigs[sdoc[bounds]] = mins
+            h = tok_h.copy()
+            valid = valids[0].copy()
+            for j in range(1, shingle_k):
+                nxt_h = np.roll(tok_h, -j)
+                same = np.roll(doc_idx, -j) == doc_idx
+                same[len(tok_h) - j:] = False
+                h = h * C + nxt_h
+                valid &= same
+                hs.append(h.copy())
+                valids.append(valid.copy())
+        sel_h, sel_valid = hs[-1].copy(), valids[-1].copy()
+        # docs shorter than shingle_k get one whole-doc shingle
+        # (k = min(shingle_k, len), mirroring the truncated window):
+        # use the window hash of exactly their length at their start
+        starts = np.concatenate(([0], np.cumsum(doc_lens)))[:-1]
+        for L in range(1, shingle_k):
+            pos = starts[doc_lens == L]
+            if len(pos):
+                sel_valid[pos] = True
+                sel_h[pos] = hs[L - 1][pos]
+        sdoc = doc_idx[sel_valid]
+        h = sel_h[sel_valid]
+        if len(h):
+            with np.errstate(over="ignore"):
+                x = h[:, None] * a[None, :] + b[None, :]
+                # Mersenne fold: x mod (2^61-1) via shift+mask (integer
+                # modulo was the profile hotspot); one fold keeps values
+                # < 2^62 and deterministic, which is all minhash needs
+                hv = (x & _MERSENNE) + (x >> np.uint64(61))
+            # docs are contiguous in sdoc
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(sdoc)) + 1))
+            mins = np.minimum.reduceat(hv, bounds, axis=0)
+            sigs[sdoc[bounds]] = mins
     return pa.table({
         "doc_id": batch[id_col].combine_chunks(),
         "sig": pa.FixedSizeListArray.from_arrays(

@@ -335,6 +335,25 @@ def orders_by_segment(sf_dir: str):
 # ---------------- rows-only entries (no SQL oracle) ----------------
 
 
+def union_langs(sf_dir: str):
+    """Set op: union of two filtered reads (en ∪ de), projected."""
+    import pyarrow.dataset as pads
+
+    en = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"],
+                         filter=pads.field("lang") == "en")
+    de = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"],
+                         filter=pads.field("lang") == "de")
+    return en.union(de)
+
+
+def docs_range(sf_dir: str):
+    """Bounded-range source (S1/S2): rows [100, 200) in file order."""
+    from ..sources.corpus_source import read_corpus_range
+
+    return read_corpus_range(_docs(sf_dir), 100, 200,
+                             columns=["doc_id", "source", "n_chars"])
+
+
 def approx_vocab(sf_dir: str):
     """HLL approximate vocabulary size (mergeable-sketch pre-aggregation;
     rows-only — approximate by design, accuracy pinned in pytest)."""
