@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_en_long": P.filter_en_long,
         "union_langs": P.union_langs,
         "docs_range": P.docs_range,
+        "longest_docs": P.longest_docs,
         # text analysis
         "lang_token_totals": P.lang_token_totals,
         "top_terms_per_lang": P.top_terms_per_lang,
@@ -147,6 +148,9 @@ UNION ALL
 SELECT doc_id, lang FROM documents WHERE lang = 'de'""",
         "docs_range": """
 SELECT doc_id, source, n_chars FROM documents LIMIT 100 OFFSET 100""",
+        "longest_docs": """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10""",
         "lang_token_totals": f"""
 WITH {kept},
 dl AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)

@@ -335,6 +335,14 @@ def orders_by_segment(sf_dir: str):
 # ---------------- rows-only entries (no SQL oracle) ----------------
 
 
+def longest_docs(sf_dir: str):
+    """Global sort + limit (T4 analog): top-10 docs by n_chars desc,
+    doc_id asc tie-break."""
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
+            .sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(10))
+
+
 def union_langs(sf_dir: str):
     """Set op: union of two filtered reads (en ∪ de), projected."""
     import pyarrow.dataset as pads
