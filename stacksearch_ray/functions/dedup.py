@@ -162,7 +162,8 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          num_bands: int = 16, shingle_k: int = 3,
                          threshold: float = 0.8, seed: int = 7,
                          max_iters: int = 10,
-                         clustering: str = "driver") -> Dataset:
+                         clustering: str = "driver",
+                         verify: str = "broadcast") -> Dataset:
     """(doc_id, cluster_id): connected components over verified near-dup
     pairs; singletons keep cluster_id == doc_id.
 
@@ -175,45 +176,94 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     the driver; ``"distributed"`` runs groupby-based label-propagation
     rounds (functions/joins.py) — the path for pair sets that outgrow
     driver memory. Identical results (tested).
+
+    ``verify="broadcast"`` ships the signature matrix once via ray.put
+    (≤ ~10M docs at num_perm=128); ``"join"`` hash-joins candidate pairs
+    against the signatures table twice (a-side, b-side) — no broadcast,
+    the unbounded-scale path. Identical results (tested).
     """
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
-    sigs_mat = sigs.to_pandas()
-    sig_arr = np.stack(sigs_mat["sig"].to_numpy()).astype(np.int64)
-    doc_arr = sigs_mat["doc_id"].to_numpy().astype(np.int64)
-    order = np.argsort(doc_arr)
-    doc_arr, sig_arr = doc_arr[order], sig_arr[order]
-    sig_ref = ray.put((doc_arr, sig_arr))
+    if verify == "join":
+        sigs = sigs.materialize()  # consumed by bands + two join sides
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(group["doc_id"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            # typed empty — untyped {} empties break downstream groupby
+            # schema unification
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+        return pd.DataFrame({"a": ids[a].astype(np.int64),
+                             "b": ids[b].astype(np.int64)})
 
     bands = sigs.map_batches(
         lambda t: _bands_batch(t, num_bands, num_perm), batch_format="pyarrow")
     cand = bands.groupby(["band", "band_hash"]).map_groups(
         pairs_in_bucket, batch_format="pandas")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        docs, sigm = ray.get(sig_ref)
-        a = np.asarray(batch["a"].combine_chunks()).astype(np.int64)
-        b = np.asarray(batch["b"].combine_chunks()).astype(np.int64)
-        ia = np.searchsorted(docs, a)
-        ib = np.searchsorted(docs, b)
-        est = (sigm[ia] == sigm[ib]).mean(axis=1)
-        keep = est >= threshold
-        return pa.table({"a": a[keep], "b": b[keep]})
+    if verify == "join":
+        from .joins import hash_join
 
-    # pair dedup happens driver-side with the clustering below (the
-    # verified pair set is tiny vs the corpus); a groupby shuffle here
-    # would cost more than it saves at any scale where the driver loop
-    # is still the right clustering strategy
-    verified = cand.map_batches(verify, batch_format="pyarrow")
+        doc_arr = np.sort(np.asarray(
+            sigs.select_columns(["doc_id"]).to_pandas()["doc_id"]).astype(np.int64))
+        # dedupe candidate pairs before joining (same pair from many bands)
+        cand = cand.groupby(["a", "b"]).map_groups(
+            lambda g: g.head(1), batch_format="pandas")
+        # signatures travel as opaque binary — list columns get mangled
+        # (or rejected) by pandas merges and Acero join payloads alike
+        def sig_bin(t: pa.Table, key: str, col: str) -> pa.Table:
+            mat = np.asarray(t["sig"].combine_chunks().flatten()).reshape(
+                -1, num_perm)
+            rows = [mat[i].tobytes() for i in range(mat.shape[0])]
+            return pa.table({key: t["doc_id"],
+                             col: pa.array(rows, pa.binary())})
+
+        sig_a = sigs.map_batches(lambda t: sig_bin(t, "a", "sig_a"),
+                                 batch_format="pyarrow")
+        sig_b = sigs.map_batches(lambda t: sig_bin(t, "b", "sig_b"),
+                                 batch_format="pyarrow")
+        joined = hash_join(hash_join(cand, sig_a, on="a"), sig_b, on="b")
+
+        def compare(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty:
+                return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                     "b": pd.Series(dtype=np.int64)})
+            sa = np.frombuffer(b"".join(batch["sig_a"]),
+                               dtype=np.int64).reshape(-1, num_perm)
+            sb = np.frombuffer(b"".join(batch["sig_b"]),
+                               dtype=np.int64).reshape(-1, num_perm)
+            est = (sa == sb).mean(axis=1)
+            keep = est >= threshold
+            return pd.DataFrame({
+                "a": batch["a"].to_numpy()[keep].astype(np.int64),
+                "b": batch["b"].to_numpy()[keep].astype(np.int64)})
+
+        verified = joined.map_batches(compare, batch_format="pandas")
+    else:
+        sigs_mat = sigs.to_pandas()
+        sig_arr = np.stack(sigs_mat["sig"].to_numpy()).astype(np.int64)
+        doc_arr = sigs_mat["doc_id"].to_numpy().astype(np.int64)
+        order = np.argsort(doc_arr)
+        doc_arr, sig_arr = doc_arr[order], sig_arr[order]
+        sig_ref = ray.put((doc_arr, sig_arr))
+
+        def verify_fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+            docs, sigm = ray.get(sig_ref)
+            a = np.asarray(batch["a"].combine_chunks()).astype(np.int64)
+            b = np.asarray(batch["b"].combine_chunks()).astype(np.int64)
+            ia = np.searchsorted(docs, a)
+            ib = np.searchsorted(docs, b)
+            est = (sigm[ia] == sigm[ib]).mean(axis=1)
+            keep = est >= threshold
+            return pa.table({"a": a[keep], "b": b[keep]})
+
+        # pair dedup happens driver-side with the clustering below (the
+        # verified pair set is tiny vs the corpus at broadcast scales)
+        verified = cand.map_batches(verify_fn, batch_format="pyarrow")
 
     if clustering == "distributed":
         from .joins import propagate_min_labels

@@ -34,7 +34,10 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame, on: str,
     return large.map_batches(merge, batch_format="pandas")
 
 
-def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int) -> Dataset:
+def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int,
+                    unified: "list[tuple[str, pa.DataType]]") -> Dataset:
+    """Bucket by key hash and null-pad to the unified two-side schema —
+    Ray's sort-based groupby requires identical schemas across blocks."""
     def tag(batch: pa.Table) -> pa.Table:
         keys = batch[on].combine_chunks()
         if pa.types.is_integer(keys.type):
@@ -42,8 +45,20 @@ def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int) -> Datase
         else:
             h = pd.util.hash_array(np.asarray(keys.to_pylist(), dtype=object))
         bucket = (h % np.uint64(num_buckets)).astype(np.int64)
-        return (batch.append_column("__bucket", pa.array(bucket))
-                     .append_column("__side", pa.array([side] * len(batch))))
+        cols: dict[str, pa.Array] = {}
+        for name, typ in unified:
+            if name in batch.column_names:
+                cols[name] = batch[name].combine_chunks()
+            else:
+                if not isinstance(typ, pa.DataType):
+                    try:
+                        typ = pa.from_numpy_dtype(np.dtype(typ))
+                    except (pa.ArrowNotImplementedError, TypeError):
+                        typ = pa.null()
+                cols[name] = pa.nulls(len(batch), type=typ)
+        cols["__bucket"] = pa.array(bucket)
+        cols["__side"] = pa.array([side] * len(batch))
+        return pa.table(cols)
 
     return ds.map_batches(tag, batch_format="pyarrow")
 
@@ -52,17 +67,39 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
               num_buckets: int = 32, suffixes: tuple[str, str] = ("", "_r"),
               ) -> Dataset:
     """Partitioned hash join via groupby(bucket) + per-bucket pandas merge."""
-    left_cols = [c for c in left.schema().names]
-    right_cols = [c for c in right.schema().names]
-    tagged = _tag_and_bucket(left, on, "l", num_buckets).union(
-        _tag_and_bucket(right, on, "r", num_buckets))
+    lsch, rsch = left.schema(), right.schema()
+    left_cols = list(lsch.names)
+    right_cols = list(rsch.names)
+    unified: list[tuple[str, pa.DataType]] = []
+    seen = set()
+    for sch in (lsch, rsch):
+        for name, typ in zip(sch.names, sch.types):
+            if name not in seen:
+                unified.append((name, typ))
+                seen.add(name)
+    tagged = _tag_and_bucket(left, on, "l", num_buckets, unified).union(
+        _tag_and_bucket(right, on, "r", num_buckets, unified))
+
+    pd_dtypes = {}
+    for name, typ in unified:
+        try:
+            pd_dtypes[name] = typ.to_pandas_dtype()
+        except (NotImplementedError, AttributeError):
+            pass  # non-arrow or nested type: leave dtype as produced
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # union null-fills the other side's columns; slice back to the
-        # original schemas before merging
-        l = g[g["__side"] == "l"][left_cols]
-        r = g[g["__side"] == "r"][right_cols]
-        return l.merge(r, on=on, how=how, suffixes=suffixes)
+        l = g[g["__side"] == "l"].reindex(columns=left_cols)
+        r = g[g["__side"] == "r"].reindex(columns=right_cols)
+        out = l.merge(r, on=on, how=how, suffixes=suffixes)
+        if how == "inner":
+            # empty-side merges promote ints to float; inner joins can't
+            # contain NaN, so restore the source dtypes for stable block
+            # schemas (Ray's sort shuffle requires uniform types)
+            casts = {c: pd_dtypes[c] for c in out.columns
+                     if c in pd_dtypes and out[c].dtype != pd_dtypes[c]}
+            if casts:
+                out = out.astype(casts)
+        return out
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pandas")

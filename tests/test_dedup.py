@@ -62,6 +62,18 @@ def test_minhash_distributed_clustering_identical(ray_session):
         b.sort_values("doc_id").reset_index(drop=True))
 
 
+def test_minhash_join_verify_identical(ray_session):
+    """verify='join' (no signature broadcast) == verify='broadcast'."""
+    from stacksearch_ray.functions.dedup import minhash_lsh_clusters
+
+    a = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
+                             threshold=0.5).to_pandas()
+    b = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
+                             threshold=0.5, verify="join").to_pandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+
+
 def test_simhash_pairs(ray_session):
     from stacksearch_ray.functions.dedup import (
         simhash_near_dup_pairs,
