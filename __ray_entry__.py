@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_langs": P.union_langs,
         "docs_range": P.docs_range,
         "longest_docs": P.longest_docs,
+        "top_docs_per_lang": P.top_docs_per_lang,
         # text analysis
         "lang_token_totals": P.lang_token_totals,
         "top_terms_per_lang": P.top_terms_per_lang,
@@ -151,6 +152,14 @@ SELECT doc_id, source, n_chars FROM documents LIMIT 100 OFFSET 100""",
         "longest_docs": """
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id ASC LIMIT 10""",
+        "top_docs_per_lang": """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rank FROM ranked WHERE rank <= 3""",
         "lang_token_totals": f"""
 WITH {kept},
 dl AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)

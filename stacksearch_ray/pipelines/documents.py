@@ -335,6 +335,15 @@ def orders_by_segment(sf_dir: str):
 # ---------------- rows-only entries (no SQL oracle) ----------------
 
 
+def top_docs_per_lang(sf_dir: str):
+    """Grouped top-k with map-side partial heaps: 3 longest docs per lang
+    (n_chars desc, doc_id asc)."""
+    from ..functions.topk import grouped_topk
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "n_chars"])
+    return grouped_topk(ds, "lang", "n_chars", k=3, tie_col="doc_id")
+
+
 def longest_docs(sf_dir: str):
     """Global sort + limit (T4 analog): top-10 docs by n_chars desc,
     doc_id asc tie-break."""

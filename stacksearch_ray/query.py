@@ -332,6 +332,28 @@ class QueryEngine:
                 # advance the earliest iterator to the pivot doc
                 iters[0].next_geq(pivot_doc)
 
+    def get_docs(self, doc_ids: list[int]) -> list[dict]:
+        """Doc-store lookup (J1 analog — the reference's fetch_post_by_id,
+        /root/reference/results.py:149-158, without the full scan):
+        parquet predicate pushdown on doc_id over the docs table."""
+        t = pq.read_table(os.path.join(self.index_dir, "docs"),
+                          filters=[("doc_id", "in", list(doc_ids))])
+        by_id = {r["doc_id"]: r for r in t.to_pylist()}
+        return [by_id[d] for d in doc_ids if d in by_id]
+
+    def search_with_docs(self, query: str, k: int = 10, method: str = "auto",
+                         scorer: str = "bm25") -> list[dict]:
+        """Top-k with doc metadata attached (the reference's display path:
+        search → titlesCache lookup, index_new.py:69)."""
+        res = self.search(query, k, method, scorer)
+        metas = {m["doc_id"]: m for m in self.get_docs([d for d, _ in res])}
+        out = []
+        for rank, (doc_id, score) in enumerate(res, 1):
+            row = dict(metas.get(doc_id, {"doc_id": doc_id}))
+            row.update({"rank": rank, "score": score})
+            out.append(row)
+        return out
+
     def search(self, query: str, k: int = 10, method: str = "auto",
                scorer: str = "bm25") -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc. Query-side

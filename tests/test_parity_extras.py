@@ -62,3 +62,44 @@ def test_medium_scale_scorer_identity(ray_session, tmp_path_factory):
         q = " ".join(rng.choice(vocab, size=int(rng.integers(1, 5)),
                                 replace=False))
         assert eng.search(q, 10, "wand") == eng.search(q, 10, "exhaustive"), q
+
+
+def test_doc_store_lookup(ray_session, tmp_path_factory):
+    """get_docs / search_with_docs (J1/J2: fetch-by-id + display path)."""
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("docstore")
+    corpus = str(root / "c")
+    write_corpus(corpus, 100, rows_per_file=50)
+    idx = str(root / "i")
+    build_index(corpus, idx, num_shards=2)
+    eng = QueryEngine(idx)
+    res = eng.search("def return var_1", 3)
+    rows = eng.search_with_docs("def return var_1", 3)
+    assert [r["doc_id"] for r in rows] == [d for d, _ in res]
+    assert rows[0]["rank"] == 1 and rows[0]["score"] == res[0][1]
+    assert {"repo", "path", "commit", "content_sha256"} <= set(rows[0])
+    # unknown id silently absent
+    assert eng.get_docs([123456789]) == []
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    import pyarrow as pa
+
+    from stacksearch_ray.functions.topk import grouped_topk
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 300),
+                       "v": rng.integers(0, 40, 300),
+                       "id": np.arange(300)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(6)
+    got = (grouped_topk(ds, "g", "v", k=4, tie_col="id").to_pandas()
+           .sort_values(["g", "rank"]).reset_index(drop=True))
+    expect = (df.sort_values(["g", "v", "id"], ascending=[True, False, True],
+                             kind="mergesort")
+              .groupby("g", sort=True).head(4).reset_index(drop=True))
+    assert got[["g", "v", "id"]].astype("int64").equals(
+        expect[["g", "v", "id"]].astype("int64"))
