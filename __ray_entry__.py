@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": P.events_sessions,
         "lineitem_agg": P.lineitem_agg,
         "orders_by_segment": P.orders_by_segment,
+        # features (rows-only: dense per-doc vectors)
+        "char_histograms": P.char_histograms,
         # sketches (rows-only: approximate by design)
         "approx_vocab": P.approx_vocab,
         # eval harness (rows-only)

@@ -371,6 +371,14 @@ def docs_range(sf_dir: str):
                              columns=["doc_id", "source", "n_chars"])
 
 
+def char_histograms(sf_dir: str):
+    """F1 analog: dim-32 char-count features per doc (rows-only)."""
+    from ..functions.features import char_histogram_batch
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(char_histogram_batch, batch_format="pyarrow"))
+
+
 def approx_vocab(sf_dir: str):
     """HLL approximate vocabulary size (mergeable-sketch pre-aggregation;
     rows-only — approximate by design, accuracy pinned in pytest)."""

@@ -10,6 +10,11 @@ Two scorers, verified rank-identical in tests:
   lazy per-block decode via the skip metadata — candidate pruning with
   exact re-scoring, the analog of the reference's LSH-candidates → exact
   Jaccard re-rank (/root/reference/index/index_new.py:65-72).
+- ``bmax``: vectorized block-max scoring — doc space partitioned into
+  segments at block boundaries, processed best-first by static upper
+  bound with exact NumPy scoring inside and sound early exit. Wins only
+  when block maxima genuinely vary (skewed real corpora); on uniform
+  corpora nothing can prune and TAAT dominates.
 
 Scoring: float64, idf = ln((N-df+0.5)/(df+0.5)+1) from GLOBAL stats only,
 contributions accumulated in sorted-term order so scores are bitwise
@@ -156,13 +161,17 @@ class QueryEngine:
         self._seg_cache: dict[str, list[dict]] = {}
         self._df_cache: dict[str, int] = {}
         self._dec_cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+        self._blk_cache: dict[tuple[str, int, int], tuple[np.ndarray, np.ndarray]] = {}
         self.max_cached_segments = 20_000
         # candidate-postings threshold below which vectorized exhaustive
-        # scoring beats per-doc WAND pivoting (method="auto"): WAND's
-        # Python-loop pivoting costs ~2µs/doc, NumPy TAAT ~0.2µs/posting,
-        # so WAND must skip >90% to win — realistic only on large sparse
-        # candidate sets
-        self.wand_min_postings = 2_000_000
+        # scoring beats pruning scorers (method="auto"): NumPy TAAT costs
+        # ~0.2µs/posting vs ~2µs/doc for Python WAND pivoting and
+        # per-segment overhead for bmax, so pruning must elide >90% of
+        # work to win — measured true on skewed real-corpus shapes only;
+        # per-shard candidate sets are bounded by sharding at scale, so
+        # TAAT is the robust default far longer than classic IR lore
+        # suggests
+        self.wand_min_postings = 20_000_000
 
     def _segments_for(self, terms: list[str]) -> dict[str, list[dict]]:
         missing = [t for t in terms if t not in self._seg_cache]
@@ -247,6 +256,110 @@ class QueryEngine:
         order = np.lexsort((uniq, -acc))
         top = order[:k]
         return [(int(uniq[i]), float(acc[i])) for i in top]
+
+    # ---------- vectorized block-max scoring (best-first segments) ----------
+
+    def _search_bmax(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """Block-max scoring without per-doc Python loops: doc-id space is
+        partitioned into segments at block boundaries (per shard); each
+        segment has a static upper bound = Σ overlapping block-max
+        contributions. Segments are processed best-first (ub desc) with
+        exact vectorized scoring inside; once the next segment's ub is
+        below the top-k threshold, no remaining segment can contribute —
+        sound early exit, and θ grows fastest this way.
+
+        Scores accumulate per segment in sorted-term order → bitwise
+        identical to exhaustive/oracle (tested)."""
+        segs = self._segments_for(terms)
+        dfs = self._df_global(terms, segs)
+        term_idf = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if segs[t]}
+        heap: list[tuple[float, int]] = []
+
+        by_shard: dict[int, list[tuple[str, dict]]] = {}
+        for t in terms:
+            for r in segs[t]:
+                by_shard.setdefault(r["shard"], []).append((t, r))
+
+        for rows in by_shard.values():
+            # block intervals (first_doc, last_doc, ub) across terms
+            blk_t, blk_first, blk_last, blk_ub = [], [], [], []
+            for t, r in rows:
+                first = np.asarray(r["skip_first_doc"], dtype=np.int64)
+                if len(first) == 0:
+                    continue
+                last = np.empty_like(first)
+                last[:-1] = first[1:] - 1
+                last[-1] = np.iinfo(np.int64).max - 1
+                ub = term_idf[t] * np.asarray(r["block_max_score"],
+                                              dtype=np.float64)
+                blk_t.append((t, r))
+                blk_first.append(first)
+                blk_last.append(last)
+                blk_ub.append(ub)
+            if not blk_first:
+                continue
+            bounds = np.unique(np.concatenate(
+                [np.concatenate(blk_first),
+                 np.concatenate(blk_last) + 1]))
+            n_seg = len(bounds) - 1
+            if n_seg <= 0:
+                continue
+            seg_ub = np.zeros(n_seg + 1, dtype=np.float64)
+            for first, last, ub in zip(blk_first, blk_last, blk_ub):
+                lo = np.searchsorted(bounds, first)
+                hi = np.searchsorted(bounds, last + 1)
+                np.add.at(seg_ub, lo, ub)
+                np.add.at(seg_ub, hi, -ub)
+            seg_ub = np.cumsum(seg_ub[:-1])
+            order = np.argsort(-seg_ub, kind="stable")
+            for si in order:
+                theta = heap[0][0] if len(heap) >= k else -np.inf
+                if seg_ub[si] < theta:
+                    break  # best-first: nothing further can beat theta
+                lo_doc, hi_doc = int(bounds[si]), int(bounds[si + 1]) - 1
+                id_chunks, sc_chunks = [], []
+                for (t, r), first, last in zip(blk_t, blk_first, blk_last):
+                    b_lo = int(np.searchsorted(first, lo_doc, side="right")) - 1
+                    b_hi = int(np.searchsorted(first, hi_doc, side="right"))
+                    for b in range(max(b_lo, 0), b_hi):
+                        if last[b] < lo_doc:
+                            continue
+                        ids, tfs = self._decoded_block(t, r, b)
+                        m = (ids >= lo_doc) & (ids <= hi_doc)
+                        if m.any():
+                            dls = self.doclens.lookup(ids[m])
+                            part = bm25_tf_part(tfs[m], dls, self.avgdl,
+                                                self.k1, self.b)
+                            id_chunks.append(ids[m])
+                            sc_chunks.append(term_idf[t] * part)
+                if not id_chunks:
+                    continue
+                all_ids = np.concatenate(id_chunks)
+                all_sc = np.concatenate(sc_chunks)
+                uniq, inv = np.unique(all_ids, return_inverse=True)
+                acc = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(acc, inv, all_sc)
+                for d, s in zip(uniq.tolist(), acc.tolist()):
+                    entry = (s, -d)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+        res = sorted([(-d, s) for s, d in heap], key=lambda x: (-x[1], x[0]))
+        return res[:k]
+
+    def _decoded_block(self, term: str, row: dict, b: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        key = (term, row["shard"], b)
+        hit = self._blk_cache.get(key)
+        if hit is None:
+            hit = decode_block(row["doc_ids"], row["tfs"],
+                               np.asarray(row["skip_doc_offset"], dtype=np.int32),
+                               np.asarray(row["skip_tf_offset"], dtype=np.int32),
+                               b, int(row["df"]), self.block_size)
+            if len(self._blk_cache) < self.max_cached_segments:
+                self._blk_cache[key] = hit
+        return hit
 
     # ---------- block-max WAND (DAAT) ----------
 
@@ -378,6 +491,8 @@ class QueryEngine:
             method = "wand" if n_postings >= self.wand_min_postings else "exhaustive"
         if method == "wand":
             return self._search_wand(terms, k)
+        if method == "bmax":
+            return self._search_bmax(terms, k)
         return self._search_exhaustive(terms, k)
 
 

@@ -71,6 +71,7 @@ def test_rank_identity_both_scorers(built_index, oracle):
         expected = o.search(q, 10)
         assert eng.search(q, 10, method="exhaustive") == expected, q
         assert eng.search(q, 10, method="wand") == expected, q
+        assert eng.search(q, 10, method="bmax") == expected, q
 
 
 def test_golden_docs_in_top10(built_index, oracle):

@@ -61,7 +61,9 @@ def test_medium_scale_scorer_identity(ray_session, tmp_path_factory):
     for _ in range(60):
         q = " ".join(rng.choice(vocab, size=int(rng.integers(1, 5)),
                                 replace=False))
-        assert eng.search(q, 10, "wand") == eng.search(q, 10, "exhaustive"), q
+        expected = eng.search(q, 10, "exhaustive")
+        assert eng.search(q, 10, "wand") == expected, q
+        assert eng.search(q, 10, "bmax") == expected, q
 
 
 def test_doc_store_lookup(ray_session, tmp_path_factory):
