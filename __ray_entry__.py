@@ -86,8 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": P.events_sessions,
         "lineitem_agg": P.lineitem_agg,
         "orders_by_segment": P.orders_by_segment,
-        # features (rows-only: dense per-doc vectors)
+        # features / training export (rows-only)
         "char_histograms": P.char_histograms,
+        "training_sequences": P.training_sequences,
         # sketches (rows-only: approximate by design)
         "approx_vocab": P.approx_vocab,
         # eval harness (rows-only)

@@ -371,6 +371,18 @@ def docs_range(sf_dir: str):
                              columns=["doc_id", "source", "n_chars"])
 
 
+def training_sequences(sf_dir: str):
+    """Training-data export endpoint: docs → fixed-length token-id
+    sequences using the engine-built vocabulary (rows-only)."""
+    from ..functions.training_export import build_vocab, encode_sequences
+
+    eng = _index_for(sf_dir)
+    vocab = build_vocab(os.path.join(eng.index_dir, "term_dict"),
+                        vocab_size=5000)
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return encode_sequences(ds, vocab, seq_len=64)
+
+
 def char_histograms(sf_dir: str):
     """F1 analog: dim-32 char-count features per doc (rows-only)."""
     from ..functions.features import char_histogram_batch
