@@ -42,10 +42,16 @@ from .text import clean_query
 
 
 class _DocLens:
-    """Per-shard doc_id → doc_len lookup (the Lucene-norms analog)."""
+    """doc_id → doc_len lookup (the Lucene-norms analog). A shard-subset
+    worker loads only its shards' rows (predicate pushdown) — at 10⁹ docs
+    the full norms table doesn't fit one worker, 1/S of it does."""
 
-    def __init__(self, docs_dir: str):
-        t = pq.read_table(docs_dir, columns=["doc_id", "doc_len", "shard"])
+    def __init__(self, docs_dir: str, shard_subset: list[int] | None = None):
+        filters = None
+        if shard_subset is not None:
+            filters = [("shard", "in", list(shard_subset))]
+        t = pq.read_table(docs_dir, columns=["doc_id", "doc_len"],
+                          filters=filters)
         ids = np.asarray(t["doc_id"]).astype(np.int64)
         lens = np.asarray(t["doc_len"]).astype(np.int64)
         order = np.argsort(ids, kind="stable")
@@ -154,7 +160,7 @@ class QueryEngine:
         self.k1 = float(self.stats["k1"])
         self.b = float(self.stats["b"])
         self.block_size = int(self.stats["block_size"])
-        self.doclens = _DocLens(os.path.join(index_dir, "docs"))
+        self.doclens = _DocLens(os.path.join(index_dir, "docs"), shard_subset)
         self._seg_dir = os.path.join(index_dir, "segments")
         self._term_dict_dir = os.path.join(index_dir, "term_dict")
         self.shard_subset = sorted(shard_subset) if shard_subset is not None else None
