@@ -64,6 +64,25 @@ def test_knn_lsh_recall(ray_session):
     assert approx[(approx["query_id"] == 0) & (approx["rank"] == 1)]["vec_id"].iloc[0] == 5
 
 
+def test_cosine_pairs_lsh_recall(ray_session):
+    """LSH-bucketed pairs find the brute-force pairs on clustered data
+    (clear margin), without the O(n²) broadcast compare."""
+    from stacksearch_ray.functions.similarity import cosine_pairs, cosine_pairs_lsh
+
+    rng = np.random.default_rng(12)
+    centers = rng.standard_normal((15, 24)) * 4.0
+    mat = np.concatenate([c + 0.15 * rng.standard_normal((8, 24)) for c in centers])
+    exact = cosine_pairs(_emb_ds(mat), threshold=0.9).to_pandas()
+    lsh = cosine_pairs_lsh(_emb_ds(mat), threshold=0.9).to_pandas()
+    e = set(zip(exact["a"], exact["b"]))
+    l = set(zip(lsh["a"], lsh["b"]))
+    assert l <= e or len(l - e) == 0  # no false positives (exact verify)
+    # clear-margin recall (float32 vs float64 storage wiggle at boundary)
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    clear = {(a, b) for a, b in e if m[a] @ m[b] >= 0.905}
+    assert len(clear & l) / max(len(clear), 1) >= 0.95
+
+
 def test_cosine_pairs(ray_session, corpus):
     from stacksearch_ray.functions.similarity import cosine_pairs
 
