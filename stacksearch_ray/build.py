@@ -203,14 +203,17 @@ def _empty_segments_table() -> pa.Table:
     return SEGMENTS_SCHEMA.empty_table()
 
 
-def build_index(source: str | list[str], index_dir: str,
+def build_index(source, index_dir: str,
                 cfg: IndexBuildConfig | None = None,
                 content_col: str | None = None, id_col: str | None = None,
                 **cfg_overrides) -> dict:
     """Build the full index under ``index_dir``. Returns the stats dict.
 
-    ``source`` is a parquet path / dir / list of paths. Column pruning is
-    pushed into the read (only id/key/meta/content columns leave storage).
+    ``source`` is a parquet path / dir / list of paths — column pruning is
+    pushed into the read — or an existing ``ray.data.Dataset`` (e.g. the
+    output of upstream cleaning/dedup stages); a Dataset source is
+    consumed twice (docs pass + postings pass), re-executing its lineage
+    each time, so materialize() it first if upstream stages are expensive.
     """
     cfg = cfg or IndexBuildConfig()
     if content_col is not None:
@@ -232,11 +235,21 @@ def build_index(source: str | list[str], index_dir: str,
         need_cols |= set(cfg.key_cols)
     import pyarrow.dataset as pads
 
-    src_schema = pads.dataset(source, format="parquet").schema
-    columns = [c for c in src_schema.names if c in need_cols]
+    if isinstance(source, rd.Dataset):
+        cols_avail = source.schema().names
+
+        def read_source():
+            return source.select_columns(
+                [c for c in cols_avail if c in need_cols])
+    else:
+        src_schema = pads.dataset(source, format="parquet").schema
+        columns = [c for c in src_schema.names if c in need_cols]
+
+        def read_source():
+            return rd.read_parquet(source, columns=columns)
 
     # ---- docs pass: doc-store + invariant hash + doc_len ----
-    docs_ds = rd.read_parquet(source, columns=columns).map_batches(
+    docs_ds = read_source().map_batches(
         make_docs_meta_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
     )
     docs_ds.write_parquet(docs_dir)
@@ -271,7 +284,7 @@ def build_index(source: str | list[str], index_dir: str,
         return encoder(group)
 
     seg_ds = (
-        rd.read_parquet(source, columns=columns)
+        read_source()
         .map_batches(make_postings_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
         .groupby("gkey")
         .map_groups(encode_group, batch_format="pyarrow")

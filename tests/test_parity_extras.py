@@ -105,3 +105,28 @@ def test_grouped_topk_matches_pandas(ray_session):
               .groupby("g", sort=True).head(4).reset_index(drop=True))
     assert got[["g", "v", "id"]].astype("int64").equals(
         expect[["g", "v", "id"]].astype("int64"))
+
+
+def test_build_from_dataset_source(ray_session, tmp_path_factory):
+    """build_index accepts a Dataset (e.g. post-dedup output) and yields
+    the same index as the path source."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    import os
+
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("dssrc")
+    corpus = str(root / "c")
+    write_corpus(corpus, 150, rows_per_file=50)
+    i1, i2 = str(root / "i1"), str(root / "i2")
+    build_index(corpus, i1, num_shards=2)
+    build_index(rd.read_parquet(corpus), i2, num_shards=2)
+    t1 = pq.read_table(os.path.join(i1, "segments")).sort_by(
+        [("term", "ascending"), ("shard", "ascending")])
+    t2 = pq.read_table(os.path.join(i2, "segments")).sort_by(
+        [("term", "ascending"), ("shard", "ascending")])
+    assert t1.equals(t2)
+    assert (QueryEngine(i1).search("def return", 5)
+            == QueryEngine(i2).search("def return", 5))
