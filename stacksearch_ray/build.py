@@ -262,6 +262,7 @@ def build_index(source, index_dir: str,
     for rb in pads.dataset(docs_dir).to_batches(columns=["doc_len"]):
         n_docs += rb.num_rows
         total_len += int(pc.sum(rb.column(0)).as_py() or 0)
+    check_doc_id_collisions(docs_dir, n_docs)
     avgdl = (total_len / n_docs) if n_docs else 0.0
     stats = {
         "n_docs": n_docs,
@@ -296,6 +297,35 @@ def build_index(source, index_dir: str,
 
     _write_term_dict(segments_dir, term_dict_dir)
     return stats
+
+
+class DocIdCollisionError(ValueError):
+    pass
+
+
+# above this doc count the driver-side uniqueness check is skipped (the
+# ids no longer fit driver memory comfortably); at that scale run a Ray
+# groupby(doc_id).count() audit instead
+_COLLISION_CHECK_MAX_DOCS = 50_000_000
+
+
+def check_doc_id_collisions(docs_dir: str, n_docs: int) -> None:
+    """Doc ids must be unique: duplicate ids (hash collision of the
+    derived 63-bit id, or duplicate rows in an id_col source) would merge
+    two documents' postings — the doc_id-sorted posting invariant
+    (SURVEY.md §2.9) silently breaks. Fails loudly instead."""
+    import pyarrow.dataset as pads
+
+    if n_docs == 0 or n_docs > _COLLISION_CHECK_MAX_DOCS:
+        return
+    ids = pads.dataset(docs_dir).to_table(columns=["doc_id"])["doc_id"]
+    arr = np.asarray(ids.combine_chunks()).astype(np.int64)
+    uniq = len(np.unique(arr))
+    if uniq != len(arr):
+        raise DocIdCollisionError(
+            f"{len(arr) - uniq} duplicate doc_id(s) in the docs table — "
+            "duplicate rows in the id column, or (astronomically unlikely) "
+            "a derived-id hash collision; deduplicate the source first")
 
 
 def load_stats(index_dir: str) -> dict:

@@ -213,10 +213,13 @@ def build_index_resumable(source: str | list[str], index_dir: str,
             f"stopped after {allowed} partitions ({len(deferred)} remaining)")
 
     # ---- phase: stats ----
+    from .build import check_doc_id_collisions
+
     n_docs, total_len = 0, 0
     for rb in pads.dataset(docs_dir).to_batches(columns=["doc_len"]):
         n_docs += rb.num_rows
         total_len += int(pc.sum(rb.column(0)).as_py() or 0)
+    check_doc_id_collisions(docs_dir, n_docs)
     avgdl = (total_len / n_docs) if n_docs else 0.0
     stats = {
         "n_docs": n_docs, "total_len": total_len, "avgdl": avgdl,

@@ -70,3 +70,18 @@ def test_query_engine_missing_index_dir():
 
     with pytest.raises(FileNotFoundError):
         QueryEngine("/tmp/definitely_not_an_index_dir_xyz")
+
+
+def test_duplicate_doc_ids_fail_loudly(ray_session, tmp_path):
+    from stacksearch_ray.build import DocIdCollisionError, build_index
+
+    table = pa.table({
+        "doc_id": pa.array([1, 2, 2, 3], pa.int64()),  # duplicate id 2
+        "text": pa.array(["alpha beta", "gamma delta", "epsilon zeta",
+                          "eta theta"]),
+    })
+    src = str(tmp_path / "dup.parquet")
+    pq.write_table(table, src)
+    with pytest.raises(DocIdCollisionError):
+        build_index(src, str(tmp_path / "idx"), content_col="text",
+                    id_col="doc_id", meta_cols=(), num_shards=2)
