@@ -491,6 +491,11 @@ class QueryEngine:
             return []
         if scorer != "bm25":
             return self._search_exhaustive(terms, k, scorer)
+        if self.stats.get("appended"):
+            # appended segments leave pre-existing block-max bounds stale
+            # (encoded against an older avgdl) — pruning would be unsound;
+            # exhaustive recomputes exactly under the fresh stats (append.py)
+            method = "exhaustive"
         if method == "auto":
             segs = self._segments_for(terms)
             n_postings = sum(r["df"] for rows in segs.values() for r in rows)

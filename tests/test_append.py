@@ -1,0 +1,73 @@
+"""Incremental append: appended index == full rebuild == oracle over the
+combined corpus (exhaustive path), and stale-bound safety routing."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from stacksearch_ray.corpus import generate_corpus, write_corpus
+from stacksearch_ray.oracle import OracleBM25
+from stacksearch_ray.schema import doc_id_for
+
+QUERIES = ["Determine a user's timezone", "def return var_1",
+           "helper_3 field_7 import", "numpy python", "zzz_missing"]
+
+
+@pytest.fixture(scope="module")
+def appended(ray_session, tmp_path_factory):
+    from stacksearch_ray.append import append_to_index
+    from stacksearch_ray.build import build_index
+
+    root = tmp_path_factory.mktemp("append")
+    # full corpus = 300 docs; base = first 200, delta = last 100
+    full = str(root / "full")
+    write_corpus(full, 300, rows_per_file=100)
+    base_files = [f"{full}/part-0000{i}.parquet" for i in (0, 1)]
+    delta_files = [f"{full}/part-00002.parquet"]
+    idx_inc = str(root / "inc")
+    idx_full = str(root / "rebuild")
+    build_index(base_files, idx_inc, num_shards=4)
+    append_to_index(delta_files, idx_inc)
+    build_index(full, idx_full, num_shards=4)
+    return idx_inc, idx_full
+
+
+def test_append_equals_rebuild_and_oracle(appended):
+    from stacksearch_ray.query import QueryEngine
+
+    idx_inc, idx_full = appended
+    tbl = generate_corpus(300)
+    docs = {doc_id_for(r, p, c): t for r, p, c, t in
+            zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(),
+                tbl["commit"].to_pylist(), tbl["content"].to_pylist())}
+    oracle = OracleBM25(docs)
+    inc, full = QueryEngine(idx_inc), QueryEngine(idx_full)
+    for q in QUERIES:
+        expected = oracle.search(q, 10)
+        assert inc.search(q, 10) == expected, q
+        assert full.search(q, 10) == expected, q
+
+
+def test_appended_flag_routes_to_exhaustive(appended):
+    from stacksearch_ray.build import load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    idx_inc, idx_full = appended
+    assert load_stats(idx_inc).get("appended") is True
+    assert load_stats(idx_full).get("appended") is None
+    inc = QueryEngine(idx_inc)
+    # even explicit wand/bmax requests produce exact (= oracle) results
+    for q in QUERIES[:2]:
+        assert inc.search(q, 10, "wand") == inc.search(q, 10, "exhaustive")
+        assert inc.search(q, 10, "bmax") == inc.search(q, 10, "exhaustive")
+
+
+def test_append_collision_detected(ray_session, tmp_path):
+    from stacksearch_ray.append import append_to_index
+    from stacksearch_ray.build import DocIdCollisionError, build_index
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 100, rows_per_file=100)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, num_shards=2)
+    with pytest.raises(DocIdCollisionError):
+        append_to_index(corpus, idx)  # same docs again → duplicate ids
