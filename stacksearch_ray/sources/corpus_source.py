@@ -68,6 +68,11 @@ def read_corpus_range(source: str | list[str], start: int, stop: int,
     return ds
 
 
+from ..registry import register_source
+
+register_source("parquet_range")(read_corpus_range)
+
+
 def train_test_split(source: str | list[str], train_rows: int,
                      columns: list[str] | None = None
                      ) -> tuple[Dataset, Dataset]:

@@ -87,3 +87,12 @@ def test_range_source(ray_session, small_index):
     assert len(ptr) == 100 and len(pte) == 100 and not (ptr & pte)
     # empty range
     assert read_corpus_range(corpus_dir, 500, 600).count() == 0
+
+
+def test_source_registry(ray_session, small_index):
+    from stacksearch_ray.registry import get_source
+    import stacksearch_ray.sources.corpus_source  # noqa: F401 — registers
+
+    corpus_dir, _ = small_index
+    src = get_source("parquet_range")
+    assert src(corpus_dir, 0, 10, columns=["path"]).count() == 10
