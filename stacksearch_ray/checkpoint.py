@@ -154,13 +154,25 @@ def build_index_resumable(source: str | list[str], index_dir: str,
     term_dict_dir = os.path.join(index_dir, "term_dict")
 
     manifest = Manifest.load_or_create(index_dir)
-    manifest.data["config"] = {
+    new_config = {
         "num_shards": cfg.num_shards, "block_size": cfg.block_size,
         "k1": cfg.k1, "b": cfg.b, "content_col": cfg.content_col,
         "id_col": cfg.id_col, "files_per_partition": files_per_partition,
     }
+    prev_config = manifest.data.get("config") or {}
+    if manifest.data.get("partitions") and prev_config and prev_config != new_config:
+        # resuming with different knobs would mix shard layouts: finished
+        # partitions staged postings under the old config get skipped
+        # while new ones use the new config → silently corrupt index
+        raise ValueError(
+            f"resume config mismatch: manifest has {prev_config}, "
+            f"requested {new_config}; delete {index_dir} to rebuild "
+            "or rerun with the original configuration")
+    manifest.data["config"] = new_config
 
     files = _list_parquet_files(source)
+    if not files:
+        raise FileNotFoundError(f"no parquet files found under {source!r}")
     parts = [files[i:i + files_per_partition]
              for i in range(0, len(files), files_per_partition)]
     need_cols = {cfg.content_col} | set(cfg.meta_cols)

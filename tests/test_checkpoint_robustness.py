@@ -52,3 +52,25 @@ def test_corrupt_manifest_fails_loudly(ray_session, corpus_dir, tmp_path):
         f.write("{not json")
     with pytest.raises(json.JSONDecodeError):
         build_index_resumable(corpus_dir, idx, num_shards=2)
+
+
+def test_resume_config_mismatch_rejected(ray_session, corpus_dir, tmp_path):
+    from stacksearch_ray.checkpoint import BuildInterrupted, build_index_resumable
+
+    idx = str(tmp_path / "idx")
+    with pytest.raises(BuildInterrupted):
+        build_index_resumable(corpus_dir, idx, num_shards=4,
+                              stop_after_partitions=1)
+    with pytest.raises(ValueError, match="config mismatch"):
+        build_index_resumable(corpus_dir, idx, num_shards=8)  # changed knob
+    # original config resumes fine
+    build_index_resumable(corpus_dir, idx, num_shards=4)
+
+
+def test_empty_source_rejected(ray_session, tmp_path):
+    from stacksearch_ray.checkpoint import build_index_resumable
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        build_index_resumable(empty, str(tmp_path / "idx"))
