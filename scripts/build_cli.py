@@ -29,6 +29,8 @@ def main() -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--resumable", action="store_true",
                    help="checkpointed build with manifest/lineage (restart-safe)")
+    p.add_argument("--append", action="store_true",
+                   help="append source docs to an EXISTING index (new ids only)")
     p.add_argument("--files-per-partition", type=int, default=1)
     args = p.parse_args()
 
@@ -47,6 +49,15 @@ def main() -> int:
     t0 = time.time()
     kwargs = dict(content_col=args.content_col, id_col=args.id_col,
                   num_shards=args.num_shards, term_buckets=args.term_buckets)
+    if args.append:
+        from stacksearch_ray.append import append_to_index
+
+        kwargs.pop("num_shards")  # inherited from the existing index
+        stats = append_to_index(args.source, args.index_dir, **kwargs)
+        print(json.dumps({"stats": stats,
+                          "wall_s": round(time.time() - t0, 2)}))
+        ray.shutdown()
+        return 0
     if args.resumable:
         kwargs.pop("term_buckets")
         stats = build_index_resumable(args.source, args.index_dir,
