@@ -163,7 +163,8 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          threshold: float = 0.8, seed: int = 7,
                          max_iters: int = 10,
                          clustering: str = "driver",
-                         verify: str = "broadcast") -> Dataset:
+                         verify: str = "broadcast",
+                         max_bucket_pairs_ids: int = 256) -> Dataset:
     """(doc_id, cluster_id): connected components over verified near-dup
     pairs; singletons keep cluster_id == doc_id.
 
@@ -193,6 +194,17 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
             # schema unification
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
+        if len(ids) > max_bucket_pairs_ids:
+            # degenerate bucket (e.g. thousands of exact duplicates):
+            # full pairing is O(n²); a star around the min id keeps every
+            # member connected for clustering at O(n). Trade-off: if the
+            # hub fails signature verification against some member, that
+            # member may split from the component even though it matches
+            # another member — acceptable here because a shared full band
+            # at this multiplicity implies near-identical signatures.
+            return pd.DataFrame({
+                "a": np.full(len(ids) - 1, ids[0], dtype=np.int64),
+                "b": ids[1:].astype(np.int64)})
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[a].astype(np.int64),
                              "b": ids[b].astype(np.int64)})
@@ -321,7 +333,8 @@ def simhash_signatures(ds: Dataset, text_col: str = "text",
 
 
 def simhash_near_dup_pairs(ds: Dataset, text_col: str = "text",
-                           id_col: str = "doc_id", max_hamming: int = 3) -> Dataset:
+                           id_col: str = "doc_id", max_hamming: int = 3,
+                           max_bucket_ids: int = 512) -> Dataset:
     """Candidate pairs with Hamming(simhash) ≤ max_hamming via the 4-band
     pigeonhole trick (any pair within distance 3 shares ≥1 of 4 16-bit
     bands), verified exactly."""
@@ -340,6 +353,23 @@ def simhash_near_dup_pairs(ds: Dataset, text_col: str = "text",
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         u = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(u) > max_bucket_ids:
+            # degenerate bucket (mass duplicates): compare everyone to the
+            # min-id hub only — O(n), keeps duplicate groups connected
+            u = pd.concat([u.iloc[:1], u.iloc[1:]])
+            ids = u["doc_id"].to_numpy()
+            sims = u["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            x = sims[0] ^ sims[1:]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while True:
+                nz = x != 0
+                if not nz.any():
+                    break
+                ham[nz] += 1
+                x = x & (x - np.uint64(1))
+            keep = ham <= max_hamming
+            return pd.DataFrame({"a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
+                                 "b": ids[1:][keep], "hamming": ham[keep]})
         ids = u["doc_id"].to_numpy()
         sims = u["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         if len(ids) < 2:

@@ -97,3 +97,17 @@ def test_ngram_jaccard_pairs(ray_session):
     assert got[(0, 1)] == 1_000_000
     assert (0, 2) in got and got[(0, 2)] >= 500_000
     assert (0, 4) not in got
+
+
+def test_mega_duplicate_bucket_stays_linear(ray_session):
+    """Thousands of exact duplicates must not explode into O(n²) pairs;
+    the star fallback still clusters them all together."""
+    from stacksearch_ray.functions.dedup import minhash_lsh_clusters
+
+    texts = (["identical content repeated many times over and over here"] * 600
+             + ["something entirely different apart from nothing shared"])
+    out = minhash_lsh_clusters(_docs_ds(texts), num_perm=64, num_bands=16,
+                               threshold=0.5).to_pandas()
+    lbl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(lbl[i] == 0 for i in range(600))
+    assert lbl[600] == 600
