@@ -517,6 +517,11 @@ class _ShardWorker:
                scorer: str = "bm25") -> list[tuple[int, float]]:
         return self.engine.search(query, k, method=method, scorer=scorer)
 
+    def search_many(self, queries: list[str], k: int, method: str = "auto",
+                    scorer: str = "bm25") -> list[list[tuple[int, float]]]:
+        return [self.engine.search(q, k, method=method, scorer=scorer)
+                for q in queries]
+
     def warm(self, queries: list[str]) -> int:
         for q in queries:
             self.engine.search(q, 10)
@@ -555,6 +560,24 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    def search_many(self, queries: list[str], k: int = 10,
+                    method: str = "auto", scorer: str = "bm25"
+                    ) -> list[list[tuple[int, float]]]:
+        """Batched fan-out: ONE RPC per worker for the whole query batch
+        (per-query RPC overhead amortized; workers score their shard
+        subsets for all queries, driver merges per query)."""
+        import ray
+
+        futs = [w.search_many.remote(queries, k, method, scorer)
+                for w in self.workers]
+        per_worker = ray.get(futs)
+        out = []
+        for qi in range(len(queries)):
+            merged = [r for wres in per_worker for r in wres[qi]]
+            merged.sort(key=lambda x: (-x[1], x[0]))
+            out.append(merged[:k])
+        return out
 
     def warm(self, queries: list[str]) -> None:
         import ray

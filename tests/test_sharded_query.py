@@ -50,3 +50,15 @@ def test_sharded_custom_scorer(index_dir):
     q = "def import class"
     assert (sharded.search(q, 10, scorer="tfidf")
             == eng.search(q, 10, scorer="tfidf"))
+
+
+def test_search_many_batched(index_dir):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    sharded = ShardedQueryEngine(index_dir, num_workers=3)
+    queries = ["def return var_1", "numpy python", "helper_3 field_7", ""]
+    batch = sharded.search_many(queries, 10)
+    assert len(batch) == len(queries)
+    for q, res in zip(queries, batch):
+        assert res == eng.search(q, 10), q
