@@ -21,21 +21,49 @@ def main() -> int:
     p = argparse.ArgumentParser(description="BM25 top-k query")
     p.add_argument("--index-dir", required=True)
     p.add_argument("-k", type=int, default=10)
-    p.add_argument("--method", choices=["wand", "exhaustive"], default="wand")
+    p.add_argument("--method", choices=["auto", "wand", "bmax", "exhaustive"],
+                   default="auto")
+    p.add_argument("--scorer", default="bm25",
+                   help="registry scorer name (bm25, tfidf, ...)")
+    p.add_argument("--sharded", type=int, metavar="N", default=0,
+                   help="serve through N shard-subset Ray workers")
+    p.add_argument("--with-docs", action="store_true",
+                   help="attach doc metadata to results")
     p.add_argument("query", nargs="+")
     args = p.parse_args()
 
-    from stacksearch_ray.query import QueryEngine
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
 
     if not os.path.exists(os.path.join(args.index_dir, "stats.json")):
         print(f"error: {args.index_dir} is not a built index "
               "(no stats.json; run scripts/build_cli.py first)", file=sys.stderr)
         return 2
+    if args.sharded:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        eng = ShardedQueryEngine(args.index_dir, num_workers=args.sharded)
+        batches = eng.search_many(args.query, args.k, method=args.method,
+                                  scorer=args.scorer)
+        for q, res in zip(args.query, batches):
+            print(json.dumps({"query": q,
+                              "results": [{"doc_id": d, "score": s}
+                                          for d, s in res]}))
+        ray.shutdown()
+        return 0
     eng = QueryEngine(args.index_dir)
     for q in args.query:
-        res = eng.search(q, args.k, method=args.method)
-        print(json.dumps({"query": q,
-                          "results": [{"doc_id": d, "score": s} for d, s in res]}))
+        if args.with_docs:
+            rows = eng.search_with_docs(q, args.k, method=args.method,
+                                        scorer=args.scorer)
+            print(json.dumps({"query": q, "results": rows}))
+        else:
+            res = eng.search(q, args.k, method=args.method, scorer=args.scorer)
+            print(json.dumps({"query": q,
+                              "results": [{"doc_id": d, "score": s}
+                                          for d, s in res]}))
     return 0
 
 
