@@ -211,11 +211,23 @@ def _scale_build_only(ray, rd, timings: dict) -> dict:
     }
 
 
+def _wait_for_quiet(max_wait_s: int = 120, load_target: float = 1.5) -> None:
+    """Residual load from an immediately-preceding run skews the scaling
+    measurement (measured: 0.63 vs 0.87+ on the same code); wait for the
+    1-minute load average to settle before timing."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if os.getloadavg()[0] < load_target:
+            return
+        time.sleep(5)
+
+
 def run_scaling() -> dict:
     """Same job + same input at N and 4N CPUs in fresh processes (sandbox
     proxy for N vs 4N nodes); efficiency from the scale-corpus build
     throughput. Levels default to 2 vs 8 — see SCALE_LO note above."""
     _ensure_scale_corpus()  # shared, warmed input
+    _wait_for_quiet()
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
