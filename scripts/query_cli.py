@@ -47,10 +47,21 @@ def main() -> int:
         eng = ShardedQueryEngine(args.index_dir, num_workers=args.sharded)
         batches = eng.search_many(args.query, args.k, method=args.method,
                                   scorer=args.scorer)
+        meta = QueryEngine(args.index_dir) if args.with_docs else None
         for q, res in zip(args.query, batches):
-            print(json.dumps({"query": q,
-                              "results": [{"doc_id": d, "score": s}
-                                          for d, s in res]}))
+            if meta is not None:
+                docs = {m["doc_id"]: m
+                        for m in meta.get_docs([d for d, _ in res])}
+                rows = []
+                for rank, (d, s) in enumerate(res, 1):
+                    row = dict(docs.get(d, {"doc_id": d}))
+                    row.update({"rank": rank, "score": s})
+                    rows.append(row)
+                print(json.dumps({"query": q, "results": rows}))
+            else:
+                print(json.dumps({"query": q,
+                                  "results": [{"doc_id": d, "score": s}
+                                              for d, s in res]}))
         ray.shutdown()
         return 0
     eng = QueryEngine(args.index_dir)
