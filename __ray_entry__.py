@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": P.term_df,
         "token_stats": lambda sf: P.token_stats(sf).drop_columns(
             ["stopword_ratio_micros"]),
+        "quality_filter": P.quality_filter,
         "corpus_stats": P.corpus_stats,
         # BM25 top-k (T1-T4): same oracle for both scorers = rank identity
         "bm25_topk": P.bm25_topk,
@@ -124,6 +125,22 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN all_toks a ON d.doc_id = a.doc_id
 LEFT JOIN kept_counts k ON d.doc_id = k.doc_id""",
+        "quality_filter": f"""
+WITH {kept},
+all_toks AS (
+  SELECT doc_id, count(*) AS n FROM toks WHERE term <> '' GROUP BY doc_id
+),
+kept_counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+stats_per_doc AS (
+  SELECT d.doc_id,
+         coalesce(a.n, 0) AS n_tokens,
+         coalesce(k.n, 0) AS n_kept
+  FROM documents d
+  LEFT JOIN all_toks a ON d.doc_id = a.doc_id
+  LEFT JOIN kept_counts k ON d.doc_id = k.doc_id
+)
+SELECT doc_id, n_tokens, n_kept FROM stats_per_doc
+WHERE n_kept >= 5 AND 2 * (n_tokens - n_kept) <= n_tokens""",
         "corpus_stats": f"""
 WITH {kept},
 dl AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)

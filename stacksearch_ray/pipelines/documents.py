@@ -371,6 +371,29 @@ def docs_range(sf_dir: str):
                              columns=["doc_id", "source", "n_chars"])
 
 
+def quality_filter(sf_dir: str):
+    """Quality-gated corpus (training-data cleaning step): docs with
+    ≥5 kept tokens and stopword ratio ≤ 1/2 — thresholds compared in
+    integer space so the SQL oracle matches exactly."""
+    def gate(batch: pa.Table) -> pa.Table:
+        t = token_stats_batch(batch)
+        keep = pc.and_(
+            pc.greater_equal(t["n_kept"], 5),
+            # (n_tokens - n_kept) / n_tokens <= 0.5  ⇔  2*(n_tokens-n_kept) <= n_tokens
+            pc.less_equal(
+                pc.multiply(pc.subtract(t["n_tokens"], t["n_kept"]), 2),
+                t["n_tokens"]),
+        )
+        return pa.table({
+            "doc_id": t["doc_id"].filter(keep),
+            "n_tokens": t["n_tokens"].filter(keep),
+            "n_kept": t["n_kept"].filter(keep),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(gate, batch_format="pyarrow"))
+
+
 def training_sequences(sf_dir: str):
     """Training-data export endpoint: docs → fixed-length token-id
     sequences using the engine-built vocabulary (rows-only)."""

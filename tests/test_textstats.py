@@ -48,3 +48,24 @@ def test_fingerprint_deterministic_and_order_sensitive():
 def test_fingerprint_empty():
     t = fingerprint_batch(_batch(["", "the of"]))
     assert t["fingerprint"].to_pylist()[0] == t["fingerprint"].to_pylist()[1]
+
+
+def test_quality_filter_discriminates(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    from stacksearch_ray.pipelines.documents import quality_filter
+
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon tokens aplenty here",  # passes
+            "the of and to in is that it for on",                  # all stopwords
+            "just two",                                            # too few kept
+            "the the the the the the real words here live five",   # ratio too high
+        ]),
+    })
+    sf = str(tmp_path)
+    pq.write_table(docs, os.path.join(sf, "documents.parquet"))
+    out = quality_filter(sf).to_pandas()
+    assert out["doc_id"].tolist() == [0]
