@@ -1,0 +1,136 @@
+"""End-to-end cookbook: the full training-data + search lifecycle in one
+runnable script — what a user switching from the reference runs today.
+
+    python scripts/demo_pipeline.py [--source <parquet>] [--workdir /tmp/ssr_demo]
+
+Chain: read corpus → quality gate → exact dedup → near-dup clustering →
+build BM25 index from the cleaned Dataset → search (single + sharded) →
+append a second batch → search again → export token-id training
+sequences. Prints a one-line JSON summary per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", default="/root/testdata/sf0.01/documents.parquet")
+    p.add_argument("--workdir", default="/tmp/ssr_demo")
+    p.add_argument("--num-cpus", type=int, default=8)
+    args = p.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from stacksearch_ray.append import append_to_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.functions.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_clusters,
+    )
+    from stacksearch_ray.functions.training_export import export_training_data
+    from stacksearch_ray.functions.textstats import token_stats_batch
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    def stage(name, t0, **info):
+        print(json.dumps({"stage": name, "sec": round(time.time() - t0, 2),
+                          **info}))
+
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    os.makedirs(args.workdir)
+    idx = os.path.join(args.workdir, "index")
+
+    # 1. quality gate
+    t0 = time.time()
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = token_stats_batch(batch)
+        keep = pc.and_(pc.greater_equal(t["n_kept"], 5),
+                       pc.less_equal(pc.multiply(
+                           pc.subtract(t["n_tokens"], t["n_kept"]), 2),
+                           t["n_tokens"]))
+        return batch.filter(keep)
+
+    clean = rd.read_parquet(args.source).map_batches(
+        gate, batch_format="pyarrow").materialize()
+    stage("quality_gate", t0, docs=clean.count())
+
+    # 2. exact dedup: keep min-id representative per distinct text
+    t0 = time.time()
+    keep_ids = pa.array(
+        exact_dedup_groups(clean).to_pandas()["keep_id"].astype("int64"))
+    deduped = clean.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=keep_ids)),
+        batch_format="pyarrow").materialize()
+    stage("exact_dedup", t0, docs=deduped.count())
+
+    # 3. near-dup clustering report
+    t0 = time.time()
+    clusters = minhash_lsh_clusters(deduped, num_perm=64,
+                                    threshold=0.7).to_pandas()
+    stage("near_dup", t0,
+          clusters=int(clusters["cluster_id"].nunique()),
+          docs=len(clusters))
+
+    # 4. build the index straight from the cleaned Dataset
+    t0 = time.time()
+    half = deduped.count() // 2
+    first = deduped.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], half)), batch_format="pyarrow")
+    rest = deduped.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], half)),
+        batch_format="pyarrow")
+    stats = build_index(first, idx, content_col="text", id_col="doc_id",
+                        meta_cols=("lang", "source"), num_shards=8)
+    stage("build", t0, n_docs=stats["n_docs"])
+
+    # 5. search: single engine + sharded pool
+    t0 = time.time()
+    eng = QueryEngine(idx)
+    q = "merge sort join stream"
+    top = eng.search_with_docs(q, 3)
+    sharded = ShardedQueryEngine(idx, num_workers=4)
+    same = sharded.search(q, 3) == [(r["doc_id"], r["score"]) for r in top]
+    stage("search", t0, top1=top[0]["doc_id"], sharded_identical=same)
+
+    # 6. append the second half, search again
+    t0 = time.time()
+    stats2 = append_to_index(rest, idx, content_col="text", id_col="doc_id",
+                             meta_cols=("lang", "source"))
+    top2 = QueryEngine(idx).search(q, 3)
+    stage("append", t0, n_docs=stats2["n_docs"], new_top1=top2[0][0])
+
+    # 7. export training sequences
+    t0 = time.time()
+    out = os.path.join(args.workdir, "training")
+    vocab = export_training_data(deduped, os.path.join(idx, "term_dict"),
+                                 out, vocab_size=5000, seq_len=64,
+                                 text_col="text", id_col="doc_id")
+    stage("training_export", t0, vocab=vocab.num_rows)
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
