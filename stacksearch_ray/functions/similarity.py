@@ -26,6 +26,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
     col = batch[emb_col].combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
     flat = np.asarray(col.flatten(), dtype=np.float64)
     if isinstance(col, pa.FixedSizeListArray) or pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
@@ -47,8 +49,12 @@ def knn_brute_force(ds: Dataset, queries: np.ndarray, k: int = 10,
 
     def partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        emb = _normalize(_emb_matrix(batch, emb_col))
         ids = np.asarray(batch[id_col].combine_chunks()).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        emb = _normalize(_emb_matrix(batch, emb_col))
         sims = emb @ qm.T  # (n, q)
         kk = min(k, len(ids))
         top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, q)

@@ -100,3 +100,19 @@ def test_cosine_pairs(ray_session, corpus):
     # float32 storage may flip borderline pairs; compare on clear margin
     clear = {(a, b) for a, b in expect if full[a, b] >= 0.981}
     assert clear <= got
+
+
+def test_knn_with_empty_batches(ray_session, corpus):
+    """Upstream filters can produce empty batches; they must pass through."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from stacksearch_ray.functions.similarity import knn_brute_force
+
+    ds = _emb_ds(corpus)
+    # filter that empties some batches entirely
+    ds = ds.repartition(8).map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 50)), batch_format="pyarrow")
+    out = knn_brute_force(ds, corpus[[5]], k=10).to_pandas()
+    got = out.sort_values("rank")["vec_id"].tolist()
+    assert got[0] == 5 and len(got) == 10 and all(v < 50 for v in got)
