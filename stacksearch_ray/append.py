@@ -15,6 +15,10 @@ bmax) would become unsound. Appended indexes therefore set
 the exact exhaustive scorer (which recomputes scores from tf + doc_len +
 fresh global stats and is exact under any avgdl). A full rebuild clears
 the flag and restores pruning eligibility.
+
+QueryEngine instances hold stats/doclens/segment caches from load time —
+re-instantiate engines (and sharded pools) after an append to see the
+new documents.
 """
 
 from __future__ import annotations
