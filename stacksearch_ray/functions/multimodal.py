@@ -90,6 +90,49 @@ class DecodeImageFeatures:
         })
 
 
+class ExtractAudioFeatures:
+    """Actor-pool stage for audio: emits one fixed-dim feature row per
+    ``window_ms`` of audio (duration-aware), decode stubbed like the
+    image path (a real impl swaps _features_one for a resample+FFT)."""
+
+    FEATURE_DIM = 12
+
+    def __init__(self, window_ms: int = 10_000, fake: bool = False):
+        self.window_ms = window_ms
+        self.fake = fake
+
+    def _features_one(self, payload: bytes, t: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires an audio library not present in this "
+                "environment; construct with fake=True for plumbing tests")
+        h = hashlib.sha256(payload + t.to_bytes(8, "little")).digest()
+        return (np.frombuffer(h[:self.FEATURE_DIM], dtype=np.uint8)
+                .astype(np.float32) / 255.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        m_out, w_out, f_out = [], [], []
+        for mid, kind, dur, payload in zip(ids, kinds, durs, payloads):
+            if kind != "audio":
+                continue
+            for w, t in enumerate(range(0, dur, self.window_ms)):
+                m_out.append(mid)
+                w_out.append(w)
+                f_out.append(self._features_one(payload, t))
+        feats = (np.stack(f_out) if f_out
+                 else np.zeros((0, self.FEATURE_DIM), dtype=np.float32))
+        return pa.table({
+            "media_id": pa.array(m_out, pa.int64()),
+            "window_idx": pa.array(w_out, pa.int32()),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), self.FEATURE_DIM),
+        })
+
+
 class SampleVideoFrames:
     """Actor-pool stage for frame sampling: emits one row per sampled frame
     index (every ``stride_ms``), payload decode stubbed the same way."""

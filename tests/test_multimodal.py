@@ -57,3 +57,25 @@ def test_actor_pool_pipeline(ray_session):
     assert len(feats) == 30
     frames = sample_frames(rd.from_arrow(synth_media_table(30)), fake=True).to_pandas()
     assert (frames["frame_idx"] >= 0).all() and len(frames) > 0
+
+
+def test_audio_features_windows():
+    from stacksearch_ray.functions.multimodal import ExtractAudioFeatures
+
+    t = synth_media_table(9)
+    a = ExtractAudioFeatures(window_ms=10_000, fake=True)
+    out = a(t)
+    audio = {m: d for m, k, d in zip(t["media_id"].to_pylist(),
+                                     t["kind"].to_pylist(),
+                                     t["duration_ms"].to_pylist()) if k == "audio"}
+    import pandas as pd
+
+    counts = pd.Series(out["media_id"].to_pylist()).value_counts().to_dict()
+    for mid, dur in audio.items():
+        assert counts[mid] == int(np.ceil(dur / 10_000))
+    f = np.asarray(out["features"].combine_chunks().flatten()).reshape(-1, 12)
+    assert (0 <= f).all() and (f <= 1).all()
+    # deterministic + raises without fake
+    assert a(t).equals(out)
+    with pytest.raises(NotImplementedError):
+        ExtractAudioFeatures(fake=False)(t)
