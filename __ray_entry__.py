@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed decode)
         "multimodal_features": P.multimodal_features,
         "video_frame_sample": P.video_frame_sample,
+        "audio_windows": P.audio_windows,
     }
 
 

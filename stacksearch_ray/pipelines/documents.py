@@ -488,3 +488,11 @@ def video_frame_sample(sf_dir: str):
 
     ds = rd.from_arrow(synth_media_table(60))
     return sample_frames(ds, stride_ms=5000, fake=True)
+
+
+def audio_windows(sf_dir: str):
+    from ..functions.multimodal import ExtractAudioFeatures, synth_media_table
+
+    return rd.from_arrow(synth_media_table(60)).map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow", batch_size=16,
+        concurrency=2, fn_constructor_kwargs={"window_ms": 10_000, "fake": True})
