@@ -59,3 +59,17 @@ def test_shard_of_spreads_sequential_ids():
     counts = np.bincount(shards, minlength=16)
     assert counts.min() > 0.7 * counts.mean()
     assert counts.max() < 1.3 * counts.mean()
+
+
+def test_corpus_generator_deterministic():
+    from stacksearch_ray.corpus import generate_corpus
+
+    a = generate_corpus(120, seed=42)
+    b = generate_corpus(120, seed=42)
+    assert a.equals(b)
+    c = generate_corpus(120, seed=43)
+    assert not a.equals(c)
+    # heavier variant is deterministic too and distinct from the default
+    h1 = generate_corpus(50, lines=(10, 80))
+    h2 = generate_corpus(50, lines=(10, 80))
+    assert h1.equals(h2) and not h1.equals(generate_corpus(50))
