@@ -229,13 +229,20 @@ def run_scaling() -> dict:
     _ensure_scale_corpus()  # shared, warmed input
     _wait_for_quiet()
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ROWS=str(BENCH_ROWS), GRAFT_SCALE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # timeit-style min of 2: the VM's burst capacity jitters single
+        # runs ±15% (measured); the min reflects the pipeline, not the host
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if (a["queries"]["build_scale_corpus"]
+                     <= b["queries"]["build_scale_corpus"]) else b
 
     lo, hi = run(SCALE_LO), run(SCALE_HI)
     t_lo = lo["queries"]["build_scale_corpus"]
