@@ -10,11 +10,11 @@
 
 Scale notes (SURVEY.md §4): candidate generation is a groupby on
 (band_id, band_hash) — an all-to-all but on (bands × n_docs) short rows;
-verification joins signatures back by doc_id pair. Here the signature
-side is broadcast via ray.put (fits up to ~10M docs at num_perm=128);
-beyond that swap the broadcast for a hash-partitioned pair join keyed on
-doc_id buckets. Clustering is iterative min-label propagation
-(groupby-based), no driver union-find on big inputs.
+verification joins signatures back by doc_id pair. The DEFAULT verify
+path is a hash-partitioned pair⋈signature join (no broadcast, unbounded
+scale) and the default clustering is distributed min-label propagation;
+``verify="broadcast"`` / ``clustering="driver"`` are the faster opt-ins
+below ~10M docs.
 """
 
 from __future__ import annotations
@@ -139,7 +139,8 @@ def minhash_signatures(ds: Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _bands_batch(batch: pa.Table, num_bands: int, num_perm: int) -> pa.Table:
+def _bands_batch(batch: pa.Table, num_bands: int, num_perm: int,
+                 carry_sig: bool = False) -> pa.Table:
     rows_per_band = num_perm // num_bands
     sig = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
     doc = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
@@ -150,11 +151,24 @@ def _bands_batch(batch: pa.Table, num_bands: int, num_perm: int) -> pa.Table:
         band_hash[:, bnd] = pd.util.hash_array(
             np.ascontiguousarray(seg).view(
                 [("", seg.dtype)] * rows_per_band).ravel()).view(np.int64)
-    return pa.table({
-        "doc_id": np.repeat(doc, num_bands),
-        "band": np.tile(np.arange(num_bands, dtype=np.int32), n),
-        "band_hash": band_hash.reshape(-1),
-    })
+    cols = {
+        "doc_id": pa.array(np.repeat(doc, num_bands)),
+        "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+        "band_hash": pa.array(band_hash.reshape(-1)),
+    }
+    if carry_sig:
+        # signature travels with the band row as opaque binary (list
+        # columns are mangled by pandas group/merge paths) so the bucket
+        # group can verify Jaccard locally without a join or broadcast
+        import pyarrow.compute as pc
+
+        raw = np.ascontiguousarray(sig).tobytes()
+        w = num_perm * 8
+        per_row = pa.array([raw[i * w:(i + 1) * w] for i in range(n)],
+                           pa.binary())
+        cols["sig"] = pc.take(per_row, pa.array(np.repeat(np.arange(n),
+                                                          num_bands)))
+    return pa.table(cols)
 
 
 def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
@@ -162,30 +176,74 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          num_bands: int = 16, shingle_k: int = 3,
                          threshold: float = 0.8, seed: int = 7,
                          max_iters: int = 10,
-                         clustering: str = "driver",
-                         verify: str = "broadcast",
+                         clustering: str = "distributed",
+                         verify: str = "inline",
                          max_bucket_pairs_ids: int = 256) -> Dataset:
     """(doc_id, cluster_id): connected components over verified near-dup
     pairs; singletons keep cluster_id == doc_id.
 
     Stages: signatures → band explode → groupby(band, band_hash) candidate
-    pairs → signature-Jaccard ≥ threshold verify (signatures broadcast via
-    ray.put; see module docstring for the >10M-doc join variant) →
-    min-label propagation until fixpoint.
+    pairs → signature-Jaccard ≥ threshold verify → min-label propagation
+    until fixpoint.
 
-    ``clustering="driver"`` loops over the (small) verified pair set on
-    the driver; ``"distributed"`` runs groupby-based label-propagation
-    rounds (functions/joins.py) — the path for pair sets that outgrow
-    driver memory. Identical results (tested).
+    ``clustering="distributed"`` (default) runs groupby-based
+    label-propagation rounds (functions/joins.py) — the path for pair
+    sets that outgrow driver memory; ``"driver"`` loops over the
+    verified pair set on the driver (small-corpus opt-in). Identical
+    results (tested).
 
-    ``verify="broadcast"`` ships the signature matrix once via ray.put
-    (≤ ~10M docs at num_perm=128); ``"join"`` hash-joins candidate pairs
-    against the signatures table twice (a-side, b-side) — no broadcast,
-    the unbounded-scale path. Identical results (tested).
+    ``verify="inline"`` (default) carries the signature bytes with each
+    band row so the bucket group verifies signature-Jaccard locally —
+    no join, no broadcast, per-group memory bounded by
+    ``max_bucket_pairs_ids``; the unbounded-scale path. ``"join"``
+    hash-joins candidate pairs against the signatures table twice
+    (a-side, b-side) — also unbounded, cheaper band-shuffle payload at
+    the cost of two extra shuffles. ``"broadcast"`` ships the signature
+    matrix once via ray.put (fastest ≤ ~10M docs at num_perm=128,
+    opt-in). Identical results (tested).
     """
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
     if verify == "join":
         sigs = sigs.materialize()  # consumed by bands + two join sides
+
+    if verify == "inline":
+        bands = sigs.map_batches(
+            lambda t: _bands_batch(t, num_bands, num_perm, carry_sig=True),
+            batch_format="pyarrow")
+
+        def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                  "b": pd.Series(dtype=np.int64)})
+            g = g.drop_duplicates("doc_id")
+            if len(g) < 2:
+                return empty
+            ids = g["doc_id"].to_numpy().astype(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.frombuffer(b"".join(g["sig"].to_numpy()[order]),
+                                dtype=np.uint64).reshape(-1, num_perm)
+            if len(ids) > max_bucket_pairs_ids:
+                # degenerate bucket: star around the min id (see
+                # pairs_in_bucket below for the trade-off), verified
+                # against the hub's full signature
+                est = (mat[0] == mat[1:]).mean(axis=1)
+                keep = est >= threshold
+                return pd.DataFrame({
+                    "a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
+                    "b": ids[1:][keep]})
+            ai, bi = np.triu_indices(len(ids), k=1)
+            est = (mat[ai] == mat[bi]).mean(axis=1)
+            keep = est >= threshold
+            return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep]})
+
+        # pairs shared by several bands stay duplicated here — min-label
+        # propagation and the driver drop_duplicates are both idempotent
+        # to repeated edges, so no global pair-dedup shuffle is needed
+        verified = bands.groupby(["band", "band_hash"]).map_groups(
+            verify_in_bucket, batch_format="pandas")
+        doc_arr = np.sort(np.asarray(
+            ds.select_columns([id_col]).to_pandas()[id_col]).astype(np.int64))
+        return _cluster_pairs(verified, doc_arr, clustering, max_iters)
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(group["doc_id"].to_numpy())
@@ -277,6 +335,15 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
         # verified pair set is tiny vs the corpus at broadcast scales)
         verified = cand.map_batches(verify_fn, batch_format="pyarrow")
 
+    return _cluster_pairs(verified, doc_arr, clustering, max_iters)
+
+
+def _cluster_pairs(verified: Dataset, doc_arr: np.ndarray, clustering: str,
+                   max_iters: int) -> Dataset:
+    """Connected components over verified pair edges → (doc_id,
+    cluster_id); singletons keep their own id. ``distributed`` =
+    groupby-based min-label propagation (scale path), ``driver`` = edge
+    loop on the driver (small-corpus opt-in)."""
     if clustering == "distributed":
         from .joins import propagate_min_labels
 

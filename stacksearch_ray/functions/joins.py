@@ -130,10 +130,14 @@ def propagate_min_labels(pairs: Dataset, node_ids: np.ndarray,
                                      t["b"].combine_chunks()]),
             "dst": pa.concat_arrays([t["b"].combine_chunks(),
                                      t["a"].combine_chunks()]),
-        }), batch_format="pyarrow")
+        }), batch_format="pyarrow").materialize()
+    # materialized once: each propagation round re-consumes the edge
+    # blocks, not the whole upstream (signature/bucket) pipeline
 
     labels = pd.DataFrame({"node": np.sort(node_ids),
                            "label": np.sort(node_ids)})
+    if edges.count() == 0:
+        return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
     for _ in range(max_iters):
         lbl_ref = ray.put(labels.set_index("node")["label"])
 

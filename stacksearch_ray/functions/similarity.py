@@ -7,7 +7,9 @@
   only buckets matching the query signature (± multiprobe), exact
   rescoring inside probed buckets.
 - cosine_pairs: embedding-cosine near-duplicate pairs (sim ≥ threshold),
-  batch-vs-broadcast upper-triangle comparison.
+  blocked exact all-pairs — blocks live in the object store and stream
+  through compare tasks (no driver materialize, no full broadcast).
+- cosine_pairs_lsh: the candidate-pruned variant for high thresholds.
 """
 
 from __future__ import annotations
@@ -208,42 +210,67 @@ def cosine_pairs_lsh(ds: Dataset, threshold: float = 0.9,
 
 
 def cosine_pairs(ds: Dataset, threshold: float = 0.95,
-                 emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
-    """Near-duplicate pairs (a < b, cosine ≥ threshold). Each batch
-    compares against the broadcast full matrix restricted to larger ids —
-    exact O(n²) compare with O(n·dim) broadcast memory; switch to
-    LSH-bucketed pairing beyond ~1M vectors."""
-    pdf = ds.map_batches(
-        lambda b: pa.table({"vec_id": b[id_col],
-                            "emb": b[emb_col]}),
-        batch_format="pyarrow").to_pandas().sort_values("vec_id")
-    ids = pdf["vec_id"].to_numpy().astype(np.int64)
-    mat = _normalize(np.stack(pdf["emb"].to_numpy()).astype(np.float64))
-    ref = ray.put((ids, mat))
-
-    def compare(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        emb = _normalize(_emb_matrix(batch, "emb"))
-        bids = np.asarray(batch["vec_id"].combine_chunks()).astype(np.int64)
-        sims = emb @ all_mat.T
-        a_out, b_out, s_out = [], [], []
-        for i, a_id in enumerate(bids):
-            j0 = np.searchsorted(all_ids, a_id, side="right")
-            hits = np.flatnonzero(sims[i, j0:] >= threshold) + j0
-            a_out.extend([a_id] * len(hits))
-            b_out.extend(all_ids[hits])
-            s_out.extend(sims[i, hits])
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 block_size: int = 4096) -> pa.Table:
+    """Exact near-duplicate pairs (a < b, cosine ≥ threshold) via BLOCKED
+    all-pairs: normalized blocks are materialized into the object store
+    (``to_arrow_refs`` — never the driver heap), and each compare task
+    streams peer blocks one at a time, so peak memory per task is
+    O(batch × block), independent of corpus size. Compute is inherently
+    O(n²/2) for an *exact* loose-threshold pair join; for HIGH thresholds
+    (≥ ~0.8) use ``cosine_pairs_lsh`` which prunes candidates to
+    colliding buckets. Upper-triangle block pruning skips peer blocks
+    whose max id can't exceed the batch's min id."""
+    def norm_project(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.list_(pa.float64()))})
+        emb = _normalize(_emb_matrix(b, emb_col))
         return pa.table({
-            "a": pa.array(a_out, pa.int64()),
-            "b": pa.array(b_out, pa.int64()),
-            "sim_micros": pa.array(
-                [int(round(x * 1e6)) for x in s_out], pa.int64()),
+            "vec_id": ids,
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), pa.float64()), emb.shape[1]),
         })
 
-    from ray.data import from_arrow
+    norm = ds.map_batches(norm_project, batch_format="pyarrow",
+                          batch_size=block_size).materialize()
+    refs = norm.to_arrow_refs()
 
-    tok = from_arrow(pa.table({"vec_id": ids,
-                               "emb": pa.array(list(mat), pa.list_(pa.float64()))}))
-    return tok.map_batches(compare, batch_format="pyarrow").to_pandas().pipe(
-        lambda d: pa.Table.from_pandas(
-            d.sort_values(["a", "b"]).reset_index(drop=True), preserve_index=False))
+    def compare(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        bids = np.asarray(batch["vec_id"].combine_chunks()).astype(np.int64)
+        if len(bids) == 0:
+            return empty
+        bmat = _emb_matrix(batch, "emb")
+        bmin = int(bids.min())
+        a_out, b_out, s_out = [], [], []
+        for r in refs:
+            blk = ray.get(r)
+            oids = np.asarray(blk["vec_id"].combine_chunks()).astype(np.int64)
+            if len(oids) == 0 or int(oids.max()) <= bmin:
+                continue  # no peer id can exceed any batch id
+            omat = _emb_matrix(blk, "emb")
+            sims = bmat @ omat.T
+            mask = (oids[None, :] > bids[:, None]) & (sims >= threshold)
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                a_out.append(bids[ai])
+                b_out.append(oids[bi])
+                s_out.append(sims[ai, bi])
+        if not a_out:
+            return empty
+        return pa.table({"a": np.concatenate(a_out),
+                         "b": np.concatenate(b_out),
+                         "sim": np.concatenate(s_out)})
+
+    pdf = (norm.map_batches(compare, batch_format="pyarrow")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    return pa.table({
+        "a": pa.array(pdf["a"], pa.int64()),
+        "b": pa.array(pdf["b"], pa.int64()),
+        "sim_micros": pa.array([int(round(x * 1e6)) for x in pdf["sim"]],
+                               pa.int64()),
+    })

@@ -267,7 +267,10 @@ def knn_cosine(sf_dir: str):
 
 
 def embedding_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pairs (sim ≥ 0.45 — testdata max is ~0.51)."""
+    """Embedding-cosine near-dup pairs (sim ≥ 0.45 — testdata max is
+    ~0.51). Runs the blocked exact path (object-store blocks, no driver
+    materialize); the loose threshold forces exact semantics — for high
+    thresholds use cosine_pairs_lsh."""
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
     return cosine_pairs(ds, threshold=0.45)
@@ -446,8 +449,12 @@ def eval_recall(sf_dir: str):
     return summary
 
 def minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clustering through the unbounded-scale code
+    paths: in-bucket signature verify (no join, no broadcast) +
+    distributed min-label propagation (the function defaults)."""
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-    return minhash_lsh_clusters(ds, num_perm=64, num_bands=16, threshold=0.5)
+    return minhash_lsh_clusters(ds, num_perm=64, num_bands=16, threshold=0.5,
+                                verify="inline", clustering="distributed")
 
 
 def simhash_sigs(sf_dir: str):

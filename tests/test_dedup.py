@@ -52,22 +52,36 @@ def test_minhash_lsh_clusters(ray_session):
 
 
 def test_minhash_distributed_clustering_identical(ray_session):
+    """driver-loop clustering == distributed label propagation (default)."""
     from stacksearch_ray.functions.dedup import minhash_lsh_clusters
 
     a = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
-                             threshold=0.5).to_pandas()
+                             threshold=0.5, clustering="driver").to_pandas()
     b = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
                              threshold=0.5, clustering="distributed").to_pandas()
     assert a.sort_values("doc_id").reset_index(drop=True).equals(
         b.sort_values("doc_id").reset_index(drop=True))
 
 
-def test_minhash_join_verify_identical(ray_session):
-    """verify='join' (no signature broadcast) == verify='broadcast'."""
+def test_minhash_inline_verify_identical(ray_session):
+    """verify='inline' (default: sig carried into buckets, no join/
+    broadcast) == verify='broadcast'."""
     from stacksearch_ray.functions.dedup import minhash_lsh_clusters
 
     a = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
-                             threshold=0.5).to_pandas()
+                             threshold=0.5, verify="broadcast").to_pandas()
+    b = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
+                             threshold=0.5, verify="inline").to_pandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_minhash_join_verify_identical(ray_session):
+    """verify='broadcast' (small-corpus opt-in) == verify='join' (default)."""
+    from stacksearch_ray.functions.dedup import minhash_lsh_clusters
+
+    a = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
+                             threshold=0.5, verify="broadcast").to_pandas()
     b = minhash_lsh_clusters(_docs_ds(TEXTS), num_perm=64, num_bands=16,
                              threshold=0.5, verify="join").to_pandas()
     assert a.sort_values("doc_id").reset_index(drop=True).equals(

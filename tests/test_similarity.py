@@ -102,6 +102,23 @@ def test_cosine_pairs(ray_session, corpus):
     assert clear <= got
 
 
+def test_cosine_pairs_blocked_identical(ray_session, corpus):
+    """Multi-block execution (block_size < n) == single-block, including
+    upper-triangle block pruning and shuffled id order."""
+    from stacksearch_ray.functions.similarity import cosine_pairs
+
+    mat = corpus.copy()
+    mat[50] = mat[20] * 2.0
+    mat[51] = mat[20] + 0.01 * np.random.default_rng(0).standard_normal(32)
+    ids = np.random.default_rng(1).permutation(len(mat))
+    one = cosine_pairs(_emb_ds(mat, ids), threshold=0.98,
+                       block_size=4096).to_pandas()
+    many = cosine_pairs(_emb_ds(mat, ids), threshold=0.98,
+                        block_size=17).to_pandas()
+    assert one.equals(many)
+    assert len(one) >= 3
+
+
 def test_knn_with_empty_batches(ray_session, corpus):
     """Upstream filters can produce empty batches; they must pass through."""
     import ray.data as rd
