@@ -102,15 +102,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import numpy as np
+
+    from stacksearch_ray.functions.textstats import LANG_MARKERS
     from stacksearch_ray.pipelines.documents import BM25_QUERY
     from stacksearch_ray.pipelines.sql import (
         bm25_scores_sql,
         bm25_topk_sql,
         kept_tokens_cte,
+        sql_stopword_list,
     )
 
     kept = kept_tokens_cte()
     bm25 = bm25_topk_sql(BM25_QUERY, 10)
+    # lang-ID marker table (mirrors LangIdScorer: langs with markers,
+    # alphabetical — the tie-break order of np.argmax's first index)
+    markers_values = ", ".join(
+        f"('{lang}', '{t}')"
+        for lang in sorted(k for k, v in LANG_MARKERS.items() if v)
+        for t in sorted(LANG_MARKERS[lang]))
+    # knn_ann_lsh hyperplanes: the same deterministic rng draw the engine
+    # makes (seed 11, 8 planes, dim 64), embedded as full-precision
+    # literals; repr() round-trips doubles exactly
+    _planes = np.random.default_rng(11).standard_normal((8, 64))
+    plane_rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in _planes[i]))
+        for i in range(8))
     return {
         "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
         "term_df": f"WITH {kept} SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term",
@@ -146,13 +164,13 @@ WHERE n_kept >= 5 AND 2 * (n_tokens - n_kept) <= n_tokens""",
 WITH {kept},
 dl AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
 SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_len,
-       CAST(round(sum(n)::DOUBLE / count(*) * 1e6) AS BIGINT) AS avgdl_micros
+       CAST(floor(sum(n)::DOUBLE / count(*) * 1e6 + 0.5) AS BIGINT) AS avgdl_micros
 FROM dl""",
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
         "docstore_join": bm25_scores_sql(BM25_QUERY) + """,
 topk AS (
-  SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micros
+  SELECT doc_id, CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros
   FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 SELECT t.doc_id, d.lang, d.source, t.score_micros
@@ -210,7 +228,7 @@ WHERE doc_id IN (SELECT DISTINCT doc_id FROM kept)""",
 SELECT event_type,
        CAST(epoch_us(ts) // 60000000 AS BIGINT) AS w,
        count(*) AS n,
-       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micros
+       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM events GROUP BY 1, 2""",
         "events_sessions": """
 WITH g AS (
@@ -225,14 +243,14 @@ SELECT user_id,
 FROM g GROUP BY user_id""",
         "lineitem_agg": """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS BIGINT) AS sum_qty_micros,
-       CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_price_micros,
+       CAST(sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_micros,
+       CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_micros,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "orders_by_segment": """
 SELECT c.c_mktsegment,
        count(*) AS n_orders,
-       CAST(sum(CAST(round(o.o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
            AS total_price_micros
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment""",
@@ -243,18 +261,121 @@ sims AS (
          list_cosine_similarity(embedding::DOUBLE[], q.qe) AS sim
   FROM embeddings, q
 )
-SELECT vec_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_micros,
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
        CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
 FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
         "embedding_pairs": """
 SELECT a.vec_id AS a, b.vec_id AS b,
-       CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]) * 1e6)
+       CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) * 1e6 + 0.5)
             AS BIGINT) AS sim_micros
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                              b.embedding::DOUBLE[]) >= 0.45""",
-        # rows-only (non-SQL-expressible): minhash_clusters, simhash_sigs,
-        # ngram_fingerprints, lang_id, knn_ann_lsh, multimodal_features,
-        # video_frame_sample
+        "lang_id": f"""
+WITH {kept},
+tot AS (SELECT doc_id, count(*) AS total FROM toks WHERE term <> ''
+        GROUP BY doc_id),
+markers(lang, term) AS (VALUES {markers_values}),
+hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS cnt
+  FROM toks t JOIN markers m ON t.term = m.term
+  GROUP BY t.doc_id, m.lang),
+scored AS (
+  SELECT d.doc_id, l.lang,
+         coalesce(h.cnt, 0)::DOUBLE / greatest(coalesce(t.total, 0), 1)
+             AS score
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT lang FROM markers) l
+  LEFT JOIN tot t ON d.doc_id = t.doc_id
+  LEFT JOIN hits h ON d.doc_id = h.doc_id AND l.lang = h.lang),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS lang_score_micros
+FROM best WHERE rn = 1""",
+        "char_histograms": """
+WITH chars0 AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+chars AS (SELECT doc_id, ascii(ch) AS a FROM chars0 WHERE ch <> ''),
+class AS (
+  SELECT doc_id, CASE
+      WHEN a BETWEEN 97 AND 122 THEN a - 97
+      WHEN a BETWEEN 65 AND 90 THEN a - 65
+      WHEN a BETWEEN 48 AND 57 THEN 26
+      WHEN a = 32 THEN 27
+      WHEN a = 10 THEN 28
+      WHEN a < 32 THEN 29
+      WHEN a BETWEEN 33 AND 47 THEN 30
+      ELSE 31 END AS bucket
+  FROM chars)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt
+FROM class GROUP BY doc_id, bucket""",
+        "training_sequences": f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(
+             lower(regexp_replace(text, '[^a-zA-Z0-9 \n]+', '', 'g')),
+             '\\s+') AS l
+  FROM documents),
+tord AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS p
+  FROM base),
+keptp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM tord WHERE term <> '' AND term NOT IN ({sql_stopword_list()})),
+cf AS (SELECT term, count(*) AS cf FROM keptp GROUP BY term),
+ranked AS (
+  SELECT term, row_number() OVER (ORDER BY cf DESC, term ASC) AS rn
+  FROM cf),
+vocab AS (SELECT term, rn + 1 AS token_id FROM ranked WHERE rn <= 5000)
+SELECT k.doc_id, CAST(k.pos AS BIGINT) AS pos,
+       CAST(coalesce(v.token_id, 1) AS BIGINT) AS token_id
+FROM keptp k LEFT JOIN vocab v USING (term) WHERE k.pos <= 64""",
+        "simhash_sigs": f"""
+WITH {kept},
+h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept),
+bits AS (SELECT CAST(range AS INTEGER) AS j FROM range(64)),
+votes AS (
+  SELECT doc_id, bits.j,
+         sum(CASE WHEN ((h >> bits.j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN bits GROUP BY doc_id, bits.j),
+sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(s.s, 0) >= 9223372036854775808::HUGEINT
+                 THEN coalesce(s.s, 0) - 18446744073709551616::HUGEINT
+                 ELSE coalesce(s.s, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id""",
+        "knn_ann_lsh": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+planes(i, p) AS (VALUES {plane_rows}),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT)
+             AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id),
+qb AS (SELECT bucket AS qbucket FROM sigs WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM sigs s, qb
+         WHERE bit_count(xor(s.bucket, qb.qbucket)) <= 2),
+sims AS (
+  SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN q)
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        # rows-only (non-SQL-expressible): minhash_clusters (connected
+        # components over pd-hash minhash), ngram_fingerprints (pd-hash
+        # rolling fingerprint), approx_vocab (HLL, approximate by
+        # design), eval_recall (multi-scorer harness), multimodal_features
+        # / video_frame_sample / audio_windows (synthetic media plumbing)
     }

@@ -28,6 +28,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from ..micros import to_micros
 from ..text import tokenize_array
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -372,15 +373,40 @@ def _cluster_pairs(verified: Dataset, doc_arr: np.ndarray, clustering: str,
 
 # ---------------- simhash ----------------
 
+_MD5_CACHE: dict[str, int] = {}
+
+
+def md5_low64(tokens: np.ndarray) -> np.ndarray:
+    """Low 64 bits of md5(token) — little-endian of digest bytes 8..16,
+    bit-identical to DuckDB's ``md5_number_lower`` so simhash is
+    SQL-oracleable. Uniquified per batch with a per-process cache
+    (Zipfian vocab → high hit rate; the md5 loop runs only on
+    cache-missing unique tokens)."""
+    import hashlib
+    import struct
+
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    vals = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        v = _MD5_CACHE.get(t)
+        if v is None:
+            v = struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:16])[0]
+            if len(_MD5_CACHE) < 1_000_000:
+                _MD5_CACHE[t] = v
+        vals[i] = v
+    return vals[inv]
+
+
 def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    """64-bit simhash over kept tokens (tf-weighted bit votes), vectorized."""
+    """64-bit simhash over kept tokens (tf-weighted bit votes), vectorized.
+    Token hash is md5-low64 (== DuckDB md5_number_lower) so the driver
+    entry has an exact SQL oracle."""
     content = batch[text_col].combine_chunks()
     flat, doc_idx, doc_lens = tokenize_array(content)
     n = len(content)
     out = np.zeros((n, 64), dtype=np.int64)
     if len(flat):
-        h = pd.util.hash_array(
-            np.asarray(flat.to_pylist(), dtype=object)).astype(np.uint64)
+        h = md5_low64(np.asarray(flat.to_pylist(), dtype=object))
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64) * 2 - 1
         np.add.at(out, doc_idx, bits)
@@ -511,7 +537,7 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
         return pa.table({
             "a": pa.array(a_out, pa.int64()),
             "b": pa.array(b_out, pa.int64()),
-            "jaccard_micros": pa.array([int(round(x * 1e6)) for x in j_out], pa.int64()),
+            "jaccard_micros": pa.array(to_micros(np.asarray(j_out, dtype=np.float64)), pa.int64()),
         })
 
     return tok_ds.map_batches(compare, batch_format="pyarrow")

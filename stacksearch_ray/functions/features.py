@@ -24,17 +24,18 @@ import pyarrow as pa
 HIST_DIM = 32
 
 
-def char_histogram_batch(batch: pa.Table, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         normalize: bool = True) -> pa.Table:
-    """dim-32 char histogram per doc: 26 letter buckets (case-folded),
-    1 digit, 1 space, 1 newline, 3 other-range buckets."""
-    content = batch[text_col].combine_chunks().fill_null("")
+def _byte_class_counts(content: pa.Array) -> np.ndarray:
+    """(n_rows, 32) int64 byte-class counts, zero-copy from the Arrow
+    large_binary buffers (no Python bytes objects in the hot path)."""
     n = len(content)
-    # classify every byte of every row in one pass
     flat = content.cast(pa.large_binary())
-    buf = np.frombuffer(b"".join(flat.to_pylist()), dtype=np.uint8)
-    lens = np.asarray([len(x) for x in flat.to_pylist()], dtype=np.int64)
+    offs = np.frombuffer(flat.buffers()[1], dtype=np.int64)[
+        flat.offset: flat.offset + n + 1]
+    data = flat.buffers()[2]
+    buf = (np.frombuffer(data, dtype=np.uint8)[offs[0]:offs[-1]]
+           if data is not None and offs[-1] > offs[0]
+           else np.zeros(0, dtype=np.uint8))
+    lens = np.diff(offs)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
     bucket = np.full(len(buf), 31, dtype=np.int64)  # other-high default
     lower = (buf | 0x20)
@@ -45,9 +46,19 @@ def char_histogram_batch(batch: pa.Table, text_col: str = "text",
     bucket[buf == ord("\n")] = 28
     bucket[(buf < 32) & (buf != ord("\n"))] = 29
     bucket[(buf >= 33) & (buf <= 47)] = 30
-    hist = np.zeros((n, HIST_DIM), dtype=np.float32)
+    hist = np.zeros((n, HIST_DIM), dtype=np.int64)
     if len(buf):
-        np.add.at(hist, (doc_idx, bucket[: len(doc_idx)]), 1.0)
+        np.add.at(hist, (doc_idx, bucket), 1)
+    return hist
+
+
+def char_histogram_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         normalize: bool = True) -> pa.Table:
+    """dim-32 char histogram per doc: 26 letter buckets (case-folded),
+    1 digit, 1 space, 1 newline, 3 other-range buckets."""
+    content = batch[text_col].combine_chunks().fill_null("")
+    hist = _byte_class_counts(content).astype(np.float32)
     if normalize:
         m = hist.max(axis=1, keepdims=True)
         hist = np.divide(hist, np.maximum(m, 1.0))
@@ -55,6 +66,24 @@ def char_histogram_batch(batch: pa.Table, text_col: str = "text",
         "doc_id": batch[id_col].combine_chunks(),
         "features": pa.FixedSizeListArray.from_arrays(
             pa.array(hist.reshape(-1), pa.float32()), HIST_DIM),
+    })
+
+
+def char_histogram_long_batch(batch: pa.Table, text_col: str = "text",
+                              id_col: str = "doc_id") -> pa.Table:
+    """Long-format raw counts (doc_id, bucket, cnt), nonzero buckets only
+    — the SQL-oracleable projection of char_histogram_batch (byte==char
+    on ASCII corpora, which the DuckDB oracle's char classification
+    assumes; non-ASCII bytes all land in bucket 31 engine-side while the
+    oracle classifies codepoints)."""
+    content = batch[text_col].combine_chunks().fill_null("")
+    hist = _byte_class_counts(content)
+    doc_ids = np.asarray(batch[id_col].combine_chunks()).astype(np.int64)
+    ri, bi = np.nonzero(hist)
+    return pa.table({
+        "doc_id": pa.array(doc_ids[ri], pa.int64()),
+        "bucket": pa.array(bi.astype(np.int64), pa.int64()),
+        "cnt": pa.array(hist[ri, bi], pa.int64()),
     })
 
 

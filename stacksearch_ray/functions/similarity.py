@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..micros import to_micros
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -74,7 +76,7 @@ def knn_brute_force(ds: Dataset, queries: np.ndarray, k: int = 10,
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
         out["query_id"].extend([int(qid)] * len(g))
         out["vec_id"].extend(g["vec_id"].astype(int))
-        out["sim_micros"].extend((g["sim"] * 1e6).round().astype(np.int64))
+        out["sim_micros"].extend(to_micros(g["sim"].to_numpy()))
         out["rank"].extend(range(1, len(g) + 1))
     return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
 
@@ -133,7 +135,7 @@ def knn_lsh(ds: Dataset, queries: np.ndarray, k: int = 10,
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
         out["query_id"].extend([int(qid)] * len(g))
         out["vec_id"].extend(g["vec_id"].astype(int))
-        out["sim_micros"].extend((g["sim"] * 1e6).round().astype(np.int64))
+        out["sim_micros"].extend(to_micros(g["sim"].to_numpy()))
         out["rank"].extend(range(1, len(g) + 1))
     return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
 
@@ -199,7 +201,7 @@ def cosine_pairs_lsh(ds: Dataset, threshold: float = 0.9,
         return pd.DataFrame({
             "a": ids[ai][keep],
             "b": ids[bi][keep],
-            "sim_micros": np.round(sims[ai, bi][keep] * 1e6).astype(np.int64)})
+            "sim_micros": to_micros(sims[ai, bi][keep])})
 
     pairs = (ds.map_batches(buckets, batch_format="pyarrow")
              .groupby(["table", "bucket"])
@@ -271,6 +273,5 @@ def cosine_pairs(ds: Dataset, threshold: float = 0.95,
     return pa.table({
         "a": pa.array(pdf["a"], pa.int64()),
         "b": pa.array(pdf["b"], pa.int64()),
-        "sim_micros": pa.array([int(round(x * 1e6)) for x in pdf["sim"]],
-                               pa.int64()),
+        "sim_micros": pa.array(to_micros(pdf["sim"].to_numpy()), pa.int64()),
     })

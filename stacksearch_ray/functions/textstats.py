@@ -12,6 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..micros import to_micros
 from ..text import CLEAN_PATTERN, tokenize_array
 from ..stopwords import ENGLISH_STOPWORD_SET
 
@@ -48,7 +49,7 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text",
         "doc_id": batch[id_col].combine_chunks(),
         "n_tokens": total,
         "n_kept": kept,
-        "stopword_ratio_micros": np.round(ratio * 1e6).astype(np.int64),
+        "stopword_ratio_micros": to_micros(ratio),
     })
 
 
@@ -94,7 +95,7 @@ class LangIdScorer:
         return pa.table({
             "doc_id": batch[self.id_col].combine_chunks(),
             "lang_pred": pa.array(list(pred), type=pa.string()),
-            "lang_score_micros": np.round(best_score * 1e6).astype(np.int64),
+            "lang_score_micros": to_micros(best_score),
         })
 
 

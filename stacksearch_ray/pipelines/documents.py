@@ -24,6 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..build import build_index
+from ..micros import pc_micros, to_micros
 from ..functions.dedup import (
     exact_dedup_groups,
     minhash_lsh_clusters,
@@ -110,7 +111,7 @@ def corpus_stats(sf_dir: str):
     return pa.table({
         "n_docs": pa.array([n], pa.int64()),
         "total_len": pa.array([tot], pa.int64()),
-        "avgdl_micros": pa.array([int(round(tot / n * 1e6))], pa.int64()),
+        "avgdl_micros": pa.array([to_micros(tot / n)], pa.int64()),
     })
 
 
@@ -120,7 +121,7 @@ def bm25_topk(sf_dir: str):
     res = eng.search(BM25_QUERY, 10, method="exhaustive")
     return pa.table({
         "doc_id": pa.array([d for d, _ in res], pa.int64()),
-        "score_micros": pa.array([int(round(s * 1e6)) for _, s in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
 
@@ -131,7 +132,7 @@ def bm25_topk_wand(sf_dir: str):
     res = eng.search(BM25_QUERY, 10, method="wand")
     return pa.table({
         "doc_id": pa.array([d for d, _ in res], pa.int64()),
-        "score_micros": pa.array([int(round(s * 1e6)) for _, s in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
 
@@ -141,7 +142,7 @@ def docstore_join(sf_dir: str):
     semi-join of the small result set against the documents table."""
     eng = _index_for(sf_dir)
     res = eng.search(BM25_QUERY, 10, method="wand")
-    scores = {d: int(round(s * 1e6)) for d, s in res}
+    scores = {d: to_micros(s) for d, s in res}
     ids = pa.array(list(scores), pa.int64())
 
     def join(batch: pa.Table) -> pa.Table:
@@ -219,11 +220,10 @@ def events_window(sf_dir: str):
     def win(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].combine_chunks().cast(pa.int64())  # microseconds
         w = pc.divide(ts, 60_000_000)
-        vm = pc.round(pc.multiply(batch["value"].combine_chunks(), 1e6))
         return pa.table({
             "event_type": batch["event_type"],
             "w": w,
-            "value_micros": vm.cast(pa.int64()),
+            "value_micros": pc_micros(batch["value"]),
         })
 
     return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -237,13 +237,11 @@ def events_window(sf_dir: str):
 def lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate (generic columnar capability check)."""
     def prep(batch: pa.Table) -> pa.Table:
-        qty = pc.round(pc.multiply(batch["l_quantity"].combine_chunks(), 1e6))
-        price = pc.round(pc.multiply(batch["l_extendedprice"].combine_chunks(), 1e6))
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
-            "qty_micros": qty.cast(pa.int64()),
-            "price_micros": price.cast(pa.int64()),
+            "qty_micros": pc_micros(batch["l_quantity"]),
+            "price_micros": pc_micros(batch["l_extendedprice"]),
         })
 
     return (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
@@ -321,10 +319,9 @@ def orders_by_segment(sf_dir: str):
         k, s = ray.get(ref)
         ck = np.asarray(batch["o_custkey"].combine_chunks()).astype(np.int64)
         seg = s[np.searchsorted(k, ck)]
-        price = pc.round(pc.multiply(batch["o_totalprice"].combine_chunks(), 1e6))
         return pa.table({
             "c_mktsegment": pa.array(list(seg), pa.string()),
-            "price_micros": price.cast(pa.int64()),
+            "price_micros": pc_micros(batch["o_totalprice"]),
         })
 
     return (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
@@ -398,23 +395,44 @@ def quality_filter(sf_dir: str):
 
 
 def training_sequences(sf_dir: str):
-    """Training-data export endpoint: docs → fixed-length token-id
-    sequences using the engine-built vocabulary (rows-only)."""
+    """Training-data export endpoint: docs → token-id sequences using the
+    engine-built vocabulary, exploded to (doc_id, pos, token_id) long
+    rows (pos 1-based over kept tokens, ≤ seq_len; padding not emitted)
+    so the DuckDB oracle can replicate it from the documents table."""
     from ..functions.training_export import build_vocab, encode_sequences
 
     eng = _index_for(sf_dir)
     vocab = build_vocab(os.path.join(eng.index_dir, "term_dict"),
                         vocab_size=5000)
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-    return encode_sequences(ds, vocab, seq_len=64)
+    seq = encode_sequences(ds, vocab, seq_len=64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["input_ids"].combine_chunks().flatten()
+                         ).reshape(-1, 64)
+        n = np.asarray(batch["n_tokens"].combine_chunks()).astype(np.int64)
+        doc = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(doc), dtype=np.int64), n)
+        starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+        pos = np.arange(len(doc_idx), dtype=np.int64) - starts[doc_idx]
+        return pa.table({
+            "doc_id": pa.array(doc[doc_idx], pa.int64()),
+            "pos": pa.array(pos + 1, pa.int64()),
+            "token_id": pa.array(ids[doc_idx, pos].astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return seq.map_batches(explode, batch_format="pyarrow")
 
 
 def char_histograms(sf_dir: str):
-    """F1 analog: dim-32 char-count features per doc (rows-only)."""
-    from ..functions.features import char_histogram_batch
+    """F1 analog: per-doc byte-class counts, long format
+    (doc_id, bucket, cnt) — SQL-oracled; the dense normalized feature
+    vector variant stays in functions/features.char_histogram_batch."""
+    from ..functions.features import char_histogram_long_batch
 
     return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-            .map_batches(char_histogram_batch, batch_format="pyarrow"))
+            .map_batches(char_histogram_long_batch, batch_format="pyarrow"))
 
 
 def approx_vocab(sf_dir: str):

@@ -1,8 +1,10 @@
 """DuckDB oracle SQL builders mirroring the engine's semantics exactly.
 
 The canonical tokenization CTE replicates clean_query
-(/root/reference/dataprocess/cleaners.py:38-41): lower → drop
-non-[a-z0-9 \\n] → whitespace split → drop '' → drop English stopwords.
+(/root/reference/dataprocess/cleaners.py:38-41): drop
+non-[a-zA-Z0-9 \\n] → lower → whitespace split → drop '' → drop English
+stopwords (strip BEFORE lowercasing, mirroring the engine's order — they
+diverge on non-ASCII uppercase whose lowercase is ASCII, e.g. U+212A).
 Validated token-for-token against the Python tokenizer in tests.
 """
 
@@ -22,7 +24,7 @@ def kept_tokens_cte(table: str = "documents", text_col: str = "text",
 toks AS (
   SELECT {id_col} AS doc_id,
          unnest(string_split_regex(
-             regexp_replace(lower({text_col}), '[^a-z0-9 \n]+', '', 'g'),
+             lower(regexp_replace({text_col}, '[^a-zA-Z0-9 \n]+', '', 'g')),
              '\\s+')) AS term
   FROM {table}
 ),
@@ -63,7 +65,7 @@ scores AS (
 def bm25_topk_sql(query: str, k: int = 10) -> str:
     return bm25_scores_sql(query) + f"""
 SELECT doc_id,
-       CAST(round(score * 1e6) AS BIGINT) AS score_micros,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
 FROM scores
 ORDER BY score DESC, doc_id ASC

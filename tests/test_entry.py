@@ -38,6 +38,32 @@ def test_queries_oracle_keys_consistent(entry_mod):
         assert callable(fn), name
 
 
+def test_sql_tokenizer_unicode_parity():
+    """Engine and oracle CTE strip non-[a-zA-Z0-9 \\n] BEFORE lowercasing;
+    they must agree on non-ASCII uppercase whose lowercase is ASCII
+    (U+212A KELVIN SIGN → 'k', U+0130 'İ' → 'i̇') — lowering first would
+    keep those as ASCII letters, the engine order drops them."""
+    import duckdb
+
+    from stacksearch_ray.pipelines.sql import kept_tokens_cte
+    from stacksearch_ray.text import clean_query
+    from stacksearch_ray.stopwords import ENGLISH_STOPWORD_SET
+
+    texts = ["Kelvin scale UNITs", "İstanbul Data", "Plain ASCII9\nrow",
+             "mixed Kİ Oh"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    sql = (f"WITH {kept_tokens_cte()} SELECT doc_id, term FROM kept "
+           f"ORDER BY doc_id, term")
+    got = [(int(d), t) for d, t in con.sql(sql).fetchall()]
+    expect = sorted(
+        (i, tok) for i, t in enumerate(texts)
+        for tok in clean_query(t) if tok not in ENGLISH_STOPWORD_SET)
+    assert got == sorted(expect)
+
+
 @pytest.mark.parametrize("name", ["term_df", "exact_dedup", "bm25_topk",
                                   "docs_range", "knn_cosine"])
 def test_sampled_entries_match_oracle(entry_mod, name):
