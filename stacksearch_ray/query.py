@@ -9,12 +9,15 @@ Two scorers, verified rank-identical in tests:
 - ``wand``: document-at-a-time block-max WAND (SURVEY.md §2.6 T1/T2) with
   lazy per-block decode via the skip metadata — candidate pruning with
   exact re-scoring, the analog of the reference's LSH-candidates → exact
-  Jaccard re-rank (/root/reference/index/index_new.py:65-72).
+  Jaccard re-rank (/root/reference/index/index_new.py:65-72). Kept as
+  the classic-DAAT reference implementation; its per-doc Python pivot
+  loop loses to bmax everywhere (scripts/scorer_shootout.py).
 - ``bmax``: vectorized block-max scoring — doc space partitioned into
-  segments at block boundaries, processed best-first by static upper
-  bound with exact NumPy scoring inside and sound early exit. Wins only
-  when block maxima genuinely vary (skewed real corpora); on uniform
-  corpora nothing can prune and TAAT dominates.
+  segments at block boundaries, scored best-first in growing batches via
+  precomputed segment slice offsets (multi-range gather, no per-block or
+  per-doc Python), sound early exit. On zipf corpora it prunes hot-term
+  queries ~10× below TAAT; on score-uniform corpora nothing can prune
+  and TAAT keeps a small edge (hence the ``auto`` threshold).
 
 Scoring: float64, idf = ln((N-df+0.5)/(df+0.5)+1) from GLOBAL stats only,
 contributions accumulated in sorted-term order so scores are bitwise
@@ -266,30 +269,42 @@ class QueryEngine:
     # ---------- vectorized block-max scoring (best-first segments) ----------
 
     def _search_bmax(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        """Block-max scoring without per-doc Python loops: doc-id space is
-        partitioned into segments at block boundaries (per shard); each
-        segment has a static upper bound = Σ overlapping block-max
-        contributions. Segments are processed best-first (ub desc) with
-        exact vectorized scoring inside; once the next segment's ub is
-        below the top-k threshold, no remaining segment can contribute —
-        sound early exit, and θ grows fastest this way.
+        """Vectorized block-max pruning, batched best-first — no per-doc
+        Python anywhere:
 
-        Scores accumulate per segment in sorted-term order → bitwise
+        1. Doc-id space is partitioned into segments at the union of
+           block boundaries (per shard); each segment's static upper
+           bound = Σ overlapping block-max contributions (diff+cumsum).
+        2. Per (term, shard) the cached full decode (ids sorted) is
+           sliced by segment via ONE ``searchsorted(ids, bounds)`` —
+           after that a segment's postings for a term are an index
+           range, so scoring any set of segments is a vectorized
+           multi-range gather (repeat+cumsum arange trick), never a
+           per-block or per-doc loop.
+        3. Segments are consumed best-first in geometrically growing
+           BATCHES with θ re-read between batches; once the next
+           segment's ub < θ nothing remaining can contribute — sound
+           early exit. Top-k lives in numpy arrays merged per batch
+           (docs never repeat across batches: segments partition the
+           doc space, shards are disjoint).
+
+        Contributions accumulate in sorted-term order → bitwise
         identical to exhaustive/oracle (tested)."""
         segs = self._segments_for(terms)
         dfs = self._df_global(terms, segs)
         term_idf = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if segs[t]}
-        heap: list[tuple[float, int]] = []
+        top_ids = np.empty(0, dtype=np.int64)
+        top_sc = np.empty(0, dtype=np.float64)
 
-        by_shard: dict[int, list[tuple[str, dict]]] = {}
+        by_shard: dict[int, list[tuple[str, int, dict]]] = {}
         for t in terms:
-            for r in segs[t]:
-                by_shard.setdefault(r["shard"], []).append((t, r))
+            for i, r in enumerate(segs[t]):
+                by_shard.setdefault(r["shard"], []).append((t, i, r))
 
         for rows in by_shard.values():
             # block intervals (first_doc, last_doc, ub) across terms
             blk_t, blk_first, blk_last, blk_ub = [], [], [], []
-            for t, r in rows:
+            for t, ri, r in rows:
                 first = np.asarray(r["skip_first_doc"], dtype=np.int64)
                 if len(first) == 0:
                     continue
@@ -298,7 +313,7 @@ class QueryEngine:
                 last[-1] = np.iinfo(np.int64).max - 1
                 ub = term_idf[t] * np.asarray(r["block_max_score"],
                                               dtype=np.float64)
-                blk_t.append((t, r))
+                blk_t.append((t, ri, r))
                 blk_first.append(first)
                 blk_last.append(last)
                 blk_ub.append(ub)
@@ -318,26 +333,40 @@ class QueryEngine:
                 np.add.at(seg_ub, hi, -ub)
             seg_ub = np.cumsum(seg_ub[:-1])
             order = np.argsort(-seg_ub, kind="stable")
-            for si in order:
-                theta = heap[0][0] if len(heap) >= k else -np.inf
-                if seg_ub[si] < theta:
+            # per term: full cached decode + segment slice offsets
+            term_dat = []
+            for t, ri, r in blk_t:
+                ids, _tfs, _dls, part = self._decoded(t, ri, r)
+                pos = np.searchsorted(ids, bounds)
+                term_dat.append((term_idf[t], ids, part, pos))
+            i = 0
+            batch_n = 16
+            while i < len(order):
+                theta = (top_sc[-1] if len(top_sc) >= k else -np.inf)
+                if seg_ub[order[i]] < theta:
                     break  # best-first: nothing further can beat theta
-                lo_doc, hi_doc = int(bounds[si]), int(bounds[si + 1]) - 1
+                batch = order[i:i + batch_n]
+                batch = batch[seg_ub[batch] >= theta]
+                i += batch_n
+                batch_n *= 4  # establish theta cheaply, then go wide
+                if len(batch) == 0:
+                    continue
+                bs = np.sort(batch)
                 id_chunks, sc_chunks = [], []
-                for (t, r), first, last in zip(blk_t, blk_first, blk_last):
-                    b_lo = int(np.searchsorted(first, lo_doc, side="right")) - 1
-                    b_hi = int(np.searchsorted(first, hi_doc, side="right"))
-                    for b in range(max(b_lo, 0), b_hi):
-                        if last[b] < lo_doc:
-                            continue
-                        ids, tfs = self._decoded_block(t, r, b)
-                        m = (ids >= lo_doc) & (ids <= hi_doc)
-                        if m.any():
-                            dls = self.doclens.lookup(ids[m])
-                            part = bm25_tf_part(tfs[m], dls, self.avgdl,
-                                                self.k1, self.b)
-                            id_chunks.append(ids[m])
-                            sc_chunks.append(term_idf[t] * part)
+                for w, ids, part, pos in term_dat:
+                    lo = pos[bs]
+                    hi = pos[bs + 1]
+                    lens = hi - lo
+                    total = int(lens.sum())
+                    if total == 0:
+                        continue
+                    cl = np.cumsum(lens)
+                    # concatenated aranges: [lo0..hi0) + [lo1..hi1) + ...
+                    idx = (np.arange(total, dtype=np.int64)
+                           + np.repeat(lo - np.concatenate(([0], cl[:-1])),
+                                       lens))
+                    id_chunks.append(ids[idx])
+                    sc_chunks.append(w * part[idx])
                 if not id_chunks:
                     continue
                 all_ids = np.concatenate(id_chunks)
@@ -345,14 +374,13 @@ class QueryEngine:
                 uniq, inv = np.unique(all_ids, return_inverse=True)
                 acc = np.zeros(len(uniq), dtype=np.float64)
                 np.add.at(acc, inv, all_sc)
-                for d, s in zip(uniq.tolist(), acc.tolist()):
-                    entry = (s, -d)
-                    if len(heap) < k:
-                        heapq.heappush(heap, entry)
-                    elif entry > heap[0]:
-                        heapq.heapreplace(heap, entry)
-        res = sorted([(-d, s) for s, d in heap], key=lambda x: (-x[1], x[0]))
-        return res[:k]
+                # vectorized top-k merge (no per-doc heap): batch docs are
+                # new by construction, so concat + partial sort suffices
+                cand_ids = np.concatenate([top_ids, uniq])
+                cand_sc = np.concatenate([top_sc, acc])
+                sel = np.lexsort((cand_ids, -cand_sc))[:k]
+                top_ids, top_sc = cand_ids[sel], cand_sc[sel]
+        return [(int(d), float(s)) for d, s in zip(top_ids, top_sc)]
 
     def _decoded_block(self, term: str, row: dict, b: int
                        ) -> tuple[np.ndarray, np.ndarray]:
@@ -479,9 +507,11 @@ class QueryEngine:
         tokenization = reference cleanQuery; duplicate terms count once.
 
         method="auto" picks vectorized exhaustive scoring when the
-        candidate posting count is small (WAND's per-doc pivoting only
-        pays off when block skipping can elide real work) and block-max
-        WAND otherwise. All methods are rank-identical (tested).
+        candidate posting count is small and vectorized block-max
+        (``bmax``) otherwise — on skewed (zipf) corpora bmax prunes to
+        ~10× faster than TAAT on hot-term queries
+        (scripts/scorer_shootout.py). All methods are rank-identical
+        (tested).
 
         ``scorer``: a registry.py scorer name (§2.10 pluggable-ranking
         hook); non-bm25 scorers use the exhaustive path (block-max
@@ -499,7 +529,11 @@ class QueryEngine:
         if method == "auto":
             segs = self._segments_for(terms)
             n_postings = sum(r["df"] for rows in segs.values() for r in rows)
-            method = "wand" if n_postings >= self.wand_min_postings else "exhaustive"
+            # bmax (vectorized block-max) dominates the Python-loop wand
+            # in every measured shape (scripts/scorer_shootout.py) and
+            # beats TAAT on skewed corpora; TAAT stays the small-query
+            # default (pruning can't elide enough below the threshold)
+            method = "bmax" if n_postings >= self.wand_min_postings else "exhaustive"
         if method == "wand":
             return self._search_wand(terms, k)
         if method == "bmax":
