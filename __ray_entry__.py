@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": P.knn_cosine,
         "knn_ann_lsh": P.knn_ann_lsh,
         "embedding_pairs": P.embedding_pairs,
+        # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
+        "text_knn": P.text_knn,
         # invariant surfaced as a driver-checked query
         "content_hashes": P.content_hashes,
         # streaming-shaped + generic columnar + joins
@@ -272,6 +274,25 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                              b.embedding::DOUBLE[]) >= 0.45""",
+        "text_knn": f"""
+WITH {kept},
+h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept),
+w AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS bucket,
+             sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+      FROM h GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM w GROUP BY doc_id),
+q AS (SELECT bucket, w FROM w WHERE doc_id = 0),
+qn AS (SELECT n FROM norms WHERE doc_id = 0),
+dots AS (SELECT w.doc_id, sum(w.w * q.w) AS dot
+         FROM w JOIN q USING (bucket) GROUP BY w.doc_id),
+sims AS (
+  SELECT n.doc_id, coalesce(d.dot, 0) / (n.n * qn.n) AS sim
+  FROM norms n LEFT JOIN dots d ON n.doc_id = d.doc_id
+  CROSS JOIN qn WHERE n.n > 0 AND qn.n > 0)
+SELECT doc_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM sims ORDER BY sim DESC, doc_id ASC LIMIT 10""",
         "lang_id": f"""
 WITH {kept},
 tot AS (SELECT doc_id, count(*) AS total FROM toks WHERE term <> ''

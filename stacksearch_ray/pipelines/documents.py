@@ -274,6 +274,63 @@ def embedding_pairs(sf_dir: str):
     return cosine_pairs(ds, threshold=0.45)
 
 
+def text_knn(sf_dir: str):
+    """Raw text → hashed embedding (F2–F5 encoder, actor pool) → exact
+    cosine top-10 to doc 0's text. Cosine = dot / (n_doc · n_q) over the
+    UNNORMALIZED integer-valued feature-hash vectors — exact in float64
+    and summation-order-independent, so the DuckDB oracle matches
+    bit-for-bit. Zero-norm docs (no kept tokens) are excluded."""
+    import ray
+
+    from ..functions.embedding import HashedTextEncoder
+
+    DIM = 64
+    q_tbl = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
+                          columns=["text"])
+    enc = HashedTextEncoder(DIM, normalize=False)
+    q = enc.encode_texts([q_tbl["text"][0].as_py()])[0]
+    nq = float(np.sqrt((q * q).sum()))
+    if nq == 0.0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sim_micros": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mat = np.asarray(batch["embedding"].combine_chunks().flatten()
+                         ).reshape(-1, DIM)
+        dots = mat @ qv
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        keep = norms > 0
+        sim = dots[keep] / (norms[keep] * nq)
+        kk = min(10, int(keep.sum()))
+        if kk == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        top = np.argpartition(-sim, kk - 1)[:kk]
+        return pa.table({"doc_id": ids[keep][top], "sim": sim[top]})
+
+    parts = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+             .map_batches(HashedTextEncoder, batch_format="pyarrow",
+                          batch_size=256, concurrency=2,
+                          fn_constructor_kwargs={"dim": DIM,
+                                                 "normalize": False})
+             .map_batches(score, batch_format="pyarrow")
+             .to_pandas())
+    parts = parts.sort_values(["sim", "doc_id"],
+                              ascending=[False, True]).head(10)
+    return pa.table({
+        "doc_id": pa.array(parts["doc_id"].to_numpy(), pa.int64()),
+        "sim_micros": pa.array(to_micros(parts["sim"].to_numpy()), pa.int64()),
+        "rank": pa.array(np.arange(1, len(parts) + 1), pa.int64()),
+    })
+
+
 def content_hashes(sf_dir: str):
     """Per-row sha256 invariant, driver-checkable: the engine's docs table
     (built via the full index pipeline) vs SQL sha256(text)."""
