@@ -13,8 +13,10 @@ stored bounds may no longer bound true scores — pruning scorers (wand /
 bmax) would become unsound. Appended indexes therefore set
 ``stats["appended"] = true`` and the query engine routes every method to
 the exact exhaustive scorer (which recomputes scores from tf + doc_len +
-fresh global stats and is exact under any avgdl). A full rebuild clears
-the flag and restores pruning eligibility.
+fresh global stats and is exact under any avgdl). ``compact_index``
+re-encodes merged (term, shard) rows under the fresh stats and clears
+the flag — restoring pruning without a from-scratch rebuild (and bitwise
+equal to one, tested).
 
 QueryEngine instances hold stats/doclens/segment caches from load time —
 re-instantiate engines (and sharded pools) after an append to see the
@@ -57,6 +59,27 @@ def append_to_index(source, index_dir: str,
         cfg.id_col = id_col
     for k, v in cfg_overrides.items():
         setattr(cfg, k, v)
+    # column mapping follows the existing index: appending with a
+    # different id_col would silently derive a disjoint id space (the
+    # collision check can't catch that), so inherit when the caller
+    # didn't override and raise on an explicit mismatch
+    explicit_content = (content_col is not None
+                        or "content_col" in cfg_overrides)
+    explicit_id = id_col is not None or "id_col" in cfg_overrides
+    prev_content = prev.get("content_col")
+    prev_id = prev.get("id_col")
+    if prev_content:
+        if explicit_content and cfg.content_col != prev_content:
+            raise ValueError(
+                f"append content_col={cfg.content_col!r} != index's "
+                f"{prev_content!r} (stats.json)")
+        cfg.content_col = prev_content
+    if "id_col" in prev:
+        if explicit_id and cfg.id_col != prev_id:
+            raise ValueError(
+                f"append id_col={cfg.id_col!r} != index's {prev_id!r} "
+                f"(stats.json)")
+        cfg.id_col = prev_id
     # shard layout must match the existing index
     cfg.num_shards = int(prev["num_shards"])
     cfg.block_size = int(prev["block_size"])
@@ -107,6 +130,115 @@ def append_to_index(source, index_dir: str,
     shutil.rmtree(term_dict_dir, ignore_errors=True)
     _write_term_dict(segments_dir, term_dict_dir)
 
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats
+
+
+_COMPACT_DOCLENS_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _doclens_for_shard(docs_dir: str, shard: int):
+    """Per-worker-process cache of shard-pruned doclens lookups (compact
+    tasks see few shards each; cap keeps worker heap bounded)."""
+    key = (docs_dir, shard)
+    hit = _COMPACT_DOCLENS_CACHE.get(key)
+    if hit is None:
+        from .query import _DocLens
+
+        if len(_COMPACT_DOCLENS_CACHE) >= 8:
+            _COMPACT_DOCLENS_CACHE.pop(next(iter(_COMPACT_DOCLENS_CACHE)))
+        hit = _DocLens(docs_dir, [shard])
+        _COMPACT_DOCLENS_CACHE[key] = hit
+    return hit
+
+
+def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
+    """Segment-merge compaction: decode every (term, shard) posting row,
+    re-group, and re-encode exactly ONE row per (term, shard) under the
+    index's CURRENT global stats, then clear ``stats["appended"]`` —
+    restoring wand/bmax pruning eligibility after appends (whose
+    pre-append rows carry block-max bounds encoded against a stale
+    avgdl). The compacted index is bitwise equal to a from-scratch
+    rebuild of the same corpus (tested).
+
+    Ray pipeline: read segments → decode rows to postings (doc_len
+    joined back from the shard-pruned docs table, cached per worker) →
+    groupby(gkey = shard·B + hash(term)%B, the build shuffle key) →
+    SegmentEncoder → temp dir → swap. ``term_buckets`` only sets task
+    granularity; any value yields the same segment rows."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from .build import load_stats
+    from .codec import decode_doc_ids, decode_tfs
+
+    stats = load_stats(index_dir)
+    avgdl = float(stats["avgdl"])
+    k1, b = float(stats["k1"]), float(stats["b"])
+    block_size = int(stats["block_size"])
+    segments_dir = os.path.join(index_dir, "segments")
+    docs_dir = os.path.join(index_dir, "docs")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        terms_u = batch["term"].to_pylist()
+        bucket_u = (pd.util.hash_array(np.asarray(terms_u, dtype=object))
+                    % np.uint64(term_buckets)).astype(np.int64)
+        t_out, d_out, tf_out, dl_out, sh_out, gk_out = [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            shard = int(batch["shard"][i].as_py())
+            ids = decode_doc_ids(batch["doc_ids"][i].as_py(), block_size)
+            tfs = decode_tfs(batch["tfs"][i].as_py())
+            dls = _doclens_for_shard(docs_dir, shard).lookup(ids)
+            n = len(ids)
+            t_out.append(np.full(n, terms_u[i], dtype=object))
+            d_out.append(ids)
+            tf_out.append(tfs)
+            dl_out.append(dls)
+            sh_out.append(np.full(n, shard, dtype=np.int32))
+            gk_out.append(np.full(n, shard * term_buckets + bucket_u[i],
+                                  dtype=np.int64))
+        if not t_out:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "doc_len": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int32()),
+                "gkey": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "term": pa.array(np.concatenate(t_out), pa.string()),
+            "doc_id": np.concatenate(d_out).astype(np.int64),
+            "tf": np.concatenate(tf_out).astype(np.int64),
+            "doc_len": np.concatenate(dl_out).astype(np.int64),
+            "shard": np.concatenate(sh_out),
+            "gkey": np.concatenate(gk_out),
+        })
+
+    encoder = SegmentEncoder(avgdl=avgdl, k1=k1, b=b, block_size=block_size)
+    tmp = segments_dir + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (rd.read_parquet(segments_dir)
+     .map_batches(explode, batch_format="pyarrow")
+     .groupby("gkey")
+     .map_groups(lambda g: encoder(g), batch_format="pyarrow")
+     .write_parquet(tmp))
+    old = segments_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(segments_dir, old)
+    os.rename(tmp, segments_dir)
+    shutil.rmtree(old)
+
+    from .checkpoint import _write_term_dict
+
+    term_dict_dir = os.path.join(index_dir, "term_dict")
+    shutil.rmtree(term_dict_dir, ignore_errors=True)
+    _write_term_dict(segments_dir, term_dict_dir)
+
+    stats["appended"] = False
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return stats

@@ -153,11 +153,25 @@ def build_index_resumable(source: str | list[str], index_dir: str,
     stage_postings = os.path.join(index_dir, "stage", "postings")
     term_dict_dir = os.path.join(index_dir, "term_dict")
 
+    files = _list_parquet_files(source)
+    if not files:
+        raise FileNotFoundError(f"no parquet files found under {source!r}")
+
+    import hashlib
+
     manifest = Manifest.load_or_create(index_dir)
     new_config = {
         "num_shards": cfg.num_shards, "block_size": cfg.block_size,
         "k1": cfg.k1, "b": cfg.b, "content_col": cfg.content_col,
         "id_col": cfg.id_col, "files_per_partition": files_per_partition,
+        # pid → files is positional over this sorted list: record its
+        # identity so a file added/removed/renamed between an interrupted
+        # run and the resume fails loudly instead of silently remapping a
+        # done pid to a different file group (omission isn't caught by
+        # the doc-id collision check, only double-processing is)
+        "n_input_files": len(files),
+        "input_files_sha256": hashlib.sha256(
+            "\n".join(files).encode()).hexdigest(),
     }
     prev_config = manifest.data.get("config") or {}
     if manifest.data.get("partitions") and prev_config and prev_config != new_config:
@@ -167,12 +181,8 @@ def build_index_resumable(source: str | list[str], index_dir: str,
         raise ValueError(
             f"resume config mismatch: manifest has {prev_config}, "
             f"requested {new_config}; delete {index_dir} to rebuild "
-            "or rerun with the original configuration")
+            "or rerun with the original configuration/inputs")
     manifest.data["config"] = new_config
-
-    files = _list_parquet_files(source)
-    if not files:
-        raise FileNotFoundError(f"no parquet files found under {source!r}")
     parts = [files[i:i + files_per_partition]
              for i in range(0, len(files), files_per_partition)]
     need_cols = {cfg.content_col} | set(cfg.meta_cols)

@@ -100,6 +100,15 @@ def encode_segment(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
     tf_buf, tf_nbytes = varint_encode(tfs.astype(np.uint64))
     id_cum = np.concatenate(([0], np.cumsum(id_nbytes)))
     tf_cum = np.concatenate(([0], np.cumsum(tf_nbytes)))
+    # skip offsets are stored int32: a >2 GiB (term, shard) segment would
+    # silently wrap and decode garbage — fail loudly instead (reachable
+    # only with a misconfigured num_shards at very large scale; the fix
+    # is more shards, which also bounds per-task memory)
+    if id_cum[-1] >= 2**31 or tf_cum[-1] >= 2**31:
+        raise ValueError(
+            f"encoded segment exceeds int32 offset range "
+            f"({int(id_cum[-1])}/{int(tf_cum[-1])} bytes, df={n}); "
+            f"increase num_shards so per-(term,shard) postings shrink")
     scores = bm25_tf_part(tfs, doc_lens, avgdl, k1, b)
     if n:
         block_max_tf = np.maximum.reduceat(tfs, block_starts)

@@ -61,6 +61,79 @@ def test_appended_flag_routes_to_exhaustive(appended):
         assert inc.search(q, 10, "bmax") == inc.search(q, 10, "exhaustive")
 
 
+def test_compact_restores_pruning_and_matches_rebuild(appended, tmp_path):
+    """append → compact: appended flag cleared, wand/bmax run for real
+    and stay bitwise equal to the rebuild; segment rows (including
+    encoded postings and block-max metadata) equal the from-scratch
+    rebuild's."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.append import compact_index
+    from stacksearch_ray.build import load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    idx_inc, idx_full = appended
+    idx_c = str(tmp_path / "compacted")
+    shutil.copytree(idx_inc, idx_c)
+    stats = compact_index(idx_c)
+    assert stats["appended"] is False
+    assert load_stats(idx_c)["appended"] is False
+    # one segment row per (term, shard), bitwise equal to the rebuild's
+    a = pq.read_table(os.path.join(idx_c, "segments")).to_pandas()
+    b = pq.read_table(os.path.join(idx_full, "segments")).to_pandas()
+    a = a.sort_values(["term", "shard"]).reset_index(drop=True)
+    b = b.sort_values(["term", "shard"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert not a.duplicated(["term", "shard"]).any()
+    for col in ("term", "shard", "df", "cf", "doc_ids", "tfs"):
+        assert (a[col] == b[col]).all(), col
+    for col in ("skip_first_doc", "skip_doc_offset", "block_max_score"):
+        assert all(list(x) == list(y) for x, y in zip(a[col], b[col])), col
+    # pruning actually re-enabled: all scorers bitwise equal to rebuild
+    eng_c, eng_f = QueryEngine(idx_c), QueryEngine(idx_full)
+    for q in QUERIES:
+        expected = eng_f.search(q, 10, "exhaustive")
+        for m in ("exhaustive", "wand", "bmax", "auto"):
+            assert eng_c.search(q, 10, m) == expected, (q, m)
+
+
+def test_append_inherits_column_config(ray_session, tmp_path):
+    """ADVICE: append defaults content_col/id_col from the index's
+    stats.json and raises on an explicit mismatch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from stacksearch_ray.append import append_to_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    def tbl(lo, hi):
+        return pa.table({
+            "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+            "text": pa.array([f"alpha beta doc{i} gamma" for i in range(lo, hi)]),
+        })
+
+    base = str(tmp_path / "base.parquet")
+    delta = str(tmp_path / "delta.parquet")
+    pq_mod.write_table(tbl(0, 50), base)
+    pq_mod.write_table(tbl(50, 80), delta)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, content_col="text", id_col="doc_id", num_shards=2)
+    # no content_col/id_col passed: inherited from stats.json
+    append_to_index(delta, idx)
+    assert load_stats(idx)["n_docs"] == 80
+    res = QueryEngine(idx).search("doc75", 5)
+    assert res and res[0][0] == 75
+    with pytest.raises(ValueError):
+        append_to_index(delta, idx, content_col="content")
+    with pytest.raises(ValueError):
+        append_to_index(delta, idx, id_col="other_id")
+
+
 def test_append_collision_detected(ray_session, tmp_path):
     from stacksearch_ray.append import append_to_index
     from stacksearch_ray.build import DocIdCollisionError, build_index

@@ -67,6 +67,29 @@ def test_resume_config_mismatch_rejected(ray_session, corpus_dir, tmp_path):
     build_index_resumable(corpus_dir, idx, num_shards=4)
 
 
+def test_resume_input_file_list_change_rejected(ray_session, corpus_dir,
+                                                tmp_path):
+    """ADVICE: pid→files is positional over the sorted file list; a file
+    added (or removed) between interrupt and resume must fail loudly,
+    not silently remap done pids to different file groups."""
+    import shutil
+
+    from stacksearch_ray.checkpoint import BuildInterrupted, build_index_resumable
+
+    idx = str(tmp_path / "idx")
+    with pytest.raises(BuildInterrupted):
+        build_index_resumable(corpus_dir, idx, num_shards=2,
+                              stop_after_partitions=1)
+    # a new file sorts into the middle of the list → pid remap
+    src = os.path.join(corpus_dir, "part-00000.parquet")
+    shutil.copy(src, os.path.join(corpus_dir, "part-00000a.parquet"))
+    with pytest.raises(ValueError, match="config mismatch"):
+        build_index_resumable(corpus_dir, idx, num_shards=2)
+    # restoring the original inputs resumes fine
+    os.remove(os.path.join(corpus_dir, "part-00000a.parquet"))
+    build_index_resumable(corpus_dir, idx, num_shards=2)
+
+
 def test_empty_source_rejected(ray_session, tmp_path):
     from stacksearch_ray.checkpoint import build_index_resumable
 
