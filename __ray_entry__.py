@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
         "minhash_clusters": P.minhash_clusters,
+        "minhash_search": P.minhash_search,
         "simhash_sigs": P.simhash_sigs,
         "ngram_fingerprints": P.doc_fingerprints,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)

@@ -8,9 +8,10 @@
   native ``Dataset.join`` (hash-partitioned) exists and is used when
   ``native=True``.
 
-Skew note: a hot join key lands one bucket; raise num_buckets or
-pre-salt the hot keys into sub-buckets on both sides (the same trick the
-index build uses for hot terms).
+Skew note: a hot join key lands one bucket by default; pass ``salt=k``
+to split every key bucket k ways (left rows round-robin, right rows
+replicated — the same hot-key trick the index build uses for hot terms),
+bounding per-group size at hot_rows/k + replicated small side.
 """
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -35,9 +37,16 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame, on: str,
 
 
 def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int,
-                    unified: "list[tuple[str, pa.DataType]]") -> Dataset:
+                    unified: "list[tuple[str, pa.DataType]]",
+                    salt: int = 1) -> Dataset:
     """Bucket by key hash and null-pad to the unified two-side schema —
-    Ray's sort-based groupby requires identical schemas across blocks."""
+    Ray's sort-based groupby requires identical schemas across blocks.
+
+    ``salt`` > 1 is the hot-key guard: each LEFT row lands in ONE of
+    ``salt`` sub-buckets of its key bucket (round-robin within the
+    batch), while every RIGHT row is REPLICATED into all ``salt``
+    sub-buckets — a key holding half the left rows is split ``salt``
+    ways instead of landing on a single group."""
     def tag(batch: pa.Table) -> pa.Table:
         keys = batch[on].combine_chunks()
         if pa.types.is_integer(keys.type):
@@ -45,6 +54,7 @@ def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int,
         else:
             h = pd.util.hash_array(np.asarray(keys.to_pylist(), dtype=object))
         bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        n = len(batch)
         cols: dict[str, pa.Array] = {}
         for name, typ in unified:
             if name in batch.column_names:
@@ -55,9 +65,20 @@ def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int,
                         typ = pa.from_numpy_dtype(np.dtype(typ))
                     except (pa.ArrowNotImplementedError, TypeError):
                         typ = pa.null()
-                cols[name] = pa.nulls(len(batch), type=typ)
+                cols[name] = pa.nulls(n, type=typ)
+        if salt > 1:
+            if side == "l":
+                sub = np.arange(n, dtype=np.int64) % salt
+                bucket = bucket * salt + sub
+            else:
+                idx = np.repeat(np.arange(n, dtype=np.int64), salt)
+                sub = np.tile(np.arange(salt, dtype=np.int64), n)
+                bucket = bucket[idx] * salt + sub
+                cols = {name: pc.take(arr, pa.array(idx))
+                        for name, arr in cols.items()}
+                n = len(idx)
         cols["__bucket"] = pa.array(bucket)
-        cols["__side"] = pa.array([side] * len(batch))
+        cols["__side"] = pa.array([side] * n)
         return pa.table(cols)
 
     return ds.map_batches(tag, batch_format="pyarrow")
@@ -65,8 +86,22 @@ def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int,
 
 def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
               num_buckets: int = 32, suffixes: tuple[str, str] = ("", "_r"),
-              ) -> Dataset:
-    """Partitioned hash join via groupby(bucket) + per-bucket pandas merge."""
+              salt: int = 1, native: bool = False) -> Dataset:
+    """Partitioned hash join via groupby(bucket) + per-bucket pandas merge.
+
+    ``salt`` > 1 splits each key bucket into salt sub-buckets with the
+    small (right) side replicated — use when a hot key would overwhelm
+    one group (inner joins only). ``native=True`` delegates to Ray's
+    hash-shuffle ``Dataset.join`` (Ray ≥ 2.46) — same semantics, engine
+    shuffle machinery."""
+    if native:
+        return left.join(right, join_type=how, num_partitions=num_buckets,
+                         on=(on,), left_suffix=suffixes[0],
+                         right_suffix=suffixes[1])
+    if salt > 1 and how != "inner":
+        raise ValueError("salted hash_join supports how='inner' only "
+                         "(replicated right rows would duplicate outer "
+                         "non-matches)")
     lsch, rsch = left.schema(), right.schema()
     left_cols = list(lsch.names)
     right_cols = list(rsch.names)
@@ -77,8 +112,8 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
             if name not in seen:
                 unified.append((name, typ))
                 seen.add(name)
-    tagged = _tag_and_bucket(left, on, "l", num_buckets, unified).union(
-        _tag_and_bucket(right, on, "r", num_buckets, unified))
+    tagged = _tag_and_bucket(left, on, "l", num_buckets, unified, salt).union(
+        _tag_and_bucket(right, on, "r", num_buckets, unified, salt))
 
     pd_dtypes = {}
     for name, typ in unified:

@@ -532,6 +532,31 @@ def minhash_clusters(sf_dir: str):
                                 verify="inline", clustering="distributed")
 
 
+def minhash_search(sf_dir: str):
+    """MinHash-LSH retrieval (the reference's search path): top-10 docs
+    most similar to doc 0's text by estimated Jaccard, via the parquet
+    signature/bucket index. Rows-only: the banding hash
+    (pd.util.hash_array over signature segments) has no SQL equivalent."""
+    from ..minhash_index import MinHashSearchIndex
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(CACHE_ROOT, tag, "minhash_index")
+    if not os.path.exists(os.path.join(idx_dir, "config.json")):
+        ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+        MinHashSearchIndex.build(ds, idx_dir, num_perm=128, num_bands=32,
+                                 shingle_k=1)
+    idx = MinHashSearchIndex(idx_dir)
+    q_text = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
+                           columns=["text"])["text"][0].as_py()
+    res = idx.search(q_text, top_k=10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "est_jaccard_micros": pa.array([to_micros(j) for _, j in res],
+                                       pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+    })
+
+
 def simhash_sigs(sf_dir: str):
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     return simhash_signatures(ds)

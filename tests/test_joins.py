@@ -44,6 +44,50 @@ def test_broadcast_join(ray_session, tables):
     assert _canon(got[["k", "x", "y"]]).equals(_canon(expect[["k", "x", "y"]]))
 
 
+def test_salted_join_bounds_hot_key_and_matches_unsalted(ray_session):
+    """One key holds 50% of left rows: salt=8 splits it across
+    sub-buckets (max per-bucket left rows bounded) and the joined result
+    is identical to the unsalted join."""
+    from stacksearch_ray.functions.joins import _tag_and_bucket, hash_join
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    hot = np.full(n // 2, 7, dtype=np.int64)
+    rest = rng.integers(0, 50, n // 2).astype(np.int64)
+    left = pd.DataFrame({"k": np.concatenate([hot, rest]),
+                         "x": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                          "y": np.arange(50, dtype=np.int64) * 10})
+
+    plain = hash_join(_ds(left), _ds(right), on="k", num_buckets=8).to_pandas()
+    salted = hash_join(_ds(left), _ds(right), on="k", num_buckets=8,
+                       salt=8).to_pandas()
+    cols = ["k", "x", "y"]
+    assert _canon(salted[cols]).equals(_canon(plain[cols]))
+
+    # observe the shuffle key distribution: the hot key's left rows are
+    # spread across salt sub-buckets, so no group sees them all
+    unified = [("k", pa.int64()), ("x", pa.int64())]
+    tagged = _tag_and_bucket(_ds(left), "k", "l", 8, unified,
+                             salt=8).to_pandas()
+    per_bucket = tagged.groupby("__bucket").size()
+    assert per_bucket.max() <= n // 2 // 8 + len(rest)  # ≈ hot/8 + noise
+    hot_buckets = tagged[tagged["k"] == 7]["__bucket"].nunique()
+    assert hot_buckets == 8
+
+
+def test_native_join_matches_portable(ray_session, tables):
+    """Ray's hash-shuffle Dataset.join (native=True) == the portable
+    groupby-bucket join."""
+    from stacksearch_ray.functions.joins import hash_join
+
+    left, right = tables
+    got = hash_join(_ds(left), _ds(right), on="k", num_buckets=4,
+                    native=True).to_pandas()
+    expect = left.merge(right, on="k", how="inner")
+    assert _canon(got[["k", "x", "y"]]).equals(_canon(expect[["k", "x", "y"]]))
+
+
 def test_distributed_label_propagation(ray_session):
     from stacksearch_ray.functions.joins import propagate_min_labels
 
