@@ -179,7 +179,8 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          max_iters: int = 10,
                          clustering: str = "distributed",
                          verify: str = "inline",
-                         max_bucket_pairs_ids: int = 256) -> Dataset:
+                         max_bucket_pairs_ids: int = 256,
+                         stats_out: dict | None = None) -> Dataset:
     """(doc_id, cluster_id): connected components over verified near-dup
     pairs; singletons keep cluster_id == doc_id.
 
@@ -202,6 +203,12 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     the cost of two extra shuffles. ``"broadcast"`` ships the signature
     matrix once via ray.put (fastest ≤ ~10M docs at num_perm=128,
     opt-in). Identical results (tested).
+
+    ``stats_out`` (inline verify only): pass a dict to receive
+    ``verified_pairs`` and ``starred_pairs`` — the count of pairs that
+    came from degenerate buckets collapsed to a hub star
+    (``max_bucket_pairs_ids`` is the knob), making the star trade-off
+    auditable instead of silent.
     """
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
     if verify == "join":
@@ -214,7 +221,8 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
 
         def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                  "b": pd.Series(dtype=np.int64)})
+                                  "b": pd.Series(dtype=np.int64),
+                                  "starred": pd.Series(dtype=np.int8)})
             g = g.drop_duplicates("doc_id")
             if len(g) < 2:
                 return empty
@@ -226,16 +234,20 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
             if len(ids) > max_bucket_pairs_ids:
                 # degenerate bucket: star around the min id (see
                 # pairs_in_bucket below for the trade-off), verified
-                # against the hub's full signature
+                # against the hub's full signature; pairs are marked
+                # starred so callers can audit via stats_out
                 est = (mat[0] == mat[1:]).mean(axis=1)
                 keep = est >= threshold
                 return pd.DataFrame({
                     "a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
-                    "b": ids[1:][keep]})
+                    "b": ids[1:][keep],
+                    "starred": np.ones(int(keep.sum()), dtype=np.int8)})
             ai, bi = np.triu_indices(len(ids), k=1)
             est = (mat[ai] == mat[bi]).mean(axis=1)
             keep = est >= threshold
-            return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep]})
+            return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                                 "starred": np.zeros(int(keep.sum()),
+                                                     dtype=np.int8)})
 
         # pairs shared by several bands stay duplicated here — min-label
         # propagation and the driver drop_duplicates are both idempotent
@@ -244,6 +256,12 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
             verify_in_bucket, batch_format="pandas")
         doc_arr = np.sort(np.asarray(
             ds.select_columns([id_col]).to_pandas()[id_col]).astype(np.int64))
+        if stats_out is not None:
+            # audit channel for the degenerate-bucket star trade-off:
+            # how many verified pairs came from starred (hub-only) buckets
+            verified = verified.materialize()
+            stats_out["verified_pairs"] = verified.count()
+            stats_out["starred_pairs"] = int(verified.sum("starred") or 0)
         return _cluster_pairs(verified, doc_arr, clustering, max_iters)
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:

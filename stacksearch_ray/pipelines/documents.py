@@ -140,23 +140,26 @@ def bm25_topk_wand(sf_dir: str):
 def docstore_join(sf_dir: str):
     """Top-k ids joined back to the doc-store (J1/J2 analog): broadcast
     semi-join of the small result set against the documents table."""
+    import pyarrow.dataset as pads
+
     eng = _index_for(sf_dir)
     res = eng.search(BM25_QUERY, 10, method="wand")
     scores = {d: to_micros(s) for d, s in res}
-    ids = pa.array(list(scores), pa.int64())
 
-    def join(batch: pa.Table) -> pa.Table:
-        hit = batch.filter(pc.is_in(batch["doc_id"], value_set=ids))
-        sm = [scores[d] for d in hit["doc_id"].to_pylist()]
+    def attach(batch: pa.Table) -> pa.Table:
+        sm = [scores[d] for d in batch["doc_id"].to_pylist()]
         return pa.table({
-            "doc_id": hit["doc_id"],
-            "lang": hit["lang"],
-            "source": hit["source"],
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "source": batch["source"],
             "score_micros": pa.array(sm, pa.int64()),
         })
 
-    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "source"])
-            .map_batches(join, batch_format="pyarrow"))
+    # doc_id IN (...) pushed into the parquet read (row-group pruning),
+    # same pattern as QueryEngine.get_docs — not a full-table scan
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "source"],
+                            filter=pads.field("doc_id").isin(list(scores)))
+            .map_batches(attach, batch_format="pyarrow"))
 
 
 def exact_dedup(sf_dir: str):

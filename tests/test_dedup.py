@@ -88,6 +88,27 @@ def test_minhash_join_verify_identical(ray_session):
         b.sort_values("doc_id").reset_index(drop=True))
 
 
+def test_minhash_starred_bucket_stats(ray_session):
+    """Degenerate buckets (mass duplicates) collapse to a hub star; the
+    stats_out channel reports how many pairs were starred, and the dup
+    group still clusters together."""
+    from stacksearch_ray.functions.dedup import minhash_lsh_clusters
+
+    texts = ["alpha beta gamma delta epsilon zeta"] * 8 + [
+        "completely different content here once",
+        "another unrelated singleton document text",
+    ]
+    stats: dict = {}
+    out = minhash_lsh_clusters(_docs_ds(texts), num_perm=64, num_bands=16,
+                               threshold=0.5, max_bucket_pairs_ids=4,
+                               stats_out=stats).to_pandas()
+    lbl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(lbl[i] == 0 for i in range(8))   # dup group intact
+    assert lbl[8] == 8 and lbl[9] == 9
+    assert stats["starred_pairs"] > 0
+    assert stats["verified_pairs"] >= stats["starred_pairs"]
+
+
 def test_simhash_pairs(ray_session):
     from stacksearch_ray.functions.dedup import (
         simhash_near_dup_pairs,
