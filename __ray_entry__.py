@@ -132,6 +132,33 @@ def oracle_sql() -> dict[str, str]:
         "({}, [{}]::DOUBLE[])".format(
             i, ", ".join(repr(float(x)) for x in _planes[i]))
         for i in range(8))
+    # eval_recall: the (query, expected, variant) matrix is DATA — derived
+    # here from the sf0.01 documents table exactly as the entry derives
+    # it (driver correctness runs at sf0.01); the SQL then scores every
+    # query under both scorers and aggregates hit@10
+    import pyarrow.parquet as _pq
+
+    from stacksearch_ray.eval import perturb_query
+    from stacksearch_ray.text import clean_query as _cq
+
+    _docs_tbl = _pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                               columns=["doc_id", "text"])
+    qt_rows, qe_rows = [], []
+    _qid = 0
+    for i in range(0, min(200, _docs_tbl.num_rows), 10):
+        toks = _cq(_docs_tbl["text"][i].as_py())[:5]
+        if not toks:
+            continue
+        q = " ".join(toks)
+        exp = int(_docs_tbl["doc_id"][i].as_py())
+        for variant, vq in (("exact", q),
+                            ("perturbed", perturb_query(q, 1, 0))):
+            for t in sorted(set(_cq(vq))):
+                qt_rows.append(f"({_qid}, '{t}')")
+            qe_rows.append(f"({_qid}, '{variant}', {exp})")
+            _qid += 1
+    qterms_values = ", ".join(qt_rows)
+    qexp_values = ", ".join(qe_rows)
     return {
         "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
         "term_df": f"WITH {kept} SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term",
@@ -395,6 +422,106 @@ sims AS (
 SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
        CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
 FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        "ngram_fingerprints": f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         string_split_regex(
+             lower(regexp_replace(text, '[^a-zA-Z0-9 \n]+', '', 'g')),
+             '\\s+') AS l
+  FROM documents),
+tord AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS p
+  FROM base),
+keptp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS pos
+  FROM tord WHERE term <> '' AND term NOT IN ({sql_stopword_list()})),
+maxpos AS (SELECT coalesce(max(pos), 0) AS m FROM keptp),
+powers(pos, val) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL
+  SELECT pos + 1,
+         (val * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+  FROM powers WHERE pos < (SELECT m FROM maxpos)),
+hsplit AS (
+  -- 64×64→64-bit wrapping multiply via 32-bit split (a full 128-bit
+  -- product would overflow signed INT128): h·v ≡ (h_hi·v mod 2³²)·2³²
+  -- + h_lo·v  (mod 2⁶⁴)
+  SELECT k.doc_id, p.val,
+         (md5_number_lower(k.term)::HUGEINT // 4294967296) AS h_hi,
+         (md5_number_lower(k.term)::HUGEINT % 4294967296) AS h_lo
+  FROM keptp k JOIN powers p ON p.pos = k.pos),
+contrib AS (
+  SELECT doc_id,
+         (((h_hi * val) % 4294967296) * 4294967296 + h_lo * val)
+             % 18446744073709551616::HUGEINT AS c
+  FROM hsplit),
+fp AS (
+  SELECT doc_id,
+         (14695981039346656037::HUGEINT + sum(c))
+             % 18446744073709551616::HUGEINT AS f
+  FROM contrib GROUP BY doc_id),
+lens AS (SELECT doc_id, count(*) AS doc_len FROM keptp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(f.f, 14695981039346656037::HUGEINT)
+                      >= 9223372036854775808::HUGEINT
+                 THEN coalesce(f.f, 14695981039346656037::HUGEINT)
+                      - 18446744073709551616::HUGEINT
+                 ELSE coalesce(f.f, 14695981039346656037::HUGEINT)
+                 END AS BIGINT) AS fingerprint,
+       coalesce(l.doc_len, 0) AS doc_len
+FROM documents d
+LEFT JOIN fp f ON d.doc_id = f.doc_id
+LEFT JOIN lens l ON d.doc_id = l.doc_id""",
+        "eval_recall": f"""
+WITH {kept},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(qid, term) AS (VALUES {qterms_values}),
+qexp(qid, variant, expected) AS (VALUES {qexp_values}),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+       WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1),
+bm25_s AS (
+  SELECT qt.qid, tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) )
+             AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.qid, tf.doc_id),
+tfidf_s AS (
+  SELECT qt.qid, tf.doc_id,
+         sum( ln(stats.n_docs / greatest(df.df, 1.0)) * ln(1.0 + tf.tf) )
+             AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  CROSS JOIN stats
+  GROUP BY qt.qid, tf.doc_id),
+scored AS (
+  SELECT 'bm25' AS config, qid, doc_id, score FROM bm25_s
+  UNION ALL
+  SELECT 'tfidf' AS config, qid, doc_id, score FROM tfidf_s),
+ranked AS (
+  SELECT config, qid, doc_id,
+         row_number() OVER (PARTITION BY config, qid
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored),
+per_query AS (
+  SELECT c.config, q.variant, q.qid,
+         max(CASE WHEN r.doc_id = q.expected AND r.rn <= 10
+                  THEN 1 ELSE 0 END) AS hit
+  FROM qexp q
+  CROSS JOIN (VALUES ('bm25'), ('tfidf')) c(config)
+  LEFT JOIN ranked r ON r.qid = q.qid AND r.config = c.config
+  GROUP BY c.config, q.variant, q.qid)
+SELECT config, variant, CAST(sum(hit) AS BIGINT) AS hits, count(*) AS n
+FROM per_query GROUP BY config, variant""",
         # rows-only (non-SQL-expressible): minhash_clusters (connected
         # components over pd-hash minhash), ngram_fingerprints (pd-hash
         # rolling fingerprint), approx_vocab (HLL, approximate by

@@ -30,7 +30,14 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "400000"))
 BENCH_LINES = (10, 80)  # heavier docs than the test corpus
-SCALE_CORPUS = f"/tmp/ssr_bench_corpus_{BENCH_ROWS}_h"
+# Partition (file) size is BOUNDED as the corpus grows — constant work
+# and constant working set per task. Letting partitions grow with the
+# dataset (rows//64) measurably degrades concurrent build throughput
+# (0.17→0.36 ms/row at 62.5k-row partitions × 8 workers: cache/bandwidth
+# contention on the per-task sort+dictionary working set; measured, see
+# BASELINE.md doubling note) — the same rule a 100 TB ingest follows.
+ROWS_PER_FILE = min(31_250, max(6_250, BENCH_ROWS // 64))
+SCALE_CORPUS = f"/tmp/ssr_bench_corpus_{BENCH_ROWS}_f{ROWS_PER_FILE}"
 SCALE_SHARDS = 64
 
 # Scaling levels (N vs 4N). This sandbox VM advertises 32 vCPUs but
@@ -60,7 +67,7 @@ def _ensure_scale_corpus() -> str:
         from stacksearch_ray.corpus import write_corpus
 
         shutil.rmtree(SCALE_CORPUS, ignore_errors=True)
-        write_corpus(SCALE_CORPUS, BENCH_ROWS, rows_per_file=BENCH_ROWS // 64,
+        write_corpus(SCALE_CORPUS, BENCH_ROWS, rows_per_file=ROWS_PER_FILE,
                      lines=BENCH_LINES)
         open(marker, "w").write("ok")
     return SCALE_CORPUS
@@ -222,48 +229,97 @@ def _wait_for_quiet(max_wait_s: int = 120, load_target: float = 1.5) -> None:
         time.sleep(5)
 
 
+def _run_scale_subprocess(ncpu: int, rows: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_BENCH_ROWS=str(rows), GRAFT_SCALE_ONLY="1")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True,
+                         check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def run_scaling() -> dict:
     """Same job + same input at N and 4N CPUs in fresh processes (sandbox
     proxy for N vs 4N nodes); efficiency from the scale-corpus build
-    throughput. Levels default to 2 vs 8 — see SCALE_LO note above."""
+    throughput. Levels default to 2 vs 8 — see SCALE_LO note above.
+
+    Protocol (round-2 hygiene): GRAFT_SCALE_REPEATS quiet runs per level
+    (default 3), headline efficiency computed from per-level MEDIANS and
+    capped at 1.0 (an efficiency above 1.0 is host-jitter artifact, not
+    pipeline signal); min-of-runs efficiency reported alongside and the
+    FULL run distribution persisted to BENCH/scaling_r2.json."""
     _ensure_scale_corpus()  # shared, warmed input
-    _wait_for_quiet()
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
-    def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_ROWS=str(BENCH_ROWS), GRAFT_SCALE_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
-    def run(ncpu: int) -> dict:
-        # timeit-style min of 2: the VM's burst capacity jitters single
-        # runs ±15% (measured); the min reflects the pipeline, not the host
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if (a["queries"]["build_scale_corpus"]
-                     <= b["queries"]["build_scale_corpus"]) else b
-
-    lo, hi = run(SCALE_LO), run(SCALE_HI)
-    t_lo = lo["queries"]["build_scale_corpus"]
-    t_hi = hi["queries"]["build_scale_corpus"]
-    eff = (t_lo / t_hi) / (SCALE_HI / SCALE_LO)
-    return {
+    runs: dict[int, list[float]] = {}
+    for ncpu in (SCALE_LO, SCALE_HI):
+        runs[ncpu] = []
+        for _ in range(repeats):
+            _wait_for_quiet()
+            r = _run_scale_subprocess(ncpu, BENCH_ROWS)
+            runs[ncpu].append(r["queries"]["build_scale_corpus"])
+    med = {n: statistics.median(v) for n, v in runs.items()}
+    mn = {n: min(v) for n, v in runs.items()}
+    ratio = SCALE_HI / SCALE_LO
+    eff_median = (med[SCALE_LO] / med[SCALE_HI]) / ratio
+    eff_min = (mn[SCALE_LO] / mn[SCALE_HI]) / ratio
+    result = {
         "metric": f"scaling efficiency (build, {SCALE_LO} vs {SCALE_HI} cpus)",
-        f"sec_{SCALE_LO}": t_lo,
-        f"sec_{SCALE_HI}": t_hi,
-        f"docs_per_s_{SCALE_LO}": round(BENCH_ROWS / t_lo, 1),
-        f"docs_per_s_{SCALE_HI}": round(BENCH_ROWS / t_hi, 1),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(min(eff_median, 1.0), 3),
+        "efficiency_from_medians": round(eff_median, 3),
+        "efficiency_from_mins": round(eff_min, 3),
+        f"sec_{SCALE_LO}": med[SCALE_LO],
+        f"sec_{SCALE_HI}": med[SCALE_HI],
+        f"docs_per_s_{SCALE_LO}": round(BENCH_ROWS / med[SCALE_LO], 1),
+        f"docs_per_s_{SCALE_HI}": round(BENCH_ROWS / med[SCALE_HI], 1),
+        "runs_sec": {str(n): [round(x, 2) for x in v]
+                     for n, v in runs.items()},
+        "repeats": repeats,
         "bench_rows": BENCH_ROWS,
         "cpus": [SCALE_LO, SCALE_HI],
-        "full_lo": lo,
-        "full_hi": hi,
     }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "scaling_r2.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
+def run_doubling() -> dict:
+    """Weak-scaling check one more doubling: build-throughput at M and 2M
+    docs on the same CPU level — flat docs/s means no super-linear stage
+    (sort/shuffle) is hiding in the build. Persists
+    BENCH/doubling_r2.json."""
+    levels = [int(x) for x in os.environ.get(
+        "GRAFT_DOUBLING_ROWS", "2000000,4000000").split(",")]
+    ncpu = int(os.environ.get("GRAFT_DOUBLING_CPUS", str(SCALE_HI)))
+    out_levels = []
+    for rows in levels:
+        _wait_for_quiet()
+        r = _run_scale_subprocess(ncpu, rows)
+        sec = r["queries"]["build_scale_corpus"]
+        out_levels.append({"rows": rows, "sec": round(sec, 2),
+                           "docs_per_s": round(rows / sec, 1)})
+    ratio = out_levels[-1]["docs_per_s"] / out_levels[0]["docs_per_s"]
+    result = {
+        "metric": f"doubling throughput (build @ {ncpu} cpus)",
+        "levels": out_levels,
+        "throughput_ratio_last_over_first": round(ratio, 3),
+        "cpus": ncpu,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "doubling_r2.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--doubling" in sys.argv:
+        print(json.dumps(run_doubling()))
     else:
         print(json.dumps(run_bench()))

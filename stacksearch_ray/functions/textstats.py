@@ -108,15 +108,17 @@ _FP_SEED = np.uint64(14695981039346656037)
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """Order-sensitive 64-bit rolling fingerprint of each doc's kept-token
-    stream (deterministic; rows-only oracle). Vectorized per batch via
-    per-token FNV-ish hashes combined with position multipliers."""
-    import pandas as pd
+    stream: fp = (SEED + Σ md5_low64(tok_i)·BASE^i) mod 2⁶⁴. Token hash
+    is md5-low64 (== DuckDB md5_number_lower) and the position powers
+    wrap in uint64 — both replicable in SQL, so the driver entry has an
+    exact oracle. Vectorized per batch."""
+    from .dedup import md5_low64
 
     content = batch[text_col].combine_chunks()
     flat, doc_idx, doc_lens = tokenize_array(content)
     n = len(content)
     if len(flat):
-        tok_hash = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+        tok_hash = md5_low64(np.asarray(flat.to_pylist(), dtype=object))
         # position within doc
         starts = np.concatenate(([0], np.cumsum(doc_lens)))[:-1]
         pos = np.arange(len(tok_hash), dtype=np.int64) - starts[doc_idx]

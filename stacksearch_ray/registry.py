@@ -84,7 +84,9 @@ def bm25_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
 def tfidf_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
                  n_docs: int, avgdl: float) -> np.ndarray:
     idf = math.log(n_docs / max(df, 1))
-    return idf * np.log1p(tf.astype(np.float64))
+    # ln(1+tf), spelled exactly like the DuckDB oracle's ln(1.0 + tf)
+    # (np.log1p is more accurate for tiny x but not bit-identical)
+    return idf * np.log(1.0 + tf.astype(np.float64))
 
 
 @register_scorer("match_count")
