@@ -215,9 +215,58 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
         sigs = sigs.materialize()  # consumed by bands + two join sides
 
     if verify == "inline":
+        import pyarrow.compute as pc
+
         bands = sigs.map_batches(
             lambda t: _bands_batch(t, num_bands, num_perm, carry_sig=True),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
+        doc_arr = np.sort(np.asarray(
+            ds.select_columns([id_col]).to_pandas()[id_col]).astype(np.int64))
+
+        # prune singleton buckets BEFORE the per-group verify: in a
+        # mostly-unique corpus ~95% of (band, band_hash) buckets hold one
+        # member and emit nothing, while map_groups pays per-GROUP Python
+        # overhead — pruning cuts group count to the collision set. The
+        # surviving-bucket key set is O(near-dup clusters × bands): tiny
+        # for small corpora (broadcast), still ≪ corpus at scale
+        # (hash-join path keeps it fully distributed).
+        def bkey(t: pa.Table) -> pa.Array:
+            with np.errstate(over="ignore"):
+                k = (np.asarray(t["band_hash"].combine_chunks()).astype(np.int64)
+                     * np.int64(64)
+                     + np.asarray(t["band"].combine_chunks()).astype(np.int64))
+            return pa.array(k)
+
+        sizes = bands.groupby(["band", "band_hash"]).count()
+        hot = sizes.map_batches(
+            lambda t: pa.table({"bkey": bkey(t)}).filter(
+                pc.greater(t["count()"], 1)),
+            batch_format="pyarrow").materialize()
+        n_hot = hot.count()
+        if n_hot == 0:
+            return _cluster_pairs(
+                rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                        "b": pa.array([], pa.int64())})),
+                doc_arr, clustering, max_iters)
+        if n_hot <= 2_000_000:
+            hot_keys = ray.put(np.sort(np.asarray(
+                hot.to_pandas()["bkey"]).astype(np.int64)))
+
+            def keep_hot(t: pa.Table) -> pa.Table:
+                keys = ray.get(hot_keys)
+                k = np.asarray(bkey(t))
+                pos = np.searchsorted(keys, k)
+                pos = np.clip(pos, 0, len(keys) - 1)
+                return t.filter(pa.array(keys[pos] == k))
+
+            bands = bands.map_batches(keep_hot, batch_format="pyarrow")
+        else:
+            from .joins import hash_join
+
+            tagged = bands.map_batches(
+                lambda t: t.append_column("bkey", bkey(t)),
+                batch_format="pyarrow")
+            bands = hash_join(tagged, hot, on="bkey").drop_columns(["bkey"])
 
         def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
@@ -254,8 +303,6 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
         # to repeated edges, so no global pair-dedup shuffle is needed
         verified = bands.groupby(["band", "band_hash"]).map_groups(
             verify_in_bucket, batch_format="pandas")
-        doc_arr = np.sort(np.asarray(
-            ds.select_columns([id_col]).to_pandas()[id_col]).astype(np.int64))
         if stats_out is not None:
             # audit channel for the degenerate-bucket star trade-off:
             # how many verified pairs came from starred (hub-only) buckets
