@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     p = argparse.ArgumentParser(description="Build the BM25 index")
-    p.add_argument("--source", required=True, help="parquet file/dir of the corpus")
+    p.add_argument("--source", default=None,
+                   help="parquet file/dir of the corpus (not needed with --compact)")
     p.add_argument("--index-dir", required=True)
     p.add_argument("--content-col", default="content")
     p.add_argument("--id-col", default=None, help="existing int64 id column")
@@ -31,8 +32,13 @@ def main() -> int:
                    help="checkpointed build with manifest/lineage (restart-safe)")
     p.add_argument("--append", action="store_true",
                    help="append source docs to an EXISTING index (new ids only)")
+    p.add_argument("--compact", action="store_true",
+                   help="merge appended segments of an EXISTING index under "
+                        "fresh stats (restores wand/bmax pruning)")
     p.add_argument("--files-per-partition", type=int, default=1)
     args = p.parse_args()
+    if not args.compact and args.source is None:
+        p.error("--source is required unless --compact")
 
     import ray
 
@@ -49,10 +55,24 @@ def main() -> int:
     t0 = time.time()
     kwargs = dict(content_col=args.content_col, id_col=args.id_col,
                   num_shards=args.num_shards, term_buckets=args.term_buckets)
+    if args.compact:
+        from stacksearch_ray.append import compact_index
+
+        stats = compact_index(args.index_dir, term_buckets=args.term_buckets)
+        print(json.dumps({"stats": stats,
+                          "wall_s": round(time.time() - t0, 2)}))
+        ray.shutdown()
+        return 0
     if args.append:
         from stacksearch_ray.append import append_to_index
 
         kwargs.pop("num_shards")  # inherited from the existing index
+        # column mapping is inherited from the index's stats.json unless
+        # the user explicitly overrides it (append raises on mismatch)
+        if args.content_col == p.get_default("content_col"):
+            kwargs.pop("content_col")
+        if args.id_col == p.get_default("id_col"):
+            kwargs.pop("id_col")
         stats = append_to_index(args.source, args.index_dir, **kwargs)
         print(json.dumps({"stats": stats,
                           "wall_s": round(time.time() - t0, 2)}))

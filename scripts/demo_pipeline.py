@@ -120,6 +120,52 @@ def main() -> int:
     top2 = QueryEngine(idx).search(q, 3)
     stage("append", t0, n_docs=stats2["n_docs"], new_top1=top2[0][0])
 
+    # 6b. compact: merge appended segments under fresh stats → pruning
+    # scorers (wand/bmax) are sound again without a rebuild
+    t0 = time.time()
+    from stacksearch_ray.append import compact_index
+
+    cstats = compact_index(idx)
+    eng3 = QueryEngine(idx)
+    pruned_same = (eng3.search(q, 3, "bmax") == eng3.search(q, 3, "exhaustive"))
+    stage("compact", t0, appended=cstats["appended"],
+          pruning_identical=pruned_same)
+
+    # 6c. text → embedding → kNN: persisted projection encoder restored
+    # per actor, query encoded through the same artifact
+    t0 = time.time()
+    import numpy as np
+
+    from stacksearch_ray.functions.embedding import (
+        ProjectionEncoder,
+        save_projection_artifact,
+    )
+    from stacksearch_ray.functions.similarity import knn_brute_force
+
+    adir = os.path.join(args.workdir, "encoder")
+    save_projection_artifact(adir, dim_in=256, dim_out=32, seed=23)
+    emb = deduped.map_batches(
+        ProjectionEncoder, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"artifact_dir": adir}).materialize()
+    enc = ProjectionEncoder(adir)
+    qt = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array([q], pa.string())})
+    qv = np.asarray(enc(qt)["embedding"].combine_chunks().flatten()
+                    ).reshape(1, 32)
+    nn = knn_brute_force(emb, qv, k=3, id_col="doc_id").to_pandas()
+    stage("text_knn", t0, top1=int(nn.sort_values("rank")["vec_id"].iloc[0]))
+
+    # 6d. MinHash-LSH retrieval index (signatures + buckets on parquet)
+    t0 = time.time()
+    from stacksearch_ray.minhash_index import MinHashSearchIndex
+
+    probe = deduped.take(1)[0]["text"]
+    midx = MinHashSearchIndex.build(deduped, os.path.join(args.workdir, "mh"),
+                                    num_perm=128, num_bands=32, shingle_k=1)
+    res = midx.search(probe, top_k=3)
+    stage("minhash_search", t0, size=midx.size(),
+          top1=(res[0][0] if res else None))
+
     # 7. export training sequences
     t0 = time.time()
     out = os.path.join(args.workdir, "training")
