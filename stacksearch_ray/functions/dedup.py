@@ -48,11 +48,17 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 def exact_dedup_groups(ds: Dataset, text_col: str = "text",
                        id_col: str = "doc_id") -> Dataset:
     """(content_hash, keep_id, n_dups): one row per distinct content; the
-    kept representative is the min doc_id — groupby + aggregate, partials
-    combined per block by Ray's hash aggregate."""
+    kept representative is the min doc_id. The shuffle carries ONLY
+    (content_hash, id) — the text column is dropped before the groupby
+    (at 100 TB that's the difference between shuffling 32-byte hashes
+    and shuffling the corpus)."""
+    def hash_project(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b, text_col)
+        return pa.table({"content_hash": h["content_hash"],
+                         id_col: b[id_col]})
+
     return (
-        ds.map_batches(lambda b: add_content_hash(b, text_col),
-                       batch_format="pyarrow")
+        ds.map_batches(hash_project, batch_format="pyarrow")
         .groupby("content_hash")
         .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
     )

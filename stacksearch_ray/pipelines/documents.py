@@ -78,21 +78,45 @@ def _postings_ds(sf_dir: str):
             .map_batches(explode, batch_format="pyarrow"))
 
 
+def _partial_sums(batch: pa.Table, keys: list[str],
+                  sums: dict[str, str]) -> pa.Table:
+    """Map-side combiner: one row per key-combo IN THIS BATCH with the
+    partial sums — the shuffle then moves O(unique keys per batch) rows
+    instead of every input row; the final groupby sums partials (exact
+    for integer sums, order-independent)."""
+    import pandas as pd
+
+    df = batch.select(list(keys) + list(sums)).to_pandas()
+    out = (df.groupby(keys, sort=False, as_index=False)
+           .agg({c: "sum" for c in sums})
+           .rename(columns=sums))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---------------- SQL-oracle-backed entries ----------------
 
 def term_counts(sf_dir: str):
-    """(term, cf): collection frequency — per-batch partial counts then a
-    small groupby-sum (pre-aggregated shuffle)."""
-    return (_postings_ds(sf_dir)
-            .groupby("term")
-            .aggregate(Sum("tf", alias_name="cf")))
+    """(term, cf): collection frequency — per-batch partial sums then a
+    groupby-sum over the partials (the shuffle carries one row per
+    distinct term per batch, not one per posting)."""
+    partial = _postings_ds(sf_dir).map_batches(
+        lambda b: _partial_sums(b, ["term"], {"tf": "cf"}),
+        batch_format="pyarrow")
+    return partial.groupby("term").aggregate(Sum("cf", alias_name="cf"))
 
 
 def term_df(sf_dir: str):
-    """(term, df): document frequency."""
+    """(term, df): document frequency. (doc, term) pairs are unique
+    across the dataset (one tokenize pass per doc), so per-batch partial
+    row counts sum to the exact df."""
+    def partial(b: pa.Table) -> pa.Table:
+        ones = b.select(["term"]).append_column(
+            "n", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        return _partial_sums(ones, ["term"], {"n": "df"})
+
     return (_postings_ds(sf_dir)
-            .groupby("term")
-            .aggregate(Count(alias_name="df")))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("df", alias_name="df")))
 
 
 def token_stats(sf_dir: str):
@@ -178,18 +202,23 @@ def filter_en_long(sf_dir: str):
 
 
 def lang_token_totals(sf_dir: str):
-    """(lang, n_docs, total_tokens): kept tokens per language."""
+    """(lang, n_docs, total_tokens): kept tokens per language — per-batch
+    partials (one row per lang per batch) then a tiny groupby-sum."""
     def per_batch(batch: pa.Table) -> pa.Table:
         from ..text import tokenize_array
 
         _, _, kept = tokenize_array(batch["text"].combine_chunks())
-        return pa.table({"lang": batch["lang"], "n_kept": kept})
+        t = pa.table({"lang": batch["lang"].combine_chunks(),
+                      "one": np.ones(batch.num_rows, dtype=np.int64),
+                      "n_kept": kept})
+        return _partial_sums(t, ["lang"], {"one": "n_docs",
+                                           "n_kept": "total_tokens"})
 
     return (rd.read_parquet(_docs(sf_dir), columns=["lang", "text"])
             .map_batches(per_batch, batch_format="pyarrow")
             .groupby("lang")
-            .aggregate(Count(alias_name="n_docs"),
-                       Sum("n_kept", alias_name="total_tokens")))
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("total_tokens", alias_name="total_tokens")))
 
 
 def top_terms_per_lang(sf_dir: str):
@@ -197,11 +226,13 @@ def top_terms_per_lang(sf_dir: str):
     def explode(batch: pa.Table) -> pa.Table:
         tf = term_frequencies(batch["text"].combine_chunks())
         langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        return pa.table({
+        t = pa.table({
             "lang": pa.array(list(langs[tf.doc_idx]), pa.string()),
             "term": tf.terms,
             "tf": tf.tf,
         })
+        # map-side combine: one row per (lang, term) per batch
+        return _partial_sums(t, ["lang", "term"], {"tf": "tf"})
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.sort_values(["cnt", "term"], ascending=[False, True])
@@ -223,38 +254,48 @@ def events_window(sf_dir: str):
     def win(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].combine_chunks().cast(pa.int64())  # microseconds
         w = pc.divide(ts, 60_000_000)
-        return pa.table({
-            "event_type": batch["event_type"],
+        t = pa.table({
+            "event_type": batch["event_type"].combine_chunks(),
             "w": w,
+            "one": np.ones(batch.num_rows, dtype=np.int64),
             "value_micros": pc_micros(batch["value"]),
         })
+        # map-side combine: one row per (event_type, window) per batch
+        return _partial_sums(t, ["event_type", "w"],
+                             {"one": "n", "value_micros": "sum_value_micros"})
 
     return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                             columns=["event_type", "ts", "value"])
             .map_batches(win, batch_format="pyarrow")
             .groupby(["event_type", "w"])
-            .aggregate(Count(alias_name="n"),
-                       Sum("value_micros", alias_name="sum_value_micros")))
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value_micros", alias_name="sum_value_micros")))
 
 
 def lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate (generic columnar capability check)."""
     def prep(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_returnflag": batch["l_returnflag"],
-            "l_linestatus": batch["l_linestatus"],
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"].combine_chunks(),
+            "l_linestatus": batch["l_linestatus"].combine_chunks(),
+            "one": np.ones(batch.num_rows, dtype=np.int64),
             "qty_micros": pc_micros(batch["l_quantity"]),
             "price_micros": pc_micros(batch["l_extendedprice"]),
         })
+        # map-side combine: the shuffle carries ~6 rows per batch
+        return _partial_sums(t, ["l_returnflag", "l_linestatus"],
+                             {"qty_micros": "sum_qty_micros",
+                              "price_micros": "sum_price_micros",
+                              "one": "count_order"})
 
     return (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                             columns=["l_returnflag", "l_linestatus",
                                      "l_quantity", "l_extendedprice"])
             .map_batches(prep, batch_format="pyarrow")
             .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("qty_micros", alias_name="sum_qty_micros"),
-                       Sum("price_micros", alias_name="sum_price_micros"),
-                       Count(alias_name="count_order")))
+            .aggregate(Sum("sum_qty_micros", alias_name="sum_qty_micros"),
+                       Sum("sum_price_micros", alias_name="sum_price_micros"),
+                       Sum("count_order", alias_name="count_order")))
 
 
 def knn_cosine(sf_dir: str):
@@ -379,17 +420,22 @@ def orders_by_segment(sf_dir: str):
         k, s = ray.get(ref)
         ck = np.asarray(batch["o_custkey"].combine_chunks()).astype(np.int64)
         seg = s[np.searchsorted(k, ck)]
-        return pa.table({
+        t = pa.table({
             "c_mktsegment": pa.array(list(seg), pa.string()),
+            "one": np.ones(batch.num_rows, dtype=np.int64),
             "price_micros": pc_micros(batch["o_totalprice"]),
         })
+        # map-side combine after the broadcast join: ~5 rows per batch
+        return _partial_sums(t, ["c_mktsegment"],
+                             {"one": "n_orders",
+                              "price_micros": "total_price_micros"})
 
     return (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                             columns=["o_custkey", "o_totalprice"])
             .map_batches(join, batch_format="pyarrow")
             .groupby("c_mktsegment")
-            .aggregate(Count(alias_name="n_orders"),
-                       Sum("price_micros", alias_name="total_price_micros")))
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_price_micros", alias_name="total_price_micros")))
 
 
 # ---------------- rows-only entries (no SQL oracle) ----------------
