@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": P.events_sessions,
         "lineitem_agg": P.lineitem_agg,
         "orders_by_segment": P.orders_by_segment,
+        "orders_lineitem_join": P.orders_lineitem_join,
         # features / training export (rows-only)
         "char_histograms": P.char_histograms,
         "training_sequences": P.training_sequences,
@@ -284,6 +285,13 @@ SELECT c.c_mktsegment,
            AS total_price_micros
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment""",
+        "orders_lineitem_join": """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_micros
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority""",
         "knn_cosine": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 sims AS (

@@ -82,12 +82,17 @@ class MinHashSearchIndex:
                       "shingle_k": shingle_k, "seed": seed, "size": 0}
         sigs = minhash_signatures(ds, text_col, id_col, num_perm,
                                   shingle_k, seed).materialize()
+        # both tables are written SORTED on their lookup key so parquet
+        # row-group/file statistics prune the search-time reads
+        # (band_hash IN (...) / doc_id IN (...) touch only matching
+        # row groups instead of scanning the index)
         sigs.map_batches(
             lambda t: _sig_binary_table(t, num_perm),
-            batch_format="pyarrow").write_parquet(idx.sig_dir)
+            batch_format="pyarrow").sort("doc_id").write_parquet(idx.sig_dir)
         sigs.map_batches(
             lambda t: _bands_batch(t, num_bands, num_perm),
-            batch_format="pyarrow").write_parquet(idx.bucket_dir)
+            batch_format="pyarrow").sort("band_hash").write_parquet(
+                idx.bucket_dir)
         idx.config["size"] = sigs.count()
         idx._save_config()
         return idx
@@ -101,10 +106,11 @@ class MinHashSearchIndex:
                                   c["shingle_k"], c["seed"]).materialize()
         sigs.map_batches(
             lambda t: _sig_binary_table(t, c["num_perm"]),
-            batch_format="pyarrow").write_parquet(self.sig_dir)
+            batch_format="pyarrow").sort("doc_id").write_parquet(self.sig_dir)
         sigs.map_batches(
             lambda t: _bands_batch(t, c["num_bands"], c["num_perm"]),
-            batch_format="pyarrow").write_parquet(self.bucket_dir)
+            batch_format="pyarrow").sort("band_hash").write_parquet(
+                self.bucket_dir)
         n = sigs.count()
         self.config["size"] += n
         self._save_config()

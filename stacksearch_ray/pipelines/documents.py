@@ -438,6 +438,43 @@ def orders_by_segment(sf_dir: str):
                        Sum("total_price_micros", alias_name="total_price_micros")))
 
 
+def orders_lineitem_join(sf_dir: str):
+    """Large ⋈ large: lineitem joined to orders on the order key via the
+    partitioned hash join (both sides shuffle by key hash — the path a
+    broadcast can't take when neither side fits), then revenue per
+    o_orderpriority. Map-side combiners shrink the post-join aggregate."""
+    from ..functions.joins import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+            lambda t: pa.table({"okey": t["o_orderkey"],
+                                "o_orderpriority": t["o_orderpriority"]}),
+            batch_format="pyarrow")
+    lineitem = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"]).map_batches(
+            lambda t: pa.table({"okey": t["l_orderkey"],
+                                "price_micros": pc_micros(t["l_extendedprice"])}),
+            batch_format="pyarrow")
+    joined = hash_join(lineitem, orders, on="okey", num_buckets=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderpriority": b["o_orderpriority"].combine_chunks(),
+            "one": np.ones(b.num_rows, dtype=np.int64),
+            "price_micros": b["price_micros"].combine_chunks(),
+        })
+        return _partial_sums(t, ["o_orderpriority"],
+                             {"one": "n_items",
+                              "price_micros": "revenue_micros"})
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("revenue_micros", alias_name="revenue_micros")))
+
+
 # ---------------- rows-only entries (no SQL oracle) ----------------
 
 
