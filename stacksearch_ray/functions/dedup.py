@@ -178,6 +178,54 @@ def _bands_batch(batch: pa.Table, num_bands: int, num_perm: int,
     return pa.table(cols)
 
 
+def _filter_collision_buckets(bands: Dataset,
+                              broadcast_limit: int = 2_000_000
+                              ) -> Dataset | None:
+    """Drop rows whose (band, band_hash) bucket has a single member —
+    they can't form pairs, yet each would cost a per-group map_groups
+    call downstream (in a mostly-unique corpus that's ~95% of buckets).
+    The surviving-key set is O(collision buckets): broadcast-filtered
+    when small, hash-joined when large (both unbounded-scale safe).
+    Returns None when no bucket has ≥2 members. Key folding
+    (band_hash·64 + band) may alias buckets at >64 bands — aliasing only
+    admits extra rows; the downstream exact (band, band_hash) groupby is
+    unaffected."""
+    import pyarrow.compute as pc
+
+    def bkey(t: pa.Table) -> pa.Array:
+        with np.errstate(over="ignore"):
+            k = (np.asarray(t["band_hash"].combine_chunks()).astype(np.int64)
+                 * np.int64(64)
+                 + np.asarray(t["band"].combine_chunks()).astype(np.int64))
+        return pa.array(k)
+
+    sizes = bands.groupby(["band", "band_hash"]).count()
+    hot = sizes.map_batches(
+        lambda t: pa.table({"bkey": bkey(t)}).filter(
+            pc.greater(t["count()"], 1)),
+        batch_format="pyarrow").materialize()
+    n_hot = hot.count()
+    if n_hot == 0:
+        return None
+    if n_hot <= broadcast_limit:
+        hot_keys = ray.put(np.sort(np.asarray(
+            hot.to_pandas()["bkey"]).astype(np.int64)))
+
+        def keep_hot(t: pa.Table) -> pa.Table:
+            keys = ray.get(hot_keys)
+            k = np.asarray(bkey(t))
+            pos = np.searchsorted(keys, k)
+            pos = np.clip(pos, 0, len(keys) - 1)
+            return t.filter(pa.array(keys[pos] == k))
+
+        return bands.map_batches(keep_hot, batch_format="pyarrow")
+    from .joins import hash_join
+
+    tagged = bands.map_batches(
+        lambda t: t.append_column("bkey", bkey(t)), batch_format="pyarrow")
+    return hash_join(tagged, hot, on="bkey").drop_columns(["bkey"])
+
+
 def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          id_col: str = "doc_id", num_perm: int = 128,
                          num_bands: int = 16, shingle_k: int = 3,
@@ -221,58 +269,17 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
         sigs = sigs.materialize()  # consumed by bands + two join sides
 
     if verify == "inline":
-        import pyarrow.compute as pc
-
         bands = sigs.map_batches(
             lambda t: _bands_batch(t, num_bands, num_perm, carry_sig=True),
             batch_format="pyarrow").materialize()
         doc_arr = np.sort(np.asarray(
             ds.select_columns([id_col]).to_pandas()[id_col]).astype(np.int64))
-
-        # prune singleton buckets BEFORE the per-group verify: in a
-        # mostly-unique corpus ~95% of (band, band_hash) buckets hold one
-        # member and emit nothing, while map_groups pays per-GROUP Python
-        # overhead — pruning cuts group count to the collision set. The
-        # surviving-bucket key set is O(near-dup clusters × bands): tiny
-        # for small corpora (broadcast), still ≪ corpus at scale
-        # (hash-join path keeps it fully distributed).
-        def bkey(t: pa.Table) -> pa.Array:
-            with np.errstate(over="ignore"):
-                k = (np.asarray(t["band_hash"].combine_chunks()).astype(np.int64)
-                     * np.int64(64)
-                     + np.asarray(t["band"].combine_chunks()).astype(np.int64))
-            return pa.array(k)
-
-        sizes = bands.groupby(["band", "band_hash"]).count()
-        hot = sizes.map_batches(
-            lambda t: pa.table({"bkey": bkey(t)}).filter(
-                pc.greater(t["count()"], 1)),
-            batch_format="pyarrow").materialize()
-        n_hot = hot.count()
-        if n_hot == 0:
+        bands = _filter_collision_buckets(bands)
+        if bands is None:
             return _cluster_pairs(
                 rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
                                         "b": pa.array([], pa.int64())})),
                 doc_arr, clustering, max_iters)
-        if n_hot <= 2_000_000:
-            hot_keys = ray.put(np.sort(np.asarray(
-                hot.to_pandas()["bkey"]).astype(np.int64)))
-
-            def keep_hot(t: pa.Table) -> pa.Table:
-                keys = ray.get(hot_keys)
-                k = np.asarray(bkey(t))
-                pos = np.searchsorted(keys, k)
-                pos = np.clip(pos, 0, len(keys) - 1)
-                return t.filter(pa.array(keys[pos] == k))
-
-            bands = bands.map_batches(keep_hot, batch_format="pyarrow")
-        else:
-            from .joins import hash_join
-
-            tagged = bands.map_batches(
-                lambda t: t.append_column("bkey", bkey(t)),
-                batch_format="pyarrow")
-            bands = hash_join(tagged, hot, on="bkey").drop_columns(["bkey"])
 
         def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
@@ -551,13 +558,28 @@ def simhash_near_dup_pairs(ds: Dataset, text_col: str = "text",
         return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
                              "hamming": ham[keep]})
 
-    return (
-        sigs.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
+    band_rows = sigs.map_batches(bands, batch_format="pyarrow").materialize()
+    band_rows = _filter_collision_buckets(band_rows)
+    if band_rows is None:
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64()),
+                                       "hamming": pa.array([], pa.int64())}))
+    pairs = (band_rows.groupby(["band", "band_hash"])
+             .map_groups(pairs_in_bucket, batch_format="pandas"))
+
+    # pair dedup via 32 hash-partitioned vectorized drop_duplicates
+    # groups — not one map_groups call per pair
+    def tagp(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            k = (np.asarray(t["a"].combine_chunks()).astype(np.int64)
+                 * np.int64(1_000_003)
+                 + np.asarray(t["b"].combine_chunks()).astype(np.int64))
+        return t.append_column("__pb", pa.array(k % np.int64(32)))
+
+    return (pairs.map_batches(tagp, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(lambda g: g.drop_duplicates(["a", "b"])
+                        .drop(columns="__pb"), batch_format="pandas"))
 
 
 # ---------------- exact n-gram Jaccard (brute-force oracle path) ----------------

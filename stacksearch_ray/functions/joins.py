@@ -142,7 +142,8 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
 
 def propagate_min_labels(pairs: Dataset, node_ids: np.ndarray,
                          max_iters: int = 20,
-                         num_buckets: int = 16) -> pd.DataFrame:
+                         num_buckets: int = 16,
+                         lookup: str = "broadcast") -> pd.DataFrame:
     """Distributed connected components by iterative min-label
     propagation: each round, every node's label becomes the min of its
     own and its neighbors' labels (groupby-aggregate over the edge
@@ -153,9 +154,10 @@ def propagate_min_labels(pairs: Dataset, node_ids: np.ndarray,
     ``pairs``: Dataset with int64 columns a, b. Returns pandas
     (doc_id, cluster_id) for all ``node_ids`` (singletons keep own id).
 
-    The per-round neighbor-label lookup broadcasts the label map
-    (ray.put) — fine to ~10⁸ nodes; beyond that swap the broadcast for
-    ``hash_join(edges, labels, on='dst')``, same round structure.
+    ``lookup="broadcast"``: the per-round neighbor-label map ships via
+    ray.put — fine to ~10⁸ nodes. ``lookup="join"``: the edge list is
+    hash-joined against the label table instead (no broadcast) — the
+    unbounded path; identical results (tested).
     """
     from ray.data.aggregate import Min
 
@@ -172,6 +174,27 @@ def propagate_min_labels(pairs: Dataset, node_ids: np.ndarray,
     labels = pd.DataFrame({"node": np.sort(node_ids),
                            "label": np.sort(node_ids)})
     if edges.count() == 0:
+        return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+
+    if lookup == "join":
+        import ray.data as rd_mod
+
+        for _ in range(max_iters):
+            lbl_ds = rd_mod.from_arrow(pa.table({
+                "dst": pa.array(labels["node"].to_numpy(), pa.int64()),
+                "cand": pa.array(labels["label"].to_numpy(), pa.int64()),
+            }))
+            cand = (hash_join(edges, lbl_ds, on="dst",
+                              num_buckets=num_buckets)
+                    .groupby("src").aggregate(Min("cand", alias_name="cand"))
+                    .to_pandas().rename(columns={"src": "node"}))
+            merged = labels.merge(cand, on="node", how="left")
+            new = np.minimum(
+                merged["label"],
+                merged["cand"].fillna(merged["label"]).astype(np.int64))
+            if (new == labels["label"]).all():
+                break
+            labels = pd.DataFrame({"node": labels["node"], "label": new})
         return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
     for _ in range(max_iters):
         lbl_ref = ray.put(labels.set_index("node")["label"])

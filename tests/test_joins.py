@@ -100,6 +100,19 @@ def test_distributed_label_propagation(ray_session):
     assert out[99] == 99
 
 
+def test_label_propagation_join_lookup_identical(ray_session):
+    """lookup='join' (edges hash-joined to labels, no broadcast) ==
+    the broadcast lookup."""
+    from stacksearch_ray.functions.joins import propagate_min_labels
+
+    pairs = pd.DataFrame({"a": [1, 2, 3, 10], "b": [2, 3, 4, 11]})
+    nodes = np.array([1, 2, 3, 4, 10, 11, 99], dtype=np.int64)
+    a = propagate_min_labels(_ds(pairs), nodes).sort_values("doc_id")
+    b = propagate_min_labels(_ds(pairs), nodes,
+                             lookup="join").sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
 def test_distributed_equals_driver_clustering(ray_session):
     """Distributed propagation == the driver union-loop used by
     minhash_lsh_clusters, on a random graph."""
