@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": P.lineitem_agg,
         "orders_by_segment": P.orders_by_segment,
         "orders_lineitem_join": P.orders_lineitem_join,
+        "events_asof": P.events_asof,
+        "docs_sample": P.docs_sample,
         # features / training export (rows-only)
         "char_histograms": P.char_histograms,
         "training_sequences": P.training_sequences,
@@ -285,6 +287,18 @@ SELECT c.c_mktsegment,
            AS total_price_micros
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment""",
+        "events_asof": """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+  WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, epoch_us(ts) AS ts FROM events
+  WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, CAST(p.ts - c.ts AS BIGINT) AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "docs_sample": """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0""",
         "orders_lineitem_join": """
 SELECT o.o_orderpriority,
        count(*) AS n_items,

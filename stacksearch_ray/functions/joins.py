@@ -140,6 +140,69 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
                                                  batch_format="pandas")
 
 
+def asof_join(left: Dataset, right: Dataset, by: str = "user_id",
+              on: str = "ts", num_buckets: int = 32,
+              suffix: str = "_r") -> Dataset:
+    """Most-recent-at-or-before join (the as-of join the Dataset API
+    lacks): for each left row, the right row with the same ``by`` key
+    and the greatest ``on`` value ≤ the left row's (inner semantics —
+    left rows with no match drop). Expressed as ONE hash shuffle: both
+    sides tagged + bucketed by key, per-bucket the right side is sorted
+    once and every left row binary-searches it. Partitioning assumption:
+    one key bucket fits a worker (same contract as groupby.map_groups);
+    salt hot keys upstream if a single ``by`` value dominates."""
+    lsch, rsch = left.schema(), right.schema()
+    left_cols = list(lsch.names)
+    right_cols = list(rsch.names)
+    unified: list[tuple[str, pa.DataType]] = []
+    seen: set[str] = set()
+    for sch in (lsch, rsch):
+        for name, typ in zip(sch.names, sch.types):
+            if name not in seen:
+                unified.append((name, typ))
+                seen.add(name)
+    tagged = _tag_and_bucket(left, by, "l", num_buckets, unified).union(
+        _tag_and_bucket(right, by, "r", num_buckets, unified))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"].reindex(columns=left_cols)
+        r = (g[g["__side"] == "r"].reindex(columns=right_cols)
+             .sort_values([by, on], kind="mergesort"))
+        out_cols = left_cols + [c + (suffix if c in left_cols else "")
+                                for c in right_cols if c != by]
+        if l.empty or r.empty:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in out_cols})
+        parts = []
+        r_by = r.groupby(by, sort=False)
+        for key, lg in l.groupby(by, sort=False):
+            try:
+                rg = r_by.get_group(key)
+            except KeyError:
+                continue
+            r_on = rg[on].to_numpy()
+            idx = np.searchsorted(r_on, lg[on].to_numpy(),
+                                  side="right") - 1
+            keep = idx >= 0
+            if not keep.any():
+                continue
+            lk = lg[keep].reset_index(drop=True)
+            rk = rg.iloc[idx[keep]].reset_index(drop=True)
+            row = lk.copy()
+            for c in right_cols:
+                if c == by:
+                    continue
+                row[c + (suffix if c in left_cols else "")] = rk[c]
+            parts.append(row)
+        if not parts:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in out_cols})
+        return pd.concat(parts, ignore_index=True)
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+
+
 def propagate_min_labels(pairs: Dataset, node_ids: np.ndarray,
                          max_iters: int = 20,
                          num_buckets: int = 16,

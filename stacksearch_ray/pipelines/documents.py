@@ -475,6 +475,61 @@ def orders_lineitem_join(sf_dir: str):
                        Sum("revenue_micros", alias_name="revenue_micros")))
 
 
+def events_asof(sf_dir: str):
+    """As-of join (custom operator the Dataset API lacks): each purchase
+    event matched to the user's most recent click at-or-before it; the
+    output carries the GAP (int64 µs, tie-proof — equal-ts right rows
+    give equal gaps, so DuckDB's arbitrary tie pick can't diverge)."""
+    import pyarrow.dataset as pads
+
+    from ..functions.joins import asof_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+        })
+
+    purchases = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "purchase").map_batches(
+            prep, batch_format="pyarrow")
+    clicks = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "click").map_batches(
+            prep, batch_format="pyarrow")
+    joined = asof_join(purchases, clicks, by="user_id", on="ts")
+
+    def gap(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].combine_chunks()).astype(np.int64)
+        rts = np.asarray(batch["ts_r"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+            "user_id": batch["user_id"].combine_chunks().cast(pa.int64()),
+            "gap_us": pa.array(ts - rts, pa.int64()),
+        })
+
+    return joined.map_batches(gap, batch_format="pyarrow")
+
+
+def docs_sample(sf_dir: str):
+    """Deterministic hash-based 10% Bernoulli sample (shuffle-free,
+    partitioning-independent, reproducible — the scale-safe way to
+    sample: a random_shuffle+limit would be an all-to-all)."""
+    from ..functions.dedup import md5_low64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        h = md5_low64(np.array([str(i) for i in ids], dtype=object))
+        return batch.filter(pa.array(h % np.uint64(10) == 0))
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
 # ---------------- rows-only entries (no SQL oracle) ----------------
 
 

@@ -100,6 +100,39 @@ def test_distributed_label_propagation(ray_session):
     assert out[99] == 99
 
 
+def test_asof_join_matches_pandas(ray_session):
+    """asof_join == pandas merge_asof(by=key) on random per-key series,
+    including keys with no match and left rows before any right row."""
+    from stacksearch_ray.functions.joins import asof_join
+
+    rng = np.random.default_rng(6)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, 300).astype(np.int64),
+        "t": rng.integers(0, 10_000, 300).astype(np.int64),
+        "lv": np.arange(300, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 10, 150).astype(np.int64),
+        "t": rng.integers(0, 10_000, 150).astype(np.int64),
+        "rv": np.arange(150, dtype=np.int64) * 7,
+    })
+    got = (asof_join(_ds(left), _ds(right), by="k", on="t",
+                     num_buckets=4).to_pandas()
+           [["k", "t", "lv", "t_r", "rv"]])
+    expect = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                           on="t", by="k", suffixes=("", "_r"),
+                           direction="backward")
+    expect = expect[expect["rv"].notna()].copy()
+    # pandas keeps right's t only implicitly; recompute via the matched rv
+    rmap = right.set_index("rv")["t"]
+    expect["t_r"] = expect["rv"].map(rmap).astype(np.int64)
+    expect["rv"] = expect["rv"].astype(np.int64)
+    cols = ["k", "t", "lv", "t_r", "rv"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = expect[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype("int64").equals(b.astype("int64"))
+
+
 def test_label_propagation_join_lookup_identical(ray_session):
     """lookup='join' (edges hash-joined to labels, no broadcast) ==
     the broadcast lookup."""
