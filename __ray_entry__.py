@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": P.orders_lineitem_join,
         "events_asof": P.events_asof,
         "docs_sample": P.docs_sample,
+        "value_quantiles": P.value_quantiles,
         # features / training export (rows-only)
         "char_histograms": P.char_histograms,
         "training_sequences": P.training_sequences,
@@ -299,6 +300,18 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
         "docs_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0""",
+        "value_quantiles": """
+SELECT CAST(floor(0.1 * 1e6 + 0.5) AS BIGINT) AS q_micros,
+       CAST(floor(quantile_disc(value, 0.1) * 1e6 + 0.5) AS BIGINT)
+           AS value_micros FROM events
+UNION ALL
+SELECT CAST(floor(0.5 * 1e6 + 0.5) AS BIGINT),
+       CAST(floor(quantile_disc(value, 0.5) * 1e6 + 0.5) AS BIGINT)
+FROM events
+UNION ALL
+SELECT CAST(floor(0.9 * 1e6 + 0.5) AS BIGINT),
+       CAST(floor(quantile_disc(value, 0.9) * 1e6 + 0.5) AS BIGINT)
+FROM events""",
         "orders_lineitem_join": """
 SELECT o.o_orderpriority,
        count(*) AS n_items,

@@ -1,0 +1,61 @@
+"""Distributed exact selection: kth_smallest / quantile_disc vs numpy
+sort and DuckDB quantile_disc semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(vals):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})
+                         ).repartition(8)
+
+
+def test_kth_matches_numpy(ray_session):
+    from stacksearch_ray.functions.quantiles import kth_smallest
+
+    rng = np.random.default_rng(2)
+    vals = np.concatenate([rng.lognormal(2, 1, 5000),
+                           -rng.lognormal(0, 2, 3000)])
+    s = np.sort(vals)
+    ds = _ds(vals)
+    # tiny exact_threshold forces several narrowing passes
+    for k in (0, 1, 3999, 4000, len(vals) - 1):
+        got = kth_smallest(ds, "v", k, exact_threshold=50)
+        assert got == s[k], k
+
+
+def test_kth_mass_duplicates(ray_session):
+    from stacksearch_ray.functions.quantiles import kth_smallest
+
+    vals = np.concatenate([np.full(4000, 7.25), np.full(3000, 7.2500001),
+                           np.array([1.0, 99.0])])
+    s = np.sort(vals)
+    ds = _ds(vals)
+    for k in (0, 1, 3999, 4000, 4001, len(vals) - 1):
+        assert kth_smallest(ds, "v", k, exact_threshold=10) == s[k], k
+
+
+def test_quantile_disc_matches_duckdb(ray_session):
+    import duckdb
+
+    from stacksearch_ray.functions.quantiles import quantile_disc
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 100, 2001)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in vals])
+    ds = _ds(vals)
+    for q in (0.1, 0.5, 0.9, 0.999):
+        expect = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert quantile_disc(ds, "v", q) == expect, q
+
+
+def test_kth_out_of_range(ray_session):
+    from stacksearch_ray.functions.quantiles import kth_smallest
+
+    with pytest.raises(IndexError):
+        kth_smallest(_ds([1.0, 2.0]), "v", 5)
