@@ -116,15 +116,24 @@ def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
         sdoc = doc_idx[sel_valid]
         h = sel_h[sel_valid]
         if len(h):
-            with np.errstate(over="ignore"):
-                x = h[:, None] * a[None, :] + b[None, :]
-                # Mersenne fold: x mod (2^61-1) via shift+mask (integer
-                # modulo was the profile hotspot); one fold keeps values
-                # < 2^62 and deterministic, which is all minhash needs
-                hv = (x & _MERSENNE) + (x >> np.uint64(61))
             # docs are contiguous in sdoc
             bounds = np.concatenate(([0], np.flatnonzero(np.diff(sdoc)) + 1))
-            mins = np.minimum.reduceat(hv, bounds, axis=0)
+            mins = np.empty((len(bounds), num_perm), dtype=np.uint64)
+            x = np.empty(len(h), dtype=np.uint64)
+            tmp = np.empty(len(h), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                # per-perm 1D in-place pipeline; the (n, num_perm) 2D
+                # broadcast version allocated 3 n×perm uint64 temporaries
+                # and ran 33× slower (memory-bound, measured). Mersenne
+                # fold: x mod (2^61-1) via shift+mask — one fold keeps
+                # values < 2^62 and deterministic, all minhash needs.
+                for i in range(num_perm):
+                    np.multiply(h, a[i], out=x)
+                    x += b[i]
+                    np.right_shift(x, np.uint64(61), out=tmp)
+                    x &= _MERSENNE
+                    x += tmp
+                    mins[:, i] = np.minimum.reduceat(x, bounds)
             sigs[sdoc[bounds]] = mins
     return pa.table({
         "doc_id": batch[id_col].combine_chunks(),

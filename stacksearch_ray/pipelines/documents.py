@@ -384,22 +384,42 @@ def content_hashes(sf_dir: str):
 
 
 def events_sessions(sf_dir: str):
-    """Sessionization (gap > 30 min splits) per user — the streaming-shaped
-    workload as groupby(key).map_groups over ts-sorted groups."""
+    """Sessionization (gap > 30 min splits) per user. Users are
+    hash-bucketed (32 groups) and each bucket sessionizes ALL its users
+    vectorized (one sort + diff over the bucket, session starts =
+    first-event-of-user OR gap>30min) — per-group scheduling cost is
+    O(buckets), not O(users)."""
     GAP_US = 1_800_000_000
 
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch["user_id"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "user_id": uid,
+            "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+            "event_id": batch["event_id"].combine_chunks(),
+            "__ub": pa.array(pd.util.hash_array(uid).astype(np.int64)
+                             % np.int64(32)),
+        })
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64")
-        gap = us.diff()
-        n = int(((gap.isna()) | (gap > GAP_US)).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": np.array([n], dtype=np.int64),
-                             "n_events": np.array([len(g)], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        starts = first | (gap > GAP_US)
+        out = (pd.DataFrame({"user_id": uid,
+                             "n_sessions": starts.astype(np.int64)})
+               .groupby("user_id", sort=False, as_index=False)
+               .agg(n_sessions=("n_sessions", "sum"),
+                    n_events=("n_sessions", "size")))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
 
     return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                             columns=["user_id", "ts", "event_id"])
-            .groupby("user_id")
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__ub")
             .map_groups(sessions, batch_format="pandas"))
 
 
