@@ -469,10 +469,23 @@ def md5_low64(tokens: np.ndarray) -> np.ndarray:
     SQL-oracleable. Uniquified per batch with a per-process cache
     (Zipfian vocab → high hit rate; the md5 loop runs only on
     cache-missing unique tokens)."""
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    return _md5_uniques(list(uniq))[inv]
+
+
+def md5_low64_arrow(flat: pa.Array) -> np.ndarray:
+    """md5_low64 over an Arrow string array without materializing every
+    token as a Python object: dictionary-encode in C, hash only the
+    (few) unique strings, gather by code."""
+    d = flat.dictionary_encode()
+    codes = np.asarray(d.indices).astype(np.int64)
+    return _md5_uniques(d.dictionary.to_pylist())[codes]
+
+
+def _md5_uniques(uniq: list) -> np.ndarray:
     import hashlib
     import struct
 
-    uniq, inv = np.unique(tokens, return_inverse=True)
     vals = np.empty(len(uniq), dtype=np.uint64)
     for i, t in enumerate(uniq):
         v = _MD5_CACHE.get(t)
@@ -481,7 +494,7 @@ def md5_low64(tokens: np.ndarray) -> np.ndarray:
             if len(_MD5_CACHE) < 1_000_000:
                 _MD5_CACHE[t] = v
         vals[i] = v
-    return vals[inv]
+    return vals
 
 
 def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
@@ -493,10 +506,18 @@ def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     n = len(content)
     out = np.zeros((n, 64), dtype=np.int64)
     if len(flat):
-        h = md5_low64(np.asarray(flat.to_pylist(), dtype=object))
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64) * 2 - 1
-        np.add.at(out, doc_idx, bits)
+        h = md5_low64_arrow(flat)
+        # per-bit 1D segment sums (tokens are doc-contiguous) — the 2D
+        # bit matrix + np.add.at scatter was the profile hotspot
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(doc_idx)) + 1))
+        present = doc_idx[bounds]
+        bit = np.empty(len(h), dtype=np.int64)
+        for j in range(64):
+            np.copyto(bit, ((h >> np.uint64(j)) & np.uint64(1))
+                      .astype(np.int64))
+            bit *= 2
+            bit -= 1
+            out[present, j] = np.add.reduceat(bit, bounds)
     sim = ((out > 0).astype(np.uint64)
            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     sim[np.asarray(doc_lens) == 0] = 0

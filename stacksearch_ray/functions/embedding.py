@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..text import tokenize_array
-from .dedup import md5_low64
+from .dedup import md5_low64_arrow
 
 
 def hashed_embedding_batch(batch: pa.Table, dim: int, text_col: str,
@@ -47,10 +47,12 @@ def hashed_embedding_batch(batch: pa.Table, dim: int, text_col: str,
     n = len(content)
     vec = np.zeros((n, dim), dtype=np.float64)
     if len(flat):
-        h = md5_low64(np.asarray(flat.to_pylist(), dtype=object))
+        h = md5_low64_arrow(flat)
         bucket = (h % np.uint64(dim)).astype(np.int64)
         sign = 1.0 - 2.0 * ((h >> np.uint64(63)) & np.uint64(1)).astype(np.float64)
-        np.add.at(vec, (doc_idx, bucket), sign)
+        # one flat bincount instead of a 2-D np.add.at scatter
+        vec = np.bincount(doc_idx * dim + bucket, weights=sign,
+                          minlength=n * dim).reshape(n, dim)
     if normalize:
         nrm = np.linalg.norm(vec, axis=1, keepdims=True)
         vec = vec / np.maximum(nrm, 1e-30)

@@ -117,18 +117,27 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     content = batch[text_col].combine_chunks()
     flat, doc_idx, doc_lens = tokenize_array(content)
     n = len(content)
+    fp = np.full(n, _FP_SEED, dtype=np.uint64)
     if len(flat):
-        tok_hash = md5_low64(np.asarray(flat.to_pylist(), dtype=object))
-        # position within doc
+        from .dedup import md5_low64_arrow
+
+        tok_hash = md5_low64_arrow(flat)
+        # position within doc → power via a cumulative-product table
+        # (BASE^p mod 2⁶⁴) gathered by position, not per-element np.power
         starts = np.concatenate(([0], np.cumsum(doc_lens)))[:-1]
         pos = np.arange(len(tok_hash), dtype=np.int64) - starts[doc_idx]
+        maxp = int(pos.max())
+        table = np.empty(maxp + 1, dtype=np.uint64)
+        table[0] = np.uint64(1)
         with np.errstate(over="ignore"):
-            mult = np.power(_FP_BASE, pos.astype(np.uint64))
-            contrib = tok_hash.astype(np.uint64) * mult
-        fp = np.full(n, _FP_SEED, dtype=np.uint64)
-        np.add.at(fp, doc_idx, contrib)
-    else:
-        fp = np.full(n, _FP_SEED, dtype=np.uint64)
+            if maxp:
+                np.multiply.accumulate(
+                    np.full(maxp, _FP_BASE, dtype=np.uint64), out=table[1:])
+            contrib = tok_hash * table[pos]
+            # per-doc segment sums (tokens are doc-contiguous)
+            bounds = np.concatenate(([0],
+                                     np.flatnonzero(np.diff(doc_idx)) + 1))
+            fp[doc_idx[bounds]] += np.add.reduceat(contrib, bounds)
     return pa.table({
         "doc_id": batch[id_col].combine_chunks(),
         "fingerprint": fp.astype(np.int64),  # two's-complement view
