@@ -86,9 +86,12 @@ def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
     sigs = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.uint64)
     if len(flat):
         # shingle identity via rolling polynomial hash of token hashes —
-        # no string building, fully vectorized (shingle h = ((h0·C+h1)·C+h2))
+        # no string building, fully vectorized (shingle h = ((h0·C+h1)·C+h2));
+        # hash the dictionary-encoded uniques only, gather by code
+        d = flat.dictionary_encode()
         tok_h = pd.util.hash_array(
-            np.asarray(flat.to_pylist(), dtype=object)).astype(np.uint64)
+            np.asarray(d.dictionary.to_pylist(), dtype=object)
+        ).astype(np.uint64)[np.asarray(d.indices).astype(np.int64)]
         C = np.uint64(0x100000001B3)
         hs = [tok_h.copy()]           # hs[j]: window hash of length j+1
         valids = [np.ones(len(tok_h), dtype=bool)]
