@@ -11,8 +11,42 @@ exports prefer partitioned ``ds.write_csv``.
 from __future__ import annotations
 
 import os
+import shutil
+from collections.abc import Callable, Iterable
 
 from ray.data import Dataset
+
+
+def write_partitioned(ds: Dataset, out_dir: str,
+                      partition_cols: list[str]) -> None:
+    """Hive-partitioned parquet (one directory per key value) — the
+    output layout a 100 TB run wants: downstream readers prune whole
+    directories, and failed runs re-drive only the affected keys."""
+    ds.write_parquet(out_dir, partition_cols=partition_cols)
+
+
+def write_partitioned_resumable(make_ds: Callable[[object], Dataset],
+                                out_dir: str, partitions: Iterable,
+                                partition_key: str = "part") -> dict:
+    """Unit-resumable sink: one subdirectory per logical partition with a
+    ``_DONE`` marker written AFTER the partition's parquet lands; a
+    re-run skips finished partitions and rewrites half-finished ones
+    from scratch (marker absent ⇒ debris removed first). ``make_ds(p)``
+    builds the partition's Dataset lazily (e.g. a filtered read), so
+    skipped partitions cost nothing. Returns {written, skipped}."""
+    written, skipped = [], []
+    for p in partitions:
+        pdir = os.path.join(out_dir, f"{partition_key}={p}")
+        marker = os.path.join(pdir, "_DONE")
+        if os.path.exists(marker):
+            skipped.append(p)
+            continue
+        shutil.rmtree(pdir, ignore_errors=True)
+        make_ds(p).write_parquet(pdir)
+        with open(marker, "w") as f:
+            f.write("ok")
+        written.append(p)
+    return {"written": written, "skipped": skipped}
 
 
 def export_projector_tsv(ds: Dataset, out_dir: str, vec_col: str,

@@ -22,6 +22,40 @@ def test_max_tokens_cap_matches_reference_semantics():
     assert [toks[j] for j in np.flatnonzero(doc_idx == 0)] == ["alpha", "beta", "gamma"]
 
 
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    """Finished partitions (with _DONE) are skipped on re-run; a
+    half-written partition (no marker) is rebuilt from scratch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stacksearch_ray.sinks import write_partitioned_resumable
+
+    calls = []
+
+    def make_ds(p):
+        calls.append(p)
+        return rd.from_arrow(pa.table({"part": [p] * 3,
+                                       "x": [1, 2, 3]}))
+
+    out = str(tmp_path / "out")
+    r1 = write_partitioned_resumable(make_ds, out, ["a", "b", "c"])
+    assert r1 == {"written": ["a", "b", "c"], "skipped": []}
+    # simulate a crash mid-partition: marker gone, debris present
+    os.remove(os.path.join(out, "part=b", "_DONE"))
+    with open(os.path.join(out, "part=b", "garbage.parquet"), "w") as f:
+        f.write("junk")
+    calls.clear()
+    r2 = write_partitioned_resumable(make_ds, out, ["a", "b", "c"])
+    assert r2 == {"written": ["b"], "skipped": ["a", "c"]}
+    assert calls == ["b"]  # skipped partitions never build their Dataset
+    t = pq.read_table(os.path.join(out, "part=b"))
+    assert t.num_rows == 3 and "garbage" not in str(
+        os.listdir(os.path.join(out, "part=b")))
+
+
 def test_projector_tsv_sink(ray_session, tmp_path):
     import ray.data as rd
 
