@@ -145,25 +145,28 @@ def oracle_sql() -> dict[str, str]:
     from stacksearch_ray.eval import perturb_query
     from stacksearch_ray.text import clean_query as _cq
 
-    _docs_tbl = _pq.read_table("/root/testdata/sf0.01/documents.parquet",
-                               columns=["doc_id", "text"])
     qt_rows, qe_rows = [], []
-    _qid = 0
-    for i in range(0, min(200, _docs_tbl.num_rows), 10):
-        toks = _cq(_docs_tbl["text"][i].as_py())[:5]
-        if not toks:
-            continue
-        q = " ".join(toks)
-        exp = int(_docs_tbl["doc_id"][i].as_py())
-        for variant, vq in (("exact", q),
-                            ("perturbed", perturb_query(q, 1, 0))):
-            for t in sorted(set(_cq(vq))):
-                qt_rows.append(f"({_qid}, '{t}')")
-            qe_rows.append(f"({_qid}, '{variant}', {exp})")
-            _qid += 1
+    try:
+        _docs_tbl = _pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                                   columns=["doc_id", "text"])
+        _qid = 0
+        for i in range(0, min(200, _docs_tbl.num_rows), 10):
+            toks = _cq(_docs_tbl["text"][i].as_py())[:5]
+            if not toks:
+                continue
+            q = " ".join(toks)
+            exp = int(_docs_tbl["doc_id"][i].as_py())
+            for variant, vq in (("exact", q),
+                                ("perturbed", perturb_query(q, 1, 0))):
+                for t in sorted(set(_cq(vq))):
+                    qt_rows.append(f"({_qid}, '{t}')")
+                qe_rows.append(f"({_qid}, '{variant}', {exp})")
+                _qid += 1
+    except (OSError, FileNotFoundError):
+        pass  # sf0.01 absent: omit the eval_recall oracle, keep the rest
     qterms_values = ", ".join(qt_rows)
     qexp_values = ", ".join(qe_rows)
-    return {
+    oracles = {
         "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
         "term_df": f"WITH {kept} SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term",
         "token_stats": f"""
@@ -557,9 +560,12 @@ per_query AS (
   GROUP BY c.config, q.variant, q.qid)
 SELECT config, variant, CAST(sum(hit) AS BIGINT) AS hits, count(*) AS n
 FROM per_query GROUP BY config, variant""",
-        # rows-only (non-SQL-expressible): minhash_clusters (connected
-        # components over pd-hash minhash), ngram_fingerprints (pd-hash
-        # rolling fingerprint), approx_vocab (HLL, approximate by
-        # design), eval_recall (multi-scorer harness), multimodal_features
-        # / video_frame_sample / audio_windows (synthetic media plumbing)
+        # rows-only (non-SQL-expressible): minhash_clusters /
+        # minhash_search (pd-hash banding has no SQL equivalent),
+        # approx_vocab (HLL, approximate by design), multimodal_features
+        # / video_frame_sample / audio_windows (synthetic payload bytes
+        # are not SQL-derivable)
     }
+    if not qt_rows:
+        oracles.pop("eval_recall")  # literals unavailable (no sf0.01)
+    return oracles
