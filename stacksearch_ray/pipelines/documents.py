@@ -580,11 +580,27 @@ def top_docs_per_lang(sf_dir: str):
 
 
 def longest_docs(sf_dir: str):
-    """Global sort + limit (T4 analog): top-10 docs by n_chars desc,
-    doc_id asc tie-break."""
-    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
-            .sort(["n_chars", "doc_id"], descending=[True, False])
-            .limit(10))
+    """Global top-10 by n_chars desc (doc_id asc tie-break) via
+    per-batch partial top-k + tiny driver merge — a bounded-k result
+    never needs the all-to-all a global ``ds.sort`` would shuffle."""
+    K = 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_chars"].combine_chunks()).astype(np.int64)
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        if len(n) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        sel = np.lexsort((ids, -n))[:K]
+        return pa.table({"doc_id": ids[sel], "n_chars": n[sel]})
+
+    parts = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    sel = np.lexsort((parts["doc_id"].to_numpy(),
+                      -parts["n_chars"].to_numpy()))[:K]
+    out = parts.iloc[sel].reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "n_chars": pa.array(out["n_chars"], pa.int64())})
 
 
 def union_langs(sf_dir: str):
