@@ -186,17 +186,15 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
         terms_u = batch["term"].to_pylist()
         bucket_u = (pd.util.hash_array(np.asarray(terms_u, dtype=object))
                     % np.uint64(term_buckets)).astype(np.int64)
-        t_out, d_out, tf_out, dl_out, sh_out, gk_out = [], [], [], [], [], []
+        t_out, d_out, tf_out, sh_out, gk_out = [], [], [], [], []
         for i in range(batch.num_rows):
             shard = int(batch["shard"][i].as_py())
             ids = decode_doc_ids(batch["doc_ids"][i].as_py(), block_size)
             tfs = decode_tfs(batch["tfs"][i].as_py())
-            dls = _doclens_for_shard(docs_dir, shard).lookup(ids)
             n = len(ids)
             t_out.append(np.full(n, terms_u[i], dtype=object))
             d_out.append(ids)
             tf_out.append(tfs)
-            dl_out.append(dls)
             sh_out.append(np.full(n, shard, dtype=np.int32))
             gk_out.append(np.full(n, shard * term_buckets + bucket_u[i],
                                   dtype=np.int64))
@@ -205,7 +203,6 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
                 "term": pa.array([], pa.string()),
                 "doc_id": pa.array([], pa.int64()),
                 "tf": pa.array([], pa.int64()),
-                "doc_len": pa.array([], pa.int64()),
                 "shard": pa.array([], pa.int32()),
                 "gkey": pa.array([], pa.int64()),
             })
@@ -213,18 +210,30 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
             "term": pa.array(np.concatenate(t_out), pa.string()),
             "doc_id": np.concatenate(d_out).astype(np.int64),
             "tf": np.concatenate(tf_out).astype(np.int64),
-            "doc_len": np.concatenate(dl_out).astype(np.int64),
             "shard": np.concatenate(sh_out),
             "gkey": np.concatenate(gk_out),
         })
 
     encoder = SegmentEncoder(avgdl=avgdl, k1=k1, b=b, block_size=block_size)
+
+    def encode_group(g: pa.Table) -> pa.Table:
+        # a gkey group holds exactly one shard: join doc_len back from
+        # the shard-pruned docs table ONCE per group (worker-cached),
+        # not once per explode batch — the doclens never ride the shuffle
+        if g.num_rows == 0:
+            return encoder(g)
+        shard = int(g["shard"][0].as_py())
+        ids = np.asarray(g["doc_id"].combine_chunks()).astype(np.int64)
+        dls = _doclens_for_shard(docs_dir, shard).lookup(ids)
+        g = g.append_column("doc_len", pa.array(dls.astype(np.int64)))
+        return encoder(g)
+
     tmp = segments_dir + ".compact"
     shutil.rmtree(tmp, ignore_errors=True)
     (rd.read_parquet(segments_dir)
      .map_batches(explode, batch_format="pyarrow")
      .groupby("gkey")
-     .map_groups(lambda g: encoder(g), batch_format="pyarrow")
+     .map_groups(encode_group, batch_format="pyarrow")
      .write_parquet(tmp))
     old = segments_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
