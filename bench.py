@@ -140,7 +140,10 @@ def run_bench() -> dict:
                      ("exact_dedup", P.exact_dedup),
                      ("minhash_clusters", P.minhash_clusters),
                      ("knn_cosine", P.knn_cosine),
-                     ("token_stats", P.token_stats)]:
+                     ("token_stats", P.token_stats),
+                     ("text_knn", P.text_knn),
+                     ("events_asof", P.events_asof),
+                     ("value_quantiles", P.value_quantiles)]:
         t0 = time.time()
         res = fn(SF_DIR)
         if hasattr(res, "count"):

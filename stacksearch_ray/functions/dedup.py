@@ -9,10 +9,12 @@
 - embedding near-dup lives in similarity.py (cosine_pairs)
 
 Scale notes (SURVEY.md §4): candidate generation is a groupby on
-(band_id, band_hash) — an all-to-all but on (bands × n_docs) short rows;
-verification joins signatures back by doc_id pair. The DEFAULT verify
-path is a hash-partitioned pair⋈signature join (no broadcast, unbounded
-scale) and the default clustering is distributed min-label propagation;
+(band_id, band_hash) — an all-to-all but on (bands × n_docs) short rows,
+pre-filtered to collision buckets (singletons can't pair). The DEFAULT
+verify path is ``"inline"``: signature bytes ride the band rows and each
+bucket verifies Jaccard locally (no join, no broadcast, unbounded
+scale); default clustering is distributed min-label propagation.
+``verify="join"`` keeps the pair⋈signature hash-join variant;
 ``verify="broadcast"`` / ``clustering="driver"`` are the faster opt-ins
 below ~10M docs.
 """
@@ -269,6 +271,12 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     the cost of two extra shuffles. ``"broadcast"`` ships the signature
     matrix once via ray.put (fastest ≤ ~10M docs at num_perm=128,
     opt-in). Identical results (tested).
+
+    Driver-memory note: the final label table and the node-id array
+    pass through the driver (8 bytes/doc — ~80 GB at 10¹⁰ docs); the
+    edge/verify stages are fully distributed. Beyond that, emit labels
+    as a partitioned Dataset instead of pandas (propagate_min_labels is
+    the piece to lift).
 
     ``stats_out`` (inline verify only): pass a dict to receive
     ``verified_pairs`` and ``starred_pairs`` — the count of pairs that
