@@ -4,11 +4,16 @@ iterative histogram narrowing — no global sort, no data shuffle.
 Each pass streams the column once through ``map_batches``, emitting one
 tiny (bin, count) partial table per batch (nonzero bins only); a
 256-row groupby-sum locates the bin containing the target rank, which
-narrows the value range for the next pass. When the candidate bin holds
-few enough values they are pulled once and solved with ``np.partition``.
-Converges in O(log₂₅₆ of the value range) ≈ 2–4 passes for float64 —
-the classic distributed-selection alternative to ``ds.sort`` (an
-all-to-all) when only order statistics are needed.
+narrows the key range for the next pass. Narrowing happens in MONOTONE
+FLOAT-BIT space (the IEEE-754 total-order key), so every pass shrinks
+the key span by the bin factor regardless of the value distribution —
+guaranteed ≤ ⌈64 / log₂(bins)⌉ = 8 passes at 256 bins (a linear-value
+binning degenerates on huge ranges like [-5, 1e300], found by the
+property test). When the rank's bin holds few enough values they are
+pulled once and solved with ``np.partition``; a single-key bin is
+answered directly. The classic distributed-selection alternative to
+``ds.sort`` (an all-to-all) when only order statistics are needed.
+NaNs are not supported (filter upstream).
 """
 
 from __future__ import annotations
@@ -19,57 +24,48 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Sum
+
+_SIGN = np.uint64(1 << 63)
 
 
-def _range_mask(v: np.ndarray, lo: float, hi: float,
-                hi_inc: bool) -> np.ndarray:
-    m = v >= lo
-    return m & ((v <= hi) if hi_inc else (v < hi))
+def _float_keys(v: np.ndarray) -> np.ndarray:
+    """IEEE-754 total-order key: monotone uint64 image of float64."""
+    i = np.ascontiguousarray(v, dtype=np.float64).view(np.int64)
+    u = i.view(np.uint64)
+    return np.where(i >= 0, u ^ _SIGN, ~u)
+
+
+def _key_to_float(k: int) -> float:
+    ku = np.uint64(k)
+    u = (ku ^ _SIGN) if k >= (1 << 63) else ~ku
+    return float(np.uint64(u).view(np.float64))
 
 
 def kth_smallest(ds: Dataset, col: str, k: int, bins: int = 256,
-                 exact_threshold: int = 100_000,
-                 max_passes: int = 16) -> float:
+                 exact_threshold: int = 100_000) -> float:
     """Value at 0-indexed rank ``k`` of the ascending-sorted column
-    (ties resolved by multiplicity, as in a sorted array). Exact.
+    (ties resolved by multiplicity, as in a sorted array). Exact."""
+    lo_k, hi_k = 0, (1 << 64) - 1  # full key space; first pass narrows
+    remaining = None
 
-    The active range is [lo, hi) for interior bins and [lo, hi] only
-    while the original maximum is still in range — otherwise upper-edge
-    values of a bin would be double-counted in the next pass."""
-    agg = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
-    lo, hi = float(agg["lo"]), float(agg["hi"])
-    hi_inc = True
-
+    max_passes = math.ceil(64 / math.log2(bins)) + 2
     for _ in range(max_passes):
-        if lo == hi:
-            return lo
-        if np.nextafter(lo, np.inf) >= hi:
-            # the range holds at most two representable doubles — a mass
-            # of duplicates can't subdivide further; one counting pass
-            # decides which side rank k falls on
-            def cnt_lo(batch: pa.Table, lo=lo, hi=hi,
-                       hi_inc=hi_inc) -> pa.Table:
-                v = np.asarray(batch[col].combine_chunks().cast(pa.float64()))
-                v = v[_range_mask(v, lo, hi, hi_inc)]
-                return pa.table({"c": pa.array([int((v == lo).sum())],
-                                               pa.int64())})
+        span = hi_k - lo_k + 1
+        scale = (span + bins - 1) // bins
+        lo_u, hi_u, sc_u = (np.uint64(lo_k), np.uint64(hi_k),
+                            np.uint64(scale))
 
-            c_lo = int(ds.map_batches(cnt_lo, batch_format="pyarrow")
-                       .sum("c") or 0)
-            return lo if k < c_lo else hi
-        edges = np.linspace(lo, hi, bins + 1)
-
-        def hist(batch: pa.Table, edges=edges, lo=lo, hi=hi,
-                 hi_inc=hi_inc) -> pa.Table:
-            v = np.asarray(batch[col].combine_chunks().cast(pa.float64()))
-            v = v[_range_mask(v, lo, hi, hi_inc)]
-            if len(v) == 0:
+        def hist(batch: pa.Table, lo_u=lo_u, hi_u=hi_u,
+                 sc_u=sc_u) -> pa.Table:
+            keys = _float_keys(
+                np.asarray(batch[col].combine_chunks().cast(pa.float64())))
+            keys = keys[(keys >= lo_u) & (keys <= hi_u)]
+            if len(keys) == 0:
                 return pa.table({"bin": pa.array([], pa.int64()),
                                  "cnt": pa.array([], pa.int64())})
-            b = np.clip(np.searchsorted(edges, v, side="right") - 1,
-                        0, bins - 1)
-            bc = np.bincount(b, minlength=bins)
+            b = ((keys - lo_u) // sc_u).astype(np.int64)
+            bc = np.bincount(b, minlength=1)
             nz = np.flatnonzero(bc)
             return pa.table({"bin": nz.astype(np.int64),
                              "cnt": bc[nz].astype(np.int64)})
@@ -77,36 +73,36 @@ def kth_smallest(ds: Dataset, col: str, k: int, bins: int = 256,
         hrows = (ds.map_batches(hist, batch_format="pyarrow")
                  .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
                  .to_pandas().sort_values("bin"))
-        counts = np.zeros(bins, dtype=np.int64)
-        counts[hrows["bin"].to_numpy()] = hrows["cnt"].to_numpy()
-        cum = np.concatenate(([0], np.cumsum(counts)))
-        if k >= cum[-1]:
-            raise IndexError(f"k={k} out of range (n={int(cum[-1])})")
-        j = int(np.searchsorted(cum, k, side="right")) - 1
-        k -= int(cum[j])
-        if counts[j] <= exact_threshold:
-            def pull(batch: pa.Table, edges=edges, lo=lo, hi=hi,
-                     hi_inc=hi_inc, j=j) -> pa.Table:
+        hbins = hrows["bin"].to_numpy()
+        hcnts = hrows["cnt"].to_numpy()
+        cum = np.concatenate(([0], np.cumsum(hcnts)))
+        total = int(cum[-1])
+        if remaining is None and k >= total:
+            raise IndexError(f"k={k} out of range (n={total})")
+        pos = int(np.searchsorted(cum, k, side="right")) - 1
+        j = int(hbins[pos])
+        k -= int(cum[pos])
+        remaining = int(hcnts[pos])
+        lo_k2 = lo_k + j * scale
+        hi_k2 = min(hi_k, lo_k + (j + 1) * scale - 1)
+        if scale == 1 or lo_k2 == hi_k2:
+            return _key_to_float(lo_k2)
+        if remaining <= exact_threshold:
+            lo_u2, hi_u2 = np.uint64(lo_k2), np.uint64(hi_k2)
+
+            def pull(batch: pa.Table, lo_u2=lo_u2,
+                     hi_u2=hi_u2) -> pa.Table:
                 v = np.asarray(batch[col].combine_chunks().cast(pa.float64()))
-                v = v[_range_mask(v, lo, hi, hi_inc)]
-                if len(v):
-                    b = np.clip(np.searchsorted(edges, v, side="right") - 1,
-                                0, bins - 1)
-                    v = v[b == j]
-                return pa.table({"v": pa.array(v, pa.float64())})
+                keys = _float_keys(v)
+                return pa.table({"v": pa.array(
+                    v[(keys >= lo_u2) & (keys <= hi_u2)], pa.float64())})
 
             vals = (ds.map_batches(pull, batch_format="pyarrow")
                     .to_pandas()["v"].to_numpy())
             return float(np.partition(vals, k)[k])
-        # bin j spans [edges[j], edges[j+1]) — upper edge EXCLUSIVE for
-        # interior bins (those values live in bin j+1); the last bin
-        # keeps the current upper inclusivity
-        if j < bins - 1:
-            lo, hi, hi_inc = float(edges[j]), float(edges[j + 1]), False
-        else:
-            lo = float(edges[j])
-    raise RuntimeError("kth_smallest did not converge (pathological "
-                       "value distribution?) — raise max_passes")
+        lo_k, hi_k = lo_k2, hi_k2
+    raise RuntimeError("kth_smallest did not converge — unreachable with "
+                       "bit-space narrowing; please report")
 
 
 def quantile_disc(ds: Dataset, col: str, q: float) -> float:

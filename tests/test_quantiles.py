@@ -54,6 +54,26 @@ def test_quantile_disc_matches_duckdb(ray_session):
         assert quantile_disc(ds, "v", q) == expect, q
 
 
+def test_kth_property_random(ray_session):
+    """Property check over awkward distributions: duplicates, negatives,
+    huge magnitudes, tiny ranges — every k matches the sorted array."""
+    from stacksearch_ray.functions.quantiles import kth_smallest
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.choice([0.0, -0.0, 1e-300, 1e300, -5.5], size=500),
+        np.repeat(rng.normal(0, 1, 7), 100),
+        rng.uniform(-1e-9, 1e-9, 400),
+        np.concatenate([np.full(300, 3.14), rng.normal(3.14, 1e-12, 300)]),
+    ]
+    for vals in cases:
+        s = np.sort(vals)
+        ds = _ds(vals)
+        for k in sorted({0, len(vals) // 3, len(vals) // 2, len(vals) - 1}):
+            assert kth_smallest(ds, "v", int(k), exact_threshold=32) == s[k], \
+                (k, vals[:4])
+
+
 def test_kth_out_of_range(ray_session):
     from stacksearch_ray.functions.quantiles import kth_smallest
 
