@@ -108,8 +108,16 @@ def kth_smallest(ds: Dataset, col: str, k: int, bins: int = 256,
 def quantile_disc(ds: Dataset, col: str, q: float) -> float:
     """Discrete quantile with DuckDB ``quantile_disc`` index semantics
     (rank = ⌈q·n⌉ − 1), so the driver oracle matches exactly."""
+    return quantiles_disc(ds, col, [q])[0]
+
+
+def quantiles_disc(ds: Dataset, col: str, qs: list[float]) -> list[float]:
+    """Several discrete quantiles with the row count (and the input
+    materialization) shared across them — each selection still narrows
+    independently."""
+    ds = ds.materialize()  # consumed count + per-q passes
     n = ds.count()
     if n == 0:
         raise ValueError("empty dataset")
-    k = max(0, math.ceil(q * n) - 1)
-    return kth_smallest(ds, col, k)
+    return [kth_smallest(ds, col, max(0, math.ceil(q * n) - 1))
+            for q in qs]

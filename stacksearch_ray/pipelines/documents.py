@@ -555,12 +555,12 @@ def value_quantiles(sf_dir: str):
     iterative histogram-narrowing selection (functions/quantiles.py) —
     2–4 streaming passes instead of an all-to-all. DuckDB quantile_disc
     index semantics, so the oracle matches bit-for-bit."""
-    from ..functions.quantiles import quantile_disc
+    from ..functions.quantiles import quantiles_disc
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["value"])
     qs = [0.1, 0.5, 0.9]
-    vals = [quantile_disc(ds, "value", q) for q in qs]
+    vals = quantiles_disc(ds, "value", qs)
     return pa.table({
         "q_micros": pa.array([to_micros(q) for q in qs], pa.int64()),
         "value_micros": pa.array([to_micros(v) for v in vals], pa.int64()),
