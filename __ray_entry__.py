@@ -166,6 +166,13 @@ def oracle_sql() -> dict[str, str]:
         pass  # sf0.01 absent: omit the eval_recall oracle, keep the rest
     qterms_values = ", ".join(qt_rows)
     qexp_values = ", ".join(qe_rows)
+    # minhash_search permutation params: the engine's deterministic draw
+    # (seed 7, 128 perms); a, b < 2^61 fit BIGINT literals
+    from stacksearch_ray.functions.dedup import _minhash_params
+
+    _ma, _mb = _minhash_params(128, 7)
+    perm_rows = ", ".join(f"({p}, {int(_ma[p])}, {int(_mb[p])})"
+                          for p in range(128))
     oracles = {
         "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
         "term_df": f"WITH {kept} SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term",
@@ -460,6 +467,38 @@ sims AS (
 SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
        CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
 FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        "minhash_search": f"""
+WITH {kept},
+h AS (SELECT doc_id, md5_number_lower(term) AS th FROM kept),
+perms(p, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  -- sig[doc, p] = min over tokens of fold((th·a + b) mod 2⁶⁴) where
+  -- fold(x) = (x mod 2⁶¹) + (x div 2⁶¹) — the engine's Mersenne fold
+  SELECT h.doc_id, pm.p,
+         min( ((h.th::HUGEINT * pm.a + pm.b)
+               % 18446744073709551616::HUGEINT)
+              % 2305843009213693952::HUGEINT
+              + ((h.th::HUGEINT * pm.a + pm.b)
+                 % 18446744073709551616::HUGEINT)
+                // 2305843009213693952::HUGEINT ) AS s
+  FROM h CROSS JOIN perms pm
+  GROUP BY h.doc_id, pm.p),
+qsig AS (SELECT p, s FROM sig WHERE doc_id = 0),
+permmatch AS (
+  SELECT s.doc_id, s.p
+  FROM sig s JOIN qsig q ON s.p = q.p AND s.s = q.s),
+bandfull AS (
+  SELECT doc_id, p // 4 AS band, count(*) AS c
+  FROM permmatch GROUP BY doc_id, p // 4),
+cand AS (SELECT DISTINCT doc_id FROM bandfull WHERE c = 4),
+m AS (SELECT doc_id, count(*) AS m FROM permmatch GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(floor((m.m / 128.0) * 1e6 + 0.5) AS BIGINT)
+           AS est_jaccard_micros,
+       CAST(row_number() OVER (ORDER BY m.m DESC, c.doc_id ASC) AS BIGINT)
+           AS rank
+FROM cand c JOIN m ON c.doc_id = m.doc_id
+ORDER BY m.m DESC, c.doc_id ASC LIMIT 10""",
         "ngram_fingerprints": f"""
 WITH RECURSIVE base AS (
   SELECT doc_id,
@@ -560,11 +599,10 @@ per_query AS (
   GROUP BY c.config, q.variant, q.qid)
 SELECT config, variant, CAST(sum(hit) AS BIGINT) AS hits, count(*) AS n
 FROM per_query GROUP BY config, variant""",
-        # rows-only (non-SQL-expressible): minhash_clusters /
-        # minhash_search (pd-hash banding has no SQL equivalent),
-        # approx_vocab (HLL, approximate by design), multimodal_features
-        # / video_frame_sample / audio_windows (synthetic payload bytes
-        # are not SQL-derivable)
+        # rows-only (non-SQL-expressible): minhash_clusters (pd-hash
+        # shingle rolling + banding), approx_vocab (HLL, approximate by
+        # design), multimodal_features / video_frame_sample /
+        # audio_windows (synthetic payload bytes are not SQL-derivable)
     }
     if not qt_rows:
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)

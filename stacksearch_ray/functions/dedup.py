@@ -77,11 +77,17 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 
 def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
                              num_perm: int, shingle_k: int,
-                             a: np.ndarray, b: np.ndarray) -> pa.Table:
+                             a: np.ndarray, b: np.ndarray,
+                             hash_fn: str = "pd") -> pa.Table:
     """Per-doc minhash signature over token k-shingles. Fully vectorized:
     shingle identity = rolling polynomial hash over per-token hashes (no
     string building), permuted with (a·h+b) Mersenne-folded, per-doc min
-    via np.minimum.reduceat."""
+    via np.minimum.reduceat.
+
+    ``hash_fn``: "pd" (pandas hash, fastest) or "md5" (md5-low64 ==
+    DuckDB md5_number_lower — with shingle_k=1 the whole signature chain
+    becomes SQL-reproducible, which is how minhash_search gets its
+    oracle)."""
     content = batch[text_col].combine_chunks()
     flat, doc_idx, doc_lens = tokenize_array(content)
     n = len(content)
@@ -90,10 +96,13 @@ def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
         # shingle identity via rolling polynomial hash of token hashes —
         # no string building, fully vectorized (shingle h = ((h0·C+h1)·C+h2));
         # hash the dictionary-encoded uniques only, gather by code
-        d = flat.dictionary_encode()
-        tok_h = pd.util.hash_array(
-            np.asarray(d.dictionary.to_pylist(), dtype=object)
-        ).astype(np.uint64)[np.asarray(d.indices).astype(np.int64)]
+        if hash_fn == "md5":
+            tok_h = md5_low64_arrow(flat)
+        else:
+            d = flat.dictionary_encode()
+            tok_h = pd.util.hash_array(
+                np.asarray(d.dictionary.to_pylist(), dtype=object)
+            ).astype(np.uint64)[np.asarray(d.indices).astype(np.int64)]
         C = np.uint64(0x100000001B3)
         hs = [tok_h.copy()]           # hs[j]: window hash of length j+1
         valids = [np.ones(len(tok_h), dtype=bool)]
@@ -150,12 +159,13 @@ def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
 
 def minhash_signatures(ds: Dataset, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 128,
-                       shingle_k: int = 3, seed: int = 7) -> Dataset:
+                       shingle_k: int = 3, seed: int = 7,
+                       hash_fn: str = "pd") -> Dataset:
     a, b = _minhash_params(num_perm, seed)
 
     def fn(batch: pa.Table) -> pa.Table:
         return minhash_signatures_batch(batch, text_col, id_col,
-                                        num_perm, shingle_k, a, b)
+                                        num_perm, shingle_k, a, b, hash_fn)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

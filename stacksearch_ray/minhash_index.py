@@ -76,12 +76,13 @@ class MinHashSearchIndex:
     def build(cls, ds: Dataset, index_dir: str, text_col: str = "text",
               id_col: str = "doc_id", num_perm: int = 128,
               num_bands: int = 16, shingle_k: int = 1,
-              seed: int = 7) -> "MinHashSearchIndex":
+              seed: int = 7, hash_fn: str = "md5") -> "MinHashSearchIndex":
         idx = cls(index_dir)
         idx.config = {"num_perm": num_perm, "num_bands": num_bands,
-                      "shingle_k": shingle_k, "seed": seed, "size": 0}
+                      "shingle_k": shingle_k, "seed": seed, "size": 0,
+                      "hash_fn": hash_fn}
         sigs = minhash_signatures(ds, text_col, id_col, num_perm,
-                                  shingle_k, seed).materialize()
+                                  shingle_k, seed, hash_fn).materialize()
         # both tables are written SORTED on their lookup key so parquet
         # row-group/file statistics prune the search-time reads
         # (band_hash IN (...) / doc_id IN (...) touch only matching
@@ -103,7 +104,8 @@ class MinHashSearchIndex:
         (the reference's insert(); caller guarantees fresh ids)."""
         c = self.config
         sigs = minhash_signatures(ds, text_col, id_col, c["num_perm"],
-                                  c["shingle_k"], c["seed"]).materialize()
+                                  c["shingle_k"], c["seed"],
+                                  c.get("hash_fn", "pd")).materialize()
         sigs.map_batches(
             lambda t: _sig_binary_table(t, c["num_perm"]),
             batch_format="pyarrow").sort("doc_id").write_parquet(self.sig_dir)
@@ -132,7 +134,8 @@ class MinHashSearchIndex:
         t = pa.table({"doc_id": pa.array([0], pa.int64()),
                       "text": pa.array([text], pa.string())})
         sig = minhash_signatures_batch(t, "text", "doc_id", c["num_perm"],
-                                       c["shingle_k"], a, b)
+                                       c["shingle_k"], a, b,
+                                       c.get("hash_fn", "pd"))
         return np.asarray(sig["sig"].combine_chunks().flatten()).reshape(
             c["num_perm"])
 

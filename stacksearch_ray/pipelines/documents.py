@@ -729,16 +729,18 @@ def minhash_clusters(sf_dir: str):
 def minhash_search(sf_dir: str):
     """MinHash-LSH retrieval (the reference's search path): top-10 docs
     most similar to doc 0's text by estimated Jaccard, via the parquet
-    signature/bucket index. Rows-only: the banding hash
-    (pd.util.hash_array over signature segments) has no SQL equivalent."""
+    signature/bucket index. With md5 token hashing and unigram shingles
+    the whole signature chain is SQL-reproducible, so this entry has a
+    full DuckDB oracle (candidates = share ≥1 complete band with the
+    query signature; est = matching-perm fraction)."""
     from ..minhash_index import MinHashSearchIndex
 
     tag = sf_dir.strip("/").replace("/", "_")
-    idx_dir = os.path.join(CACHE_ROOT, tag, "minhash_index")
+    idx_dir = os.path.join(CACHE_ROOT, tag, "minhash_index_md5")
     if not os.path.exists(os.path.join(idx_dir, "config.json")):
         ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
         MinHashSearchIndex.build(ds, idx_dir, num_perm=128, num_bands=32,
-                                 shingle_k=1)
+                                 shingle_k=1, hash_fn="md5")
     idx = MinHashSearchIndex(idx_dir)
     q_text = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
                            columns=["text"])["text"][0].as_py()
