@@ -43,6 +43,29 @@ from .build import (
 )
 
 
+def recover_segments(index_dir: str) -> bool:
+    """Heal a compact_index swap interrupted between its two renames:
+    if segments/ is missing but segments.old exists, rename it back
+    (the pre-compaction index is complete and correct). A leftover
+    segments.compact is stale scratch either way — removed. Returns
+    True if a recovery action was taken. Called on compaction entry
+    and on QueryEngine open, so a crash in the swap window never
+    leaves the index unreadable."""
+    import shutil
+
+    segments_dir = os.path.join(index_dir, "segments")
+    old = segments_dir + ".old"
+    acted = False
+    if not os.path.isdir(segments_dir) and os.path.isdir(old):
+        os.rename(old, segments_dir)
+        acted = True
+    if os.path.isdir(segments_dir):
+        # segments present: any .old is a fully-superseded copy
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(segments_dir + ".compact", ignore_errors=True)
+    return acted
+
+
 def append_to_index(source, index_dir: str,
                     cfg: IndexBuildConfig | None = None,
                     content_col: str | None = None, id_col: str | None = None,
@@ -93,16 +116,40 @@ def append_to_index(source, index_dir: str,
     else:
         src_ds = rd.read_parquet(source)
 
-    # docs pass: append into docs/ (unique file names via UUID suffix)
-    src_ds.map_batches(make_docs_meta_fn(cfg), batch_format="pyarrow",
-                       batch_size=cfg.batch_size).write_parquet(docs_dir)
+    # docs pass: STAGE outside docs/ first — the collision check below
+    # may reject this append, and new rows must not pollute the live
+    # docs table until it passes (a failed append leaves the index
+    # exactly as it was)
+    import shutil
+    import uuid
 
-    # refresh stats over the UNION of old + new docs
-    n_docs, total_len = 0, 0
-    for rb in pads.dataset(docs_dir).to_batches(columns=["doc_len"]):
-        n_docs += rb.num_rows
-        total_len += int(pc.sum(rb.column(0)).as_py() or 0)
-    check_doc_id_collisions(docs_dir, n_docs)
+    # sweep staged dirs orphaned by a crashed prior append (single-writer
+    # assumption: no other append is running against this index)
+    for name in os.listdir(index_dir):
+        if name.startswith("docs.staged-"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+    staged_dir = os.path.join(index_dir, f"docs.staged-{uuid.uuid4().hex}")
+    try:
+        src_ds.map_batches(make_docs_meta_fn(cfg), batch_format="pyarrow",
+                           batch_size=cfg.batch_size).write_parquet(staged_dir)
+
+        # refresh stats over the UNION of old + staged docs
+        union = pads.dataset([pads.dataset(docs_dir),
+                              pads.dataset(staged_dir)])
+        n_docs, total_len = 0, 0
+        for rb in union.to_batches(columns=["doc_len"]):
+            n_docs += rb.num_rows
+            total_len += int(pc.sum(rb.column(0)).as_py() or 0)
+        check_doc_id_collisions(union, n_docs)
+    except BaseException:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        raise
+    # commit: move staged files into docs/ (names are UUID-unique)
+    for name in os.listdir(staged_dir):
+        os.rename(os.path.join(staged_dir, name),
+                  os.path.join(docs_dir, name))
+    os.rmdir(staged_dir)
     avgdl = (total_len / n_docs) if n_docs else 0.0
     stats = dict(prev)
     stats.update({"n_docs": n_docs, "total_len": total_len, "avgdl": avgdl,
@@ -228,6 +275,7 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
         g = g.append_column("doc_len", pa.array(dls.astype(np.int64)))
         return encoder(g)
 
+    recover_segments(index_dir)  # heal any half-finished prior swap first
     tmp = segments_dir + ".compact"
     shutil.rmtree(tmp, ignore_errors=True)
     (rd.read_parquet(segments_dir)
@@ -238,7 +286,11 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
     old = segments_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(segments_dir, old)
-    os.rename(tmp, segments_dir)
+    try:
+        os.rename(tmp, segments_dir)
+    except OSError:
+        os.rename(old, segments_dir)  # restore — index stays readable
+        raise
     shutil.rmtree(old)
 
     from .checkpoint import _write_term_dict

@@ -309,16 +309,19 @@ class DocIdCollisionError(ValueError):
 _COLLISION_CHECK_MAX_DOCS = 50_000_000
 
 
-def check_doc_id_collisions(docs_dir: str, n_docs: int) -> None:
+def check_doc_id_collisions(docs, n_docs: int) -> None:
     """Doc ids must be unique: duplicate ids (hash collision of the
     derived 63-bit id, or duplicate rows in an id_col source) would merge
     two documents' postings — the doc_id-sorted posting invariant
-    (SURVEY.md §2.9) silently breaks. Fails loudly instead."""
+    (SURVEY.md §2.9) silently breaks. Fails loudly instead.
+    ``docs`` is a docs dir path or an already-built pyarrow Dataset."""
     import pyarrow.dataset as pads
 
     if n_docs == 0 or n_docs > _COLLISION_CHECK_MAX_DOCS:
         return
-    ids = pads.dataset(docs_dir).to_table(columns=["doc_id"])["doc_id"]
+    if isinstance(docs, str):
+        docs = pads.dataset(docs)
+    ids = docs.to_table(columns=["doc_id"])["doc_id"]
     arr = np.asarray(ids.combine_chunks()).astype(np.int64)
     uniq = len(np.unique(arr))
     if uniq != len(arr):

@@ -174,7 +174,12 @@ def build_index_resumable(source: str | list[str], index_dir: str,
             "\n".join(files).encode()).hexdigest(),
     }
     prev_config = manifest.data.get("config") or {}
-    if manifest.data.get("partitions") and prev_config and prev_config != new_config:
+    # compare only keys the stored manifest actually has: older manifests
+    # predate some keys (n_input_files/input_files_sha256 were added
+    # later) and must stay resumable — missing keys are backfilled below
+    prev_cmp = {k: v for k, v in prev_config.items() if k in new_config}
+    new_cmp = {k: new_config[k] for k in prev_cmp}
+    if manifest.data.get("partitions") and prev_cmp and prev_cmp != new_cmp:
         # resuming with different knobs would mix shard layouts: finished
         # partitions staged postings under the old config get skipped
         # while new ones use the new config → silently corrupt index

@@ -36,6 +36,15 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame, on: str,
     return large.map_batches(merge, batch_format="pandas")
 
 
+def _pd_dtype(typ: pa.DataType):
+    """Arrow type → pandas dtype for stable block schemas; object for
+    nested/unmappable types (pandas' container dtype for them)."""
+    try:
+        return typ.to_pandas_dtype()
+    except (NotImplementedError, AttributeError):
+        return np.dtype(object)
+
+
 def _tag_and_bucket(ds: Dataset, on: str, side: str, num_buckets: int,
                     unified: "list[tuple[str, pa.DataType]]",
                     salt: int = 1) -> Dataset:
@@ -115,12 +124,20 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     tagged = _tag_and_bucket(left, on, "l", num_buckets, unified, salt).union(
         _tag_and_bucket(right, on, "r", num_buckets, unified, salt))
 
-    pd_dtypes = {}
-    for name, typ in unified:
-        try:
-            pd_dtypes[name] = typ.to_pandas_dtype()
-        except (NotImplementedError, AttributeError):
-            pass  # non-arrow or nested type: leave dtype as produced
+    # expected output dtypes, including suffix-renamed collision columns
+    # (a one-sided/empty bucket must emit the SAME block schema as a
+    # populated one — Ray's shuffle requires uniform block types)
+    out_dtypes: dict[str, object] = {}
+    l_map = dict(zip(lsch.names, lsch.types))
+    r_map = dict(zip(rsch.names, rsch.types))
+    for c in left_cols:
+        name = c if (c == on or c not in r_map) else c + suffixes[0]
+        out_dtypes[name] = _pd_dtype(l_map[c])
+    for c in right_cols:
+        if c == on:
+            continue
+        name = c if c not in l_map else c + suffixes[1]
+        out_dtypes[name] = _pd_dtype(r_map[c])
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == "l"].reindex(columns=left_cols)
@@ -130,8 +147,8 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
             # empty-side merges promote ints to float; inner joins can't
             # contain NaN, so restore the source dtypes for stable block
             # schemas (Ray's sort shuffle requires uniform types)
-            casts = {c: pd_dtypes[c] for c in out.columns
-                     if c in pd_dtypes and out[c].dtype != pd_dtypes[c]}
+            casts = {c: out_dtypes[c] for c in out.columns
+                     if c in out_dtypes and out[c].dtype != out_dtypes[c]}
             if casts:
                 out = out.astype(casts)
         return out
@@ -164,40 +181,45 @@ def asof_join(left: Dataset, right: Dataset, by: str = "user_id",
     tagged = _tag_and_bucket(left, by, "l", num_buckets, unified).union(
         _tag_and_bucket(right, by, "r", num_buckets, unified))
 
+    # output layout: every left col, then every right col except the key
+    # (suffixed on collision) — right's ``on`` rides along as on+suffix
+    out_cols = left_cols + [c + (suffix if c in left_cols else "")
+                            for c in right_cols if c != by]
+    l_map = dict(zip(lsch.names, lsch.types))
+    r_map = dict(zip(rsch.names, rsch.types))
+    out_dtypes = {c: _pd_dtype(l_map[c]) for c in left_cols}
+    for c in right_cols:
+        if c != by:
+            out_dtypes[c + (suffix if c in left_cols else "")] = \
+                _pd_dtype(r_map[c])
+
+    def typed_empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
+                             for c in out_cols})
+
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == "l"].reindex(columns=left_cols)
-        r = (g[g["__side"] == "r"].reindex(columns=right_cols)
-             .sort_values([by, on], kind="mergesort"))
-        out_cols = left_cols + [c + (suffix if c in left_cols else "")
-                                for c in right_cols if c != by]
+        r = g[g["__side"] == "r"].reindex(columns=right_cols)
         if l.empty or r.empty:
-            return pd.DataFrame({c: pd.Series(dtype=np.int64)
-                                 for c in out_cols})
-        parts = []
-        r_by = r.groupby(by, sort=False)
-        for key, lg in l.groupby(by, sort=False):
-            try:
-                rg = r_by.get_group(key)
-            except KeyError:
-                continue
-            r_on = rg[on].to_numpy()
-            idx = np.searchsorted(r_on, lg[on].to_numpy(),
-                                  side="right") - 1
-            keep = idx >= 0
-            if not keep.any():
-                continue
-            lk = lg[keep].reset_index(drop=True)
-            rk = rg.iloc[idx[keep]].reset_index(drop=True)
-            row = lk.copy()
-            for c in right_cols:
-                if c == by:
-                    continue
-                row[c + (suffix if c in left_cols else "")] = rk[c]
-            parts.append(row)
-        if not parts:
-            return pd.DataFrame({c: pd.Series(dtype=np.int64)
-                                 for c in out_cols})
-        return pd.concat(parts, ignore_index=True)
+            return typed_empty()
+        # one vectorized merge_asof per bucket (C mergesort over all
+        # keys at once — no per-key Python loop): backward direction
+        # with exact matches = greatest right ``on`` ≤ left ``on``;
+        # ties on (by, on) resolve to the last stable-sorted right row,
+        # matching the previous searchsorted(side="right")-1 semantics
+        r = r.assign(__r_on=r[on])
+        l = l.sort_values(on, kind="mergesort")
+        r = r.sort_values(on, kind="mergesort")
+        out = pd.merge_asof(l, r, on=on, by=by, suffixes=("", suffix),
+                            direction="backward", allow_exact_matches=True)
+        out = out[out["__r_on"].notna()]  # inner semantics: no-match drops
+        if out.empty:
+            return typed_empty()
+        out = out.rename(columns={"__r_on": on + suffix})
+        out = out.reindex(columns=out_cols)
+        casts = {c: out_dtypes[c] for c in out_cols
+                 if out[c].dtype != out_dtypes[c]}
+        return out.astype(casts) if casts else out
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pandas")

@@ -87,7 +87,9 @@ def _partial_sums(batch: pa.Table, keys: list[str],
     import pandas as pd
 
     df = batch.select(list(keys) + list(sums)).to_pandas()
-    out = (df.groupby(keys, sort=False, as_index=False)
+    # dropna=False: SQL GROUP BY keeps NULL groups; pandas' default
+    # dropna=True would silently discard rows with a null key
+    out = (df.groupby(keys, sort=False, as_index=False, dropna=False)
            .agg({c: "sum" for c in sums})
            .rename(columns=sums))
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -356,7 +358,10 @@ def text_knn(sf_dir: str):
         if kk == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
-        top = np.argpartition(-sim, kk - 1)[:kk]
+        # deterministic tie-break (sim desc, doc_id asc) — exact integer
+        # dot ratios tie across duplicate texts, and the oracle's
+        # ORDER BY sim DESC, doc_id ASC must survive the batch cutoff
+        top = np.lexsort((ids[keep], -sim))[:kk]
         return pa.table({"doc_id": ids[keep][top], "sim": sim[top]})
 
     parts = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])

@@ -156,6 +156,9 @@ class QueryEngine:
     scores stay bitwise identical to the full engine."""
 
     def __init__(self, index_dir: str, shard_subset: list[int] | None = None):
+        from .append import recover_segments
+
+        recover_segments(index_dir)  # heal interrupted compaction swaps
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         self.n_docs = self.stats["n_docs"]

@@ -135,12 +135,66 @@ def test_append_inherits_column_config(ray_session, tmp_path):
 
 
 def test_append_collision_detected(ray_session, tmp_path):
+    import os
+
     from stacksearch_ray.append import append_to_index
     from stacksearch_ray.build import DocIdCollisionError, build_index
+    from stacksearch_ray.query import QueryEngine
 
     corpus = str(tmp_path / "c")
     write_corpus(corpus, 100, rows_per_file=100)
     idx = str(tmp_path / "i")
     build_index(corpus, idx, num_shards=2)
+    eng = QueryEngine(idx)
+    before = eng.search("helper_3 field_7 import", 10)
     with pytest.raises(DocIdCollisionError):
         append_to_index(corpus, idx)  # same docs again → duplicate ids
+    # rejected append must leave the index EXACTLY as it was: no staged
+    # leftovers, no rows added to docs/, same results on reopen
+    assert not [n for n in os.listdir(idx) if n.startswith("docs.staged")]
+    assert QueryEngine(idx).search("helper_3 field_7 import", 10) == before
+    # and a subsequent disjoint append still works — derived ids come
+    # from (repo, path, commit), so remap path to a disjoint key space
+    import pyarrow as pa
+
+    t = generate_corpus(60, seed=991)
+    i = t.schema.get_field_index("path")
+    t = t.set_column(i, "path",
+                     pa.array([f"delta/{j}.py" for j in range(len(t))]))
+    delta = str(tmp_path / "delta.parquet")
+    pq.write_table(t, delta)
+    append_to_index(delta, idx)
+    after = QueryEngine(idx).search("helper_3 field_7 import", 10)
+    assert len(after) == 10
+
+
+def test_compact_crash_recovery(ray_session, tmp_path):
+    """A crash between compact_index's two renames must be healable:
+    QueryEngine open restores segments.old and serves the same results."""
+    import os
+    import shutil
+
+    from stacksearch_ray.append import recover_segments
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 80, rows_per_file=80)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, num_shards=2)
+    before = QueryEngine(idx).search("numpy python", 5)
+
+    seg = os.path.join(idx, "segments")
+    # simulate the crash window: segments renamed away, scratch left over
+    os.rename(seg, seg + ".old")
+    os.makedirs(seg + ".compact")
+    assert recover_segments(idx) is True
+    assert os.path.isdir(seg)
+    assert not os.path.isdir(seg + ".old")
+    assert not os.path.isdir(seg + ".compact")
+    assert QueryEngine(idx).search("numpy python", 5) == before
+
+    # and QueryEngine itself heals without an explicit recover call
+    os.rename(seg, seg + ".old")
+    assert QueryEngine(idx).search("numpy python", 5) == before
+    shutil.rmtree(seg + ".old", ignore_errors=True)
