@@ -173,6 +173,10 @@ def oracle_sql() -> dict[str, str]:
     _ma, _mb = _minhash_params(128, 7)
     perm_rows = ", ".join(f"({p}, {int(_ma[p])}, {int(_mb[p])})"
                           for p in range(128))
+    # minhash_clusters runs num_perm=64 (an independent seed-7 draw)
+    _ca, _cb = _minhash_params(64, 7)
+    perm_rows64 = ", ".join(f"({p}, {int(_ca[p])}, {int(_cb[p])})"
+                            for p in range(64))
     oracles = {
         "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
         "term_df": f"WITH {kept} SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term",
@@ -599,10 +603,61 @@ per_query AS (
   GROUP BY c.config, q.variant, q.qid)
 SELECT config, variant, CAST(sum(hit) AS BIGINT) AS hits, count(*) AS n
 FROM per_query GROUP BY config, variant""",
-        # rows-only (non-SQL-expressible): minhash_clusters (pd-hash
-        # shingle rolling + banding), approx_vocab (HLL, approximate by
-        # design), multimodal_features / video_frame_sample /
-        # audio_windows (synthetic payload bytes are not SQL-derivable)
+        "minhash_clusters": f"""
+WITH RECURSIVE {kept},
+h AS (SELECT DISTINCT doc_id, md5_number_lower(term) AS th FROM kept),
+perms(p, a, b) AS (VALUES {perm_rows64}),
+sig AS (
+  -- engine signature chain (dedup.minhash_signatures_batch, md5 +
+  -- unigram shingles): min over tokens of fold((th·a + b) mod 2⁶⁴),
+  -- fold(x) = (x mod 2⁶¹) + (x div 2⁶¹)
+  SELECT h.doc_id, pm.p,
+         min( ((h.th::HUGEINT * pm.a + pm.b)
+               % 18446744073709551616::HUGEINT)
+              % 2305843009213693952::HUGEINT
+              + ((h.th::HUGEINT * pm.a + pm.b)
+                 % 18446744073709551616::HUGEINT)
+                // 2305843009213693952::HUGEINT ) AS s
+  FROM h CROSS JOIN perms pm
+  GROUP BY h.doc_id, pm.p),
+bands AS (
+  -- 16 bands × 4 perms: candidates share a COMPLETE band
+  SELECT doc_id, p // 4 AS band,
+         string_agg(s::VARCHAR, ',' ORDER BY p) AS bsig
+  FROM sig GROUP BY doc_id, p // 4),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bsig = b2.bsig AND b1.doc_id < b2.doc_id),
+m AS (
+  SELECT c.a, c.b, count(*) AS m
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p AND sb.s = sa.s
+  GROUP BY c.a, c.b),
+empty_docs AS (
+  -- zero-kept-token docs share the engine's all-max signature →
+  -- mutually verified pairs
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM h)),
+edges AS (
+  SELECT a, b FROM m WHERE m >= 52   -- est = m/64 ≥ 0.8 threshold
+  UNION ALL
+  SELECT e1.doc_id, e2.doc_id
+  FROM empty_docs e1 JOIN empty_docs e2 ON e1.doc_id < e2.doc_id),
+sym AS (SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges),
+reach(node, lbl) AS (
+  -- min-label connected components: lbl reaches every node in its
+  -- component; UNION dedups → terminates
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""",
+        # rows-only (non-SQL-expressible): approx_vocab (HLL,
+        # approximate by design), multimodal_features /
+        # video_frame_sample / audio_windows (synthetic payload bytes
+        # are not SQL-derivable)
     }
     if not qt_rows:
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)

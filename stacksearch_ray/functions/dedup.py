@@ -258,7 +258,8 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          clustering: str = "distributed",
                          verify: str = "inline",
                          max_bucket_pairs_ids: int = 256,
-                         stats_out: dict | None = None) -> Dataset:
+                         stats_out: dict | None = None,
+                         hash_fn: str = "pd") -> Dataset:
     """(doc_id, cluster_id): connected components over verified near-dup
     pairs; singletons keep cluster_id == doc_id.
 
@@ -282,11 +283,17 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     matrix once via ray.put (fastest ≤ ~10M docs at num_perm=128,
     opt-in). Identical results (tested).
 
-    Driver-memory note: the final label table and the node-id array
-    pass through the driver (8 bytes/doc — ~80 GB at 10¹⁰ docs); the
-    edge/verify stages are fully distributed. Beyond that, emit labels
-    as a partitioned Dataset instead of pandas (propagate_min_labels is
-    the piece to lift).
+    Driver-memory note: with the defaults (inline verify + distributed
+    clustering) every stage — signatures, banding, verify, node set,
+    label propagation — is a Dataset end to end; driver-resident state
+    is O(1) scalars per propagation round. Only the opt-in
+    ``verify="broadcast"`` / ``clustering="driver"`` modes hold
+    per-doc arrays on the driver.
+
+    ``hash_fn="md5"`` + ``shingle_k=1`` makes the whole chain
+    (signatures → bands → verify → clusters) DuckDB-reproducible
+    (md5_number_lower token hashing) — how the driver's
+    minhash_clusters entry gets its SQL oracle.
 
     ``stats_out`` (inline verify only): pass a dict to receive
     ``verified_pairs`` and ``starred_pairs`` — the count of pairs that
@@ -294,7 +301,8 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     (``max_bucket_pairs_ids`` is the knob), making the star trade-off
     auditable instead of silent.
     """
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
+                              seed, hash_fn)
     if verify == "join":
         sigs = sigs.materialize()  # consumed by bands + two join sides
 
@@ -302,14 +310,19 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
         bands = sigs.map_batches(
             lambda t: _bands_batch(t, num_bands, num_perm, carry_sig=True),
             batch_format="pyarrow").materialize()
-        doc_arr = np.sort(np.asarray(
-            ds.select_columns([id_col]).to_pandas()[id_col]).astype(np.int64))
+        # node set stays a Dataset: distributed clustering never pulls
+        # the doc_id array to the driver (driver clustering converts
+        # inside _cluster_pairs — small-corpus opt-in)
+        nodes = ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t[id_col].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow")
         bands = _filter_collision_buckets(bands)
         if bands is None:
             return _cluster_pairs(
                 rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
                                         "b": pa.array([], pa.int64())})),
-                doc_arr, clustering, max_iters)
+                nodes, clustering, max_iters)
 
         def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
@@ -352,7 +365,7 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
             verified = verified.materialize()
             stats_out["verified_pairs"] = verified.count()
             stats_out["starred_pairs"] = int(verified.sum("starred") or 0)
-        return _cluster_pairs(verified, doc_arr, clustering, max_iters)
+        return _cluster_pairs(verified, nodes, clustering, max_iters)
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(group["doc_id"].to_numpy())
@@ -384,8 +397,7 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     if verify == "join":
         from .joins import hash_join
 
-        doc_arr = np.sort(np.asarray(
-            sigs.select_columns(["doc_id"]).to_pandas()["doc_id"]).astype(np.int64))
+        nodes = sigs.select_columns(["doc_id"])
         # dedupe candidate pairs before joining (same pair from many bands)
         cand = cand.groupby(["a", "b"]).map_groups(
             lambda g: g.head(1), batch_format="pandas")
@@ -443,25 +455,34 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
         # pair dedup happens driver-side with the clustering below (the
         # verified pair set is tiny vs the corpus at broadcast scales)
         verified = cand.map_batches(verify_fn, batch_format="pyarrow")
+        nodes = doc_arr
 
-    return _cluster_pairs(verified, doc_arr, clustering, max_iters)
+    return _cluster_pairs(verified, nodes, clustering, max_iters)
 
 
-def _cluster_pairs(verified: Dataset, doc_arr: np.ndarray, clustering: str,
+def _cluster_pairs(verified: Dataset, nodes, clustering: str,
                    max_iters: int) -> Dataset:
     """Connected components over verified pair edges → (doc_id,
     cluster_id); singletons keep their own id. ``distributed`` =
-    groupby-based min-label propagation (scale path), ``driver`` = edge
-    loop on the driver (small-corpus opt-in)."""
+    Dataset-native min-label propagation (scale path — the label table
+    never touches the driver), ``driver`` = edge loop on the driver
+    (small-corpus opt-in). ``nodes`` is a Dataset with an int64 doc_id
+    column, or an np.ndarray of ids (broadcast-verify callers, whose
+    ids are already driver-resident)."""
     if clustering == "distributed":
-        from .joins import propagate_min_labels
+        from .joins import propagate_min_labels_ds
 
-        labels = propagate_min_labels(verified, doc_arr, max_iters=max_iters)
-        labels = labels.sort_values("doc_id").reset_index(drop=True)
-        return rd.from_arrow(pa.Table.from_pandas(labels, preserve_index=False))
+        if isinstance(nodes, np.ndarray):
+            nodes = rd.from_arrow(pa.table(
+                {"doc_id": pa.array(nodes, pa.int64())}))
+        return propagate_min_labels_ds(verified, nodes,
+                                       max_iters=max_iters)
 
+    if not isinstance(nodes, np.ndarray):
+        nodes = np.asarray(
+            nodes.to_pandas()["doc_id"]).astype(np.int64)
     pairs_pdf = verified.to_pandas().drop_duplicates(["a", "b"])
-    label = {int(d): int(d) for d in doc_arr}
+    label = {int(d): int(d) for d in nodes}
     edges = list(zip(pairs_pdf["a"].astype(int), pairs_pdf["b"].astype(int)))
     for _ in range(max_iters):
         changed = False

@@ -725,9 +725,16 @@ def eval_recall(sf_dir: str):
 def minhash_clusters(sf_dir: str):
     """MinHash-LSH near-dup clustering through the unbounded-scale code
     paths: in-bucket signature verify (no join, no broadcast) +
-    distributed min-label propagation (the function defaults)."""
+    Dataset-native min-label propagation (the function defaults; the
+    label table never touches the driver).
+
+    md5 token hashing + unigram shingles make every stage
+    SQL-reproducible, so this entry has a FULL DuckDB oracle
+    (signatures → exact band equality → m/64 ≥ threshold verify →
+    recursive-CTE min-label components)."""
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-    return minhash_lsh_clusters(ds, num_perm=64, num_bands=16, threshold=0.5,
+    return minhash_lsh_clusters(ds, num_perm=64, num_bands=16, threshold=0.8,
+                                shingle_k=1, hash_fn="md5",
                                 verify="inline", clustering="distributed")
 
 

@@ -174,3 +174,84 @@ def test_distributed_equals_driver_clustering(ray_session):
             break
     for node in nodes:
         assert dist[node] == label[int(node)], node
+
+
+def test_dataset_label_propagation_matches_legacy(ray_session):
+    """propagate_min_labels_ds (label table a Dataset end to end) ==
+    the legacy pandas-frame propagation, on a random graph."""
+    import ray.data as rd
+
+    from stacksearch_ray.functions.joins import (
+        propagate_min_labels,
+        propagate_min_labels_ds,
+    )
+
+    rng = np.random.default_rng(13)
+    # dense graph → small diameter → few propagation rounds (each round
+    # is a real Ray shuffle; a sparse 300-node chainy graph costs ~17
+    # rounds and nearly a minute of suite time for no extra coverage)
+    n = 100
+    a = rng.integers(0, n, 200)
+    b = rng.integers(0, n, 200)
+    keep = a != b
+    pairs = pd.DataFrame({"a": np.minimum(a, b)[keep].astype(np.int64),
+                          "b": np.maximum(a, b)[keep].astype(np.int64)})
+    nodes_arr = np.arange(n, dtype=np.int64)
+    nodes_ds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes_arr)}))
+
+    legacy = (propagate_min_labels(_ds(pairs), nodes_arr)
+              .sort_values("doc_id").reset_index(drop=True))
+    ds_out = (propagate_min_labels_ds(_ds(pairs), nodes_ds).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert ds_out.equals(legacy)
+
+
+def test_dataset_label_propagation_million_nodes(ray_session, tmp_path):
+    """Scale shape: 10^6 nodes clustered with the label table a Dataset
+    end to end — consumed via write_parquet, validated with distributed
+    aggregates only (no driver-side label materialization)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from stacksearch_ray.functions.joins import propagate_min_labels_ds
+
+    n = 1_000_000
+    n_pairs = 400_000  # pairs (2i, 2i+1) for i < 400k; rest singletons
+
+    def gen_nodes(batch):
+        lo = int(batch["lo"][0].as_py())
+        ids = np.arange(lo, min(lo + 100_000, n), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids)})
+
+    nodes = rd.from_arrow(pa.table(
+        {"lo": pa.array(np.arange(0, n, 100_000, dtype=np.int64))}
+    )).map_batches(gen_nodes, batch_format="pyarrow", batch_size=1)
+
+    def gen_pairs(batch):
+        lo = int(batch["lo"][0].as_py())
+        i = np.arange(lo, min(lo + 100_000, n_pairs), dtype=np.int64)
+        return pa.table({"a": pa.array(2 * i), "b": pa.array(2 * i + 1)})
+
+    pairs = rd.from_arrow(pa.table(
+        {"lo": pa.array(np.arange(0, n_pairs, 100_000, dtype=np.int64))}
+    )).map_batches(gen_pairs, batch_format="pyarrow", batch_size=1)
+
+    labels = propagate_min_labels_ds(pairs, nodes, num_buckets=8)
+    out_dir = str(tmp_path / "labels")
+    labels.write_parquet(out_dir)
+
+    # validate via streaming aggregates over the parquet output:
+    # paired nodes 2i and 2i+1 both get label 2i; singletons keep own id
+    got_rows, got_sum = 0, 0
+    for rb in pads.dataset(out_dir).to_batches(columns=["doc_id",
+                                                        "cluster_id"]):
+        got_rows += rb.num_rows
+        d = rb.column(0).to_numpy(zero_copy_only=False)
+        c = rb.column(1).to_numpy(zero_copy_only=False)
+        exp = np.where(d < 2 * n_pairs, d & ~np.int64(1), d)
+        assert (c == exp).all()
+        got_sum += int(c.sum())
+    assert got_rows == n
+    i = np.arange(n_pairs, dtype=np.int64)
+    sing = np.arange(2 * n_pairs, n, dtype=np.int64)
+    assert got_sum == int((4 * i).sum() + sing.sum())
