@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
+        "dedup_corpus": P.dedup_corpus,
         "minhash_clusters": P.minhash_clusters,
         "minhash_search": P.minhash_search,
         "simhash_sigs": P.simhash_sigs,
@@ -227,6 +228,17 @@ FROM topk t JOIN documents d ON t.doc_id = d.doc_id""",
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
        count(*) AS n_dups
 FROM documents GROUP BY md5(text)""",
+        "dedup_corpus": """
+WITH full_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents),
+r AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM full_corpus)
+SELECT doc_id, content_hash FROM r WHERE rn = 1""",
         "filter_en_long": """
 SELECT doc_id, source, n_chars FROM documents
 WHERE lang = 'en' AND n_chars >= 200""",

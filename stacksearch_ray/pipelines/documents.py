@@ -26,6 +26,8 @@ from ray.data.aggregate import Count, Sum
 from ..build import build_index
 from ..micros import pc_micros, to_micros
 from ..functions.dedup import (
+    add_content_hash,
+    dedup_corpus as dedup_corpus_fn,
     exact_dedup_groups,
     minhash_lsh_clusters,
     simhash_signatures,
@@ -192,6 +194,26 @@ def exact_dedup(sf_dir: str):
     """(content_hash, keep_id, n_dups) per distinct text."""
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     return exact_dedup_groups(ds, text_col="text", id_col="doc_id")
+
+
+def dedup_corpus(sf_dir: str):
+    """Exact dedup as a CORPUS transform: the kept rows themselves, not
+    the groups table. Input = documents ∪ an id-shifted copy (so real
+    duplicates exist); every original row survives (smaller id wins),
+    every shifted copy drops. Output (doc_id, content_hash) for value
+    comparison; drop-set discovery shuffles (hash, id) only and the
+    kept rows never shuffle (broadcast drop-filter)."""
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    shifted = ds.map_batches(
+        lambda t: pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000),
+                            "text": t["text"]}),
+        batch_format="pyarrow")
+    kept = dedup_corpus_fn(ds.union(shifted), text_col="text",
+                           id_col="doc_id")
+    return kept.map_batches(
+        lambda t: add_content_hash(t, "text").select(
+            ["doc_id", "content_hash"]),
+        batch_format="pyarrow")
 
 
 def filter_en_long(sf_dir: str):

@@ -30,6 +30,37 @@ def test_exact_dedup(ray_session):
     assert len(dup) == 1 and dup["keep_id"].iloc[0] == 0
 
 
+def test_dedup_corpus(ray_session):
+    """dedup_corpus returns the INPUT rows minus exact duplicates (min
+    id kept), all columns intact; broadcast and join lookups agree."""
+    from stacksearch_ray.functions.dedup import dedup_corpus
+
+    # extra column rides along untouched
+    import ray.data as rd
+
+    texts = TEXTS + [TEXTS[0], TEXTS[3]]  # ids 6, 7 duplicate 0 and 3
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "meta": pa.array([f"m{i}" for i in range(len(texts))]),
+    }))
+    for lookup in ("broadcast", "join"):
+        out = (dedup_corpus(ds, lookup=lookup, num_buckets=4).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert list(out["doc_id"]) == [0, 2, 3, 4, 5]
+        assert list(out.columns) == ["doc_id", "text", "meta"]
+        assert list(out["meta"]) == ["m0", "m2", "m3", "m4", "m5"]
+
+
+def test_dedup_corpus_no_dups_is_identity(ray_session):
+    from stacksearch_ray.functions.dedup import dedup_corpus
+
+    ds = _docs_ds(TEXTS[2:])  # all distinct
+    for lookup in ("broadcast", "join"):
+        out = dedup_corpus(ds, lookup=lookup).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 2, 3]
+
+
 def test_minhash_identical_signatures(ray_session):
     from stacksearch_ray.functions.dedup import minhash_signatures
 
