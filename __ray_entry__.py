@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": P.embedding_pairs,
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
+        "semantic_knn": P.semantic_knn,
         # invariant surfaced as a driver-checked query
         "content_hashes": P.content_hashes,
         # streaming-shaped + generic columnar + joins
@@ -667,9 +668,10 @@ reach(node, lbl) AS (
   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""",
         # rows-only (non-SQL-expressible): approx_vocab (HLL,
-        # approximate by design), multimodal_features /
-        # video_frame_sample / audio_windows (synthetic payload bytes
-        # are not SQL-derivable)
+        # approximate by design), semantic_knn (trained PPMI+SVD model
+        # — synonym geometry pinned by pytest instead),
+        # multimodal_features / video_frame_sample / audio_windows
+        # (synthetic payload bytes are not SQL-derivable)
     }
     if not qt_rows:
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)

@@ -402,6 +402,37 @@ def text_knn(sf_dir: str):
     })
 
 
+def semantic_knn(sf_dir: str):
+    """F3/F5 proper (the reference's trained-W2V capability): PPMI+SVD
+    word embeddings trained as a Ray pipeline (vocab + skip-gram pair
+    counts distributed; SVD at vocab scale on the driver), served by an
+    actor-pool SemanticEncoder restoring the persisted artifact once
+    per actor; exact cosine top-10 to doc 0's text. Learned-model
+    output — not SQL-expressible, so this entry is rows-only (the
+    in-repo pytest pins synonym-geometry instead)."""
+    from ..functions.semantic import SemanticEncoder, train_semantic_artifact
+    from ..functions.similarity import knn_brute_force
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    art_dir = os.path.join(CACHE_ROOT, tag, "semantic_ppmi_svd")
+    if not os.path.isdir(art_dir):
+        ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+        train_semantic_artifact(ds, art_dir, vocab_size=2000,
+                                window=4, dim=64)
+    enc = SemanticEncoder(art_dir)
+    q_tbl = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
+                          columns=["text"])
+    q = enc.encode_texts([q_tbl["text"][0].as_py()])
+    embs = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(SemanticEncoder, batch_format="pyarrow",
+                         batch_size=256, concurrency=2,
+                         fn_constructor_kwargs={"artifact_dir": art_dir}))
+    out = knn_brute_force(embs, q, k=10, emb_col="embedding",
+                          id_col="doc_id")
+    return out.select(["vec_id", "sim_micros", "rank"]).rename_columns(
+        ["doc_id", "sim_micros", "rank"])
+
+
 def content_hashes(sf_dir: str):
     """Per-row sha256 invariant, driver-checkable: the engine's docs table
     (built via the full index pipeline) vs SQL sha256(text)."""
