@@ -2,13 +2,14 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not
-in this environment): ``DecodeImageFeatures`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (seeded
-by payload bytes) produces stable feature vectors. Everything Ray-side —
-schema, batch sizing, actor signature, broadcast of stage config, output
-layout — is real and tested, so swapping in a real PIL/libav decoder is a
-one-function change.
+Image and audio decode are REAL for the uncompressed public formats:
+BMP payloads decode to pixels and WAV payloads to PCM samples via the
+pure-NumPy/stdlib codecs in media_codec.py, and features are computed
+from the actual pixels/samples. Compressed formats (png/jpeg/mp4)
+remain honestly stubbed — ``NotImplementedError`` unless ``fake=True``,
+in which case a deterministic fake decoder (seeded by payload bytes)
+produces stable feature vectors for plumbing tests. Video container
+decode needs libav and stays stubbed.
 
 Batch-size guidance (SURVEY.md memory notes): with B-byte payloads pick
 ``batch_size ≈ target_batch_bytes / B`` so batch × concurrency fits the
@@ -35,52 +36,89 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded pseudo-bytes)."""
+def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
+                      audio_rate: int = 4000) -> pa.Table:
+    """Deterministic media rows with REAL payloads where a real codec
+    exists: images are valid 24-bit BMPs (random pixels), audio is
+    valid mono 16-bit PCM WAV (sine + noise); video payloads stay
+    seeded pseudo-bytes (container decode is stubbed)."""
+    from .media_codec import encode_bmp, encode_wav
+
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k: [] for k in ("media_id", "kind", "format", "width",
                             "height", "duration_ms", "payload")}
-    fmts = {"image": "png", "audio": "wav", "video": "mp4"}
+    fmts = {"image": "bmp", "audio": "wav", "video": "mp4"}
     for i in range(n):
         kind = kinds[i % 3]
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["format"].append(fmts[kind])
-        rows["width"].append(int(rng.integers(16, 512)) if kind != "audio" else 0)
-        rows["height"].append(int(rng.integers(16, 512)) if kind != "audio" else 0)
-        rows["duration_ms"].append(int(rng.integers(100, 60000)) if kind != "image" else 0)
-        rows["payload"].append(rng.integers(0, 256, payload_bytes,
-                                            dtype=np.uint8).tobytes())
+        if kind == "image":
+            w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(0)
+            rows["payload"].append(encode_bmp(img))
+        elif kind == "audio":
+            dur = int(rng.integers(500, 30_000))
+            t = np.arange(int(audio_rate * dur / 1000))
+            freq = float(rng.uniform(50, audio_rate / 4))
+            x = (0.5 * np.sin(2 * np.pi * freq * t / audio_rate)
+                 + 0.1 * rng.standard_normal(len(t)))
+            samples = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["duration_ms"].append(dur)
+            rows["payload"].append(encode_wav(samples, audio_rate))
+        else:
+            rows["width"].append(int(rng.integers(16, 512)))
+            rows["height"].append(int(rng.integers(16, 512)))
+            rows["duration_ms"].append(int(rng.integers(100, 60_000)))
+            rows["payload"].append(rng.integers(0, 256, payload_bytes,
+                                                dtype=np.uint8).tobytes())
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
 class DecodeImageFeatures:
-    """Actor-pool stage: 'model' load once per actor, decode per batch.
-
-    Real deployment: __init__ loads the decoder/model; __call__ decodes
-    payloads and emits feature vectors. Here the decode is stubbed."""
+    """Actor-pool stage: decoder state built once per actor, decode per
+    batch. BMP payloads decode to REAL pixels (media_codec.decode_bmp)
+    and features come from them; other formats raise unless
+    ``fake=True`` (hash-seeded plumbing features)."""
 
     FEATURE_DIM = 16
 
     def __init__(self, fake: bool = False, resize_to: int = 64):
         self.fake = fake
         self.resize_to = resize_to
-        # real impl: self.model = load_image_model(); here: nothing to load.
 
-    def _decode_one(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "environment; construct with fake=True for plumbing tests")
-        # deterministic fake: features derived from sha256 of the payload
-        h = hashlib.sha256(payload).digest()
-        return (np.frombuffer(h[:self.FEATURE_DIM], dtype=np.uint8)
-                .astype(np.float32) / 255.0)
+    def _decode_one(self, payload: bytes, fmt: str) -> np.ndarray:
+        if self.fake:
+            # deterministic fake: features derived from sha256(payload)
+            h = hashlib.sha256(payload).digest()
+            return (np.frombuffer(h[:self.FEATURE_DIM], dtype=np.uint8)
+                    .astype(np.float32) / 255.0)
+        if fmt == "bmp":
+            from .media_codec import decode_bmp, image_features
+
+            return image_features(decode_bmp(payload), self.FEATURE_DIM,
+                                  self.resize_to)
+        raise NotImplementedError(
+            f"image format {fmt!r} needs a decoder library not present "
+            "in this environment (bmp decodes natively; fake=True for "
+            "plumbing tests)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["kind"], "image"))
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._decode_one(p) for p in payloads])
+        fmts = batch["format"].to_pylist()
+        feats = (np.stack([self._decode_one(p, f)
+                           for p, f in zip(payloads, fmts)])
+                 if payloads else
+                 np.zeros((0, self.FEATURE_DIM), dtype=np.float32))
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],
@@ -91,9 +129,11 @@ class DecodeImageFeatures:
 
 
 class ExtractAudioFeatures:
-    """Actor-pool stage for audio: emits one fixed-dim feature row per
-    ``window_ms`` of audio (duration-aware), decode stubbed like the
-    image path (a real impl swaps _features_one for a resample+FFT)."""
+    """Actor-pool stage for audio: one fixed-dim feature row per
+    ``window_ms`` of audio. WAV payloads decode to REAL PCM samples
+    (media_codec.decode_wav) and each window's features (RMS,
+    zero-crossings, band powers) come from them; other formats raise
+    unless ``fake=True`` (hash-seeded, duration-metadata-driven)."""
 
     FEATURE_DIM = 12
 
@@ -101,28 +141,42 @@ class ExtractAudioFeatures:
         self.window_ms = window_ms
         self.fake = fake
 
-    def _features_one(self, payload: bytes, t: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires an audio library not present in this "
-                "environment; construct with fake=True for plumbing tests")
+    def _fake_features(self, payload: bytes, t: int) -> np.ndarray:
         h = hashlib.sha256(payload + t.to_bytes(8, "little")).digest()
         return (np.frombuffer(h[:self.FEATURE_DIM], dtype=np.uint8)
                 .astype(np.float32) / 255.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codec import audio_window_features, decode_wav
+
         ids = batch["media_id"].to_pylist()
         kinds = batch["kind"].to_pylist()
+        fmts = batch["format"].to_pylist()
         durs = batch["duration_ms"].to_pylist()
         payloads = batch["payload"].to_pylist()
         m_out, w_out, f_out = [], [], []
-        for mid, kind, dur, payload in zip(ids, kinds, durs, payloads):
+        for mid, kind, fmt, dur, payload in zip(ids, kinds, fmts, durs,
+                                                payloads):
             if kind != "audio":
                 continue
-            for w, t in enumerate(range(0, dur, self.window_ms)):
+            if self.fake:
+                for w, t in enumerate(range(0, dur, self.window_ms)):
+                    m_out.append(mid)
+                    w_out.append(w)
+                    f_out.append(self._fake_features(payload, t))
+                continue
+            if fmt != "wav":
+                raise NotImplementedError(
+                    f"audio format {fmt!r} needs a decoder library not "
+                    "present in this environment (wav decodes natively; "
+                    "fake=True for plumbing tests)")
+            samples, rate = decode_wav(payload)
+            step = max(1, rate * self.window_ms // 1000)
+            for w, s in enumerate(range(0, len(samples), step)):
                 m_out.append(mid)
                 w_out.append(w)
-                f_out.append(self._features_one(payload, t))
+                f_out.append(audio_window_features(
+                    samples[s:s + step], self.FEATURE_DIM))
         feats = (np.stack(f_out) if f_out
                  else np.zeros((0, self.FEATURE_DIM), dtype=np.float32))
         return pa.table({

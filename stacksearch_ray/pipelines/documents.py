@@ -843,15 +843,18 @@ def knn_ann_lsh(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    """Binary-payload plumbing over a deterministic synthetic media table
-    (stubbed decode — see functions/multimodal.py)."""
+    """Image features from REAL pixels: the synthetic media table's
+    image rows are valid 24-bit BMPs, decoded by the pure-NumPy codec
+    in an actor pool (fake=False — the decode is not stubbed here)."""
     from ..functions.multimodal import decode_features, synth_media_table
 
     ds = rd.from_arrow(synth_media_table(60))
-    return decode_features(ds, fake=True, batch_size=16, concurrency=2)
+    return decode_features(ds, fake=False, batch_size=16, concurrency=2)
 
 
 def video_frame_sample(sf_dir: str):
+    """Video container decode needs libav — the one multimodal stage
+    still running the deterministic fake sampler."""
     from ..functions.multimodal import sample_frames, synth_media_table
 
     ds = rd.from_arrow(synth_media_table(60))
@@ -859,8 +862,11 @@ def video_frame_sample(sf_dir: str):
 
 
 def audio_windows(sf_dir: str):
+    """Audio features from REAL PCM samples: WAV payloads decoded via
+    the stdlib codec, windowed by sample count (fake=False)."""
     from ..functions.multimodal import ExtractAudioFeatures, synth_media_table
 
     return rd.from_arrow(synth_media_table(60)).map_batches(
         ExtractAudioFeatures, batch_format="pyarrow", batch_size=16,
-        concurrency=2, fn_constructor_kwargs={"window_ms": 10_000, "fake": True})
+        concurrency=2, fn_constructor_kwargs={"window_ms": 10_000,
+                                              "fake": False})

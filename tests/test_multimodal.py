@@ -5,6 +5,7 @@ import pytest
 from stacksearch_ray.functions.multimodal import (
     MEDIA_SCHEMA,
     DecodeImageFeatures,
+    ExtractAudioFeatures,
     SampleVideoFrames,
     synth_media_table,
 )
@@ -15,21 +16,137 @@ def test_synth_media_schema():
     assert t.schema.equals(MEDIA_SCHEMA)
     assert t.num_rows == 9
     assert synth_media_table(9).equals(t)  # deterministic
+    # image payloads are real BMPs, audio payloads real WAVs
+    fmts = dict(zip(t["media_id"].to_pylist(), t["format"].to_pylist()))
+    pays = dict(zip(t["media_id"].to_pylist(), t["payload"].to_pylist()))
+    for mid, fmt in fmts.items():
+        if fmt == "bmp":
+            assert pays[mid][:2] == b"BM"
+        elif fmt == "wav":
+            assert pays[mid][:4] == b"RIFF"
 
 
-def test_decode_stub_raises_without_fake():
+def test_bmp_roundtrip():
+    from stacksearch_ray.functions.media_codec import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for h, w in ((1, 1), (2, 3), (17, 5), (64, 33)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_wav_roundtrip():
+    from stacksearch_ray.functions.media_codec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32768, 32767, 5000).astype(np.int16)
+    back, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(back, s)
+
+
+def test_image_features_golden():
+    """Features computed from KNOWN pixels, not payload hashes."""
+    from stacksearch_ray.functions.media_codec import encode_bmp
+
+    # 2x2: pure red, pure red, black, black → mean R = 0.5, G = B = 0
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, :, 0] = 255
     d = DecodeImageFeatures(fake=False)
+    t = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["image"]),
+        "format": pa.array(["bmp"]),
+        "width": pa.array([2], pa.int32()),
+        "height": pa.array([2], pa.int32()),
+        "duration_ms": pa.array([0], pa.int32()),
+        "payload": pa.array([encode_bmp(img)], pa.binary()),
+    })
+    f = np.asarray(t and d(t)["features"].combine_chunks().flatten())
+    assert f[0] == pytest.approx(0.5)       # mean R
+    assert f[1] == 0.0 and f[2] == 0.0      # mean G, B
+    assert f[3] == pytest.approx(0.5)       # std R
+    # gray histogram: gray = 1/3 for red rows, 0 for black rows
+    assert f[6] == pytest.approx(0.5)       # bin [0, .125): the black half
+    assert f[6 + 2] == pytest.approx(0.5)   # bin [.25, .375): gray 1/3
+    assert f[14] == pytest.approx(0.5)      # square aspect
+
+
+def test_audio_features_real_samples():
+    """Silence → zero RMS; a loud sine → high RMS and energy in the
+    right band. Windows counted from actual sample length."""
+    from stacksearch_ray.functions.media_codec import (
+        audio_window_features,
+        encode_wav,
+    )
+
+    silent = audio_window_features(np.zeros(4000, dtype=np.int16))
+    assert silent[0] == 0.0 and silent[1] == 0.0
+
+    rate = 4000
+    t = np.arange(rate * 2)  # 2 s
+    sine = (0.9 * 32767 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    f = audio_window_features(sine)
+    assert f[0] == pytest.approx(0.9 / np.sqrt(2), rel=1e-2)  # RMS
+    assert f[1] == pytest.approx(2 * 440 / rate, rel=1e-2)    # ZCR
+    assert f[2:].sum() == pytest.approx(1.0, abs=1e-6)        # band fractions
+
+    a = ExtractAudioFeatures(window_ms=500, fake=False)
+    tbl = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["audio"]),
+        "format": pa.array(["wav"]),
+        "width": pa.array([0], pa.int32()),
+        "height": pa.array([0], pa.int32()),
+        "duration_ms": pa.array([2000], pa.int32()),
+        "payload": pa.array([encode_wav(sine, rate)], pa.binary()),
+    })
+    out = a(tbl)
+    assert out.num_rows == 4  # 2 s / 500 ms windows from real samples
+    fm = np.asarray(out["features"].combine_chunks().flatten()).reshape(-1, 12)
+    assert (fm[:, 0] > 0.6).all()
+
+
+def test_decode_stub_raises_on_compressed_format():
+    d = DecodeImageFeatures(fake=False)
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"]),
+        "format": pa.array(["png"]),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32()),
+        "duration_ms": pa.array([0], pa.int32()),
+        "payload": pa.array([b"\x89PNG fake"], pa.binary()),
+    })
     with pytest.raises(NotImplementedError):
-        d(synth_media_table(3))
+        d(t)
+    with pytest.raises(NotImplementedError):
+        ExtractAudioFeatures(fake=False)(pa.table({
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["audio"]),
+            "format": pa.array(["mp3"]),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "duration_ms": pa.array([100], pa.int32()),
+            "payload": pa.array([b"ID3 fake"], pa.binary()),
+        }))
 
 
-def test_fake_decode_deterministic():
+def test_real_decode_deterministic():
+    d = DecodeImageFeatures(fake=False)
+    t1, t2 = d(synth_media_table(9)), d(synth_media_table(9))
+    assert t1.equals(t2)
+    f = np.asarray(t1["features"].combine_chunks().flatten()).reshape(-1, 16)
+    assert f.shape == (3, 16)  # image rows only (every 3rd of 9)
+    assert np.isfinite(f).all()
+
+
+def test_fake_decode_still_works_for_plumbing():
     d = DecodeImageFeatures(fake=True)
     t1, t2 = d(synth_media_table(6)), d(synth_media_table(6))
     assert t1.equals(t2)
     f = np.asarray(t1["features"].combine_chunks().flatten()).reshape(-1, 16)
-    assert f.shape == (6, 16) and (0 <= f).all() and (f <= 1).all()
-    assert t1["payload_bytes"].to_pylist() == [4096] * 6
+    assert (0 <= f).all() and (f <= 1).all()
 
 
 def test_sample_frames_counts():
@@ -53,18 +170,19 @@ def test_actor_pool_pipeline(ray_session):
     from stacksearch_ray.functions.multimodal import decode_features, sample_frames
 
     ds = rd.from_arrow(synth_media_table(30))
-    feats = decode_features(ds, fake=True, batch_size=8, concurrency=2).to_pandas()
-    assert len(feats) == 30
+    feats = decode_features(ds, fake=False, batch_size=8, concurrency=2).to_pandas()
+    assert len(feats) == 10  # image rows only
     frames = sample_frames(rd.from_arrow(synth_media_table(30)), fake=True).to_pandas()
     assert (frames["frame_idx"] >= 0).all() and len(frames) > 0
 
 
-def test_audio_features_windows():
-    from stacksearch_ray.functions.multimodal import ExtractAudioFeatures
+def test_audio_windows_real(ray_session):
+    import ray.data as rd
 
     t = synth_media_table(9)
-    a = ExtractAudioFeatures(window_ms=10_000, fake=True)
+    a = ExtractAudioFeatures(window_ms=10_000, fake=False)
     out = a(t)
+    # windows counted from actual PCM length == duration metadata
     audio = {m: d for m, k, d in zip(t["media_id"].to_pylist(),
                                      t["kind"].to_pylist(),
                                      t["duration_ms"].to_pylist()) if k == "audio"}
@@ -74,8 +192,5 @@ def test_audio_features_windows():
     for mid, dur in audio.items():
         assert counts[mid] == int(np.ceil(dur / 10_000))
     f = np.asarray(out["features"].combine_chunks().flatten()).reshape(-1, 12)
-    assert (0 <= f).all() and (f <= 1).all()
-    # deterministic + raises without fake
-    assert a(t).equals(out)
-    with pytest.raises(NotImplementedError):
-        ExtractAudioFeatures(fake=False)(t)
+    assert (f[:, 0] > 0).all()  # sine+noise payloads are not silent
+    assert a(t).equals(out)     # deterministic
