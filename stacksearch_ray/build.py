@@ -40,6 +40,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 
@@ -132,6 +133,67 @@ def make_postings_fn(cfg: IndexBuildConfig):
     return postings
 
 
+def make_fused_build_fn(cfg: IndexBuildConfig, docs_dir: str,
+                        stage_dir: str):
+    """Single-scan build stage: tokenize each batch ONCE, derive both
+    the docs-meta table and the postings explode from the same
+    term_frequencies result, and write each as a part-file task-side
+    (UUID names, tmp+rename). Returns per-batch counts only — the
+    heavy tables never travel through the object store twice."""
+
+    def fused(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        doc_ids = _resolve_doc_ids(batch, cfg)
+        content = batch[cfg.content_col].combine_chunks()
+        tf = term_frequencies(content)
+
+        cols: dict[str, pa.Array | np.ndarray] = {"doc_id": doc_ids}
+        for m in cfg.meta_cols:
+            if m in batch.column_names:
+                cols[m] = batch[m].combine_chunks()
+        cols["content_sha256"] = pa.array(sha256_batch(content),
+                                          type=pa.string())
+        cols["doc_len"] = tf.doc_lens
+        cols["shard"] = shard_of(doc_ids, cfg.num_shards)
+        docs = pa.table(cols)
+        docs = docs.filter(pc.greater(docs["doc_len"], 0))
+
+        p_doc = doc_ids[tf.doc_idx]
+        p_len = tf.doc_lens[tf.doc_idx]
+        shard = shard_of(p_doc, cfg.num_shards)
+        vocab_bucket = (
+            pd.util.hash_array(np.asarray(tf.vocab.to_pylist(), dtype=object))
+            % np.uint64(cfg.term_buckets)
+        ).astype(np.int64)
+        gkey = shard.astype(np.int64) * cfg.term_buckets + vocab_bucket[tf.codes]
+        postings = pa.table({
+            "term": tf.terms,
+            "doc_id": p_doc,
+            "tf": tf.tf,
+            "doc_len": p_len,
+            "shard": shard,
+            "gkey": gkey,
+        })
+
+        tag = uuid.uuid4().hex
+
+        def atomic(t: pa.Table, path: str) -> None:
+            tmp = path + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)
+
+        if docs.num_rows:
+            atomic(docs, os.path.join(docs_dir, f"docs-{tag}.parquet"))
+        if postings.num_rows:
+            atomic(postings, os.path.join(stage_dir, f"post-{tag}.parquet"))
+        return pa.table({"docs": pa.array([docs.num_rows], pa.int64()),
+                         "postings": pa.array([postings.num_rows],
+                                              pa.int64())})
+
+    return fused
+
+
 @dataclass
 class SegmentEncoder:
     """map_groups fn: one (shard, term-bucket) group of postings → one
@@ -211,9 +273,16 @@ def build_index(source, index_dir: str,
 
     ``source`` is a parquet path / dir / list of paths — column pruning is
     pushed into the read — or an existing ``ray.data.Dataset`` (e.g. the
-    output of upstream cleaning/dedup stages); a Dataset source is
-    consumed twice (docs pass + postings pass), re-executing its lineage
-    each time, so materialize() it first if upstream stages are expensive.
+    output of upstream cleaning/dedup stages).
+
+    SINGLE source scan: one fused map_batches tokenizes each batch once
+    and writes BOTH the docs part-file and a staged postings part-file
+    (the same one-read-per-partition shape the checkpointed build uses,
+    checkpoint._process_partition); the segment shuffle then reads the
+    staged postings, never the source. The stats barrier between the
+    two phases is inherent — avgdl must be global before block-max
+    encode — but it costs a staged-postings round-trip, not a second
+    corpus scan.
     """
     cfg = cfg or IndexBuildConfig()
     if content_col is not None:
@@ -248,21 +317,32 @@ def build_index(source, index_dir: str,
         def read_source():
             return rd.read_parquet(source, columns=columns)
 
-    # ---- docs pass: doc-store + invariant hash + doc_len ----
-    docs_ds = read_source().map_batches(
-        make_docs_meta_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
-    )
-    docs_ds.write_parquet(docs_dir)
+    # ---- fused pass: ONE tokenize per batch → docs part-file +
+    # staged postings part-file, both written task-side ----
+    stage_dir = os.path.join(index_dir, "stage_build")
+    import shutil
+
+    # from-scratch build: clear any previous layout so a rebuild into
+    # the same dir can't mix old part-files with new ones
+    for d in (docs_dir, segments_dir, term_dict_dir, stage_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(docs_dir, exist_ok=True)
+    os.makedirs(stage_dir, exist_ok=True)
+    fused = make_fused_build_fn(cfg, docs_dir, stage_dir)
+    (read_source()
+     .map_batches(fused, batch_format="pyarrow", batch_size=cfg.batch_size)
+     .sum("docs"))  # drives execution; per-batch counts only
 
     # ---- stats: streaming single-column scan of the docs table. The
     # docs table is ~1e-4 the corpus size (one short row per doc); a
     # driver-side Arrow scanner streams it without materializing. At
     # extreme doc counts swap for a Ray Sum/Count aggregate. ----
     n_docs, total_len = 0, 0
-    for rb in pads.dataset(docs_dir).to_batches(columns=["doc_len"]):
-        n_docs += rb.num_rows
-        total_len += int(pc.sum(rb.column(0)).as_py() or 0)
-    check_doc_id_collisions(docs_dir, n_docs)
+    if os.listdir(docs_dir):
+        for rb in pads.dataset(docs_dir).to_batches(columns=["doc_len"]):
+            n_docs += rb.num_rows
+            total_len += int(pc.sum(rb.column(0)).as_py() or 0)
+        check_doc_id_collisions(docs_dir, n_docs)
     avgdl = (total_len / n_docs) if n_docs else 0.0
     stats = {
         "n_docs": n_docs,
@@ -278,19 +358,24 @@ def build_index(source, index_dir: str,
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
 
-    # ---- postings explode + term-partitioned merge (THE shuffle) ----
+    # ---- term-partitioned merge (THE shuffle) over STAGED postings ----
     encoder = SegmentEncoder(avgdl=avgdl, k1=cfg.k1, b=cfg.b, block_size=cfg.block_size)
 
     def encode_group(group: pa.Table) -> pa.Table:  # map_groups needs a named fn
         return encoder(group)
 
-    seg_ds = (
-        read_source()
-        .map_batches(make_postings_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
-        .groupby("gkey")
-        .map_groups(encode_group, batch_format="pyarrow")
-    )
-    seg_ds.write_parquet(segments_dir)
+    if os.listdir(stage_dir):
+        seg_ds = (
+            rd.read_parquet(stage_dir)
+            .groupby("gkey")
+            .map_groups(encode_group, batch_format="pyarrow")
+        )
+        seg_ds.write_parquet(segments_dir)
+    else:  # zero-batch source: empty segments table keeps readers happy
+        os.makedirs(segments_dir, exist_ok=True)
+        pq.write_table(_empty_segments_table(),
+                       os.path.join(segments_dir, "segments-empty.parquet"))
+    shutil.rmtree(stage_dir, ignore_errors=True)
 
     # ---- global term dictionary (df, cf summed over shards) ----
     from .checkpoint import _write_term_dict
