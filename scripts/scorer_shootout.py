@@ -87,7 +87,7 @@ def main() -> int:
     for qname, q in QUERIES.items():
         ref = None
         row: dict[str, float] = {}
-        for method in ("exhaustive", "bmax", "wand"):
+        for method in ("exhaustive", "bmax"):  # "wand" is a bmax alias now
             # warm (decode caches shared across methods — measure compute)
             eng.search(q, args.k, method=method)
             times = []

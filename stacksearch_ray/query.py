@@ -6,18 +6,20 @@ Two scorers, verified rank-identical in tests:
   (decoded fully, NumPy-vectorized) — the distributed analog of the
   reference's ``brute_force_search`` (/root/reference/index/hash_index.py:
   81-90) and the conformance ground truth.
-- ``wand``: document-at-a-time block-max WAND (SURVEY.md §2.6 T1/T2) with
-  lazy per-block decode via the skip metadata — candidate pruning with
-  exact re-scoring, the analog of the reference's LSH-candidates → exact
-  Jaccard re-rank (/root/reference/index/index_new.py:65-72). Kept as
-  the classic-DAAT reference implementation; its per-doc Python pivot
-  loop loses to bmax everywhere (scripts/scorer_shootout.py).
-- ``bmax``: vectorized block-max scoring — doc space partitioned into
-  segments at block boundaries, scored best-first in growing batches via
-  precomputed segment slice offsets (multi-range gather, no per-block or
-  per-doc Python), sound early exit. On zipf corpora it prunes hot-term
-  queries ~10× below TAAT; on score-uniform corpora nothing can prune
-  and TAAT keeps a small edge (hence the ``auto`` threshold).
+- ``bmax``: vectorized block-max pruning (SURVEY.md §2.6 T1/T2) — doc
+  space partitioned into segments at block boundaries, scored best-first
+  in growing batches via precomputed segment slice offsets (multi-range
+  gather, no per-block or per-doc Python), sound early exit — candidate
+  pruning with exact re-scoring, the analog of the reference's
+  LSH-candidates → exact Jaccard re-rank
+  (/root/reference/index/index_new.py:65-72). On zipf corpora it prunes
+  hot-term queries ~10× below TAAT; on score-uniform corpora nothing
+  can prune and TAAT keeps a small edge (hence the ``auto`` threshold).
+  ``method="wand"`` is an alias — the classic per-doc Python DAAT pivot
+  loop was retired after bmax beat it in every measured shape
+  (scripts/scorer_shootout.py); block-skip binary search lives on in
+  the segment-offset searchsorted of bmax and the skip-metadata block
+  decode (_decoded_block).
 
 Scoring: float64, idf = ln((N-df+0.5)/(df+0.5)+1) from GLOBAL stats only,
 contributions accumulated in sorted-term order so scores are bitwise
@@ -32,7 +34,6 @@ throughput via ``map_batches``.
 
 from __future__ import annotations
 
-import heapq
 import os
 
 import numpy as np
@@ -67,83 +68,6 @@ class _DocLens:
 
     def lookup_one(self, doc_id: int) -> float:
         return float(self.lens[self.ids.searchsorted(doc_id)])
-
-
-class TermShardIterator:
-    """Lazy cursor over one (term, shard) segment: blocks decode on demand.
-
-    Hot-loop members are plain Python scalars/lists where accessed per-doc
-    (numpy scalar indexing costs ~µs each and dominated early profiles)."""
-
-    __slots__ = ("idf", "ids_buf", "tfs_buf", "skip_first", "skip_doc_off",
-                 "skip_tf_off", "bmax_score", "df", "block_size", "block",
-                 "pos", "ids", "tfs", "ids_list", "tfs_list", "cur_doc",
-                 "exhausted", "max_ub", "term")
-
-    def __init__(self, term, idf, row, block_size):
-        self.term = term
-        self.idf = idf
-        self.ids_buf = row["doc_ids"]
-        self.tfs_buf = row["tfs"]
-        self.skip_first = np.asarray(row["skip_first_doc"], dtype=np.int64)
-        self.skip_doc_off = np.asarray(row["skip_doc_offset"], dtype=np.int32)
-        self.skip_tf_off = np.asarray(row["skip_tf_offset"], dtype=np.int32)
-        self.bmax_score = [float(x) for x in row["block_max_score"]]
-        self.df = int(row["df"])
-        self.block_size = block_size
-        self.block = -1
-        self.ids = self.tfs = None
-        self.ids_list: list[int] = []
-        self.tfs_list: list[int] = []
-        self.pos = 0
-        self.exhausted = self.df == 0
-        self.max_ub = (self.idf * max(self.bmax_score)) if self.bmax_score else 0.0
-        self.cur_doc = -1
-        if not self.exhausted:
-            self._load_block(0)
-
-    def _load_block(self, b: int) -> None:
-        self.block = b
-        self.ids, self.tfs = decode_block(
-            self.ids_buf, self.tfs_buf, self.skip_doc_off, self.skip_tf_off,
-            b, self.df, self.block_size)
-        self.ids_list = self.ids.tolist()
-        self.tfs_list = self.tfs.tolist()
-        self.pos = 0
-        self.cur_doc = self.ids_list[0]
-
-    def block_ub(self) -> float:
-        return self.idf * self.bmax_score[self.block]
-
-    def next_geq(self, target: int) -> None:
-        """Advance to the first doc >= target (block skip via skip_first)."""
-        if self.exhausted or self.cur_doc >= target:
-            return
-        n_blocks = len(self.skip_first)
-        # last block whose first_doc <= target
-        b = int(self.skip_first.searchsorted(target, side="right")) - 1
-        b = max(b, self.block)
-        if b != self.block:
-            self._load_block(b)
-        import bisect
-
-        while True:
-            pos = bisect.bisect_left(self.ids_list, target, self.pos)
-            if pos < len(self.ids_list):
-                self.pos = pos
-                self.cur_doc = self.ids_list[pos]
-                return
-            if self.block + 1 >= n_blocks:
-                self.exhausted = True
-                self.cur_doc = _INF_DOC
-                return
-            self._load_block(self.block + 1)
-
-    def current_tf(self) -> int:
-        return self.tfs_list[self.pos]
-
-
-_INF_DOC = np.iinfo(np.int64).max
 
 
 class QueryEngine:
@@ -217,10 +141,14 @@ class QueryEngine:
     # ---------- exhaustive TAAT ----------
 
     def _decoded(self, term: str, row_i: int, row: dict
-                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """(doc_ids, tfs, doc_lens, idf-free bm25 parts) for one segment
-        row, cached — idf is applied per query (it depends only on global
-        df, which is fixed), so the cache is query-independent."""
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                            np.ndarray]:
+        """(doc_ids, tfs, doc_lens, idf-free bm25 parts, dense doc index)
+        for one segment row, cached — idf is applied per query (it
+        depends only on global df, which is fixed), so the cache is
+        query-independent. The dense index maps each posting's doc into
+        the engine's sorted local doc-id space, so exhaustive scoring
+        accumulates into a flat array instead of sorting ids per query."""
         key = (term, row_i)
         hit = self._dec_cache.get(key)
         if hit is None:
@@ -228,7 +156,8 @@ class QueryEngine:
             tfs = decode_tfs(row["tfs"])
             dls = self.doclens.lookup(ids)
             part = bm25_tf_part(tfs, dls, self.avgdl, self.k1, self.b)
-            hit = (ids, tfs, dls, part)
+            didx = np.searchsorted(self.doclens.ids, ids)
+            hit = (ids, tfs, dls, part, didx)
             if len(self._dec_cache) < self.max_cached_segments:
                 self._dec_cache[key] = hit
         return hit
@@ -242,7 +171,16 @@ class QueryEngine:
             custom = get_scorer(scorer)
         segs = self._segments_for(terms)
         dfs = self._df_global(terms, segs)
-        id_chunks, score_chunks = [], []
+        # dense accumulator over the engine's sorted local doc-id space:
+        # no per-query np.unique sort — each segment row scatters once
+        # via its cached dense index (doc ids are unique within a row,
+        # so plain fancy += is exact). Accumulation order per doc is
+        # sorted-term row order, bitwise identical to the previous
+        # chunk-concat + add.at formulation.
+        n_local = len(self.doclens.ids)
+        acc = np.zeros(n_local, dtype=np.float64)
+        hit = np.zeros(n_local, dtype=bool)
+        any_rows = False
         for t in terms:  # sorted order → deterministic accumulation
             rows = segs[t]
             if not rows:
@@ -250,24 +188,29 @@ class QueryEngine:
             df_global = dfs[t]
             w = idf_fn(self.n_docs, df_global)
             for i, r in enumerate(rows):
-                ids, tfs, dls, part = self._decoded(t, i, r)
-                id_chunks.append(ids)
+                ids, tfs, dls, part, didx = self._decoded(t, i, r)
                 if custom is None:
-                    score_chunks.append(w * part)
+                    acc[didx] += w * part
                 else:
-                    score_chunks.append(
-                        custom(tfs, dls, df_global, self.n_docs, self.avgdl))
-        if not id_chunks:
+                    acc[didx] += custom(tfs, dls, df_global, self.n_docs,
+                                        self.avgdl)
+                hit[didx] = True
+                any_rows = True
+        if not any_rows:
             return []
-        all_ids = np.concatenate(id_chunks)
-        all_scores = np.concatenate(score_chunks)
-        # stable per-doc accumulation in input (sorted-term) order
-        uniq, inverse = np.unique(all_ids, return_inverse=True)
-        acc = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(acc, inverse, all_scores)
-        order = np.lexsort((uniq, -acc))
-        top = order[:k]
-        return [(int(uniq[i]), float(acc[i])) for i in top]
+        cand = np.flatnonzero(hit)
+        if len(cand) == 0:
+            return []
+        if len(cand) > 4 * k:
+            # partial select, then widen to the full boundary-tie set so
+            # the (score desc, doc_id asc) order stays globally exact
+            part_idx = np.argpartition(-acc[cand], k - 1)[:k]
+            thresh = acc[cand[part_idx]].min()
+            cand = cand[acc[cand] >= thresh]
+        order = np.lexsort((cand, -acc[cand]))[:k]
+        sel = cand[order]
+        local_ids = self.doclens.ids
+        return [(int(local_ids[i]), float(acc[i])) for i in sel]
 
     # ---------- vectorized block-max scoring (best-first segments) ----------
 
@@ -339,7 +282,7 @@ class QueryEngine:
             # per term: full cached decode + segment slice offsets
             term_dat = []
             for t, ri, r in blk_t:
-                ids, _tfs, _dls, part = self._decoded(t, ri, r)
+                ids, _tfs, _dls, part, _didx = self._decoded(t, ri, r)
                 pos = np.searchsorted(ids, bounds)
                 term_dat.append((term_idf[t], ids, part, pos))
             i = 0
@@ -398,90 +341,6 @@ class QueryEngine:
                 self._blk_cache[key] = hit
         return hit
 
-    # ---------- block-max WAND (DAAT) ----------
-
-    def _search_wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        segs = self._segments_for(terms)
-        dfs = self._df_global(terms, segs)
-        term_idf = {}
-        for t in terms:
-            if segs[t]:
-                term_idf[t] = idf_fn(self.n_docs, dfs[t])
-        # shards are disjoint doc ranges → WAND per shard, then global merge
-        by_shard: dict[int, list[TermShardIterator]] = {}
-        for t in terms:
-            for r in segs[t]:
-                by_shard.setdefault(r["shard"], []).append(
-                    TermShardIterator(t, term_idf[t], r, self.block_size))
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-        for iters in by_shard.values():
-            self._wand_shard(iters, k, heap)
-        res = sorted([(-d, s) for s, d in heap], key=lambda x: (-x[1], x[0]))
-        return [(d, s) for d, s in res[:k]]
-
-    def _wand_shard(self, iters: list[TermShardIterator],
-                    k: int, heap: list[tuple[float, int]]) -> None:
-        term_order = sorted({it.term for it in iters})
-        iters = [it for it in iters if not it.exhausted]
-        INF = np.iinfo(np.int64).max
-        while True:
-            iters = [it for it in iters if not it.exhausted]
-            if not iters:
-                return
-            iters.sort(key=lambda it: it.cur_doc)
-            theta = heap[0][0] if len(heap) >= k else -1.0
-            # pivot: first prefix whose max-score sum could beat theta
-            ub = 0.0
-            pivot = -1
-            for i, it in enumerate(iters):
-                ub += it.max_ub
-                # >= not >: a doc whose upper bound exactly ties theta can
-                # still enter the heap via the doc_id-asc tie-break
-                if ub >= theta or (len(heap) < k):
-                    pivot = i
-                    break
-            if pivot < 0:
-                return  # even all terms together cannot beat theta
-            pivot_doc = iters[pivot].cur_doc
-            if pivot_doc == INF:
-                return
-            if iters[0].cur_doc == pivot_doc:
-                # shallow block-max check before full evaluation
-                shallow = 0.0
-                for it in iters:
-                    if it.cur_doc == pivot_doc:
-                        shallow += it.block_ub()
-                if len(heap) >= k and shallow < theta:
-                    # current blocks can't beat theta: advance past pivot_doc
-                    iters[0].next_geq(pivot_doc + 1)
-                    continue
-                # full evaluation — scalar float math, contributions summed
-                # in sorted-term order (bitwise identity with the oracle)
-                dl = self.doclens.lookup_one(pivot_doc)
-                norm = self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl))
-                k1p1 = self.k1 + 1.0
-                contrib: dict[str, float] = {}
-                for it in iters:
-                    if it.cur_doc == pivot_doc:
-                        tf = float(it.current_tf())
-                        part = k1p1 * tf / (tf + norm)
-                        contrib[it.term] = contrib.get(it.term, 0.0) + it.idf * part
-                score = 0.0
-                for t in term_order:
-                    if t in contrib:
-                        score += contrib[t]
-                entry = (score, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
-                for it in iters:
-                    if it.cur_doc == pivot_doc:
-                        it.next_geq(pivot_doc + 1)
-            else:
-                # advance the earliest iterator to the pivot doc
-                iters[0].next_geq(pivot_doc)
-
     def get_docs(self, doc_ids: list[int]) -> list[dict]:
         """Doc-store lookup (J1 analog — the reference's fetch_post_by_id,
         /root/reference/results.py:149-158, without the full scan):
@@ -538,7 +397,11 @@ class QueryEngine:
             # default (pruning can't elide enough below the threshold)
             method = "bmax" if n_postings >= self.wand_min_postings else "exhaustive"
         if method == "wand":
-            return self._search_wand(terms, k)
+            # the classic per-doc Python DAAT loop was retired: bmax is
+            # the block-max pruning scorer (rank-identical, measured
+            # faster in every shape — scripts/scorer_shootout.py), so
+            # "wand" is now an alias for it
+            method = "bmax"
         if method == "bmax":
             return self._search_bmax(terms, k)
         return self._search_exhaustive(terms, k)
