@@ -138,10 +138,14 @@ def run_bench() -> dict:
 
     for name, fn in [("term_counts", P.term_counts),
                      ("exact_dedup", P.exact_dedup),
+                     ("dedup_corpus", P.dedup_corpus),
                      ("minhash_clusters", P.minhash_clusters),
+                     ("minhash_search", P.minhash_search),
                      ("knn_cosine", P.knn_cosine),
                      ("token_stats", P.token_stats),
                      ("text_knn", P.text_knn),
+                     ("semantic_knn", P.semantic_knn),
+                     ("orders_lineitem_join", P.orders_lineitem_join),
                      ("events_asof", P.events_asof),
                      ("value_quantiles", P.value_quantiles)]:
         t0 = time.time()

@@ -356,7 +356,7 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          num_bands: int = 16, shingle_k: int = 3,
                          threshold: float = 0.8, seed: int = 7,
                          max_iters: int = 10,
-                         clustering: str = "distributed",
+                         clustering: str = "auto",
                          verify: str = "inline",
                          max_bucket_pairs_ids: int = 256,
                          stats_out: dict | None = None,
@@ -368,11 +368,12 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     pairs → signature-Jaccard ≥ threshold verify → min-label propagation
     until fixpoint.
 
-    ``clustering="distributed"`` (default) runs groupby-based
-    label-propagation rounds (functions/joins.py) — the path for pair
-    sets that outgrow driver memory; ``"driver"`` loops over the
-    verified pair set on the driver (small-corpus opt-in). Identical
-    results (tested).
+    ``clustering="auto"`` (default) routes by verified-edge count:
+    ≤ 2M edges → the driver union-loop (sub-second, edges fit trivially),
+    above → ``"distributed"``, the Dataset-native label-propagation
+    rounds (functions/joins.py propagate_min_labels_ds — label table a
+    Dataset end to end, driver state O(1)). Both explicit modes remain;
+    identical results (tested).
 
     ``verify="inline"`` (default) carries the signature bytes with each
     band row so the bucket group verifies signature-Jaccard locally —
@@ -570,6 +571,15 @@ def _cluster_pairs(verified: Dataset, nodes, clustering: str,
     (small-corpus opt-in). ``nodes`` is a Dataset with an int64 doc_id
     column, or an np.ndarray of ids (broadcast-verify callers, whose
     ids are already driver-resident)."""
+    if clustering == "auto":
+        # size-aware routing, identical results either way (tested):
+        # below ~2M verified edges the driver union-loop finishes in
+        # well under a second, while the Dataset-native rounds pay
+        # multiple fixed-cost shuffles; above it the edge list is not
+        # driver material and the distributed path is the only one
+        verified = verified.materialize()
+        clustering = ("driver" if verified.count() <= 2_000_000
+                      else "distributed")
     if clustering == "distributed":
         from .joins import propagate_min_labels_ds
 

@@ -253,15 +253,33 @@ def propagate_min_labels_ds(pairs: Dataset, nodes: Dataset,
     test is exact.
     """
 
-    edges = pairs.map_batches(
-        lambda t: pa.table({
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table({
             "dst": pa.concat_arrays([t["a"].combine_chunks(),
                                      t["b"].combine_chunks()]),
             "src": pa.concat_arrays([t["b"].combine_chunks(),
                                      t["a"].combine_chunks()]),
-        }), batch_format="pyarrow").materialize()
-    # materialized once: every round re-reads edge blocks from the
-    # object store, not the upstream signature/bucket pipeline
+        })
+
+    def tag_edge_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["dst"].combine_chunks()).astype(np.int64))
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets))
+                                 .astype(np.int64)))
+
+    def dedup_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates(["dst", "src"])[["dst", "src"]]
+                .reset_index(drop=True))
+
+    # materialized once, DEDUPED once: LSH band buckets emit the same
+    # pair from up to num_bands bands — paying that duplication in
+    # every propagation round's join would multiply round cost
+    edges = (pairs.map_batches(symmetrize, batch_format="pyarrow")
+             .map_batches(tag_edge_bucket, batch_format="pyarrow")
+             .groupby("__bucket").map_groups(dedup_edges,
+                                             batch_format="pandas")
+             .materialize())
 
     labels = nodes.map_batches(
         lambda t: pa.table({

@@ -778,8 +778,10 @@ def eval_recall(sf_dir: str):
 def minhash_clusters(sf_dir: str):
     """MinHash-LSH near-dup clustering through the unbounded-scale code
     paths: in-bucket signature verify (no join, no broadcast) +
-    Dataset-native min-label propagation (the function defaults; the
-    label table never touches the driver).
+    size-aware clustering (clustering="auto": driver union-loop below
+    2M verified edges, Dataset-native label propagation above — the
+    scale path whose O(1)-driver-state property is pinned by the
+    million-node pytest in test_joins.py).
 
     md5 token hashing + unigram shingles make every stage
     SQL-reproducible, so this entry has a FULL DuckDB oracle
@@ -787,8 +789,7 @@ def minhash_clusters(sf_dir: str):
     recursive-CTE min-label components)."""
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     return minhash_lsh_clusters(ds, num_perm=64, num_bands=16, threshold=0.8,
-                                shingle_k=1, hash_fn="md5",
-                                verify="inline", clustering="distributed")
+                                shingle_k=1, hash_fn="md5", verify="inline")
 
 
 def minhash_search(sf_dir: str):
