@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
         "semantic_knn": P.semantic_knn,
+        "autoencoder_embed": P.autoencoder_embed,
         # invariant surfaced as a driver-checked query
         "content_hashes": P.content_hashes,
         # streaming-shaped + generic columnar + joins
@@ -670,6 +671,8 @@ SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""",
         # rows-only (non-SQL-expressible): approx_vocab (HLL,
         # approximate by design), semantic_knn (trained PPMI+SVD model
         # — synonym geometry pinned by pytest instead),
+        # autoencoder_embed (iteratively trained model — gradient/
+        # convergence/determinism pinned by pytest),
         # multimodal_features / video_frame_sample / audio_windows
         # (synthetic payload bytes are not SQL-derivable)
     }

@@ -96,8 +96,17 @@ def run_bench() -> dict:
     if SCALE_ONLY:
         return _scale_build_only(ray, rd, timings)
 
-    # warm page cache (untimed)
+    # warm page cache + worker imports (untimed): the first map task per
+    # worker pays the library import; a 200-row throwaway build spawns
+    # and warms the pool so the timed build measures steady-state cost
+    # (BASELINE.md protocol excludes one-time session overhead)
     rd.read_parquet(docs_path).count()
+    warm_idx = f"/tmp/ssr_bench_warm_idx_{os.getpid()}"
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    build_index(rd.read_parquet(docs_path).limit(200), warm_idx,
+                content_col="text", id_col="doc_id",
+                meta_cols=("lang", "source"), num_shards=8, term_buckets=32)
+    shutil.rmtree(warm_idx, ignore_errors=True)
 
     # ---- index build over the sf documents table ----
     idx_dir = f"/tmp/ssr_bench_idx_{os.getpid()}"

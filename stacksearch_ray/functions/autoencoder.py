@@ -1,0 +1,179 @@
+"""F8 proper: a trainable autoencoder, trained as a distributed Ray
+Data pipeline (the reference trains TF/Keras conv autoencoders with a
+per-epoch decreasing-noise curriculum,
+/root/reference/models/SimpleCnnAutoencoder.py:17-77 and
+models/train.py:160-201,190-193; TF is neither available nor needed to
+close the capability: the public-knowledge equivalent is a tied-weight
+LINEAR denoising autoencoder trained by exact data-parallel gradient
+descent).
+
+Training shape (synchronous data-parallel GD):
+
+- every epoch broadcasts the weight matrix once (``ray.put``),
+- each batch computes its partial gradient of
+  ``L = Σ ||x̃ W Wᵀ − x||²`` (x̃ = x + curriculum noise) — a (d, k)
+  matrix plus a loss/row-count scalar,
+- partials are summed and the driver applies one exact full-batch
+  update. Deterministic: same data + seed → bitwise same weights, no
+  matter how Ray batches the input.
+
+Curriculum (the reference's T6): ``noise_scale(epoch) = noise0 ·
+decay^epoch`` — noise is counter-based (pd.util.hash_array over
+(vec_id, feature, epoch)), so it is reproducible across workers and
+independent of batch boundaries.
+
+The trained artifact persists under the restore-latest layout and
+serves through ``AutoencoderEncoder`` — an actor-pool map_batches
+stage, like every other encoder in this package.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+_SQRT3 = float(np.sqrt(3.0))
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col].combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        off = col.offsets.to_numpy(zero_copy_only=False)
+        dim = int(off[1] - off[0])
+    return flat.reshape(-1, dim)
+
+
+def curriculum_noise(ids: np.ndarray, dim: int, epoch: int,
+                     scale: float) -> np.ndarray:
+    """Deterministic zero-mean unit-variance-×scale noise per
+    (row, feature, epoch): counter-based uniform from
+    pd.util.hash_array — reproducible across workers and batch
+    layouts (no stateful RNG)."""
+    if scale == 0.0:
+        return np.zeros((len(ids), dim))
+    keys = (ids[:, None] * np.int64(1_000_003)
+            + np.arange(dim, dtype=np.int64)[None, :]
+            + np.int64(epoch) * np.int64(7_777_777))
+    h = pd.util.hash_array(keys.reshape(-1)).astype(np.float64)
+    u = h / float(2**64)                     # uniform [0, 1)
+    return ((u - 0.5) * 2.0 * _SQRT3 * scale).reshape(len(ids), dim)
+
+
+def _grad_partial(batch: pa.Table, w_ref, emb_col: str, id_col: str,
+                  epoch: int, scale: float) -> pa.Table:
+    w = ray.get(w_ref)
+    x = _emb_matrix(batch, emb_col)
+    ids = np.asarray(batch[id_col].combine_chunks()).astype(np.int64)
+    xt = x + curriculum_noise(ids, x.shape[1], epoch, scale)
+    z = xt @ w                               # (n, k)
+    e = z @ w.T - x                          # (n, d) reconstruction error
+    # tied-weight gradient of Σ‖x̃WWᵀ − x‖²: 2(x̃ᵀE + Eᵀx̃)W
+    g = 2.0 * (xt.T @ e + e.T @ xt) @ w
+    return pa.table({
+        "g": pa.FixedSizeListArray.from_arrays(
+            pa.array(g.reshape(-1), pa.float64()), g.size),
+        "loss": pa.array([float((e * e).sum())], pa.float64()),
+        "n": pa.array([len(x)], pa.int64()),
+    })
+
+
+def train_linear_autoencoder(ds: Dataset, artifact_dir: str,
+                             emb_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             dim_out: int = 8, epochs: int = 20,
+                             lr: float = 0.05, noise0: float = 0.3,
+                             noise_decay: float = 0.8, seed: int = 29,
+                             version: int | None = None) -> str:
+    """Train and persist; returns the versioned artifact path. The
+    artifact records the per-epoch loss curve (mean squared error per
+    row) so convergence is auditable."""
+    sample = ds.limit(1).take(1)[0][emb_col]
+    dim_in = len(sample)
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((dim_in, dim_out)) / np.sqrt(dim_in)
+
+    ds = ds.materialize()  # consumed once per epoch
+    losses = []
+    for epoch in range(epochs):
+        scale = noise0 * (noise_decay ** epoch)
+        w_ref = ray.put(w)
+
+        def partial(b: pa.Table, _w=w_ref, _e=epoch, _s=scale) -> pa.Table:
+            return _grad_partial(b, _w, emb_col, id_col, _e, _s)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        n = int(parts["n"].sum())
+        g = np.add.reduce(
+            [np.asarray(v).reshape(dim_in, dim_out)
+             for v in parts["g"]])
+        losses.append(float(parts["loss"].sum()) / max(n, 1))
+        # normalized GD: relative step lr·‖W‖/‖∇‖ — scale-free in the
+        # data (a fixed lr/n step diverges when ‖x‖² is large, since
+        # the tied gradient grows ~‖x‖⁴), deterministic, monotone in
+        # practice for this convex-in-direction objective
+        gn = float(np.linalg.norm(g))
+        if gn > 0:
+            w = w - lr * (float(np.linalg.norm(w)) / gn) * g
+
+    if version is None:
+        version = 1 + max(
+            (int(d[1:]) for d in os.listdir(artifact_dir)
+             if d.startswith("v") and d[1:].isdigit()),
+            default=0) if os.path.isdir(artifact_dir) else 1
+    path = os.path.join(artifact_dir, f"v{version}")
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "weights.npy"), w)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({"dim_in": dim_in, "dim_out": dim_out, "epochs": epochs,
+                   "lr": lr, "noise0": noise0, "noise_decay": noise_decay,
+                   "seed": seed, "version": version,
+                   "loss_curve": losses, "kind": "linear_dae"}, f)
+    return path
+
+
+class AutoencoderEncoder:
+    """Actor-pool encode stage over a trained autoencoder artifact:
+    restore once per actor (__init__), encode = x @ W per batch."""
+
+    def __init__(self, artifact_dir: str, emb_col: str = "embedding",
+                 id_col: str = "vec_id", normalize: bool = True):
+        from .embedding import latest_artifact
+
+        path = artifact_dir
+        if not os.path.exists(os.path.join(path, "config.json")):
+            path = latest_artifact(artifact_dir)
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        self.w = np.load(os.path.join(path, "weights.npy"))
+        self.dim_out = int(cfg["dim_out"])
+        self.version = int(cfg["version"])
+        self.loss_curve = list(cfg.get("loss_curve", []))
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.normalize = normalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _emb_matrix(batch, self.emb_col)
+        z = x @ self.w
+        if self.normalize:
+            nrm = np.linalg.norm(z, axis=1, keepdims=True)
+            z = z / np.maximum(nrm, 1e-30)
+        return pa.table({
+            self.id_col: batch[self.id_col].combine_chunks(),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(z.reshape(-1), pa.float64()), self.dim_out),
+        })
+
+    def reconstruction_mse(self, x: np.ndarray) -> float:
+        e = (x @ self.w) @ self.w.T - x
+        return float((e * e).sum() / len(x))

@@ -433,6 +433,32 @@ def semantic_knn(sf_dir: str):
         ["doc_id", "sim_micros", "rank"])
 
 
+def autoencoder_embed(sf_dir: str):
+    """F8 proper: tied-weight linear denoising autoencoder trained by
+    exact data-parallel gradient descent over the embeddings table
+    (per-epoch broadcast + partial-gradient map_batches + driver
+    update), with the reference's decreasing-noise curriculum (T6);
+    codes served by an actor-pool encoder. Learned-model output —
+    rows-only (the in-repo pytest pins gradient correctness,
+    convergence and determinism)."""
+    from ..functions.autoencoder import (
+        AutoencoderEncoder,
+        train_linear_autoencoder,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    art_dir = os.path.join(CACHE_ROOT, tag, "linear_dae")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.isdir(art_dir):
+        train_linear_autoencoder(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            art_dir, dim_out=8, epochs=12)
+    return rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+        .map_batches(AutoencoderEncoder, batch_format="pyarrow",
+                     batch_size=256, concurrency=2,
+                     fn_constructor_kwargs={"artifact_dir": art_dir})
+
+
 def content_hashes(sf_dir: str):
     """Per-row sha256 invariant, driver-checkable: the engine's docs table
     (built via the full index pipeline) vs SQL sha256(text)."""
