@@ -61,7 +61,12 @@ def knn_brute_force(ds: Dataset, queries: np.ndarray, k: int = 10,
         emb = _normalize(_emb_matrix(batch, emb_col))
         sims = emb @ qm.T  # (n, q)
         kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, q)
+        # deterministic per-batch cut: ties at the k-th sim must keep
+        # the smaller vec_id (the driver merge's ORDER BY sim DESC,
+        # vec_id ASC cannot resurrect a row dropped here)
+        order = np.lexsort((ids[:, None].repeat(sims.shape[1], 1),
+                            -sims), axis=0)
+        top = order[:kk]  # (k, q)
         qi = np.repeat(np.arange(qm.shape[0]), kk)
         vi = top.T.reshape(-1)
         return pa.table({

@@ -133,3 +133,22 @@ def test_knn_with_empty_batches(ray_session, corpus):
     out = knn_brute_force(ds, corpus[[5]], k=10).to_pandas()
     got = out.sort_values("rank")["vec_id"].tolist()
     assert got[0] == 5 and len(got) == 10 and all(v < 50 for v in got)
+
+
+def test_knn_tie_break_prefers_smaller_vec_id(ray_session):
+    """All-identical embeddings tie exactly; top-k must keep the
+    smallest vec_ids regardless of batch layout."""
+    import ray.data as rd
+
+    from stacksearch_ray.functions.similarity import knn_brute_force
+
+    n, dim = 64, 8
+    emb = np.tile(np.arange(1, dim + 1, dtype=np.float64), (n, 1))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), pa.float64()), dim),
+    })).repartition(8)  # many batches → per-batch cuts matter
+    out = knn_brute_force(ds, emb[:1], k=10).to_pandas()
+    assert list(out["vec_id"]) == list(range(10))
+    assert list(out["rank"]) == list(range(1, 11))
