@@ -263,7 +263,8 @@ def run_scaling() -> dict:
     (default 3), headline efficiency computed from per-level MEDIANS and
     capped at 1.0 (an efficiency above 1.0 is host-jitter artifact, not
     pipeline signal); min-of-runs efficiency reported alongside and the
-    FULL run distribution persisted to BENCH/scaling_r2.json."""
+    FULL run distribution persisted to BENCH/scaling_latest.json
+    (per-round snapshots are copied to scaling_r{N}.json manually)."""
     _ensure_scale_corpus()  # shared, warmed input
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
@@ -295,7 +296,7 @@ def run_scaling() -> dict:
         "cpus": [SCALE_LO, SCALE_HI],
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH", "scaling_r2.json")
+                            "BENCH", "scaling_latest.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
