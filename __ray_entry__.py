@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": P.knn_cosine,
         "knn_ann_lsh": P.knn_ann_lsh,
+        "knn_ivf": P.knn_ivf,
         "embedding_pairs": P.embedding_pairs,
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
@@ -180,6 +181,23 @@ def oracle_sql() -> dict[str, str]:
     _ca, _cb = _minhash_params(64, 7)
     perm_rows64 = ", ".join(f"({p}, {int(_ca[p])}, {int(_cb[p])})"
                             for p in range(64))
+    # knn_ivf centroids: the pure-NumPy mirror of the distributed
+    # k-means — micros-exact updates commute, so these literals are
+    # bitwise the centroids the Ray trainer produced on the same table
+    ivf_cent_rows = None
+    try:
+        from stacksearch_ray.functions.ivf import kmeans_numpy
+
+        _e = _pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                            columns=["embedding"])
+        _x = np.asarray(_e["embedding"].to_pylist(), dtype=np.float64)
+        _cents = kmeans_numpy(_x, k=8, iters=4, seed=17)
+        ivf_cent_rows = ", ".join(
+            "({}, [{}]::DOUBLE[])".format(
+                i, ", ".join(repr(float(v)) for v in _cents[i]))
+            for i in range(len(_cents)))
+    except (OSError, FileNotFoundError):
+        pass  # sf0.01 absent: omit the knn_ivf oracle
     oracles = {
         "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
         "term_df": f"WITH {kept} SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term",
@@ -617,6 +635,33 @@ per_query AS (
   GROUP BY c.config, q.variant, q.qid)
 SELECT config, variant, CAST(sum(hit) AS BIGINT) AS hits, count(*) AS n
 FROM per_query GROUP BY config, variant""",
+        "knn_ivf": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+cents(cid, c) AS (VALUES {ivf_cent_rows}),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding::DOUBLE[],
+                                                   c.c) ASC,
+                                     c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c),
+a AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+qp AS (
+  SELECT c.cid,
+         row_number() OVER (ORDER BY list_distance((SELECT qe FROM q),
+                                                   c.c) ASC,
+                            c.cid ASC) AS rn
+  FROM cents c),
+probes AS (SELECT cid FROM qp WHERE rn <= 2),
+cand AS (SELECT a.vec_id FROM a JOIN probes USING (cid)),
+sims AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+           AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
         "minhash_clusters": f"""
 WITH RECURSIVE {kept},
 h AS (SELECT DISTINCT doc_id, md5_number_lower(term) AS th FROM kept),
@@ -678,4 +723,6 @@ SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""",
     }
     if not qt_rows:
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)
+    if ivf_cent_rows is None:
+        oracles.pop("knn_ivf")      # centroid literals need sf0.01
     return oracles

@@ -1,0 +1,192 @@
+"""IVF (inverted-file) approximate nearest neighbor — the classic
+coarse-quantizer scale path for similarity search (complements the
+random-hyperplane LSH in similarity.py): k-means centroids partition
+the corpus; a query probes only its ``nprobe`` nearest partitions and
+scores exactly inside them.
+
+Distributed k-means with ORDER-INDEPENDENT updates: each iteration
+assigns rows to their nearest centroid inside map_batches (centroids
+broadcast once per iteration) and emits per-centroid partial sums of
+per-row MICROS values (int64 floor(x·1e6 + 0.5) — the repo's float
+convention). Integer sums commute, so the trained centroids are
+bitwise identical no matter how Ray batches the data — and a pure-NumPy
+single-process mirror (``kmeans_numpy``) reproduces them exactly, which
+is how the driver entry's DuckDB oracle gets its centroid literals.
+
+``IVFIndex`` persists the corpus as centroid-partitioned parquet
+(hive-style ``cid=N`` directories): search reads ONLY the probed
+partitions — at 100 TB that is the difference between scanning the
+corpus and scanning nprobe/k of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..micros import to_micros
+from .similarity import _emb_matrix
+
+
+def assign_centroids(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest centroid by L2; ties break to the LOWEST centroid id
+    (np.argmin returns the first minimum)."""
+    d2 = ((x * x).sum(axis=1, keepdims=True)
+          - 2.0 * (x @ centroids.T)
+          + (centroids * centroids).sum(axis=1)[None, :])
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
+def _init_centroids(k: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((k, dim))
+
+
+def kmeans_numpy(x: np.ndarray, k: int = 8, iters: int = 4,
+                 seed: int = 17) -> np.ndarray:
+    """Single-process mirror of the distributed trainer — bitwise
+    identical centroids (micros-exact sums commute). Used by tests and
+    by the DuckDB oracle to embed centroid literals without Ray."""
+    x = np.asarray(x, dtype=np.float64)
+    c = _init_centroids(k, x.shape[1], seed)
+    m = to_micros(x)
+    for _ in range(iters):
+        a = assign_centroids(x, c)
+        sums = np.zeros((k, x.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        nz = counts > 0
+        c = c.copy()
+        c[nz] = sums[nz] / (counts[nz, None] * 1e6)
+    return c
+
+
+def train_kmeans(ds: Dataset, k: int = 8, iters: int = 4, seed: int = 17,
+                 emb_col: str = "embedding",
+                 id_col: str = "vec_id") -> np.ndarray:
+    """Distributed Lloyd's: one Dataset pass per iteration, partial
+    per-centroid int64 micros-sums per batch, driver applies the exact
+    update. Bitwise equal to kmeans_numpy on the same data (tested)."""
+    sample = ds.limit(1).take(1)[0][emb_col]
+    dim = len(sample)
+    c = _init_centroids(k, dim, seed)
+    ds = ds.materialize()
+    for _ in range(iters):
+        c_ref = ray.put(c)
+
+        def partial(batch: pa.Table, _c=c_ref) -> pa.Table:
+            cents = ray.get(_c)
+            x = _emb_matrix(batch, emb_col)
+            if len(x) == 0:
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.int64())),
+                    "n": pa.array([], pa.int64())})
+            a = assign_centroids(x, cents)
+            m = to_micros(x)
+            sums = np.zeros((len(cents), x.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(cents)).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "cid": pa.array(nz, pa.int64()),
+                "s": pa.array([sums[j].tolist() for j in nz],
+                              pa.list_(pa.int64())),
+                "n": pa.array(counts[nz], pa.int64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for cid, s, n in zip(parts["cid"], parts["s"], parts["n"]):
+            sums[int(cid)] += np.asarray(s, dtype=np.int64)
+            counts[int(cid)] += int(n)
+        nz = counts > 0
+        c = c.copy()
+        c[nz] = sums[nz] / (counts[nz, None] * 1e6)
+    return c
+
+
+class IVFIndex:
+    """Centroid-partitioned parquet ANN index.
+
+    ``build`` assigns every row to its centroid inside map_batches and
+    writes hive-partitioned parquet (``cid=N/``); ``search`` probes the
+    ``nprobe`` nearest centroid partitions (predicate-pushdown read of
+    only those directories) and scores exact cosine inside them —
+    candidates are pruned at the READ, not after it."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "config.json")) as f:
+            cfg = json.load(f)
+        self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        self.emb_col = cfg["emb_col"]
+        self.id_col = cfg["id_col"]
+        self.k = int(cfg["k"])
+
+    @staticmethod
+    def build(ds: Dataset, index_dir: str, k: int = 8, iters: int = 4,
+              seed: int = 17, emb_col: str = "embedding",
+              id_col: str = "vec_id") -> "IVFIndex":
+        centroids = train_kmeans(ds, k, iters, seed, emb_col, id_col)
+        os.makedirs(index_dir, exist_ok=True)
+        np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+        c_ref = ray.put(centroids)
+
+        def tag(batch: pa.Table) -> pa.Table:
+            x = _emb_matrix(batch, emb_col)
+            a = assign_centroids(x, ray.get(c_ref))
+            return batch.append_column("cid", pa.array(a))
+
+        (ds.map_batches(tag, batch_format="pyarrow")
+         .write_parquet(os.path.join(index_dir, "lists"),
+                        partition_cols=["cid"]))
+        with open(os.path.join(index_dir, "config.json"), "w") as f:
+            json.dump({"k": k, "iters": iters, "seed": seed,
+                       "emb_col": emb_col, "id_col": id_col}, f)
+        return IVFIndex(index_dir)
+
+    def probe_order(self, q: np.ndarray) -> np.ndarray:
+        d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        return np.argsort(d2, kind="stable")
+
+    def search(self, q: np.ndarray, k: int = 10,
+               nprobe: int = 2) -> pa.Table:
+        """(vec_id, sim_micros, rank) — exact cosine inside the probed
+        partitions, order (sim desc, vec_id asc)."""
+        q = np.asarray(q, dtype=np.float64)
+        probes = [int(c) for c in self.probe_order(q)[:nprobe]]
+        lists_dir = os.path.join(self.index_dir, "lists")
+        tabs = []
+        for cid in probes:
+            part = os.path.join(lists_dir, f"cid={cid}")
+            if os.path.isdir(part):
+                tabs.append(pq.read_table(
+                    part, columns=[self.id_col, self.emb_col]))
+        if not tabs:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim_micros": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        t = pa.concat_tables(tabs)
+        x = _emb_matrix(t, self.emb_col)
+        ids = np.asarray(t[self.id_col].combine_chunks()).astype(np.int64)
+        nq = float(np.sqrt((q * q).sum()))
+        nx = np.sqrt((x * x).sum(axis=1))
+        ok = (nx > 0)
+        sim = (x[ok] @ q) / (nx[ok] * nq) if nq > 0 else np.zeros(ok.sum())
+        ids = ids[ok]
+        order = np.lexsort((ids, -sim))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "sim_micros": pa.array(to_micros(sim[order]), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })

@@ -869,6 +869,28 @@ def knn_ann_lsh(sf_dir: str):
     return knn_lsh(ds, q, k=10, n_planes=8, multiprobe=2).drop_columns(["query_id"])
 
 
+def knn_ivf(sf_dir: str):
+    """IVF ANN (the coarse-quantizer scale path): distributed k-means
+    centroids partition the corpus into hive parquet lists; the query
+    probes its 2 nearest partitions and scores exact cosine inside
+    them. Micros-exact k-means updates commute, so the oracle rebuilds
+    the SAME centroids via the pure-NumPy mirror and embeds them as SQL
+    literals — the whole chain (assign → probe → exact rescore) is
+    value-checked against DuckDB."""
+    from ..functions.ivf import IVFIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(CACHE_ROOT, tag, "ivf_index")
+    if not os.path.exists(os.path.join(idx_dir, "config.json")):
+        ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        IVFIndex.build(ds, idx_dir, k=8, iters=4, seed=17)
+    idx = IVFIndex(idx_dir)
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    return idx.search(q, k=10, nprobe=2)
+
+
 def multimodal_features(sf_dir: str):
     """Image features from REAL pixels: the synthetic media table's
     image rows are valid 24-bit BMPs, decoded by the pure-NumPy codec
