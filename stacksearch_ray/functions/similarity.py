@@ -60,19 +60,22 @@ def knn_brute_force(ds: Dataset, queries: np.ndarray, k: int = 10,
                              "sim": pa.array([], pa.float64())})
         emb = _normalize(_emb_matrix(batch, emb_col))
         sims = emb @ qm.T  # (n, q)
-        kk = min(k, len(ids))
         # deterministic per-batch cut: ties at the k-th sim must keep
         # the smaller vec_id (the driver merge's ORDER BY sim DESC,
-        # vec_id ASC cannot resurrect a row dropped here)
-        order = np.lexsort((ids[:, None].repeat(sims.shape[1], 1),
-                            -sims), axis=0)
-        top = order[:kk]  # (k, q)
-        qi = np.repeat(np.arange(qm.shape[0]), kk)
-        vi = top.T.reshape(-1)
+        # vec_id ASC cannot resurrect a row dropped here); argpartition
+        # + tie widening keeps the cut O(n) per query
+        from .topk import topk_desc_tiebreak
+
+        qi_out, vi_out, sim_out = [], [], []
+        for qi in range(qm.shape[0]):
+            sel = topk_desc_tiebreak(ids, sims[:, qi], k)
+            qi_out.append(np.full(len(sel), qi, dtype=np.int64))
+            vi_out.append(ids[sel])
+            sim_out.append(sims[sel, qi])
         return pa.table({
-            "query_id": qi.astype(np.int64),
-            "vec_id": ids[vi],
-            "sim": sims[vi, qi],
+            "query_id": pa.array(np.concatenate(qi_out)),
+            "vec_id": pa.array(np.concatenate(vi_out)),
+            "sim": pa.array(np.concatenate(sim_out)),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()

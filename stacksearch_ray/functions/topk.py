@@ -16,6 +16,23 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def topk_desc_tiebreak(ids: np.ndarray, scores: np.ndarray,
+                       k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, id asc) — EXACT under ties.
+    argpartition does the heavy cut in O(n); the boundary tie set is
+    widened before the final lexsort so a tied smaller-id row can never
+    be dropped by the partial select (full lexsort only below 4k rows)."""
+    kk = min(k, len(ids))
+    if kk == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(ids) > 4 * k:
+        part = np.argpartition(-scores, kk - 1)[:kk]
+        thresh = scores[part].min()
+        keep = np.flatnonzero(scores >= thresh)
+        return keep[np.lexsort((ids[keep], -scores[keep]))[:kk]]
+    return np.lexsort((ids, -scores))[:kk]
+
+
 def _partial_topk(batch: pa.Table, group_col: str, sort_col: str, k: int,
                   descending: bool, tie_col: str) -> pa.Table:
     df = batch.to_pandas()

@@ -382,8 +382,11 @@ def text_knn(sf_dir: str):
                              "sim": pa.array([], pa.float64())})
         # deterministic tie-break (sim desc, doc_id asc) — exact integer
         # dot ratios tie across duplicate texts, and the oracle's
-        # ORDER BY sim DESC, doc_id ASC must survive the batch cutoff
-        top = np.lexsort((ids[keep], -sim))[:kk]
+        # ORDER BY sim DESC, doc_id ASC must survive the batch cutoff;
+        # argpartition + tie widening keeps the cut O(n)
+        from ..functions.topk import topk_desc_tiebreak
+
+        top = topk_desc_tiebreak(ids[keep], sim, 10)
         return pa.table({"doc_id": ids[keep][top], "sim": sim[top]})
 
     parts = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
