@@ -194,3 +194,49 @@ def test_audio_windows_real(ray_session):
     f = np.asarray(out["features"].combine_chunks().flatten()).reshape(-1, 12)
     assert (f[:, 0] > 0).all()  # sine+noise payloads are not silent
     assert a(t).equals(out)     # deterministic
+
+
+# ---------------- property tests (hypothesis) ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    """decode(encode(img)) == img for ANY shape (incl. odd widths whose
+    rows need BMP 4-byte padding)."""
+    from stacksearch_ray.functions.media_codec import decode_bmp, encode_bmp
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 5000), st.integers(0, 2**31 - 1),
+       st.sampled_from([4000, 8000, 16000]))
+def test_wav_roundtrip_property(n, seed, rate):
+    from stacksearch_ray.functions.media_codec import decode_wav, encode_wav
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, n) \
+        .astype(np.int16)
+    back, r = decode_wav(encode_wav(s, rate))
+    assert r == rate
+    assert np.array_equal(back, s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 64), st.integers(1, 64), st.integers(0, 2**31 - 1))
+def test_image_features_bounded_property(h, w, seed):
+    """Features are finite; histogram fractions sum to 1; means in
+    [0, 1] — for any image."""
+    from stacksearch_ray.functions.media_codec import image_features
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    f = image_features(img)
+    assert np.isfinite(f).all()
+    assert (0.0 <= f[:3]).all() and (f[:3] <= 1.0).all()
+    assert abs(f[6:14].sum() - 1.0) < 1e-5
