@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": P.minhash_clusters,
         "minhash_search": P.minhash_search,
         "simhash_sigs": P.simhash_sigs,
+        "simhash_pairs": P.simhash_pairs,
+        "ngram_jaccard": P.ngram_jaccard,
         "ngram_fingerprints": P.doc_fingerprints,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
         "filter_en_long": P.filter_en_long,
@@ -484,6 +486,43 @@ SELECT d.doc_id,
                  THEN coalesce(s.s, 0) - 18446744073709551616::HUGEINT
                  ELSE coalesce(s.s, 0) END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id""",
+        "simhash_pairs": f"""
+WITH {kept},
+h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept),
+bits AS (SELECT CAST(range AS INTEGER) AS j FROM range(64)),
+votes AS (
+  SELECT doc_id, bits.j,
+         sum(CASE WHEN ((h >> bits.j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN bits GROUP BY doc_id, bits.j),
+sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(s.s, 0) >= 9223372036854775808::HUGEINT
+                   THEN coalesce(s.s, 0) - 18446744073709551616::HUGEINT
+                   ELSE coalesce(s.s, 0) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id)
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3""",
+        "ngram_jaccard": f"""
+WITH {kept},
+ts AS (SELECT DISTINCT doc_id, term FROM kept),
+sizes AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS i
+  FROM ts t1 JOIN ts t2 ON t1.term = t2.term AND t1.doc_id < t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id),
+j AS (
+  SELECT i.a, i.b, i.i::DOUBLE / (sa.n + sb.n - i.i) AS jac
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b)
+SELECT a, b, CAST(floor(jac * 1e6 + 0.5) AS BIGINT) AS jaccard_micros
+FROM j WHERE jac >= 0.8""",
         "knn_ann_lsh": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 planes(i, p) AS (VALUES {plane_rows}),

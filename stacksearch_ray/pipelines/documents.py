@@ -196,6 +196,29 @@ def exact_dedup(sf_dir: str):
     return exact_dedup_groups(ds, text_col="text", id_col="doc_id")
 
 
+def simhash_pairs(sf_dir: str):
+    """SimHash near-dup PAIRS (not just signatures): 4-band pigeonhole
+    candidates + exact Hamming verify. At max_hamming=3 the pigeonhole
+    is exhaustive (3 flipped bits cannot touch all 4 bands), so the
+    DuckDB oracle is simply ALL pairs with bit_count(xor) ≤ 3 over the
+    SQL-recomputed signatures."""
+    from ..functions.dedup import simhash_near_dup_pairs
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
+def ngram_jaccard(sf_dir: str):
+    """Exact token-set Jaccard ≥ 0.8 pairs — the brute-force ground
+    truth the sketch paths approximate (documented oracle-scale-only).
+    Jaccard is an exact double ratio of integer set sizes, so the
+    DuckDB value-hash matches bit-for-bit."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.8)
+
+
 def dedup_corpus(sf_dir: str):
     """Exact dedup as a CORPUS transform: the kept rows themselves, not
     the groups table. Input = documents ∪ an id-shifted copy (so real
