@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_search": P.minhash_search,
         "simhash_sigs": P.simhash_sigs,
         "simhash_pairs": P.simhash_pairs,
+        "bpe_token_counts": P.bpe_token_counts,
         "ngram_jaccard": P.ngram_jaccard,
         "ngram_fingerprints": P.doc_fingerprints,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
@@ -486,6 +487,12 @@ SELECT d.doc_id,
                  THEN coalesce(s.s, 0) - 18446744073709551616::HUGEINT
                  ELSE coalesce(s.s, 0) END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id""",
+        "bpe_token_counts": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+       )) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
         "simhash_pairs": f"""
 WITH {kept},
 h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept),

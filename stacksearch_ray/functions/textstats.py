@@ -143,3 +143,23 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
         "fingerprint": fp.astype(np.int64),  # two's-complement view
         "doc_len": doc_lens,
     })
+
+
+# GPT-2-style pre-tokenizer pattern, lookahead-free so RE2 (pyarrow AND
+# DuckDB) count it identically — "BPE-ish" token budgeting for training
+# pipelines where exact tokenizer parity is out of reach but counts
+# must be deterministic and cheap (one C++ regex pass per batch)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_bpe_tokens): non-overlapping BPE_ISH_PATTERN match
+    count per document — vectorized pc.count_substring_regex, zero
+    Python per row."""
+    content = batch[text_col].combine_chunks()
+    n = pc.count_substring_regex(content, BPE_ISH_PATTERN)
+    return pa.table({
+        "doc_id": batch[id_col].combine_chunks(),
+        "n_bpe_tokens": pc.fill_null(n.cast(pa.int64()), 0),
+    })

@@ -196,6 +196,16 @@ def exact_dedup(sf_dir: str):
     return exact_dedup_groups(ds, text_col="text", id_col="doc_id")
 
 
+def bpe_token_counts(sf_dir: str):
+    """Training-data token budgeting: per-doc count of GPT-2-style
+    pre-tokenizer matches (lookahead-free RE2 pattern — pyarrow and
+    DuckDB count it identically, so the oracle is exact)."""
+    from ..functions.textstats import bpe_token_counts_batch
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(bpe_token_counts_batch, batch_format="pyarrow"))
+
+
 def simhash_pairs(sf_dir: str):
     """SimHash near-dup PAIRS (not just signatures): 4-band pigeonhole
     candidates + exact Hamming verify. At max_hamming=3 the pigeonhole

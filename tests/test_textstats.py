@@ -69,3 +69,19 @@ def test_quality_filter_discriminates(ray_session, tmp_path):
     pq.write_table(docs, os.path.join(sf, "documents.parquet"))
     out = quality_filter(sf).to_pandas()
     assert out["doc_id"].tolist() == [0]
+
+
+def test_bpe_token_counts():
+    import pyarrow as pa
+
+    from stacksearch_ray.functions.textstats import bpe_token_counts_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["Hello world, it's 2026!", "",
+                          "  \n tabs\tand  spaces ", "a'b's c't"]),
+    })
+    out = bpe_token_counts_batch(t)
+    # counted by the GPT-2-style pre-tokenizer pattern (RE2, verified
+    # identical to DuckDB regexp_extract_all in the driver oracle)
+    assert out["n_bpe_tokens"].to_pylist() == [7, 0, 7, 6]
