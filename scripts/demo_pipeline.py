@@ -45,7 +45,7 @@ def main() -> int:
     from stacksearch_ray.append import append_to_index
     from stacksearch_ray.build import build_index
     from stacksearch_ray.functions.dedup import (
-        exact_dedup_groups,
+        dedup_corpus,
         minhash_lsh_clusters,
     )
     from stacksearch_ray.functions.training_export import export_training_data
@@ -75,13 +75,10 @@ def main() -> int:
         gate, batch_format="pyarrow").materialize()
     stage("quality_gate", t0, docs=clean.count())
 
-    # 2. exact dedup: keep min-id representative per distinct text
+    # 2. exact dedup as a corpus transform: min-id representative kept,
+    # drop-set discovery shuffles (hash, id) only
     t0 = time.time()
-    keep_ids = pa.array(
-        exact_dedup_groups(clean).to_pandas()["keep_id"].astype("int64"))
-    deduped = clean.map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=keep_ids)),
-        batch_format="pyarrow").materialize()
+    deduped = dedup_corpus(clean).materialize()
     stage("exact_dedup", t0, docs=deduped.count())
 
     # 3. near-dup clustering report
@@ -165,6 +162,36 @@ def main() -> int:
     res = midx.search(probe, top_k=3)
     stage("minhash_search", t0, size=midx.size(),
           top1=(res[0][0] if res else None))
+
+    # 6e. semantic embeddings (PPMI+SVD trained over the corpus) +
+    # synonym-aware kNN through the actor-pool encoder
+    t0 = time.time()
+    from stacksearch_ray.functions.semantic import (
+        SemanticEncoder,
+        train_semantic_artifact,
+    )
+
+    sdir = os.path.join(args.workdir, "semantic")
+    train_semantic_artifact(deduped, sdir, vocab_size=1000, dim=32)
+    semb = deduped.map_batches(
+        SemanticEncoder, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"artifact_dir": sdir}).materialize()
+    senc = SemanticEncoder(sdir)
+    sq = senc.encode_texts([q])
+    snn = knn_brute_force(semb, sq, k=3, id_col="doc_id").to_pandas()
+    stage("semantic_knn", t0,
+          top1=int(snn.sort_values("rank")["vec_id"].iloc[0]))
+
+    # 6f. IVF ANN over the projection embeddings: k-means partitions →
+    # probe 2 of 4 partitions, exact rescoring inside
+    t0 = time.time()
+    from stacksearch_ray.functions.ivf import IVFIndex
+
+    ivf = IVFIndex.build(emb, os.path.join(args.workdir, "ivf"),
+                         k=4, iters=3, id_col="doc_id")
+    inn = ivf.search(qv[0], k=3, nprobe=2).to_pandas()
+    stage("knn_ivf", t0,
+          top1=(int(inn["vec_id"].iloc[0]) if len(inn) else None))
 
     # 7. export training sequences
     t0 = time.time()
