@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": P.orders_by_segment,
         "orders_lineitem_join": P.orders_lineitem_join,
         "events_asof": P.events_asof,
+        "events_range_join": P.events_range_join,
         "docs_sample": P.docs_sample,
         "value_quantiles": P.value_quantiles,
         # features / training export (rows-only)
@@ -346,6 +347,17 @@ c AS (
   WHERE event_type = 'click')
 SELECT p.event_id, p.user_id, CAST(p.ts - c.ts AS BIGINT) AS gap_us
 FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "events_range_join": """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+  WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+  WHERE event_type = 'click')
+SELECT p.event_id, c.event_id AS click_id,
+       CAST(p.ts - c.ts AS BIGINT) AS gap_us
+FROM p JOIN c ON p.user_id = c.user_id
+             AND p.ts - c.ts BETWEEN 0 AND 86400000000""",
         "docs_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0""",

@@ -225,6 +225,94 @@ def asof_join(left: Dataset, right: Dataset, by: str = "user_id",
                                                  batch_format="pandas")
 
 
+def range_join(left: Dataset, right: Dataset, by: str, on: str,
+               lower: int, upper: int, num_buckets: int = 32,
+               suffix: str = "_r") -> Dataset:
+    """Interval/range join (the Dataset API lacks one): emit a row for
+    EVERY (left, right) pair with equal ``by`` keys and
+    ``left.on - right.on`` in ``[lower, upper]`` (inclusive, int64 —
+    µs timestamps). One-to-many, unlike :func:`asof_join`'s
+    most-recent-one. Inner semantics: unmatched rows drop.
+
+    Scale shape: ONE hash shuffle on ``by`` (same contract as
+    asof_join), then per bucket a banded equality merge instead of a
+    per-user cartesian: time bands of width W = upper - lower mean a
+    left row's match window [on-upper, on-lower] spans at most two
+    bands, so each left row is replicated into ≤2 (user, band) keys
+    and each right row into exactly one — the pandas merge is pure
+    equality on (by, band) and the final range filter is vectorized.
+    Per-pair cost is O(1); no key's rows are crossed beyond genuine
+    band co-residency. Hot-``by``-key note: a single key's rows still
+    co-locate one bucket; the band split inside the merge keeps the
+    blow-up bounded by true match density, not key frequency.
+    """
+    if upper < lower:
+        raise ValueError("range_join requires lower <= upper")
+    width = max(int(upper) - int(lower), 1)
+    lsch, rsch = left.schema(), right.schema()
+    left_cols = list(lsch.names)
+    right_cols = list(rsch.names)
+    unified: list[tuple[str, pa.DataType]] = []
+    seen: set[str] = set()
+    for sch in (lsch, rsch):
+        for name, typ in zip(sch.names, sch.types):
+            if name not in seen:
+                unified.append((name, typ))
+                seen.add(name)
+    tagged = _tag_and_bucket(left, by, "l", num_buckets, unified).union(
+        _tag_and_bucket(right, by, "r", num_buckets, unified))
+
+    # output layout mirrors asof_join: left cols, then right cols except
+    # the key, suffixed on collision (right ``on`` -> on+suffix)
+    out_cols = left_cols + [c + (suffix if c in left_cols else "")
+                            for c in right_cols if c != by]
+    l_map = dict(zip(lsch.names, lsch.types))
+    r_map = dict(zip(rsch.names, rsch.types))
+    out_dtypes = {c: _pd_dtype(l_map[c]) for c in left_cols}
+    for c in right_cols:
+        if c != by:
+            out_dtypes[c + (suffix if c in left_cols else "")] = \
+                _pd_dtype(r_map[c])
+
+    def typed_empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
+                             for c in out_cols})
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"].reindex(columns=left_cols)
+        r = g[g["__side"] == "r"].reindex(columns=right_cols)
+        if l.empty or r.empty:
+            return typed_empty()
+        lon = l[on].to_numpy().astype(np.int64)
+        # match window for right.on: [lon - upper, lon - lower]
+        b0 = np.floor_divide(lon - upper, width)
+        b1 = np.floor_divide(lon - lower, width)
+        reps = (b1 - b0 + 1).astype(np.int64)  # 1 or 2 bands per row
+        idx = np.repeat(np.arange(len(l), dtype=np.int64), reps)
+        offs = np.arange(len(idx), dtype=np.int64) - \
+            np.repeat(np.cumsum(reps) - reps, reps)
+        lrep = l.iloc[idx].copy()
+        lrep["__band"] = b0[idx] + offs
+        rb = r.copy()
+        rb["__band"] = np.floor_divide(
+            r[on].to_numpy().astype(np.int64), width)
+        out = lrep.merge(rb, on=[by, "__band"], suffixes=("", suffix))
+        if out.empty:
+            return typed_empty()
+        d = out[on].to_numpy().astype(np.int64) - \
+            out[on + suffix].to_numpy().astype(np.int64)
+        out = out[(d >= lower) & (d <= upper)]
+        if out.empty:
+            return typed_empty()
+        out = out.reindex(columns=out_cols)
+        casts = {c: out_dtypes[c] for c in out_cols
+                 if out[c].dtype != out_dtypes[c]}
+        return out.astype(casts) if casts else out
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+
+
 def propagate_min_labels_ds(pairs: Dataset, nodes: Dataset,
                             node_col: str = "doc_id",
                             max_iters: int = 20,

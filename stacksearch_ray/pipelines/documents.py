@@ -655,6 +655,48 @@ def events_asof(sf_dir: str):
     return joined.map_batches(gap, batch_format="pyarrow")
 
 
+def events_range_join(sf_dir: str):
+    """Interval/range join (custom operator the Dataset API lacks):
+    every (purchase, click) pair of the same user with the click within
+    24 h at-or-before the purchase — one-to-many, unlike the as-of
+    join's most-recent-one. Banded equality merge: no per-user
+    cartesian (functions/joins.py range_join)."""
+    import pyarrow.dataset as pads
+
+    from ..functions.joins import range_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+        })
+
+    purchases = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "purchase").map_batches(
+            prep, batch_format="pyarrow")
+    clicks = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "click").map_batches(
+            prep, batch_format="pyarrow")
+    joined = range_join(purchases, clicks, by="user_id", on="ts",
+                        lower=0, upper=86_400_000_000)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].combine_chunks()).astype(np.int64)
+        rts = np.asarray(batch["ts_r"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+            "click_id": batch["event_id_r"].combine_chunks().cast(pa.int64()),
+            "gap_us": pa.array(ts - rts, pa.int64()),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def docs_sample(sf_dir: str):
     """Deterministic hash-based 10% Bernoulli sample (shuffle-free,
     partitioning-independent, reproducible — the scale-safe way to

@@ -133,6 +133,38 @@ def test_asof_join_matches_pandas(ray_session):
     assert a.astype("int64").equals(b.astype("int64"))
 
 
+def test_range_join_matches_bruteforce(ray_session):
+    """range_join == the O(n*m) per-key cartesian filter on random
+    series, across band boundaries, negative values, and empty keys."""
+    from stacksearch_ray.functions.joins import range_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, 300).astype(np.int64),
+        "t": rng.integers(-5_000, 10_000, 300).astype(np.int64),
+        "lv": np.arange(300, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 10, 150).astype(np.int64),
+        "t": rng.integers(-5_000, 10_000, 150).astype(np.int64),
+        "rv": np.arange(150, dtype=np.int64) * 7,
+    })
+    for lower, upper in ((0, 700), (-300, 300), (100, 100)):
+        got = range_join(_ds(left), _ds(right), by="k", on="t",
+                         lower=lower, upper=upper, num_buckets=4).to_pandas()
+        ref = left.merge(right, on="k", suffixes=("", "_r"))
+        d = ref["t"] - ref["t_r"]
+        ref = ref[(d >= lower) & (d <= upper)]
+        if ref.empty:
+            # an all-empty map_groups output has no schema to compare
+            assert got.empty, (lower, upper)
+            continue
+        cols = ["k", "t", "lv", "t_r", "rv"]
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = ref[cols].sort_values(cols).reset_index(drop=True)
+        assert a.astype("int64").equals(b.astype("int64")), (lower, upper)
+
+
 def test_label_propagation_join_lookup_identical(ray_session):
     """lookup='join' (edges hash-joined to labels, no broadcast) ==
     the broadcast lookup."""
