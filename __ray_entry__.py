@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": P.orders_lineitem_join,
         "events_asof": P.events_asof,
         "events_range_join": P.events_range_join,
+        "events_rolling": P.events_rolling,
         "docs_sample": P.docs_sample,
         "value_quantiles": P.value_quantiles,
         # features / training export (rows-only)
@@ -358,6 +359,18 @@ SELECT p.event_id, c.event_id AS click_id,
        CAST(p.ts - c.ts AS BIGINT) AS gap_us
 FROM p JOIN c ON p.user_id = c.user_id
              AND p.ts - c.ts BETWEEN 0 AND 86400000000""",
+        "events_rolling": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events)
+SELECT event_id, user_id,
+       CAST(sum(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_micros,
+       CAST(sum(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS roll3_value_micros
+FROM e""",
         "docs_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0""",

@@ -697,6 +697,31 @@ def events_range_join(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def events_rolling(sf_dir: str):
+    """SQL-window-function analog (custom operator): per user ordered by
+    (ts, event_id), the running total of value and the trailing-3-row
+    sum — SUM() OVER (PARTITION BY user ORDER BY ... ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW). One hash shuffle; each bucket computes
+    all its users vectorized (functions/windows.py)."""
+    from ..functions.windows import grouped_running_sums
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+            "user_id": batch["user_id"].combine_chunks().cast(pa.int64()),
+            "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+            "value_micros": pc_micros(batch["value"]),
+        })
+
+    ds = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "user_id", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = grouped_running_sums(ds, by="user_id", order=["ts", "event_id"],
+                               value_col="value_micros", window=3)
+    return out.select_columns(["event_id", "user_id", "cum_value_micros",
+                               "roll3_value_micros"])
+
+
 def docs_sample(sf_dir: str):
     """Deterministic hash-based 10% Bernoulli sample (shuffle-free,
     partitioning-independent, reproducible — the scale-safe way to

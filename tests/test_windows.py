@@ -1,0 +1,54 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_grouped_running_sums_matches_pandas(ray_session):
+    """cum/rollN == pandas groupby cumsum / rolling(min_periods=1) on
+    random per-key series, across bucket boundaries and window sizes."""
+    from stacksearch_ray.functions.windows import grouped_running_sums
+
+    rng = np.random.default_rng(12)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n).astype(np.int64),
+        "t": rng.permutation(n).astype(np.int64),  # unique order key
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+    })
+    for window in (1, 3, 7):
+        got = (grouped_running_sums(_ds(df), by="k", order=["t"],
+                                    value_col="v", window=window,
+                                    num_buckets=4)
+               .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+        ref = df.sort_values(["k", "t"]).reset_index(drop=True)
+        grp = ref.groupby("k", sort=False)["v"]
+        ref["cum_v"] = grp.cumsum()
+        ref[f"roll{window}_v"] = (
+            grp.rolling(window, min_periods=1).sum()
+            .reset_index(level=0, drop=True).astype(np.int64))
+        cols = ["k", "t", "v", "cum_v", f"roll{window}_v"]
+        assert got[cols].astype("int64").equals(ref[cols].astype("int64")), \
+            window
+
+
+def test_grouped_running_sums_single_key_and_short_groups(ray_session):
+    """Window longer than a group's row count degrades to the running
+    total; a single hot key stays exact inside one bucket."""
+    from stacksearch_ray.functions.windows import grouped_running_sums
+
+    df = pd.DataFrame({
+        "k": np.array([1, 1, 1, 2], dtype=np.int64),
+        "t": np.array([10, 20, 30, 5], dtype=np.int64),
+        "v": np.array([4, -2, 7, 9], dtype=np.int64),
+    })
+    got = (grouped_running_sums(_ds(df), by="k", order=["t"],
+                                value_col="v", window=10, num_buckets=2)
+           .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    assert got["cum_v"].tolist() == [4, 2, 9, 9]
+    assert got["roll10_v"].tolist() == [4, 2, 9, 9]
