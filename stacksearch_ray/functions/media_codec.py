@@ -7,10 +7,14 @@ public specs:
 - BMP (Windows BITMAPINFOHEADER, 24-bit BI_RGB): 14-byte file header +
   40-byte info header + bottom-up BGR rows padded to 4 bytes.
 - WAV (RIFF PCM, mono 16-bit): via the stdlib ``wave`` module.
+- AVI (RIFF 'AVI ', uncompressed 'DIB ' video stream): hdrl/movi
+  lists with one '00db' chunk per frame, each frame the same
+  bottom-up padded BGR layout a BMP uses.
 
-These give DecodeImageFeatures / ExtractAudioFeatures real pixels and
-samples to compute features from; compressed formats (png/jpeg/mp4)
-remain honestly stubbed in multimodal.py.
+These give DecodeImageFeatures / ExtractAudioFeatures /
+SampleVideoFrames real pixels, samples and frames to compute from;
+compressed formats (png/jpeg/mp4) remain honestly stubbed in
+multimodal.py.
 """
 
 from __future__ import annotations
@@ -91,6 +95,91 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         raw = raw.reshape(-1, n_ch).mean(axis=1).astype(np.int16)
     return raw, rate
+
+
+# ---------------- AVI (uncompressed DIB video) ----------------
+#
+# Microsoft's AVI RIFF form, public spec: RIFF('AVI ') containing
+# LIST('hdrl') [avih main header + LIST('strl') with strh/strf] and
+# LIST('movi') with one '00db' chunk per uncompressed frame — each
+# frame is DIB data, i.e. the same bottom-up padded BGR rows a 24-bit
+# BMP uses. No compression, no index required, decodable byte-by-byte
+# with struct + NumPy.
+
+_AVIH = struct.Struct("<IIIIIIIIII4I")   # MainAVIHeader (56 bytes)
+_STRH = struct.Struct("<4s4sIHHIIIIIIII4H")  # AVIStreamHeader (56 bytes)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 4) -> bytes:
+    """uint8 (N, H, W, 3) RGB frames → uncompressed ('DIB ') AVI."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_avi expects (N, H, W, 3) uint8")
+    n, h, w, _ = frames.shape
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    frame_size = stride * h
+
+    rows = np.zeros((n, h, stride), dtype=np.uint8)
+    rows[:, :, :row_bytes] = frames[:, ::-1, :, ::-1].reshape(n, h, row_bytes)
+    movi_items = b"".join(
+        b"00db" + struct.pack("<I", frame_size) + rows[i].tobytes()
+        for i in range(n))
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" \
+        + movi_items
+
+    avih = b"avih" + struct.pack("<I", _AVIH.size) + _AVIH.pack(
+        1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1, frame_size,
+        w, h, 0, 0, 0, 0)
+    strf_body = _BMP_INFO.pack(_BMP_INFO.size, w, h, 1, 24, 0, frame_size,
+                               0, 0, 0, 0)
+    strh = b"strh" + struct.pack("<I", _STRH.size) + _STRH.pack(
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, w, h)
+    strf = b"strf" + struct.pack("<I", len(strf_body)) + strf_body
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) \
+        + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) \
+        + b"hdrl" + avih + strl
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed AVI bytes → (uint8 (N, H, W, 3) RGB frames, fps)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = fps = None
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, fps
+        off = start
+        while off + 8 <= end:
+            fourcc = payload[off:off + 4]
+            size = struct.unpack_from("<I", payload, off + 4)[0]
+            data0 = off + 8
+            if fourcc == b"LIST":
+                walk(data0 + 4, data0 + size)        # skip the list type
+            elif fourcc == b"avih":
+                vals = _AVIH.unpack_from(payload, data0)
+                usec = vals[0]
+                fps = round(1_000_000 / usec) if usec else 0
+                w, h = vals[8], vals[9]
+            elif fourcc in (b"00db", b"00dc"):
+                if w is None or h is None:
+                    raise ValueError("frame chunk before avih header")
+                row_bytes = w * 3
+                stride = row_bytes + ((-row_bytes) % 4)
+                rows = np.frombuffer(payload, np.uint8, stride * h,
+                                     data0).reshape(h, stride)[:, :row_bytes]
+                frames.append(rows.reshape(h, w, 3)[::-1, :, ::-1])
+            off = data0 + size + (size & 1)          # chunks word-align
+
+    walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if not frames:
+        raise ValueError("AVI contains no uncompressed frame chunks")
+    return np.stack(frames), int(fps or 0)
 
 
 # ---------------- feature kernels ----------------

@@ -2,14 +2,15 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-Image and audio decode are REAL for the uncompressed public formats:
-BMP payloads decode to pixels and WAV payloads to PCM samples via the
-pure-NumPy/stdlib codecs in media_codec.py, and features are computed
-from the actual pixels/samples. Compressed formats (png/jpeg/mp4)
-remain honestly stubbed — ``NotImplementedError`` unless ``fake=True``,
-in which case a deterministic fake decoder (seeded by payload bytes)
-produces stable feature vectors for plumbing tests. Video container
-decode needs libav and stays stubbed.
+Decode is REAL for the uncompressed public formats of all three
+modalities: BMP payloads decode to pixels, WAV payloads to PCM
+samples, and uncompressed-DIB AVI payloads to frame arrays via the
+pure-NumPy/stdlib codecs in media_codec.py; features and frame
+fingerprints are computed from the actual pixels/samples. Compressed
+formats (png/jpeg/mp4) remain honestly stubbed —
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by payload bytes) produces stable
+rows for plumbing tests.
 
 Batch-size guidance (SURVEY.md memory notes): with B-byte payloads pick
 ``batch_size ≈ target_batch_bytes / B`` so batch × concurrency fits the
@@ -38,17 +39,18 @@ MEDIA_SCHEMA = pa.schema([
 
 def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
                       audio_rate: int = 4000) -> pa.Table:
-    """Deterministic media rows with REAL payloads where a real codec
-    exists: images are valid 24-bit BMPs (random pixels), audio is
-    valid mono 16-bit PCM WAV (sine + noise); video payloads stay
-    seeded pseudo-bytes (container decode is stubbed)."""
-    from .media_codec import encode_bmp, encode_wav
+    """Deterministic media rows with REAL payloads across all three
+    modalities: images are valid 24-bit BMPs (random pixels), audio is
+    valid mono 16-bit PCM WAV (sine + noise), video is valid
+    uncompressed-DIB AVI (random frames) — every payload decodes with
+    the pure-NumPy/stdlib codecs in media_codec.py."""
+    from .media_codec import encode_avi, encode_bmp, encode_wav
 
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k: [] for k in ("media_id", "kind", "format", "width",
                             "height", "duration_ms", "payload")}
-    fmts = {"image": "bmp", "audio": "wav", "video": "mp4"}
+    fmts = {"image": "bmp", "audio": "wav", "video": "avi"}
     for i in range(n):
         kind = kinds[i % 3]
         rows["media_id"].append(i)
@@ -73,11 +75,15 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
             rows["duration_ms"].append(dur)
             rows["payload"].append(encode_wav(samples, audio_rate))
         else:
-            rows["width"].append(int(rng.integers(16, 512)))
-            rows["height"].append(int(rng.integers(16, 512)))
-            rows["duration_ms"].append(int(rng.integers(100, 60_000)))
-            rows["payload"].append(rng.integers(0, 256, payload_bytes,
-                                                dtype=np.uint8).tobytes())
+            fps = 4
+            n_frames = int(rng.integers(2, 12))
+            w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+            frames = rng.integers(0, 256, (n_frames, h, w, 3),
+                                  dtype=np.uint8)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(n_frames * 1000 // fps)
+            rows["payload"].append(encode_avi(frames, fps))
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
@@ -188,8 +194,11 @@ class ExtractAudioFeatures:
 
 
 class SampleVideoFrames:
-    """Actor-pool stage for frame sampling: emits one row per sampled frame
-    index (every ``stride_ms``), payload decode stubbed the same way."""
+    """Actor-pool stage for frame sampling: emits one row per sampled
+    frame (every ``stride_ms``). AVI payloads decode to REAL frames
+    (media_codec.decode_avi — uncompressed DIB) and ``frame_sha``
+    fingerprints the actual pixel bytes; compressed containers (mp4)
+    raise unless ``fake=True`` (hash-seeded plumbing rows)."""
 
     def __init__(self, stride_ms: int = 1000, fake: bool = False):
         self.stride_ms = stride_ms
@@ -197,21 +206,37 @@ class SampleVideoFrames:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, kinds = batch["media_id"].to_pylist(), batch["kind"].to_pylist()
+        fmts = batch["format"].to_pylist()
         durs = batch["duration_ms"].to_pylist()
         payloads = batch["payload"].to_pylist()
         m_out, f_out, t_out, h_out = [], [], [], []
-        for mid, kind, dur, payload in zip(ids, kinds, durs, payloads):
+        for mid, kind, fmt, dur, payload in zip(ids, kinds, fmts, durs,
+                                                payloads):
             if kind != "video":
                 continue
-            if not self.fake:
+            if self.fake:
+                for j, t in enumerate(range(0, dur, self.stride_ms)):
+                    m_out.append(mid)
+                    f_out.append(j)
+                    t_out.append(t)
+                    h_out.append(hashlib.sha256(
+                        payload + t.to_bytes(8, "little")).hexdigest()[:16])
+                continue
+            if fmt != "avi":
                 raise NotImplementedError(
-                    "video decode requires libav; use fake=True for tests")
-            for j, t in enumerate(range(0, dur, self.stride_ms)):
+                    f"video format {fmt!r} needs a decoder library not "
+                    "present in this environment (uncompressed avi decodes "
+                    "natively; fake=True for plumbing tests)")
+            from .media_codec import decode_avi
+
+            frames, fps = decode_avi(payload)
+            for t in range(0, dur, self.stride_ms):
+                idx = min(t * fps // 1000, len(frames) - 1)
                 m_out.append(mid)
-                f_out.append(j)
+                f_out.append(int(idx))
                 t_out.append(t)
                 h_out.append(hashlib.sha256(
-                    payload + t.to_bytes(8, "little")).hexdigest()[:16])
+                    frames[idx].tobytes()).hexdigest()[:16])
         return pa.table({
             "media_id": pa.array(m_out, pa.int64()),
             "frame_idx": pa.array(f_out, pa.int32()),

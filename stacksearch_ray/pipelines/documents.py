@@ -1005,12 +1005,14 @@ def multimodal_features(sf_dir: str):
 
 
 def video_frame_sample(sf_dir: str):
-    """Video container decode needs libav — the one multimodal stage
-    still running the deterministic fake sampler."""
+    """Frame sampling from REAL decoded frames: the synthetic media
+    table's video rows are valid uncompressed-DIB AVIs, decoded by the
+    pure-NumPy codec in an actor pool (fake=False); frame_sha
+    fingerprints actual pixel bytes."""
     from ..functions.multimodal import sample_frames, synth_media_table
 
     ds = rd.from_arrow(synth_media_table(60))
-    return sample_frames(ds, stride_ms=5000, fake=True)
+    return sample_frames(ds, stride_ms=500, fake=False)
 
 
 def audio_windows(sf_dir: str):

@@ -24,6 +24,9 @@ def test_synth_media_schema():
             assert pays[mid][:2] == b"BM"
         elif fmt == "wav":
             assert pays[mid][:4] == b"RIFF"
+        elif fmt == "avi":
+            assert pays[mid][:4] == b"RIFF"
+            assert pays[mid][8:12] == b"AVI "
 
 
 def test_bmp_roundtrip():
@@ -164,6 +167,31 @@ def test_sample_frames_counts():
     assert set(out["media_id"].to_pylist()) == set(vids)
 
 
+def test_sample_frames_real_decode():
+    """fake=False decodes the AVI payloads: frame_sha fingerprints the
+    ACTUAL pixel bytes, so it matches a direct decode of the payload."""
+    import hashlib
+
+    from stacksearch_ray.functions.media_codec import decode_avi
+
+    s = SampleVideoFrames(stride_ms=500, fake=False)
+    t = synth_media_table(9)
+    out = s(t)
+    pays = {m: p for m, k, p in zip(t["media_id"].to_pylist(),
+                                    t["kind"].to_pylist(),
+                                    t["payload"].to_pylist())
+            if k == "video"}
+    assert set(out["media_id"].to_pylist()) == set(pays)
+    for mid, fidx, sha in zip(out["media_id"].to_pylist(),
+                              out["frame_idx"].to_pylist(),
+                              out["frame_sha"].to_pylist()):
+        frames, fps = decode_avi(pays[mid])
+        assert fps == 4
+        assert sha == hashlib.sha256(
+            frames[fidx].tobytes()).hexdigest()[:16]
+    assert s(t).equals(out)  # deterministic
+
+
 def test_actor_pool_pipeline(ray_session):
     import ray.data as rd
 
@@ -225,6 +253,21 @@ def test_wav_roundtrip_property(n, seed, rate):
     back, r = decode_wav(encode_wav(s, rate))
     assert r == rate
     assert np.array_equal(back, s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 24), st.integers(1, 24),
+       st.integers(0, 2**31 - 1), st.sampled_from([1, 4, 25]))
+def test_avi_roundtrip_property(n, h, w, seed, fps):
+    """decode(encode(frames)) == frames for ANY frame count/shape/fps
+    (incl. odd widths whose DIB rows need 4-byte padding)."""
+    from stacksearch_ray.functions.media_codec import decode_avi, encode_avi
+
+    frames = np.random.default_rng(seed).integers(
+        0, 256, (n, h, w, 3), dtype=np.uint8)
+    back, f = decode_avi(encode_avi(frames, fps))
+    assert f == fps
+    assert np.array_equal(back, frames)
 
 
 @settings(max_examples=40, deadline=None)
