@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenize / index-side aggregates (M2-M8, A1-A7)
         "term_counts": P.term_counts,
         "term_df": P.term_df,
+        "heavy_terms": P.heavy_terms,
         "token_stats": lambda sf: P.token_stats(sf).drop_columns(
             ["stopword_ratio_micros"]),
         "quality_filter": P.quality_filter,
@@ -205,6 +206,10 @@ def oracle_sql() -> dict[str, str]:
         pass  # sf0.01 absent: omit the knn_ivf oracle
     oracles = {
         "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
+        "heavy_terms": f"""
+WITH {kept}
+SELECT term, count(*) AS cf FROM kept GROUP BY term
+HAVING count(*) >= (SELECT count(*) // 1000 + 1 FROM kept)""",
         "term_df": f"WITH {kept} SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term",
         "token_stats": f"""
 WITH {kept},

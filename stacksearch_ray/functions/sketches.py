@@ -1,4 +1,5 @@
-"""Mergeable sketches: HyperLogLog approximate distinct counting.
+"""Mergeable sketches: HyperLogLog approximate distinct counting and
+Misra-Gries heavy hitters (with an exact-rescoring wrapper).
 
 The canonical pre-aggregation pattern for wide counts at scale: each
 ``map_batches`` call emits ONE serialized sketch row per batch (registers
@@ -13,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -86,6 +88,115 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
     for row in parts:
         acc.merge(HLL.from_bytes(row["sketch"], p))
     return acc.estimate()
+
+
+def mg_compress(vals: np.ndarray, cnts: np.ndarray,
+                k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries compression of exact (value, count) pairs to at most
+    ``k`` counters: subtract the (k+1)-th largest count from every
+    counter and drop the non-positive ones. Each surviving counter
+    undercounts its true total by at most total_weight/(k+1), and any
+    dropped value's true total is at most that same bound — the
+    standard mergeable-summary guarantee (Misra & Gries 1982; Agarwal
+    et al. 2013)."""
+    if len(vals) <= k:
+        return vals, cnts
+    kth = np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1]
+    keep = cnts > kth
+    return vals[keep], cnts[keep] - kth
+
+
+def heavy_hitters_exact(ds: Dataset, col: str,
+                        weight_col: str | None = None,
+                        threshold_frac: float = 0.001,
+                        k: int = 4000) -> Dataset:
+    """All values whose total weight is ≥ floor(n * threshold_frac) + 1,
+    with EXACT counts — certified complete, no full (value → count)
+    shuffle. Two streaming passes:
+
+    1. Candidates: each batch emits a ≤``k``-row Misra-Gries summary
+       (vectorized np.unique + compress); summaries merge by a
+       groupby-sum whose shuffle carries ≤ k rows per batch. Summed MG
+       counts undercount any value by at most n/(k+1), so every truly
+       heavy value survives the candidate cut at
+       threshold - n//(k+1). Requires n//(k+1) < threshold (raise
+       ``k`` for smaller thresholds — checked at runtime).
+    2. Exact rescoring: the (small) candidate set broadcasts via
+       ray.put; one more pass counts ONLY candidates exactly, then the
+       final filter applies the true threshold. Output (col, cf) is
+       deterministic and equal to the brute-force GROUP BY ... HAVING.
+
+    The candidates + exact re-rank shape mirrors the engine's T2 query
+    pattern (reference results.py top-k re-ranking) at corpus scale.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        arr = batch[col].combine_chunks()
+        vals = np.asarray(arr.to_pylist(), dtype=object) \
+            if not pa.types.is_integer(arr.type) else np.asarray(arr)
+        if weight_col is not None:
+            w = np.asarray(batch[weight_col].combine_chunks()).astype(np.int64)
+            uniq, inv = np.unique(vals, return_inverse=True)
+            cnts = np.bincount(inv, weights=w).astype(np.int64)
+        else:
+            uniq, cnts = np.unique(vals, return_counts=True)
+            cnts = cnts.astype(np.int64)
+        n_batch = int(cnts.sum())
+        carrier = uniq[:1]  # keeps n alive if compression empties
+        uniq, cnts = mg_compress(uniq, cnts, k)
+        if n_batch and not len(uniq):
+            uniq = carrier
+            cnts = np.zeros(1, dtype=np.int64)
+        n_col = np.zeros(len(uniq), dtype=np.int64)
+        if len(n_col):
+            n_col[0] = n_batch
+        return pa.table({col: pa.array(uniq.tolist()),
+                         "cnt": pa.array(cnts, pa.int64()),
+                         "n": pa.array(n_col, pa.int64())})
+
+    merged = (ds.map_batches(summarize, batch_format="pyarrow")
+              .groupby(col)
+              .aggregate(Sum("cnt", alias_name="cnt"),
+                         Sum("n", alias_name="n"))
+              .materialize())
+    n_total = int(merged.sum("n") or 0)
+    threshold = int(n_total * threshold_frac) + 1
+    slack = n_total // (k + 1)
+    if slack >= threshold:
+        raise ValueError(
+            f"k={k} too small for threshold {threshold} at n={n_total}: "
+            f"MG slack {slack} would lose heavy values; raise k above "
+            f"{int(1 / threshold_frac) + 1}")
+    cand = merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"],
+                                            threshold - slack)),
+        batch_format="pyarrow").to_pandas()
+    cand_ref = ray.put(set(cand[col].tolist()))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        arr = batch[col].combine_chunks()
+        vals = np.asarray(arr.to_pylist(), dtype=object) \
+            if not pa.types.is_integer(arr.type) else np.asarray(arr)
+        if weight_col is not None:
+            w = np.asarray(batch[weight_col].combine_chunks()).astype(np.int64)
+        else:
+            w = np.ones(len(vals), dtype=np.int64)
+        mask = pd.Series(vals).isin(cset).to_numpy() \
+            if len(vals) else np.zeros(0, dtype=bool)
+        uniq, inv = np.unique(vals[mask], return_inverse=True)
+        cf = np.bincount(inv, weights=w[mask]).astype(np.int64) \
+            if len(uniq) else np.zeros(0, dtype=np.int64)
+        return pa.table({col: pa.array(uniq.tolist()),
+                         "cf": pa.array(cf, pa.int64())})
+
+    return (ds.map_batches(exact, batch_format="pyarrow")
+            .groupby(col).aggregate(Sum("cf", alias_name="cf"))
+            .map_batches(
+                lambda t: t.filter(pc.greater_equal(t["cf"], threshold)),
+                batch_format="pyarrow"))
 
 
 def approx_distinct_tokens(ds: Dataset, text_col: str = "text",

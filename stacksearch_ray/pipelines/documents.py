@@ -123,6 +123,18 @@ def term_df(sf_dir: str):
             .groupby("term").aggregate(Sum("df", alias_name="df")))
 
 
+def heavy_terms(sf_dir: str):
+    """Heavy hitters with certified completeness: terms covering ≥0.1%
+    of all kept token occurrences, EXACT counts — Misra-Gries candidate
+    summaries (≤4000 rows shuffled per batch) + one exact rescoring
+    pass over the broadcast candidate set. No full term shuffle."""
+    from ..functions.sketches import heavy_hitters_exact
+
+    return heavy_hitters_exact(_postings_ds(sf_dir), "term",
+                               weight_col="tf", threshold_frac=0.001,
+                               k=4000)
+
+
 def token_stats(sf_dir: str):
     """(doc_id, n_tokens, n_kept, stopword_ratio_micros) per doc."""
     return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])

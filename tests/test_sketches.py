@@ -47,3 +47,54 @@ def test_approx_distinct_dataset(ray_session):
     # vocabulary: alpha, beta + 211 + 97 distinct tok_k... tok_k overlap:
     # tok_0..tok_210 and tok_0..tok_96 share names → 211 + 2 distinct
     assert abs(est_t - 213) / 213 < 0.06
+
+
+def test_mg_compress_guarantee():
+    """Compressed counts undercount by at most total/(k+1), and any
+    dropped value's true count is within the same bound — on zipf data."""
+    from stacksearch_ray.functions.sketches import mg_compress
+
+    rng = np.random.default_rng(7)
+    vals = rng.zipf(1.3, 50_000)
+    uniq, cnts = np.unique(vals, return_counts=True)
+    k = 100
+    cvals, ccnts = mg_compress(uniq, cnts.astype(np.int64), k)
+    assert len(cvals) <= k
+    bound = len(vals) // (k + 1)
+    true = dict(zip(uniq.tolist(), cnts.tolist()))
+    for v, c in zip(cvals.tolist(), ccnts.tolist()):
+        assert 0 < c <= true[v]
+        assert true[v] - c <= bound
+    dropped = set(uniq.tolist()) - set(cvals.tolist())
+    assert all(true[v] <= bound for v in dropped)
+
+
+def test_heavy_hitters_exact_matches_bruteforce(ray_session):
+    """heavy_hitters_exact == GROUP BY + HAVING on skewed data, with a
+    small k that forces real per-batch compression."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stacksearch_ray.functions.sketches import heavy_hitters_exact
+
+    rng = np.random.default_rng(11)
+    vals = np.minimum(rng.zipf(1.2, 30_000), 5_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    got = (heavy_hitters_exact(ds, "v", threshold_frac=0.01, k=128)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    threshold = int(len(vals) * 0.01) + 1
+    uniq, cnts = np.unique(vals, return_counts=True)
+    ref = pd.DataFrame({"v": uniq, "cf": cnts})
+    ref = (ref[ref["cf"] >= threshold].astype(np.int64)
+           .sort_values("v").reset_index(drop=True))
+    assert got.astype("int64").equals(ref)
+
+
+def test_heavy_hitters_k_too_small_raises(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.sketches import heavy_hitters_exact
+
+    ds = rd.from_arrow(pa.table({"v": np.arange(10_000, dtype=np.int64)}))
+    with pytest.raises(ValueError, match="too small"):
+        heavy_hitters_exact(ds, "v", threshold_frac=0.001, k=10)
