@@ -156,6 +156,10 @@ def run_bench() -> dict:
                      ("semantic_knn", P.semantic_knn),
                      ("orders_lineitem_join", P.orders_lineitem_join),
                      ("events_asof", P.events_asof),
+                     ("events_range_join", P.events_range_join),
+                     ("events_rolling", P.events_rolling),
+                     ("heavy_terms", P.heavy_terms),
+                     ("knn_ivf", P.knn_ivf),
                      ("value_quantiles", P.value_quantiles)]:
         t0 = time.time()
         res = fn(SF_DIR)
