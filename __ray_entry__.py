@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": P.events_range_join,
         "events_rolling": P.events_rolling,
         "docs_sample": P.docs_sample,
+        "docs_stratified_sample": P.docs_stratified_sample,
+        "regex_extract": P.regex_extract,
+        "lang_term_overlap": P.lang_term_overlap,
         "value_quantiles": P.value_quantiles,
         # features / training export (rows-only)
         "char_histograms": P.char_histograms,
@@ -379,6 +382,20 @@ FROM e""",
         "docs_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0""",
+        "docs_stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) %
+      (CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 7 ELSE 10 END) = 0""",
+        "regex_extract": """
+SELECT doc_id, regexp_extract(text, 'table ([a-z]+)', 1) AS after_table
+FROM documents WHERE regexp_matches(text, 'table ([a-z]+)')""",
+        "lang_term_overlap": f"""
+WITH {kept}
+SELECT k.term FROM kept k JOIN documents d USING (doc_id)
+WHERE d.lang = 'en'
+INTERSECT
+SELECT k.term FROM kept k JOIN documents d USING (doc_id)
+WHERE d.lang = 'de'""",
         "value_quantiles": """
 SELECT CAST(floor(0.1 * 1e6 + 0.5) AS BIGINT) AS q_micros,
        CAST(floor(quantile_disc(value, 0.1) * 1e6 + 0.5) AS BIGINT)

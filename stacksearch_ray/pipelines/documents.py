@@ -749,6 +749,77 @@ def docs_sample(sf_dir: str):
             .map_batches(keep, batch_format="pyarrow"))
 
 
+def docs_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: per-group Bernoulli rates
+    (en 1/4, de 1/7, all other langs 1/10) from the same md5(doc_id)
+    draw as docs_sample — shuffle-free, reproducible, independent of
+    partitioning, one streaming pass. The scale-safe way to rebalance
+    a corpus by group without a groupby."""
+    from ..functions.dedup import md5_low64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        lang = np.asarray(batch["lang"].combine_chunks().to_pylist(),
+                          dtype=object)
+        h = md5_low64(np.array([str(i) for i in ids], dtype=object))
+        mod = np.where(lang == "en", 4,
+                       np.where(lang == "de", 7, 10)).astype(np.uint64)
+        return batch.filter(pa.array(h % mod == np.uint64(0)))
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+def regex_extract(sf_dir: str):
+    """Vectorized regex capture-group extraction: the first word
+    following "table " in each doc, via pyarrow.compute.extract_regex
+    (RE2 — the same engine DuckDB's regexp_extract uses, so
+    leftmost-match and group semantics agree)."""
+    def ext(batch: pa.Table) -> pa.Table:
+        s = pc.extract_regex(batch["text"].combine_chunks(),
+                             r"table (?P<nxt>[a-z]+)")
+        num = pc.struct_field(s, "nxt")
+        ok = pc.is_valid(num)
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().filter(ok),
+            "after_table": num.filter(ok),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(ext, batch_format="pyarrow"))
+
+
+def lang_term_overlap(sf_dir: str):
+    """Set intersection (§2.7): terms appearing in at least one 'en'
+    doc AND at least one 'de' doc. Presence indicators combine
+    map-side (per-batch distinct terms with per-lang counts), so the
+    shuffle carries one row per distinct term per batch — never a row
+    per posting."""
+    def partial(b: pa.Table) -> pa.Table:
+        tf = term_frequencies(b["text"].combine_chunks())
+        lang = np.asarray(b["lang"].combine_chunks().to_pylist(),
+                          dtype=object)[tf.doc_idx]
+        df = pd.DataFrame({"term": tf.terms,
+                           "en_n": (lang == "en").astype(np.int64),
+                           "de_n": (lang == "de").astype(np.int64)})
+        out = df.groupby("term", sort=False, as_index=False).sum()
+        out = out[(out["en_n"] > 0) | (out["de_n"] > 0)]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (rd.read_parquet(_docs(sf_dir), columns=["text", "lang"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("en_n", alias_name="en_n"),
+                                      Sum("de_n", alias_name="de_n")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        both = pc.and_(pc.greater(b["en_n"], 0), pc.greater(b["de_n"], 0))
+        return pa.table({"term": b["term"].combine_chunks().filter(
+            both.combine_chunks() if isinstance(both, pa.ChunkedArray)
+            else both)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def value_quantiles(sf_dir: str):
     """Exact order statistics over events.value WITHOUT a global sort:
     iterative histogram-narrowing selection (functions/quantiles.py) —

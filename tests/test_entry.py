@@ -65,7 +65,9 @@ def test_sql_tokenizer_unicode_parity():
 
 
 @pytest.mark.parametrize("name", ["term_df", "exact_dedup", "bm25_topk",
-                                  "docs_range", "knn_cosine"])
+                                  "docs_range", "knn_cosine",
+                                  "docs_stratified_sample", "regex_extract",
+                                  "lang_term_overlap"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 
