@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": P.orders_by_segment,
         "orders_lineitem_join": P.orders_lineitem_join,
         "events_asof": P.events_asof,
+        "lineitem_semi": P.lineitem_semi,
         "events_range_join": P.events_range_join,
         "events_rolling": P.events_rolling,
         "docs_sample": P.docs_sample,
@@ -408,6 +409,12 @@ UNION ALL
 SELECT CAST(floor(0.9 * 1e6 + 0.5) AS BIGINT),
        CAST(floor(quantile_disc(value, 0.9) * 1e6 + 0.5) AS BIGINT)
 FROM events""",
+        "lineitem_semi": """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS price_micros
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')""",
         "orders_lineitem_join": """
 SELECT o.o_orderpriority,
        count(*) AS n_items,

@@ -1,0 +1,153 @@
+"""Bloom-filter semi-join: keep the large side's rows whose key appears
+in a key set, EXACTLY, while keeping the large side shuffle-free.
+
+Scale shape (the reason this exists at 100 TB): the key side is reduced
+to a FIXED-SIZE bit array — one streaming pass emits a per-block partial
+bitmap (``m_bits/8`` bytes each, independent of key count), OR-merged
+into one filter and broadcast once via ``ray.put``. The large side then
+streams through a vectorized membership test (double hashing, k probes,
+no Python loop). The bloom pass is a PRUNE — false positives possible,
+never false negatives — so exactness comes from a verify stage over the
+SURVIVORS only:
+
+- ``verify="broadcast"``: the distinct keys fit one worker → broadcast
+  the sorted unique key array and ``searchsorted`` (the bloom pass is
+  then pure shuffle-volume insurance);
+- ``verify="join"``: bucketed hash semi-join of survivors against the
+  distinct keys — the shuffle carries only bloom survivors instead of
+  every large-side row, which is the whole point of the pattern;
+- ``verify="auto"``: routes by the key side's row count.
+
+Membership semantics match SQL ``WHERE key IN (SELECT ...)`` for
+non-null int64 keys (the engine's id convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+# two independent 64-bit hash streams for double hashing (Kirsch &
+# Mitzenmacher 2006: g_i = h1 + i*h2 preserves the bloom FP bound)
+_KEY1 = "0123456789123456"
+_KEY2 = "fedcba9876543210"
+
+# keys-side row count above which auto-verify switches from a broadcast
+# exact set to the bucketed semi-join (the broadcast array is 8 B/key)
+BROADCAST_KEY_LIMIT = 2_000_000
+
+
+def _hashes(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) array of bit positions for each key (vectorized)."""
+    h1 = pd.util.hash_array(keys, hash_key=_KEY1)
+    h2 = pd.util.hash_array(keys, hash_key=_KEY2)
+    # force h2 odd so strides cycle the full table even when m is a
+    # power of two
+    h2 = h2 | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits))
+
+
+def build_bloom(keys: Dataset, on: str, m_bits: int = 1 << 20,
+                k: int = 4) -> np.ndarray:
+    """One streaming pass over the key column → packed uint8 bitmap of
+    ``m_bits`` bits. Per-block partials are ``m_bits/8`` bytes each and
+    OR-merge associatively (driver merge is O(blocks · m/8); lift to a
+    tree reduce if blocks × bitmap ever outgrows the driver)."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch[on].combine_chunks()).astype(np.int64)
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(ks):
+            pos = _hashes(ks, m_bits, k).ravel()
+            np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1),
+                                           (pos & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in (keys.map_batches(partial, batch_format="pyarrow")
+                .iter_rows()):
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out
+
+
+def _bloom_filter_stage(large: Dataset, on: str, bitmap: np.ndarray,
+                        m_bits: int, k: int) -> Dataset:
+    ref = ray.put(bitmap)
+
+    def test(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch[on].combine_chunks()).astype(np.int64)
+        if not len(ks):
+            return batch
+        bm = ray.get(ref)
+        pos = _hashes(ks, m_bits, k)
+        hit = np.ones(len(ks), dtype=bool)
+        for j in range(k):
+            p = pos[j]
+            byte = bm[(p >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (p & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return batch.filter(pa.array(hit))
+
+    return large.map_batches(test, batch_format="pyarrow")
+
+
+def _distinct_keys(keys: Dataset, on: str) -> Dataset:
+    """Distinct key values with map-side dedup: the shuffle carries at
+    most one row per distinct key per batch."""
+    def uniq(batch: pa.Table) -> pa.Table:
+        ks = np.unique(np.asarray(batch[on].combine_chunks())
+                       .astype(np.int64))
+        return pa.table({on: pa.array(ks, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return (keys.map_batches(uniq, batch_format="pyarrow")
+            .groupby(on).aggregate(Count(alias_name="__n"))
+            .drop_columns(["__n"]))
+
+
+def bloom_semi_join(large: Dataset, keys: Dataset, on: str,
+                    m_bits: int = 1 << 20, k: int = 4,
+                    verify: str = "auto",
+                    num_buckets: int = 32) -> Dataset:
+    """Exact semi-join: ``large`` rows whose ``on`` value appears in
+    ``keys``. Output columns = ``large``'s columns, unchanged."""
+    if verify == "auto":
+        verify = ("broadcast" if keys.count() <= BROADCAST_KEY_LIMIT
+                  else "join")
+    if verify == "broadcast":
+        kdf = keys.select_columns([on]).to_pandas()
+        # an empty Dataset's to_pandas() drops the schema entirely
+        kvals = (kdf[on].to_numpy() if on in kdf.columns
+                 else np.array([], dtype=np.int64))
+        arr = np.unique(np.asarray(kvals).astype(np.int64))
+        ref = ray.put(arr)
+
+        def member(batch: pa.Table) -> pa.Table:
+            ks = np.asarray(batch[on].combine_chunks()).astype(np.int64)
+            a = ray.get(ref)
+            idx = np.searchsorted(a, ks)
+            idx[idx >= len(a)] = 0
+            hit = (a[idx] == ks) if len(a) else np.zeros(len(ks), bool)
+            return batch.filter(pa.array(hit))
+
+        return large.map_batches(member, batch_format="pyarrow")
+    if verify != "join":
+        raise ValueError(f"unknown verify mode {verify!r}")
+    bitmap = build_bloom(keys, on, m_bits, k)
+    if not bitmap.any():
+        # empty key side (its Dataset would also have no schema, which
+        # the bucketed join can't unify) — semi-join result is empty
+        return large.limit(0)
+    pruned = _bloom_filter_stage(large, on, bitmap, m_bits, k)
+    from .joins import hash_join
+
+    return hash_join(pruned, _distinct_keys(keys, on), on=on,
+                     how="inner", num_buckets=num_buckets)

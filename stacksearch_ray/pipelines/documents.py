@@ -749,6 +749,37 @@ def docs_sample(sf_dir: str):
             .map_batches(keep, batch_format="pyarrow"))
 
 
+def lineitem_semi(sf_dir: str):
+    """Membership semi-join via bloom-prune + exact verify
+    (functions/bloom.py): lineitem rows belonging to URGENT orders.
+    The key side becomes a fixed-size broadcast bitmap regardless of
+    key count; only bloom survivors enter the verify shuffle —
+    verify="join" forces the at-scale path so the bench exercises it."""
+    import pyarrow.dataset as pads
+
+    from ..functions.bloom import bloom_semi_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "price_micros": pc_micros(batch["l_extendedprice"]),
+        })
+
+    big = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    keys = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT"
+    ).map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"]}),
+        batch_format="pyarrow")
+    return bloom_semi_join(big, keys, on="l_orderkey", verify="join")
+
+
 def docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: per-group Bernoulli rates
     (en 1/4, de 1/7, all other langs 1/10) from the same md5(doc_id)

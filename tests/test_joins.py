@@ -287,3 +287,57 @@ def test_dataset_label_propagation_million_nodes(ray_session, tmp_path):
     i = np.arange(n_pairs, dtype=np.int64)
     sing = np.arange(2 * n_pairs, n, dtype=np.int64)
     assert got_sum == int((4 * i).sum() + sing.sum())
+
+
+# ---------------- bloom semi-join ----------------
+
+
+def test_bloom_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.bloom import _hashes, build_bloom
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    bm = build_bloom(rd.from_arrow(pa.table({"k": keys})), "k",
+                     m_bits=1 << 16, k=4)
+    pos = _hashes(keys, 1 << 16, 4)
+    for j in range(4):
+        p = pos[j]
+        byte = bm[(p >> np.uint64(3)).astype(np.int64)]
+        assert np.all((byte >> (p & np.uint64(7)).astype(np.uint8)) & 1 == 1)
+
+
+def test_bloom_semi_join_modes_match_ground_truth(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.bloom import bloom_semi_join
+
+    rng = np.random.default_rng(4)
+    big_keys = rng.integers(0, 2000, size=3000, dtype=np.int64)
+    vals = np.arange(3000, dtype=np.int64)
+    keyset = rng.choice(2000, size=300, replace=False).astype(np.int64)
+    # duplicate keys on the key side must not duplicate output rows
+    keys_tbl = pa.table({"k": np.concatenate([keyset, keyset[:50]])})
+    big = rd.from_arrow(pa.table({"k": big_keys, "v": vals}))
+    expect = set(vals[np.isin(big_keys, keyset)].tolist())
+    for verify in ("broadcast", "join"):
+        out = bloom_semi_join(big, rd.from_arrow(keys_tbl), on="k",
+                              m_bits=1 << 14, verify=verify).to_pandas()
+        assert set(out["v"]) == expect, verify
+        assert len(out) == len(expect), verify
+        assert sorted(out.columns) == ["k", "v"]
+
+
+def test_bloom_semi_join_empty_sides(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.bloom import bloom_semi_join
+
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                  "v": pa.array([9, 8, 7], pa.int64())}))
+    none = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert bloom_semi_join(big, none, on="k",
+                           verify="broadcast").count() == 0
+    assert bloom_semi_join(big, none, on="k", m_bits=1 << 10,
+                           verify="join").count() == 0
