@@ -101,13 +101,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": P.orders_lineitem_join,
         "events_asof": P.events_asof,
         "lineitem_semi": P.lineitem_semi,
+        "lineitem_rollup": P.lineitem_rollup,
         "events_range_join": P.events_range_join,
         "events_rolling": P.events_rolling,
+        "events_lag": P.events_lag,
         "docs_sample": P.docs_sample,
         "docs_stratified_sample": P.docs_stratified_sample,
         "regex_extract": P.regex_extract,
         "lang_term_overlap": P.lang_term_overlap,
         "value_quantiles": P.value_quantiles,
+        "quantiles_by_type": P.quantiles_by_type,
         # features / training export (rows-only)
         "char_histograms": P.char_histograms,
         "training_sequences": P.training_sequences,
@@ -380,6 +383,18 @@ SELECT event_id, user_id,
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS roll3_value_micros
 FROM e""",
+        "events_lag": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events),
+l AS (
+  SELECT event_id, user_id,
+         lag(vm) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_value_micros
+  FROM e)
+SELECT event_id, user_id, prev_value_micros
+FROM l WHERE prev_value_micros IS NOT NULL""",
         "docs_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0""",
@@ -409,12 +424,24 @@ UNION ALL
 SELECT CAST(floor(0.9 * 1e6 + 0.5) AS BIGINT),
        CAST(floor(quantile_disc(value, 0.9) * 1e6 + 0.5) AS BIGINT)
 FROM events""",
+        "lineitem_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_micros,
+       count(*) AS n_items
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         "lineitem_semi": """
 SELECT l_orderkey, l_linenumber,
        CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS price_micros
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')""",
+        "quantiles_by_type": """
+SELECT event_type,
+       CAST(floor(quantile_disc(value, 0.5) * 1e6 + 0.5) AS BIGINT)
+           AS value_micros
+FROM events GROUP BY event_type""",
         "orders_lineitem_join": """
 SELECT o.o_orderpriority,
        count(*) AS n_items,

@@ -105,6 +105,134 @@ def kth_smallest(ds: Dataset, col: str, k: int, bins: int = 256,
                        "bit-space narrowing; please report")
 
 
+def grouped_quantile_disc(ds: Dataset, group_col: str, col: str,
+                          q: float, bins: int = 256,
+                          exact_threshold: int = 100_000) -> "pa.Table":
+    """EXACT per-group discrete quantile (DuckDB ``quantile_disc``
+    rank = ⌈q·n⌉ − 1) WITHOUT a per-group sort: every group narrows its
+    own float-bit bracket simultaneously, so each pass is ONE stream
+    over the data emitting (group, bin) count partials and one small
+    groupby — total passes ≤ ⌈64/log₂(bins)⌉ + 1 regardless of group
+    count or skew. Driver state is O(groups) scalars (brackets +
+    residual ranks), never values. Groups whose bracket population
+    drops below ``exact_threshold`` resolve in one final filtered pull
+    (all such groups share the pass). NaNs unsupported (filter
+    upstream); group keys must be non-null.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ds.materialize()
+
+    # pass 0: per-group row counts (map-side combined)
+    def gcounts(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[group_col].to_pandas())
+        vc = s.value_counts()
+        return pa.table({group_col: pa.array(vc.index.to_numpy()),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64())})
+
+    gdf = (ds.map_batches(gcounts, batch_format="pyarrow")
+           .groupby(group_col).aggregate(_Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    groups = gdf[group_col].to_numpy()
+    counts = gdf["cnt"].to_numpy().astype(np.int64)
+    G = len(groups)
+    lo = np.zeros(G, dtype=np.uint64)
+    hi = np.full(G, (1 << 64) - 1, dtype=np.uint64)
+    k = np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
+    resolved = np.full(G, np.nan)
+    active = np.ones(G, dtype=bool)
+    pull = np.zeros(G, dtype=bool)
+    gidx = {g: i for i, g in enumerate(groups)}
+
+    max_passes = math.ceil(64 / math.log2(bins)) + 2
+    for _ in range(max_passes):
+        if not active.any():
+            break
+        span = hi - lo + np.uint64(1)  # wraps to 0 on the full-space pass
+        full = span == np.uint64(0)
+        scale = np.where(
+            full, np.uint64((1 << 64) // bins),
+            (span + np.uint64(bins - 1)) // np.uint64(bins))
+        lo_c, hi_c, sc_c, act_c = lo.copy(), hi.copy(), scale.copy(), active.copy()
+
+        def hist(batch: pa.Table, lo=lo_c, hi=hi_c, sc=sc_c,
+                 act=act_c) -> pa.Table:
+            gi = (pd.Series(batch[group_col].to_pandas()).map(gidx)
+                  .to_numpy())
+            keys = _float_keys(
+                np.asarray(batch[col].combine_chunks().cast(pa.float64())))
+            gi = gi.astype(np.int64)
+            m = act[gi] & (keys >= lo[gi]) & (keys <= hi[gi])
+            if not m.any():
+                return pa.table({"gb": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            gi, keys = gi[m], keys[m]
+            b = ((keys - lo[gi]) // sc[gi]).astype(np.int64)
+            gb = gi * bins + np.minimum(b, bins - 1)
+            bc = np.bincount(gb, minlength=1)
+            nz = np.flatnonzero(bc)
+            return pa.table({"gb": nz.astype(np.int64),
+                             "cnt": bc[nz].astype(np.int64)})
+
+        hdf = (ds.map_batches(hist, batch_format="pyarrow")
+               .groupby("gb").aggregate(_Sum("cnt", alias_name="cnt"))
+               .to_pandas())
+        gb = hdf["gb"].to_numpy().astype(np.int64)
+        cnt = hdf["cnt"].to_numpy().astype(np.int64)
+        order = np.argsort(gb, kind="stable")
+        gb, cnt = gb[order], cnt[order]
+        g_of = gb // bins
+        for gi_i in np.flatnonzero(active):
+            sel = g_of == gi_i
+            if not sel.any():
+                # empty bracket can only mean k out of range — impossible
+                # after pass 0 counted inside the bracket
+                active[gi_i] = False
+                continue
+            bb, cc = gb[sel] % bins, cnt[sel]
+            cum = np.concatenate(([0], np.cumsum(cc)))
+            pos = int(np.searchsorted(cum, k[gi_i], side="right")) - 1
+            j = int(bb[pos])
+            k[gi_i] -= int(cum[pos])
+            sc_i = int(scale[gi_i])
+            lo2 = int(lo[gi_i]) + j * sc_i
+            hi2 = min(int(hi[gi_i]), int(lo[gi_i]) + (j + 1) * sc_i - 1)
+            if sc_i == 1 or lo2 == hi2:
+                resolved[gi_i] = _key_to_float(lo2)
+                active[gi_i] = False
+                continue
+            lo[gi_i], hi[gi_i] = np.uint64(lo2), np.uint64(hi2)
+            if int(cc[pos]) <= exact_threshold:
+                active[gi_i] = False
+                pull[gi_i] = True
+
+    if active.any():
+        raise RuntimeError("grouped_quantile_disc did not converge — "
+                           "unreachable with bit-space narrowing")
+    if pull.any():
+        lo_c, hi_c, pull_c = lo.copy(), hi.copy(), pull.copy()
+
+        def pull_vals(batch: pa.Table, lo=lo_c, hi=hi_c,
+                      pl=pull_c) -> pa.Table:
+            gi = (pd.Series(batch[group_col].to_pandas()).map(gidx)
+                  .to_numpy().astype(np.int64))
+            v = np.asarray(batch[col].combine_chunks().cast(pa.float64()))
+            keys = _float_keys(v)
+            m = pl[gi] & (keys >= lo[gi]) & (keys <= hi[gi])
+            return pa.table({"gi": pa.array(gi[m], pa.int64()),
+                             "v": pa.array(v[m], pa.float64())})
+
+        pdf = (ds.map_batches(pull_vals, batch_format="pyarrow")
+               .to_pandas())
+        for gi_i in np.flatnonzero(pull):
+            vals = pdf.loc[pdf["gi"] == gi_i, "v"].to_numpy()
+            resolved[gi_i] = float(np.partition(vals, k[gi_i])[k[gi_i]])
+
+    return pa.table({group_col: pa.array(groups),
+                     "value": pa.array(resolved, pa.float64())})
+
+
 def quantile_disc(ds: Dataset, col: str, q: float) -> float:
     """Discrete quantile with DuckDB ``quantile_disc`` index semantics
     (rank = ⌈q·n⌉ − 1), so the driver oracle matches exactly."""

@@ -67,3 +67,46 @@ def grouped_running_sums(ds: Dataset, by: str, order: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(win, batch_format="pandas"))
+
+
+def grouped_shift(ds: Dataset, by: str, order: list[str], value_col: str,
+                  periods: int = 1, num_buckets: int = 32) -> Dataset:
+    """Per-key LAG/LEAD: for each row, the value of ``value_col``
+    ``periods`` rows earlier (positive) or later (negative) within the
+    same ``by`` key in ``order`` — SQL ``LAG(v, n) OVER (PARTITION BY
+    key ORDER BY ...)``. NULL where the shifted row falls outside the
+    key (as in SQL). Same scale shape as grouped_running_sums: one
+    hash-bucket shuffle, each bucket sorts once and shifts ALL its keys
+    vectorized. Output column: ``lag_<value_col>`` / ``lead_<value_col>``.
+    """
+    if periods == 0:
+        raise ValueError("periods must be nonzero")
+    out_col = (f"lag_{value_col}" if periods > 0 else f"lead_{value_col}")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[by].combine_chunks()).astype(np.int64)
+        h = pd.util.hash_array(keys)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets))
+                                 .astype(np.int64)))
+
+    def shift(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket")
+             .sort_values([by] + order, kind="mergesort")
+             .reset_index(drop=True))
+        key = g[by].to_numpy()
+        v = g[value_col].to_numpy()
+        n = len(g)
+        idx = np.arange(n) - periods
+        ok = (idx >= 0) & (idx < n)
+        same = np.zeros(n, dtype=bool)
+        same[ok] = key[np.clip(idx, 0, n - 1)][ok] == key[ok]
+        out = pd.array(np.where(same, v[np.clip(idx, 0, n - 1)], 0),
+                       dtype="Int64")
+        out[~same] = pd.NA
+        g[out_col] = out
+        return g
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(shift, batch_format="pandas"))

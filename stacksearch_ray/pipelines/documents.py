@@ -734,6 +734,41 @@ def events_rolling(sf_dir: str):
                                "roll3_value_micros"])
 
 
+def events_lag(sf_dir: str):
+    """Per-key LAG (SQL window function analog): each event paired
+    with the user's previous event value (ordered by ts, event_id) —
+    functions/windows.py grouped_shift, one hash-bucket shuffle, all
+    keys shifted vectorized per bucket. Rows without a predecessor are
+    dropped on both sides (NULL never reaches the hash compare)."""
+    from ..functions.windows import grouped_shift
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+            "user_id": batch["user_id"].combine_chunks().cast(pa.int64()),
+            "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+            "value_micros": pc_micros(batch["value"]),
+        })
+
+    ds = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "user_id", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = grouped_shift(ds, by="user_id", order=["ts", "event_id"],
+                        value_col="value_micros", periods=1)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch["lag_value_micros"])
+        t = batch.filter(keep)
+        return pa.table({
+            "event_id": t["event_id"].combine_chunks(),
+            "user_id": t["user_id"].combine_chunks(),
+            "prev_value_micros": t["lag_value_micros"].combine_chunks()
+                .cast(pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def docs_sample(sf_dir: str):
     """Deterministic hash-based 10% Bernoulli sample (shuffle-free,
     partitioning-independent, reproducible — the scale-safe way to
@@ -747,6 +782,58 @@ def docs_sample(sf_dir: str):
 
     return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
             .map_batches(keep, batch_format="pyarrow"))
+
+
+def lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP analog: the finest (returnflag, linestatus)
+    aggregate is computed ONCE over the data (map-side partials, one
+    shuffle of per-batch combiner rows), materialized (it is tiny —
+    one row per key combo), and the coarser levels re-aggregate THAT
+    result — the input is never re-scanned per rollup level. Rolled-up
+    key columns carry 'ALL' (both engines coalesce, so NULL-key
+    ambiguity never reaches the hash compare)."""
+    cols = ["l_returnflag", "l_linestatus", "sum_qty_micros", "n_items"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "l_linestatus": b["l_linestatus"].combine_chunks(),
+            "sum_qty_micros": pc_micros(b["l_quantity"]),
+            "n_items": np.ones(b.num_rows, dtype=np.int64),
+        })
+        return _partial_sums(t, ["l_returnflag", "l_linestatus"],
+                             {"sum_qty_micros": "sum_qty_micros",
+                              "n_items": "n_items"})
+
+    finest = (rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty_micros", alias_name="sum_qty_micros"),
+                   Sum("n_items", alias_name="n_items"))
+        .materialize())
+
+    def with_all(col: str):
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                col, pa.array(["ALL"] * t.num_rows)).select(cols)
+        return add
+
+    lvl1 = (finest.groupby("l_returnflag")
+            .aggregate(Sum("sum_qty_micros", alias_name="sum_qty_micros"),
+                       Sum("n_items", alias_name="n_items"))
+            .map_batches(with_all("l_linestatus"), batch_format="pyarrow"))
+    tot = finest.aggregate(Sum("sum_qty_micros"), Sum("n_items"))
+    lvl0 = rd.from_arrow(pa.table({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "sum_qty_micros": pa.array([int(tot["sum(sum_qty_micros)"])],
+                                   pa.int64()),
+        "n_items": pa.array([int(tot["sum(n_items)"])], pa.int64()),
+    }))
+    lvl2 = finest.map_batches(lambda t: t.select(cols),
+                              batch_format="pyarrow")
+    return lvl2.union(lvl1, lvl0)
 
 
 def lineitem_semi(sf_dir: str):
@@ -778,6 +865,21 @@ def lineitem_semi(sf_dir: str):
         lambda t: pa.table({"l_orderkey": t["o_orderkey"]}),
         batch_format="pyarrow")
     return bloom_semi_join(big, keys, on="l_orderkey", verify="join")
+
+
+def quantiles_by_type(sf_dir: str):
+    """Exact per-group median WITHOUT per-group sorts: all groups
+    narrow their float-bit brackets simultaneously (one stream + one
+    small (group, bin) groupby per pass, ≤9 passes total regardless of
+    group count/skew — functions/quantiles.py grouped_quantile_disc)."""
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    t = grouped_quantile_disc(ds, "event_type", "value", 0.5)
+    vals = [to_micros(v) for v in t["value"].to_pylist()]
+    return pa.table({"event_type": t["event_type"],
+                     "value_micros": pa.array(vals, pa.int64())})
 
 
 def docs_stratified_sample(sf_dir: str):

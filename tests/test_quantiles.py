@@ -79,3 +79,32 @@ def test_kth_out_of_range(ray_session):
 
     with pytest.raises(IndexError):
         kth_smallest(_ds([1.0, 2.0]), "v", 5)
+
+
+def test_grouped_quantile_matches_numpy(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from stacksearch_ray.functions.quantiles import grouped_quantile_disc
+
+    rng = np.random.default_rng(9)
+    parts = {
+        "a": rng.standard_normal(5000) * 100,
+        "b": rng.uniform(-5, 1e30, 3000),   # huge range: bit-space path
+        "c": np.array([42.0]),              # singleton group
+        "d": np.repeat(7.5, 400),           # all-equal group
+    }
+    g = np.concatenate([[k] * len(v) for k, v in parts.items()])
+    v = np.concatenate(list(parts.values()))
+    perm = rng.permutation(len(v))
+    ds = rd.from_arrow(pa.table({"g": g[perm], "v": v[perm]})
+                       ).repartition(8)
+    for q in (0.1, 0.5, 0.9):
+        out = grouped_quantile_disc(ds, "g", "v", q,
+                                    exact_threshold=50)
+        got = dict(zip(out["g"].to_pylist(), out["value"].to_pylist()))
+        for key, vals in parts.items():
+            k = max(0, math.ceil(q * len(vals)) - 1)
+            expect = float(np.sort(vals)[k])
+            assert got[key] == expect, (key, q)

@@ -52,3 +52,28 @@ def test_grouped_running_sums_single_key_and_short_groups(ray_session):
            .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
     assert got["cum_v"].tolist() == [4, 2, 9, 9]
     assert got["roll10_v"].tolist() == [4, 2, 9, 9]
+
+
+def test_grouped_shift_lag_and_lead(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.windows import grouped_shift
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "o": pa.array([10, 20, 30, 5, 6, 1], pa.int64()),
+        "v": pa.array([100, 200, 300, 7, 8, 9], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    lag = (grouped_shift(ds, by="k", order=["o"], value_col="v",
+                         periods=1).to_pandas()
+           .sort_values(["k", "o"]).reset_index(drop=True))
+    def vals(s):
+        return [None if v is None else int(v)
+                for v in s.astype(object).where(s.notna(), None)]
+
+    assert vals(lag["lag_v"]) == [None, 100, 200, None, 7, None]
+    lead = (grouped_shift(ds, by="k", order=["o"], value_col="v",
+                          periods=-1).to_pandas()
+            .sort_values(["k", "o"]).reset_index(drop=True))
+    assert vals(lead["lead_v"]) == [200, 300, None, 8, None, None]
