@@ -101,7 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": P.orders_lineitem_join,
         "events_asof": P.events_asof,
         "lineitem_semi": P.lineitem_semi,
+        "lineitem_anti": P.lineitem_anti,
         "lineitem_rollup": P.lineitem_rollup,
+        "user_event_pivot": P.user_event_pivot,
         "events_range_join": P.events_range_join,
         "events_rolling": P.events_rolling,
         "events_lag": P.events_lag,
@@ -424,6 +426,20 @@ UNION ALL
 SELECT CAST(floor(0.9 * 1e6 + 0.5) AS BIGINT),
        CAST(floor(quantile_disc(value, 0.9) * 1e6 + 0.5) AS BIGINT)
 FROM events""",
+        "lineitem_anti": """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS price_micros
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')""",
+        "user_event_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id""",
         "lineitem_rollup": """
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -151,3 +151,96 @@ def bloom_semi_join(large: Dataset, keys: Dataset, on: str,
 
     return hash_join(pruned, _distinct_keys(keys, on), on=on,
                      how="inner", num_buckets=num_buckets)
+
+
+def _bucketed_anti(large: Dataset, keys: Dataset, on: str,
+                   num_buckets: int) -> Dataset:
+    """Bucketed exact anti-join: large rows whose key has NO match in
+    keys. Both sides shuffle by key hash; each bucket drops matches
+    vectorized (np.isin against the bucket's key set)."""
+    lsch = large.schema()
+    unified = list(zip(lsch.names, lsch.types))
+    out_cols = list(lsch.names)
+
+    from .joins import _pd_dtype, _tag_and_bucket
+
+    # key-side rows are null-padded to the unified schema, which
+    # promotes the bucket frame's int columns to float — restore the
+    # large side's dtypes on the way out (values are non-null there)
+    exp_dtypes = {name: _pd_dtype(typ) for name, typ in unified}
+
+    tagged = _tag_and_bucket(large, on, "l", num_buckets, unified).union(
+        _tag_and_bucket(keys.select_columns([on]), on, "r", num_buckets,
+                        unified))
+
+    def drop_matches(g: "pd.DataFrame") -> "pd.DataFrame":
+        l = g[g["__side"] == "l"]
+        r_keys = g.loc[g["__side"] == "r", on].to_numpy()
+        keep = ~np.isin(l[on].to_numpy(), r_keys)
+        out = l.loc[keep, out_cols]
+        casts = {c: exp_dtypes[c] for c in out_cols
+                 if out[c].dtype != exp_dtypes[c]}
+        return out.astype(casts) if casts else out
+
+    return tagged.groupby("__bucket").map_groups(drop_matches,
+                                                 batch_format="pandas")
+
+
+def bloom_anti_join(large: Dataset, keys: Dataset, on: str,
+                    m_bits: int = 1 << 20, k: int = 4,
+                    verify: str = "auto",
+                    num_buckets: int = 32) -> Dataset:
+    """Exact anti-join (SQL ``NOT IN`` over non-null keys): ``large``
+    rows whose ``on`` value does NOT appear in ``keys``.
+
+    The bloom inverts cleanly: a row that MISSES the filter is
+    *guaranteed* a non-member (no false negatives) and is kept without
+    ever entering a shuffle; only bloom HITS — true members plus the
+    small false-positive band — need the exact bucketed check. At 100 TB
+    the verify shuffle carries ~|matches| rows, not |large|."""
+    if verify == "auto":
+        verify = ("broadcast" if keys.count() <= BROADCAST_KEY_LIMIT
+                  else "join")
+    if verify == "broadcast":
+        kdf = keys.select_columns([on]).to_pandas()
+        kvals = (kdf[on].to_numpy() if on in kdf.columns
+                 else np.array([], dtype=np.int64))
+        arr = np.unique(np.asarray(kvals).astype(np.int64))
+        ref = ray.put(arr)
+
+        def nonmember(batch: pa.Table) -> pa.Table:
+            ks = np.asarray(batch[on].combine_chunks()).astype(np.int64)
+            a = ray.get(ref)
+            if not len(a):
+                return batch
+            idx = np.searchsorted(a, ks)
+            idx[idx >= len(a)] = 0
+            return batch.filter(pa.array(a[idx] != ks))
+
+        return large.map_batches(nonmember, batch_format="pyarrow")
+    if verify != "join":
+        raise ValueError(f"unknown verify mode {verify!r}")
+    bitmap = build_bloom(keys, on, m_bits, k)
+    if not bitmap.any():
+        return large  # empty key side: nothing excluded
+    ref = ray.put(bitmap)
+
+    def split(batch: pa.Table, want_hit: bool) -> pa.Table:
+        ks = np.asarray(batch[on].combine_chunks()).astype(np.int64)
+        if not len(ks):
+            return batch
+        bm = ray.get(ref)
+        pos = _hashes(ks, m_bits, k)
+        hit = np.ones(len(ks), dtype=bool)
+        for j in range(k):
+            p = pos[j]
+            byte = bm[(p >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (p & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return batch.filter(pa.array(hit if want_hit else ~hit))
+
+    misses = large.map_batches(lambda b: split(b, False),
+                               batch_format="pyarrow")
+    hits = large.map_batches(lambda b: split(b, True),
+                             batch_format="pyarrow")
+    survivors = _bucketed_anti(hits, keys, on, num_buckets)
+    return misses.union(survivors)

@@ -882,6 +882,61 @@ def quantiles_by_type(sf_dir: str):
                      "value_micros": pa.array(vals, pa.int64())})
 
 
+def lineitem_anti(sf_dir: str):
+    """Anti-join (SQL NOT IN): lineitem rows NOT belonging to URGENT
+    orders. Bloom-inverted routing (functions/bloom.py): rows missing
+    the key bitmap are guaranteed non-members and bypass the shuffle;
+    only bloom hits enter the exact bucketed check — the verify
+    shuffle carries ~|matches| rows, not the whole table."""
+    import pyarrow.dataset as pads
+
+    from ..functions.bloom import bloom_anti_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "price_micros": pc_micros(batch["l_extendedprice"]),
+        })
+
+    big = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    keys = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT"
+    ).map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"]}),
+        batch_format="pyarrow")
+    return bloom_anti_join(big, keys, on="l_orderkey", verify="join")
+
+
+def user_event_pivot(sf_dir: str):
+    """Pivot (wide conditional aggregate): per user, event counts by
+    type as columns. Indicator columns combine map-side, so the
+    shuffle carries one row per user per batch — classic pivot without
+    any per-type pass over the data."""
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].combine_chunks().to_pylist(),
+                        dtype=object)
+        cols = {"user_id": b["user_id"].combine_chunks().cast(pa.int64())}
+        for t in types:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        return _partial_sums(pa.table(cols), ["user_id"],
+                             {f"n_{t}": f"n_{t}" for t in types})
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                         for t in types]))
+
+
 def docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: per-group Bernoulli rates
     (en 1/4, de 1/7, all other langs 1/10) from the same md5(doc_id)

@@ -341,3 +341,36 @@ def test_bloom_semi_join_empty_sides(ray_session):
                            verify="broadcast").count() == 0
     assert bloom_semi_join(big, none, on="k", m_bits=1 << 10,
                            verify="join").count() == 0
+
+
+def test_bloom_anti_join_modes_match_ground_truth(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.bloom import bloom_anti_join
+
+    rng = np.random.default_rng(5)
+    big_keys = rng.integers(0, 2000, size=3000, dtype=np.int64)
+    vals = np.arange(3000, dtype=np.int64)
+    keyset = rng.choice(2000, size=300, replace=False).astype(np.int64)
+    big = rd.from_arrow(pa.table({"k": big_keys, "v": vals}))
+    keys = rd.from_arrow(pa.table({"k": keyset}))
+    expect = set(vals[~np.isin(big_keys, keyset)].tolist())
+    for verify in ("broadcast", "join"):
+        out = bloom_anti_join(big, keys, on="k", m_bits=1 << 14,
+                              verify=verify).to_pandas()
+        assert set(out["v"]) == expect, verify
+        assert len(out) == len(expect), verify
+        assert str(out["v"].dtype) == "int64", verify
+
+
+def test_bloom_anti_join_empty_keys(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.bloom import bloom_anti_join
+
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                  "v": pa.array([5, 6], pa.int64())}))
+    none = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    for verify in ("broadcast", "join"):
+        assert bloom_anti_join(big, none, on="k", m_bits=1 << 10,
+                               verify=verify).count() == 2
