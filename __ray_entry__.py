@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_hashes": P.content_hashes,
         # streaming-shaped + generic columnar + joins
         "events_window": P.events_window,
+        "events_window_distinct": P.events_window_distinct,
+        "doc_logprob": P.doc_logprob,
         "events_sessions": P.events_sessions,
         "lineitem_agg": P.lineitem_agg,
         "orders_by_segment": P.orders_by_segment,
@@ -328,6 +330,21 @@ SELECT event_type,
        CAST(epoch_us(ts) // 60000000 AS BIGINT) AS w,
        count(*) AS n,
        CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM events GROUP BY 1, 2""",
+        "doc_logprob": f"""
+WITH {kept},
+cf AS (SELECT term, count(*) AS cf FROM kept GROUP BY term),
+tot AS (SELECT count(*) AS n FROM kept),
+contrib AS (
+  SELECT k.doc_id,
+         CAST(floor(ln(cf.cf::DOUBLE / tot.n) * 1e6 + 0.5) AS BIGINT) AS c
+  FROM kept k JOIN cf USING (term) CROSS JOIN tot)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS logprob_micros
+FROM contrib GROUP BY doc_id""",
+        "events_window_distinct": """
+SELECT user_id,
+       CAST(epoch_us(ts) // 60000000 AS BIGINT) AS w,
+       count(DISTINCT event_type) AS n_types
 FROM events GROUP BY 1, 2""",
         "events_sessions": """
 WITH g AS (

@@ -160,6 +160,9 @@ def run_bench() -> dict:
                      ("events_rolling", P.events_rolling),
                      ("heavy_terms", P.heavy_terms),
                      ("knn_ivf", P.knn_ivf),
+                     ("lineitem_semi", P.lineitem_semi),
+                     ("lineitem_anti", P.lineitem_anti),
+                     ("quantiles_by_type", P.quantiles_by_type),
                      ("value_quantiles", P.value_quantiles)]:
         t0 = time.time()
         res = fn(SF_DIR)

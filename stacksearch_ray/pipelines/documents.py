@@ -937,6 +937,77 @@ def user_event_pivot(sf_dir: str):
                          for t in types]))
 
 
+def doc_logprob(sf_dir: str):
+    """Unigram-LM document scoring (the quality-scoring shape of a
+    training-data pipeline): p(term) = cf/N from one aggregate pass,
+    broadcast once via ray.put, then every doc sums its tokens'
+    log-probs. Exactness across engines: each token instance's
+    ln(p) is rounded to micros FIRST and summed in int64 (per-row
+    round-then-sum — order-independent, so partial sums commute).
+    The broadcast vocab map is ~16 B/term (fine to ~10⁷ terms; swap
+    to a bucketed join above that)."""
+    import ray as _ray
+
+    cf_df = (term_counts(sf_dir).to_pandas())
+    n_total = int(cf_df["cf"].sum())
+    terms = cf_df["term"].to_numpy()
+    lp_micros = np.floor(
+        np.log(cf_df["cf"].to_numpy().astype(np.float64) / n_total)
+        * 1e6 + 0.5).astype(np.int64)
+    ref = _ray.put((pd.Series(lp_micros, index=terms), None))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp, _ = _ray.get(ref)
+        tf = term_frequencies(batch["text"].combine_chunks())
+        doc_ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        # one lookup per batch-vocab entry, then O(pairs) int math
+        lp_vocab = lp.reindex(tf.vocab.to_pylist()).to_numpy()
+        contrib = lp_vocab[tf.codes].astype(np.int64) * tf.tf.astype(np.int64)
+        out = pd.DataFrame({"doc_id": doc_ids[tf.doc_idx],
+                            "logprob_micros": contrib})
+        agg = out.groupby("doc_id", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("logprob_micros", alias_name="logprob_micros")))
+
+
+def events_window_distinct(sf_dir: str):
+    """COUNT(DISTINCT) per (user, minute-window): per-batch distinct
+    triples first (map-side dedup), one shuffle to dedup globally,
+    then a combiner-backed count — the shuffle carries distinct
+    triples, never raw events."""
+    from ray.data.aggregate import Count
+
+    def triples(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": np.asarray(b["user_id"].combine_chunks())
+                .astype(np.int64),
+            "w": (np.asarray(b["ts"].combine_chunks().cast(pa.int64()))
+                  // 60_000_000).astype(np.int64),
+            "event_type": b["event_type"].combine_chunks().to_pylist(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                columns=["user_id", "ts", "event_type"])
+                .map_batches(triples, batch_format="pyarrow")
+                .groupby(["user_id", "w", "event_type"])
+                .aggregate(Count(alias_name="__n")))
+
+    def ones(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"].combine_chunks(),
+                      "w": b["w"].combine_chunks(),
+                      "n_types": np.ones(b.num_rows, dtype=np.int64)})
+        return _partial_sums(t, ["user_id", "w"], {"n_types": "n_types"})
+
+    return (distinct.map_batches(ones, batch_format="pyarrow")
+            .groupby(["user_id", "w"])
+            .aggregate(Sum("n_types", alias_name="n_types")))
+
+
 def docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: per-group Bernoulli rates
     (en 1/4, de 1/7, all other langs 1/10) from the same md5(doc_id)

@@ -67,7 +67,8 @@ def test_sql_tokenizer_unicode_parity():
 @pytest.mark.parametrize("name", ["term_df", "exact_dedup", "bm25_topk",
                                   "docs_range", "knn_cosine",
                                   "docs_stratified_sample", "regex_extract",
-                                  "lang_term_overlap"])
+                                  "lang_term_overlap", "doc_logprob",
+                                  "user_event_pivot", "lineitem_rollup"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 
