@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_term_overlap": P.lang_term_overlap,
         "value_quantiles": P.value_quantiles,
         "quantiles_by_type": P.quantiles_by_type,
+        "value_quantiles_cont": P.value_quantiles_cont,
         # features / training export (rows-only)
         "char_histograms": P.char_histograms,
         "training_sequences": P.training_sequences,
@@ -470,6 +471,18 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')""",
+        "value_quantiles_cont": """
+SELECT CAST(floor(0.25 * 1e6 + 0.5) AS BIGINT) AS q_micros,
+       CAST(floor(quantile_cont(value, 0.25) * 1e6 + 0.5) AS BIGINT)
+           AS value_micros FROM events
+UNION ALL
+SELECT CAST(floor(0.5 * 1e6 + 0.5) AS BIGINT),
+       CAST(floor(quantile_cont(value, 0.5) * 1e6 + 0.5) AS BIGINT)
+FROM events
+UNION ALL
+SELECT CAST(floor(0.75 * 1e6 + 0.5) AS BIGINT),
+       CAST(floor(quantile_cont(value, 0.75) * 1e6 + 0.5) AS BIGINT)
+FROM events""",
         "quantiles_by_type": """
 SELECT event_type,
        CAST(floor(quantile_disc(value, 0.5) * 1e6 + 0.5) AS BIGINT)

@@ -239,6 +239,29 @@ def quantile_disc(ds: Dataset, col: str, q: float) -> float:
     return quantiles_disc(ds, col, [q])[0]
 
 
+def quantiles_cont(ds: Dataset, col: str, qs: list[float]) -> list[float]:
+    """Interpolated (continuous) quantiles with DuckDB ``quantile_cont``
+    semantics: h = q·(n−1); result = v[⌊h⌋] + (h−⌊h⌋)·(v[⌈h⌉]−v[⌊h⌋]).
+    Two kth-selections per quantile (shared materialization), same
+    histogram-narrowing machinery — still no sort, no data shuffle."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        raise ValueError("empty dataset")
+    out = []
+    for q in qs:
+        h = q * (n - 1)
+        lo_i = math.floor(h)
+        hi_i = min(n - 1, lo_i + 1)
+        v_lo = kth_smallest(ds, col, lo_i)
+        if hi_i == lo_i or h == lo_i:
+            out.append(v_lo)
+            continue
+        v_hi = kth_smallest(ds, col, hi_i)
+        out.append(v_lo + (h - lo_i) * (v_hi - v_lo))
+    return out
+
+
 def quantiles_disc(ds: Dataset, col: str, qs: list[float]) -> list[float]:
     """Several discrete quantiles with the row count (and the input
     materialization) shared across them — each selection still narrows

@@ -1008,6 +1008,22 @@ def events_window_distinct(sf_dir: str):
             .aggregate(Sum("n_types", alias_name="n_types")))
 
 
+def value_quantiles_cont(sf_dir: str):
+    """Interpolated quantiles (DuckDB quantile_cont semantics) via two
+    kth-selections per q — same narrowing machinery as value_quantiles,
+    exact float interpolation mirrored in the oracle expression."""
+    from ..functions.quantiles import quantiles_cont
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    qs = [0.25, 0.5, 0.75]
+    vals = quantiles_cont(ds, "value", qs)
+    return pa.table({
+        "q_micros": pa.array([to_micros(q) for q in qs], pa.int64()),
+        "value_micros": pa.array([to_micros(v) for v in vals], pa.int64()),
+    })
+
+
 def docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: per-group Bernoulli rates
     (en 1/4, de 1/7, all other langs 1/10) from the same md5(doc_id)

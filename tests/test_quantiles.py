@@ -108,3 +108,18 @@ def test_grouped_quantile_matches_numpy(ray_session):
             k = max(0, math.ceil(q * len(vals)) - 1)
             expect = float(np.sort(vals)[k])
             assert got[key] == expect, (key, q)
+
+
+def test_quantiles_cont_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.quantiles import quantiles_cont
+
+    rng = np.random.default_rng(12)
+    v = rng.standard_normal(4001) * 50
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(8)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = quantiles_cont(ds, "v", qs)
+    for q, g in zip(qs, got):
+        assert np.isclose(g, np.quantile(v, q, method="linear"),
+                          rtol=0, atol=1e-12), q
