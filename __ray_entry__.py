@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
         "dedup_corpus": P.dedup_corpus,
+        "curated_corpus": P.curated_corpus,
+        "embedding_dedup_corpus": P.embedding_dedup_corpus,
         "minhash_clusters": P.minhash_clusters,
         "minhash_search": P.minhash_search,
         "simhash_sigs": P.simhash_sigs,
@@ -281,6 +283,38 @@ r AS (
                             ORDER BY doc_id) AS rn
   FROM full_corpus)
 SELECT doc_id, content_hash FROM r WHERE rn = 1""",
+        "curated_corpus": f"""
+WITH {kept},
+all_toks AS (
+  SELECT doc_id, count(*) AS n FROM toks WHERE term <> '' GROUP BY doc_id
+),
+kc AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+q AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d
+  LEFT JOIN all_toks a ON d.doc_id = a.doc_id
+  LEFT JOIN kc k ON d.doc_id = k.doc_id
+  WHERE coalesce(k.n, 0) >= 5
+    AND 2 * (coalesce(a.n, 0) - coalesce(k.n, 0)) <= coalesce(a.n, 0)),
+r AS (
+  SELECT doc_id, lang, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM q)
+SELECT doc_id, lang, content_hash FROM r WHERE rn = 1""",
+        "embedding_dedup_corpus": """
+WITH RECURSIVE sims AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.45),
+sym AS (SELECT a AS src, b AS dst FROM sims
+        UNION ALL SELECT b, a FROM sims),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+SELECT node AS vec_id FROM reach GROUP BY node HAVING min(lbl) = node""",
         "filter_en_long": """
 SELECT doc_id, source, n_chars FROM documents
 WHERE lang = 'en' AND n_chars >= 200""",

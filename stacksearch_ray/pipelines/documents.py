@@ -1024,6 +1024,69 @@ def value_quantiles_cont(sf_dir: str):
     })
 
 
+def curated_corpus(sf_dir: str):
+    """The flagship curation composite a training-data user runs:
+    quality gate (≥5 kept tokens, stopword ratio ≤ 1/2, integer-space
+    thresholds) → exact dedup keeping the min-id representative →
+    (doc_id, lang, content_hash). Composes the quality_filter kernel
+    and dedup_corpus (drop-set discovery shuffles (hash, id) only —
+    the text never shuffles)."""
+    from ..functions.dedup import dedup_corpus as _dedup_corpus
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = token_stats_batch(batch.select(["doc_id", "text"]))
+        keep = pc.and_(
+            pc.greater_equal(t["n_kept"], 5),
+            pc.less_equal(
+                pc.multiply(pc.subtract(t["n_tokens"], t["n_kept"]), 2),
+                t["n_tokens"]))
+        return batch.filter(keep)
+
+    filtered = (rd.read_parquet(_docs(sf_dir),
+                                columns=["doc_id", "text", "lang"])
+                .map_batches(gate, batch_format="pyarrow"))
+    kept = _dedup_corpus(filtered, text_col="text", id_col="doc_id")
+
+    def fin(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b)
+        return pa.table({"doc_id": h["doc_id"], "lang": h["lang"],
+                         "content_hash": h["content_hash"]})
+
+    return kept.map_batches(fin, batch_format="pyarrow")
+
+
+def embedding_dedup_corpus(sf_dir: str):
+    """Near-dup removal over the embedding table: exact cosine pairs
+    (≥0.45) → Dataset-native min-label connected components → keep
+    each cluster's min-id representative (singletons keep themselves).
+    The same composite as minhash dedup, with the similarity graph
+    coming from embedding geometry instead of shingles."""
+    from ..functions.joins import propagate_min_labels_ds
+    from ..functions.similarity import cosine_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    pairs_t = cosine_pairs(ds, threshold=0.45)
+    pairs = rd.from_arrow(pa.table({
+        "a": pairs_t["a"].combine_chunks()
+        if pairs_t.num_rows else pa.array([], pa.int64()),
+        "b": pairs_t["b"].combine_chunks()
+        if pairs_t.num_rows else pa.array([], pa.int64()),
+    }))
+    labels = propagate_min_labels_ds(pairs, ds.select_columns(["vec_id"]),
+                                     node_col="vec_id")
+
+    def reps(b: pa.Table) -> pa.Table:
+        # propagate_min_labels_ds output columns are (doc_id, cluster_id)
+        keep = pc.equal(b["doc_id"], b["cluster_id"])
+        kept_ids = b["doc_id"].combine_chunks().filter(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray)
+            else keep)
+        return pa.table({"vec_id": kept_ids})
+
+    return labels.map_batches(reps, batch_format="pyarrow")
+
+
 def docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: per-group Bernoulli rates
     (en 1/4, de 1/7, all other langs 1/10) from the same md5(doc_id)

@@ -68,7 +68,9 @@ def test_sql_tokenizer_unicode_parity():
                                   "docs_range", "knn_cosine",
                                   "docs_stratified_sample", "regex_extract",
                                   "lang_term_overlap", "doc_logprob",
-                                  "user_event_pivot", "lineitem_rollup"])
+                                  "user_event_pivot", "lineitem_rollup",
+                                  "curated_corpus",
+                                  "embedding_dedup_corpus"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 
