@@ -148,6 +148,8 @@ def run_bench() -> dict:
     for name, fn in [("term_counts", P.term_counts),
                      ("exact_dedup", P.exact_dedup),
                      ("dedup_corpus", P.dedup_corpus),
+                     ("curated_corpus", P.curated_corpus),
+                     ("embedding_dedup_corpus", P.embedding_dedup_corpus),
                      ("minhash_clusters", P.minhash_clusters),
                      ("minhash_search", P.minhash_search),
                      ("knn_cosine", P.knn_cosine),

@@ -1061,7 +1061,7 @@ def embedding_dedup_corpus(sf_dir: str):
     each cluster's min-id representative (singletons keep themselves).
     The same composite as minhash dedup, with the similarity graph
     coming from embedding geometry instead of shingles."""
-    from ..functions.joins import propagate_min_labels_ds
+    from ..functions.dedup import _cluster_pairs
     from ..functions.similarity import cosine_pairs
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -1073,8 +1073,12 @@ def embedding_dedup_corpus(sf_dir: str):
         "b": pairs_t["b"].combine_chunks()
         if pairs_t.num_rows else pa.array([], pa.int64()),
     }))
-    labels = propagate_min_labels_ds(pairs, ds.select_columns(["vec_id"]),
-                                     node_col="vec_id")
+    nodes = ds.map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"]}),
+        batch_format="pyarrow")
+    # size-aware routing shared with minhash dedup: tiny edge lists
+    # resolve on the driver, big ones stay Dataset-native
+    labels = _cluster_pairs(pairs, nodes, "auto", max_iters=20)
 
     def reps(b: pa.Table) -> pa.Table:
         # propagate_min_labels_ds output columns are (doc_id, cluster_id)
