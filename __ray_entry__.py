@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": P.docs_stratified_sample,
         "regex_extract": P.regex_extract,
         "lang_term_overlap": P.lang_term_overlap,
+        "quality_except_enlong": P.quality_except_enlong,
+        "value_histogram": P.value_histogram,
+        "qty_discount_corr": P.qty_discount_corr,
         "value_quantiles": P.value_quantiles,
         "quantiles_by_type": P.quantiles_by_type,
         "value_quantiles_cont": P.value_quantiles_cont,
@@ -459,6 +462,43 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) %
         "regex_extract": """
 SELECT doc_id, regexp_extract(text, 'table ([a-z]+)', 1) AS after_table
 FROM documents WHERE regexp_matches(text, 'table ([a-z]+)')""",
+        "value_histogram": """
+SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY 1""",
+        "qty_discount_corr": """
+WITH s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(CAST(l_quantity AS BIGINT))::HUGEINT AS sx,
+         sum(CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT))::HUGEINT AS sy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT))::HUGEINT
+             AS sxy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT))::HUGEINT AS sxx,
+         sum(CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT)
+             * CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT))::HUGEINT
+             AS syy
+  FROM lineitem)
+SELECT CAST(floor(
+         ((n * sxy - sx * sy)::DOUBLE
+          / (sqrt((n * sxx - sx * sx)::DOUBLE)
+             * sqrt((n * syy - sy * sy)::DOUBLE))) * 1e6 + 0.5)
+       AS BIGINT) AS corr_micros
+FROM s""",
+        "quality_except_enlong": f"""
+WITH {kept},
+all_toks AS (
+  SELECT doc_id, count(*) AS n FROM toks WHERE term <> '' GROUP BY doc_id
+),
+kc AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN all_toks a ON d.doc_id = a.doc_id
+LEFT JOIN kc k ON d.doc_id = k.doc_id
+WHERE coalesce(k.n, 0) >= 5
+  AND 2 * (coalesce(a.n, 0) - coalesce(k.n, 0)) <= coalesce(a.n, 0)
+EXCEPT
+SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200""",
         "lang_term_overlap": f"""
 WITH {kept}
 SELECT k.term FROM kept k JOIN documents d USING (doc_id)

@@ -1091,6 +1091,74 @@ def embedding_dedup_corpus(sf_dir: str):
     return labels.map_batches(reps, batch_format="pyarrow")
 
 
+def value_histogram(sf_dir: str):
+    """Fixed-width histogram of events.value (bucket = floor(v/10)):
+    per-batch bincount partials, one tiny groupby — the one-pass
+    distribution profile every pipeline wants before picking
+    thresholds."""
+    def part(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].combine_chunks().cast(pa.float64()))
+        buckets = np.floor(v / 10.0).astype(np.int64)
+        uniq, cnt = np.unique(buckets, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["value"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+
+
+def quality_except_enlong(sf_dir: str):
+    """Set difference (§2.7, SQL EXCEPT): doc ids passing the quality
+    gate but NOT in the en-and-long subset — the generic distributed
+    EXCEPT (functions/setops.py): per-batch distinct keys with side
+    indicators, one combiner groupby, membership predicate."""
+    from ..functions.setops import except_distinct
+
+    a = quality_filter(sf_dir).select_columns(["doc_id"])
+    b = filter_en_long(sf_dir).select_columns(["doc_id"])
+    return except_distinct(a, b, "doc_id")
+
+
+def qty_discount_corr(sf_dir: str):
+    """Pearson correlation from EXACT integer sufficient statistics:
+    qty is integer-valued and discount travels as micros, so all five
+    sums (Sx, Sy, Sxy, Sxx, Syy) are exact int64 partials that commute
+    — the only float math is the single final expression, evaluated in
+    the SAME order by both engines (bitwise match). Syy ≈ 1e10/row
+    bounds exactness to ~10⁸ rows; lift to HUGEINT/object sums past
+    that."""
+    def part(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["l_quantity"].combine_chunks()
+                       .cast(pa.float64())).astype(np.int64)
+        y = np.asarray(pc_micros(b["l_discount"]))
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    agg = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_quantity", "l_discount"])
+           .map_batches(part, batch_format="pyarrow")
+           .aggregate(Sum("n"), Sum("sx"), Sum("sy"), Sum("sxy"),
+                      Sum("sxx"), Sum("syy")))
+    # Python ints: the cross products (n·sxy etc.) exceed int64 —
+    # arbitrary-precision here, HUGEINT in the oracle
+    n, sx, sy = int(agg["sum(n)"]), int(agg["sum(sx)"]), int(agg["sum(sy)"])
+    sxy, sxx, syy = (int(agg["sum(sxy)"]), int(agg["sum(sxx)"]),
+                     int(agg["sum(syy)"]))
+    corr = (float(n * sxy - sx * sy)
+            / (np.sqrt(float(n * sxx - sx * sx))
+               * np.sqrt(float(n * syy - sy * sy))))
+    return pa.table({"corr_micros": pa.array([to_micros(float(corr))],
+                                             pa.int64())})
+
+
 def docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: per-group Bernoulli rates
     (en 1/4, de 1/7, all other langs 1/10) from the same md5(doc_id)

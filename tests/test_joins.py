@@ -374,3 +374,18 @@ def test_bloom_anti_join_empty_keys(ray_session):
     for verify in ("broadcast", "join"):
         assert bloom_anti_join(big, none, on="k", m_bits=1 << 10,
                                verify=verify).count() == 2
+
+
+def test_setops_intersect_except(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.setops import (
+        except_distinct,
+        intersect_distinct,
+    )
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 5], pa.int64())}))
+    b = rd.from_arrow(pa.table({"k": pa.array([2, 3, 3, 4], pa.int64())}))
+    assert sorted(intersect_distinct(a, b, "k").to_pandas()["k"]) == [2, 3]
+    assert sorted(except_distinct(a, b, "k").to_pandas()["k"]) == [1, 5]
+    assert sorted(except_distinct(b, a, "k").to_pandas()["k"]) == [4]
