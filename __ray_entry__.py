@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": P.events_sessions,
         "lineitem_agg": P.lineitem_agg,
         "orders_by_segment": P.orders_by_segment,
+        "orders_by_month": P.orders_by_month,
+        "events_minmax": P.events_minmax,
         "orders_lineitem_join": P.orders_lineitem_join,
         "events_asof": P.events_asof,
         "lineitem_semi": P.lineitem_semi,
@@ -408,6 +410,19 @@ SELECT c.c_mktsegment,
            AS total_price_micros
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment""",
+        "orders_by_month": """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_micros
+FROM orders GROUP BY 1, 2""",
+        "events_minmax": """
+SELECT event_type,
+       min(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS min_micros,
+       max(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS max_micros,
+       count(*) AS n
+FROM events GROUP BY event_type""",
         "events_asof": """
 WITH p AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts FROM events

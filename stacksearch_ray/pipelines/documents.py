@@ -1159,6 +1159,55 @@ def qty_discount_corr(sf_dir: str):
                                              pa.int64())})
 
 
+def orders_by_month(sf_dir: str):
+    """Temporal bucketing: order count + revenue per (year, month) —
+    pyarrow temporal kernels (pc.year/pc.month) with map-side partial
+    sums; integer keys so both engines bucket identically."""
+    def part(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].combine_chunks()
+        t = pa.table({
+            "y": pc.year(ts).cast(pa.int64()),
+            "m": pc.month(ts).cast(pa.int64()),
+            "n_orders": np.ones(b.num_rows, dtype=np.int64),
+            "revenue_micros": pc_micros(b["o_totalprice"]),
+        })
+        return _partial_sums(t, ["y", "m"],
+                             {"n_orders": "n_orders",
+                              "revenue_micros": "revenue_micros"})
+
+    return (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderdate", "o_totalprice"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby(["y", "m"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("revenue_micros", alias_name="revenue_micros")))
+
+
+def events_minmax(sf_dir: str):
+    """Min/Max/Count per group via mergeable partials: each batch
+    emits one (min, max, n) row per key, the groupby merges them —
+    the shuffle never carries raw rows."""
+    from ray.data.aggregate import Max, Min
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b["event_type"].combine_chunks().to_pylist(),
+            "vm": np.asarray(pc_micros(b["value"])),
+        })
+        g = (df.groupby("event_type", sort=False)
+             .agg(min_micros=("vm", "min"), max_micros=("vm", "max"),
+                  n=("vm", "size")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "value"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Min("min_micros", alias_name="min_micros"),
+                       Max("max_micros", alias_name="max_micros"),
+                       Sum("n", alias_name="n")))
+
+
 def docs_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: per-group Bernoulli rates
     (en 1/4, de 1/7, all other langs 1/10) from the same md5(doc_id)
