@@ -52,12 +52,31 @@ def _hashes(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits))
 
 
+_TREE_FANIN = 8
+_TREE_THRESHOLD = 64  # blocks; below this the driver OR is cheaper
+
+
+@ray.remote
+def _or_bitmap_blocks(m_bytes: int, *tables: pa.Table) -> pa.Table:
+    out = np.zeros(m_bytes, dtype=np.uint8)
+    for t in tables:
+        # empty input blocks skip the partial UDF and keep the source
+        # schema — they carry no bitmap
+        if "bm" not in t.column_names:
+            continue
+        for buf in t["bm"].to_pylist():
+            out |= np.frombuffer(buf, dtype=np.uint8)
+    return pa.table({"bm": pa.array([out.tobytes()], pa.binary())})
+
+
 def build_bloom(keys: Dataset, on: str, m_bits: int = 1 << 20,
                 k: int = 4) -> np.ndarray:
     """One streaming pass over the key column → packed uint8 bitmap of
     ``m_bits`` bits. Per-block partials are ``m_bits/8`` bytes each and
-    OR-merge associatively (driver merge is O(blocks · m/8); lift to a
-    tree reduce if blocks × bitmap ever outgrows the driver)."""
+    OR-merge associatively: few blocks merge on the driver; above
+    ``_TREE_THRESHOLD`` blocks a fan-in-8 tree of Ray tasks reduces
+    them, so driver work stays O(m/8) no matter how many blocks the
+    key side ships."""
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
 
@@ -71,10 +90,18 @@ def build_bloom(keys: Dataset, on: str, m_bits: int = 1 << 20,
                                            (pos & np.uint64(7)).astype(np.uint8)))
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
+    parts = keys.map_batches(partial, batch_format="pyarrow")
+    refs = list(parts.to_arrow_refs())
+    while len(refs) > _TREE_THRESHOLD:
+        refs = [_or_bitmap_blocks.remote(m_bits // 8,
+                                         *refs[i:i + _TREE_FANIN])
+                for i in range(0, len(refs), _TREE_FANIN)]
     out = np.zeros(m_bits // 8, dtype=np.uint8)
-    for row in (keys.map_batches(partial, batch_format="pyarrow")
-                .iter_rows()):
-        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    for t in ray.get(refs):
+        if "bm" not in t.column_names:
+            continue  # empty block skipped the partial UDF
+        for buf in t["bm"].to_pylist():
+            out |= np.frombuffer(buf, dtype=np.uint8)
     return out
 
 

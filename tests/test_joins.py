@@ -389,3 +389,18 @@ def test_setops_intersect_except(ray_session):
     assert sorted(intersect_distinct(a, b, "k").to_pandas()["k"]) == [2, 3]
     assert sorted(except_distinct(a, b, "k").to_pandas()["k"]) == [1, 5]
     assert sorted(except_distinct(b, a, "k").to_pandas()["k"]) == [4]
+
+
+def test_bloom_tree_reduce_many_blocks(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions import bloom as B
+
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 10_000, size=2000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(100).materialize()
+    # force the tree path (100 blocks > threshold)
+    assert ds.num_blocks() > B._TREE_THRESHOLD
+    bm_tree = B.build_bloom(ds, "k", m_bits=1 << 14, k=3)
+    bm_flat = B.build_bloom(ds.repartition(4), "k", m_bits=1 << 14, k=3)
+    assert np.array_equal(bm_tree, bm_flat)
