@@ -2,12 +2,13 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-Decode is REAL for the uncompressed public formats of all three
-modalities: BMP payloads decode to pixels, WAV payloads to PCM
-samples, and uncompressed-DIB AVI payloads to frame arrays via the
-pure-NumPy/stdlib codecs in media_codec.py; features and frame
-fingerprints are computed from the actual pixels/samples. Compressed
-formats (png/jpeg/mp4) remain honestly stubbed —
+Decode is REAL for the public formats reachable without codec
+libraries: BMP and PNG payloads decode to pixels (PNG via stdlib zlib
++ the filter algebra in media_codec.py), WAV payloads to PCM samples,
+and uncompressed-DIB AVI payloads to frame arrays; features and frame
+fingerprints are computed from the actual pixels/samples. Formats
+whose entropy coders need external libraries (jpeg/mp4) remain
+honestly stubbed —
 ``NotImplementedError`` unless ``fake=True``, in which case a
 deterministic fake decoder (seeded by payload bytes) produces stable
 rows for plumbing tests.
@@ -40,30 +41,36 @@ MEDIA_SCHEMA = pa.schema([
 def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
                       audio_rate: int = 4000) -> pa.Table:
     """Deterministic media rows with REAL payloads across all three
-    modalities: images are valid 24-bit BMPs (random pixels), audio is
-    valid mono 16-bit PCM WAV (sine + noise), video is valid
-    uncompressed-DIB AVI (random frames) — every payload decodes with
-    the pure-NumPy/stdlib codecs in media_codec.py."""
-    from .media_codec import encode_avi, encode_bmp, encode_wav
+    modalities: images alternate valid 24-bit BMPs and PNGs (mixed
+    per-row filters, so every decoder path runs), audio is valid mono
+    16-bit PCM WAV (sine + noise), video is valid uncompressed-DIB AVI
+    (random frames) — every payload decodes with the pure-NumPy/stdlib
+    codecs in media_codec.py."""
+    from .media_codec import encode_avi, encode_bmp, encode_png, encode_wav
 
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k: [] for k in ("media_id", "kind", "format", "width",
                             "height", "duration_ms", "payload")}
-    fmts = {"image": "bmp", "audio": "wav", "video": "avi"}
+    n_images = 0
     for i in range(n):
         kind = kinds[i % 3]
         rows["media_id"].append(i)
         rows["kind"].append(kind)
-        rows["format"].append(fmts[kind])
         if kind == "image":
+            fmt = "bmp" if n_images % 2 == 0 else "png"
+            n_images += 1
+            rows["format"].append(fmt)
             w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             rows["width"].append(w)
             rows["height"].append(h)
             rows["duration_ms"].append(0)
-            rows["payload"].append(encode_bmp(img))
+            rows["payload"].append(
+                encode_bmp(img) if fmt == "bmp"
+                else encode_png(img, filter_type="mixed"))
         elif kind == "audio":
+            rows["format"].append("wav")
             dur = int(rng.integers(500, 30_000))
             t = np.arange(int(audio_rate * dur / 1000))
             freq = float(rng.uniform(50, audio_rate / 4))
@@ -75,6 +82,7 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
             rows["duration_ms"].append(dur)
             rows["payload"].append(encode_wav(samples, audio_rate))
         else:
+            rows["format"].append("avi")
             fps = 4
             n_frames = int(rng.integers(2, 12))
             w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
@@ -110,10 +118,15 @@ class DecodeImageFeatures:
 
             return image_features(decode_bmp(payload), self.FEATURE_DIM,
                                   self.resize_to)
+        if fmt == "png":
+            from .media_codec import decode_png, image_features, png_to_rgb
+
+            return image_features(png_to_rgb(decode_png(payload)),
+                                  self.FEATURE_DIM, self.resize_to)
         raise NotImplementedError(
             f"image format {fmt!r} needs a decoder library not present "
-            "in this environment (bmp decodes natively; fake=True for "
-            "plumbing tests)")
+            "in this environment (bmp and png decode natively; fake=True "
+            "for plumbing tests)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

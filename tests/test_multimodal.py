@@ -22,6 +22,8 @@ def test_synth_media_schema():
     for mid, fmt in fmts.items():
         if fmt == "bmp":
             assert pays[mid][:2] == b"BM"
+        elif fmt == "png":
+            assert pays[mid][:8] == b"\x89PNG\r\n\x1a\n"
         elif fmt == "wav":
             assert pays[mid][:4] == b"RIFF"
         elif fmt == "avi":
@@ -115,11 +117,11 @@ def test_decode_stub_raises_on_compressed_format():
     t = pa.table({
         "media_id": pa.array([0], pa.int64()),
         "kind": pa.array(["image"]),
-        "format": pa.array(["png"]),
+        "format": pa.array(["jpeg"]),
         "width": pa.array([4], pa.int32()),
         "height": pa.array([4], pa.int32()),
         "duration_ms": pa.array([0], pa.int32()),
-        "payload": pa.array([b"\x89PNG fake"], pa.binary()),
+        "payload": pa.array([b"\xff\xd8 fake"], pa.binary()),
     })
     with pytest.raises(NotImplementedError):
         d(t)
@@ -268,6 +270,80 @@ def test_avi_roundtrip_property(n, h, w, seed, fps):
     back, f = decode_avi(encode_avi(frames, fps))
     assert f == fps
     assert np.array_equal(back, frames)
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    from stacksearch_ray.functions.media_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(9)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, (13, 7, ch), dtype=np.uint8)
+        for ft in (0, 1, 2, 3, 4, "mixed"):
+            assert np.array_equal(decode_png(encode_png(img, ft)), img)
+    # 2-D grayscale input → (H, W, 1) out
+    g = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(g))[:, :, 0], g)
+
+
+def test_png_bmp_feature_parity():
+    """Same pixels through either container → identical features: the
+    PNG path decodes REAL pixels, not payload-derived fakes."""
+    from stacksearch_ray.functions.media_codec import (
+        decode_png, encode_bmp, encode_png, image_features, png_to_rgb)
+
+    img = np.random.default_rng(11).integers(0, 256, (40, 24, 3),
+                                             dtype=np.uint8)
+    d = DecodeImageFeatures(fake=False)
+    rows = {"media_id": pa.array([0, 1], pa.int64()),
+            "kind": pa.array(["image", "image"]),
+            "format": pa.array(["bmp", "png"]),
+            "width": pa.array([24, 24], pa.int32()),
+            "height": pa.array([40, 40], pa.int32()),
+            "duration_ms": pa.array([0, 0], pa.int32()),
+            "payload": pa.array([encode_bmp(img),
+                                 encode_png(img, "mixed")], pa.binary())}
+    out = d(pa.table(rows))
+    f = np.asarray(out["features"].combine_chunks().flatten()).reshape(-1, 16)
+    assert np.array_equal(f[0], f[1])
+    assert np.array_equal(
+        f[1], image_features(png_to_rgb(decode_png(encode_png(img)))))
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+    import zlib
+
+    from stacksearch_ray.functions.media_codec import decode_png, encode_png
+
+    img = np.random.default_rng(13).integers(0, 256, (6, 6, 3),
+                                             dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    payload[20] ^= 0xFF                      # flip a byte inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM not a png")
+    # a well-formed 16-bit-depth IHDR is rejected as unsupported
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    idat = zlib.compress(b"\x00" * 26)
+    chunk += (struct.pack(">I", len(idat)) + b"IDAT" + idat
+              + struct.pack(">I", zlib.crc32(b"IDAT" + idat)))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 32), st.integers(1, 32), st.integers(0, 2**31 - 1),
+       st.sampled_from([0, 1, 2, 3, 4, "mixed"]))
+def test_png_roundtrip_property(h, w, seed, ft):
+    """decode(encode(img, any filter)) == img for ANY shape."""
+    from stacksearch_ray.functions.media_codec import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, ft)), img)
 
 
 @settings(max_examples=40, deadline=None)
