@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": P.bpe_token_counts,
         "ngram_jaccard": P.ngram_jaccard,
         "ngram_fingerprints": P.doc_fingerprints,
+        # curation (decontamination / quality / PII / edit-distance)
+        "contamination_hits": P.contamination_hits,
+        "repetition_stats": P.repetition_stats,
+        "pii_redact": P.pii_redact,
+        "edit_pairs": P.edit_pairs,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
         "filter_en_long": P.filter_en_long,
         "union_langs": P.union_langs,
@@ -142,11 +147,14 @@ def oracle_sql() -> dict[str, str]:
 
     from stacksearch_ray.functions.textstats import LANG_MARKERS
     from stacksearch_ray.pipelines.documents import BM25_QUERY
+    from stacksearch_ray.micros import sql_micros
     from stacksearch_ray.pipelines.sql import (
         bm25_scores_sql,
         bm25_topk_sql,
         kept_tokens_cte,
+        ngram_cte,
         sql_stopword_list,
+        token_list_cte,
     )
 
     kept = kept_tokens_cte()
@@ -223,6 +231,21 @@ def oracle_sql() -> dict[str, str]:
             for i in range(len(_cents)))
     except (OSError, FileNotFoundError):
         pass  # sf0.01 absent: omit the knn_ivf oracle
+    # pii_redact: counts + replacements on the PROGRESSIVELY redacted
+    # text, in PII_PATTERNS order — built from the same pattern list the
+    # Ray stage uses so the two engines can never drift
+    from stacksearch_ray.functions.curation import PII_PATTERNS
+
+    _red = "text"
+    _pii_cols = []
+    for _pname, _pat, _repl in PII_PATTERNS:
+        _lit = _pat.replace("'", "''")
+        _pii_cols.append(
+            f"CAST(len(regexp_extract_all({_red}, '{_lit}')) AS BIGINT)"
+            f" AS n_{_pname}")
+        _red = f"regexp_replace({_red}, '{_lit}', '{_repl}', 'g')"
+    _pii_sql = (f"SELECT doc_id, {', '.join(_pii_cols)}, "
+                f"{_red} AS redacted FROM documents")
     oracles = {
         "term_counts": f"WITH {kept} SELECT term, count(*) AS cf FROM kept GROUP BY term",
         "heavy_terms": f"""
@@ -746,6 +769,40 @@ j AS (
   JOIN sizes sb ON sb.doc_id = i.b)
 SELECT a, b, CAST(floor(jac * 1e6 + 0.5) AS BIGINT) AS jaccard_micros
 FROM j WHERE jac >= 0.8""",
+        "contamination_hits": f"""
+WITH {token_list_cte()},
+{ngram_cte(3, 'ngr')},
+dng AS (SELECT DISTINCT doc_id, md5_number_lower(ng) AS h FROM ngr),
+bench AS (SELECT DISTINCT h FROM dng WHERE doc_id % 97 = 0)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS hits
+FROM dng d JOIN bench USING (h)
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.doc_id""",
+        "repetition_stats": f"""
+WITH {token_list_cte()},
+{ngram_cte(2, 'ng2')},
+{ngram_cte(3, 'ng3')},
+c2 AS (SELECT doc_id, ng, count(*) AS c FROM ng2 GROUP BY 1, 2),
+top2 AS (SELECT doc_id, max(c) AS m FROM c2 GROUP BY 1),
+c3 AS (SELECT doc_id, ng, count(*) AS c FROM ng3 GROUP BY 1, 2),
+dup3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+         FROM c3 GROUP BY 1),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM doc_toks)
+SELECT l.doc_id, l.n_tokens,
+       CAST(coalesce(t.m, 0) AS BIGINT) AS top2_count,
+       {sql_micros("CASE WHEN l.n_tokens > 0 THEN coalesce(t.m, 0) * 2.0 / l.n_tokens ELSE 0.0 END")} AS top2_frac_micros,
+       CAST(coalesce(d.dup, 0) AS BIGINT) AS dup3_count,
+       {sql_micros("CASE WHEN l.n_tokens > 0 THEN coalesce(d.dup, 0) * 3.0 / l.n_tokens ELSE 0.0 END")} AS dup3_frac_micros
+FROM lens l LEFT JOIN top2 t USING (doc_id) LEFT JOIN dup3 d USING (doc_id)""",
+        "pii_redact": _pii_sql,
+        "edit_pairs": """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64))
+            AS BIGINT) AS lev
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.n_chars // 32 = b.n_chars // 32
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 40""",
         "knn_ann_lsh": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 planes(i, p) AS (VALUES {plane_rows}),

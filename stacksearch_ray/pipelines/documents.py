@@ -1296,6 +1296,51 @@ def value_quantiles(sf_dir: str):
     })
 
 
+def contamination_hits(sf_dir: str):
+    """Benchmark decontamination (GPT-3 §C): docs sharing ≥1 token
+    3-gram with the held-out set (doc_id % 97 == 0) and the DISTINCT
+    contaminated n-gram count. Blocklist broadcasts (benchmark-sized);
+    the corpus streams through one membership probe — no shuffle.
+    Production n is 8–13; n=3 here because the synthetic testdata
+    vocabulary is ~40 words."""
+    from ..functions.curation import contamination_flags
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return contamination_flags(ds, n=3, bench_mod=97)
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (top-2-gram token
+    fraction, duplicated-3-gram token fraction) — per-doc quantities,
+    exact inside one map_batches pass."""
+    from ..functions.curation import repetition_stats as rep
+
+    return rep(rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]))
+
+
+def pii_redact(sf_dir: str):
+    """PII scrub: RE2 global replace of email/SSN/phone patterns with
+    per-pattern match counts (email → SSN → phone, counts taken on the
+    progressively-redacted text in that order, both engines)."""
+    from ..functions.curation import redact_pii
+
+    return redact_pii(rd.read_parquet(_docs(sf_dir),
+                                      columns=["doc_id", "text"]))
+
+
+def edit_pairs(sf_dir: str):
+    """Edit-distance near-dup pairs: Levenshtein ≤ 40 over 64-char
+    prefixes inside (lang, n_chars//32) blocks — Myers bit-parallel
+    kernel, all pairs in a block in one vectorized pass; the blocking
+    groupby is the only shuffle."""
+    from ..functions.curation import edit_distance_pairs
+
+    ds = rd.read_parquet(_docs(sf_dir),
+                         columns=["doc_id", "text", "lang", "n_chars"])
+    return edit_distance_pairs(ds, max_dist=40, prefix_len=64,
+                               len_bucket=32)
+
+
 # ---------------- rows-only entries (no SQL oracle) ----------------
 
 

@@ -34,6 +34,31 @@ kept AS (
 )"""
 
 
+def token_list_cte(table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """Per-doc ORDERED kept-token ARRAY (the list form of kept_tokens_cte,
+    for n-gram construction where token order matters)."""
+    return f"""
+doc_toks AS (
+  SELECT {id_col} AS doc_id, list_filter(
+    string_split_regex(
+        lower(regexp_replace({text_col}, '[^a-zA-Z0-9 \n]+', '', 'g')),
+        '\\s+'),
+    t -> t <> '' AND t NOT IN ({sql_stopword_list()})) AS toks
+  FROM {table})"""
+
+
+def ngram_cte(n: int, name: str) -> str:
+    """CTE ``name(doc_id, ng)``: every ORDER-PRESERVING token n-gram per
+    doc, space-joined (injective: tokens contain no spaces). Expects
+    ``doc_toks`` from token_list_cte in scope."""
+    return f"""
+{name} AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - {n} + 2),
+                 i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS ng
+  FROM doc_toks)"""
+
+
 def bm25_scores_sql(query: str, k1: float = 1.2, b: float = 0.75) -> str:
     """CTE chain ending in ``scores(doc_id, score)`` for a query string."""
     terms = sorted(set(clean_query(query)))

@@ -1,0 +1,177 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from stacksearch_ray.functions.curation import (
+    PII_PATTERNS,
+    _encode_ascii,
+    contamination_flags,
+    doc_ngram_hashes,
+    edit_distance_pairs,
+    myers_levenshtein,
+    myers_pairs,
+    redact_pii_batch,
+    repetition_stats_batch,
+)
+
+
+def _ref_lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[lb]
+
+
+# ---------------- Myers bit-parallel Levenshtein ----------------
+
+
+def test_myers_matches_dp_known_cases():
+    cases = [("kitten", "sitting", 3), ("", "", 0), ("abc", "", 3),
+             ("", "xyz", 3), ("same", "same", 0), ("a" * 64, "a" * 64, 0),
+             ("a" * 64, "b" * 64, 64), ("flaw", "lawn", 2)]
+    A, la = _encode_ascii(pd.Series([c[0] for c in cases]), 64)
+    B, lb = _encode_ascii(pd.Series([c[1] for c in cases]), 64)
+    got = myers_levenshtein(A, la, B, lb)
+    assert got.tolist() == [c[2] for c in cases]
+
+
+def test_myers_matches_dp_random():
+    import random
+
+    rng = random.Random(7)
+    strs = ["".join(rng.choice("abcd ") for _ in range(rng.randint(0, 64)))
+            for _ in range(80)]
+    C, lc = _encode_ascii(pd.Series(strs), 64)
+    ia, ib = np.triu_indices(len(strs), k=1)
+    got = myers_pairs(C, lc, ia, ib)
+    exp = np.array([_ref_lev(strs[i], strs[j]) for i, j in zip(ia, ib)])
+    assert np.array_equal(got, exp)
+
+
+def test_myers_rejects_wide_patterns():
+    with pytest.raises(ValueError, match="64"):
+        myers_levenshtein(np.zeros((1, 65), np.uint8), np.array([65]),
+                          np.zeros((1, 65), np.uint8), np.array([65]))
+
+
+# ---------------- n-gram hashing / decontamination ----------------
+
+
+def _doc_table(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_doc_ngram_hashes_distinct_and_boundary():
+    # "alpha beta gamma" twice → the repeated 2-grams dedupe per doc;
+    # windows never cross the doc boundary
+    t = _doc_table(["alpha beta gamma alpha beta gamma", "beta gamma delta"])
+    doc, h = doc_ngram_hashes(t, n=2)
+    # doc 0 distinct 2-grams: ab, bg, ga, ab, bg → {ab, bg, ga} = 3
+    assert (doc == 0).sum() == 3
+    assert (doc == 1).sum() == 2
+    # shared 2-gram "beta gamma" hashes identically across docs
+    shared = set(h[doc == 0]) & set(h[doc == 1])
+    assert len(shared) == 1
+
+
+def test_contamination_flags_synthetic(ray_session):
+    import ray.data as rd
+
+    # doc 0 (id 0 → benchmark, 0 % 97 == 0) leaks a 3-gram into doc 5;
+    # doc 7 is clean
+    t = _doc_table(
+        ["alpha beta gamma delta", "zeta eta theta iota",
+         "alpha beta gamma unrelated"],
+        ids=[0, 7, 5])
+    out = contamination_flags(rd.from_arrow(t), n=3, bench_mod=97) \
+        .to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [5]
+    assert out["hits"].tolist() == [1]
+
+
+# ---------------- repetition stats ----------------
+
+
+def test_repetition_stats_golden():
+    # "a b a b a b": tokens=6, 2-grams: ab,ba,ab,ba,ab → top2=3;
+    # 3-grams: aba,bab,aba,bab → both duplicated → dup3 = 4
+    t = _doc_table(["x1 y1 x1 y1 x1 y1", "unique words only here"])
+    out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 6
+    assert out.loc[0, "top2_count"] == 3
+    assert out.loc[0, "top2_frac_micros"] == 1_000_000  # 3*2/6
+    assert out.loc[0, "dup3_count"] == 4
+    assert out.loc[0, "dup3_frac_micros"] == 2_000_000  # 4*3/6
+    assert out.loc[1, "top2_count"] == 1
+    assert out.loc[1, "dup3_count"] == 0
+
+
+def test_repetition_stats_empty_doc():
+    out = repetition_stats_batch(_doc_table(["", "the and of"])) \
+        .to_pandas()
+    # doc 1 is all stopwords → 0 kept tokens; fractions must be 0, not NaN
+    assert out["n_tokens"].tolist() == [0, 0]
+    assert out["top2_frac_micros"].tolist() == [0, 0]
+    assert out["dup3_frac_micros"].tolist() == [0, 0]
+
+
+# ---------------- PII redaction ----------------
+
+
+def test_redact_pii_real_patterns():
+    t = _doc_table([
+        "contact bob@example.com or alice@test.org today",
+        "ssn 123-45-6789 phone (555) 123-4567 end",
+        "no pii here at all",
+    ])
+    out = redact_pii_batch(t).to_pandas()
+    assert out["n_email"].tolist() == [2, 0, 0]
+    assert out["n_ssn"].tolist() == [0, 1, 0]
+    assert out["n_phone"].tolist() == [0, 1, 0]
+    assert out["redacted"][0] == "contact <EMAIL> or <EMAIL> today"
+    assert out["redacted"][1] == "ssn <SSN> phone <PHONE> end"
+    assert out["redacted"][2] == "no pii here at all"
+
+
+def test_redact_pii_ssn_before_phone_order():
+    # an SSN body also matches the looser phone pattern; the declared
+    # order must tag it as SSN, and counts are taken on the
+    # progressively redacted text (phone count excludes the SSN)
+    assert [p[0] for p in PII_PATTERNS] == ["email", "ssn", "phone"]
+    out = redact_pii_batch(_doc_table(["id 987-65-4321 only"])).to_pandas()
+    assert out["n_ssn"].tolist() == [1]
+    assert out["n_phone"].tolist() == [0]
+    assert out["redacted"][0] == "id <SSN> only"
+
+
+# ---------------- edit-distance pairs (Ray path) ----------------
+
+
+def test_edit_distance_pairs_blocked(ray_session):
+    import ray.data as rd
+
+    texts = ["the quick brown fox jumps", "the quick brown fox jumped",
+             "completely different words here", "the quick brown fox jumps"]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    out = edit_distance_pairs(rd.from_arrow(t), max_dist=5, len_bucket=32) \
+        .to_pandas().sort_values(["doc_id_a", "doc_id_b"])
+    pairs = list(zip(out["doc_id_a"], out["doc_id_b"], out["lev"]))
+    # 1-2 differ by the 's'→'ed' suffix (lev 2); 1-4 identical (lev 0);
+    # 2-4 lev 2; doc 3 shares the block but exceeds max_dist
+    assert pairs == [(1, 2, 2), (1, 4, 0), (2, 4, 2)]
+    for a, b, lev in pairs:
+        assert lev == _ref_lev(texts[a - 1][:64], texts[b - 1][:64])
