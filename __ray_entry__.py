@@ -114,10 +114,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_semi": P.lineitem_semi,
         "lineitem_anti": P.lineitem_anti,
         "lineitem_rollup": P.lineitem_rollup,
+        "lineitem_cube": P.lineitem_cube,
         "user_event_pivot": P.user_event_pivot,
         "events_range_join": P.events_range_join,
         "events_rolling": P.events_rolling,
         "events_lag": P.events_lag,
+        "lineitem_ranks": P.lineitem_ranks,
         "docs_sample": P.docs_sample,
         "docs_stratified_sample": P.docs_stratified_sample,
         "regex_extract": P.regex_extract,
@@ -490,6 +492,26 @@ l AS (
   FROM e)
 SELECT event_id, user_id, prev_value_micros
 FROM l WHERE prev_value_micros IS NOT NULL""",
+        "lineitem_ranks": """
+WITH li AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+         CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS qm
+  FROM lineitem)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(row_number() OVER wfull AS BIGINT) AS row_number,
+       CAST(rank() OVER wval AS BIGINT) AS rank,
+       CAST(dense_rank() OVER wval AS BIGINT) AS dense_rank,
+       CAST(ntile(4) OVER wfull AS BIGINT) AS ntile4,
+       CAST(floor(percent_rank() OVER wval * 1e6 + 0.5) AS BIGINT)
+           AS percent_rank_micros,
+       CAST(floor(cume_dist() OVER wval * 1e6 + 0.5) AS BIGINT)
+           AS cume_dist_micros
+FROM li
+WINDOW wval AS (PARTITION BY l_suppkey ORDER BY qm),
+       wfull AS (PARTITION BY l_suppkey
+                 ORDER BY qm, l_orderkey, l_linenumber)""",
         "docs_sample": """
 SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0""",
@@ -577,6 +599,18 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
            AS sum_qty_micros,
        count(*) AS n_items
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "lineitem_cube": """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(year(l_shipdate) AS VARCHAR) AS ship_year,
+         CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS pm
+  FROM lineitem)
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       coalesce(ship_year, 'ALL') AS ship_year,
+       CAST(sum(pm) AS BIGINT) AS sum_price_micros,
+       count(*) AS n_items
+FROM li GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)""",
         "lineitem_semi": """
 SELECT l_orderkey, l_linenumber,
        CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS price_micros

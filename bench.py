@@ -165,7 +165,9 @@ def run_bench() -> dict:
                      ("lineitem_semi", P.lineitem_semi),
                      ("lineitem_anti", P.lineitem_anti),
                      ("quantiles_by_type", P.quantiles_by_type),
-                     ("value_quantiles", P.value_quantiles)]:
+                     ("value_quantiles", P.value_quantiles),
+                     ("contamination_hits", P.contamination_hits),
+                     ("edit_pairs", P.edit_pairs)]:
         t0 = time.time()
         res = fn(SF_DIR)
         if hasattr(res, "count"):

@@ -17,6 +17,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from ..micros import to_micros
+
 
 def grouped_running_sums(ds: Dataset, by: str, order: list[str],
                          value_col: str, window: int,
@@ -67,6 +69,90 @@ def grouped_running_sums(ds: Dataset, by: str, order: list[str],
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(win, batch_format="pandas"))
+
+
+def grouped_ranks(ds: Dataset, by: str, rank_cols: list[str],
+                  tiebreak: list[str], ntiles: int = 4,
+                  num_buckets: int = 32) -> Dataset:
+    """The SQL rank family per ``by`` partition, all six in one pass:
+
+    - ``row_number`` / ``ntile{n}``: over the fully deterministic order
+      ``rank_cols + tiebreak`` (SQL ``ORDER BY v, id``).
+    - ``rank`` / ``dense_rank`` / ``percent_rank_micros`` /
+      ``cume_dist_micros``: over ``rank_cols`` alone, so ties in the
+      ranking value share a rank exactly as SQL does.
+
+    ``tiebreak`` must make rows unique within a key. percent_rank =
+    (rank-1)/(count-1) (0 for singleton groups); cume_dist = rows with
+    value ≤ current / count — both shipped as *_micros int64.
+
+    Scale shape: same as the other window ops — one hash-bucket
+    shuffle, then every key in a bucket is ranked vectorized off ONE
+    mergesort (cumsum/segment algebra over group and tie-run
+    boundaries); per-key cost is O(1) numpy, not a Python loop.
+    Output keeps ``by`` + ``tiebreak`` + the rank columns.
+    """
+    if ntiles < 1:
+        raise ValueError("ntiles must be >= 1")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[by].combine_chunks()).astype(np.int64)
+        h = pd.util.hash_array(keys)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets))
+                                 .astype(np.int64)))
+
+    ntile_col = f"ntile{ntiles}"
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket")
+             .sort_values([by] + rank_cols + tiebreak, kind="mergesort")
+             .reset_index(drop=True))
+        key = g[by].to_numpy()
+        n = len(g)
+        idx = np.arange(n)
+        first = np.concatenate(([True], key[1:] != key[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n))
+        gstart = np.repeat(starts, counts)
+        gcount = np.repeat(counts, counts)
+        pos = idx - gstart                       # 0-based row in group
+        # tie runs: a new run wherever any rank col changes (or new key)
+        run_start = first.copy()
+        for c in rank_cols:
+            v = g[c].to_numpy()
+            run_start[1:] |= v[1:] != v[:-1]
+        rs = np.where(run_start, idx, 0)
+        run_first = np.maximum.accumulate(rs)    # index of my run's start
+        rank = run_first - gstart + 1
+        rid = np.cumsum(run_start)               # global run id (1-based)
+        dense = rid - np.repeat(rid[starts] - 1, counts)
+        # run END index: first index of the NEXT run, minus one
+        run_starts_idx = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(run_starts_idx, n))
+        run_last = np.repeat(run_starts_idx + run_len - 1, run_len)
+        denom = np.maximum(gcount - 1, 1)
+        pct = np.where(gcount > 1, (rank - 1) / denom, 0.0)
+        cume = (run_last - gstart + 1) / gcount
+        # SQL ntile: the first (count % n) tiles get ceil(count/n) rows
+        q, r = np.divmod(gcount, ntiles)
+        big = (q + 1) * r                        # rows in the big tiles
+        in_big = pos < big
+        qq = np.maximum(q, 1)                    # count < ntiles → q=0
+        tile = np.where(in_big, pos // np.maximum(q + 1, 1),
+                        r + (pos - big) // qq) + 1
+        out = g[[by] + tiebreak].copy()
+        out["row_number"] = pos + 1
+        out["rank"] = rank
+        out["dense_rank"] = dense
+        out[ntile_col] = tile.astype(np.int64)
+        out["percent_rank_micros"] = to_micros(pct)
+        out["cume_dist_micros"] = to_micros(cume)
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(ranks, batch_format="pandas"))
 
 
 def grouped_shift(ds: Dataset, by: str, order: list[str], value_col: str,

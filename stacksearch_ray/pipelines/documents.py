@@ -769,6 +769,32 @@ def events_lag(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def lineitem_ranks(sf_dir: str):
+    """The SQL rank family (row_number / rank / dense_rank / ntile /
+    percent_rank / cume_dist) per supplier over quantity — all six in
+    ONE hash-bucket shuffle + one vectorized pass per bucket
+    (functions/windows.py grouped_ranks). Quantity travels as micros so
+    tie detection is exact integer equality; (l_orderkey, l_linenumber)
+    breaks ties for the deterministic row_number/ntile order."""
+    from ..functions.windows import grouped_ranks
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"].combine_chunks().cast(pa.int64()),
+            "l_orderkey": batch["l_orderkey"].combine_chunks().cast(pa.int64()),
+            "l_linenumber": batch["l_linenumber"].combine_chunks()
+                .cast(pa.int64()),
+            "qty_micros": pc_micros(batch["l_quantity"]),
+        })
+
+    ds = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                          columns=["l_suppkey", "l_orderkey",
+                                   "l_linenumber", "l_quantity"])
+          .map_batches(prep, batch_format="pyarrow"))
+    return grouped_ranks(ds, by="l_suppkey", rank_cols=["qty_micros"],
+                         tiebreak=["l_orderkey", "l_linenumber"], ntiles=4)
+
+
 def docs_sample(sf_dir: str):
     """Deterministic hash-based 10% Bernoulli sample (shuffle-free,
     partitioning-independent, reproducible — the scale-safe way to
@@ -834,6 +860,42 @@ def lineitem_rollup(sf_dir: str):
     lvl2 = finest.map_batches(lambda t: t.select(cols),
                               batch_format="pyarrow")
     return lvl2.union(lvl1, lvl0)
+
+
+def lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus, ship year) — 8
+    grouping sets from ONE data pass: the finest aggregate is computed
+    once (map-side partials + one shuffle, key-combo-sized result) and
+    every coarser set re-aggregates that table
+    (functions/grouping.py). Year travels as a string so 'ALL' can
+    fill rolled-up levels in the same column."""
+    from ..functions.grouping import cube_sets, grouping_sets
+
+    keys = ["l_returnflag", "l_linestatus", "ship_year"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["l_shipdate"].combine_chunks()).cast(pa.string())
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "l_linestatus": b["l_linestatus"].combine_chunks(),
+            "ship_year": yr,
+            "sum_price_micros": pc_micros(b["l_extendedprice"]),
+            "n_items": np.ones(b.num_rows, dtype=np.int64),
+        })
+        return _partial_sums(t, keys, {"sum_price_micros": "sum_price_micros",
+                                       "n_items": "n_items"})
+
+    finest = (rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_shipdate",
+                 "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("sum_price_micros", alias_name="sum_price_micros"),
+                   Sum("n_items", alias_name="n_items"))
+        .materialize())
+    return grouping_sets(finest, keys, ["sum_price_micros", "n_items"],
+                         cube_sets(keys))
 
 
 def lineitem_semi(sf_dir: str):

@@ -77,3 +77,37 @@ def test_grouped_shift_lag_and_lead(ray_session):
                           periods=-1).to_pandas()
             .sort_values(["k", "o"]).reset_index(drop=True))
     assert vals(lead["lead_v"]) == [200, 300, None, 8, None, None]
+
+
+def test_grouped_ranks_ties_and_tiles(ray_session):
+    import ray.data as rd
+    from stacksearch_ray.functions.windows import grouped_ranks
+
+    # key 1: values 10,10,20,30,30,30 (6 rows, ties); key 2: singleton;
+    # key 3: two rows (count < ntiles → one row per tile)
+    t = pa.table({
+        "k": pa.array([1] * 6 + [2] + [3, 3], pa.int64()),
+        "v": pa.array([10, 10, 20, 30, 30, 30, 5, 7, 7], pa.int64()),
+        "id": pa.array(list(range(9)), pa.int64()),
+    })
+    out = (grouped_ranks(rd.from_arrow(t).repartition(3), by="k",
+                         rank_cols=["v"], tiebreak=["id"], ntiles=4)
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    k1 = out[out["k"] == 1]
+    assert k1["row_number"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert k1["rank"].tolist() == [1, 1, 3, 4, 4, 4]
+    assert k1["dense_rank"].tolist() == [1, 1, 2, 3, 3, 3]
+    # ntile(4) over 6 rows: sizes 2,2,1,1
+    assert k1["ntile4"].tolist() == [1, 1, 2, 2, 3, 4]
+    # percent_rank = (rank-1)/5; cume_dist = run_end/6
+    assert k1["percent_rank_micros"].tolist() == [0, 0, 400000,
+                                                  600000, 600000, 600000]
+    assert k1["cume_dist_micros"].tolist() == [333333, 333333, 500000,
+                                               1000000, 1000000, 1000000]
+    k2 = out[out["k"] == 2]
+    assert k2["rank"].tolist() == [1]
+    assert k2["percent_rank_micros"].tolist() == [0]   # singleton → 0
+    assert k2["cume_dist_micros"].tolist() == [1000000]
+    k3 = out[out["k"] == 3]  # tie pair: rank 1,1 but ntile 1,2
+    assert k3["rank"].tolist() == [1, 1]
+    assert k3["ntile4"].tolist() == [1, 2]
