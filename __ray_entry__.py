@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_except_enlong": P.quality_except_enlong,
         "value_histogram": P.value_histogram,
         "qty_discount_corr": P.qty_discount_corr,
+        "price_qty_regression": P.price_qty_regression,
+        "nation_supplier_csv": P.nation_supplier_csv,
+        "lineitem_unpivot": P.lineitem_unpivot,
+        "customer_urgent_left": P.customer_urgent_left,
         "value_quantiles": P.value_quantiles,
         "quantiles_by_type": P.quantiles_by_type,
         "value_quantiles_cont": P.value_quantiles_cont,
@@ -545,6 +549,53 @@ SELECT CAST(floor(
              * sqrt((n * syy - sy * sy)::DOUBLE))) * 1e6 + 0.5)
        AS BIGINT) AS corr_micros
 FROM s""",
+        "price_qty_regression": """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*)::HUGEINT AS n,
+         sum(CAST(l_quantity AS BIGINT))::HUGEINT AS sx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::HUGEINT
+             AS sy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::HUGEINT
+             AS sxy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT))::HUGEINT AS sxx
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(floor(((n * sxy - sx * sy)::DOUBLE
+                   / (n * sxx - sx * sx)::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS slope_micros,
+       CAST(floor(((sy * sxx - sx * sxy)::DOUBLE
+                   / (n * sxx - sx * sx)::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS intercept_micros,
+       CAST(floor(((n * sxy - sx * sy)::DOUBLE
+                   / (n * n)::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS covar_micros
+FROM s""",
+        "nation_supplier_csv": """
+SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+FROM supplier GROUP BY s_nationkey""",
+        "lineitem_unpivot": """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_quantity' AS measure,
+       CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS value_micros
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount',
+       CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax',
+       CAST(floor(l_tax * 1e6 + 0.5) AS BIGINT) FROM lineitem""",
+        "customer_urgent_left": """
+WITH u AS (
+  SELECT o_custkey, count(*) AS n_urgent,
+         sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS um
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(coalesce(u.n_urgent, 0) AS BIGINT) AS n_urgent,
+       CAST(coalesce(u.um, 0) AS BIGINT) AS urgent_micros
+FROM customer c LEFT JOIN u ON c.c_custkey = u.o_custkey""",
         "quality_except_enlong": f"""
 WITH {kept},
 all_toks AS (

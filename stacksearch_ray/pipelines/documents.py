@@ -1221,6 +1221,154 @@ def qty_discount_corr(sf_dir: str):
                                              pa.int64())})
 
 
+def price_qty_regression(sf_dir: str):
+    """Per-returnflag least-squares fit (regr_slope / regr_intercept /
+    covar_pop of price on quantity) from EXACT integer sufficient
+    statistics: map-side per-group partials (n, Sx, Sy, Sxy, Sxx) in
+    int64, one tiny shuffle, and ONE final float division per stat —
+    the same algebraic form both engines, so the result is bitwise.
+    Price travels as cents here (not micros) so Sxy stays within int64
+    at sf≥1; outputs are micros as usual. The cross terms (n·Sxy …)
+    exceed int64, so the 3-row final runs in Python ints
+    (HUGEINT in the oracle)."""
+    def part(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["l_quantity"].combine_chunks()
+                       .cast(pa.float64())).astype(np.int64)
+        y = np.floor(np.asarray(b["l_extendedprice"].combine_chunks()
+                                .cast(pa.float64())) * 100 + 0.5) \
+            .astype(np.int64)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "n": np.ones(len(x), np.int64), "sx": x, "sy": y,
+            "sxy": x * y, "sxx": x * x,
+        })
+        return _partial_sums(t, ["l_returnflag"],
+                             {c: c for c in ("n", "sx", "sy", "sxy", "sxx")})
+
+    rows = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_quantity",
+                                     "l_extendedprice"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxy", "sxx")])
+            .take_all())  # 3 rows — the aggregate result, not the data
+    flags, slopes, icepts, covars = [], [], [], []
+    for r in sorted(rows, key=lambda r: r["l_returnflag"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
+        dn = n * sxy - sx * sy
+        dd = n * sxx - sx * sx
+        flags.append(r["l_returnflag"])
+        slopes.append(to_micros(float(dn) / float(dd)))
+        icepts.append(to_micros(float(sy * sxx - sx * sxy) / float(dd)))
+        covars.append(to_micros(float(dn) / float(n * n)))
+    return pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "slope_micros": pa.array(slopes, pa.int64()),
+        "intercept_micros": pa.array(icepts, pa.int64()),
+        "covar_micros": pa.array(covars, pa.int64()),
+    })
+
+
+def nation_supplier_csv(sf_dir: str):
+    """Ordered string_agg per group: each nation's supplier names as
+    one comma-joined string, sorted — SQL ``string_agg(s_name, ','
+    ORDER BY s_name)``. One hash-bucket shuffle; each bucket sorts
+    once and joins every group's strings (the concat itself IS the
+    output payload, so per-group join cost is the output size)."""
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["s_nationkey"].combine_chunks().cast(pa.int64()))
+        h = pd.util.hash_array(k)
+        return pa.table({
+            "s_nationkey": pa.array(k, pa.int64()),
+            "s_name": b["s_name"].combine_chunks(),
+            "__bucket": pa.array((h % np.uint64(8)).astype(np.int64)),
+        })
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s_nationkey", "s_name"], kind="mergesort")
+        return (g.groupby("s_nationkey", sort=False)["s_name"]
+                .agg(",".join).rename("names").reset_index())
+
+    return (rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_nationkey", "s_name"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(agg, batch_format="pandas"))
+
+
+def lineitem_unpivot(sf_dir: str):
+    """UNPIVOT/melt: the three measure columns (quantity, discount,
+    tax) become (measure, value_micros) rows — a pure map-side 3×
+    expansion, no shuffle, streaming."""
+    measures = ["l_quantity", "l_discount", "l_tax"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].combine_chunks().cast(pa.int64())
+        ln = b["l_linenumber"].combine_chunks().cast(pa.int64())
+        n = b.num_rows
+        return pa.table({
+            "l_orderkey": pa.concat_arrays([ok] * 3),
+            "l_linenumber": pa.concat_arrays([ln] * 3),
+            "measure": pa.array(np.repeat(measures, n), pa.string()),
+            "value_micros": pa.concat_arrays(
+                [pc_micros(b[m]) for m in measures]),
+        })
+
+    return (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_linenumber",
+                                     *measures])
+            .map_batches(melt, batch_format="pyarrow"))
+
+
+def customer_urgent_left(sf_dir: str):
+    """LEFT OUTER join with real unmatched rows: every customer joined
+    to their URGENT-priority order stats; customers with none keep a
+    0-count row (SQL LEFT JOIN + coalesce). The orders side aggregates
+    FIRST (map-side partials + one small shuffle) so the join input is
+    per-customer rows, then the partitioned hash join runs how='left'
+    — this also exercises the typed-empty-frame path for one-sided
+    buckets."""
+    from ..functions.joins import hash_join
+
+    def part(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["o_orderpriority"], "1-URGENT")
+        t = b.filter(keep)
+        out = pa.table({
+            "c_custkey": t["o_custkey"].combine_chunks().cast(pa.int64()),
+            "n_urgent": np.ones(t.num_rows, np.int64),
+            "urgent_micros": pc_micros(t["o_totalprice"]),
+        })
+        return _partial_sums(out, ["c_custkey"],
+                             {"n_urgent": "n_urgent",
+                              "urgent_micros": "urgent_micros"})
+
+    urgent = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_orderpriority",
+                                       "o_totalprice"])
+              .map_batches(part, batch_format="pyarrow")
+              .groupby("c_custkey")
+              .aggregate(Sum("n_urgent", alias_name="n_urgent"),
+                         Sum("urgent_micros", alias_name="urgent_micros")))
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(cust, urgent, on="c_custkey", how="left",
+                       num_buckets=8)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"].combine_chunks().cast(pa.int64()),
+            "c_mktsegment": b["c_mktsegment"].combine_chunks(),
+            "n_urgent": pc.fill_null(b["n_urgent"], 0).combine_chunks()
+                .cast(pa.int64()),
+            "urgent_micros": pc.fill_null(b["urgent_micros"], 0)
+                .combine_chunks().cast(pa.int64()),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def orders_by_month(sf_dir: str):
     """Temporal bucketing: order count + revenue per (year, month) —
     pyarrow temporal kernels (pc.year/pc.month) with map-side partial
