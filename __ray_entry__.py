@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": P.repetition_stats,
         "pii_redact": P.pii_redact,
         "edit_pairs": P.edit_pairs,
+        "jw_pairs": P.jw_pairs,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
         "filter_en_long": P.filter_en_long,
         "union_langs": P.union_langs,
@@ -888,6 +889,16 @@ FROM documents a JOIN documents b
   ON a.lang = b.lang AND a.n_chars // 32 = b.n_chars // 32
  AND a.doc_id < b.doc_id
 WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 40""",
+        "jw_pairs": """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(floor(jaro_winkler_similarity(substr(a.text, 1, 64),
+                                          substr(b.text, 1, 64))
+                  * 1e6 + 0.5) AS BIGINT) AS jw_micros
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.n_chars // 32 = b.n_chars // 32
+ AND a.doc_id < b.doc_id
+WHERE jaro_winkler_similarity(substr(a.text, 1, 64),
+                              substr(b.text, 1, 64)) >= 0.9""",
         "knn_ann_lsh": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 planes(i, p) AS (VALUES {plane_rows}),

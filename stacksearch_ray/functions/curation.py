@@ -282,6 +282,129 @@ def myers_pairs(codes: np.ndarray, lens: np.ndarray, ia: np.ndarray,
     return _myers_core(_peq_table(codes, lens), lens, ia, codes, lens, ib)
 
 
+def _low_bits(n: np.ndarray) -> np.ndarray:
+    """uint64 masks with bits 0..n-1 set, for n in [0, 64]."""
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    n = n.astype(np.uint64)
+    small = (np.uint64(1) << (n & np.uint64(63))) - np.uint64(1)
+    return np.where(n >= 64, full, small)
+
+
+def jaro_winkler_pairs_kernel(codes: np.ndarray, lens: np.ndarray,
+                              ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Jaro-Winkler similarity for (ia[p], ib[p]) index pairs over one
+    string set, vectorized ACROSS pairs (strings ≤ 64 chars → one
+    uint64 matched-bitmask per pair; each of the O(width) steps is a
+    P-sized numpy op). Bitwise-identical to DuckDB's
+    ``jaro_winkler_similarity`` (empirically exact over random pairs):
+    match window ``max(max(la,lb)//2 - 1, 0)``, transpositions
+    floor-halved, prefix bonus 0.1·l·(1-j) only when j > 0.7, formula
+    evaluated left-associatively in double.
+    """
+    if codes.shape[1] > 64:
+        raise ValueError("jaro-winkler pattern side must be ≤ 64 chars")
+    w = np.uint64
+    width = codes.shape[1]
+    p = len(ia)
+    la = lens[ia]
+    lb = lens[ib]
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    peq = _peq_table(codes, lens)
+    matched_b = np.zeros(p, dtype=w)
+    cnt = np.zeros(p, dtype=np.int64)
+    abuf = np.zeros((p, width), dtype=np.uint8)
+    for i in range(width):
+        active = i < la
+        if not active.any():
+            break
+        ca = codes[ia, i]
+        lo = np.maximum(i - window, 0)
+        hi = np.minimum(lb, i + window + 1)
+        wmask = _low_bits(hi) & ~_low_bits(lo)
+        cand = peq[ib, ca] & wmask & ~matched_b
+        cand[~active] = w(0)
+        found = cand != 0
+        first = cand & (~cand + w(1))
+        matched_b |= np.where(found, first, w(0))
+        idx = np.flatnonzero(found)
+        abuf[idx, cnt[idx]] = ca[idx]
+        cnt[idx] += 1
+    m = cnt
+    bbuf = np.zeros((p, width), dtype=np.uint8)
+    bcnt = np.zeros(p, dtype=np.int64)
+    for j in range(width):
+        has = (matched_b >> w(j)) & w(1) != 0
+        if not has.any():
+            continue
+        idx = np.flatnonzero(has)
+        bbuf[idx, bcnt[idx]] = codes[ib, j][idx]
+        bcnt[idx] += 1
+    posmask = np.arange(width) < m[:, None]
+    k = ((abuf != bbuf) & posmask).sum(axis=1)
+    t = k // 2
+    mf = m.astype(np.float64)
+    ok = m > 0
+    safe_la = np.maximum(la, 1).astype(np.float64)
+    safe_lb = np.maximum(lb, 1).astype(np.float64)
+    safe_m = np.maximum(m, 1).astype(np.float64)
+    j = (mf / safe_la + mf / safe_lb + (mf - t) / safe_m) / 3.0
+    # common prefix (≤ 4) via cumulative AND of per-position equality
+    pref = np.zeros(p, dtype=np.int64)
+    still = np.ones(p, dtype=bool)
+    for i in range(min(4, width)):
+        still &= (i < la) & (i < lb) & (codes[ia, i] == codes[ib, i])
+        pref += still
+    jw = np.where(j > 0.7, j + 0.1 * pref * (1.0 - j), j)
+    return np.where(ok, jw, 0.0)
+
+
+def jaro_winkler_sim_pairs(ds: Dataset, min_sim: float,
+                           prefix_len: int = 64, text_col: str = "text",
+                           id_col: str = "doc_id", lang_col: str = "lang",
+                           len_col: str = "n_chars",
+                           len_bucket: int = 32) -> Dataset:
+    """Near-dup pairs by Jaro-Winkler ≥ ``min_sim`` over
+    ``prefix_len``-char prefixes, blocked by (lang, n_chars //
+    len_bucket) exactly like edit_distance_pairs — one blocking
+    shuffle, all pairs per block in one vectorized kernel pass.
+    Similarity ships as ``jw_micros`` (bitwise vs DuckDB, so the
+    threshold cut is engine-identical). ASCII-equivalent inputs only:
+    the kernel compares bytes while SQL substr counts characters."""
+    if prefix_len > 64:
+        raise ValueError("prefix_len > 64 breaks the bitmask kernel")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+            "blk_lang": batch[lang_col].combine_chunks(),
+            "blk_len": pc.divide(batch[len_col], len_bucket).cast(pa.int64()),
+            "prefix": pc.utf8_slice_codeunits(
+                batch[text_col].combine_chunks(), 0, prefix_len),
+        })
+
+    empty = {"doc_id_a": pd.Series(dtype=np.int64),
+             "doc_id_b": pd.Series(dtype=np.int64),
+             "jw_micros": pd.Series(dtype=np.int64)}
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        if m < 2:
+            return pd.DataFrame(empty)
+        g = g.sort_values("doc_id")
+        codes, lens = _encode_ascii(g["prefix"], prefix_len)
+        ids = g["doc_id"].to_numpy()
+        ia, ib = np.triu_indices(m, k=1)
+        jw = jaro_winkler_pairs_kernel(codes, lens, ia, ib)
+        keep = jw >= min_sim
+        return pd.DataFrame({"doc_id_a": ids[ia[keep]],
+                             "doc_id_b": ids[ib[keep]],
+                             "jw_micros": to_micros(jw[keep])})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(["blk_lang", "blk_len"])
+            .map_groups(pairs_in_block, batch_format="pandas"))
+
+
 def _encode_ascii(strs: pd.Series, width: int) -> tuple[np.ndarray, np.ndarray]:
     """Strings → (codes (m, width) uint8 zero-padded, lengths). Uses a
     fixed-width numpy bytes view — no per-char Python loop."""

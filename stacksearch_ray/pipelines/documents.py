@@ -1551,6 +1551,20 @@ def edit_pairs(sf_dir: str):
                                len_bucket=32)
 
 
+def jw_pairs(sf_dir: str):
+    """Jaro-Winkler near-dup pairs ≥ 0.9 over 64-char prefixes inside
+    (lang, n_chars//32) blocks — the bitset kernel vectorizes across
+    all pairs in a block, and the similarity is bitwise-identical to
+    DuckDB's jaro_winkler_similarity, so the threshold cut (and the
+    micros payload) is engine-exact."""
+    from ..functions.curation import jaro_winkler_sim_pairs
+
+    ds = rd.read_parquet(_docs(sf_dir),
+                         columns=["doc_id", "text", "lang", "n_chars"])
+    return jaro_winkler_sim_pairs(ds, min_sim=0.9, prefix_len=64,
+                                  len_bucket=32)
+
+
 # ---------------- rows-only entries (no SQL oracle) ----------------
 
 

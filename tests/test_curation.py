@@ -175,3 +175,50 @@ def test_edit_distance_pairs_blocked(ray_session):
     assert pairs == [(1, 2, 2), (1, 4, 0), (2, 4, 2)]
     for a, b, lev in pairs:
         assert lev == _ref_lev(texts[a - 1][:64], texts[b - 1][:64])
+
+
+# ---------------- Jaro-Winkler (bitwise vs DuckDB) ----------------
+
+
+def test_jaro_winkler_kernel_bitwise_vs_duckdb():
+    import random
+
+    import duckdb
+
+    from stacksearch_ray.functions.curation import jaro_winkler_pairs_kernel
+
+    rng = random.Random(13)
+    strs = ["", "a", "martha", "marhta", "dixon", "dicksonx", "a" * 64] + [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 64)))
+        for _ in range(120)]
+    C, lc = _encode_ascii(pd.Series(strs), 64)
+    ia, ib = np.triu_indices(len(strs), k=1)
+    got = jaro_winkler_pairs_kernel(C, lc, ia, ib)
+    con = duckdb.connect()
+    exp = np.array([
+        con.execute("select jaro_winkler_similarity(?, ?)",
+                    [strs[i], strs[j]]).fetchone()[0]
+        for i, j in zip(ia, ib)])
+    # bitwise: the micros threshold cut depends on exact equality
+    assert np.array_equal(got, exp)
+
+
+def test_jaro_winkler_pairs_blocked(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.curation import jaro_winkler_sim_pairs
+
+    texts = ["the quick brown fox jumps", "the quick brown fox jumped",
+             "zzz totally unrelated text", "the quick brown fox jumps"]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    out = (jaro_winkler_sim_pairs(rd.from_arrow(t), min_sim=0.9)
+           .to_pandas().sort_values(["doc_id_a", "doc_id_b"]))
+    pairs = list(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert pairs == [(1, 2), (1, 4), (2, 4)]
+    exact = out[(out.doc_id_a == 1) & (out.doc_id_b == 4)]
+    assert exact["jw_micros"].tolist() == [1_000_000]
