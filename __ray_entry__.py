@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": P.pii_redact,
         "edit_pairs": P.edit_pairs,
         "jw_pairs": P.jw_pairs,
+        "pagerank": P.pagerank,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
         "filter_en_long": P.filter_en_long,
         "union_langs": P.union_langs,
@@ -889,6 +890,39 @@ FROM documents a JOIN documents b
   ON a.lang = b.lang AND a.n_chars // 32 = b.n_chars // 32
  AND a.doc_id < b.doc_id
 WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 40""",
+        "pagerank": """
+WITH edges AS (
+  SELECT DISTINCT l_orderkey % 512 AS src, l_partkey % 512 AS dst
+  FROM lineitem),
+ew AS (
+  SELECT e.src, e.dst, od.od
+  FROM edges e JOIN (SELECT src, count(*) AS od FROM edges GROUP BY src) od
+    ON od.src = e.src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+p0 AS (SELECT node, 1000000 // n AS pr FROM nodes, nn),
+p1 AS (
+  SELECT nd.node, 150000 // nn.n + (850000 * coalesce(s.c, 0)) // 1000000
+         AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p0 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node),
+p2 AS (
+  SELECT nd.node, 150000 // nn.n + (850000 * coalesce(s.c, 0)) // 1000000
+         AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p1 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node),
+p3 AS (
+  SELECT nd.node, 150000 // nn.n + (850000 * coalesce(s.c, 0)) // 1000000
+         AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p2 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node)
+SELECT node, CAST(pr AS BIGINT) AS pr_micros FROM p3""",
         "jw_pairs": """
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(floor(jaro_winkler_similarity(substr(a.text, 1, 64),

@@ -1551,6 +1551,33 @@ def edit_pairs(sf_dir: str):
                                len_bucket=32)
 
 
+def pagerank(sf_dir: str):
+    """PageRank (3 synchronous iterations, damping 0.85) over the
+    directed graph src = l_orderkey % 512 → dst = l_partkey % 512
+    (distinct edges). Integer-micros arithmetic end to end, so the
+    whole iterative trajectory is engine-exact — the oracle is the
+    same three steps unrolled as SQL CTEs. The rank vector stays a
+    Dataset across iterations (functions/graph.py)."""
+    from ..functions.graph import pagerank_micros
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["l_orderkey"].combine_chunks()) % 512
+        d = np.asarray(b["l_partkey"].combine_chunks()) % 512
+        pair = s.astype(np.int64) * 512 + d
+        u = np.unique(pair)
+        return pa.table({"src": pa.array(u // 512, pa.int64()),
+                         "dst": pa.array(u % 512, pa.int64())})
+
+    edges = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_partkey"])
+             .map_batches(mk_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda t: pa.table({"src": t["src"],
+                                              "dst": t["dst"]}),
+                          batch_format="pyarrow"))
+    return pagerank_micros(edges, iterations=3)
+
+
 def jw_pairs(sf_dir: str):
     """Jaro-Winkler near-dup pairs ≥ 0.9 over 64-char prefixes inside
     (lang, n_chars//32) blocks — the bitset kernel vectorizes across
