@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_pairs": P.edit_pairs,
         "jw_pairs": P.jw_pairs,
         "pagerank": P.pagerank,
+        "connected_components": P.connected_components,
+        "user_modal_event": P.user_modal_event,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
         "filter_en_long": P.filter_en_long,
         "union_langs": P.union_langs,
@@ -923,6 +925,28 @@ p3 AS (
              FROM ew e JOIN p2 p ON p.node = e.src GROUP BY e.dst) s
     ON s.dst = nd.node)
 SELECT node, CAST(pr AS BIGINT) AS pr_micros FROM p3""",
+        "connected_components": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 2048 AS a, 2048 + l_partkey % 2048 AS b
+  FROM lineitem WHERE l_linenumber = 1),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+SELECT node, CAST(min(lbl) AS BIGINT) AS component
+FROM reach GROUP BY node""",
+        "user_modal_event": """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1""",
         "jw_pairs": """
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(floor(jaro_winkler_similarity(substr(a.text, 1, 64),

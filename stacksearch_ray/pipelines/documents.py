@@ -1578,6 +1578,74 @@ def pagerank(sf_dir: str):
     return pagerank_micros(edges, iterations=3)
 
 
+def connected_components(sf_dir: str):
+    """Connected components over a bipartite order↔part graph
+    (l_linenumber=1 edges, ids mod 2048, disjoint ranges) — the
+    Dataset-native min-label propagation from the dedup chain
+    (functions/joins.py propagate_min_labels_ds: label table stays a
+    Dataset, driver state O(1) scalars per round), surfaced as a
+    first-class graph operator. Oracle: recursive min-reachable-label
+    CTE."""
+    from ..functions.joins import propagate_min_labels_ds
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["l_linenumber"], 1)
+        t = b.filter(keep)
+        a = np.asarray(t["l_orderkey"].combine_chunks()).astype(np.int64) \
+            % 2048
+        bb = 2048 + np.asarray(t["l_partkey"].combine_chunks()) \
+            .astype(np.int64) % 2048
+        pair = np.unique(a * 4096 + bb)
+        return pa.table({"a": pa.array(pair // 4096, pa.int64()),
+                         "b": pa.array(pair % 4096, pa.int64())})
+
+    edges = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_partkey",
+                                      "l_linenumber"])
+             .map_batches(mk_edges, batch_format="pyarrow")).materialize()
+    nodes = (edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t["a"].combine_chunks(), t["b"].combine_chunks()])}),
+        batch_format="pyarrow")
+        .groupby("node").count()
+        .map_batches(lambda t: pa.table({"node": t["node"]}),
+                     batch_format="pyarrow"))
+    labels = propagate_min_labels_ds(edges, nodes, node_col="node")
+    # propagate_min_labels_ds emits its canonical (doc_id, cluster_id)
+    return labels.map_batches(
+        lambda t: pa.table({
+            "node": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "component": t["cluster_id"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def user_modal_event(sf_dir: str):
+    """Deterministic grouped MODE: each user's most frequent event
+    type, ties broken alphabetically — counts via map-side partials +
+    one shuffle, then grouped partial top-k (k=1), so no engine-
+    dependent tie behavior ever reaches the result."""
+    from ..functions.topk import grouped_topk
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"].combine_chunks().cast(pa.int64()),
+            "event_type": b["event_type"].combine_chunks(),
+            "n": np.ones(b.num_rows, np.int64),
+        })
+        return _partial_sums(t, ["user_id", "event_type"], {"n": "n"})
+
+    counts = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["user_id", "event_type"])
+              .map_batches(part, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+    top = grouped_topk(counts, group_col="user_id", sort_col="n", k=1,
+                       descending=True, tie_col="event_type")
+    return top.map_batches(
+        lambda t: t.select(["user_id", "event_type", "n"]),
+        batch_format="pyarrow")
+
+
 def jw_pairs(sf_dir: str):
     """Jaro-Winkler near-dup pairs ≥ 0.9 over 64-char prefixes inside
     (lang, n_chars//32) blocks — the bitset kernel vectorizes across
