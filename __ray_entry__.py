@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": P.pagerank,
         "connected_components": P.connected_components,
         "user_modal_event": P.user_modal_event,
+        "value_mad": P.value_mad,
+        "props_k_stats": P.props_k_stats,
+        "weighted_sample": P.weighted_sample,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
         "filter_en_long": P.filter_en_long,
         "union_langs": P.union_langs,
@@ -937,6 +940,30 @@ reach(node, lbl) AS (
   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
 SELECT node, CAST(min(lbl) AS BIGINT) AS component
 FROM reach GROUP BY node""",
+        "value_mad": """
+WITH vm AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+            FROM events),
+m AS (SELECT quantile_disc(vm, 0.5) AS med FROM vm)
+SELECT CAST(m.med AS BIGINT) AS median_micros,
+       CAST((SELECT quantile_disc(abs(vm.vm - m.med), 0.5) FROM vm)
+            AS BIGINT) AS mad_micros
+FROM m""",
+        "props_k_stats": """
+WITH k AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM k GROUP BY event_type""",
+        "weighted_sample": """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         -ln((md5_number_lower(CAST(doc_id AS VARCHAR))::DOUBLE + 1.0)
+             / 18446744073709551616.0) / n_chars::DOUBLE AS key
+  FROM documents)
+ORDER BY key, doc_id LIMIT 20""",
         "user_modal_event": """
 WITH c AS (
   SELECT user_id, event_type, count(*) AS n

@@ -1086,6 +1086,98 @@ def value_quantiles_cont(sf_dir: str):
     })
 
 
+def value_mad(sf_dir: str):
+    """Median absolute deviation of events.value — median via the
+    sort-free histogram-narrowing selection, then a second selection
+    over |v − med| in exact micros integer space. Two short streaming
+    pass-groups, never a global sort; DuckDB quantile_disc semantics
+    both times so the oracle matches exactly."""
+    from ..functions.quantiles import quantile_disc
+
+    path = os.path.join(sf_dir, "events.parquet")
+    vm = (rd.read_parquet(path, columns=["value"])
+          .map_batches(lambda b: pa.table({
+              "vm": pc_micros(b["value"])}), batch_format="pyarrow")
+          .materialize())  # reused by both selections
+    med = int(quantile_disc(vm, "vm", 0.5))
+    absdev = vm.map_batches(
+        lambda b: pa.table({"ad": pc.abs(
+            pc.subtract(b["vm"].combine_chunks(), med)).cast(pa.int64())}),
+        batch_format="pyarrow")
+    mad = int(quantile_disc(absdev, "ad", 0.5))
+    return pa.table({"median_micros": pa.array([med], pa.int64()),
+                     "mad_micros": pa.array([mad], pa.int64())})
+
+
+def props_k_stats(sf_dir: str):
+    """JSON field extraction + aggregate: pull the integer ``k`` out of
+    the events.props JSON string with one RE2 capture (vectorized C
+    kernel — DuckDB's regexp_extract is RE2 too, so both engines parse
+    identically), then per-event-type count/sum/max with map-side
+    partials."""
+    def part(b: pa.Table) -> pa.Table:
+        s = pc.extract_regex(b["props"].combine_chunks(),
+                             r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(s, "k").cast(pa.int64())
+        t = pa.table({
+            "event_type": b["event_type"].combine_chunks(),
+            "n": np.ones(b.num_rows, np.int64),
+            "sum_k": k,
+            "max_k": k,
+        })
+        df = t.to_pandas()
+        out = (df.groupby("event_type", as_index=False, dropna=False)
+               .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                    max_k=("max_k", "max")))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "props"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Max("max_k", alias_name="max_k")))
+
+
+def weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis A-ES via the exponential race): each doc gets key =
+    −ln(u)/w with u ∈ (0,1] hashed from doc_id and w = n_chars; the 20
+    smallest keys win. Shuffle-free and reproducible: per-batch
+    partial top-k, driver merges k-sized partials. ln agrees bitwise
+    between numpy and DuckDB (same libm — the doc_logprob precedent),
+    so the cut is engine-exact."""
+    from ..functions.dedup import md5_low64
+
+    K = 20
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        w = np.asarray(b["n_chars"].combine_chunks()).astype(np.float64)
+        h = md5_low64(np.array([str(i) for i in ids], dtype=object))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = -np.log(u) / w
+        order = np.lexsort((ids, key))[:K]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_chars": pa.array(w[order].astype(np.int64), pa.int64()),
+            "key": pa.array(key[order], pa.float64()),
+        })
+
+    parts = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
+             .map_batches(part, batch_format="pyarrow").to_pandas())
+    sel = np.lexsort((parts["doc_id"].to_numpy(),
+                      parts["key"].to_numpy()))[:K]
+    out = parts.iloc[sel]
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_chars": pa.array(out["n_chars"].to_numpy(), pa.int64()),
+    })
+
+
 def curated_corpus(sf_dir: str):
     """The flagship curation composite a training-data user runs:
     quality gate (≥5 kept tokens, stopword ratio ≤ 1/2, integer-space
