@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": P.connected_components,
         "user_modal_event": P.user_modal_event,
         "value_mad": P.value_mad,
+        "value_quantiles_sketch": P.value_quantiles_sketch,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)

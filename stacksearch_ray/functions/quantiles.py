@@ -272,3 +272,58 @@ def quantiles_disc(ds: Dataset, col: str, qs: list[float]) -> list[float]:
         raise ValueError("empty dataset")
     return [kth_smallest(ds, col, max(0, math.ceil(q * n) - 1))
             for q in qs]
+
+
+def quantile_sketch(ds: Dataset, col: str, qs: list[float],
+                    bits: int = 16) -> list[tuple[float, int]]:
+    """ONE-pass mergeable approximate quantiles — the streaming
+    alternative to the exact multi-pass narrowing above when a bounded
+    rank error is acceptable (monitoring, partition planning, skew
+    probes at 100 TB).
+
+    Sketch = a 2^bits-bucket histogram over the monotone float-bit
+    keyspace, plus the MIN observed key per bucket. Partials are
+    (bucket, count, min_key) rows — pure sums/mins, so they merge
+    associatively across any number of batches/nodes; the reduced
+    sketch is at most 2^bits rows (bucket-count-bound, not data-bound).
+    For each q the answer is the min key of the bucket containing the
+    target rank — an ACTUAL data value whose rank error is < that
+    bucket's count (returned alongside, so callers can assert their
+    tolerance). Deterministic: no sampling, no randomness.
+    """
+    from ray.data.aggregate import Min
+
+    shift = np.uint64(64 - bits)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[col].combine_chunks(), dtype=np.float64)
+        keys = _float_keys(v)
+        b = (keys >> shift).astype(np.int64)
+        order = np.lexsort((keys, b))  # key-sorted within bucket
+        bs, ks = b[order], keys[order]
+        first = np.concatenate(([True], bs[1:] != bs[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(bs)))
+        # int64 view of uint64 keys keeps Min order: bucket fixes the
+        # top bits, so all keys in a bucket share the sign bit
+        return pa.table({
+            "bucket": pa.array(bs[starts], pa.int64()),
+            "cnt": pa.array(counts, pa.int64()),
+            "min_key": pa.array(ks[starts].view(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(hist, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("cnt", alias_name="cnt"),
+                      Min("min_key", alias_name="min_key"))
+           .to_pandas().sort_values("bucket"))
+    counts = agg["cnt"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out: list[tuple[float, int]] = []
+    for q in qs:
+        r = max(0, math.ceil(q * n) - 1)
+        i = int(np.searchsorted(cum, r + 1))
+        key = np.int64(agg["min_key"].to_numpy()[i]).view(np.uint64)
+        out.append((_key_to_float(int(key)), int(counts[i])))
+    return out

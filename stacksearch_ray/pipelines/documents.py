@@ -1109,6 +1109,27 @@ def value_mad(sf_dir: str):
                      "mad_micros": pa.array([mad], pa.int64())})
 
 
+def value_quantiles_sketch(sf_dir: str):
+    """ONE-pass mergeable quantile sketch (float-bit-bucket histogram
+    + per-bucket min key): the streaming alternative to the exact
+    multi-pass value_quantiles when bounded rank error suffices. Each
+    estimate is an actual data value with its rank-error bound
+    alongside (rows-only entry — the float-bit bucketing has no SQL
+    expression; the error bound is pytest-pinned)."""
+    from ..functions.quantiles import quantile_sketch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    qs = [0.1, 0.5, 0.9]
+    res = quantile_sketch(ds, "value", qs, bits=16)
+    return pa.table({
+        "q_micros": pa.array([to_micros(q) for q in qs], pa.int64()),
+        "value_micros": pa.array([to_micros(v) for v, _ in res],
+                                 pa.int64()),
+        "rank_err_bound": pa.array([e for _, e in res], pa.int64()),
+    })
+
+
 def props_k_stats(sf_dir: str):
     """JSON field extraction + aggregate: pull the integer ``k`` out of
     the events.props JSON string with one RE2 capture (vectorized C

@@ -123,3 +123,36 @@ def test_quantiles_cont_matches_numpy(ray_session):
     for q, g in zip(qs, got):
         assert np.isclose(g, np.quantile(v, q, method="linear"),
                           rtol=0, atol=1e-12), q
+
+
+def test_quantile_sketch_rank_error_bound(ray_session):
+    import ray.data as rd
+
+    from stacksearch_ray.functions.quantiles import (
+        quantile_sketch,
+        quantiles_disc,
+    )
+
+    rng = np.random.default_rng(5)
+    # heavy-tailed + a point mass: the shapes that break naive binning
+    v = np.concatenate([rng.lognormal(0, 3, 20_000),
+                        np.full(2_000, 7.25),
+                        -rng.lognormal(1, 2, 8_000)])
+    ds = rd.from_arrow(pa.table({"v": pa.array(v, pa.float64())}))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = quantile_sketch(ds, "v", qs, bits=16)
+    exact = quantiles_disc(ds, "v", qs)
+    sv = np.sort(v)
+    n = len(v)
+    for (est, err_bound), q, ex in zip(got, qs, exact):
+        target = max(0, int(np.ceil(q * n)) - 1)
+        # the estimate is an actual data value...
+        assert np.any(sv == est)
+        # ...whose rank is within the reported per-bucket bound
+        lo = np.searchsorted(sv, est, side="left")
+        hi = np.searchsorted(sv, est, side="right") - 1
+        dist = 0 if lo <= target <= hi else min(abs(lo - target),
+                                                abs(hi - target))
+        assert dist < err_bound
+        # and on continuous data the bound itself is tight
+        assert err_bound < n * 0.01 or est == ex
