@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_event": P.user_modal_event,
         "value_mad": P.value_mad,
         "value_quantiles_sketch": P.value_quantiles_sketch,
+        "label_centroids": P.label_centroids,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
@@ -949,6 +950,17 @@ SELECT CAST(m.med AS BIGINT) AS median_micros,
        CAST((SELECT quantile_disc(abs(vm.vm - m.med), 0.5) FROM vm)
             AS BIGINT) AS mad_micros
 FROM m""",
+        "label_centroids": """
+WITH x AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * 1e6 + 0.5) AS BIGINT)
+             AS em
+  FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(em) // count(*) AS BIGINT) AS centroid_micros,
+       count(*) AS n
+FROM x GROUP BY label, dim""",
         "props_k_stats": """
 WITH k AS (
   SELECT event_type,

@@ -1114,6 +1114,60 @@ def value_mad(sf_dir: str):
                      "mad_micros": pa.array([mad], pa.int64())})
 
 
+def label_centroids(sf_dir: str):
+    """Per-class embedding centroids (the class-prototype vector
+    aggregate) in EXACT integer space: per-element micros are summed
+    as int64 (commutative — no float summation order anywhere), then
+    divided by the class count with truncation toward zero (DuckDB
+    ``//`` truncates; numpy floors — the explicit adjustment keeps
+    negative components engine-identical). Long output (label, dim,
+    centroid_micros, n); one map-side partial per (batch), one small
+    shuffle of label×64 rows."""
+    def part(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        lens = np.diff(np.asarray(emb.offsets))
+        if len(np.unique(lens)) != 1:
+            raise ValueError("ragged embedding lengths in batch")
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        d = int(lens[0])
+        em = np.floor(flat * 1e6 + 0.5).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        labels = np.asarray(b["label"].combine_chunks()).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, em)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "dim": pa.array(dim, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    agg = (rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["label", "embedding"])
+           .map_batches(part, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"].combine_chunks()).astype(np.int64)
+        n = np.asarray(t["n"].combine_chunks()).astype(np.int64)
+        q = s // n
+        r = s - q * n
+        q = np.where((s < 0) & (r != 0), q + 1, q)  # trunc toward zero
+        return pa.table({
+            "label": t["label"].combine_chunks().cast(pa.int64()),
+            "dim": t["dim"].combine_chunks().cast(pa.int64()),
+            "centroid_micros": pa.array(q, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def value_quantiles_sketch(sf_dir: str):
     """ONE-pass mergeable quantile sketch (float-bit-bucket histogram
     + per-bucket min key): the streaming alternative to the exact
