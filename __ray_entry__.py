@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": P.value_mad,
         "value_quantiles_sketch": P.value_quantiles_sketch,
         "label_centroids": P.label_centroids,
+        "user_funnel": P.user_funnel,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
@@ -950,6 +951,26 @@ SELECT CAST(m.med AS BIGINT) AS median_micros,
        CAST((SELECT quantile_disc(abs(vm.vm - m.med), 0.5) FROM vm)
             AS BIGINT) AS mad_micros
 FROM m""",
+        "user_funnel": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t1
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+       GROUP BY e.user_id)
+SELECT t1.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS stage,
+       CAST(t1.t1 AS BIGINT) AS first_view_us
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id""",
         "label_centroids": """
 WITH x AS (
   SELECT CAST(label AS BIGINT) AS label,

@@ -1114,6 +1114,49 @@ def value_mad(sf_dir: str):
                      "mad_micros": pa.array([mad], pa.int64())})
 
 
+def user_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase): per user, the stage
+    reached where each stage's event must come STRICTLY after the
+    previous stage's first occurrence. Sequentially-dependent mins
+    (t2 depends on t1) — one hash-bucket shuffle, then three
+    vectorized per-bucket groupby-min passes chained by merges, every
+    user in the bucket at once."""
+    def prep(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["user_id"].combine_chunks()).astype(np.int64)
+        h = pd.util.hash_array(k)
+        return pa.table({
+            "user_id": pa.array(k, pa.int64()),
+            "event_type": b["event_type"].combine_chunks(),
+            "ts": b["ts"].combine_chunks().cast(pa.int64()),
+            "__bucket": pa.array((h % np.uint64(8)).astype(np.int64)),
+        })
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (g[g.event_type == "view"].groupby("user_id")["ts"].min()
+              .rename("t1").reset_index())
+        m2 = g[g.event_type == "click"].merge(t1, on="user_id")
+        t2 = (m2[m2.ts > m2.t1].groupby("user_id")["ts"].min()
+              .rename("t2").reset_index())
+        m3 = g[g.event_type == "purchase"].merge(t2, on="user_id")
+        t3 = (m3[m3.ts > m3.t2].groupby("user_id")["ts"].min()
+              .rename("t3").reset_index())
+        out = t1.merge(t2, on="user_id", how="left") \
+                .merge(t3, on="user_id", how="left")
+        stage = np.where(out["t3"].notna(), 3,
+                         np.where(out["t2"].notna(), 2, 1))
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(),
+            "stage": stage.astype(np.int64),
+            "first_view_us": out["t1"].to_numpy().astype(np.int64),
+        })
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_type", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(funnel, batch_format="pandas"))
+
+
 def label_centroids(sf_dir: str):
     """Per-class embedding centroids (the class-prototype vector
     aggregate) in EXACT integer space: per-element micros are summed
