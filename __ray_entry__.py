@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": P.value_quantiles_sketch,
         "label_centroids": P.label_centroids,
         "user_funnel": P.user_funnel,
+        "packed_sequences": P.packed_sequences,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
@@ -951,6 +952,25 @@ SELECT CAST(m.med AS BIGINT) AS median_micros,
        CAST((SELECT quantile_disc(abs(vm.vm - m.med), 0.5) FROM vm)
             AS BIGINT) AS mad_micros
 FROM m""",
+        "packed_sequences": f"""
+WITH {token_list_cte()},
+keptp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM doc_toks),
+cnt AS (SELECT doc_id, count(*) AS n FROM keptp GROUP BY doc_id),
+offs AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM cnt),
+g AS (SELECT k.doc_id, o.off + k.pos AS gp, k.term
+      FROM keptp k JOIN offs o USING (doc_id))
+SELECT CAST(gp // 512 AS BIGINT) AS seq_id,
+       CAST(gp % 512 AS BIGINT) AS pos_in_seq,
+       term, doc_id
+FROM g""",
         "user_funnel": """
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
 t1 AS (SELECT user_id, min(ts) AS t1 FROM e

@@ -71,6 +71,54 @@ def grouped_running_sums(ds: Dataset, by: str, order: list[str],
             .map_groups(win, batch_format="pandas"))
 
 
+def keyed_offsets(counts: Dataset, key_col: str, value_col: str,
+                  bucket_size: int = 4096) -> Dataset:
+    """Distributed EXCLUSIVE prefix sum over key order: (key, n) →
+    (key, offset) with offset = Σ n over all strictly-smaller keys —
+    the primitive behind sequence packing and global position
+    assignment.
+
+    Scale shape: RANGE-bucket by ``key // bucket_size`` (order must be
+    preserved across buckets, so hash bucketing is wrong here);
+    per-bucket totals reduce to one tiny driver table (one row per
+    bucket — O(keys / bucket_size), the only driver state), whose
+    cumulative sums broadcast back as per-bucket bases; each bucket
+    then computes its interior exclusive cumsum vectorized. Two small
+    shuffles, no global sort of the data.
+    """
+    import ray
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col].combine_chunks()).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(k, pa.int64()),
+            value_col: t[value_col].combine_chunks().cast(pa.int64()),
+            "__bucket": pa.array(k // bucket_size, pa.int64()),
+        })
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Sum as _Sum
+
+    totals = (tagged.groupby("__bucket")
+              .aggregate(_Sum(value_col, alias_name="tot"))
+              .to_pandas().sort_values("__bucket"))
+    base = np.concatenate(([0], np.cumsum(totals["tot"].to_numpy())[:-1]))
+    base_map = dict(zip(totals["__bucket"].to_numpy().tolist(),
+                        base.tolist()))
+    base_ref = ray.put(base_map)
+
+    def interior(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        v = g[value_col].to_numpy()
+        excl = np.concatenate(([0], np.cumsum(v)[:-1]))
+        b = ray.get(base_ref)[int(g["__bucket"].iloc[0])]
+        return pd.DataFrame({key_col: g[key_col].to_numpy(),
+                             "offset": (excl + b).astype(np.int64)})
+
+    return (tagged.groupby("__bucket")
+            .map_groups(interior, batch_format="pandas"))
+
+
 def grouped_ranks(ds: Dataset, by: str, rank_cols: list[str],
                   tiebreak: list[str], ntiles: int = 4,
                   num_buckets: int = 32) -> Dataset:

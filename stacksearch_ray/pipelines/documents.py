@@ -39,7 +39,7 @@ from ..functions.textstats import (
     token_stats_batch,
 )
 from ..query import QueryEngine
-from ..text import term_frequencies
+from ..text import term_frequencies, tokenize_array
 
 from ..schema import INDEX_FORMAT_VERSION
 
@@ -1112,6 +1112,59 @@ def value_mad(sf_dir: str):
     mad = int(quantile_disc(absdev, "ad", 0.5))
     return pa.table({"median_micros": pa.array([med], pa.int64()),
                      "mad_micros": pa.array([mad], pa.int64())})
+
+
+def packed_sequences(sf_dir: str):
+    """LLM-training sequence packing: the doc_id-ordered kept-token
+    stream cut into fixed 512-token sequences — every token gets
+    (seq_id, pos_in_seq). Global token positions come from a
+    DISTRIBUTED exclusive prefix sum over per-doc counts
+    (functions/windows.py keyed_offsets: range-buckets, one tiny
+    per-bucket-totals driver table, vectorized interior cumsums) —
+    no global sort, no token-stream shuffle: only doc-sized rows move
+    through the offset join; the token stream itself is emitted
+    map-side. The corpus is tokenized twice (count pass + emit pass) —
+    the standard trade against materializing the token stream."""
+    from ..functions.joins import hash_join
+    from ..functions.windows import keyed_offsets
+
+    L = 512
+
+    def counts(b: pa.Table) -> pa.Table:
+        _, _, lens = tokenize_array(b["text"].combine_chunks())
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+            "n": pa.array(lens, pa.int64()),
+        })
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    offs = keyed_offsets(docs.map_batches(counts, batch_format="pyarrow"),
+                         "doc_id", "n")
+    joined = hash_join(docs, offs, on="doc_id", num_buckets=8)
+
+    def emit(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        off = np.asarray(b["offset"].combine_chunks()).astype(np.int64)
+        n = len(doc_idx)
+        if n == 0:
+            return pa.table({"seq_id": pa.array([], pa.int64()),
+                             "pos_in_seq": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        first = np.concatenate(([True], doc_idx[1:] != doc_idx[:-1]))
+        starts = np.flatnonzero(first)
+        cnts = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, cnts)
+        gp = off[doc_idx] + pos
+        return pa.table({
+            "seq_id": pa.array(gp // L, pa.int64()),
+            "pos_in_seq": pa.array(gp % L, pa.int64()),
+            "term": flat,
+            "doc_id": pa.array(ids[doc_idx], pa.int64()),
+        })
+
+    return joined.map_batches(emit, batch_format="pyarrow")
 
 
 def user_funnel(sf_dir: str):

@@ -111,3 +111,20 @@ def test_grouped_ranks_ties_and_tiles(ray_session):
     k3 = out[out["k"] == 3]  # tie pair: rank 1,1 but ntile 1,2
     assert k3["rank"].tolist() == [1, 1]
     assert k3["ntile4"].tolist() == [1, 2]
+
+
+def test_keyed_offsets_exclusive_prefix_sum(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from stacksearch_ray.functions.windows import keyed_offsets
+
+    rng = np.random.default_rng(3)
+    keys = rng.permutation(2000).astype(np.int64)  # arbitrary arrival order
+    vals = rng.integers(0, 50, 2000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys, "n": vals})).repartition(7)
+    out = (keyed_offsets(ds, "k", "n", bucket_size=64)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    order = np.argsort(keys)
+    expect = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
+    assert out["k"].tolist() == sorted(keys.tolist())
+    assert np.array_equal(out["offset"].to_numpy(), expect)
