@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": P.label_centroids,
         "user_funnel": P.user_funnel,
         "packed_sequences": P.packed_sequences,
+        "events_zscore": P.events_zscore,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
@@ -952,6 +953,20 @@ SELECT CAST(m.med AS BIGINT) AS median_micros,
        CAST((SELECT quantile_disc(abs(vm.vm - m.med), 0.5) FROM vm)
             AS BIGINT) AS mad_micros
 FROM m""",
+        "events_zscore": """
+WITH x AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS xm
+  FROM events),
+s AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(xm)::HUGEINT AS sx,
+         sum(xm * xm)::HUGEINT AS sxx
+  FROM x GROUP BY event_type)
+SELECT x.event_id, x.event_type,
+       CAST(floor(((x.xm * s.n - s.sx)::DOUBLE
+                   / sqrt((s.n * s.sxx - s.sx * s.sx)::DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS z_micros
+FROM x JOIN s USING (event_type)""",
         "packed_sequences": f"""
 WITH {token_list_cte()},
 keptp AS (

@@ -1114,6 +1114,66 @@ def value_mad(sf_dir: str):
                      "mad_micros": pa.array([mad], pa.int64())})
 
 
+def events_zscore(sf_dir: str):
+    """Per-group z-score normalization from EXACT integer sufficient
+    statistics: value travels as MILLIS internally (so Σx² stays in
+    int64 to ~sf10; micros would overflow at sf0.1), group (n, Σx,
+    Σx²) reduce exactly, and each row's z uses the single-division
+    form (x·n − Σx)/√(n·Σx² − Σx²ᵗᵒᵗ) — one float divide in the same
+    order both engines, so z_micros is bitwise. Group constants are a
+    5-row aggregate (driver Python ints — HUGEINT in the oracle);
+    the normalize pass is map-side with the constants broadcast."""
+    import ray as _ray
+
+    def part(b: pa.Table) -> pa.Table:
+        x = np.floor(np.asarray(b["value"].combine_chunks()
+                                .cast(pa.float64())) * 1e3 + 0.5) \
+            .astype(np.int64)
+        t = pa.table({
+            "event_type": b["event_type"].combine_chunks(),
+            "n": np.ones(len(x), np.int64), "sx": x, "sxx": x * x,
+        })
+        return _partial_sums(t, ["event_type"],
+                             {c: c for c in ("n", "sx", "sxx")})
+
+    path = os.path.join(sf_dir, "events.parquet")
+    rows = (rd.read_parquet(path, columns=["event_type", "value"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sxx")])
+            .take_all())  # one row per event type
+    consts = {}
+    for r in rows:
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        consts[r["event_type"]] = (n, sx,
+                                   float(np.sqrt(float(n * sxx - sx * sx))))
+    cref = _ray.put(consts)
+
+    def norm(b: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        x = np.floor(np.asarray(b["value"].combine_chunks()
+                                .cast(pa.float64())) * 1e3 + 0.5) \
+            .astype(np.int64)
+        et = b["event_type"].combine_chunks()
+        ets = np.asarray(et.to_pylist(), dtype=object)
+        n = np.empty(len(x), np.int64)
+        sx = np.empty(len(x), np.int64)
+        den = np.empty(len(x), np.float64)
+        for t, (tn, tsx, tden) in c.items():
+            m = ets == t
+            n[m], sx[m], den[m] = tn, tsx, tden
+        z = (x * n - sx).astype(np.float64) / den
+        return pa.table({
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+            "event_type": et,
+            "z_micros": pa.array(to_micros(z), pa.int64()),
+        })
+
+    return (rd.read_parquet(path, columns=["event_id", "event_type",
+                                           "value"])
+            .map_batches(norm, batch_format="pyarrow"))
+
+
 def packed_sequences(sf_dir: str):
     """LLM-training sequence packing: the doc_id-ordered kept-token
     stream cut into fixed 512-token sequences — every token gets
