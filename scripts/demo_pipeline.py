@@ -193,6 +193,23 @@ def main() -> int:
     stage("knn_ivf", t0,
           top1=(int(inn["vec_id"].iloc[0]) if len(inn) else None))
 
+    # 6g. curation: PII scrub → repetition gate → benchmark decontam
+    t0 = time.time()
+    from stacksearch_ray.functions.curation import (
+        contamination_flags,
+        redact_pii,
+        repetition_stats,
+    )
+
+    scrubbed = redact_pii(deduped.select_columns(["doc_id", "text"]))
+    rep = repetition_stats(deduped.select_columns(["doc_id", "text"]))
+    gated_ids = rep.filter(
+        lambda r: r["top2_frac_micros"] <= 200_000).count()
+    contam = contamination_flags(
+        deduped.select_columns(["doc_id", "text"]), n=3, bench_mod=97)
+    stage("curate", t0, pii_rows=scrubbed.count(),
+          repetition_pass=gated_ids, contaminated=contam.count())
+
     # 7. export training sequences
     t0 = time.time()
     out = os.path.join(args.workdir, "training")
