@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": P.user_funnel,
         "packed_sequences": P.packed_sequences,
         "events_zscore": P.events_zscore,
+        "events_time_window": P.events_time_window,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
@@ -953,6 +954,17 @@ SELECT CAST(m.med AS BIGINT) AS median_micros,
        CAST((SELECT quantile_disc(abs(vm.vm - m.med), 0.5) FROM vm)
             AS BIGINT) AS mad_micros
 FROM m""",
+        "events_time_window": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events)
+SELECT event_id, user_id,
+       CAST(sum(vm) OVER w AS BIGINT) AS win_sum_vm,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
         "events_zscore": """
 WITH x AS (
   SELECT event_id, event_type,

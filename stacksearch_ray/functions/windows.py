@@ -203,6 +203,63 @@ def grouped_ranks(ds: Dataset, by: str, rank_cols: list[str],
             .map_groups(ranks, batch_format="pandas"))
 
 
+def grouped_range_window(ds: Dataset, by: str, ts_col: str,
+                         value_col: str, window: int,
+                         num_buckets: int = 32) -> Dataset:
+    """Event-time sliding window: per key, the sum and count of rows
+    whose timestamp lies in ``[t - window, t]`` for each row at time t
+    — SQL ``RANGE BETWEEN window PRECEDING AND CURRENT ROW``,
+    INCLUDING equal-timestamp peers that sort later (SQL RANGE peer
+    semantics; a ROWS frame cuts ties, RANGE doesn't).
+
+    One hash-bucket shuffle; inside each bucket every key is solved by
+    ONE pair of global searchsorted calls: keys are offset into
+    disjoint time ranges (ts normalized to the bucket min, each group
+    shifted by group_index · (span + window + 2)), so per-key windows
+    cannot cross groups and no per-key loop exists. Output columns:
+    ``win_sum_<value_col>`` / ``win_n``.
+    """
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    sum_col = f"win_sum_{value_col}"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[by].combine_chunks()).astype(np.int64)
+        h = pd.util.hash_array(keys)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets))
+                                 .astype(np.int64)))
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket")
+             .sort_values([by, ts_col], kind="mergesort")
+             .reset_index(drop=True))
+        key = g[by].to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        v = g[value_col].to_numpy().astype(np.int64)
+        n = len(g)
+        first = np.concatenate(([True], key[1:] != key[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts)), counts)
+        t0 = ts.min()
+        span = int(ts.max()) - int(t0) + window + 2
+        adj = (ts - t0) + gidx * span
+        left = np.searchsorted(adj, adj - window, side="left")
+        right = np.searchsorted(adj, adj, side="right")
+        cs = np.cumsum(v)
+        cn = np.arange(1, n + 1)
+        base_s = np.where(left > 0, cs[left - 1], 0)
+        base_n = np.where(left > 0, cn[left - 1], 0)
+        g[sum_col] = cs[right - 1] - base_s
+        g["win_n"] = (cn[right - 1] - base_n).astype(np.int64)
+        return g
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(win, batch_format="pandas"))
+
+
 def grouped_shift(ds: Dataset, by: str, order: list[str], value_col: str,
                   periods: int = 1, num_buckets: int = 32) -> Dataset:
     """Per-key LAG/LEAD: for each row, the value of ``value_col``

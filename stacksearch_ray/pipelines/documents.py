@@ -1114,6 +1114,30 @@ def value_mad(sf_dir: str):
                      "mad_micros": pa.array([mad], pa.int64())})
 
 
+def events_time_window(sf_dir: str):
+    """Event-time sliding window (SQL RANGE frame, peer-inclusive):
+    per user, trailing-1-hour sum and count of value at every event —
+    functions/windows.py grouped_range_window, one bucket shuffle and
+    one pair of searchsorted calls per bucket for ALL users."""
+    from ..functions.windows import grouped_range_window
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+            "user_id": b["user_id"].combine_chunks().cast(pa.int64()),
+            "ts": b["ts"].combine_chunks().cast(pa.int64()),
+            "vm": pc_micros(b["value"]),
+        })
+
+    ds = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "user_id", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = grouped_range_window(ds, by="user_id", ts_col="ts",
+                               value_col="vm", window=3_600_000_000)
+    return out.select_columns(["event_id", "user_id", "win_sum_vm",
+                               "win_n"])
+
+
 def events_zscore(sf_dir: str):
     """Per-group z-score normalization from EXACT integer sufficient
     statistics: value travels as MILLIS internally (so Σx² stays in

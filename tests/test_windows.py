@@ -128,3 +128,24 @@ def test_keyed_offsets_exclusive_prefix_sum(ray_session):
     expect = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
     assert out["k"].tolist() == sorted(keys.tolist())
     assert np.array_equal(out["offset"].to_numpy(), expect)
+
+
+def test_grouped_range_window_peer_semantics(ray_session):
+    import ray.data as rd
+    from stacksearch_ray.functions.windows import grouped_range_window
+
+    # user 1: ts 0, 10, 10, 25 with window 10 — the two ts=10 rows are
+    # RANGE peers: each includes the OTHER equal-ts row (and ts=0,
+    # which is exactly window distance away); ts=25 sees only itself
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 10, 10, 25, 5], pa.int64()),
+        "v": pa.array([1, 2, 4, 8, 16], pa.int64()),
+    })
+    out = (grouped_range_window(rd.from_arrow(t).repartition(2), by="k",
+                                ts_col="ts", value_col="v", window=10)
+           .to_pandas().sort_values(["k", "ts", "v"]).reset_index(drop=True))
+    k1 = out[out.k == 1]
+    assert k1["win_sum_v"].tolist() == [1, 7, 7, 8]
+    assert k1["win_n"].tolist() == [1, 3, 3, 1]
+    assert out[out.k == 2]["win_sum_v"].tolist() == [16]
