@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences": P.packed_sequences,
         "events_zscore": P.events_zscore,
         "events_time_window": P.events_time_window,
+        "stratified_weighted_sample": P.stratified_weighted_sample,
+        "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
         # filters / projections / source pruning / set ops (S1/S2, M5-M6, §2.7)
@@ -954,6 +956,27 @@ SELECT CAST(m.med AS BIGINT) AS median_micros,
        CAST((SELECT quantile_disc(abs(vm.vm - m.med), 0.5) FROM vm)
             AS BIGINT) AS mad_micros
 FROM m""",
+        "stratified_weighted_sample": """
+WITH k AS (
+  SELECT lang, doc_id, n_chars,
+         -ln((md5_number_lower(CAST(doc_id AS VARCHAR))::DOUBLE + 1.0)
+             / 18446744073709551616.0) / n_chars::DOUBLE AS key
+  FROM documents),
+r AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY key, doc_id) AS rank
+      FROM k)
+SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+        "value_quartile_buckets": """
+WITH vm AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+            FROM events),
+q AS (SELECT quantile_disc(vm, 0.25) AS q1, quantile_disc(vm, 0.5) AS q2,
+             quantile_disc(vm, 0.75) AS q3 FROM vm)
+SELECT CAST(1 + (vm.vm > q.q1)::INT + (vm.vm > q.q2)::INT
+            + (vm.vm > q.q3)::INT AS BIGINT) AS bucket,
+       count(*) AS n, CAST(sum(vm.vm) AS BIGINT) AS sum_micros
+FROM vm, q GROUP BY 1""",
         "events_time_window": """
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts,

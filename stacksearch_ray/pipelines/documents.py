@@ -1114,6 +1114,73 @@ def value_mad(sf_dir: str):
                      "mad_micros": pa.array([mad], pa.int64())})
 
 
+def stratified_weighted_sample(sf_dir: str):
+    """Per-stratum weighted sampling without replacement: 5 docs per
+    language, weighted by n_chars — the A-ES exponential-race key
+    (−ln(u)/w, hash uniforms) ranked per group by grouped_topk's
+    partial-top-k machinery. Deterministic and shuffle-light: each
+    batch contributes at most k rows per (group) to the final cut."""
+    from ..functions.dedup import md5_low64
+    from ..functions.topk import grouped_topk
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        w = np.asarray(b["n_chars"].combine_chunks()).astype(np.float64)
+        h = md5_low64(np.array([str(i) for i in ids], dtype=object))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = -np.log(u) / w
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": b["lang"].combine_chunks(),
+            "n_chars": b["n_chars"].combine_chunks().cast(pa.int64()),
+            "key": pa.array(key, pa.float64()),
+        })
+
+    ds = (rd.read_parquet(_docs(sf_dir),
+                          columns=["doc_id", "lang", "n_chars"])
+          .map_batches(keyed, batch_format="pyarrow"))
+    top = grouped_topk(ds, group_col="lang", sort_col="key", k=5,
+                       descending=False, tie_col="doc_id")
+    return top.map_batches(
+        lambda t: t.select(["lang", "doc_id", "n_chars", "rank"]),
+        batch_format="pyarrow")
+
+
+def value_quartile_buckets(sf_dir: str):
+    """Equi-depth bucketing as a TRANSFORM: the three exact quartile
+    cut points come from the sort-free narrowing selection, then every
+    row gets bucket = 1 + Σ(v > qᵢ) map-side — explicit cutpoint
+    comparison, so bucket assignment is deterministic at ties (unlike
+    ntile over a global ORDER BY, which splits tie runs arbitrarily).
+    Returns per-bucket row counts and value sums."""
+    from ..functions.quantiles import quantiles_disc
+
+    path = os.path.join(sf_dir, "events.parquet")
+    vm = (rd.read_parquet(path, columns=["event_id", "value"])
+          .map_batches(lambda b: pa.table({
+              "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+              "vm": pc_micros(b["value"])}), batch_format="pyarrow")
+          .materialize())
+    q1, q2, q3 = [int(v) for v in quantiles_disc(vm, "vm",
+                                                 [0.25, 0.5, 0.75])]
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["vm"].combine_chunks()).astype(np.int64)
+        bk = 1 + (v > q1).astype(np.int64) + (v > q2) + (v > q3)
+        t = pa.table({
+            "bucket": pa.array(bk, pa.int64()),
+            "n": np.ones(len(v), np.int64),
+            "sum_micros": pa.array(v, pa.int64()),
+        })
+        return _partial_sums(t, ["bucket"],
+                             {"n": "n", "sum_micros": "sum_micros"})
+
+    return (vm.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_micros", alias_name="sum_micros")))
+
+
 def events_time_window(sf_dir: str):
     """Event-time sliding window (SQL RANGE frame, peer-inclusive):
     per user, trailing-1-hour sum and count of value at every event —
