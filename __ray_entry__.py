@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": P.events_zscore,
         "events_time_window": P.events_time_window,
         "stratified_weighted_sample": P.stratified_weighted_sample,
+        "copurchase_topk": P.copurchase_topk,
+        "phrase_search": P.phrase_search,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -956,6 +958,23 @@ SELECT CAST(m.med AS BIGINT) AS median_micros,
        CAST((SELECT quantile_disc(abs(vm.vm - m.med), 0.5) FROM vm)
             AS BIGINT) AS mad_micros
 FROM m""",
+        "copurchase_topk": """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM p a JOIN p b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+c AS (SELECT pa, pb, count(*) AS n FROM pairs GROUP BY pa, pb),
+r AS (SELECT pa, pb, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY pa
+                                ORDER BY n DESC, pb ASC) AS rank
+      FROM c)
+SELECT pa, pb, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""",
+        "phrase_search": f"""
+WITH {token_list_cte()},
+{ngram_cte(2, 'bg')}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM bg WHERE ng = 'merge sort' GROUP BY doc_id""",
         "stratified_weighted_sample": """
 WITH k AS (
   SELECT lang, doc_id, n_chars,

@@ -1114,6 +1114,105 @@ def value_mad(sf_dir: str):
                      "mad_micros": pa.array([mad], pa.int64())})
 
 
+def copurchase_topk(sf_dir: str):
+    """Market-basket mining: the top-3 parts co-occurring with each
+    part across orders. Within-order pair generation happens after a
+    groupby(orderkey) shuffle (an order's lines can span input
+    blocks), emitting each unordered distinct pair once per order —
+    baskets are small so the pair explode is C(k,2)-bounded per
+    order; counts reduce with map-side partials and the per-part
+    top-3 reuses the grouped partial-top-k machinery."""
+    from ..functions.topk import grouped_topk
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["l_orderkey"].combine_chunks()).astype(np.int64)
+        h = pd.util.hash_array(k)
+        return pa.table({
+            "l_orderkey": pa.array(k, pa.int64()),
+            "l_partkey": b["l_partkey"].combine_chunks().cast(pa.int64()),
+            "__bucket": pa.array((h % np.uint64(16)).astype(np.int64)),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per basket SIZE CLASS, not per order: all orders
+        # with the same distinct-part count expand together
+        df = g[["l_orderkey", "l_partkey"]].drop_duplicates() \
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = df["l_orderkey"].to_numpy()
+        parts = df["l_partkey"].to_numpy()
+        first = np.concatenate(([True], ok[1:] != ok[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(ok)))
+        out_a, out_b = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            st = starts[counts == s]
+            ia, ib = np.triu_indices(s, k=1)
+            out_a.append(parts[st[:, None] + ia].ravel())
+            out_b.append(parts[st[:, None] + ib].ravel())
+        if not out_a:
+            return pd.DataFrame({"pa": pd.Series(dtype=np.int64),
+                                 "pb": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        c = pd.DataFrame({"pa": np.concatenate(out_a),
+                          "pb": np.concatenate(out_b)})
+        c["n"] = np.int64(1)
+        return c.groupby(["pa", "pb"], as_index=False).sum()
+
+    # final (pa, pb) reduce via hash buckets + one vectorized pandas
+    # sum per bucket — Ray's native groupby.aggregate at 10^5+ distinct
+    # keys is the measured ~50× trap (NOTES.md round-3 item 1)
+    def tag_pair(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["pa"]).astype(np.int64) * np.int64(1_000_003)
+            + np.asarray(t["pb"]).astype(np.int64))
+        return t.append_column(
+            "__b2", pa.array((h % np.uint64(16)).astype(np.int64)))
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns="__b2")
+                .groupby(["pa", "pb"], as_index=False)["n"].sum())
+
+    counts = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                              columns=["l_orderkey", "l_partkey"])
+              .map_batches(tag, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(pairs, batch_format="pandas")
+              .map_batches(tag_pair, batch_format="pyarrow")
+              .groupby("__b2")
+              .map_groups(reduce_pairs, batch_format="pandas"))
+    top = grouped_topk(counts, group_col="pa", sort_col="n", k=3,
+                       descending=True, tie_col="pb")
+    return top.map_batches(lambda t: t.select(["pa", "pb", "n", "rank"]),
+                           batch_format="pyarrow")
+
+
+def phrase_search(sf_dir: str):
+    """Exact phrase query ("merge sort") over the kept-token stream:
+    token bigrams are built vectorized from the flat token array (the
+    n-gram machinery decontamination uses), matched map-side — no
+    shuffle, the match count per doc aggregates within each batch
+    because docs never span batches."""
+    from ..functions.curation import _ngrams_from_flat
+
+    PHRASE = "merge sort"
+
+    def match(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ng, rows = _ngrams_from_flat(flat, doc_idx, 2)
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        hit = np.asarray(pc.equal(ng, PHRASE))
+        uniq, cnt = np.unique(rows[hit], return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids[uniq], pa.int64()),
+            "n_occurrences": pa.array(cnt, pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(match, batch_format="pyarrow"))
+
+
 def stratified_weighted_sample(sf_dir: str):
     """Per-stratum weighted sampling without replacement: 5 docs per
     language, weighted by n_chars — the A-ES exponential-race key
