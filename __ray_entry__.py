@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_window": P.events_time_window,
         "stratified_weighted_sample": P.stratified_weighted_sample,
         "copurchase_topk": P.copurchase_topk,
+        "collocations": P.collocations,
         "phrase_search": P.phrase_search,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
@@ -970,6 +971,27 @@ r AS (SELECT pa, pb, CAST(n AS BIGINT) AS n,
                                 ORDER BY n DESC, pb ASC) AS rank
       FROM c)
 SELECT pa, pb, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""",
+        "collocations": f"""
+WITH {kept},
+uni AS (SELECT term, count(*) AS c FROM kept GROUP BY term),
+tot AS (SELECT count(*) AS t FROM kept),
+{token_list_cte()},
+{ngram_cte(2, 'bg2')},
+big AS (SELECT ng, count(*) AS cab FROM bg2 GROUP BY ng),
+btot AS (SELECT count(*) AS b FROM bg2),
+scored AS (
+  SELECT big.ng AS bigram, CAST(big.cab AS BIGINT) AS cab,
+         ln(big.cab::DOUBLE) + ln(tot.t::DOUBLE) + ln(tot.t::DOUBLE)
+         - ln(btot.b::DOUBLE) - ln(u1.c::DOUBLE) - ln(u2.c::DOUBLE)
+             AS pmi
+  FROM big
+  CROSS JOIN tot CROSS JOIN btot
+  JOIN uni u1 ON u1.term = split_part(big.ng, ' ', 1)
+  JOIN uni u2 ON u2.term = split_part(big.ng, ' ', 2)
+  WHERE big.cab >= 5)
+SELECT bigram, cab,
+       CAST(floor(pmi * 1e6 + 0.5) AS BIGINT) AS pmi_micros
+FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 20""",
         "phrase_search": f"""
 WITH {token_list_cte()},
 {ngram_cte(2, 'bg')}

@@ -1188,6 +1188,96 @@ def copurchase_topk(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def collocations(sf_dir: str):
+    """Collocation mining: top-20 token bigrams by pointwise mutual
+    information (count ≥ 5). Counts are exact int sums; PMI is the
+    fixed-order log-sum ln(c_ab)+ln(T)+ln(T)−ln(B)−ln(c_a)−ln(c_b)
+    (every ln of an exactly-representable int → bitwise both
+    engines, no product overflow at any scale). Unigram table
+    broadcasts (vocab-sized; bucketed-join fallback is the joins.py
+    machinery); bigram counts reduce through hash buckets."""
+    from ..functions.curation import _ngrams_from_flat
+
+    def uni_part(b: pa.Table) -> pa.Table:
+        flat, _, _ = tokenize_array(b["text"].combine_chunks())
+        d = pa.array(flat).dictionary_encode()
+        codes = np.asarray(d.indices)
+        cnt = np.bincount(codes, minlength=len(d.dictionary))
+        return pa.table({"term": d.dictionary,
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    uni = (docs.map_batches(uni_part, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("c", alias_name="c"))
+           .to_pandas())  # vocab-sized
+    T = int(uni["c"].sum())
+    uni_map = dict(zip(uni["term"], uni["c"].astype(int)))
+    import ray as _ray
+    uref = _ray.put(uni_map)
+
+    # bigram reduce through hash buckets (cardinality ~vocab², the
+    # native-groupby trap zone)
+    def bg_bucket(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ng, _rows = _ngrams_from_flat(flat, doc_idx, 2)
+        d = pa.array(ng).dictionary_encode()
+        codes = np.asarray(d.indices)
+        cnt = np.bincount(codes, minlength=len(d.dictionary))
+        dic = d.dictionary
+        h = pd.util.hash_array(np.asarray(dic.to_pandas(), dtype=object))
+        return pa.table({
+            "ng": dic, "cab": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((h % np.uint64(16)).astype(np.int64)),
+        })
+
+    def bg_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns="__b")
+                .groupby("ng", as_index=False)["cab"].sum())
+
+    big = (docs.map_batches(bg_bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(bg_reduce, batch_format="pandas")
+           .materialize())
+    B = int(big.sum("cab"))
+
+    def score(t: pa.Table) -> pa.Table:
+        u = _ray.get(uref)
+        ngs = t["ng"].combine_chunks()
+        cab = np.asarray(t["cab"].combine_chunks()).astype(np.int64)
+        keep = cab >= 5
+        ngs_py = np.asarray(ngs.to_pylist(), dtype=object)[keep]
+        cab = cab[keep]
+        if len(cab) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cab": pa.array([], pa.int64()),
+                             "pmi_micros": pa.array([], pa.int64())})
+        ca = np.array([u[s.split(" ")[0]] for s in ngs_py], np.int64)
+        cb = np.array([u[s.split(" ")[1]] for s in ngs_py], np.int64)
+        lT, lB = np.log(float(T)), np.log(float(B))
+        pmi = (np.log(cab.astype(np.float64)) + lT + lT - lB
+               - np.log(ca.astype(np.float64))
+               - np.log(cb.astype(np.float64)))
+        # per-batch partial top-20 (EXACT float pmi desc, bigram asc —
+        # the rounded micros would mis-order at the cut boundary)
+        order = np.lexsort((ngs_py, -pmi))[:20]
+        return pa.table({
+            "bigram": pa.array(ngs_py[order], pa.string()),
+            "cab": pa.array(cab[order], pa.int64()),
+            "pmi": pa.array(pmi[order], pa.float64()),
+        })
+
+    parts = big.map_batches(score, batch_format="pyarrow").to_pandas()
+    sel = np.lexsort((parts["bigram"].to_numpy(dtype=object),
+                      -parts["pmi"].to_numpy()))[:20]
+    out = parts.iloc[sel]
+    return pa.table({
+        "bigram": pa.array(out["bigram"].to_numpy(dtype=object),
+                           pa.string()),
+        "cab": pa.array(out["cab"].to_numpy(), pa.int64()),
+        "pmi_micros": pa.array(to_micros(out["pmi"].to_numpy()),
+                               pa.int64()),
+    })
+
+
 def phrase_search(sf_dir: str):
     """Exact phrase query ("merge sort") over the kept-token stream:
     token bigrams are built vectorized from the flat token array (the
