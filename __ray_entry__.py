@@ -94,6 +94,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_topk": P.copurchase_topk,
         "collocations": P.collocations,
         "phrase_search": P.phrase_search,
+        # keyword extraction / LM+entropy quality scores / mixing / decay
+        "tfidf_keywords": P.tfidf_keywords,
+        "doc_entropy": P.doc_entropy,
+        "bigram_logprob": P.bigram_logprob,
+        "domain_mix_sample": P.domain_mix_sample,
+        "decayed_events": P.decayed_events,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -997,6 +1003,71 @@ WITH {token_list_cte()},
 {ngram_cte(2, 'bg')}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM bg WHERE ng = 'merge sort' GROUP BY doc_id""",
+        "tfidf_keywords": f"""
+WITH {kept},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf::DOUBLE * ln(nd.n::DOUBLE / df.df::DOUBLE) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3""",
+        "doc_entropy": f"""
+WITH {kept},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),
+d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS L,
+             CAST(sum(CAST(floor(tf::DOUBLE * ln(tf::DOUBLE) * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS ps
+      FROM tf GROUP BY doc_id)
+SELECT doc_id, L AS n_tokens,
+       CAST(floor(ln(L::DOUBLE) * 1e6 + 0.5) AS BIGINT) - ps // L
+           AS entropy_micros
+FROM d""",
+        "bigram_logprob": f"""
+WITH {kept},
+uni AS (SELECT term, count(*) AS c FROM kept GROUP BY term),
+tot AS (SELECT count(*) AS t FROM kept),
+{token_list_cte()},
+{ngram_cte(2, 'bg')},
+big AS (SELECT ng, count(*) AS cab FROM bg GROUP BY ng),
+contrib AS (
+  SELECT bg.doc_id,
+         CAST(floor(ln(0.75 * (big.cab::DOUBLE / u1.c::DOUBLE)
+                       + 0.25 * (u2.c::DOUBLE / tot.t::DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS c
+  FROM bg
+  JOIN big USING (ng)
+  JOIN uni u1 ON u1.term = split_part(bg.ng, ' ', 1)
+  JOIN uni u2 ON u2.term = split_part(bg.ng, ' ', 2)
+  CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c) AS BIGINT) AS logprob_micros
+FROM contrib GROUP BY doc_id""",
+        "domain_mix_sample": """
+SELECT doc_id, source, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) <
+      CASE source
+        WHEN 'src0' THEN 9223372036854775808::UBIGINT
+        WHEN 'src1' THEN 4611686018427387904::UBIGINT
+        WHEN 'src2' THEN 9223372036854775808::UBIGINT
+        ELSE 2305843009213693952::UBIGINT END""",
+        "decayed_events": """
+WITH m AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+c AS (SELECT user_id,
+             CAST(floor(value * exp(-((m.tmax - epoch_us(ts))::DOUBLE
+                                      / 3600000000.0)) * 1e6 + 0.5)
+                  AS BIGINT) AS c
+      FROM events CROSS JOIN m)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS decayed_micros
+FROM c GROUP BY user_id""",
         "stratified_weighted_sample": """
 WITH k AS (
   SELECT lang, doc_id, n_chars,

@@ -2538,3 +2538,248 @@ def audio_windows(sf_dir: str):
         ExtractAudioFeatures, batch_format="pyarrow", batch_size=16,
         concurrency=2, fn_constructor_kwargs={"window_ms": 10_000,
                                               "fake": False})
+
+
+# ---------------------------------------------------------------------------
+# Sixth wave: keyword extraction, LM/entropy quality scores, dataset mixing,
+# time-decayed aggregates.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_keywords(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords (keyword extraction, the classic
+    text-analysis shape). df per term is one aggregate pass; the
+    resulting idf map broadcasts once via ray.put (vocab-sized, same
+    ceiling as doc_logprob's unigram map — bucketed join above ~10⁷
+    terms). Scoring + per-doc top-3 is then entirely map-side: a doc's
+    tf lives in its own row, so NO shuffle touches the scored pairs.
+    Ranking sorts by the EXACT float score (micros would mis-order at
+    the cut), term ASC tie-break — mirroring the oracle's
+    row_number() OVER (ORDER BY score DESC, term ASC)."""
+    import ray as _ray
+
+    df_pd = term_df(sf_dir).to_pandas()  # vocab-sized
+    n_docs = pq.read_metadata(_docs(sf_dir)).num_rows
+    idf = np.log(float(n_docs) / df_pd["df"].to_numpy().astype(np.float64))
+    ref = _ray.put(pd.Series(idf, index=df_pd["term"].to_numpy()))
+
+    def top3(batch: pa.Table) -> pa.Table:
+        idf_s = _ray.get(ref)
+        tf = term_frequencies(batch["text"].combine_chunks())
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        if len(tf.tf) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "score_micros": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        idf_vocab = idf_s.reindex(tf.vocab.to_pylist()).to_numpy()
+        score = tf.tf.astype(np.float64) * idf_vocab[tf.codes]
+        vocab_py = np.asarray(tf.vocab.to_pylist(), dtype=object)
+        terms = vocab_py[tf.codes]
+        order = np.lexsort((terms, -score, tf.doc_idx))
+        sdoc = tf.doc_idx[order]
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], sdoc))))
+        runs = np.diff(np.concatenate((starts, [len(sdoc)])))
+        pos = np.arange(len(sdoc)) - np.repeat(starts, runs)
+        keep = pos < 3
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[tf.doc_idx[sel]], pa.int64()),
+            "term": pa.array(terms[sel], pa.string()),
+            "tf": pa.array(tf.tf[sel], pa.int64()),
+            "score_micros": pa.array(to_micros(score[sel]), pa.int64()),
+            "rank": pa.array((pos[keep] + 1).astype(np.int64), pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(top3, batch_format="pyarrow"))
+
+
+def doc_entropy(sf_dir: str):
+    """Per-doc token-distribution entropy, a diversity/quality gate
+    (low entropy = repetitive boilerplate). EXACT integer pipeline:
+    each term's tf·ln(tf) is rounded to micros FIRST, the per-doc sum
+    is int64, and H_micros = round(ln(L)·1e6) − Σpieces // L — all
+    integer ops after the per-term rounding, so both engines agree to
+    the bit (operands nonnegative: DuckDB's truncating // == floor).
+    Entirely map-side: a doc's tf distribution lives in its row."""
+    def ent(batch: pa.Table) -> pa.Table:
+        tf = term_frequencies(batch["text"].combine_chunks())
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        nrows = batch.num_rows
+        if len(tf.tf) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "entropy_micros": pa.array([], pa.int64())})
+        tfv = tf.tf.astype(np.float64)
+        piece = np.floor(tfv * np.log(tfv) * 1e6 + 0.5).astype(np.int64)
+        psum = np.zeros(nrows, dtype=np.int64)
+        np.add.at(psum, tf.doc_idx, piece)
+        L = np.zeros(nrows, dtype=np.int64)
+        np.add.at(L, tf.doc_idx, tf.tf)
+        nz = L > 0
+        lnL = np.floor(np.log(L[nz].astype(np.float64)) * 1e6
+                       + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_tokens": pa.array(L[nz], pa.int64()),
+            "entropy_micros": pa.array(lnL - psum[nz] // L[nz], pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(ent, batch_format="pyarrow"))
+
+
+def bigram_logprob(sf_dir: str):
+    """Interpolated bigram-LM document scoring — the CCNet/KenLM-style
+    perplexity quality filter: per bigram instance
+    p = 0.75·(c_ab/c_a) + 0.25·(c_b/T), contribution = round-to-micros
+    of ln(p), per-doc int64 sum (order-independent). Unigram and
+    bigram count tables broadcast once via ray.put; the bigram table
+    is the larger (distinct-bigram-sized — fine to ~10⁸ entries,
+    bucketed join via joins.py above that, documented ceiling).
+    Bigram counts reduce through 16 hash buckets, NOT the native
+    groupby.aggregate (the measured ~50× trap at high-cardinality
+    keys, see NOTES.md)."""
+    import ray as _ray
+    from ..functions.curation import _ngrams_from_flat
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def uni_part(b: pa.Table) -> pa.Table:
+        flat, _, _ = tokenize_array(b["text"].combine_chunks())
+        d = flat.dictionary_encode()
+        cnt = np.bincount(np.asarray(d.indices),
+                          minlength=len(d.dictionary))
+        return pa.table({"term": d.dictionary,
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    uni = (docs.map_batches(uni_part, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("c", alias_name="c"))
+           .to_pandas())  # vocab-sized
+    T = int(uni["c"].sum())
+    uni_s = pd.Series(uni["c"].to_numpy(np.int64),
+                      index=uni["term"].to_numpy())
+
+    def bg_bucket(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ng, _rows = _ngrams_from_flat(flat, doc_idx, 2)
+        d = ng.dictionary_encode()
+        cnt = np.bincount(np.asarray(d.indices),
+                          minlength=len(d.dictionary))
+        dic = d.dictionary
+        h = pd.util.hash_array(np.asarray(dic.to_pandas(), dtype=object))
+        return pa.table({
+            "ng": dic, "cab": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((h % np.uint64(16)).astype(np.int64)),
+        })
+
+    def bg_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns="__b")
+                .groupby("ng", as_index=False)["cab"].sum())
+
+    big = (docs.map_batches(bg_bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(bg_reduce, batch_format="pandas")
+           .to_pandas())  # distinct-bigram-sized
+    big_s = pd.Series(big["cab"].to_numpy(np.int64),
+                      index=big["ng"].to_numpy())
+    uref = _ray.put(uni_s)
+    bref = _ray.put(big_s)
+
+    def score(b: pa.Table) -> pa.Table:
+        u, bg_counts = _ray.get(uref), _ray.get(bref)
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        ng, rows = _ngrams_from_flat(flat, doc_idx, 2)
+        if len(ng) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "logprob_micros": pa.array([], pa.int64())})
+        m = len(flat) - 1
+        same = np.asarray(doc_idx[:m] == doc_idx[1:])
+        w1 = flat.slice(0, m).filter(pa.array(same))
+        w2 = flat.slice(1, m).filter(pa.array(same))
+        cab = bg_counts.reindex(ng.to_pylist()).to_numpy(np.float64)
+        c1 = u.reindex(w1.to_pylist()).to_numpy(np.float64)
+        c2 = u.reindex(w2.to_pylist()).to_numpy(np.float64)
+        p = 0.75 * (cab / c1) + 0.25 * (c2 / T)
+        contrib = np.floor(np.log(p) * 1e6 + 0.5).astype(np.int64)
+        nrows = b.num_rows
+        s = np.zeros(nrows, dtype=np.int64)
+        np.add.at(s, rows, contrib)
+        n = np.bincount(rows, minlength=nrows).astype(np.int64)
+        nz = n > 0
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_bigrams": pa.array(n[nz], pa.int64()),
+            "logprob_micros": pa.array(s[nz], pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# Dataset-mixing rates per source (The-Pile-style domain weights).
+# Thresholds are EXACT uint64 cutoffs (rate · 2^64 for dyadic rates),
+# mirrored literally in the oracle SQL — change both together.
+MIX_RATES: dict[str, int] = {
+    "src0": 1 << 63,   # 0.5
+    "src1": 1 << 62,   # 0.25
+    "src2": 1 << 63,   # 0.5
+}
+MIX_DEFAULT = 1 << 61  # 0.125
+
+
+def domain_mix_sample(sf_dir: str):
+    """Deterministic dataset mixing: per-source Bernoulli rates via the
+    md5-low64 hash of doc_id against exact uint64 thresholds —
+    shuffle-free, partitioning-independent, reproducible, and the mix
+    is stable under re-runs and resumes (the property a training-data
+    mixing stage actually needs; a weighted random_shuffle+limit is
+    neither stable nor streaming)."""
+    from ..functions.dedup import md5_low64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        src = batch["source"].combine_chunks().to_pylist()
+        h = md5_low64(np.array([str(i) for i in ids], dtype=object))
+        thr = np.array([MIX_RATES.get(s, MIX_DEFAULT) for s in src],
+                       dtype=np.uint64)
+        return batch.filter(pa.array(h < thr))
+
+    return (rd.read_parquet(_docs(sf_dir),
+                            columns=["doc_id", "source", "lang"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+def decayed_events(sf_dir: str):
+    """Exponentially time-decayed value sum per user (recency-weighted
+    engagement): w = exp(−Δt/τ), τ = 1 h, Δt measured from the global
+    max event time (one Max aggregate over the ts column only,
+    broadcast as a scalar). Each row's value·w is rounded to micros
+    FIRST and summed in int64 — order-independent, so map-side
+    partials commute and the shuffle carries per-batch partial rows."""
+    ev = os.path.join(sf_dir, "events.parquet")
+    tmax = int(rd.read_parquet(ev, columns=["ts"]).map_batches(
+        lambda b: pa.table(
+            {"t": [pc.max(b["ts"].cast(pa.int64())).as_py()]}),
+        batch_format="pyarrow").max("t"))
+
+    def contrib(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["ts"].combine_chunks().cast(pa.int64()))
+        val = np.asarray(b["value"].combine_chunks())
+        w = np.exp(-((tmax - ts).astype(np.float64) / 3.6e9))
+        c = np.floor(val * w * 1e6 + 0.5).astype(np.int64)
+        t = pa.table({
+            "user_id": b["user_id"].combine_chunks(),
+            "n": np.ones(b.num_rows, dtype=np.int64),
+            "decayed_micros": c,
+        })
+        return _partial_sums(t, ["user_id"],
+                             {"n": "n", "decayed_micros": "decayed_micros"})
+
+    return (rd.read_parquet(ev, columns=["user_id", "ts", "value"])
+            .map_batches(contrib, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("decayed_micros", alias_name="decayed_micros")))

@@ -70,7 +70,10 @@ def test_sql_tokenizer_unicode_parity():
                                   "lang_term_overlap", "doc_logprob",
                                   "user_event_pivot", "lineitem_rollup",
                                   "curated_corpus",
-                                  "embedding_dedup_corpus"])
+                                  "embedding_dedup_corpus",
+                                  "tfidf_keywords", "doc_entropy",
+                                  "bigram_logprob", "domain_mix_sample",
+                                  "decayed_events"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 

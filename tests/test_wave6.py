@@ -1,0 +1,88 @@
+"""Semantic properties of the sixth-wave operators (the oracle pins
+exact values; these pin the MEANING so a future refactor that stays
+hash-consistent but breaks semantics still fails)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def P(ray_session):
+    from stacksearch_ray.pipelines import documents as P
+
+    return P
+
+
+def test_doc_entropy_bounds(P):
+    """0 ≤ H ≤ ln(n_tokens) (+1 micro slack for the per-term rounding)."""
+    df = P.doc_entropy(SF).to_pandas()
+    assert len(df) > 0
+    h = df["entropy_micros"].to_numpy()
+    ln_l = np.floor(np.log(df["n_tokens"].to_numpy(np.float64)) * 1e6 + 0.5)
+    assert (h >= -1).all()
+    assert (h <= ln_l + 1).all()
+    # single-token docs have exactly zero entropy
+    one = df[df["n_tokens"] == 1]
+    assert (one["entropy_micros"] == 0).all() if len(one) else True
+
+
+def test_tfidf_keywords_ranked(P):
+    df = P.tfidf_keywords(SF).to_pandas()
+    assert set(df["rank"].unique()) <= {1, 2, 3}
+    # within a doc, scores are non-increasing with rank
+    for _, g in df.groupby("doc_id"):
+        s = g.sort_values("rank")["score_micros"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+    # stopword-free: tf-idf keywords come from the kept-token stream
+    from stacksearch_ray.stopwords import ENGLISH_STOPWORD_SET
+
+    assert not set(df["term"]) & ENGLISH_STOPWORD_SET
+
+
+def test_bigram_logprob_negative_and_complete(P):
+    df = P.bigram_logprob(SF).to_pandas()
+    # ln p of a proper mixture is < 0 for every instance, so sums are < 0
+    assert (df["logprob_micros"] < 0).all()
+    assert (df["n_bigrams"] >= 1).all()
+
+
+def test_domain_mix_rates(P):
+    """Observed per-source keep counts stay near the configured rates
+    (exact hash thresholds: this is a determinism check, not a
+    statistical one — re-running gives identical picks)."""
+    df = P.domain_mix_sample(SF).to_pandas()
+    df2 = P.domain_mix_sample(SF).to_pandas()
+    assert sorted(df["doc_id"]) == sorted(df2["doc_id"])
+    counts = df.groupby("source")["doc_id"].count()
+    # src0/src2 at 0.5 should keep strictly more than the 0.125 default
+    # sources on 25-doc strata in expectation; assert the aggregate split
+    hot = counts.reindex(["src0", "src2"]).fillna(0).sum()
+    cold = counts.drop(index=[s for s in ("src0", "src1", "src2")
+                              if s in counts.index], errors="ignore").sum()
+    n_cold_sources = 17
+    assert hot / 2 > cold / n_cold_sources
+
+
+def test_decayed_events_leq_plain_sum(P):
+    """exp(−Δt/τ) ∈ (0, 1]: the decayed sum can never exceed the plain
+    value sum for a user (values are positive in the test data)."""
+    import duckdb
+
+    df = P.decayed_events(SF).to_pandas().set_index("user_id")
+    con = duckdb.connect()
+    plain = con.sql(
+        f"SELECT user_id, sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS s "
+        f"FROM '{os.path.join(SF, 'events.parquet')}' GROUP BY user_id"
+    ).df().set_index("user_id")
+    j = df.join(plain)
+    assert (j["decayed_micros"] <= j["s"]).all()
+    # events older than a few τ round to 0 micros; never negative
+    assert (j["decayed_micros"] >= 0).all()
+    assert (j["decayed_micros"] > 0).any()
