@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": P.collocations,
         "phrase_search": P.phrase_search,
         # keyword extraction / LM+entropy quality scores / mixing / decay
+        "rrf_hybrid": P.rrf_hybrid,
         "tfidf_keywords": P.tfidf_keywords,
         "doc_entropy": P.doc_entropy,
         "bigram_logprob": P.bigram_logprob,
@@ -1003,6 +1004,39 @@ WITH {token_list_cte()},
 {ngram_cte(2, 'bg')}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM bg WHERE ng = 'merge sort' GROUP BY doc_id""",
+        "rrf_hybrid": bm25_scores_sql(BM25_QUERY) + """,
+rb AS (SELECT doc_id, r FROM (
+         SELECT doc_id,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         FROM scores) WHERE r <= 10),
+h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept),
+w AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS bucket,
+             sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+      FROM h GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM w GROUP BY doc_id),
+qh AS (SELECT md5_number_lower(term) AS h FROM qterms),
+qw AS (SELECT CAST(h % 64 AS BIGINT) AS bucket,
+              sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+       FROM qh GROUP BY bucket),
+qn AS (SELECT sqrt(sum(w * w)) AS n FROM qw),
+dots AS (SELECT w.doc_id, sum(w.w * qw.w) AS dot
+         FROM w JOIN qw USING (bucket) GROUP BY w.doc_id),
+sims AS (SELECT n.doc_id, coalesce(d.dot, 0) / (n.n * qn.n) AS sim
+         FROM norms n LEFT JOIN dots d ON n.doc_id = d.doc_id
+         CROSS JOIN qn WHERE n.n > 0 AND qn.n > 0),
+rk AS (SELECT doc_id, r FROM (
+         SELECT doc_id,
+                row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+         FROM sims) WHERE r <= 10),
+fused AS (
+  SELECT coalesce(rb.doc_id, rk.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + rb.r), 0.0)
+         + coalesce(1.0 / (60 + rk.r), 0.0) AS rrf
+  FROM rb FULL OUTER JOIN rk ON rb.doc_id = rk.doc_id)
+SELECT doc_id, CAST(floor(rrf * 1e6 + 0.5) AS BIGINT) AS rrf_micros,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
         "tfidf_keywords": f"""
 WITH {kept},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),

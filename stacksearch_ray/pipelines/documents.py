@@ -387,26 +387,24 @@ def embedding_pairs(sf_dir: str):
     return cosine_pairs(ds, threshold=0.45)
 
 
-def text_knn(sf_dir: str):
-    """Raw text → hashed embedding (F2–F5 encoder, actor pool) → exact
-    cosine top-10 to doc 0's text. Cosine = dot / (n_doc · n_q) over the
-    UNNORMALIZED integer-valued feature-hash vectors — exact in float64
-    and summation-order-independent, so the DuckDB oracle matches
-    bit-for-bit. Zero-norm docs (no kept tokens) are excluded."""
+def _hashed_cosine_top10(sf_dir: str, q_text: str) -> pd.DataFrame:
+    """Exact cosine top-10 of the hash-encoded corpus to an encoded query
+    text: dot / (n_doc · n_q) over UNNORMALIZED integer-valued
+    feature-hash vectors — exact in float64 and summation-order-
+    independent, so the DuckDB mirror matches bit-for-bit. Zero-norm
+    docs excluded. Returns (doc_id, sim) sorted sim DESC, doc_id ASC."""
     import ray
 
     from ..functions.embedding import HashedTextEncoder
+    from ..functions.topk import topk_desc_tiebreak
 
     DIM = 64
-    q_tbl = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
-                          columns=["text"])
     enc = HashedTextEncoder(DIM, normalize=False)
-    q = enc.encode_texts([q_tbl["text"][0].as_py()])[0]
+    q = enc.encode_texts([q_text])[0]
     nq = float(np.sqrt((q * q).sum()))
     if nq == 0.0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "sim_micros": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64())})
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "sim": pd.Series([], dtype=np.float64)})
     q_ref = ray.put(q)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -429,8 +427,6 @@ def text_knn(sf_dir: str):
         # dot ratios tie across duplicate texts, and the oracle's
         # ORDER BY sim DESC, doc_id ASC must survive the batch cutoff;
         # argpartition + tie widening keeps the cut O(n)
-        from ..functions.topk import topk_desc_tiebreak
-
         top = topk_desc_tiebreak(ids[keep], sim, 10)
         return pa.table({"doc_id": ids[keep][top], "sim": sim[top]})
 
@@ -441,12 +437,49 @@ def text_knn(sf_dir: str):
                                                  "normalize": False})
              .map_batches(score, batch_format="pyarrow")
              .to_pandas())
-    parts = parts.sort_values(["sim", "doc_id"],
-                              ascending=[False, True]).head(10)
+    return parts.sort_values(["sim", "doc_id"],
+                             ascending=[False, True]).head(10)
+
+
+def text_knn(sf_dir: str):
+    """Raw text → hashed embedding (F2–F5 encoder, actor pool) → exact
+    cosine top-10 to doc 0's text (see _hashed_cosine_top10)."""
+    q_tbl = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
+                          columns=["text"])
+    parts = _hashed_cosine_top10(sf_dir, q_tbl["text"][0].as_py())
     return pa.table({
         "doc_id": pa.array(parts["doc_id"].to_numpy(), pa.int64()),
         "sim_micros": pa.array(to_micros(parts["sim"].to_numpy()), pa.int64()),
         "rank": pa.array(np.arange(1, len(parts) + 1), pa.int64()),
+    })
+
+
+def rrf_hybrid(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    k=60) of the BM25 lexical top-10 and the hash-embedding cosine
+    top-10 for the SAME query. Both legs are the existing distributed
+    retrievers; fusion touches ≤20 rows on the driver. Exactness:
+    rrf = coalesce(1/(60+r_bm25), 0) + coalesce(1/(60+r_knn), 0) —
+    two IEEE divisions and one addition in fixed order, identical in
+    both engines. BM25_QUERY has no repeated tokens, so the encoder's
+    occurrence-weighted query vector equals the oracle's distinct-term
+    qterms build."""
+    bt = bm25_topk(sf_dir)
+    b_rank = dict(zip(bt["doc_id"].to_pylist(), bt["rank"].to_pylist()))
+    kt = _hashed_cosine_top10(sf_dir, BM25_QUERY)
+    k_rank = {int(d): i + 1
+              for i, d in enumerate(kt["doc_id"].to_numpy())}
+    docs = sorted(set(b_rank) | set(k_rank))
+    rrf = np.array([
+        (1.0 / (60 + b_rank[d]) if d in b_rank else 0.0)
+        + (1.0 / (60 + k_rank[d]) if d in k_rank else 0.0)
+        for d in docs])
+    ids = np.array(docs, dtype=np.int64)
+    order = np.lexsort((ids, -rrf))[:10]
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "rrf_micros": pa.array(to_micros(rrf[order]), pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
     })
 
 

