@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": P.bigram_logprob,
         "domain_mix_sample": P.domain_mix_sample,
         "decayed_events": P.decayed_events,
+        "dup_ngram_stats": P.dup_ngram_stats,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -1092,6 +1093,19 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) <
         WHEN 'src1' THEN 4611686018427387904::UBIGINT
         WHEN 'src2' THEN 9223372036854775808::UBIGINT
         ELSE 2305843009213693952::UBIGINT END""",
+        "dup_ngram_stats": f"""
+WITH {token_list_cte()},
+{ngram_cte(8, 'g8')},
+hh AS (SELECT doc_id, md5_number_lower(ng) AS h FROM g8),
+dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+                       FROM hh GROUP BY h) WHERE c >= 2),
+per AS (SELECT doc_id, count(*) AS total,
+               count(*) FILTER (h IN (SELECT h FROM dup)) AS dup_n
+        FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST(total AS BIGINT) AS n_ngrams,
+       CAST(dup_n AS BIGINT) AS n_dup,
+       CAST(dup_n * 1000000 // total AS BIGINT) AS dup_frac_micros
+FROM per""",
         "decayed_events": """
 WITH m AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
 c AS (SELECT user_id,

@@ -2816,3 +2816,76 @@ def decayed_events(sf_dir: str):
             .groupby("user_id")
             .aggregate(Sum("n", alias_name="n"),
                        Sum("decayed_micros", alias_name="decayed_micros")))
+
+
+def dup_ngram_stats(sf_dir: str):
+    """Cross-document duplicated-span signal (the exact-substring dedup
+    metric of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): per doc, the fraction of its 8-gram
+    INSTANCES whose 8-gram occurs in ≥2 distinct documents. Entirely
+    integer-exact — md5-low64 gram identities (== DuckDB
+    md5_number_lower), integer counts, and frac_micros =
+    dup·1000000 // total (operands nonnegative: truncation == floor) —
+    no float anywhere, so no rounding-boundary exposure at any scale.
+
+    Pass 1 builds the duplicated-gram set: distinct (doc, gram-hash)
+    pairs per batch (doc_ngram_hashes — exact because docs never span
+    batches), per-batch partial doc-counts per hash, reduced through 16
+    hash buckets (NOT the native groupby.aggregate — the measured ~50×
+    high-cardinality trap), filtered to count ≥ 2. The dup set
+    broadcasts via ray.put as a sorted array (typically ≪ corpus grams;
+    above ~10⁸ entries route membership through functions/bloom.py's
+    bloom semi-join + exact verify instead). Pass 2 streams the corpus
+    once more and counts per-doc member instances map-side."""
+    import ray as _ray
+    from ..functions.curation import _ngrams_from_flat, doc_ngram_hashes
+    from ..functions.dedup import md5_low64_arrow
+
+    N = 8
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        doc, h = doc_ngram_hashes(b, N)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(uniq.view(np.int64), pa.int64()),
+            "c": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((uniq % np.uint64(16)).view(np.int64)),
+        })
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("h", as_index=False)["c"].sum()
+        return agg[agg["c"] >= 2][["h"]]
+
+    dup = (docs.map_batches(pair_counts, batch_format="pyarrow")
+           .groupby("__b").map_groups(reduce_bucket, batch_format="pandas")
+           .to_pandas())  # duplicated-gram-set-sized
+    dup_sorted = np.sort(dup["h"].to_numpy(np.int64).view(np.uint64))
+    dref = _ray.put(dup_sorted)
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        ds = _ray.get(dref)
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        ng, rows = _ngrams_from_flat(flat, doc_idx, N)
+        if len(ng) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_ngrams": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64()),
+                             "dup_frac_micros": pa.array([], pa.int64())})
+        h = md5_low64_arrow(ng)
+        pos = np.searchsorted(ds, h)
+        member = (pos < len(ds)) & (ds[np.minimum(pos, len(ds) - 1)] == h)
+        nrows = b.num_rows
+        total = np.bincount(rows, minlength=nrows).astype(np.int64)
+        dupn = np.bincount(rows[member], minlength=nrows).astype(np.int64)
+        nz = total > 0
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_ngrams": pa.array(total[nz], pa.int64()),
+            "n_dup": pa.array(dupn[nz], pa.int64()),
+            "dup_frac_micros": pa.array(
+                dupn[nz] * 1_000_000 // total[nz], pa.int64()),
+        })
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")

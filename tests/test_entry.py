@@ -74,7 +74,7 @@ def test_sql_tokenizer_unicode_parity():
                                   "rrf_hybrid",
                                   "tfidf_keywords", "doc_entropy",
                                   "bigram_logprob", "domain_mix_sample",
-                                  "decayed_events"])
+                                  "decayed_events", "dup_ngram_stats"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 

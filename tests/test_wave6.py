@@ -105,3 +105,23 @@ def test_rrf_hybrid_fuses_both_legs(P):
     top1 = fused.sort_values("rank").iloc[0]
     assert (top1["rrf_micros"]
             >= np.floor(1.0 / 61 * 1e6 + 0.5)) or len(bt) == 0
+
+
+def test_dup_ngram_stats_bounds_and_duplicates(P):
+    """0 ≤ dup_frac ≤ 1; identical texts must have dup_frac == 1 (every
+    8-gram of a doc whose text appears twice is by construction in ≥2
+    docs)."""
+    import duckdb
+
+    df = P.dup_ngram_stats(SF).to_pandas().set_index("doc_id")
+    f = df["dup_frac_micros"]
+    assert (f >= 0).all() and (f <= 1_000_000).all()
+    assert (df["n_dup"] <= df["n_ngrams"]).all()
+    con = duckdb.connect()
+    dups = con.sql(
+        f"SELECT list(doc_id) FROM '{os.path.join(SF, 'documents.parquet')}' "
+        f"GROUP BY text HAVING count(*) >= 2").fetchall()
+    for (ids,) in dups:
+        for d in ids:
+            if d in df.index and df.loc[d, "n_ngrams"] > 0:
+                assert df.loc[d, "dup_frac_micros"] == 1_000_000
