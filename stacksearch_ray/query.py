@@ -108,6 +108,17 @@ class QueryEngine:
         # TAAT is the robust default far longer than classic IR lore
         # suggests
         self.wand_min_postings = 20_000_000
+        # Skew-sensing fast path (measured, scripts/scorer_shootout.py on
+        # the zipf corpus): bmax's block pruning wins BELOW the general
+        # threshold when the query's term dfs are NEAR-UNIFORM and large
+        # (hot1 1.9 vs 4.7 ms, hot2 6.2 vs 7.2 ms at 200–390k postings),
+        # and loses badly when a rare term joins a hot one (hot+rare 18.9
+        # vs 5.4 ms, hot3+rare 40 vs 9 ms) — the opposite of classic WAND
+        # lore, because the vectorized TAAT only scans the rare term's
+        # short candidate rows while bmax pays per-segment setup on the
+        # hot term. Route bmax early only when df skew ≤ 4.
+        self.bmax_uniform_min_postings = 100_000
+        self.bmax_uniform_max_skew = 4.0
 
     def _segments_for(self, terms: list[str]) -> dict[str, list[dict]]:
         missing = [t for t in terms if t not in self._seg_cache]
@@ -390,12 +401,18 @@ class QueryEngine:
             method = "exhaustive"
         if method == "auto":
             segs = self._segments_for(terms)
-            n_postings = sum(r["df"] for rows in segs.values() for r in rows)
+            dfs = [sum(r["df"] for r in rows) for rows in segs.values()]
+            n_postings = sum(dfs)
+            skew = (max(dfs) / max(1, min(dfs))) if dfs else 1.0
             # bmax (vectorized block-max) dominates the Python-loop wand
-            # in every measured shape (scripts/scorer_shootout.py) and
-            # beats TAAT on skewed corpora; TAAT stays the small-query
-            # default (pruning can't elide enough below the threshold)
-            method = "bmax" if n_postings >= self.wand_min_postings else "exhaustive"
+            # in every measured shape (scripts/scorer_shootout.py); TAAT
+            # stays the small-query default. Below the general threshold
+            # bmax still wins when term dfs are near-uniform and large
+            # (skew-sensing fast path — see the knobs in __init__).
+            method = ("bmax" if n_postings >= self.wand_min_postings
+                      or (n_postings >= self.bmax_uniform_min_postings
+                          and skew <= self.bmax_uniform_max_skew)
+                      else "exhaustive")
         if method == "wand":
             # the classic per-doc Python DAAT loop was retired: bmax is
             # the block-max pruning scorer (rank-identical, measured

@@ -135,3 +135,31 @@ def test_batch_search_actor(built_index, oracle):
         got = out[out["query"] == q].sort_values("rank")
         expected = eng.search(q, 5)
         assert list(zip(got["doc_id"], got["score"])) == expected
+
+
+def test_auto_routing_skew_sensing(built_index):
+    """method='auto' routes by posting volume AND df skew (measured in
+    scripts/scorer_shootout.py): near-uniform large queries go to bmax,
+    rare-term/skewed ones stay on TAAT — and both return identical
+    rankings either way."""
+    from unittest import mock
+
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    eng = QueryEngine(index_dir)
+    q = "def import"  # hot corpus terms — nonzero postings guaranteed
+    # thresholds scaled to the tiny corpus: everything qualifies by size
+    eng.bmax_uniform_min_postings = 1
+    eng.wand_min_postings = 10**12
+    with mock.patch.object(eng, "_search_bmax",
+                           wraps=eng._search_bmax) as mb:
+        eng.bmax_uniform_max_skew = 1e9   # any skew → fast path
+        auto_res = eng.search(q, 10, method="auto")
+        assert mb.called
+    with mock.patch.object(eng, "_search_bmax",
+                           wraps=eng._search_bmax) as mb:
+        eng.bmax_uniform_max_skew = 0.0   # nothing is uniform enough
+        taat_res = eng.search(q, 10, method="auto")
+        assert not mb.called
+    assert auto_res == taat_res == eng.search(q, 10, method="exhaustive")
