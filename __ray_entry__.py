@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_sample": P.domain_mix_sample,
         "decayed_events": P.decayed_events,
         "dup_ngram_stats": P.dup_ngram_stats,
+        "phrase_search_indexed": P.phrase_search_indexed,
+        "token_fertility": P.token_fertility,
+        "containment_pairs": P.containment_pairs,
+        "winsorized_mean": P.winsorized_mean,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -1093,6 +1097,49 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) <
         WHEN 'src1' THEN 4611686018427387904::UBIGINT
         WHEN 'src2' THEN 9223372036854775808::UBIGINT
         ELSE 2305843009213693952::UBIGINT END""",
+        "phrase_search_indexed": f"""
+WITH {token_list_cte()},
+{ngram_cte(2, 'bg')}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM bg WHERE ng = 'merge sort' GROUP BY doc_id""",
+        "token_fertility": f"""
+WITH {kept},
+tl AS (SELECT doc_id, count(*) AS toks FROM kept GROUP BY doc_id),
+per AS (SELECT d.lang, sum(d.n_chars) AS chars,
+               sum(coalesce(tl.toks, 0)) AS toks
+        FROM documents d LEFT JOIN tl USING (doc_id) GROUP BY d.lang)
+SELECT lang, CAST(chars AS BIGINT) AS n_chars,
+       CAST(toks AS BIGINT) AS n_tokens,
+       CAST(chars * 1000000 // toks AS BIGINT) AS chars_per_token_micros
+FROM per WHERE toks > 0""",
+        "containment_pairs": f"""
+WITH {token_list_cte()},
+{ngram_cte(8, 'g8')},
+hh AS (SELECT DISTINCT doc_id, md5_number_lower(ng) AS h FROM g8),
+sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY doc_id),
+inter AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS i
+  FROM hh t1 JOIN hh t2 ON t1.h = t2.h AND t1.doc_id < t2.doc_id
+  GROUP BY t1.doc_id, t2.doc_id),
+c AS (
+  SELECT i.a, i.b,
+         CAST(i.i * 1000000 // least(sa.n, sb.n) AS BIGINT) AS cont
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b)
+SELECT a, b, cont AS containment_micros FROM c WHERE cont >= 900000""",
+        "winsorized_mean": """
+WITH b AS (SELECT event_type,
+                  quantile_disc(value, 0.05) AS lo,
+                  quantile_disc(value, 0.95) AS hi
+           FROM events GROUP BY event_type),
+c AS (SELECT e.event_type,
+             CAST(floor(least(greatest(e.value, b.lo), b.hi) * 1e6 + 0.5)
+                  AS BIGINT) AS c
+      FROM events e JOIN b USING (event_type))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) // count(*) AS BIGINT) AS winsor_mean_micros
+FROM c GROUP BY event_type""",
         "dup_ngram_stats": f"""
 WITH {token_list_cte()},
 {ngram_cte(8, 'g8')},

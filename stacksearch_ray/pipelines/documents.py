@@ -1311,29 +1311,64 @@ def collocations(sf_dir: str):
     })
 
 
-def phrase_search(sf_dir: str):
-    """Exact phrase query ("merge sort") over the kept-token stream:
-    token bigrams are built vectorized from the flat token array (the
-    n-gram machinery decontamination uses), matched map-side — no
-    shuffle, the match count per doc aggregates within each batch
-    because docs never span batches."""
+PHRASE = "merge sort"
+
+
+def _phrase_match(b: pa.Table, phrase: str) -> pa.Table:
+    """Count exact phrase occurrences per doc in one batch: token
+    n-grams built vectorized from the flat kept-token array, matched
+    with one Arrow equality — exact per batch because docs never span
+    batches."""
     from ..functions.curation import _ngrams_from_flat
 
-    PHRASE = "merge sort"
+    n = len(phrase.split(" "))
+    flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+    ng, rows = _ngrams_from_flat(flat, doc_idx, n)
+    ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+    hit = np.asarray(pc.equal(ng, phrase))
+    uniq, cnt = np.unique(rows[hit], return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(ids[uniq], pa.int64()),
+        "n_occurrences": pa.array(cnt, pa.int64()),
+    })
 
-    def match(b: pa.Table) -> pa.Table:
-        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
-        ng, rows = _ngrams_from_flat(flat, doc_idx, 2)
-        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
-        hit = np.asarray(pc.equal(ng, PHRASE))
-        uniq, cnt = np.unique(rows[hit], return_counts=True)
-        return pa.table({
-            "doc_id": pa.array(ids[uniq], pa.int64()),
-            "n_occurrences": pa.array(cnt, pa.int64()),
-        })
 
+def phrase_search(sf_dir: str):
+    """Exact phrase query ("merge sort") over the kept-token stream,
+    matched map-side — no shuffle; the whole corpus streams once."""
     return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-            .map_batches(match, batch_format="pyarrow"))
+            .map_batches(lambda b: _phrase_match(b, PHRASE),
+                         batch_format="pyarrow"))
+
+
+def phrase_search_indexed(sf_dir: str):
+    """Index-accelerated exact phrase query — the T2 candidates+rerank
+    shape applied to phrases: the BM25 index's postings give the docs
+    containing EVERY phrase token (term_doc_ids per term, intersected
+    — no corpus scan), only those candidates' texts are read back via
+    parquet predicate pushdown, and adjacency is verified on the
+    kept-token stream. Same answer (and the same oracle SQL) as the
+    streaming phrase_search; at 100 TB this touches |candidates| docs
+    instead of the corpus. Candidate ids pass through the driver
+    (8 B/candidate — the docstore_join pattern; for pathological
+    all-doc phrases route to the streaming variant)."""
+    import pyarrow.dataset as pads
+
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    cands: np.ndarray | None = None
+    for t in sorted(set(clean_query(PHRASE))):
+        ids = eng.term_doc_ids(t)
+        cands = ids if cands is None else np.intersect1d(cands, ids)
+    if cands is None or len(cands) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_occurrences": pa.array([], pa.int64())})
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"],
+                            filter=pads.field("doc_id").isin(
+                                [int(d) for d in cands]))
+            .map_batches(lambda b: _phrase_match(b, PHRASE),
+                         batch_format="pyarrow"))
 
 
 def stratified_weighted_sample(sf_dir: str):
@@ -2889,3 +2924,183 @@ def dup_ngram_stats(sf_dir: str):
         })
 
     return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+def token_fertility(sf_dir: str):
+    """Tokenizer fertility per language (chars per kept token — the
+    stat LLM teams watch per-language to size tokenizers): integer
+    char/token sums combined map-side, one tiny lang groupby, and the
+    ratio as chars·1e6 // tokens — float-free end to end."""
+    def partial(b: pa.Table) -> pa.Table:
+        _, _, doc_lens = tokenize_array(b["text"].combine_chunks())
+        t = pa.table({
+            "lang": b["lang"].combine_chunks(),
+            "n_chars": b["n_chars"].combine_chunks().cast(pa.int64()),
+            "n_tokens": pa.array(doc_lens, pa.int64()),
+        })
+        return _partial_sums(t, ["lang"], {"n_chars": "n_chars",
+                                           "n_tokens": "n_tokens"})
+
+    agg = (rd.read_parquet(_docs(sf_dir),
+                           columns=["lang", "text", "n_chars"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_chars", alias_name="n_chars"),
+                      Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())  # one row per language
+    agg = agg[agg["n_tokens"] > 0]
+    return pa.table({
+        "lang": pa.array(agg["lang"].to_numpy(dtype=object), pa.string()),
+        "n_chars": pa.array(agg["n_chars"].to_numpy(np.int64)),
+        "n_tokens": pa.array(agg["n_tokens"].to_numpy(np.int64)),
+        "chars_per_token_micros": pa.array(
+            agg["n_chars"].to_numpy(np.int64) * 1_000_000
+            // agg["n_tokens"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def containment_pairs(sf_dir: str):
+    """Subset-duplicate detection: 8-gram shingle MAX-CONTAINMENT
+    |G(A)∩G(B)| / min(|G(A)|,|G(B)|) ≥ 0.9 pairs — catches a doc
+    embedded inside a larger one, which symmetric Jaccard misses
+    (|∩|/|∪| shrinks as the host grows). Candidate pairs come from the
+    SHARED-gram inverted lists (only docs sharing ≥1 gram ever pair —
+    no all-pairs scan; gram doc-lists are short because 8-gram
+    collisions are rare), pair intersections count through hash
+    buckets, and the metric is float-free: inter·1e6 // min(sizes)."""
+    from ..functions.curation import doc_ngram_hashes
+
+    N = 8
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def pairs_part(b: pa.Table) -> pa.Table:
+        doc, h = doc_ngram_hashes(b, N)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "h": pa.array(h.view(np.int64), pa.int64())})
+
+    dg = docs.map_batches(pairs_part, batch_format="pyarrow")
+    # per-doc distinct-gram sizes (map-side partials, tiny shuffle)
+    sizes = (dg.map_batches(
+        lambda t: _partial_sums(
+            t.append_column("n", pa.array(
+                np.ones(t.num_rows, dtype=np.int64))).drop_columns("h"),
+            ["doc_id"], {"n": "n"}),
+        batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("n", alias_name="n"))
+        .to_pandas())
+    size_map = pd.Series(sizes["n"].to_numpy(np.int64),
+                         index=sizes["doc_id"].to_numpy(np.int64))
+
+    # expand (a, b) per shared gram after a gram-bucket shuffle, then
+    # count per pair through a second hash-bucket reduce (the
+    # copurchase machinery shape; gram lists are short so the expand
+    # is C(k,2)-bounded per gram)
+    def tag(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["h"]).astype(np.int64)
+        return t.append_column("__b", pa.array(
+            (h.view(np.uint64) % np.uint64(16)).view(np.int64)))
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["h", "doc_id"], kind="mergesort")
+        hs = df["h"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        first = np.concatenate(([True], hs[1:] != hs[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(hs)))
+        out_a, out_b = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            st = starts[counts == s]
+            ia, ib = np.triu_indices(s, k=1)
+            out_a.append(ids[st[:, None] + ia].ravel())
+            out_b.append(ids[st[:, None] + ib].ravel())
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "i": pd.Series(dtype=np.int64)})
+        c = pd.DataFrame({"a": np.concatenate(out_a),
+                          "b": np.concatenate(out_b)})
+        c["i"] = np.int64(1)
+        return c.groupby(["a", "b"], as_index=False).sum()
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["a"]).astype(np.int64) * np.int64(1_000_003)
+            + np.asarray(t["b"]).astype(np.int64))
+        return t.append_column("__b2", pa.array(
+            (h % np.uint64(16)).astype(np.int64)))
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns="__b2")
+                .groupby(["a", "b"], as_index=False)["i"].sum())
+
+    inter = (dg.map_batches(tag, batch_format="pyarrow")
+             .groupby("__b").map_groups(expand, batch_format="pandas")
+             .map_batches(tag_pair, batch_format="pyarrow")
+             .groupby("__b2").map_groups(reduce_pairs,
+                                         batch_format="pandas")
+             .to_pandas())  # pairs sharing >=1 gram only
+    if len(inter) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "containment_micros": pa.array([], pa.int64())})
+    na = size_map.reindex(inter["a"]).to_numpy(np.int64)
+    nb = size_map.reindex(inter["b"]).to_numpy(np.int64)
+    cont = (inter["i"].to_numpy(np.int64) * 1_000_000
+            // np.minimum(na, nb))
+    keep = cont >= 900_000
+    return pa.table({
+        "a": pa.array(inter["a"].to_numpy(np.int64)[keep]),
+        "b": pa.array(inter["b"].to_numpy(np.int64)[keep]),
+        "containment_micros": pa.array(cont[keep], pa.int64()),
+    })
+
+
+def winsorized_mean(sf_dir: str):
+    """Robust per-group mean: values clipped to the group's exact
+    [p05, p95] (grouped_quantile_disc — all groups narrow float-bit
+    brackets simultaneously, no per-group sorts), then the clipped
+    values round to micros per row and sum in int64 (order-independent
+    partials); mean = sum // n. Clipping is min/max only — no float
+    arithmetic — so both engines agree to the bit."""
+    import ray as _ray
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    lo_t = grouped_quantile_disc(ds, "event_type", "value", 0.05)
+    hi_t = grouped_quantile_disc(ds, "event_type", "value", 0.95)
+    lo = dict(zip(lo_t["event_type"].to_pylist(),
+                  lo_t["value"].to_pylist()))
+    hi = dict(zip(hi_t["event_type"].to_pylist(),
+                  hi_t["value"].to_pylist()))
+    bref = _ray.put((lo, hi))
+
+    def contrib(b: pa.Table) -> pa.Table:
+        lo_m, hi_m = _ray.get(bref)
+        et = b["event_type"].combine_chunks().to_pylist()
+        v = np.asarray(b["value"].combine_chunks())
+        lo_v = np.array([lo_m[e] for e in et])
+        hi_v = np.array([hi_m[e] for e in et])
+        c = np.floor(np.minimum(np.maximum(v, lo_v), hi_v) * 1e6
+                     + 0.5).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"].combine_chunks(),
+                      "n": np.ones(b.num_rows, dtype=np.int64),
+                      "sum_micros": c})
+        return _partial_sums(t, ["event_type"],
+                             {"n": "n", "sum_micros": "sum_micros"})
+
+    agg = (ds.map_batches(contrib, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_micros", alias_name="sum_micros"))
+           .to_pandas())  # one row per event type
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].to_numpy(dtype=object),
+                               pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "winsor_mean_micros": pa.array(
+            agg["sum_micros"].to_numpy(np.int64)
+            // agg["n"].to_numpy(np.int64), pa.int64()),
+    })

@@ -352,6 +352,17 @@ class QueryEngine:
                 self._blk_cache[key] = hit
         return hit
 
+    def term_doc_ids(self, term: str) -> np.ndarray:
+        """All doc ids containing the term (sorted, deduped): the union
+        of the term's segment postings. The candidate-generation
+        primitive for two-stage queries (phrase / proximity): intersect
+        per-term id sets, then verify only the candidates."""
+        segs = self._segments_for([term]).get(term, [])
+        if not segs:
+            return np.empty(0, np.int64)
+        parts = [self._decoded(term, i, r)[0] for i, r in enumerate(segs)]
+        return np.unique(np.concatenate(parts))
+
     def get_docs(self, doc_ids: list[int]) -> list[dict]:
         """Doc-store lookup (J1 analog — the reference's fetch_post_by_id,
         /root/reference/results.py:149-158, without the full scan):

@@ -74,7 +74,10 @@ def test_sql_tokenizer_unicode_parity():
                                   "rrf_hybrid",
                                   "tfidf_keywords", "doc_entropy",
                                   "bigram_logprob", "domain_mix_sample",
-                                  "decayed_events", "dup_ngram_stats"])
+                                  "decayed_events", "dup_ngram_stats",
+                                  "phrase_search_indexed",
+                                  "token_fertility", "containment_pairs",
+                                  "winsorized_mean"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 

@@ -125,3 +125,48 @@ def test_dup_ngram_stats_bounds_and_duplicates(P):
         for d in ids:
             if d in df.index and df.loc[d, "n_ngrams"] > 0:
                 assert df.loc[d, "dup_frac_micros"] == 1_000_000
+
+
+def test_phrase_indexed_equals_streaming(P):
+    """The index-accelerated phrase query returns exactly the streaming
+    scan's answer — T2 candidates+verify must not lose occurrences."""
+    a = P.phrase_search(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = P.phrase_search_indexed(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_containment_catches_subset_docs(P):
+    """A doc whose text is embedded in a larger doc must pair at
+    containment 1.0 — build the check from the corpus itself: exact
+    duplicate texts are mutual subsets."""
+    import duckdb
+
+    pairs = P.containment_pairs(SF).to_pandas()
+    assert ((pairs["containment_micros"] >= 900_000)
+            & (pairs["containment_micros"] <= 1_000_000)).all()
+    con = duckdb.connect()
+    dups = con.sql(
+        f"SELECT list(doc_id ORDER BY doc_id) FROM "
+        f"'{os.path.join(SF, 'documents.parquet')}' "
+        f"GROUP BY text HAVING count(*) >= 2 AND "
+        f"len(string_split_regex(text, '\\s+')) >= 12").fetchall()
+    seen = set(zip(pairs["a"], pairs["b"]))
+    for (ids,) in dups:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in seen
+
+
+def test_winsorized_mean_within_clip_range(P):
+    df = P.winsorized_mean(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["winsor_mean_micros"] > 0).all()
+
+
+def test_token_fertility_positive(P):
+    df = P.token_fertility(SF).to_pandas()
+    assert (df["chars_per_token_micros"] > 1_000_000).all()  # >1 char/token
+    assert df["n_tokens"].sum() > 0
