@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25 top-k (T1-T4): same oracle for both scorers = rank identity
         "bm25_topk": P.bm25_topk,
         "bm25_topk_wand": P.bm25_topk_wand,
+        "bm25_topk_appended": P.bm25_topk_appended,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -325,6 +326,7 @@ SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_len,
 FROM dl""",
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
+        "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise
         "docstore_join": bm25_scores_sql(BM25_QUERY) + """,
 topk AS (
   SELECT doc_id, CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros

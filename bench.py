@@ -167,7 +167,10 @@ def run_bench() -> dict:
                      ("quantiles_by_type", P.quantiles_by_type),
                      ("value_quantiles", P.value_quantiles),
                      ("contamination_hits", P.contamination_hits),
-                     ("edit_pairs", P.edit_pairs)]:
+                     ("edit_pairs", P.edit_pairs),
+                     ("tfidf_keywords", P.tfidf_keywords),
+                     ("bigram_logprob", P.bigram_logprob),
+                     ("dup_ngram_stats", P.dup_ngram_stats)]:
         t0 = time.time()
         res = fn(SF_DIR)
         if hasattr(res, "count"):

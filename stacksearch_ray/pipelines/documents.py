@@ -3104,3 +3104,39 @@ def winsorized_mean(sf_dir: str):
             agg["sum_micros"].to_numpy(np.int64)
             // agg["n"].to_numpy(np.int64), pa.int64()),
     })
+
+
+def bm25_topk_appended(sf_dir: str):
+    """Incremental-index parity surfaced in the driver harness (A1–A5
+    beyond the reference's rebuild-only insert→freeze→save): build the
+    index over the FIRST HALF of documents, append_to_index the second
+    half (staged segments, disjoint-id check), compact_index (re-encodes
+    merged rows under fresh global stats — bitwise-equal to a
+    from-scratch rebuild, pinned by test_append), then run the fixed
+    BM25 query. Shares bm25_topk's oracle SQL: rank AND score identity
+    of the incremental path against DuckDB over the full corpus."""
+    import pyarrow.dataset as pads
+
+    from ..append import append_to_index, compact_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(CACHE_ROOT, tag, "index_appended")
+    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+        n = pq.read_metadata(_docs(sf_dir)).num_rows
+        cut = int(n) // 2
+        first = rd.read_parquet(_docs(sf_dir),
+                                filter=pads.field("doc_id") < cut)
+        second = rd.read_parquet(_docs(sf_dir),
+                                 filter=pads.field("doc_id") >= cut)
+        build_index(first, index_dir, content_col="text", id_col="doc_id",
+                    meta_cols=("lang", "source"), num_shards=4,
+                    term_buckets=16)
+        append_to_index(second, index_dir)
+        compact_index(index_dir, term_buckets=16)
+    eng = QueryEngine(index_dir)
+    res = eng.search(BM25_QUERY, 10, method="auto")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })

@@ -77,7 +77,8 @@ def test_sql_tokenizer_unicode_parity():
                                   "decayed_events", "dup_ngram_stats",
                                   "phrase_search_indexed",
                                   "token_fertility", "containment_pairs",
-                                  "winsorized_mean"])
+                                  "winsorized_mean",
+                                  "bm25_topk_appended"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 
