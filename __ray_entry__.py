@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_fertility": P.token_fertility,
         "containment_pairs": P.containment_pairs,
         "winsorized_mean": P.winsorized_mean,
+        "event_trigrams": P.event_trigrams,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -1130,6 +1131,20 @@ c AS (
   JOIN sizes sa ON sa.doc_id = i.a
   JOIN sizes sb ON sb.doc_id = i.b)
 SELECT a, b, cont AS containment_micros FROM c WHERE cont >= 900000""",
+        "event_trigrams": """
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
+  FROM events GROUP BY user_id),
+tg AS (
+  SELECT unnest(list_transform(range(1, len(evs) - 1),
+         i -> evs[i] || '>' || evs[i + 1] || '>' || evs[i + 2]))
+      AS pattern
+  FROM seq),
+c AS (SELECT pattern, count(*) AS n FROM tg GROUP BY pattern),
+r AS (SELECT pattern, CAST(n AS BIGINT) AS n,
+             row_number() OVER (ORDER BY n DESC, pattern ASC) AS rank
+      FROM c)
+SELECT pattern, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
         "winsorized_mean": """
 WITH b AS (SELECT event_type,
                   quantile_disc(value, 0.05) AS lo,

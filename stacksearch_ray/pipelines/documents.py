@@ -3140,3 +3140,58 @@ def bm25_topk_appended(sf_dir: str):
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
+
+
+def event_trigrams(sf_dir: str):
+    """Behavioral sequence mining: the top-10 event-type TRIGRAMS across
+    per-user timelines (ordered by ts, event_id — the deterministic
+    total order every sequence op here uses). Users are hash-bucketed
+    (32 groups); each bucket orders ALL its users with ONE sort and
+    builds trigrams vectorized from the flat event stream (windows
+    crossing a user boundary masked out — the _ngrams_from_flat idea on
+    event codes); per-bucket trigram counts are already partial sums,
+    so the final reduce is a tiny groupby over ≤32×|patterns| rows."""
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch["user_id"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "user_id": uid,
+            "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+            "event_id": batch["event_id"].combine_chunks(),
+            "event_type": batch["event_type"].combine_chunks(),
+            "__ub": pa.array(pd.util.hash_array(uid).astype(np.int64)
+                             % np.int64(32)),
+        })
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        m = len(g) - 2
+        if m <= 0:
+            return pd.DataFrame({"pattern": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        valid = uid[:m] == uid[2:]
+        pat = np.char.add(np.char.add(
+            np.char.add(et[:m].astype(str), ">"),
+            np.char.add(et[1:m + 1].astype(str), ">")),
+            et[2:].astype(str))[valid]
+        u, c = np.unique(pat, return_counts=True)
+        return pd.DataFrame({"pattern": u.astype(object),
+                             "n": c.astype(np.int64)})
+
+    counts = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["user_id", "ts", "event_id",
+                                       "event_type"])
+              .map_batches(bucketize, batch_format="pyarrow")
+              .groupby("__ub").map_groups(trigrams, batch_format="pandas")
+              .groupby("pattern").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # ≤ |event_types|³ rows
+    order = np.lexsort((counts["pattern"].to_numpy(dtype=object),
+                        -counts["n"].to_numpy()))[:10]
+    out = counts.iloc[order]
+    return pa.table({
+        "pattern": pa.array(out["pattern"].to_numpy(dtype=object),
+                            pa.string()),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+    })

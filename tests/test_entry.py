@@ -78,7 +78,8 @@ def test_sql_tokenizer_unicode_parity():
                                   "phrase_search_indexed",
                                   "token_fertility", "containment_pairs",
                                   "winsorized_mean",
-                                  "bm25_topk_appended"])
+                                  "bm25_topk_appended",
+                                  "event_trigrams"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 
