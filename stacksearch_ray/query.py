@@ -116,9 +116,18 @@ class QueryEngine:
         # vs 5.4 ms, hot3+rare 40 vs 9 ms) — the opposite of classic WAND
         # lore, because the vectorized TAAT only scans the rare term's
         # short candidate rows while bmax pays per-segment setup on the
-        # hot term. Route bmax early only when df skew ≤ 4.
+        # hot term. Route bmax early only when df skew ≤ 4 AND the
+        # corpus's doc-length dispersion says pruning can pay: with flat
+        # doc lengths every posting scores alike, the top-k threshold
+        # never clears block upper bounds, and bmax pays overhead for
+        # nothing (measured: uniform-corpus "def import" bmax 66 ms vs
+        # TAAT 30 ms at cv=0.45; zipf hot1 bmax 1.9 vs 4.7 ms at
+        # cv=1.15 — block-max METADATA spread is flat on both, so
+        # doc-length cv is the discriminating signal).
         self.bmax_uniform_min_postings = 100_000
         self.bmax_uniform_max_skew = 4.0
+        self.bmax_min_dl_cv = 0.8
+        self._dl_cv: float | None = None
 
     def _segments_for(self, terms: list[str]) -> dict[str, list[dict]]:
         missing = [t for t in terms if t not in self._seg_cache]
@@ -352,6 +361,16 @@ class QueryEngine:
                 self._blk_cache[key] = hit
         return hit
 
+    def _doclen_cv(self) -> float:
+        """Coefficient of variation of doc lengths (computed once per
+        engine from the in-memory doclens array): the routing signal
+        for whether block-max pruning can pay on this corpus."""
+        if self._dl_cv is None:
+            lens = np.asarray(self.doclens.lens, dtype=np.float64)
+            m = lens.mean() if len(lens) else 0.0
+            self._dl_cv = float(lens.std() / m) if m > 0 else 0.0
+        return self._dl_cv
+
     def term_doc_ids(self, term: str) -> np.ndarray:
         """All doc ids containing the term (sorted, deduped): the union
         of the term's segment postings. The candidate-generation
@@ -422,7 +441,8 @@ class QueryEngine:
             # (skew-sensing fast path — see the knobs in __init__).
             method = ("bmax" if n_postings >= self.wand_min_postings
                       or (n_postings >= self.bmax_uniform_min_postings
-                          and skew <= self.bmax_uniform_max_skew)
+                          and skew <= self.bmax_uniform_max_skew
+                          and self._doclen_cv() >= self.bmax_min_dl_cv)
                       else "exhaustive")
         if method == "wand":
             # the classic per-doc Python DAAT loop was retired: bmax is

@@ -152,6 +152,7 @@ def test_auto_routing_skew_sensing(built_index):
     # thresholds scaled to the tiny corpus: everything qualifies by size
     eng.bmax_uniform_min_postings = 1
     eng.wand_min_postings = 10**12
+    eng.bmax_min_dl_cv = 0.0              # any dispersion qualifies
     with mock.patch.object(eng, "_search_bmax",
                            wraps=eng._search_bmax) as mb:
         eng.bmax_uniform_max_skew = 1e9   # any skew → fast path
