@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": P.containment_pairs,
         "winsorized_mean": P.winsorized_mean,
         "event_trigrams": P.event_trigrams,
+        "lang_confusion": P.lang_confusion,
+        "length_outliers": P.length_outliers,
+        "type_token_ratio": P.type_token_ratio,
+        "js_divergence": P.js_divergence,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -197,12 +201,41 @@ def oracle_sql() -> dict[str, str]:
 
     kept = kept_tokens_cte()
     bm25 = bm25_topk_sql(BM25_QUERY, 10)
+    from stacksearch_ray.pipelines.documents import JS_SOURCES_A
+
+    js_src_a = ", ".join(f"'{s}'" for s in JS_SOURCES_A)
     # lang-ID marker table (mirrors LangIdScorer: langs with markers,
     # alphabetical — the tie-break order of np.argmax's first index)
     markers_values = ", ".join(
         f"('{lang}', '{t}')"
         for lang in sorted(k for k, v in LANG_MARKERS.items() if v)
         for t in sorted(LANG_MARKERS[lang]))
+    lang_id_sql = f"""
+WITH {kept},
+tot AS (SELECT doc_id, count(*) AS total FROM toks WHERE term <> ''
+        GROUP BY doc_id),
+markers(lang, term) AS (VALUES {markers_values}),
+hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS cnt
+  FROM toks t JOIN markers m ON t.term = m.term
+  GROUP BY t.doc_id, m.lang),
+scored AS (
+  SELECT d.doc_id, l.lang,
+         coalesce(h.cnt, 0)::DOUBLE / greatest(coalesce(t.total, 0), 1)
+             AS score
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT lang FROM markers) l
+  LEFT JOIN tot t ON d.doc_id = t.doc_id
+  LEFT JOIN hits h ON d.doc_id = h.doc_id AND l.lang = h.lang),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS lang_score_micros
+FROM best WHERE rn = 1"""
     # knn_ann_lsh hyperplanes: the same deterministic rng draw the engine
     # makes (seed 11, 8 planes, dim 64), embedded as full-precision
     # literals; repr() round-trips doubles exactly
@@ -762,32 +795,53 @@ SELECT doc_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
        CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM sims ORDER BY sim DESC, doc_id ASC LIMIT 10""",
-        "lang_id": f"""
+        "lang_id": lang_id_sql,
+        "lang_confusion": f"""
+WITH p AS ({lang_id_sql})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN p ON d.doc_id = p.doc_id
+GROUP BY 1, 2""",
+        "length_outliers": """
+WITH b AS (SELECT lang, quantile_disc(n_chars, 0.01) AS lo,
+                  quantile_disc(n_chars, 0.99) AS hi
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN b USING (lang)
+WHERE d.n_chars < b.lo OR d.n_chars > b.hi""",
+        "type_token_ratio": f"""
 WITH {kept},
-tot AS (SELECT doc_id, count(*) AS total FROM toks WHERE term <> ''
-        GROUP BY doc_id),
-markers(lang, term) AS (VALUES {markers_values}),
-hits AS (
-  SELECT t.doc_id, m.lang, count(*) AS cnt
-  FROM toks t JOIN markers m ON t.term = m.term
-  GROUP BY t.doc_id, m.lang),
-scored AS (
-  SELECT d.doc_id, l.lang,
-         coalesce(h.cnt, 0)::DOUBLE / greatest(coalesce(t.total, 0), 1)
-             AS score
-  FROM documents d
-  CROSS JOIN (SELECT DISTINCT lang FROM markers) l
-  LEFT JOIN tot t ON d.doc_id = t.doc_id
-  LEFT JOIN hits h ON d.doc_id = h.doc_id AND l.lang = h.lang),
-best AS (
-  SELECT doc_id, lang, score,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, lang ASC) AS rn
-  FROM scored)
-SELECT doc_id,
-       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
-       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS lang_score_micros
-FROM best WHERE rn = 1""",
+per AS (SELECT doc_id, count(DISTINCT term) AS d, count(*) AS t
+        FROM kept GROUP BY doc_id)
+SELECT doc_id, CAST(d AS BIGINT) AS n_distinct,
+       CAST(t AS BIGINT) AS n_tokens,
+       CAST(d * 1000000 // t AS BIGINT) AS ttr_micros
+FROM per""",
+        "js_divergence": f"""
+WITH {kept},
+ks AS (SELECT k.term, d.source FROM kept k
+       JOIN documents d USING (doc_id)),
+a AS (SELECT term, count(*) AS c FROM ks
+      WHERE source IN ({js_src_a}) GROUP BY term),
+b AS (SELECT term, count(*) AS c FROM ks
+      WHERE source NOT IN ({js_src_a}) GROUP BY term),
+ta AS (SELECT sum(c) AS t FROM a),
+tb AS (SELECT sum(c) AS t FROM b),
+u AS (SELECT coalesce(a.term, b.term) AS term,
+             coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+      FROM a FULL OUTER JOIN b USING (term)),
+c AS (SELECT
+  CASE WHEN ca > 0 THEN CAST(floor(
+    (ca::DOUBLE / ta.t) * ln((ca::DOUBLE / ta.t)
+        / (((ca::DOUBLE / ta.t) + (cb::DOUBLE / tb.t)) / 2.0))
+    * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS cp,
+  CASE WHEN cb > 0 THEN CAST(floor(
+    (cb::DOUBLE / tb.t) * ln((cb::DOUBLE / tb.t)
+        / (((ca::DOUBLE / ta.t) + (cb::DOUBLE / tb.t)) / 2.0))
+    * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS cq
+  FROM u CROSS JOIN ta CROSS JOIN tb)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(greatest(sum(cp) + sum(cq), 0) // 2 AS BIGINT) AS js_micros
+FROM c""",
         "char_histograms": """
 WITH chars0 AS (
   SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),

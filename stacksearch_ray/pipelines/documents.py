@@ -3195,3 +3195,148 @@ def event_trigrams(sf_dir: str):
         "n": pa.array(out["n"].to_numpy(np.int64)),
         "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
     })
+
+
+def lang_confusion(sf_dir: str):
+    """Curation audit: confusion counts between the labeled ``lang``
+    column and the n-gram lang-id prediction — the standard check that
+    a corpus's metadata matches its content before per-language
+    processing trusts it. Entirely map-side (the scorer is an actor
+    carrying the label column through), one tiny (lang, pred) groupby
+    of combiner partials."""
+    from ..functions.textstats import LangIdScorer
+
+    class Confusion:
+        def __init__(self):
+            self.scorer = LangIdScorer()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pred = self.scorer(b)
+            t = pa.table({
+                "lang": b["lang"].combine_chunks(),
+                "lang_pred": pred["lang_pred"],
+                "n": np.ones(b.num_rows, dtype=np.int64),
+            })
+            return _partial_sums(t, ["lang", "lang_pred"], {"n": "n"})
+
+    return (rd.read_parquet(_docs(sf_dir),
+                            columns=["doc_id", "text", "lang"])
+            .map_batches(Confusion, batch_format="pyarrow",
+                         batch_size=256, concurrency=2)
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def length_outliers(sf_dir: str):
+    """Per-language length-outlier gate: docs whose n_chars falls
+    outside the lang's exact [p01, p99] (grouped_quantile_disc — no
+    per-group sorts). Bounds broadcast (O(groups) scalars); the filter
+    is map-side. Integer comparisons only — no rounding exposure."""
+    import ray as _ray
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang",
+                                                 "n_chars"])
+    lo_t = grouped_quantile_disc(ds, "lang", "n_chars", 0.01)
+    hi_t = grouped_quantile_disc(ds, "lang", "n_chars", 0.99)
+    lo = {k: int(v) for k, v in zip(lo_t["lang"].to_pylist(),
+                                    lo_t["value"].to_pylist())}
+    hi = {k: int(v) for k, v in zip(hi_t["lang"].to_pylist(),
+                                    hi_t["value"].to_pylist())}
+    bref = _ray.put((lo, hi))
+
+    def keep(b: pa.Table) -> pa.Table:
+        lo_m, hi_m = _ray.get(bref)
+        langs = b["lang"].combine_chunks().to_pylist()
+        n = np.asarray(b["n_chars"].combine_chunks()).astype(np.int64)
+        lo_v = np.array([lo_m[x] for x in langs], dtype=np.int64)
+        hi_v = np.array([hi_m[x] for x in langs], dtype=np.int64)
+        out = b.filter(pa.array((n < lo_v) | (n > hi_v)))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "lang": out["lang"],
+            "n_chars": out["n_chars"].combine_chunks().cast(pa.int64()),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def type_token_ratio(sf_dir: str):
+    """Lexical diversity per doc: distinct-term count ·1e6 // token
+    count — the classic TTR quality signal, float-free and map-side
+    (a doc's terms live in its row)."""
+    def ttr(b: pa.Table) -> pa.Table:
+        tf = term_frequencies(b["text"].combine_chunks())
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        nrows = b.num_rows
+        distinct = np.bincount(tf.doc_idx, minlength=nrows).astype(np.int64)
+        toks = np.zeros(nrows, dtype=np.int64)
+        np.add.at(toks, tf.doc_idx, tf.tf)
+        nz = toks > 0
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_distinct": pa.array(distinct[nz], pa.int64()),
+            "n_tokens": pa.array(toks[nz], pa.int64()),
+            "ttr_micros": pa.array(distinct[nz] * 1_000_000 // toks[nz],
+                                   pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(ttr, batch_format="pyarrow"))
+
+
+# Source split for the drift entry — mirrored literally in the oracle.
+JS_SOURCES_A = tuple(f"src{i}" for i in range(10))
+
+
+def js_divergence(sf_dir: str):
+    """Corpus drift detection: Jensen-Shannon divergence between the
+    term distributions of two source groups (src0–9 vs the rest) — the
+    check a training-data pipeline runs before mixing a new domain in.
+    Per-term contributions p·ln(p/m), q·ln(q/m) are rounded to micros
+    FIRST and summed in int64 (order-independent); js = max(0, Σ) // 2
+    (the max guard keeps rounding jitter on near-identical
+    distributions away from negative-operand // divergence between
+    engines). Counts per (term, side) come from one map-side-combined
+    aggregate; the divergence math runs on the vocab-sized driver
+    table."""
+    src_a = set(JS_SOURCES_A)
+
+    def part(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        srcs = b["source"].combine_chunks().to_pylist()
+        is_a = np.array([s in src_a for s in srcs], dtype=bool)[doc_idx]
+        d = flat.dictionary_encode()
+        codes = np.asarray(d.indices).astype(np.int64)
+        nvocab = len(d.dictionary)
+        ca = np.bincount(codes[is_a], minlength=nvocab)
+        cb = np.bincount(codes[~is_a], minlength=nvocab)
+        return pa.table({"term": d.dictionary,
+                         "ca": pa.array(ca.astype(np.int64)),
+                         "cb": pa.array(cb.astype(np.int64))})
+
+    uni = (rd.read_parquet(_docs(sf_dir), columns=["text", "source"])
+           .map_batches(part, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("ca", alias_name="ca"),
+                      Sum("cb", alias_name="cb"))
+           .to_pandas())  # vocab-sized
+    ca = uni["ca"].to_numpy(np.int64)
+    cb = uni["cb"].to_numpy(np.int64)
+    ta, tb = int(ca.sum()), int(cb.sum())
+    p = ca.astype(np.float64) / ta
+    q = cb.astype(np.float64) / tb
+    m = (p + q) / 2.0
+    cp = np.zeros(len(uni), dtype=np.int64)
+    cq = np.zeros(len(uni), dtype=np.int64)
+    pm = p > 0
+    qm = q > 0
+    cp[pm] = np.floor(p[pm] * np.log(p[pm] / m[pm]) * 1e6
+                      + 0.5).astype(np.int64)
+    cq[qm] = np.floor(q[qm] * np.log(q[qm] / m[qm]) * 1e6
+                      + 0.5).astype(np.int64)
+    total = int(cp.sum() + cq.sum())
+    return pa.table({
+        "n_terms": pa.array([len(uni)], pa.int64()),
+        "js_micros": pa.array([max(0, total) // 2], pa.int64()),
+    })

@@ -79,7 +79,9 @@ def test_sql_tokenizer_unicode_parity():
                                   "token_fertility", "containment_pairs",
                                   "winsorized_mean",
                                   "bm25_topk_appended",
-                                  "event_trigrams"])
+                                  "event_trigrams", "lang_confusion",
+                                  "length_outliers", "type_token_ratio",
+                                  "js_divergence"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 

@@ -170,3 +170,50 @@ def test_token_fertility_positive(P):
     df = P.token_fertility(SF).to_pandas()
     assert (df["chars_per_token_micros"] > 1_000_000).all()  # >1 char/token
     assert df["n_tokens"].sum() > 0
+
+
+def test_lang_confusion_diagonal_dominates(P):
+    """The synthetic corpus's labeled langs carry their marker terms, so
+    the confusion matrix should be diagonal-heavy for labeled langs
+    that the scorer knows."""
+    df = P.lang_confusion(SF).to_pandas()
+    known = df[df["lang"].isin(df["lang_pred"].unique())]
+    diag = known[known["lang"] == known["lang_pred"]]["n"].sum()
+    off = known[known["lang"] != known["lang_pred"]]["n"].sum()
+    assert diag > off
+
+
+def test_length_outliers_bounded(P):
+    """At p01/p99 cuts, outliers are ≤ ~2.5% per language of docs (disc
+    quantiles keep boundary values inside)."""
+    import duckdb
+
+    out = P.length_outliers(SF).to_pandas()
+    con = duckdb.connect()
+    tot = con.sql(f"SELECT count(*) FROM "
+                  f"'{os.path.join(SF, 'documents.parquet')}'").fetchone()[0]
+    assert len(out) <= 0.025 * tot + 5
+
+
+def test_js_divergence_properties(P):
+    """JS ∈ [0, ln 2]; self-divergence of identical splits would be 0 —
+    the synthetic sources share a vocabulary so it should be small but
+    the value must be nonnegative and bounded."""
+    t = P.js_divergence(SF).to_pandas()
+    js = int(t["js_micros"].iloc[0])
+    assert 0 <= js <= int(np.log(2) * 1e6) + 1
+
+
+def test_ttr_bounds(P):
+    df = P.type_token_ratio(SF).to_pandas()
+    assert (df["ttr_micros"] > 0).all()
+    assert (df["ttr_micros"] <= 1_000_000).all()
+    assert (df["n_distinct"] <= df["n_tokens"]).all()
+
+
+def test_event_trigrams_counts(P):
+    df = P.event_trigrams(SF).to_pandas()
+    assert len(df) == 10
+    n = df.sort_values("rank")["n"].to_numpy()
+    assert (np.diff(n) <= 0).all()
+    assert all(p.count(">") == 2 for p in df["pattern"])
