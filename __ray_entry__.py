@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": P.length_outliers,
         "type_token_ratio": P.type_token_ratio,
         "js_divergence": P.js_divergence,
+        "robust_outliers": P.robust_outliers,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -801,6 +802,18 @@ WITH p AS ({lang_id_sql})
 SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM documents d JOIN p ON d.doc_id = p.doc_id
 GROUP BY 1, 2""",
+        "robust_outliers": """
+WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+           FROM events GROUP BY 1),
+d AS (SELECT e.event_id, e.event_type, e.value,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+       FROM d GROUP BY 1)
+SELECT d.event_id, d.event_type,
+       CAST(floor(d.value * 1e6 + 0.5) AS BIGINT) AS value_micros
+FROM d JOIN md USING (event_type)
+WHERE d.dev > 3.0 * md.mad""",
         "length_outliers": """
 WITH b AS (SELECT lang, quantile_disc(n_chars, 0.01) AS lo,
                   quantile_disc(n_chars, 0.99) AS hi

@@ -3340,3 +3340,52 @@ def js_divergence(sf_dir: str):
         "n_terms": pa.array([len(uni)], pa.int64()),
         "js_micros": pa.array([max(0, total) // 2], pa.int64()),
     })
+
+
+def robust_outliers(sf_dir: str):
+    """Robust anomaly flags per event type: rows with
+    |value − median| > 3·MAD (median absolute deviation) — the
+    outlier gate that survives heavy tails where mean/std break. Both
+    the median and the MAD are EXACT grouped quantiles (two
+    grouped_quantile_disc rounds, no per-group sorts); the deviation
+    column and the 3·MAD comparison are pure IEEE subtract/abs/multiply
+    — bitwise identical in both engines, so the row set matches with
+    no tolerance."""
+    import ray as _ray
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(ev, columns=["event_id", "event_type", "value"])
+    med_t = grouped_quantile_disc(ds, "event_type", "value", 0.5)
+    med = dict(zip(med_t["event_type"].to_pylist(),
+                   med_t["value"].to_pylist()))
+    mref = _ray.put(med)
+
+    def dev(b: pa.Table) -> pa.Table:
+        m = _ray.get(mref)
+        et = b["event_type"].combine_chunks().to_pylist()
+        v = np.asarray(b["value"].combine_chunks())
+        mv = np.array([m[e] for e in et])
+        return b.append_column("dev", pa.array(np.abs(v - mv)))
+
+    # materialize once: the MAD quantile AND the flag pass both read the
+    # derived column (lineage would re-run the dev map per consumer)
+    dds = ds.map_batches(dev, batch_format="pyarrow").materialize()
+    mad_t = grouped_quantile_disc(dds, "event_type", "dev", 0.5)
+    mad = dict(zip(mad_t["event_type"].to_pylist(),
+                   mad_t["value"].to_pylist()))
+    dref = _ray.put(mad)
+
+    def flag(b: pa.Table) -> pa.Table:
+        md = _ray.get(dref)
+        et = b["event_type"].combine_chunks().to_pylist()
+        d = np.asarray(b["dev"].combine_chunks())
+        lim = np.array([3.0 * md[e] for e in et])
+        out = b.filter(pa.array(d > lim))
+        return pa.table({
+            "event_id": out["event_id"],
+            "event_type": out["event_type"],
+            "value_micros": pc_micros(out["value"]),
+        })
+
+    return dds.map_batches(flag, batch_format="pyarrow")

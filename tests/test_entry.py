@@ -81,7 +81,7 @@ def test_sql_tokenizer_unicode_parity():
                                   "bm25_topk_appended",
                                   "event_trigrams", "lang_confusion",
                                   "length_outliers", "type_token_ratio",
-                                  "js_divergence"])
+                                  "js_divergence", "robust_outliers"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 

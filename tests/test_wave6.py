@@ -217,3 +217,25 @@ def test_event_trigrams_counts(P):
     n = df.sort_values("rank")["n"].to_numpy()
     assert (np.diff(n) <= 0).all()
     assert all(p.count(">") == 2 for p in df["pattern"])
+
+
+def test_robust_outliers_are_extreme(P):
+    """Every flagged row deviates from its group median by more than
+    3 MADs — verify against independently computed medians/MADs."""
+    import duckdb
+
+    out = P.robust_outliers(SF).to_pandas()
+    assert len(out) > 0
+    con = duckdb.connect()
+    ref = con.sql(
+        f"WITH m AS (SELECT event_type, quantile_disc(value, 0.5) med "
+        f"FROM '{os.path.join(SF, 'events.parquet')}' GROUP BY 1), "
+        f"d AS (SELECT e.event_type, abs(e.value - m.med) dev "
+        f"FROM '{os.path.join(SF, 'events.parquet')}' e JOIN m USING (event_type)) "
+        f"SELECT event_type, quantile_disc(dev, 0.5) mad, "
+        f"(SELECT med FROM m WHERE m.event_type = d.event_type) med "
+        f"FROM d GROUP BY event_type").df().set_index("event_type")
+    for _, r in out.iterrows():
+        med = ref.loc[r["event_type"], "med"]
+        mad = ref.loc[r["event_type"], "mad"]
+        assert abs(r["value_micros"] / 1e6 - med) > 3.0 * mad - 1e-6
