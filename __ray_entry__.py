@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": P.type_token_ratio,
         "js_divergence": P.js_divergence,
         "robust_outliers": P.robust_outliers,
+        "hard_negatives": P.hard_negatives,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -802,6 +803,33 @@ WITH p AS ({lang_id_sql})
 SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM documents d JOIN p ON d.doc_id = p.doc_id
 GROUP BY 1, 2""",
+        "hard_negatives": f"""
+WITH {kept},
+{token_list_cte()},
+{ngram_cte(8, 'g8')},
+qg AS (SELECT DISTINCT md5_number_lower(ng) AS gh FROM g8
+       WHERE doc_id = 0),
+nd AS (SELECT DISTINCT g.doc_id FROM g8 g
+       JOIN qg ON md5_number_lower(g.ng) = qg.gh),
+h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept),
+w AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS bucket,
+             sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+      FROM h GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM w GROUP BY doc_id),
+q AS (SELECT bucket, w FROM w WHERE doc_id = 0),
+qn AS (SELECT n FROM norms WHERE doc_id = 0),
+dots AS (SELECT w.doc_id, sum(w.w * q.w) AS dot
+         FROM w JOIN q USING (bucket) GROUP BY w.doc_id),
+sims AS (
+  SELECT n.doc_id, coalesce(d.dot, 0) / (n.n * qn.n) AS sim
+  FROM norms n LEFT JOIN dots d ON n.doc_id = d.doc_id
+  CROSS JOIN qn
+  WHERE n.n > 0 AND qn.n > 0 AND n.doc_id <> 0
+    AND n.doc_id NOT IN (SELECT doc_id FROM nd))
+SELECT doc_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM sims ORDER BY sim DESC, doc_id ASC LIMIT 10""",
         "robust_outliers": """
 WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
            FROM events GROUP BY 1),

@@ -3389,3 +3389,87 @@ def robust_outliers(sf_dir: str):
         })
 
     return dds.map_batches(flag, batch_format="pyarrow")
+
+
+def hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: the cosine top-10 to doc 0
+    EXCLUDING doc 0 itself and every doc sharing an 8-gram with it —
+    near-duplicates make catastrophic 'negatives', so the retrieval is
+    filtered through the dedup signal before ranking. The exclusion set
+    comes from doc 0's gram hashes (one predicate-pushdown read +
+    broadcast); candidate scoring is the existing encoder chain with a
+    map-side membership drop. Fully oracled: the text_knn sims CTE plus
+    a NOT EXISTS over shared grams."""
+    import ray as _ray
+
+    from ..functions.curation import doc_ngram_hashes
+
+    q_tbl = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
+                          columns=["doc_id", "text"])
+    _, q_grams = doc_ngram_hashes(q_tbl, 8)
+    q_sorted = np.sort(q_grams)
+    gref = _ray.put(q_sorted)
+
+    def drop_near_dups(b: pa.Table) -> pa.Table:
+        grams = _ray.get(gref)
+        doc, h = doc_ngram_hashes(b, 8)
+        if len(h) and len(grams):
+            pos = np.searchsorted(grams, h)
+            hit = (pos < len(grams)) & (grams[np.minimum(
+                pos, len(grams) - 1)] == h)
+            bad = np.unique(doc[hit])
+        else:
+            bad = np.empty(0, np.int64)
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        keep = ~np.isin(ids, bad) & (ids != 0)
+        return b.filter(pa.array(keep))
+
+    # filter first (map-side), then the shared encoder+top-k chain —
+    # the chain reads (doc_id, text), which the filtered batch provides
+    from ..functions.embedding import HashedTextEncoder
+    from ..functions.topk import topk_desc_tiebreak
+
+    DIM = 64
+    enc = HashedTextEncoder(DIM, normalize=False)
+    q = enc.encode_texts([q_tbl["text"][0].as_py()])[0]
+    nq = float(np.sqrt((q * q).sum()))
+    if nq == 0.0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sim_micros": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    q_ref = _ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = _ray.get(q_ref)
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mat = np.asarray(batch["embedding"].combine_chunks().flatten()
+                         ).reshape(-1, DIM)
+        dots = mat @ qv
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        keep = norms > 0
+        sim = dots[keep] / (norms[keep] * nq)
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        top = topk_desc_tiebreak(ids[keep], sim, 10)
+        return pa.table({"doc_id": ids[keep][top], "sim": sim[top]})
+
+    parts = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+             .map_batches(drop_near_dups, batch_format="pyarrow")
+             .map_batches(HashedTextEncoder, batch_format="pyarrow",
+                          batch_size=256, concurrency=2,
+                          fn_constructor_kwargs={"dim": DIM,
+                                                 "normalize": False})
+             .map_batches(score, batch_format="pyarrow")
+             .to_pandas())
+    parts = parts.sort_values(["sim", "doc_id"],
+                              ascending=[False, True]).head(10)
+    return pa.table({
+        "doc_id": pa.array(parts["doc_id"].to_numpy(), pa.int64()),
+        "sim_micros": pa.array(to_micros(parts["sim"].to_numpy()),
+                               pa.int64()),
+        "rank": pa.array(np.arange(1, len(parts) + 1), pa.int64()),
+    })

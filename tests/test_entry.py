@@ -81,7 +81,8 @@ def test_sql_tokenizer_unicode_parity():
                                   "bm25_topk_appended",
                                   "event_trigrams", "lang_confusion",
                                   "length_outliers", "type_token_ratio",
-                                  "js_divergence", "robust_outliers"])
+                                  "js_divergence", "robust_outliers",
+                                  "hard_negatives"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 

@@ -239,3 +239,24 @@ def test_robust_outliers_are_extreme(P):
         med = ref.loc[r["event_type"], "med"]
         mad = ref.loc[r["event_type"], "mad"]
         assert abs(r["value_micros"] / 1e6 - med) > 3.0 * mad - 1e-6
+
+
+def test_hard_negatives_exclude_near_dups(P):
+    """No returned negative may share an 8-gram with doc 0, and doc 0
+    itself must be excluded (text_knn returns it at rank 1)."""
+    hn = P.hard_negatives(SF).to_pandas()
+    assert 0 not in set(hn["doc_id"])
+    assert len(hn) == 10
+    import duckdb
+
+    from stacksearch_ray.pipelines.sql import ngram_cte, token_list_cte
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(SF, 'documents.parquet')}'")
+    shared = con.sql(f"""
+WITH {token_list_cte()},
+{ngram_cte(8, 'g8')},
+qg AS (SELECT DISTINCT ng FROM g8 WHERE doc_id = 0)
+SELECT DISTINCT g.doc_id FROM g8 g JOIN qg USING (ng)""").df()
+    assert not set(hn["doc_id"]) & set(shared["doc_id"])
