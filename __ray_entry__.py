@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_divergence": P.js_divergence,
         "robust_outliers": P.robust_outliers,
         "hard_negatives": P.hard_negatives,
+        "term_coverage": P.term_coverage,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -803,6 +804,17 @@ WITH p AS ({lang_id_sql})
 SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM documents d JOIN p ON d.doc_id = p.doc_id
 GROUP BY 1, 2""",
+        "term_coverage": f"""
+WITH {kept},
+cf AS (SELECT term, count(*) AS cf FROM kept GROUP BY term),
+tot AS (SELECT sum(cf) AS t FROM cf),
+top AS (SELECT cf FROM cf ORDER BY cf DESC, term ASC LIMIT 100)
+SELECT CAST((SELECT count(*) FROM top) AS BIGINT) AS n_top_terms,
+       CAST((SELECT sum(cf) FROM top) AS BIGINT) AS covered,
+       CAST(tot.t AS BIGINT) AS total,
+       CAST((SELECT sum(cf) FROM top) * 1000000 // tot.t AS BIGINT)
+           AS coverage_micros
+FROM tot""",
         "hard_negatives": f"""
 WITH {kept},
 {token_list_cte()},

@@ -3473,3 +3473,22 @@ def hard_negatives(sf_dir: str):
                                pa.int64()),
         "rank": pa.array(np.arange(1, len(parts) + 1), pa.int64()),
     })
+
+
+def term_coverage(sf_dir: str):
+    """Tokenizer-design metric: the fraction of ALL kept-token
+    occurrences covered by the top-100 most frequent terms (count desc,
+    term asc tie-break) — the coverage curve point that decides vocab
+    sizes and stopword lists. Counts come from the combiner-backed
+    term_counts aggregate; the division is integer micros."""
+    cf = term_counts(sf_dir).to_pandas()  # vocab-sized
+    total = int(cf["cf"].sum())
+    order = np.lexsort((cf["term"].to_numpy(dtype=object),
+                        -cf["cf"].to_numpy()))[:100]
+    top = int(cf["cf"].to_numpy(np.int64)[order].sum())
+    return pa.table({
+        "n_top_terms": pa.array([len(order)], pa.int64()),
+        "covered": pa.array([top], pa.int64()),
+        "total": pa.array([total], pa.int64()),
+        "coverage_micros": pa.array([top * 1_000_000 // total], pa.int64()),
+    })

@@ -198,3 +198,45 @@ def test_compact_crash_recovery(ray_session, tmp_path):
     os.rename(seg, seg + ".old")
     assert QueryEngine(idx).search("numpy python", 5) == before
     shutil.rmtree(seg + ".old", ignore_errors=True)
+
+
+def test_multi_append_microbatch_ingestion(ray_session, tmp_path):
+    """Streaming micro-batch ingestion: 1 base build + 3 sequential
+    appends. After EVERY append the exhaustive results match a rebuild
+    over the ingested prefix, and the final compact is bitwise equal to
+    the full rebuild's segments — the A4/A5 freshness story under
+    repeated deltas, not just one."""
+    import os
+    import shutil
+
+    from stacksearch_ray.append import append_to_index, compact_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    full = str(tmp_path / "full")
+    write_corpus(full, 400, rows_per_file=100)
+    parts = [f"{full}/part-0000{i}.parquet" for i in range(4)]
+    idx = str(tmp_path / "inc")
+    build_index(parts[0], idx, num_shards=4)
+    for k in (1, 2, 3):
+        append_to_index([parts[k]], idx)
+        prefix_idx = str(tmp_path / f"prefix{k}")
+        build_index(parts[:k + 1], prefix_idx, num_shards=4)
+        eng_i, eng_p = QueryEngine(idx), QueryEngine(prefix_idx)
+        for q in QUERIES:
+            assert (eng_i.search(q, 10, "exhaustive")
+                    == eng_p.search(q, 10, "exhaustive")), (k, q)
+        shutil.rmtree(prefix_idx)
+    compact_index(idx)
+    rebuild = str(tmp_path / "rebuild")
+    build_index(full, rebuild, num_shards=4)
+    a = pq.read_table(os.path.join(idx, "segments")).to_pandas()
+    b = pq.read_table(os.path.join(rebuild, "segments")).to_pandas()
+    a = a.sort_values(["term", "shard"]).reset_index(drop=True)
+    b = b.sort_values(["term", "shard"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("term", "shard", "df", "cf", "doc_ids", "tfs"):
+        assert (a[col] == b[col]).all(), col
+    eng, engr = QueryEngine(idx), QueryEngine(rebuild)
+    for q in QUERIES:
+        assert eng.search(q, 10, "auto") == engr.search(q, 10, "auto")
