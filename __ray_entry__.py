@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_outliers": P.robust_outliers,
         "hard_negatives": P.hard_negatives,
         "term_coverage": P.term_coverage,
+        "mmr_rerank": P.mmr_rerank,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -239,6 +240,58 @@ SELECT doc_id,
        CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
        CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS lang_score_micros
 FROM best WHERE rn = 1"""
+    # MMR oracle: the 10 greedy steps unrolled as chained CTEs (the
+    # PageRank unrolled-iteration pattern). Pairwise sims default to 0
+    # for bucket-disjoint pairs (the engine's dense matrix has exact
+    # 0.0 there). Tie-break (mmr DESC, doc_id ASC) at every argmax.
+    mmr_steps = []
+    for k in range(2, 11):
+        prev_union = " UNION ALL ".join(
+            f"SELECT doc_id FROM sel{i}" for i in range(1, k))
+        mmr_steps.append(f"""
+selset{k} AS ({prev_union}),
+m{k} AS (SELECT r.doc_id, r.rel, max(coalesce(ps.sim, 0)) AS ms
+         FROM rels r
+         CROSS JOIN selset{k} s
+         LEFT JOIN psim ps ON ps.a = r.doc_id AND ps.b = s.doc_id
+         WHERE r.doc_id NOT IN (SELECT doc_id FROM selset{k})
+         GROUP BY r.doc_id, r.rel),
+sel{k} AS MATERIALIZED (SELECT doc_id, 0.7 * rel - 0.3 * ms AS mmr FROM m{k}
+           ORDER BY 0.7 * rel - 0.3 * ms DESC, doc_id ASC LIMIT 1)""")
+    mmr_union = " UNION ALL ".join(
+        f"SELECT doc_id, mmr, {i} AS rank FROM sel{i}"
+        for i in range(1, 11))
+    mmr_sql = bm25_scores_sql(BM25_QUERY) + f""",
+cand AS (SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+                                             doc_id ASC) AS rn
+           FROM scores) WHERE rn <= 20),
+h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept
+      WHERE doc_id IN (SELECT doc_id FROM cand)),
+w AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS bucket,
+             sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+      FROM h GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM w GROUP BY doc_id),
+qh AS (SELECT md5_number_lower(term) AS h FROM qterms),
+qw AS (SELECT CAST(h % 64 AS BIGINT) AS bucket,
+              sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+       FROM qh GROUP BY bucket),
+qn AS (SELECT sqrt(sum(w * w)) AS n FROM qw),
+qdots AS (SELECT w.doc_id, sum(w.w * qw.w) AS dot
+          FROM w JOIN qw USING (bucket) GROUP BY w.doc_id),
+rels AS MATERIALIZED (SELECT n.doc_id, coalesce(d.dot, 0) / (n.n * qn.n) AS rel
+         FROM norms n LEFT JOIN qdots d ON n.doc_id = d.doc_id
+         CROSS JOIN qn WHERE n.n > 0 AND qn.n > 0),
+pd AS (SELECT w1.doc_id AS a, w2.doc_id AS b, sum(w1.w * w2.w) AS dot
+       FROM w w1 JOIN w w2 USING (bucket) GROUP BY 1, 2),
+psim AS MATERIALIZED (SELECT pd.a, pd.b, pd.dot / (na.n * nb.n) AS sim
+         FROM pd JOIN norms na ON na.doc_id = pd.a
+                 JOIN norms nb ON nb.doc_id = pd.b),
+sel1 AS MATERIALIZED (SELECT doc_id, 0.7 * rel AS mmr FROM rels
+         ORDER BY 0.7 * rel DESC, doc_id ASC LIMIT 1),{",".join(mmr_steps)}
+SELECT doc_id, CAST(floor(mmr * 1e6 + 0.5) AS BIGINT) AS mmr_micros,
+       CAST(rank AS BIGINT) AS rank
+FROM ({mmr_union}) ORDER BY rank"""
     # knn_ann_lsh hyperplanes: the same deterministic rng draw the engine
     # makes (seed 11, 8 planes, dim 64), embedded as full-precision
     # literals; repr() round-trips doubles exactly
@@ -804,6 +857,7 @@ WITH p AS ({lang_id_sql})
 SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM documents d JOIN p ON d.doc_id = p.doc_id
 GROUP BY 1, 2""",
+        "mmr_rerank": mmr_sql,
         "term_coverage": f"""
 WITH {kept},
 cf AS (SELECT term, count(*) AS cf FROM kept GROUP BY term),

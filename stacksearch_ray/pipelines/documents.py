@@ -3492,3 +3492,60 @@ def term_coverage(sf_dir: str):
         "total": pa.array([total], pa.int64()),
         "coverage_micros": pa.array([top * 1_000_000 // total], pa.int64()),
     })
+
+
+def mmr_rerank(sf_dir: str):
+    """Diversified retrieval: MMR re-ranking (Carbonell & Goldstein
+    1998) of the BM25 top-20 — greedy top-10 by
+    0.7·rel(d) − 0.3·max_{s∈S} sim(d, s), rel and sim both exact
+    hash-embedding cosines (integer-dot ratios — bitwise across
+    engines, like text_knn). The candidate set comes from the index;
+    candidate texts are read back via predicate pushdown; the greedy
+    loop runs on 20 rows on the driver. The oracle unrolls the 10
+    greedy steps as chained CTEs (the PageRank unrolled-iteration
+    pattern) — argmax ties break (score desc, doc_id asc) in both."""
+    from ..functions.embedding import HashedTextEncoder
+
+    DIM = 64
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 20, method="exhaustive")
+    cand_ids = [int(d) for d, _ in res]
+    if not cand_ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "mmr_micros": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    tbl = pq.read_table(_docs(sf_dir), columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", cand_ids)])
+    by_id = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    texts = [by_id[d] for d in cand_ids]
+    enc = HashedTextEncoder(DIM, normalize=False)
+    V = enc.encode_texts(texts)            # (n, DIM) integer-valued
+    q = enc.encode_texts([BM25_QUERY])[0]
+    norms = np.sqrt((V * V).sum(axis=1))
+    nq = float(np.sqrt((q * q).sum()))
+    keep = norms > 0
+    ids = np.array(cand_ids, dtype=np.int64)[keep]
+    V, norms = V[keep], norms[keep]
+    rel = (V @ q) / (norms * nq)
+    sim = (V @ V.T) / np.outer(norms, norms)
+    n = len(ids)
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = np.ones(n, dtype=bool)
+    for step in range(min(10, n)):
+        if step == 0:
+            mmr = 0.7 * rel
+        else:
+            ms = sim[:, selected].max(axis=1)
+            mmr = 0.7 * rel - 0.3 * ms
+        mmr_r = np.where(remaining, mmr, -np.inf)
+        # argmax with doc_id asc tie-break
+        best = np.lexsort((ids, -mmr_r))[0]
+        selected.append(best)
+        scores.append(float(mmr_r[best]))
+        remaining[best] = False
+    return pa.table({
+        "doc_id": pa.array(ids[selected], pa.int64()),
+        "mmr_micros": pa.array(to_micros(np.array(scores)), pa.int64()),
+        "rank": pa.array(np.arange(1, len(selected) + 1, dtype=np.int64)),
+    })

