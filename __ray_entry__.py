@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": P.hard_negatives,
         "term_coverage": P.term_coverage,
         "mmr_rerank": P.mmr_rerank,
+        "dup_rate_by_source": P.dup_rate_by_source,
+        "stopword_discovery": P.stopword_discovery,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -858,6 +860,23 @@ SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM documents d JOIN p ON d.doc_id = p.doc_id
 GROUP BY 1, 2""",
         "mmr_rerank": mmr_sql,
+        "dup_rate_by_source": """
+WITH h AS (SELECT doc_id, source, sha256(text) AS ch FROM documents),
+c AS (SELECT ch, count(*) AS n FROM h GROUP BY ch),
+p AS (SELECT h.source, count(*) AS n_docs,
+             count(*) FILTER (c.n >= 2) AS n_dup
+      FROM h JOIN c USING (ch) GROUP BY h.source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       CAST(n_dup * 1000000 // n_docs AS BIGINT) AS dup_rate_micros
+FROM p""",
+        "stopword_discovery": f"""
+WITH {kept},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(df * 1000000 // nd.n AS BIGINT) AS df_ratio_micros
+FROM df CROSS JOIN nd WHERE df * 2 > nd.n""",
         "term_coverage": f"""
 WITH {kept},
 cf AS (SELECT term, count(*) AS cf FROM kept GROUP BY term),

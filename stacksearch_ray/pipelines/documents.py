@@ -3549,3 +3549,75 @@ def mmr_rerank(sf_dir: str):
         "mmr_micros": pa.array(to_micros(np.array(scores)), pa.int64()),
         "rank": pa.array(np.arange(1, len(selected) + 1, dtype=np.int64)),
     })
+
+
+def dup_rate_by_source(sf_dir: str):
+    """Per-source duplicate statistics — which domain is dirtiest, the
+    number a curation pipeline reports before choosing dedup budgets.
+    A doc is 'dup' when its exact content hash appears ≥2 times in the
+    corpus. The hash table shuffles (hash, 1) partials only; the dup
+    set broadcasts (dup-hash-sized); rates are integer micros."""
+    import ray as _ray
+    from ..functions.dedup import add_content_hash
+
+    docs = rd.read_parquet(_docs(sf_dir),
+                           columns=["doc_id", "text", "source"])
+
+    def hashed(b: pa.Table) -> pa.Table:
+        return add_content_hash(b, "text").select(
+            ["doc_id", "source", "content_hash"])
+
+    hds = docs.map_batches(hashed, batch_format="pyarrow").materialize()
+
+    def hash_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({"content_hash": b["content_hash"].combine_chunks(),
+                      "n": np.ones(b.num_rows, dtype=np.int64)})
+        return _partial_sums(t, ["content_hash"], {"n": "n"})
+
+    counts = (hds.map_batches(hash_counts, batch_format="pyarrow")
+              .groupby("content_hash").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    dup_hashes = set(counts[counts["n"] >= 2]["content_hash"])
+    dref = _ray.put(dup_hashes)
+
+    def per_source(b: pa.Table) -> pa.Table:
+        dups = _ray.get(dref)
+        hs = b["content_hash"].combine_chunks().to_pylist()
+        is_dup = np.array([h in dups for h in hs], dtype=np.int64)
+        t = pa.table({"source": b["source"].combine_chunks(),
+                      "n_docs": np.ones(b.num_rows, dtype=np.int64),
+                      "n_dup": is_dup})
+        return _partial_sums(t, ["source"], {"n_docs": "n_docs",
+                                             "n_dup": "n_dup"})
+
+    agg = (hds.map_batches(per_source, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_dup", alias_name="n_dup"))
+           .to_pandas())
+    return pa.table({
+        "source": pa.array(agg["source"].to_numpy(dtype=object),
+                           pa.string()),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+        "n_dup": pa.array(agg["n_dup"].to_numpy(np.int64)),
+        "dup_rate_micros": pa.array(
+            agg["n_dup"].to_numpy(np.int64) * 1_000_000
+            // agg["n_docs"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def stopword_discovery(sf_dir: str):
+    """Corpus-specific stopword discovery: terms whose document
+    frequency exceeds half the corpus — the list a pipeline feeds back
+    into its tokenizer. df from the combiner-backed term_df aggregate;
+    the threshold is an integer comparison (df·2 > n_docs)."""
+    df_pd = term_df(sf_dir).to_pandas()
+    n_docs = pq.read_metadata(_docs(sf_dir)).num_rows
+    sel = df_pd[df_pd["df"].to_numpy(np.int64) * 2 > n_docs]
+    sel = sel.sort_values("term")
+    return pa.table({
+        "term": pa.array(sel["term"].to_numpy(dtype=object), pa.string()),
+        "df": pa.array(sel["df"].to_numpy(np.int64)),
+        "df_ratio_micros": pa.array(
+            sel["df"].to_numpy(np.int64) * 1_000_000 // n_docs, pa.int64()),
+    })

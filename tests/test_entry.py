@@ -83,7 +83,8 @@ def test_sql_tokenizer_unicode_parity():
                                   "length_outliers", "type_token_ratio",
                                   "js_divergence", "robust_outliers",
                                   "hard_negatives", "term_coverage",
-                                  "mmr_rerank"])
+                                  "mmr_rerank", "dup_rate_by_source",
+                                  "stopword_discovery"])
 def test_sampled_entries_match_oracle(entry_mod, name):
     import duckdb
 
