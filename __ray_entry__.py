@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": P.mmr_rerank,
         "dup_rate_by_source": P.dup_rate_by_source,
         "stopword_discovery": P.stopword_discovery,
+        # search-engine query operators (boolean / autocomplete /
+        # facets / fuzzy match)
+        "boolean_search": P.boolean_search,
+        "term_autocomplete": P.term_autocomplete,
+        "search_facets": P.search_facets,
+        "fuzzy_vocab_match": P.fuzzy_vocab_match,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -205,6 +211,14 @@ def oracle_sql() -> dict[str, str]:
         token_list_cte,
     )
 
+    from stacksearch_ray.pipelines.documents import (
+        AUTOCOMPLETE_PREFIX as _AUTO_PREFIX,
+        BOOL_MUST as _BOOL_MUST,
+        BOOL_NOT as _BOOL_NOT,
+        FUZZY_PROBES as _FUZZY_PROBES,
+    )
+
+    _AUTO_HI = _AUTO_PREFIX[:-1] + chr(ord(_AUTO_PREFIX[-1]) + 1)
     kept = kept_tokens_cte()
     bm25 = bm25_topk_sql(BM25_QUERY, 10)
     from stacksearch_ray.pipelines.documents import JS_SOURCES_A
@@ -1721,6 +1735,42 @@ reach(node, lbl) AS (
   UNION
   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""",
+        "boolean_search": f"""
+WITH {kept}
+SELECT doc_id FROM (
+  {' INTERSECT '.join(f"SELECT DISTINCT doc_id FROM kept WHERE term = '{t}'" for t in _BOOL_MUST)}
+  {' '.join(f"EXCEPT SELECT DISTINCT doc_id FROM kept WHERE term = '{t}'" for t in _BOOL_NOT)}
+) ORDER BY doc_id""",
+        "term_autocomplete": f"""
+WITH {kept},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+r AS (SELECT term, df,
+             row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+      FROM df
+      WHERE term >= '{_AUTO_PREFIX}' AND term < '{_AUTO_HI}')
+SELECT term, CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10""",
+        "search_facets": bm25_scores_sql(BM25_QUERY) + """,
+top AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 50),
+n AS (SELECT count(*) AS n FROM top)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 1000000 // n.n AS BIGINT) AS share_micros
+FROM top JOIN documents d USING (doc_id) CROSS JOIN n
+GROUP BY d.lang, n.n""",
+        "fuzzy_vocab_match": f"""
+WITH {kept},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+probes(probe) AS (VALUES {', '.join(f"('{p}')" for p in _FUZZY_PROBES)}),
+d AS (SELECT probe, term, levenshtein(probe, term) AS dist, df
+      FROM probes CROSS JOIN df),
+r AS (SELECT probe, term, dist, df,
+             row_number() OVER (PARTITION BY probe
+                                ORDER BY dist ASC, df DESC, term ASC)
+                 AS rank
+      FROM d WHERE dist <= 2)
+SELECT probe, term, CAST(dist AS BIGINT) AS dist, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
         # rows-only (non-SQL-expressible): approx_vocab (HLL,
         # approximate by design), semantic_knn (trained PPMI+SVD model
         # — synonym geometry pinned by pytest instead),

@@ -3621,3 +3621,150 @@ def stopword_discovery(sf_dir: str):
         "df_ratio_micros": pa.array(
             sel["df"].to_numpy(np.int64) * 1_000_000 // n_docs, pa.int64()),
     })
+
+
+# ---------------- wave 9: search-engine query operators ----------------
+
+BOOL_MUST = ("merge", "sort")
+BOOL_NOT = ("window",)
+
+
+def boolean_search(sf_dir: str):
+    """Boolean retrieval over the inverted index (the classic
+    AND/NOT query a search engine serves beside ranked BM25):
+    doc-id sets intersect across the required terms, then the
+    excluded term's postings subtract. Set algebra runs on SORTED
+    posting arrays (np.intersect1d / setdiff1d — merge-style, no
+    hashing); at scale each shard intersects its own postings
+    independently and the union of shard results is exact because
+    doc ids are shard-partitioned."""
+    eng = _index_for(sf_dir)
+    ids: np.ndarray | None = None
+    for t in BOOL_MUST:
+        s = eng.term_doc_ids(t)
+        ids = s if ids is None else np.intersect1d(ids, s,
+                                                   assume_unique=True)
+    for t in BOOL_NOT:
+        ids = np.setdiff1d(ids, eng.term_doc_ids(t), assume_unique=True)
+    ids = np.sort(ids).astype(np.int64)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+AUTOCOMPLETE_PREFIX = "s"
+
+
+def term_autocomplete(sf_dir: str):
+    """Query autocompletion: top-10 vocabulary terms under a prefix,
+    ranked by document frequency (df desc, term asc). Serving-path
+    shape: the term_dict parquet is term-sorted (groupby output), so
+    the prefix range ['s', 't') prunes to the row groups that can
+    contain it — a bounded read, no scan, no shuffle."""
+    eng = _index_for(sf_dir)
+    p = AUTOCOMPLETE_PREFIX
+    hi = p[:-1] + chr(ord(p[-1]) + 1)
+    t = pq.read_table(eng._term_dict_dir, columns=["term", "df"],
+                      filters=[("term", ">=", p), ("term", "<", hi)])
+    terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    df = np.asarray(t["df"].to_pylist(), dtype=np.int64)
+    order = np.lexsort((terms, -df))[:10]
+    return pa.table({
+        "term": pa.array(terms[order], pa.string()),
+        "df": pa.array(df[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
+def search_facets(sf_dir: str):
+    """Faceted search: BM25 top-50 for the reference query, faceted by
+    language — result-set analytics served WITH the ranked list (the
+    sidebar counts every search UI shows). The candidate set comes from
+    the index; facet metadata is a doc_id-pushdown read of the docs
+    table (50 rows), grouped on the driver."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 50, method="exhaustive")
+    ids = [int(d) for d, _ in res]
+    if not ids:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "share_micros": pa.array([], pa.int64())})
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "lang"],
+                      filters=[("doc_id", "in", ids)])
+    g = (t.to_pandas().groupby("lang", dropna=False)
+         .size().reset_index(name="n_docs").sort_values("lang"))
+    n = g["n_docs"].to_numpy(np.int64)
+    return pa.table({
+        "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+        "n_docs": pa.array(n, pa.int64()),
+        "share_micros": pa.array(n * 1_000_000 // len(ids), pa.int64()),
+    })
+
+
+FUZZY_PROBES = ("sorr", "merg", "streem", "windoe", "jion", "bat", "lin")
+
+
+def fuzzy_vocab_match(sf_dir: str):
+    """Fuzzy term matching (spell-correction candidates): for each
+    probe, vocabulary terms within Levenshtein distance ≤ 2, top-5 by
+    (distance asc, df desc, term asc). Distances come from the Myers
+    bit-parallel kernel VECTORIZED ACROSS (probe × candidate) pairs
+    (functions/curation.py — the edit_pairs kernel, terms ≤64 chars so
+    the one-word path is exact); candidates are length-blocked
+    (|len−len(probe)| ≤ 2, implied by dist ≤ 2, so blocking is pure
+    pruning). The distance filter runs map-side over the term_dict
+    Dataset — only the ≤2-edit neighborhood (k·probes rows) ever
+    reaches the driver."""
+    from ..functions.curation import _encode_ascii, myers_levenshtein
+
+    eng = _index_for(sf_dir)
+    probes = list(FUZZY_PROBES)
+    p_codes, p_lens = _encode_ascii(pd.Series(probes), 64)
+
+    def match(batch: pa.Table) -> pa.Table:
+        terms = pd.Series(batch["term"].to_pylist())
+        dfv = np.asarray(batch["df"].to_pylist()).astype(np.int64)
+        t_codes, t_lens = _encode_ascii(terms, 64)
+        out_p, out_t, out_d, out_df = [], [], [], []
+        for i, p in enumerate(probes):
+            cand = np.flatnonzero(np.abs(t_lens - p_lens[i]) <= 2)
+            if len(cand) == 0:
+                continue
+            a_codes = np.repeat(p_codes[i][None, :], len(cand), axis=0)
+            a_len = np.full(len(cand), p_lens[i], dtype=np.int64)
+            d = myers_levenshtein(a_codes, a_len,
+                                  t_codes[cand], t_lens[cand])
+            hit = d <= 2
+            out_p.append(np.full(hit.sum(), p, dtype=object))
+            out_t.append(terms.to_numpy(dtype=object)[cand[hit]])
+            out_d.append(d[hit])
+            out_df.append(dfv[cand[hit]])
+        if not out_p:
+            return pa.table({"probe": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        return pa.table({
+            "probe": pa.array(np.concatenate(out_p), pa.string()),
+            "term": pa.array(np.concatenate(out_t), pa.string()),
+            "dist": pa.array(np.concatenate(out_d).astype(np.int64)),
+            "df": pa.array(np.concatenate(out_df), pa.int64()),
+        })
+
+    cand = (rd.read_parquet(eng._term_dict_dir, columns=["term", "df"])
+            .map_batches(match, batch_format="pyarrow").to_pandas())
+    rows = []
+    for p in sorted(set(cand["probe"])):
+        g = cand[cand["probe"] == p]
+        order = np.lexsort((g["term"].to_numpy(dtype=object),
+                            -g["df"].to_numpy(np.int64),
+                            g["dist"].to_numpy(np.int64)))[:5]
+        g = g.iloc[order]
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        rows.append(g)
+    out = pd.concat(rows) if rows else cand.assign(rank=[])
+    return pa.table({
+        "probe": pa.array(out["probe"].to_numpy(dtype=object), pa.string()),
+        "term": pa.array(out["term"].to_numpy(dtype=object), pa.string()),
+        "dist": pa.array(out["dist"].to_numpy(np.int64)),
+        "df": pa.array(out["df"].to_numpy(np.int64)),
+        "rank": pa.array(out["rank"].to_numpy(np.int64)),
+    })

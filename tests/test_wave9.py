@@ -1,0 +1,96 @@
+"""Semantic properties of the ninth-wave operators (search-engine query
+ops: boolean retrieval, autocomplete, facets, fuzzy matching; plus the
+BPE learner and the deterministic global shuffle). The oracle pins
+exact values; these pin the MEANING."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def P(ray_session):
+    from stacksearch_ray.pipelines import documents as P
+
+    return P
+
+
+def _doc_term_sets(P):
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return {d: set(clean_query(x, max_tokens=None))
+            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+
+
+def test_boolean_search_exact_set(P):
+    """Index-backed boolean retrieval == brute-force scan semantics:
+    every MUST term present, no NOT term, and COMPLETE (no doc with
+    that property is missed)."""
+    got = set(P.boolean_search(SF).to_pandas()["doc_id"])
+    toks = _doc_term_sets(P)
+    want = {d for d, s in toks.items()
+            if all(t in s for t in P.BOOL_MUST)
+            and not any(t in s for t in P.BOOL_NOT)}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_term_autocomplete_prefix_and_order(P):
+    df = P.term_autocomplete(SF).to_pandas()
+    assert len(df) > 0
+    assert all(t.startswith(P.AUTOCOMPLETE_PREFIX) for t in df["term"])
+    d = df.sort_values("rank")["df"].to_numpy()
+    assert (np.diff(d) <= 0).all()
+    # df values are the true document frequencies
+    tdf = P.term_df(SF).to_pandas().set_index("term")["df"]
+    for _, r in df.iterrows():
+        assert int(tdf[r["term"]]) == int(r["df"])
+
+
+def test_search_facets_partition_topk(P):
+    df = P.search_facets(SF).to_pandas()
+    total = int(df["n_docs"].sum())
+    assert 0 < total <= 50
+    assert (df["share_micros"]
+            == df["n_docs"].to_numpy(np.int64) * 1_000_000 // total).all()
+    # facets partition the top-k: each lang appears once
+    assert df["lang"].is_unique
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_fuzzy_vocab_match_distances(P):
+    df = P.fuzzy_vocab_match(SF).to_pandas()
+    assert len(df) > 0
+    for _, r in df.iterrows():
+        assert _lev(r["probe"], r["term"]) == r["dist"] <= 2
+    # 'merg' must find 'merge' at distance 1
+    m = df[(df["probe"] == "merg") & (df["term"] == "merge")]
+    assert len(m) == 1 and int(m["dist"].iloc[0]) == 1
+    # per-probe ranking: dist asc, then df desc
+    for _, g in df.groupby("probe"):
+        g = g.sort_values("rank")
+        assert (np.diff(g["dist"].to_numpy()) >= 0).all()
+        for d in set(g["dist"]):
+            sub = g[g["dist"] == d]
+            assert (np.diff(sub["df"].to_numpy()) <= 0).all()
