@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_autocomplete": P.term_autocomplete,
         "search_facets": P.search_facets,
         "fuzzy_vocab_match": P.fuzzy_vocab_match,
+        "global_shuffle": P.global_shuffle,
+        "more_like_this": P.more_like_this,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -216,6 +218,9 @@ def oracle_sql() -> dict[str, str]:
         BOOL_MUST as _BOOL_MUST,
         BOOL_NOT as _BOOL_NOT,
         FUZZY_PROBES as _FUZZY_PROBES,
+        MLT_DOC as _MLT_DOC,
+        SHUFFLE_BUCKETS as _SHUF_B,
+        SHUFFLE_SEED as _SHUF_SEED,
     )
 
     _AUTO_HI = _AUTO_PREFIX[:-1] + chr(ord(_AUTO_PREFIX[-1]) + 1)
@@ -1771,6 +1776,46 @@ r AS (SELECT probe, term, dist, df,
 SELECT probe, term, CAST(dist AS BIGINT) AS dist, CAST(df AS BIGINT) AS df,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5""",
+        "global_shuffle": f"""
+SELECT doc_id,
+       CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':{_SHUF_SEED}')
+            % {_SHUF_B} AS BIGINT) AS bucket,
+       CAST(row_number() OVER (
+              ORDER BY md5_number_lower(
+                  CAST(doc_id AS VARCHAR) || ':{_SHUF_SEED}') % {_SHUF_B},
+                  doc_id) - 1 AS BIGINT) AS pos
+FROM documents""",
+        "more_like_this": f"""
+WITH {kept},
+tfq AS (SELECT term, count(*) AS tf FROM kept WHERE doc_id = {_MLT_DOC}
+        GROUP BY 1),
+dfall AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+q AS (SELECT tfq.term
+      FROM tfq JOIN dfall USING (term) CROSS JOIN nd
+      ORDER BY tfq.tf::DOUBLE * ln(nd.n::DOUBLE / dfall.df::DOUBLE) DESC,
+               tfq.term ASC LIMIT 5),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+       WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores WHERE doc_id <> {_MLT_DOC}
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
         # rows-only (non-SQL-expressible): approx_vocab (HLL,
         # approximate by design), semantic_knn (trained PPMI+SVD model
         # — synonym geometry pinned by pytest instead),

@@ -3768,3 +3768,94 @@ def fuzzy_vocab_match(sf_dir: str):
         "df": pa.array(out["df"].to_numpy(np.int64)),
         "rank": pa.array(out["rank"].to_numpy(np.int64)),
     })
+
+
+SHUFFLE_SEED = 7
+SHUFFLE_BUCKETS = 64
+
+
+def global_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle for training-data ordering:
+    every doc gets a position, reproducible across runs and engines —
+    pos = rank by (bucket, doc_id) with bucket = md5(doc_id‖':seed')
+    mod B. This is the two-level shape a distributed trainer actually
+    runs: ONE hash-bucket exchange, then a deterministic in-bucket
+    order; global positions come from a B-row driver cumsum of bucket
+    counts broadcast back as bases (the keyed_offsets pattern) — no
+    global sort, no driver materialization of data rows."""
+    import ray as _ray
+    from ..functions.dedup import md5_low64
+
+    B = SHUFFLE_BUCKETS
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        h = md5_low64(np.array([f"{i}:{SHUFFLE_SEED}" for i in ids],
+                               dtype=object))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bucket": pa.array((h % B).astype(np.int64), pa.int64()),
+        })
+
+    tagged = (rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
+              .map_batches(tag, batch_format="pyarrow").materialize())
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({"bucket": b["bucket"].combine_chunks(),
+                      "n": np.ones(b.num_rows, dtype=np.int64)})
+        return _partial_sums(t, ["bucket"], {"n": "n"})
+
+    counts = (tagged.map_batches(bucket_counts, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("bucket"))
+    base = np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+    base_map = dict(zip(counts["bucket"].to_numpy().tolist(),
+                        base.tolist()))
+    ref = _ray.put(base_map)
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        b0 = int(g["bucket"].iloc[0])
+        pos = _ray.get(ref)[b0] + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "bucket": g["bucket"].to_numpy(np.int64),
+                             "pos": pos})
+
+    return (tagged.groupby("bucket")
+            .map_groups(number, batch_format="pandas"))
+
+
+MLT_DOC = 0
+
+
+def more_like_this(sf_dir: str):
+    """More-like-this: use a source document's top-5 TF-IDF terms as a
+    BM25 query and return the 10 most similar OTHER docs — the related-
+    content query every search engine ships. Term selection reuses the
+    tfidf_keywords scoring (tf·ln(N/df), score desc / term asc — ties
+    identical across engines because tf and df are integers and ln is
+    bitwise-shared); retrieval runs through the index at k=11, the
+    source doc filtered out after ranking (equivalent to SQL's
+    WHERE doc_id <> src ... LIMIT 10 for every rank position of src)."""
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "text"],
+                      filters=[("doc_id", "=", MLT_DOC)])
+    tf = term_frequencies(t["text"].combine_chunks())
+    terms = np.asarray(tf.vocab.to_pylist(), dtype=object)[tf.codes]
+    df_pd = term_df(sf_dir).to_pandas()  # vocab-sized
+    n_docs = pq.read_metadata(_docs(sf_dir)).num_rows
+    idf = pd.Series(
+        np.log(float(n_docs) / df_pd["df"].to_numpy(np.float64)),
+        index=df_pd["term"].to_numpy())
+    score = tf.tf.astype(np.float64) * idf.reindex(terms).to_numpy()
+    top = np.lexsort((terms, -score))[:5]
+    qterms = [str(x) for x in terms[top]]
+    res = eng.search(" ".join(qterms), 11, method="exhaustive")
+    out = [(d, s) for d, s in res if d != MLT_DOC][:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in out], pa.int64()),
+        "score_micros": pa.array(
+            to_micros(np.array([s for _, s in out], np.float64)),
+            pa.int64()),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+    })

@@ -94,3 +94,33 @@ def test_fuzzy_vocab_match_distances(P):
         for d in set(g["dist"]):
             sub = g[g["dist"] == d]
             assert (np.diff(sub["df"].to_numpy()) <= 0).all()
+
+
+def test_global_shuffle_is_permutation(P):
+    df = P.global_shuffle(SF).to_pandas()
+    n = len(df)
+    assert sorted(df["pos"]) == list(range(n))
+    assert df["doc_id"].is_unique
+    # within a bucket, positions follow doc_id order (deterministic)
+    for _, g in df.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        assert (np.diff(g["pos"].to_numpy()) == 1).all()
+    # buckets occupy contiguous position ranges in bucket order
+    b = df.sort_values("pos")["bucket"].to_numpy()
+    assert (np.diff(b) >= 0).all()
+    # the order is actually shuffled, not identity
+    ident = df.sort_values("pos")["doc_id"].to_numpy()
+    assert not (ident == np.arange(n)).all()
+
+
+def test_more_like_this_similar_docs(P):
+    df = P.more_like_this(SF).to_pandas()
+    assert len(df) == 10
+    assert P.MLT_DOC not in set(df["doc_id"])
+    s = df.sort_values("rank")["score_micros"].to_numpy()
+    assert (np.diff(s) <= 0).all()
+    # every hit shares at least one term with the source doc
+    toks = _doc_term_sets(P)
+    src = toks[P.MLT_DOC]
+    for d in df["doc_id"]:
+        assert toks[int(d)] & src
