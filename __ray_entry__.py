@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_vocab_match": P.fuzzy_vocab_match,
         "global_shuffle": P.global_shuffle,
         "more_like_this": P.more_like_this,
+        "bpe_merges": P.bpe_merges,
+        "bpe_encode_stats": P.bpe_encode_stats,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -219,12 +221,49 @@ def oracle_sql() -> dict[str, str]:
         BOOL_NOT as _BOOL_NOT,
         FUZZY_PROBES as _FUZZY_PROBES,
         MLT_DOC as _MLT_DOC,
+        N_BPE_MERGES as _N_BPE,
         SHUFFLE_BUCKETS as _SHUF_B,
         SHUFFLE_SEED as _SHUF_SEED,
     )
 
     _AUTO_HI = _AUTO_PREFIX[:-1] + chr(ord(_AUTO_PREFIX[-1]) + 1)
     kept = kept_tokens_cte()
+
+    # BPE learner mirror: 10 unrolled merge rounds (the MMR unrolled-
+    # CTE pattern; AS MATERIALIZED or the chained rounds re-inline).
+    # Round i: overlapping adjacent pair counts weighted by word cf
+    # (identical-symbol pairs excluded — matches functions/bpe.py's
+    # pinned semantics), argmax by (cnt desc, lhs, rhs), left-greedy
+    # apply (disjoint because lhs != rhs).
+    def _bpe_round(i: int) -> str:
+        return f"""
+p{i} AS MATERIALIZED (
+  SELECT a, b, sum(cf) AS cnt FROM (
+    SELECT cf, unnest(s[:len(s)-1]) AS a, unnest(s[2:]) AS b FROM w{i})
+  WHERE a <> b GROUP BY a, b),
+best{i} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT term, cf,
+         list_filter(list_transform(range(1, len(s) + 1),
+           j -> CASE WHEN s[j] = bb.a AND j < len(s) AND s[j+1] = bb.b
+                       THEN bb.a || bb.b
+                     WHEN j > 1 AND s[j-1] = bb.a AND s[j] = bb.b
+                       THEN NULL
+                     ELSE s[j] END),
+           x -> x IS NOT NULL) AS s
+  FROM w{i} CROSS JOIN best{i} bb),"""
+
+    _bpe_prefix = (
+        f"WITH {kept},\n"
+        "cf AS (SELECT term, count(*) AS cf FROM kept GROUP BY term),\n"
+        "w1 AS MATERIALIZED (SELECT term, cf,"
+        " regexp_extract_all(term, '.') AS s FROM cf),"
+        + "".join(_bpe_round(i) for i in range(1, _N_BPE + 1))).rstrip(",")
+    _bpe_steps = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS lhs, b AS rhs,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, _N_BPE + 1))
     bm25 = bm25_topk_sql(BM25_QUERY, 10)
     from stacksearch_ray.pipelines.documents import JS_SOURCES_A
 
@@ -1816,6 +1855,13 @@ SELECT doc_id,
            AS rank
 FROM scores WHERE doc_id <> {_MLT_DOC}
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "bpe_merges": (_bpe_prefix
+                       + f"\nSELECT * FROM ({_bpe_steps}) ORDER BY step"),
+        "bpe_encode_stats": _bpe_prefix + f"""
+SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(len(w.s)) AS BIGINT) AS n_bpe
+FROM kept k JOIN w{_N_BPE + 1} w USING (term)
+GROUP BY k.doc_id""",
         # rows-only (non-SQL-expressible): approx_vocab (HLL,
         # approximate by design), semantic_knn (trained PPMI+SVD model
         # — synonym geometry pinned by pytest instead),

@@ -3859,3 +3859,72 @@ def more_like_this(sf_dir: str):
             pa.int64()),
         "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
     })
+
+
+N_BPE_MERGES = 10
+
+
+def bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich et al. 2016 shape): the
+    corpus-scale pass is the combiner-backed term_counts aggregate
+    (distributed word counting — exactly how production BPE trainers
+    scale); merge learning runs over the vocab-sized table with
+    vectorized pair counting (functions/bpe.py — one flat symbol
+    array, numpy unique + int64-exact scatter-add per round).
+    Identical-symbol pairs are excluded as candidates (pins
+    left-greedy application order-free; documented deviation), which
+    is what lets the DuckDB oracle mirror all 10 rounds exactly as
+    unrolled materialized CTEs."""
+    from ..functions.bpe import learn_bpe
+
+    cfp = term_counts(sf_dir).to_pandas().sort_values("term")
+    out = learn_bpe(cfp["term"].tolist(),
+                    cfp["cf"].to_numpy(np.int64), N_BPE_MERGES)
+    return pa.table({
+        "step": pa.array(out["step"].to_numpy(np.int64), pa.int64()),
+        "lhs": pa.array(out["lhs"].to_numpy(dtype=object), pa.string()),
+        "rhs": pa.array(out["rhs"].to_numpy(dtype=object), pa.string()),
+        "pair_count": pa.array(out["pair_count"].to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
+def bpe_encode_stats(sf_dir: str):
+    """Corpus-wide encode with the learned BPE: per doc, kept-token
+    count and encoded symbol count — the tokens-per-document
+    compression number that decides whether a tokenizer ships. The
+    merge table is vocab-sized: encoded lengths per TERM are computed
+    once on the driver, broadcast via ray.put, and the corpus pass is
+    pure map-side (Σ tf·len — no shuffle)."""
+    import ray as _ray
+
+    from ..functions.bpe import bpe_segment, learn_bpe
+
+    cfp = term_counts(sf_dir).to_pandas().sort_values("term")
+    merges_df = learn_bpe(cfp["term"].tolist(),
+                          cfp["cf"].to_numpy(np.int64), N_BPE_MERGES)
+    merges = list(zip(merges_df["lhs"], merges_df["rhs"]))
+    enc_len = pd.Series({t: len(bpe_segment(t, merges))
+                         for t in cfp["term"]}, dtype=np.int64)
+    ref = _ray.put(enc_len)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        s = _ray.get(ref)
+        tf = term_frequencies(batch["text"].combine_chunks())
+        ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        n = batch.num_rows
+        n_tok = np.zeros(n, dtype=np.int64)
+        n_bpe = np.zeros(n, dtype=np.int64)
+        if len(tf.tf):
+            lens = s.reindex(tf.vocab.to_pylist()).to_numpy(np.int64)
+            np.add.at(n_tok, tf.doc_idx, tf.tf)
+            np.add.at(n_bpe, tf.doc_idx, tf.tf * lens[tf.codes])
+        nz = n_tok > 0
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_tokens": pa.array(n_tok[nz], pa.int64()),
+            "n_bpe": pa.array(n_bpe[nz], pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(enc, batch_format="pyarrow"))

@@ -124,3 +124,44 @@ def test_more_like_this_similar_docs(P):
     src = toks[P.MLT_DOC]
     for d in df["doc_id"]:
         assert toks[int(d)] & src
+
+
+def test_learn_bpe_known_merges(P):
+    from stacksearch_ray.functions.bpe import bpe_segment, learn_bpe
+
+    out = learn_bpe(["ab", "abc"], [10, 5], 3)
+    assert list(out.itertuples(index=False, name=None)) == [
+        (1, "a", "b", 15), (2, "ab", "c", 5)]
+    assert bpe_segment("abc", [("a", "b"), ("ab", "c")]) == ["abc"]
+    # tie-break: equal counts -> lexicographically smallest (lhs, rhs)
+    tie = learn_bpe(["xy", "yz"], [5, 5], 1)
+    assert (tie["lhs"].iloc[0], tie["rhs"].iloc[0]) == ("x", "y")
+    # identical-symbol pairs are never candidates
+    runs = learn_bpe(["aaaa", "ba"], [100, 1], 1)
+    assert not ((runs["lhs"] == runs["rhs"]).any())
+    assert (runs["lhs"].iloc[0], runs["rhs"].iloc[0]) == ("b", "a")
+
+
+def test_bpe_entry_compresses(P):
+    m = P.bpe_merges(SF).to_pandas()
+    assert len(m) == P.N_BPE_MERGES
+    assert (m["pair_count"] > 0).all()
+    assert (m["lhs"] != m["rhs"]).all()
+    st = P.bpe_encode_stats(SF).to_pandas()
+    assert len(st) > 0
+    # encoded length bounded: one symbol per token min, chars max;
+    # after 10 merges on this corpus there must be real compression
+    assert (st["n_bpe"] >= st["n_tokens"]).all()
+    # strict compression vs the character baseline (no merges = chars)
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    chars = {d: sum(len(tok) for tok in clean_query(x, max_tokens=None))
+             for d, x in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist())}
+    baseline = np.array([chars[int(d)] for d in st["doc_id"]])
+    assert (st["n_bpe"].to_numpy() <= baseline).all()
+    assert int(st["n_bpe"].sum()) < int(baseline.sum())
