@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": P.more_like_this,
         "bpe_merges": P.bpe_merges,
         "bpe_encode_stats": P.bpe_encode_stats,
+        "near_search": P.near_search,
+        "index_stats": P.index_stats,
+        "search_page": P.search_page,
+        "domain_temperature_mix": P.domain_temperature_mix,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
         "weighted_sample": P.weighted_sample,
@@ -222,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
         FUZZY_PROBES as _FUZZY_PROBES,
         MLT_DOC as _MLT_DOC,
         N_BPE_MERGES as _N_BPE,
+        NEAR_MAX_GAP as _NEAR_GAP,
+        NEAR_TERMS as _NEAR_TERMS,
         SHUFFLE_BUCKETS as _SHUF_B,
         SHUFFLE_SEED as _SHUF_SEED,
     )
@@ -1862,6 +1868,47 @@ SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(len(w.s)) AS BIGINT) AS n_bpe
 FROM kept k JOIN w{_N_BPE + 1} w USING (term)
 GROUP BY k.doc_id""",
+        "near_search": f"""
+WITH {token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+a AS (SELECT doc_id, pos FROM pos WHERE term = '{_NEAR_TERMS[0]}'),
+b AS (SELECT doc_id, pos FROM pos WHERE term = '{_NEAR_TERMS[1]}'),
+g AS (SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_gap
+      FROM a JOIN b USING (doc_id) GROUP BY a.doc_id)
+SELECT doc_id, CAST(min_gap AS BIGINT) AS min_gap
+FROM g WHERE min_gap <= {_NEAR_GAP}""",
+        "index_stats": f"""
+WITH {kept},
+dl AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY 1),
+td AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+       FROM kept GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM td) AS BIGINT) AS n_terms,
+       CAST((SELECT sum(df) FROM td) AS BIGINT) AS n_postings,
+       CAST((SELECT sum(cf) FROM td) AS BIGINT) AS total_tokens,
+       CAST(floor((SELECT avg(dl::DOUBLE) FROM dl) * 1e6 + 0.5) AS BIGINT)
+           AS avgdl_micros""",
+        "search_page": bm25_scores_sql(BM25_QUERY) + """
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scores)
+WHERE rank BETWEEN 11 AND 20""",
+        "domain_temperature_mix": """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT sum(n) AS total FROM c),
+w AS (SELECT source, n,
+             CAST(floor(sqrt(n::DOUBLE / total::DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS w_micros
+      FROM c CROSS JOIN t),
+d AS (SELECT sum(w_micros) AS dsum FROM w)
+SELECT source, CAST(n AS BIGINT) AS n_docs, w_micros,
+       CAST(w_micros * 1000000 // d.dsum AS BIGINT) AS rate_micros
+FROM w CROSS JOIN d""",
         # rows-only (non-SQL-expressible): approx_vocab (HLL,
         # approximate by design), semantic_knn (trained PPMI+SVD model
         # — synonym geometry pinned by pytest instead),

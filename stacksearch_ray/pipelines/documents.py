@@ -3928,3 +3928,131 @@ def bpe_encode_stats(sf_dir: str):
 
     return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
             .map_batches(enc, batch_format="pyarrow"))
+
+
+NEAR_TERMS = ("merge", "sort")
+NEAR_MAX_GAP = 3
+
+
+def near_search(sf_dir: str):
+    """Proximity search: docs where the two query terms occur within
+    NEAR_MAX_GAP kept-token positions, with the min gap — the NEAR/k
+    operator of classic IR. Same T2 shape as phrase_search_indexed:
+    candidates from posting-list intersection (no corpus scan), then a
+    map-side position check over the pushdown-read candidate texts.
+    The min-gap kernel is vectorized: both terms' hit positions merge
+    in (doc, pos) order (the token stream is already sorted), and the
+    min |Δpos| per doc is the min over ADJACENT opposite-label pairs —
+    one diff + one scatter-min, no per-doc loop."""
+    import pyarrow.dataset as pads
+
+    eng = _index_for(sf_dir)
+    ta, tb = NEAR_TERMS
+    cands = np.intersect1d(eng.term_doc_ids(ta), eng.term_doc_ids(tb),
+                           assume_unique=True)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "min_gap": pa.array([], pa.int64())})
+    if len(cands) == 0:
+        return empty
+
+    def verify(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        if len(doc_idx) == 0:
+            return empty
+        # 1-based position within each doc's kept stream
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], doc_idx))))
+        runs = np.diff(np.concatenate((starts, [len(doc_idx)])))
+        pos = np.arange(len(doc_idx)) - np.repeat(starts, runs) + 1
+        is_a = np.asarray(pc.equal(flat, ta)).astype(bool)
+        is_b = np.asarray(pc.equal(flat, tb)).astype(bool)
+        sel = is_a | is_b
+        if not sel.any():
+            return empty
+        d, p, lab = doc_idx[sel], pos[sel], is_a[sel]
+        same_doc = d[1:] == d[:-1]
+        diff_lab = lab[1:] != lab[:-1]
+        ok = same_doc & diff_lab
+        gaps = (p[1:] - p[:-1])[ok]
+        docs = d[1:][ok]
+        if len(docs) == 0:
+            return empty
+        uniq = np.unique(docs)
+        mg = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mg, np.searchsorted(uniq, docs), gaps)
+        keep = mg <= NEAR_MAX_GAP
+        return pa.table({
+            "doc_id": pa.array(ids[uniq[keep]], pa.int64()),
+            "min_gap": pa.array(mg[keep], pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"],
+                            filter=pads.field("doc_id").isin(
+                                [int(d) for d in cands]))
+            .map_batches(verify, batch_format="pyarrow"))
+
+
+def index_stats(sf_dir: str):
+    """Index health/statistics surface (the CheckIndex of this engine):
+    corpus size, vocab size, posting count, token count and average doc
+    length — all from the built index's own artifacts (doclens +
+    term_dict), NOT recomputed from the corpus, so the oracle doubles
+    as an index-integrity audit."""
+    eng = _index_for(sf_dir)
+    td = pq.read_table(eng._term_dict_dir, columns=["term", "df", "cf"])
+    return pa.table({
+        "n_docs": pa.array([int(eng.n_docs)], pa.int64()),
+        "n_terms": pa.array([td.num_rows], pa.int64()),
+        "n_postings": pa.array([int(pc.sum(td["df"]).as_py())], pa.int64()),
+        "total_tokens": pa.array([int(pc.sum(td["cf"]).as_py())],
+                                 pa.int64()),
+        "avgdl_micros": pa.array([int(np.floor(eng.avgdl * 1e6 + 0.5))],
+                                 pa.int64()),
+    })
+
+
+def search_page(sf_dir: str):
+    """Pagination: the SECOND page (ranks 11-20) of the reference BM25
+    query — deep paging served from one k=20 top-k pass (the engine's
+    tie-exact partial select), sliced after ranking exactly like SQL's
+    OFFSET."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 20, method="exhaustive")[10:20]
+    return pa.table({
+        "doc_id": pa.array([int(d) for d, _ in res], pa.int64()),
+        "score_micros": pa.array(
+            to_micros(np.array([s for _, s in res], np.float64)),
+            pa.int64()),
+        "rank": pa.array(np.arange(11, 11 + len(res), dtype=np.int64)),
+    })
+
+
+def domain_temperature_mix(sf_dir: str):
+    """Temperature-scaled domain mixing (the multilingual/multi-source
+    rebalancing rule, α = 0.5): per-source sampling weight
+    w_s ∝ sqrt(n_s/N), normalized. Counts shuffle as per-batch partials
+    only; the float step is ONE correctly-rounded sqrt per source,
+    rounded to micros BEFORE normalization so the division is integer
+    — order-free and bitwise across engines."""
+    docs = rd.read_parquet(_docs(sf_dir), columns=["source"])
+
+    def ones(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"].combine_chunks(),
+                      "n": np.ones(b.num_rows, dtype=np.int64)})
+        return _partial_sums(t, ["source"], {"n": "n"})
+
+    agg = (docs.map_batches(ones, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("source"))
+    n = agg["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    w = np.floor(np.sqrt(n.astype(np.float64) / float(total)) * 1e6
+                 + 0.5).astype(np.int64)
+    denom = int(w.sum())
+    return pa.table({
+        "source": pa.array(agg["source"].to_numpy(dtype=object),
+                           pa.string()),
+        "n_docs": pa.array(n, pa.int64()),
+        "w_micros": pa.array(w, pa.int64()),
+        "rate_micros": pa.array(w * 1_000_000 // denom, pa.int64()),
+    })

@@ -165,3 +165,53 @@ def test_bpe_entry_compresses(P):
     baseline = np.array([chars[int(d)] for d in st["doc_id"]])
     assert (st["n_bpe"].to_numpy() <= baseline).all()
     assert int(st["n_bpe"].sum()) < int(baseline.sum())
+
+
+def test_near_search_brute_force(P):
+    got = P.near_search(SF).to_pandas().set_index("doc_id")["min_gap"]
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ta, tb = P.NEAR_TERMS
+    want = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = clean_query(x, max_tokens=None)
+        pa_ = [i for i, w in enumerate(toks, 1) if w == ta]
+        pb_ = [i for i, w in enumerate(toks, 1) if w == tb]
+        if pa_ and pb_:
+            g = min(abs(i - j) for i in pa_ for j in pb_)
+            if g <= P.NEAR_MAX_GAP:
+                want[d] = g
+    assert dict(got) == want
+    assert len(want) > 0
+
+
+def test_index_stats_consistent(P):
+    s = P.index_stats(SF).to_pandas().iloc[0]
+    assert s["n_postings"] >= s["n_terms"] > 0
+    assert s["total_tokens"] >= s["n_postings"]
+    assert s["avgdl_micros"] == int(
+        np.floor(s["total_tokens"] / s["n_docs"] * 1e6 + 0.5))
+
+
+def test_search_page_disjoint_and_ordered(P):
+    page1 = P.bm25_topk(SF).to_pandas()
+    page2 = P.search_page(SF).to_pandas()
+    assert list(page2["rank"]) == list(range(11, 11 + len(page2)))
+    assert not set(page1["doc_id"]) & set(page2["doc_id"])
+    assert page2["score_micros"].max() <= page1["score_micros"].min()
+
+
+def test_domain_temperature_flattens(P):
+    df = P.domain_temperature_mix(SF).to_pandas()
+    total = int(df["n_docs"].sum())
+    assert abs(int(df["rate_micros"].sum()) - 1_000_000) <= len(df)
+    # sqrt temperature: small sources get boosted relative to share
+    share = df["n_docs"].to_numpy() / total
+    rate = df["rate_micros"].to_numpy() / 1e6
+    boost = rate / share
+    order = np.argsort(df["n_docs"].to_numpy())
+    assert boost[order[0]] >= boost[order[-1]]
