@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": P.more_like_this,
         "bpe_merges": P.bpe_merges,
         "bpe_encode_stats": P.bpe_encode_stats,
+        "ingest_dedup": P.ingest_dedup,
         "near_search": P.near_search,
         "index_stats": P.index_stats,
         "search_page": P.search_page,
@@ -233,6 +234,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _AUTO_HI = _AUTO_PREFIX[:-1] + chr(ord(_AUTO_PREFIX[-1]) + 1)
+    _SHINGLE_C = 0x100000001B3         # dedup.py rolling-hash base
+    _M64 = "18446744073709551616::HUGEINT"
     kept = kept_tokens_cte()
 
     # BPE learner mirror: 10 unrolled merge rounds (the MMR unrolled-
@@ -1868,6 +1871,66 @@ SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(len(w.s)) AS BIGINT) AS n_bpe
 FROM kept k JOIN w{_N_BPE + 1} w USING (term)
 GROUP BY k.doc_id""",
+        "ingest_dedup": f"""
+WITH {token_list_cte()},
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks) + 1)) AS pos
+       FROM doc_toks),
+th AS (SELECT doc_id, pos, md5_number_lower(term)::HUGEINT AS h FROM tp),
+nl AS (SELECT doc_id, count(*) AS L FROM th GROUP BY 1),
+r AS (SELECT doc_id, pos, h,
+             lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+             lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+      FROM th),
+-- engine rolling 3-shingle hash (dedup.minhash_signatures_batch):
+-- sh = ((h0*C + h1)*C + h2) with uint64 WRAP after every op; docs
+-- shorter than 3 tokens contribute one whole-doc window instead
+shing AS (
+  SELECT doc_id,
+         (((((h * {_SHINGLE_C}) % {_M64} + h1) % {_M64})
+           * {_SHINGLE_C}) % {_M64} + h2) % {_M64} AS sh
+  FROM r WHERE h2 IS NOT NULL
+  UNION ALL
+  SELECT r.doc_id, ((h * {_SHINGLE_C}) % {_M64} + h1) % {_M64} AS sh
+  FROM r JOIN nl USING (doc_id) WHERE nl.L = 2 AND r.h1 IS NOT NULL
+  UNION ALL
+  SELECT r.doc_id, h AS sh
+  FROM r JOIN nl USING (doc_id) WHERE nl.L = 1),
+perms(p, a, b) AS (VALUES {perm_rows64}),
+sig AS (
+  -- min over shingles of fold((sh·a + b) mod 2⁶⁴),
+  -- fold(x) = (x mod 2⁶¹) + (x div 2⁶¹)
+  SELECT s.doc_id, pm.p,
+         min( ((s.sh * pm.a + pm.b) % {_M64})
+              % 2305843009213693952::HUGEINT
+              + ((s.sh * pm.a + pm.b) % {_M64})
+                // 2305843009213693952::HUGEINT ) AS s
+  FROM shing s CROSS JOIN perms pm
+  GROUP BY s.doc_id, pm.p),
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         string_agg(s::VARCHAR, ',' ORDER BY p) AS bsig
+  FROM sig GROUP BY doc_id, p // 4),
+nsplit AS (SELECT count(*) // 2 AS s FROM documents),
+cand AS (
+  SELECT DISTINCT b2.doc_id AS in_id, b1.doc_id AS ex_id
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bsig = b2.bsig
+  CROSS JOIN nsplit
+  WHERE b1.doc_id < nsplit.s AND b2.doc_id >= nsplit.s),
+m AS (SELECT c.in_id, c.ex_id, count(*) AS m
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.ex_id
+      JOIN sig sb ON sb.doc_id = c.in_id AND sb.p = sa.p AND sb.s = sa.s
+      GROUP BY 1, 2),
+best AS (SELECT in_id, max(m) AS max_match FROM m GROUP BY 1),
+inc AS (SELECT doc_id FROM documents CROSS JOIN nsplit
+        WHERE doc_id >= nsplit.s)
+SELECT i.doc_id,
+       CAST(coalesce(b.max_match, 0) AS BIGINT) AS max_match,
+       CAST(CASE WHEN coalesce(b.max_match, 0) >= 32 THEN 0 ELSE 1 END
+            AS BIGINT) AS accepted
+FROM inc i LEFT JOIN best b ON b.in_id = i.doc_id""",
         "near_search": f"""
 WITH {token_list_cte()},
 pos AS (SELECT doc_id, unnest(toks) AS term,

@@ -4056,3 +4056,93 @@ def domain_temperature_mix(sf_dir: str):
         "w_micros": pa.array(w, pa.int64()),
         "rate_micros": pa.array(w * 1_000_000 // denom, pa.int64()),
     })
+
+
+INGEST_REJECT_M = 32  # reject when >= 32/64 perms agree (est >= 0.5)
+
+
+def ingest_dedup(sf_dir: str):
+    """Dedup-on-ingest, the gate an incremental ingestion pipeline runs
+    BEFORE appending: the corpus's second half arrives as a new batch
+    and each incoming doc is screened against the EXISTING half's
+    MinHash-LSH buckets — rejected when its best signature agreement
+    with any existing doc reaches the near-dup threshold. Same banded
+    shape as minhash_lsh_clusters (signatures → band explode →
+    collision-bucket groupby) but asymmetric: only (incoming, existing)
+    pairs verify, max agreement per incoming doc, and docs that hit no
+    bucket are accepted via the union-zero-rows pattern (no driver id
+    table, no left join). 3-token shingles (NOT unigrams: on a small
+    vocabulary every doc's token SET converges, so unigram Jaccard
+    rejects everything — measured on this corpus) with md5 token
+    hashing: the rolling polynomial shingle hash is plain uint64 wrap
+    arithmetic, so the whole chain stays SQL-reproducible via HUGEINT
+    mod-2^64 mirrors. Zero-token docs never band (pinned: accepted
+    trivially, never dup sources)."""
+    from ray.data.aggregate import Max
+
+    from ..functions.dedup import (
+        _bands_batch,
+        _filter_collision_buckets,
+        minhash_signatures,
+    )
+
+    n_docs = pq.read_metadata(_docs(sf_dir)).num_rows
+    split = n_docs // 2
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    sigs = minhash_signatures(docs, num_perm=64, shingle_k=3, seed=7,
+                              hash_fn="md5")
+
+    def bands_nonempty(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_tokens"], 0))
+        return _bands_batch(t, 16, 64, carry_sig=True)
+
+    bands = (sigs.map_batches(bands_nonempty, batch_format="pyarrow")
+             .materialize())
+    bands = _filter_collision_buckets(bands)
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        ids = ids[ids >= split]
+        # pandas blocks so the union with the map_groups output is
+        # block-type homogeneous
+        return pd.DataFrame({"doc_id": ids,
+                             "m": np.zeros(len(ids), np.int64)})
+
+    incoming0 = (rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
+                 .map_batches(zeros, batch_format="pandas"))
+
+    if bands is None:
+        matches = incoming0
+    else:
+        def best_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                  "m": pd.Series(dtype=np.int64)})
+            g = g.drop_duplicates("doc_id")
+            ids = g["doc_id"].to_numpy().astype(np.int64)
+            ex = ids < split
+            if not ex.any() or ex.all():
+                return empty
+            mat = np.frombuffer(b"".join(g["sig"].to_numpy()),
+                                dtype=np.uint64).reshape(-1, 64)
+            m = ((mat[~ex][:, None, :] == mat[ex][None, :, :])
+                 .sum(axis=2).max(axis=1))
+            return pd.DataFrame({"doc_id": ids[~ex],
+                                 "m": m.astype(np.int64)})
+
+        matches = (bands.groupby(["band", "band_hash"])
+                   .map_groups(best_in_bucket, batch_format="pandas")
+                   .union(incoming0))
+
+    agg = matches.groupby("doc_id").aggregate(
+        Max("m", alias_name="max_match"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        mm = np.asarray(t["max_match"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "max_match": pa.array(mm, pa.int64()),
+            "accepted": pa.array((mm < INGEST_REJECT_M).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")

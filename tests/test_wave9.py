@@ -215,3 +215,30 @@ def test_domain_temperature_flattens(P):
     boost = rate / share
     order = np.argsort(df["n_docs"].to_numpy())
     assert boost[order[0]] >= boost[order[-1]]
+
+
+def test_ingest_dedup_gate(P):
+    import pyarrow.parquet as pq
+
+    df = P.ingest_dedup(SF).to_pandas()
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    n = t.num_rows
+    split = n // 2
+    # every incoming doc judged exactly once
+    assert sorted(df["doc_id"]) == list(range(split, n))
+    assert set(df["accepted"]) <= {0, 1}
+    assert (df["accepted"] == (df["max_match"] < P.INGEST_REJECT_M)
+            .astype(np.int64)).all()
+    # exact text duplicates of an existing doc must be rejected
+    # (identical token sets -> identical signatures -> m = 64)
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    existing = {texts[d] for d in range(split) if texts[d].strip()}
+    hard_dups = [d for d in range(split, n)
+                 if texts[d].strip() and texts[d] in existing]
+    got = df.set_index("doc_id")
+    for d in hard_dups:
+        assert got.loc[d, "accepted"] == 0
+        assert got.loc[d, "max_match"] == 64
+    # and most incoming docs are NOT near-dups (sane acceptance rate)
+    assert df["accepted"].mean() > 0.5
