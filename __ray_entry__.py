@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": P.bpe_merges,
         "bpe_encode_stats": P.bpe_encode_stats,
         "ingest_dedup": P.ingest_dedup,
+        "percolate": P.percolate,
+        "snippet_windows": P.snippet_windows,
         "near_search": P.near_search,
         "index_stats": P.index_stats,
         "search_page": P.search_page,
@@ -236,6 +238,17 @@ def oracle_sql() -> dict[str, str]:
     _AUTO_HI = _AUTO_PREFIX[:-1] + chr(ord(_AUTO_PREFIX[-1]) + 1)
     _SHINGLE_C = 0x100000001B3         # dedup.py rolling-hash base
     _M64 = "18446744073709551616::HUGEINT"
+    from stacksearch_ray.pipelines.documents import (
+        PERCOLATE_QUERIES as _PERC_QS,
+        SNIPPET_WIDTH as _SNIP_W,
+    )
+    from stacksearch_ray.text import clean_query as _cq
+
+    _PERC_ROWS = ", ".join(
+        f"({qi}, '{t}')" for qi, q in enumerate(_PERC_QS)
+        for t in sorted(set(_cq(q))))
+    _SNIP_TERMS = ", ".join(
+        f"'{t}'" for t in sorted(set(_cq(BM25_QUERY))))
     kept = kept_tokens_cte()
 
     # BPE learner mirror: 10 unrolled merge rounds (the MMR unrolled-
@@ -1931,6 +1944,32 @@ SELECT i.doc_id,
        CAST(CASE WHEN coalesce(b.max_match, 0) >= 32 THEN 0 ELSE 1 END
             AS BIGINT) AS accepted
 FROM inc i LEFT JOIN best b ON b.in_id = i.doc_id""",
+        "percolate": f"""
+WITH {kept},
+qt(query_id, term) AS (VALUES {_PERC_ROWS}),
+qn AS (SELECT query_id, count(*) AS n FROM qt GROUP BY 1),
+hit AS (SELECT k.doc_id, q.query_id, count(DISTINCT k.term) AS c
+        FROM kept k JOIN qt q USING (term) GROUP BY 1, 2)
+SELECT h.doc_id, CAST(h.query_id AS BIGINT) AS query_id
+FROM hit h JOIN qn USING (query_id) WHERE h.c = qn.n""",
+        "snippet_windows": bm25_scores_sql(BM25_QUERY) + f""",
+top10 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 10),
+{token_list_cte()},
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks) + 1)) AS pos
+       FROM doc_toks),
+hits AS (SELECT tp.doc_id, tp.pos FROM tp JOIN top10 USING (doc_id)
+         WHERE tp.term IN ({_SNIP_TERMS})),
+w AS (SELECT h1.doc_id, h1.pos AS s, count(*) AS n
+      FROM hits h1 JOIN hits h2 ON h1.doc_id = h2.doc_id
+           AND h2.pos BETWEEN h1.pos AND h1.pos + {_SNIP_W - 1}
+      GROUP BY 1, 2),
+r AS (SELECT doc_id, s, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, s ASC) AS rn
+      FROM w)
+SELECT doc_id, CAST(s AS BIGINT) AS win_start, CAST(n AS BIGINT) AS n_hits
+FROM r WHERE rn = 1""",
         "near_search": f"""
 WITH {token_list_cte()},
 pos AS (SELECT doc_id, unnest(toks) AS term,

@@ -4146,3 +4146,100 @@ def ingest_dedup(sf_dir: str):
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+PERCOLATE_QUERIES = (
+    "merge sort join stream window",
+    "spark query filter batch",
+    "fast hash table scan",
+    "vector column group value",
+)
+
+
+def percolate(sf_dir: str):
+    """Percolation (reverse search, the alerting/routing primitive):
+    match every doc against the STORED query set — doc matches a query
+    when it contains ALL the query's terms. Pure map-side: each batch
+    tests term membership vectorized against the (tiny) stored-query
+    term lists; no index, no shuffle — the corpus streams once, which
+    is the percolator's scale shape (queries are the small side)."""
+    from ..text import clean_query
+
+    qterms = [sorted(set(clean_query(q))) for q in PERCOLATE_QUERIES]
+
+    def match(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        n = b.num_rows
+        out_d, out_q = [], []
+        for qi, terms in enumerate(qterms):
+            ok = np.ones(n, dtype=bool)
+            for t in terms:
+                has = np.zeros(n, dtype=bool)
+                hit = doc_idx[np.asarray(pc.equal(flat, t)).astype(bool)]
+                has[hit] = True
+                ok &= has
+            out_d.append(ids[ok])
+            out_q.append(np.full(int(ok.sum()), qi, dtype=np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(match, batch_format="pyarrow"))
+
+
+SNIPPET_WIDTH = 10
+
+
+def snippet_windows(sf_dir: str):
+    """Snippet extraction for the BM25 top-10: per hit doc, the best
+    highlight window — the SNIPPET_WIDTH-token span anchored at a
+    query-term hit containing the most query-term occurrences (ties →
+    smallest start). Anchoring at hit positions pins determinism and
+    is what highlighters actually do. Candidates come from the ranked
+    search; the window scan is one searchsorted over each doc's sorted
+    hit positions (c_i = #hits in [p_i, p_i+W-1]) — no per-position
+    loop."""
+    import pyarrow.dataset as pads
+
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, method="exhaustive")
+    ids = [int(d) for d, _ in res]
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "win_start": pa.array([], pa.int64()),
+                         "n_hits": pa.array([], pa.int64())})
+    terms = sorted(set(clean_query(BM25_QUERY)))
+
+    def best_window(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        bids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], doc_idx))))
+        runs = np.diff(np.concatenate((starts, [len(doc_idx)])))
+        pos = np.arange(len(doc_idx)) - np.repeat(starts, runs) + 1
+        is_hit = np.zeros(len(doc_idx), dtype=bool)
+        for t in terms:
+            is_hit |= np.asarray(pc.equal(flat, t)).astype(bool)
+        d, p = doc_idx[is_hit], pos[is_hit]
+        out_d, out_s, out_n = [], [], []
+        for row in np.unique(d):
+            pp = p[d == row]  # sorted (token order)
+            c = np.searchsorted(pp, pp + SNIPPET_WIDTH - 1, side="right") \
+                - np.arange(len(pp))
+            best = np.lexsort((pp, -c))[0]
+            out_d.append(bids[row])
+            out_s.append(int(pp[best]))
+            out_n.append(int(c[best]))
+        return pa.table({
+            "doc_id": pa.array(np.array(out_d, np.int64)),
+            "win_start": pa.array(np.array(out_s, np.int64)),
+            "n_hits": pa.array(np.array(out_n, np.int64)),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"],
+                            filter=pads.field("doc_id").isin(ids))
+            .map_batches(best_window, batch_format="pyarrow"))

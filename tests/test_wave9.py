@@ -242,3 +242,40 @@ def test_ingest_dedup_gate(P):
         assert got.loc[d, "max_match"] == 64
     # and most incoming docs are NOT near-dups (sane acceptance rate)
     assert df["accepted"].mean() > 0.5
+
+
+def test_percolate_membership(P):
+    from stacksearch_ray.text import clean_query
+
+    df = P.percolate(SF).to_pandas()
+    assert len(df) > 0
+    toks = _doc_term_sets(P)
+    qterms = [set(clean_query(q)) for q in P.PERCOLATE_QUERIES]
+    got = {(int(d), int(q)) for d, q in zip(df["doc_id"], df["query_id"])}
+    want = {(d, qi) for d, s in toks.items()
+            for qi, qt in enumerate(qterms) if qt <= s}
+    assert got == want
+
+
+def test_snippet_windows_brute(P):
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    df = P.snippet_windows(SF).to_pandas().set_index("doc_id")
+    assert len(df) == 10
+    terms = set(clean_query(P.BM25_QUERY))
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "in",
+                                [int(d) for d in df.index])])
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = clean_query(x, max_tokens=None)
+        hits = [i for i, w in enumerate(toks, 1) if w in terms]
+        best = max(((sum(1 for q in hits
+                         if p <= q <= p + P.SNIPPET_WIDTH - 1), -p)
+                    for p in hits))
+        assert df.loc[d, "n_hits"] == best[0]
+        assert df.loc[d, "win_start"] == -best[1]
+        # the window really starts at a query-term hit
+        assert toks[int(df.loc[d, "win_start"]) - 1] in terms
