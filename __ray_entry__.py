@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_dedup": P.ingest_dedup,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
+        "hot_term_shards": P.hot_term_shards,
+        "events_debounce": P.events_debounce,
         "near_search": P.near_search,
         "index_stats": P.index_stats,
         "search_page": P.search_page,
@@ -239,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
     _SHINGLE_C = 0x100000001B3         # dedup.py rolling-hash base
     _M64 = "18446744073709551616::HUGEINT"
     from stacksearch_ray.pipelines.documents import (
+        DEBOUNCE_GAP_US as _DEBOUNCE_US,
         PERCOLATE_QUERIES as _PERC_QS,
         SNIPPET_WIDTH as _SNIP_W,
     )
@@ -1944,6 +1947,24 @@ SELECT i.doc_id,
        CAST(CASE WHEN coalesce(b.max_match, 0) >= 32 THEN 0 ELSE 1 END
             AS BIGINT) AS accepted
 FROM inc i LEFT JOIN best b ON b.in_id = i.doc_id""",
+        "hot_term_shards": f"""
+WITH {kept},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+hot AS (SELECT term FROM df ORDER BY df DESC, term ASC LIMIT 1),
+docs AS (SELECT DISTINCT k.doc_id, k.term FROM kept k JOIN hot USING (term))
+SELECT term,
+       CAST((((doc_id::HUGEINT * 11400714819323198485) % {_M64})
+             // 1099511627776) % 4 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM docs GROUP BY 1, 2""",
+        "events_debounce": f"""
+WITH o AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS pts
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM o WHERE pts IS NULL OR ts_us - pts >= {_DEBOUNCE_US}""",
         "percolate": f"""
 WITH {kept},
 qt(query_id, term) AS (VALUES {_PERC_ROWS}),

@@ -170,7 +170,12 @@ def run_bench() -> dict:
                      ("edit_pairs", P.edit_pairs),
                      ("tfidf_keywords", P.tfidf_keywords),
                      ("bigram_logprob", P.bigram_logprob),
-                     ("dup_ngram_stats", P.dup_ngram_stats)]:
+                     ("dup_ngram_stats", P.dup_ngram_stats),
+                     ("ingest_dedup", P.ingest_dedup),
+                     ("bpe_encode_stats", P.bpe_encode_stats),
+                     ("near_search", P.near_search),
+                     ("percolate", P.percolate),
+                     ("global_shuffle", P.global_shuffle)]:
         t0 = time.time()
         res = fn(SF_DIR)
         if hasattr(res, "count"):

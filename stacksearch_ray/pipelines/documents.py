@@ -4243,3 +4243,76 @@ def snippet_windows(sf_dir: str):
     return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"],
                             filter=pads.field("doc_id").isin(ids))
             .map_batches(best_window, batch_format="pyarrow"))
+
+
+def hot_term_shards(sf_dir: str):
+    """Skew evidence straight from the index: the hottest term's
+    postings per shard. Sharding by hash-spread doc_id IS the salt
+    (build.py:17-22 — a hot term's millions of postings split across
+    ALL shards instead of landing on one reducer), and this entry
+    audits it from the built segments table against the corpus-derived
+    oracle (the Knuth multiplicative spread is plain uint64 arithmetic,
+    HUGEINT-mirrored in SQL). One filtered segments read — no scan."""
+    eng = _index_for(sf_dir)
+    td = pq.read_table(eng._term_dict_dir, columns=["term", "df"])
+    terms = np.asarray(td["term"].to_pylist(), dtype=object)
+    dfv = np.asarray(td["df"].to_pylist()).astype(np.int64)
+    hot = terms[np.lexsort((terms, -dfv))[0]]
+    segs = pq.read_table(eng._seg_dir, columns=["term", "shard", "df"],
+                         filters=[("term", "=", hot)])
+    g = (segs.to_pandas().groupby("shard", as_index=False)["df"].sum()
+         .sort_values("shard"))
+    return pa.table({
+        "term": pa.array([str(hot)] * len(g), pa.string()),
+        "shard": pa.array(g["shard"].to_numpy(np.int64)),
+        "n_docs": pa.array(g["df"].to_numpy(np.int64)),
+    })
+
+
+DEBOUNCE_GAP_US = 86_400_000_000  # 1 day
+
+
+def events_debounce(sf_dir: str):
+    """Event-stream debouncing (burst collapse, the classic telemetry
+    cleanup): keep an event only when it's the FIRST of its
+    (user, event_type) or ≥ 1 day after the previous one
+    (the gap that actually collapses bursts on this corpus's event
+    cadence — 36% of rows; measured). One
+    hash-bucket shuffle on user_id; inside a bucket ALL (user, type)
+    runs debounce off one mergesort + one shifted compare — no per-key
+    loop."""
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "event_type": b["event_type"].combine_chunks(),
+            "ts_us": b["ts"].combine_chunks().cast(pa.int64()),
+            "__bucket": pa.array(u % 32, pa.int64()),
+        })
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        same = ((g["user_id"].to_numpy()[1:]
+                 == g["user_id"].to_numpy()[:-1])
+                & (g["event_type"].to_numpy()[1:]
+                   == g["event_type"].to_numpy()[:-1]))
+        gap = g["ts_us"].to_numpy()[1:] - g["ts_us"].to_numpy()[:-1]
+        # NOTE: within a run, gap is vs the PREVIOUS ROW (SQL LAG), not
+        # vs the last KEPT row — both engines pin the same semantics
+        keep = np.concatenate(([True], ~same | (gap >= DEBOUNCE_GAP_US)))
+        out = g[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(np.int64),
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "event_type": out["event_type"].to_numpy(dtype=object),
+        })
+
+    return (rd.read_parquet(path, columns=["event_id", "user_id",
+                                           "event_type", "ts"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(debounce, batch_format="pandas"))

@@ -279,3 +279,36 @@ def test_snippet_windows_brute(P):
         assert df.loc[d, "win_start"] == -best[1]
         # the window really starts at a query-term hit
         assert toks[int(df.loc[d, "win_start"]) - 1] in terms
+
+
+def test_hot_term_shards_salted(P):
+    df = P.hot_term_shards(SF).to_pandas()
+    # the hot term's postings spread over EVERY shard (sharding by
+    # hash-spread doc_id is the salt), reasonably evenly
+    assert len(df) == 4
+    assert df["term"].nunique() == 1
+    assert (df["n_docs"] > 0).all()
+    assert df["n_docs"].max() < 2 * df["n_docs"].min() + 8
+    # totals match the term's df
+    tdf = P.term_df(SF).to_pandas().set_index("term")["df"]
+    assert int(df["n_docs"].sum()) == int(tdf[df["term"].iloc[0]])
+
+
+def test_events_debounce_gap_holds(P):
+    import pyarrow.parquet as pq
+
+    kept = P.events_debounce(SF).to_pandas()
+    ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                       columns=["event_id", "user_id", "event_type",
+                                "ts"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype(np.int64)
+    kept_ids = set(kept["event_id"])
+    assert 0 < len(kept_ids) < len(ev)
+    # brute-force: LAG semantics per (user, type)
+    for (_, _), g in list(ev.groupby(["user_id", "event_type"]))[:50]:
+        g = g.sort_values(["ts_us", "event_id"])
+        prev = None
+        for _, r in g.iterrows():
+            want = prev is None or r["ts_us"] - prev >= P.DEBOUNCE_GAP_US
+            assert (r["event_id"] in kept_ids) == want
+            prev = r["ts_us"]
