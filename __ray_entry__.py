@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
         "events_debounce": P.events_debounce,
+        "user_retention": P.user_retention,
+        "corrected_search": P.corrected_search,
         "near_search": P.near_search,
         "index_stats": P.index_stats,
         "search_page": P.search_page,
@@ -250,6 +252,11 @@ def oracle_sql() -> dict[str, str]:
     _PERC_ROWS = ", ".join(
         f"({qi}, '{t}')" for qi, q in enumerate(_PERC_QS)
         for t in sorted(set(_cq(q))))
+    from stacksearch_ray.pipelines.documents import (
+        CORRECT_QUERY as _CORR_Q,
+    )
+
+    _CORR_ROWS = ", ".join(f"('{t}')" for t in sorted(set(_cq(_CORR_Q))))
     _SNIP_TERMS = ", ".join(
         f"'{t}'" for t in sorted(set(_cq(BM25_QUERY))))
     kept = kept_tokens_cte()
@@ -1947,6 +1954,49 @@ SELECT i.doc_id,
        CAST(CASE WHEN coalesce(b.max_match, 0) >= 32 THEN 0 ELSE 1 END
             AS BIGINT) AS accepted
 FROM inc i LEFT JOIN best b ON b.in_id = i.doc_id""",
+        "user_retention": """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+c AS (SELECT user_id, min(day) AS cday FROM d GROUP BY 1),
+o AS (SELECT DISTINCT c.cday // 7 AS cohort_week,
+             (d.day - c.cday) // 7 AS week_offset, d.user_id
+      FROM d JOIN c USING (user_id))
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM o GROUP BY 1, 2""",
+        "corrected_search": f"""
+WITH {kept},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+qt(tok) AS (VALUES {_CORR_ROWS}),
+corr AS (
+  SELECT DISTINCT term FROM (
+    SELECT q.tok, d.term,
+           row_number() OVER (PARTITION BY q.tok
+                              ORDER BY levenshtein(q.tok, d.term),
+                                       d.df DESC, d.term ASC) AS rn
+    FROM qt q JOIN df d ON levenshtein(q.tok, d.term) <= 2
+    WHERE q.tok NOT IN (SELECT term FROM df)) WHERE rn = 1
+  UNION
+  SELECT q.tok FROM qt q WHERE q.tok IN (SELECT term FROM df)),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+        WHERE term IN (SELECT term FROM corr) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "hot_term_shards": f"""
 WITH {kept},
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),

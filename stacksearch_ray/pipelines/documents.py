@@ -4316,3 +4316,101 @@ def events_debounce(sf_dir: str):
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(debounce, batch_format="pandas"))
+
+
+def user_retention(sf_dir: str):
+    """Cohort retention (the canonical product-analytics matrix):
+    users cohorted by the week of their FIRST event; cell
+    (cohort_week, week_offset) counts distinct users active that many
+    weeks later. All integer arithmetic (day = epoch_us // 86400e6,
+    weeks by // 7) — exact in both engines. ONE user-bucket shuffle:
+    each bucket computes its users' min-day and distinct offsets
+    vectorized; the final aggregate sums tiny per-bucket partials."""
+    path = os.path.join(sf_dir, "events.parquet")
+    DAY_US = 86_400_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"].combine_chunks()).astype(np.int64)
+        day = (np.asarray(b["ts"].combine_chunks().cast(pa.int64()))
+               // DAY_US)
+        t = pa.table({"user_id": pa.array(u, pa.int64()),
+                      "day": pa.array(day, pa.int64()),
+                      "__bucket": pa.array(u % 32, pa.int64())})
+        # per-batch (user, day) dedup shrinks the shuffle
+        return pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(["user_id", "day"]),
+            preserve_index=False)
+
+    def cohort(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"],
+                          kind="mergesort").reset_index(drop=True)
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], u))) != 0)
+        runs = np.diff(np.concatenate((starts, [len(u)])))
+        cday = np.repeat(d[starts], runs)  # per-user min day (sorted)
+        off = (d - cday) // 7
+        cw = cday // 7
+        # distinct per USER before counting — a user active twice in a
+        # week still counts once
+        out = pd.DataFrame({"user_id": u, "cohort_week": cw,
+                            "week_offset": off}).drop_duplicates()
+        return (out.groupby(["cohort_week", "week_offset"],
+                            as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    partial = (rd.read_parquet(path, columns=["user_id", "ts"])
+               .map_batches(tag, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(cohort, batch_format="pandas"))
+    return (partial.groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
+CORRECT_QUERY = "mergge sortt jion stream"
+
+
+def corrected_search(sf_dir: str):
+    """Spell-corrected search, the fuzzy pipeline end-to-end: each
+    query token NOT in the vocabulary is replaced by its best ≤2-edit
+    vocab term (dist asc, df desc, term asc — the fuzzy_vocab_match
+    ranking); the corrected term set then runs through BM25. Unknown
+    tokens with no ≤2-edit neighbor drop out (SQL: no correction row).
+    Correction ranks on integers only, so engine and oracle agree
+    exactly; retrieval shares bm25_topk's scoring identity."""
+    from ..functions.curation import _encode_ascii, myers_levenshtein
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    qtoks = sorted(set(clean_query(CORRECT_QUERY)))
+    td = pq.read_table(eng._term_dict_dir, columns=["term", "df"])
+    terms = np.asarray(td["term"].to_pylist(), dtype=object)
+    dfv = np.asarray(td["df"].to_pylist()).astype(np.int64)
+    vocab = set(terms.tolist())
+    t_codes, t_lens = _encode_ascii(pd.Series(terms), 64)
+    corrected: set[str] = set()
+    for tok in qtoks:
+        if tok in vocab:
+            corrected.add(tok)
+            continue
+        p_codes, p_lens = _encode_ascii(pd.Series([tok]), 64)
+        d = myers_levenshtein(
+            np.repeat(p_codes, len(terms), axis=0),
+            np.full(len(terms), p_lens[0], dtype=np.int64),
+            t_codes, t_lens)
+        hit = d <= 2
+        if hit.any():
+            order = np.lexsort((terms[hit], -dfv[hit], d[hit]))
+            corrected.add(str(terms[hit][order[0]]))
+    if not corrected:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_micros": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    res = eng.search(" ".join(sorted(corrected)), 10, method="exhaustive")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array(
+            to_micros(np.array([s for _, s in res], np.float64)),
+            pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
+    })

@@ -312,3 +312,21 @@ def test_events_debounce_gap_holds(P):
             want = prev is None or r["ts_us"] - prev >= P.DEBOUNCE_GAP_US
             assert (r["event_id"] in kept_ids) == want
             prev = r["ts_us"]
+
+
+def test_user_retention_matrix(P):
+    df = P.user_retention(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["n_users"] > 0).all()
+    base = df[df["week_offset"] == 0].set_index("cohort_week")["n_users"]
+    for _, r in df.iterrows():
+        # any later-week cell is a subset of its cohort
+        assert r["n_users"] <= base[r["cohort_week"]]
+
+
+def test_corrected_search_equals_corrected_query(P):
+    # 'mergge sortt jion' correct to merge/sort/join; 'stream' is known
+    got = P.corrected_search(SF).to_pandas()
+    eng = P._index_for(SF)
+    want = eng.search("merge sort join stream", 10, method="exhaustive")
+    assert [int(d) for d in got["doc_id"]] == [d for d, _ in want]
