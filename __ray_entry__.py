@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": P.events_debounce,
         "user_retention": P.user_retention,
         "corrected_search": P.corrected_search,
+        "filtered_search": P.filtered_search,
         "near_search": P.near_search,
         "index_stats": P.index_stats,
         "search_page": P.search_page,
@@ -1954,6 +1955,14 @@ SELECT i.doc_id,
        CAST(CASE WHEN coalesce(b.max_match, 0) >= 32 THEN 0 ELSE 1 END
             AS BIGINT) AS accepted
 FROM inc i LEFT JOIN best b ON b.in_id = i.doc_id""",
+        "filtered_search": bm25_scores_sql(BM25_QUERY) + """
+SELECT s.doc_id,
+       CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.lang = 'en'
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10""",
         "user_retention": """
 WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
            FROM events),

@@ -4414,3 +4414,27 @@ def corrected_search(sf_dir: str):
             pa.int64()),
         "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
     })
+
+
+FILTER_LANG = "en"
+
+
+def filtered_search(sf_dir: str):
+    """Search-within-category: BM25 top-10 restricted to docs with
+    lang = 'en' — the facet drill-down query. The allowed-id set comes
+    from a doc_id-only pushdown read of the docs table; scoring runs
+    QueryEngine.search_filtered (exhaustive scorer + dense allowed
+    mask; pruning is unsound under post-filtering). Scores are bitwise
+    the unfiltered scores of the surviving docs."""
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id"],
+                      filters=[("lang", "=", FILTER_LANG)])
+    allowed = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+    res = eng.search_filtered(BM25_QUERY, 10, allowed_doc_ids=allowed)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array(
+            to_micros(np.array([s for _, s in res], np.float64)),
+            pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
+    })

@@ -183,7 +183,9 @@ class QueryEngine:
         return hit
 
     def _search_exhaustive(self, terms: list[str], k: int,
-                           scorer: str = "bm25") -> list[tuple[int, float]]:
+                           scorer: str = "bm25",
+                           allowed: np.ndarray | None = None
+                           ) -> list[tuple[int, float]]:
         custom = None
         if scorer != "bm25":
             from .registry import get_scorer
@@ -218,6 +220,17 @@ class QueryEngine:
                 any_rows = True
         if not any_rows:
             return []
+        if allowed is not None:
+            # dense allowed-set mask over the local doc space (sorted
+            # membership probe — scores are untouched, so filtered
+            # results are bitwise equal to the unfiltered scores of the
+            # surviving docs, exactly SQL's WHERE-then-ORDER BY)
+            amask = np.zeros(n_local, dtype=bool)
+            pos = np.searchsorted(self.doclens.ids, allowed)
+            ok = pos < n_local
+            pos = pos[ok]
+            amask[pos[self.doclens.ids[pos] == allowed[ok]]] = True
+            hit &= amask
         cand = np.flatnonzero(hit)
         if len(cand) == 0:
             return []
@@ -453,6 +466,25 @@ class QueryEngine:
         if method == "bmax":
             return self._search_bmax(terms, k)
         return self._search_exhaustive(terms, k)
+
+    def search_filtered(self, query: str, k: int = 10,
+                        allowed_doc_ids=None,
+                        scorer: str = "bm25") -> list[tuple[int, float]]:
+        """Filtered retrieval (search-within-category, the drill-down
+        behind facets): exact top-k restricted to ``allowed_doc_ids``.
+        Always the exhaustive scorer — pruning is UNSOUND under
+        post-filtering (a filtered top-k can live entirely below the
+        unfiltered pruning threshold, so block-max elision would drop
+        it). Scores equal the unfiltered scores of the surviving docs
+        (SQL WHERE-then-ORDER BY semantics)."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        allowed = None
+        if allowed_doc_ids is not None:
+            allowed = np.unique(
+                np.asarray(allowed_doc_ids, dtype=np.int64))
+        return self._search_exhaustive(terms, k, scorer, allowed=allowed)
 
 
 class _ShardWorker:

@@ -330,3 +330,26 @@ def test_corrected_search_equals_corrected_query(P):
     eng = P._index_for(SF)
     want = eng.search("merge sort join stream", 10, method="exhaustive")
     assert [int(d) for d in got["doc_id"]] == [d for d, _ in want]
+
+
+def test_filtered_search_semantics(P):
+    import pyarrow.parquet as pq
+
+    got = P.filtered_search(SF).to_pandas()
+    assert len(got) == 10
+    langs = dict(zip(*[pq.read_table(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "lang"])[c].to_pylist()
+        for c in ("doc_id", "lang")]))
+    assert all(langs[int(d)] == P.FILTER_LANG for d in got["doc_id"])
+    # filtered scores == unfiltered scores of the same docs (bitwise)
+    eng = P._index_for(SF)
+    full = dict(eng.search(P.BM25_QUERY, 10_000, method="exhaustive"))
+    filt = dict(eng.search_filtered(
+        P.BM25_QUERY, 10,
+        allowed_doc_ids=[d for d, l in langs.items()
+                         if l == P.FILTER_LANG]))
+    for d, s in filt.items():
+        assert full[d] == s
+    # empty allowed set -> no results
+    assert eng.search_filtered(P.BM25_QUERY, 10, allowed_doc_ids=[]) == []
