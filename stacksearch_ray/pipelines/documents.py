@@ -4078,8 +4078,6 @@ def ingest_dedup(sf_dir: str):
     arithmetic, so the whole chain stays SQL-reproducible via HUGEINT
     mod-2^64 mirrors. Zero-token docs never band (pinned: accepted
     trivially, never dup sources)."""
-    from ray.data.aggregate import Max
-
     from ..functions.dedup import (
         _bands_batch,
         _filter_collision_buckets,
@@ -4133,19 +4131,27 @@ def ingest_dedup(sf_dir: str):
                    .map_groups(best_in_bucket, batch_format="pandas")
                    .union(incoming0))
 
-    agg = matches.groupby("doc_id").aggregate(
-        Max("m", alias_name="max_match"))
+    # per-doc max via hash-bucket + vectorized pandas max — NOT the
+    # native groupby(doc_id).aggregate(Max): at 10⁶+ distinct incoming
+    # ids that path is the measured ~50× trap (NOTES.md)
+    def tagb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = df["doc_id"].to_numpy(np.int64) % 64
+        return df
 
-    def fin(t: pa.Table) -> pa.Table:
-        mm = np.asarray(t["max_match"].combine_chunks()).astype(np.int64)
-        return pa.table({
-            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
-            "max_match": pa.array(mm, pa.int64()),
-            "accepted": pa.array((mm < INGEST_REJECT_M).astype(np.int64),
-                                 pa.int64()),
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        mx = (g.groupby("doc_id", sort=False)["m"].max()
+              .reset_index(name="max_match"))
+        mm = mx["max_match"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": mx["doc_id"].to_numpy(np.int64),
+            "max_match": mm,
+            "accepted": (mm < INGEST_REJECT_M).astype(np.int64),
         })
 
-    return agg.map_batches(fin, batch_format="pyarrow")
+    return (matches.map_batches(tagb, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(bucket_max, batch_format="pandas"))
 
 
 PERCOLATE_QUERIES = (
