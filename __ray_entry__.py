@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": P.user_retention,
         "corrected_search": P.corrected_search,
         "filtered_search": P.filtered_search,
+        "zipf_fit": P.zipf_fit,
         "near_search": P.near_search,
         "index_stats": P.index_stats,
         "search_page": P.search_page,
@@ -1955,6 +1956,22 @@ SELECT i.doc_id,
        CAST(CASE WHEN coalesce(b.max_match, 0) >= 32 THEN 0 ELSE 1 END
             AS BIGINT) AS accepted
 FROM inc i LEFT JOIN best b ON b.in_id = i.doc_id""",
+        "zipf_fit": f"""
+WITH {kept},
+cf AS (SELECT term, count(*) AS cf FROM kept GROUP BY term),
+rk AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS r
+       FROM cf),
+xy AS (SELECT
+         CAST(floor(ln(r::DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS x,
+         CAST(floor(ln(cf::DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS y
+       FROM rk),
+s AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST((n * sxy - sx * sy) * 1000000
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_micros
+FROM s""",
         "filtered_search": bm25_scores_sql(BM25_QUERY) + """
 SELECT s.doc_id,
        CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,

@@ -4444,3 +4444,34 @@ def filtered_search(sf_dir: str):
             pa.int64()),
         "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
     })
+
+
+def zipf_fit(sf_dir: str):
+    """Zipf power-law fit of the vocabulary: least-squares slope of
+    ln(cf) vs ln(rank) — the corpus statistic behind vocab-size and
+    stopword decisions. The corpus-scale pass is the distributed word
+    count; the fit runs on the vocab-sized table. Cross-engine
+    exactness: ln(rank)/ln(cf) are micros-rounded int64 FIRST (ln is
+    bitwise-shared libm), all sums are arbitrary-precision ints, and
+    the final division uses TRUNC-toward-zero semantics explicitly —
+    DuckDB's `//` truncates while Python's floors, and the slope is
+    negative (the round-3 js_divergence trap)."""
+    cfp = term_counts(sf_dir).to_pandas()
+    order = np.lexsort((cfp["term"].to_numpy(dtype=object),
+                        -cfp["cf"].to_numpy(np.int64)))
+    cf = cfp["cf"].to_numpy(np.int64)[order]
+    n = len(cf)
+    r = np.arange(1, n + 1, dtype=np.float64)
+    x = np.floor(np.log(r) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cf.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    sxx = int((x.astype(object) * x.astype(object)).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    q = abs(num) * 1_000_000 // den          # den > 0 for n >= 2
+    slope_micros = -q if num < 0 else q      # trunc-toward-zero
+    return pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "slope_micros": pa.array([slope_micros], pa.int64()),
+    })

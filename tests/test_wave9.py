@@ -353,3 +353,14 @@ def test_filtered_search_semantics(P):
         assert full[d] == s
     # empty allowed set -> no results
     assert eng.search_filtered(P.BM25_QUERY, 10, allowed_doc_ids=[]) == []
+
+
+def test_zipf_fit_negative_slope(P):
+    df = P.zipf_fit(SF).to_pandas()
+    assert len(df) == 1
+    n = int(df["n_terms"].iloc[0])
+    assert n == len(P.term_counts(SF).to_pandas())
+    # frequency falls with rank -> negative slope; and this corpus is
+    # much flatter than true Zipf (uniform word draws), so > -1
+    s = int(df["slope_micros"].iloc[0])
+    assert -1_000_000 < s < 0
