@@ -210,6 +210,28 @@ def main() -> int:
     stage("curate", t0, pii_rows=scrubbed.count(),
           repetition_pass=gated_ids, contaminated=contam.count())
 
+    # 6h. serving beyond ranked BM25: boolean set algebra on postings,
+    # filtered (search-within-category) retrieval, and BPE merges
+    # learned straight from the index's own term_dict artifact
+    t0 = time.time()
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.functions.bpe import learn_bpe
+
+    eng4 = QueryEngine(idx)
+    b_and = np.intersect1d(eng4.term_doc_ids("merge"),
+                           eng4.term_doc_ids("sort"))
+    en_ids = pq.read_table(os.path.join(idx, "docs"),
+                           columns=["doc_id"],
+                           filters=[("lang", "=", "en")])["doc_id"]
+    filt = eng4.search_filtered(q, 3, allowed_doc_ids=en_ids.to_pylist())
+    td = pq.read_table(os.path.join(idx, "term_dict"))
+    merges = learn_bpe(td["term"].to_pylist(), td["cf"].to_pylist(), 5)
+    stage("serve_plus", t0, boolean_hits=int(len(b_and)),
+          filtered_top1=(int(filt[0][0]) if filt else None),
+          first_merge="".join(merges.iloc[0][["lhs", "rhs"]])
+          if len(merges) else None)
+
     # 7. export training sequences
     t0 = time.time()
     out = os.path.join(args.workdir, "training")
