@@ -507,6 +507,15 @@ class _ShardWorker:
             self.engine.search(q, 10)
         return 1
 
+    def search_filtered(self, query: str, k: int,
+                        allowed_ref) -> list[tuple[int, float]]:
+        import ray
+
+        allowed = ray.get(allowed_ref) if not isinstance(
+            allowed_ref, np.ndarray) else allowed_ref
+        return self.engine.search_filtered(query, k,
+                                           allowed_doc_ids=allowed)
+
 
 class ShardedQueryEngine:
     """Distributed query serving: the index's doc-id shards are
@@ -558,6 +567,24 @@ class ShardedQueryEngine:
             merged.sort(key=lambda x: (-x[1], x[0]))
             out.append(merged[:k])
         return out
+
+    def search_filtered(self, query: str, k: int = 10,
+                        allowed_doc_ids=None) -> list[tuple[int, float]]:
+        """Distributed filtered retrieval: the allowed-id set ships to
+        the object store ONCE (ray.put) and every worker reads the same
+        copy to mask its own shard subset — never re-serialized per
+        worker. Results are bitwise identical to the single-engine
+        search_filtered (each worker's exhaustive scorer masks locally;
+        the merge is the standard score-desc/doc-asc top-k)."""
+        import ray
+
+        allowed = np.unique(np.asarray(allowed_doc_ids, dtype=np.int64))
+        ref = ray.put(allowed)
+        futs = [w.search_filtered.remote(query, k, ref)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
 
     def warm(self, queries: list[str]) -> None:
         import ray

@@ -364,3 +364,20 @@ def test_zipf_fit_negative_slope(P):
     # much flatter than true Zipf (uniform word draws), so > -1
     s = int(df["slope_micros"].iloc[0])
     assert -1_000_000 < s < 0
+
+
+def test_sharded_filtered_identical(P, ray_session):
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id"],
+                      filters=[("lang", "=", P.FILTER_LANG)])
+    allowed = t["doc_id"].to_pylist()
+    single = eng.search_filtered(P.BM25_QUERY, 10,
+                                 allowed_doc_ids=allowed)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    assert sharded.search_filtered(P.BM25_QUERY, 10,
+                                   allowed_doc_ids=allowed) == single
