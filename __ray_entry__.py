@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corrected_search": P.corrected_search,
         "filtered_search": P.filtered_search,
         "zipf_fit": P.zipf_fit,
+        "textrank_terms": P.textrank_terms,
         "near_search": P.near_search,
         "index_stats": P.index_stats,
         "search_page": P.search_page,
@@ -1956,6 +1957,51 @@ SELECT i.doc_id,
        CAST(CASE WHEN coalesce(b.max_match, 0) >= 32 THEN 0 ELSE 1 END
             AS BIGINT) AS accepted
 FROM inc i LEFT JOIN best b ON b.in_id = i.doc_id""",
+        "textrank_terms": f"""
+WITH {token_list_cte()},
+tp AS (SELECT unnest(toks[:len(toks)-1]) AS a, unnest(toks[2:]) AS b
+       FROM doc_toks),
+vocab AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS id
+          FROM (SELECT DISTINCT unnest(toks) AS term FROM doc_toks)),
+pe AS (SELECT DISTINCT va.id AS src, vb.id AS dst
+       FROM tp JOIN vocab va ON va.term = tp.a
+               JOIN vocab vb ON vb.term = tp.b
+       WHERE tp.a <> tp.b),
+edges AS (SELECT src, dst FROM pe UNION SELECT dst, src FROM pe),
+ew AS (
+  SELECT e.src, e.dst, od.od
+  FROM edges e JOIN (SELECT src, count(*) AS od FROM edges GROUP BY src) od
+    ON od.src = e.src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+p0 AS (SELECT node, 1000000 // n AS pr FROM nodes, nn),
+p1 AS (
+  SELECT nd.node, 150000 // nn.n + (850000 * coalesce(s.c, 0)) // 1000000
+         AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p0 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node),
+p2 AS (
+  SELECT nd.node, 150000 // nn.n + (850000 * coalesce(s.c, 0)) // 1000000
+         AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p1 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node),
+p3 AS (
+  SELECT nd.node, 150000 // nn.n + (850000 * coalesce(s.c, 0)) // 1000000
+         AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p2 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node),
+ranked AS (
+  SELECT v.term, p3.pr,
+         row_number() OVER (ORDER BY p3.pr DESC, v.term ASC) AS rank
+  FROM p3 JOIN vocab v ON v.id = p3.node)
+SELECT term, CAST(pr AS BIGINT) AS pr_micros, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10""",
         "zipf_fit": f"""
 WITH {kept},
 cf AS (SELECT term, count(*) AS cf FROM kept GROUP BY term),

@@ -4475,3 +4475,72 @@ def zipf_fit(sf_dir: str):
         "n_terms": pa.array([n], pa.int64()),
         "slope_micros": pa.array([slope_micros], pa.int64()),
     })
+
+
+def textrank_terms(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the term co-occurrence graph — nodes are vocab terms, edges
+    are DISTINCT adjacent kept-token pairs (symmetric, self-loops
+    dropped). The corpus-scale pass is the distributed edge
+    extraction + hash-bucket dedup; the graph itself is vocab-sized
+    (the BPE/SVD/k-means small-side split), so the 3 integer-micros
+    PageRank iterations run as driver numpy int64 — bitwise equal to
+    the SQL mirror (nonnegative //: trunc == floor), and ~1000×
+    cheaper than spinning the distributed pagerank_micros exchanges
+    on a vocab graph (measured 30 s → ms; billion-node graphs keep
+    using functions/graph.py)."""
+    import ray as _ray
+
+    vocab = (term_df(sf_dir).to_pandas()["term"]
+             .sort_values().reset_index(drop=True))
+    id_map = pd.Series(np.arange(len(vocab), dtype=np.int64),
+                       index=vocab.to_numpy())
+    ref = _ray.put(id_map)
+
+    def edge_batch(b: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        if len(doc_idx) < 2:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        ids = m.reindex(flat.to_pylist()).to_numpy(np.int64)
+        a, c = ids[:-1], ids[1:]
+        ok = (doc_idx[:-1] == doc_idx[1:]) & (a != c)
+        src = np.concatenate((a[ok], c[ok]))   # symmetric
+        dst = np.concatenate((c[ok], a[ok]))
+        pairs = np.unique(np.stack((src, dst), axis=1), axis=0)
+        return pa.table({
+            "src": pa.array(pairs[:, 0], pa.int64()),
+            "dst": pa.array(pairs[:, 1], pa.int64()),
+            "__bucket": pa.array((pairs[:, 0] * 31 + pairs[:, 1]) % 64,
+                                 pa.int64()),
+        })
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst"])[["src", "dst"]]
+
+    edges = (rd.read_parquet(_docs(sf_dir), columns=["text"])
+             .map_batches(edge_batch, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(dedup_bucket, batch_format="pandas")
+             .to_pandas())  # vocab²-bounded
+    src = edges["src"].to_numpy(np.int64)
+    dst = edges["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate((src, dst)))
+    nn = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    od = np.zeros(nn, dtype=np.int64)
+    np.add.at(od, si, 1)
+    prv = np.full(nn, 1_000_000 // nn, dtype=np.int64)
+    for _ in range(3):
+        c = np.zeros(nn, dtype=np.int64)
+        np.add.at(c, di, prv[si] // od[si])
+        prv = 150_000 // nn + (850_000 * c) // 1_000_000
+    terms = vocab.to_numpy(dtype=object)[nodes]
+    order = np.lexsort((terms, -prv))[:10]
+    return pa.table({
+        "term": pa.array(terms[order], pa.string()),
+        "pr_micros": pa.array(prv[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })

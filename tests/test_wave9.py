@@ -381,3 +381,15 @@ def test_sharded_filtered_identical(P, ray_session):
     sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
     assert sharded.search_filtered(P.BM25_QUERY, 10,
                                    allowed_doc_ids=allowed) == single
+
+
+def test_textrank_terms_meaningful(P):
+    df = P.textrank_terms(SF).to_pandas()
+    assert len(df) == 10
+    s = df.sort_values("rank")["pr_micros"].to_numpy()
+    assert (np.diff(s) <= 0).all()
+    # high-degree hub terms outrank the rare 'dup' marker term
+    assert "dup" not in set(df["term"])
+    from stacksearch_ray.stopwords import ENGLISH_STOPWORD_SET
+
+    assert not set(df["term"]) & ENGLISH_STOPWORD_SET
