@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": P.bpe_merges,
         "bpe_encode_stats": P.bpe_encode_stats,
         "ingest_dedup": P.ingest_dedup,
+        "ingest_dedup_indexed": P.ingest_dedup_indexed,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -2162,6 +2163,9 @@ FROM w CROSS JOIN d""",
         # multimodal_features / video_frame_sample / audio_windows
         # (synthetic payload bytes are not SQL-derivable)
     }
+    # the persistent-index screening path returns the same gate table:
+    # one oracle, two mechanisms (the phrase_search_indexed pattern)
+    oracles["ingest_dedup_indexed"] = oracles["ingest_dedup"]
     if not qt_rows:
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)
     if ivf_cent_rows is None:

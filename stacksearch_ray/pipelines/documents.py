@@ -4131,9 +4131,14 @@ def ingest_dedup(sf_dir: str):
                    .map_groups(best_in_bucket, batch_format="pandas")
                    .union(incoming0))
 
-    # per-doc max via hash-bucket + vectorized pandas max — NOT the
-    # native groupby(doc_id).aggregate(Max): at 10⁶+ distinct incoming
-    # ids that path is the measured ~50× trap (NOTES.md)
+    return _ingest_gate_finalize(matches)
+
+
+def _ingest_gate_finalize(matches):
+    """(doc_id, m) partials → (doc_id, max_match, accepted): per-doc max
+    via hash-bucket + vectorized pandas max — NOT the native
+    groupby(doc_id).aggregate(Max): at 10⁶+ distinct incoming ids that
+    path is the measured ~50× trap (NOTES.md)."""
     def tagb(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["__bucket"] = df["doc_id"].to_numpy(np.int64) % 64
@@ -4544,3 +4549,91 @@ def textrank_terms(sf_dir: str):
         "pr_micros": pa.array(prv[order], pa.int64()),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+def ingest_dedup_indexed(sf_dir: str):
+    """The same dedup-on-ingest gate as ingest_dedup, but screened
+    against a PERSISTENT MinHash index of the existing corpus
+    (minhash_index.MinHashSearchIndex — the incremental `add` path's
+    artifact): each ingest batch pays O(batch), not O(corpus) — incoming
+    signatures map-side, bucket lookups by parquet predicate pushdown on
+    the band_hash-sorted buckets table, candidate signature reads by
+    doc_id pushdown. Shares ingest_dedup's SQL oracle; mechanism
+    equality is additionally pinned by pytest (the
+    phrase_search_indexed pattern). Zero-token docs are filtered from
+    BOTH index and screen (same pinned semantics)."""
+    from ..functions.dedup import _bands_batch, minhash_signatures
+    from ..minhash_index import MinHashSearchIndex
+
+    n_docs = pq.read_metadata(_docs(sf_dir)).num_rows
+    split = n_docs // 2
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(CACHE_ROOT, tag, "minhash_ingest_idx")
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def nonempty(b: pa.Table) -> pa.Table:
+        _, _, lens = tokenize_array(b["text"].combine_chunks())
+        return b.filter(pa.array(lens > 0))
+
+    if not os.path.exists(os.path.join(idx_dir, "config.json")):
+        existing = docs.map_batches(
+            lambda b: nonempty(b.filter(pc.less(b["doc_id"], split))),
+            batch_format="pyarrow")
+        MinHashSearchIndex.build(existing, idx_dir, num_perm=64,
+                                 num_bands=16, shingle_k=3, seed=7,
+                                 hash_fn="md5")
+    idx = MinHashSearchIndex(idx_dir)
+    bucket_dir, sig_dir = idx.bucket_dir, idx.sig_dir
+
+    incoming = docs.map_batches(
+        lambda b: nonempty(b.filter(pc.greater_equal(b["doc_id"], split))),
+        batch_format="pyarrow")
+    sigs = minhash_signatures(incoming, num_perm=64, shingle_k=3,
+                              seed=7, hash_fn="md5")
+
+    def screen(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "m": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        bands = _bands_batch(t, 16, 64, carry_sig=True).to_pandas()
+        hashes = bands["band_hash"].unique().tolist()
+        cand_t = pq.read_table(bucket_dir,
+                               filters=[("band_hash", "in", hashes)])
+        if cand_t.num_rows == 0:
+            return empty
+        pairs = bands.merge(cand_t.to_pandas(), on=["band", "band_hash"],
+                            suffixes=("_in", "_ex"))
+        pairs = pairs.drop_duplicates(["doc_id_in", "doc_id_ex"])
+        if pairs.empty:
+            return empty
+        ex_ids = np.unique(pairs["doc_id_ex"].to_numpy(np.int64))
+        sig_rows = pq.read_table(
+            sig_dir, filters=[("doc_id", "in", ex_ids.tolist())])
+        ex_sorted = np.asarray(sig_rows["doc_id"]).astype(np.int64)
+        ex_mat = np.frombuffer(b"".join(sig_rows["sig"].to_pylist()),
+                               dtype=np.uint64).reshape(-1, 64)
+        in_mat = np.frombuffer(b"".join(pairs["sig"].to_numpy()),
+                               dtype=np.uint64).reshape(-1, 64)
+        exi = np.searchsorted(ex_sorted,
+                              pairs["doc_id_ex"].to_numpy(np.int64))
+        m = (in_mat == ex_mat[exi]).sum(axis=1).astype(np.int64)
+        out = (pd.DataFrame({"doc_id": pairs["doc_id_in"]
+                             .to_numpy(np.int64), "m": m})
+               .groupby("doc_id", sort=False)["m"].max()
+               .reset_index(name="m"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    matches = sigs.map_batches(screen, batch_format="pyarrow")
+
+    def zeros(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        ids = ids[ids >= split]
+        # arrow blocks to match screen's output (union needs
+        # block-type-homogeneous legs)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "m": pa.array(np.zeros(len(ids), np.int64))})
+
+    incoming0 = (rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
+                 .map_batches(zeros, batch_format="pyarrow"))
+    return _ingest_gate_finalize(matches.union(incoming0))

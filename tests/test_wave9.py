@@ -393,3 +393,11 @@ def test_textrank_terms_meaningful(P):
     from stacksearch_ray.stopwords import ENGLISH_STOPWORD_SET
 
     assert not set(df["term"]) & ENGLISH_STOPWORD_SET
+
+
+def test_ingest_indexed_equals_streaming(P):
+    a = (P.ingest_dedup(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (P.ingest_dedup_indexed(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
