@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_stats": P.bpe_encode_stats,
         "ingest_dedup": P.ingest_dedup,
         "ingest_dedup_indexed": P.ingest_dedup_indexed,
+        "phrase_search_positional": P.phrase_search_positional,
+        "near_search_positional": P.near_search_positional,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -2166,6 +2168,9 @@ FROM w CROSS JOIN d""",
     # the persistent-index screening path returns the same gate table:
     # one oracle, two mechanisms (the phrase_search_indexed pattern)
     oracles["ingest_dedup_indexed"] = oracles["ingest_dedup"]
+    # positional-sidecar mechanisms share the streaming-scan oracles
+    oracles["phrase_search_positional"] = oracles["phrase_search"]
+    oracles["near_search_positional"] = oracles["near_search"]
     if not qt_rows:
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)
     if ivf_cent_rows is None:

@@ -75,6 +75,11 @@ def append_to_index(source, index_dir: str,
     from .build import load_stats
 
     prev = load_stats(index_dir)
+    if prev.get("store_positions"):
+        raise NotImplementedError(
+            "append into a positional index is not supported yet — the "
+            "append/compact paths don't carry the positions sidecar; "
+            "rebuild with build_index(store_positions=True)")
     cfg = cfg or IndexBuildConfig()
     if content_col is not None:
         cfg.content_col = content_col
@@ -223,6 +228,10 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
     from .codec import decode_doc_ids, decode_tfs
 
     stats = load_stats(index_dir)
+    if stats.get("store_positions"):
+        raise NotImplementedError(
+            "compacting a positional index is not supported yet — "
+            "re-encode would drop the positions sidecar")
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     block_size = int(stats["block_size"])

@@ -44,9 +44,55 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from .codec import BLOCK_SIZE, BM25_B, BM25_K1, encode_segment
+from .codec import (
+    BLOCK_SIZE,
+    BM25_B,
+    BM25_K1,
+    encode_position_lists,
+    encode_segment,
+)
 from .schema import doc_ids_batch, sha256_batch, shard_of
-from .text import term_frequencies, tokenize_array
+from .text import BatchTermFreqs, term_frequencies, tokenize_array
+
+
+def _tf_with_positions(content) -> tuple[BatchTermFreqs, list[bytes]]:
+    """term_frequencies PLUS per-(doc, term) position blobs (1-based
+    token positions, gap+varint). Pair ordering is IDENTICAL to
+    term_frequencies (np.unique on the packed key), so the positions
+    column aligns with the postings explode row-for-row."""
+    flat, doc_idx, doc_lens = tokenize_array(content)
+    if len(flat) == 0:
+        return (BatchTermFreqs(
+            doc_idx=np.empty(0, dtype=np.int64),
+            terms=pa.array([], type=pa.string()),
+            tf=np.empty(0, dtype=np.int64),
+            doc_lens=doc_lens,
+            codes=np.empty(0, dtype=np.int64),
+            vocab=pa.array([], type=pa.string()),
+        ), [])
+    doc_starts = np.concatenate(([0], np.cumsum(doc_lens)))[:-1]
+    pos = (np.arange(len(doc_idx), dtype=np.int64)
+           - np.repeat(doc_starts, doc_lens) + 1)
+    dict_arr = flat.dictionary_encode()
+    codes = np.asarray(dict_arr.indices).astype(np.int64)
+    vocab = dict_arr.dictionary
+    key = doc_idx * len(vocab) + codes
+    order = np.argsort(key, kind="stable")  # positions ascend per group
+    uniq, counts = np.unique(key, return_counts=True)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    blobs = encode_position_lists(pos[order], starts, ends)
+    pair_doc = uniq // len(vocab)
+    pair_code = uniq % len(vocab)
+    terms = vocab.take(pa.array(pair_code, type=pa.int64()))
+    return (BatchTermFreqs(
+        doc_idx=pair_doc,
+        terms=terms,
+        tf=counts.astype(np.int64),
+        doc_lens=doc_lens,
+        codes=pair_code,
+        vocab=vocab,
+    ), blobs)
 
 
 @dataclass
@@ -66,6 +112,13 @@ class IndexBuildConfig:
     meta_cols: tuple[str, ...] = ("repo", "path", "commit", "lang")
     batch_size: int = 2048
     concurrency: int | None = None  # actor-pool size for encode; None → tasks
+    # opt-in positional sidecar: per-(term, shard) segment rows gain a
+    # ``positions`` blob (gap+varint per doc, split by tf at decode) so
+    # phrase/NEAR queries run from the index alone. Costs ~token-count
+    # bytes of extra storage and shuffle payload — the classic
+    # positional-index trade. Streamed build only (checkpoint/append
+    # paths guard).
+    store_positions: bool = False
 
 
 def _resolve_doc_ids(batch: pa.Table, cfg: IndexBuildConfig) -> np.ndarray:
@@ -146,7 +199,10 @@ def make_fused_build_fn(cfg: IndexBuildConfig, docs_dir: str,
 
         doc_ids = _resolve_doc_ids(batch, cfg)
         content = batch[cfg.content_col].combine_chunks()
-        tf = term_frequencies(content)
+        if cfg.store_positions:
+            tf, pos_blobs = _tf_with_positions(content)
+        else:
+            tf = term_frequencies(content)
 
         cols: dict[str, pa.Array | np.ndarray] = {"doc_id": doc_ids}
         for m in cfg.meta_cols:
@@ -167,14 +223,17 @@ def make_fused_build_fn(cfg: IndexBuildConfig, docs_dir: str,
             % np.uint64(cfg.term_buckets)
         ).astype(np.int64)
         gkey = shard.astype(np.int64) * cfg.term_buckets + vocab_bucket[tf.codes]
-        postings = pa.table({
+        pcols = {
             "term": tf.terms,
             "doc_id": p_doc,
             "tf": tf.tf,
             "doc_len": p_len,
             "shard": shard,
             "gkey": gkey,
-        })
+        }
+        if cfg.store_positions:
+            pcols["pos"] = pa.array(pos_blobs, pa.binary())
+        postings = pa.table(pcols)
 
         tag = uuid.uuid4().hex
 
@@ -206,8 +265,9 @@ class SegmentEncoder:
     block_size: int = BLOCK_SIZE
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        has_pos = "pos" in group.column_names
         if group.num_rows == 0:
-            return _empty_segments_table()
+            return _empty_segments_table(has_pos)
         terms = group["term"].combine_chunks()
         dict_arr = terms.dictionary_encode()
         codes = np.asarray(dict_arr.indices).astype(np.int64)
@@ -219,6 +279,10 @@ class SegmentEncoder:
         order = np.lexsort((doc_ids, codes, shards))
         codes, doc_ids, tfs, doc_lens, shards = (
             codes[order], doc_ids[order], tfs[order], doc_lens[order], shards[order])
+        pos_blobs = None
+        if has_pos:
+            pos_blobs = np.asarray(group["pos"].to_pylist(),
+                                   dtype=object)[order]
         # boundaries where (shard, code) changes
         change = np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0)) + 1
         starts = np.concatenate(([0], change))
@@ -226,6 +290,8 @@ class SegmentEncoder:
         out = {k: [] for k in ("term", "shard", "df", "cf", "doc_ids", "tfs",
                                "skip_first_doc", "skip_doc_offset", "skip_tf_offset",
                                "block_max_tf", "block_max_score")}
+        if has_pos:
+            out["positions"] = []
         term_list = vocab.to_pylist()
         for s, e in zip(starts, ends):
             seg = encode_segment(doc_ids[s:e], tfs[s:e], doc_lens[s:e],
@@ -242,27 +308,35 @@ class SegmentEncoder:
             out["skip_tf_offset"].append(seg.skip_tf_offset.tolist())
             out["block_max_tf"].append(seg.block_max_tf.tolist())
             out["block_max_score"].append(seg.block_max_score.tolist())
-        return pa.table(
-            {
-                "term": pa.array(out["term"], type=pa.string()),
-                "shard": pa.array(out["shard"], type=pa.int32()),
-                "df": pa.array(out["df"], type=pa.int64()),
-                "cf": pa.array(out["cf"], type=pa.int64()),
-                "doc_ids": pa.array(out["doc_ids"], type=pa.binary()),
-                "tfs": pa.array(out["tfs"], type=pa.binary()),
-                "skip_first_doc": pa.array(out["skip_first_doc"], type=pa.list_(pa.int64())),
-                "skip_doc_offset": pa.array(out["skip_doc_offset"], type=pa.list_(pa.int32())),
-                "skip_tf_offset": pa.array(out["skip_tf_offset"], type=pa.list_(pa.int32())),
-                "block_max_tf": pa.array(out["block_max_tf"], type=pa.list_(pa.int64())),
-                "block_max_score": pa.array(out["block_max_score"], type=pa.list_(pa.float64())),
-            }
-        )
+            if has_pos:
+                # per-doc blobs are independently decodable, so the
+                # segment blob is plain concatenation in doc order
+                out["positions"].append(b"".join(pos_blobs[s:e]))
+        cols = {
+            "term": pa.array(out["term"], type=pa.string()),
+            "shard": pa.array(out["shard"], type=pa.int32()),
+            "df": pa.array(out["df"], type=pa.int64()),
+            "cf": pa.array(out["cf"], type=pa.int64()),
+            "doc_ids": pa.array(out["doc_ids"], type=pa.binary()),
+            "tfs": pa.array(out["tfs"], type=pa.binary()),
+            "skip_first_doc": pa.array(out["skip_first_doc"], type=pa.list_(pa.int64())),
+            "skip_doc_offset": pa.array(out["skip_doc_offset"], type=pa.list_(pa.int32())),
+            "skip_tf_offset": pa.array(out["skip_tf_offset"], type=pa.list_(pa.int32())),
+            "block_max_tf": pa.array(out["block_max_tf"], type=pa.list_(pa.int64())),
+            "block_max_score": pa.array(out["block_max_score"], type=pa.list_(pa.float64())),
+        }
+        if has_pos:
+            cols["positions"] = pa.array(out["positions"], type=pa.binary())
+        return pa.table(cols)
 
 
-def _empty_segments_table() -> pa.Table:
+def _empty_segments_table(positions: bool = False) -> pa.Table:
     from .schema import SEGMENTS_SCHEMA
 
-    return SEGMENTS_SCHEMA.empty_table()
+    schema = SEGMENTS_SCHEMA
+    if positions:
+        schema = schema.append(pa.field("positions", pa.binary()))
+    return schema.empty_table()
 
 
 def build_index(source, index_dir: str,
@@ -354,6 +428,7 @@ def build_index(source, index_dir: str,
         "block_size": cfg.block_size,
         "content_col": cfg.content_col,
         "id_col": cfg.id_col,
+        "store_positions": cfg.store_positions,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
@@ -373,7 +448,7 @@ def build_index(source, index_dir: str,
         seg_ds.write_parquet(segments_dir)
     else:  # zero-batch source: empty segments table keeps readers happy
         os.makedirs(segments_dir, exist_ok=True)
-        pq.write_table(_empty_segments_table(),
+        pq.write_table(_empty_segments_table(cfg.store_positions),
                        os.path.join(segments_dir, "segments-empty.parquet"))
     shutil.rmtree(stage_dir, ignore_errors=True)
 

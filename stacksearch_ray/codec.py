@@ -164,3 +164,39 @@ def decode_block(seg_doc_ids: bytes, seg_tfs: bytes,
     ids = np.cumsum(deltas)
     tfs = varint_decode(memoryview(seg_tfs)[t_lo:t_hi]).astype(np.int64)
     return ids, tfs
+
+
+def encode_position_lists(pos_sorted: np.ndarray,
+                          starts: np.ndarray,
+                          ends: np.ndarray) -> list[bytes]:
+    """Gap+varint encode per-group ascending position lists laid out
+    contiguously in ``pos_sorted`` (group g = pos_sorted[starts[g]:
+    ends[g]]). Each group's first value is ABSOLUTE so any group blob
+    decodes independently; the whole stream is varint-encoded in ONE
+    vectorized pass and split into per-group byte slices."""
+    n = len(pos_sorted)
+    if n == 0:
+        return [b""] * len(starts)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[1:] = (pos_sorted[1:] - pos_sorted[:-1]).astype(np.uint64)
+    gaps[starts] = pos_sorted[starts].astype(np.uint64)
+    buf, nbytes = varint_encode(gaps)
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
+    return [bytes(buf[cum[s]:cum[e]]) for s, e in zip(starts, ends)]
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode a segment's concatenated position blob back to absolute
+    positions (flat, aligned with the posting order: doc i's positions
+    occupy the next tfs[i] slots). Pure vectorized: one varint decode +
+    a segmented cumsum (offset subtraction at each doc start)."""
+    gaps = varint_decode(blob).astype(np.int64)
+    if len(gaps) == 0:
+        return gaps
+    starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    cs = np.cumsum(gaps)
+    base = np.zeros(len(gaps), dtype=np.int64)
+    # subtract the running total accumulated BEFORE each doc's first gap
+    base[starts[1:]] = cs[starts[1:] - 1]
+    np.maximum.accumulate(base, out=base)
+    return cs - base

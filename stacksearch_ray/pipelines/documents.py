@@ -61,7 +61,8 @@ def _index_for(sf_dir: str) -> QueryEngine:
         if not os.path.exists(os.path.join(index_dir, "stats.json")):
             build_index(_docs(sf_dir), index_dir, content_col="text",
                         id_col="doc_id", meta_cols=("lang", "source"),
-                        num_shards=4, term_buckets=16)
+                        num_shards=4, term_buckets=16,
+                        store_positions=True)
         _engines[sf_dir] = QueryEngine(index_dir)
     return _engines[sf_dir]
 
@@ -4637,3 +4638,31 @@ def ingest_dedup_indexed(sf_dir: str):
     incoming0 = (rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
                  .map_batches(zeros, batch_format="pyarrow"))
     return _ingest_gate_finalize(matches.union(incoming0))
+
+
+def phrase_search_positional(sf_dir: str):
+    """Exact phrase query answered by the POSITIONAL SIDECAR alone
+    (index built with store_positions=True): per-term position sets
+    over the common docs, sequential adjacency intersection — no
+    candidate text re-read at all, unlike phrase_search_indexed.
+    Same answer and same oracle as the streaming scan; three-way
+    mechanism equality is pinned by pytest."""
+    eng = _index_for(sf_dir)
+    ids, counts = eng.phrase_occurrences(PHRASE)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_occurrences": pa.array(counts, pa.int64()),
+    })
+
+
+def near_search_positional(sf_dir: str):
+    """NEAR/k answered by the positional sidecar alone — min |Δpos|
+    from the index's per-term position lists (no text re-read); same
+    oracle as near_search."""
+    eng = _index_for(sf_dir)
+    ids, mg = eng.near_min_gaps(*NEAR_TERMS)
+    keep = mg <= NEAR_MAX_GAP
+    return pa.table({
+        "doc_id": pa.array(ids[keep], pa.int64()),
+        "min_gap": pa.array(mg[keep], pa.int64()),
+    })

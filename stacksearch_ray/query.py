@@ -41,7 +41,13 @@ import pyarrow.parquet as pq
 
 from .build import idf as idf_fn
 from .build import load_stats
-from .codec import bm25_tf_part, decode_block, decode_doc_ids, decode_tfs
+from .codec import (
+    bm25_tf_part,
+    decode_block,
+    decode_doc_ids,
+    decode_positions,
+    decode_tfs,
+)
 from .text import clean_query
 
 
@@ -95,6 +101,7 @@ class QueryEngine:
         self._term_dict_dir = os.path.join(index_dir, "term_dict")
         self.shard_subset = sorted(shard_subset) if shard_subset is not None else None
         self._seg_cache: dict[str, list[dict]] = {}
+        self._pos_cache: dict[str, tuple] = {}
         self._df_cache: dict[str, int] = {}
         self._dec_cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
         self._blk_cache: dict[tuple[str, int, int], tuple[np.ndarray, np.ndarray]] = {}
@@ -129,13 +136,20 @@ class QueryEngine:
         self.bmax_min_dl_cv = 0.8
         self._dl_cv: float | None = None
 
+    # the scoring path never reads the (optional, heavy) positions
+    # column — positional reads go through term_positions only
+    _SEG_COLUMNS = ["term", "shard", "df", "cf", "doc_ids", "tfs",
+                    "skip_first_doc", "skip_doc_offset", "skip_tf_offset",
+                    "block_max_tf", "block_max_score"]
+
     def _segments_for(self, terms: list[str]) -> dict[str, list[dict]]:
         missing = [t for t in terms if t not in self._seg_cache]
         if missing:
             filters = [("term", "in", missing)]
             if self.shard_subset is not None:
                 filters.append(("shard", "in", self.shard_subset))
-            t = pq.read_table(self._seg_dir, filters=filters)
+            t = pq.read_table(self._seg_dir, filters=filters,
+                              columns=self._SEG_COLUMNS)
             rows = t.to_pylist()
             for m in missing:
                 self._seg_cache[m] = []
@@ -394,6 +408,143 @@ class QueryEngine:
             return np.empty(0, np.int64)
         parts = [self._decoded(term, i, r)[0] for i, r in enumerate(segs)]
         return np.unique(np.concatenate(parts))
+
+    def term_positions(self, term: str
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, flat_positions) for one term, merged across
+        its segment rows in GLOBAL doc_id order — doc i's 1-based token
+        positions occupy flat_positions[Σtfs[:i] : Σtfs[:i+1]], sorted
+        ascending. The positional-query primitive: phrase adjacency and
+        NEAR/k run from the index alone, no text re-read. Requires an
+        index built with store_positions=True."""
+        if not self.stats.get("store_positions"):
+            raise ValueError(
+                "index was built without store_positions=True — "
+                "positional queries need the positions sidecar")
+        hit = self._pos_cache.get(term)
+        if hit is not None:
+            return hit
+        filters = [("term", "=", term)]
+        if self.shard_subset is not None:
+            filters.append(("shard", "in", self.shard_subset))
+        t = pq.read_table(self._seg_dir, filters=filters,
+                          columns=["doc_ids", "tfs", "positions"])
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, np.int64))
+        if t.num_rows == 0:
+            return empty
+        ids_l, tfs_l, pos_l = [], [], []
+        for r in t.to_pylist():
+            ids = decode_doc_ids(r["doc_ids"], self.block_size)
+            tfs = decode_tfs(r["tfs"]).astype(np.int64)
+            ids_l.append(ids)
+            tfs_l.append(tfs)
+            pos_l.append(decode_positions(r["positions"], tfs))
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tfs_l)
+        pos = np.concatenate(pos_l)
+        # shards partition docs, so sorting ids permutes whole doc runs;
+        # gather the variable-length position runs into that order
+        order = np.argsort(ids, kind="stable")
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        sel_starts = starts[order]
+        sel_lens = tfs[order]
+        base = np.cumsum(sel_lens) - sel_lens
+        gather = (np.repeat(sel_starts, sel_lens)
+                  + np.arange(int(sel_lens.sum()))
+                  - np.repeat(base, sel_lens))
+        out = (ids[order], tfs[order], pos[gather])
+        if len(self._pos_cache) < self.max_cached_segments:
+            self._pos_cache[term] = out
+        return out
+
+    def _positions_over(self, terms: list[str], common: np.ndarray
+                        ) -> list[np.ndarray]:
+        """Per term: packed (local_doc_idx << 32 | position) arrays over
+        the COMMON doc set (local idx < 2³¹, positions < 2³² — doc
+        lengths bound them), each sorted ascending and unique."""
+        packed = []
+        m = np.int64(1) << np.int64(32)
+        for t in terms:
+            ids, tfs, pos = self.term_positions(t)
+            idx = np.searchsorted(ids, common)
+            ends = np.cumsum(tfs)
+            starts = ends - tfs
+            ss, ll = starts[idx], tfs[idx]
+            base = np.cumsum(ll) - ll
+            g = (np.repeat(ss, ll) + np.arange(int(ll.sum()))
+                 - np.repeat(base, ll))
+            local = np.repeat(np.arange(len(common), dtype=np.int64), ll)
+            packed.append(local * m + pos[g].astype(np.int64))
+        return packed
+
+    def _common_docs(self, terms: list[str]) -> np.ndarray:
+        common: np.ndarray | None = None
+        for t in terms:
+            ids = self.term_positions(t)[0]
+            common = ids if common is None else np.intersect1d(
+                common, ids, assume_unique=True)
+            if len(common) == 0:
+                break
+        return common if common is not None else np.empty(0, np.int64)
+
+    def phrase_occurrences(self, phrase: str
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact-phrase match from the positional sidecar ALONE — no
+        text re-read: per-term position sets over the common docs,
+        sequential adjacency intersection (positions of term i, +1,
+        ∩ positions of term i+1). Returns (doc_ids, n_occurrences),
+        identical to the streaming kept-token n-gram scan."""
+        from .text import clean_query
+
+        terms = clean_query(phrase, max_tokens=None)
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if not terms:
+            return empty
+        common = self._common_docs(sorted(set(terms)))
+        if len(common) == 0:
+            return empty
+        packed = self._positions_over(terms, common)
+        cur = packed[0]
+        for nxt in packed[1:]:
+            cur = np.intersect1d(cur + 1, nxt, assume_unique=True)
+        if len(cur) == 0:
+            return empty
+        counts = np.bincount((cur >> np.int64(32)).astype(np.int64),
+                             minlength=len(common))
+        nz = counts > 0
+        return common[nz], counts[nz]
+
+    def near_min_gaps(self, term_a: str, term_b: str
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Per doc containing BOTH terms, the minimum |Δposition| —
+        NEAR/k from the positional sidecar alone. Same adjacent-
+        opposite-label kernel as the streaming scan: merge both terms'
+        (doc, pos) streams in order, min over adjacent pairs with
+        different labels."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        common = self._common_docs([term_a, term_b])
+        if len(common) == 0:
+            return empty
+        pa_, pb_ = self._positions_over([term_a, term_b], common)
+        keys = np.concatenate((pa_, pb_))
+        lab = np.concatenate((np.zeros(len(pa_), bool),
+                              np.ones(len(pb_), bool)))
+        order = np.argsort(keys, kind="stable")
+        keys, lab = keys[order], lab[order]
+        m = np.int64(1) << np.int64(32)
+        d = keys >> np.int64(32)
+        p = keys & (m - 1)
+        ok = (d[1:] == d[:-1]) & (lab[1:] != lab[:-1])
+        gaps = (p[1:] - p[:-1])[ok]
+        docs = d[1:][ok]
+        if len(docs) == 0:
+            return empty
+        uniq = np.unique(docs)
+        mg = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mg, np.searchsorted(uniq, docs), gaps)
+        return common[uniq], mg
 
     def get_docs(self, doc_ids: list[int]) -> list[dict]:
         """Doc-store lookup (J1 analog — the reference's fetch_post_by_id,

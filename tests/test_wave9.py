@@ -401,3 +401,64 @@ def test_ingest_indexed_equals_streaming(P):
     b = (P.ingest_dedup_indexed(SF).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_positional_three_way_equality(P):
+    stream = (P.phrase_search(SF).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    indexed = (P.phrase_search_indexed(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    positional = (P.phrase_search_positional(SF).to_pandas()
+                  .sort_values("doc_id").reset_index(drop=True))
+    assert stream.equals(indexed)
+    assert stream.equals(positional)
+    near_s = (P.near_search(SF).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    near_p = (P.near_search_positional(SF).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert near_s.equals(near_p)
+    assert len(stream) > 0 and len(near_s) > 0
+
+
+def test_term_positions_match_tokenization(P):
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for term in ("merge", "sort", "dup"):
+        ids, tfs, pos = eng.term_positions(term)
+        assert (np.diff(ids) > 0).all()  # global doc order
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        for i, d in enumerate(ids[:20]):
+            toks = clean_query(texts[int(d)], max_tokens=None)
+            want = [j for j, w in enumerate(toks, 1) if w == term]
+            assert pos[starts[i]:ends[i]].tolist() == want
+
+
+def test_positional_guards(P, ray_session, tmp_path):
+    import pytest as _pytest
+
+    from stacksearch_ray.append import append_to_index, compact_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    idx = str(tmp_path / "pos_idx")
+    build_index(os.path.join(SF, "documents.parquet"), idx,
+                content_col="text", id_col="doc_id", num_shards=2,
+                term_buckets=4, store_positions=True)
+    with _pytest.raises(NotImplementedError):
+        append_to_index(os.path.join(SF, "documents.parquet"), idx)
+    with _pytest.raises(NotImplementedError):
+        compact_index(idx)
+    # non-positional index refuses positional queries loudly
+    idx2 = str(tmp_path / "plain_idx")
+    build_index(os.path.join(SF, "documents.parquet"), idx2,
+                content_col="text", id_col="doc_id", num_shards=2,
+                term_buckets=4)
+    with _pytest.raises(ValueError, match="store_positions"):
+        QueryEngine(idx2).term_positions("merge")
