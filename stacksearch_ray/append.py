@@ -75,11 +75,6 @@ def append_to_index(source, index_dir: str,
     from .build import load_stats
 
     prev = load_stats(index_dir)
-    if prev.get("store_positions"):
-        raise NotImplementedError(
-            "append into a positional index is not supported yet — the "
-            "append/compact paths don't carry the positions sidecar; "
-            "rebuild with build_index(store_positions=True)")
     cfg = cfg or IndexBuildConfig()
     if content_col is not None:
         cfg.content_col = content_col
@@ -112,6 +107,9 @@ def append_to_index(source, index_dir: str,
     cfg.num_shards = int(prev["num_shards"])
     cfg.block_size = int(prev["block_size"])
     cfg.k1, cfg.b = float(prev["k1"]), float(prev["b"])
+    # a positional index stays positional: the delta's postings carry
+    # per-doc position blobs so appended segments serve phrase/NEAR too
+    cfg.store_positions = bool(prev.get("store_positions"))
 
     docs_dir = os.path.join(index_dir, "docs")
     segments_dir = os.path.join(index_dir, "segments")
@@ -225,13 +223,15 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
     import pandas as pd
 
     from .build import load_stats
-    from .codec import decode_doc_ids, decode_tfs
+    from .codec import (
+        decode_doc_ids,
+        decode_positions,
+        decode_tfs,
+        encode_position_lists,
+    )
 
     stats = load_stats(index_dir)
-    if stats.get("store_positions"):
-        raise NotImplementedError(
-            "compacting a positional index is not supported yet — "
-            "re-encode would drop the positions sidecar")
+    store_positions = bool(stats.get("store_positions"))
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     block_size = int(stats["block_size"])
@@ -243,6 +243,7 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
         bucket_u = (pd.util.hash_array(np.asarray(terms_u, dtype=object))
                     % np.uint64(term_buckets)).astype(np.int64)
         t_out, d_out, tf_out, sh_out, gk_out = [], [], [], [], []
+        pos_out: list[bytes] = []
         for i in range(batch.num_rows):
             shard = int(batch["shard"][i].as_py())
             ids = decode_doc_ids(batch["doc_ids"][i].as_py(), block_size)
@@ -254,21 +255,37 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
             sh_out.append(np.full(n, shard, dtype=np.int32))
             gk_out.append(np.full(n, shard * term_buckets + bucket_u[i],
                                   dtype=np.int64))
+            if store_positions:
+                # segment blob → flat absolute positions → re-split into
+                # per-doc blobs (identity round-trip: varint/gap encode is
+                # deterministic), so the shuffle rows carry the same
+                # ``pos`` column the positional build emits
+                tfs64 = tfs.astype(np.int64)
+                flat = decode_positions(batch["positions"][i].as_py(), tfs64)
+                ends_d = np.cumsum(tfs64)
+                pos_out.extend(encode_position_lists(flat, ends_d - tfs64,
+                                                     ends_d))
         if not t_out:
-            return pa.table({
+            cols = {
                 "term": pa.array([], pa.string()),
                 "doc_id": pa.array([], pa.int64()),
                 "tf": pa.array([], pa.int64()),
                 "shard": pa.array([], pa.int32()),
                 "gkey": pa.array([], pa.int64()),
-            })
-        return pa.table({
+            }
+            if store_positions:
+                cols["pos"] = pa.array([], pa.binary())
+            return pa.table(cols)
+        cols = {
             "term": pa.array(np.concatenate(t_out), pa.string()),
             "doc_id": np.concatenate(d_out).astype(np.int64),
             "tf": np.concatenate(tf_out).astype(np.int64),
             "shard": np.concatenate(sh_out),
             "gkey": np.concatenate(gk_out),
-        })
+        }
+        if store_positions:
+            cols["pos"] = pa.array(pos_out, pa.binary())
+        return pa.table(cols)
 
     encoder = SegmentEncoder(avgdl=avgdl, k1=k1, b=b, block_size=block_size)
 

@@ -116,8 +116,8 @@ class IndexBuildConfig:
     # ``positions`` blob (gap+varint per doc, split by tf at decode) so
     # phrase/NEAR queries run from the index alone. Costs ~token-count
     # bytes of extra storage and shuffle payload — the classic
-    # positional-index trade. Streamed build only (checkpoint/append
-    # paths guard).
+    # positional-index trade. Supported across the whole lifecycle:
+    # streamed + checkpointed builds, append, compact.
     store_positions: bool = False
 
 
@@ -157,11 +157,17 @@ def make_docs_meta_fn(cfg: IndexBuildConfig):
 
 def make_postings_fn(cfg: IndexBuildConfig):
     """postings-pass map_batches fn: explode to (term, doc_id, tf, doc_len,
-    shard, gkey). Fully vectorized (text.term_frequencies)."""
+    shard, gkey). Fully vectorized (text.term_frequencies). With
+    ``cfg.store_positions`` each pair also carries its per-doc position
+    blob (``pos``), so appends into a positional index stay positional."""
 
     def postings(batch: pa.Table) -> pa.Table:
         doc_ids = _resolve_doc_ids(batch, cfg)
-        tf = term_frequencies(batch[cfg.content_col].combine_chunks())
+        content = batch[cfg.content_col].combine_chunks()
+        if cfg.store_positions:
+            tf, pos_blobs = _tf_with_positions(content)
+        else:
+            tf = term_frequencies(content)
         p_doc = doc_ids[tf.doc_idx]
         p_len = tf.doc_lens[tf.doc_idx]
         shard = shard_of(p_doc, cfg.num_shards)
@@ -172,16 +178,17 @@ def make_postings_fn(cfg: IndexBuildConfig):
         ).astype(np.int64)
         bucket = vocab_bucket[tf.codes]
         gkey = shard.astype(np.int64) * cfg.term_buckets + bucket
-        return pa.table(
-            {
-                "term": tf.terms,
-                "doc_id": p_doc,
-                "tf": tf.tf,
-                "doc_len": p_len,
-                "shard": shard,
-                "gkey": gkey,
-            }
-        )
+        cols = {
+            "term": tf.terms,
+            "doc_id": p_doc,
+            "tf": tf.tf,
+            "doc_len": p_len,
+            "shard": shard,
+            "gkey": gkey,
+        }
+        if cfg.store_positions:
+            cols["pos"] = pa.array(pos_blobs, pa.binary())
+        return pa.table(cols)
 
     return postings
 

@@ -72,7 +72,12 @@ def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
     batch = pq.read_table(files, columns=columns, use_threads=False)
     doc_ids = _resolve_doc_ids(batch, cfg)
     content = batch[cfg.content_col].combine_chunks()
-    tf = term_frequencies(content)
+    if cfg.store_positions:
+        from .build import _tf_with_positions
+
+        tf, pos_blobs = _tf_with_positions(content)
+    else:
+        tf = term_frequencies(content)
 
     shas = sha256_batch(content)
     docs_cols: dict[str, object] = {"doc_id": doc_ids}
@@ -88,13 +93,17 @@ def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
     p_doc = doc_ids[tf.doc_idx]
     p_len = tf.doc_lens[tf.doc_idx]
     p_shard = shard_of(p_doc, cfg.num_shards)
-    postings = pa.table({
+    pcols = {
         "term": tf.terms,
         "doc_id": p_doc,
         "tf": tf.tf,
         "doc_len": p_len,
         "shard": p_shard,
-    }).sort_by([("shard", "ascending"), ("term", "ascending")])
+    }
+    if cfg.store_positions:
+        pcols["pos"] = pa.array(pos_blobs, pa.binary())
+    postings = pa.table(pcols).sort_by(
+        [("shard", "ascending"), ("term", "ascending")])
 
     atomic_write_parquet(docs, docs_path)
     # row groups aligned to shard boundaries → shard tasks read only
@@ -116,7 +125,8 @@ def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
 
 
 def _encode_shard(shard: int, stage_postings_dir: str, seg_path: str,
-                  encoder: SegmentEncoder) -> dict:
+                  encoder: SegmentEncoder,
+                  store_positions: bool = False) -> dict:
     t0 = time.time()
     pa.set_cpu_count(1)
     pa.set_io_thread_count(2)
@@ -125,9 +135,9 @@ def _encode_shard(shard: int, stage_postings_dir: str, seg_path: str,
                          use_threads=False).to_table()
     seg_table = encoder(table) if table.num_rows else None
     if seg_table is None:
-        from .schema import SEGMENTS_SCHEMA
+        from .build import _empty_segments_table
 
-        seg_table = SEGMENTS_SCHEMA.empty_table()
+        seg_table = _empty_segments_table(store_positions)
     atomic_write_parquet(seg_table, seg_path)
     return {
         "shard": shard,
@@ -164,6 +174,10 @@ def build_index_resumable(source: str | list[str], index_dir: str,
         "num_shards": cfg.num_shards, "block_size": cfg.block_size,
         "k1": cfg.k1, "b": cfg.b, "content_col": cfg.content_col,
         "id_col": cfg.id_col, "files_per_partition": files_per_partition,
+        # staged-postings schema changes with the positions sidecar, so
+        # flipping this between an interrupted run and its resume must
+        # fail loudly (prev_cmp filtering keeps old manifests resumable)
+        "store_positions": cfg.store_positions,
         # pid → files is positional over this sorted list: record its
         # identity so a file added/removed/renamed between an interrupted
         # run and the resume fails loudly instead of silently remapping a
@@ -252,7 +266,7 @@ def build_index_resumable(source: str | list[str], index_dir: str,
         "n_docs": n_docs, "total_len": total_len, "avgdl": avgdl,
         "k1": cfg.k1, "b": cfg.b, "num_shards": cfg.num_shards,
         "block_size": cfg.block_size, "content_col": cfg.content_col,
-        "id_col": cfg.id_col,
+        "id_col": cfg.id_col, "store_positions": cfg.store_positions,
     }
     import json as _json
 
@@ -275,7 +289,8 @@ def build_index_resumable(source: str | list[str], index_dir: str,
             rows = []
             for u in b.to_pylist():
                 rows.append(_encode_shard(u["shard"], stage_postings,
-                                          u["seg_path"], encoder))
+                                          u["seg_path"], encoder,
+                                          cfg.store_positions))
             return pa.Table.from_pylist([
                 {"shard": r["shard"], "lineage": _json.dumps(r)} for r in rows])
 

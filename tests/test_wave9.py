@@ -441,24 +441,103 @@ def test_term_positions_match_tokenization(P):
 
 
 def test_positional_guards(P, ray_session, tmp_path):
+    """A non-positional index refuses positional queries loudly."""
     import pytest as _pytest
 
-    from stacksearch_ray.append import append_to_index, compact_index
     from stacksearch_ray.build import build_index
     from stacksearch_ray.query import QueryEngine
 
-    idx = str(tmp_path / "pos_idx")
-    build_index(os.path.join(SF, "documents.parquet"), idx,
-                content_col="text", id_col="doc_id", num_shards=2,
-                term_buckets=4, store_positions=True)
-    with _pytest.raises(NotImplementedError):
-        append_to_index(os.path.join(SF, "documents.parquet"), idx)
-    with _pytest.raises(NotImplementedError):
-        compact_index(idx)
-    # non-positional index refuses positional queries loudly
     idx2 = str(tmp_path / "plain_idx")
     build_index(os.path.join(SF, "documents.parquet"), idx2,
                 content_col="text", id_col="doc_id", num_shards=2,
                 term_buckets=4)
     with _pytest.raises(ValueError, match="store_positions"):
         QueryEngine(idx2).term_positions("merge")
+
+
+def test_positional_append_compact_lifecycle(P, ray_session, tmp_path):
+    """The positions sidecar survives the whole index lifecycle:
+    build half → append half serves phrase/NEAR identical to a full
+    positional rebuild, and compaction re-carries positions bitwise."""
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.append import append_to_index, compact_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    docs = os.path.join(SF, "documents.parquet")
+    t = pq.read_table(docs)
+    half = t.num_rows // 2
+    base_p = str(tmp_path / "base.parquet")
+    delta_p = str(tmp_path / "delta.parquet")
+    pq.write_table(t.slice(0, half), base_p)
+    pq.write_table(t.slice(half), delta_p)
+    kw = dict(content_col="text", id_col="doc_id", num_shards=2,
+              term_buckets=4, store_positions=True)
+    idx = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_index(base_p, idx, **kw)
+    append_to_index(delta_p, idx)
+    assert load_stats(idx)["store_positions"] is True
+    build_index(docs, full, **kw)
+    eng_i, eng_f = QueryEngine(idx), QueryEngine(full)
+
+    def same_positional_surface(a, b):
+        for term in ("merge", "sort", "dup"):
+            ia, ta, pos_a = a.term_positions(term)
+            ib, tb, pos_b = b.term_positions(term)
+            assert ia.tolist() == ib.tolist(), term
+            assert ta.tolist() == tb.tolist(), term
+            assert pos_a.tolist() == pos_b.tolist(), term
+        da, ca = a.phrase_occurrences("merge sort")
+        db, cb = b.phrase_occurrences("merge sort")
+        assert da.tolist() == db.tolist() and ca.tolist() == cb.tolist()
+        assert len(da) > 0
+        ga, ma = a.near_min_gaps("merge", "sort")
+        gb, mb = b.near_min_gaps("merge", "sort")
+        assert ga.tolist() == gb.tolist() and ma.tolist() == mb.tolist()
+
+    same_positional_surface(eng_i, eng_f)
+
+    stats = compact_index(idx)
+    assert stats["appended"] is False
+    a = pq.read_table(os.path.join(idx, "segments")).to_pandas()
+    b = pq.read_table(os.path.join(full, "segments")).to_pandas()
+    a = a.sort_values(["term", "shard"]).reset_index(drop=True)
+    b = b.sort_values(["term", "shard"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert not a.duplicated(["term", "shard"]).any()
+    for col in ("term", "shard", "df", "cf", "doc_ids", "tfs", "positions"):
+        assert (a[col] == b[col]).all(), col
+    same_positional_surface(QueryEngine(idx), eng_f)
+
+
+def test_positional_checkpointed_build(P, ray_session, tmp_path):
+    """build_index_resumable(store_positions=True) records the flag in
+    stats and produces segments bitwise equal (incl. positions) to the
+    streamed positional build's."""
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.checkpoint import build_index_resumable
+    from stacksearch_ray.query import QueryEngine
+
+    docs = os.path.join(SF, "documents.parquet")
+    kw = dict(content_col="text", id_col="doc_id", num_shards=2,
+              term_buckets=4, store_positions=True)
+    ckpt = str(tmp_path / "ckpt")
+    streamed = str(tmp_path / "streamed")
+    build_index_resumable(docs, ckpt, **kw)
+    build_index(docs, streamed, **kw)
+    assert load_stats(ckpt)["store_positions"] is True
+    a = pq.read_table(os.path.join(ckpt, "segments")).to_pandas()
+    b = pq.read_table(os.path.join(streamed, "segments")).to_pandas()
+    a = a.sort_values(["term", "shard"]).reset_index(drop=True)
+    b = b.sort_values(["term", "shard"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for col in ("term", "shard", "df", "cf", "doc_ids", "tfs", "positions"):
+        assert (a[col] == b[col]).all(), col
+    ids, counts = QueryEngine(ckpt).phrase_occurrences("merge sort")
+    ids2, counts2 = QueryEngine(streamed).phrase_occurrences("merge sort")
+    assert ids.tolist() == ids2.tolist()
+    assert counts.tolist() == counts2.tolist()
