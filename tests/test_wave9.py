@@ -355,6 +355,31 @@ def test_filtered_search_semantics(P):
     assert eng.search_filtered(P.BM25_QUERY, 10, allowed_doc_ids=[]) == []
 
 
+def test_filtered_plan_equivalence(P):
+    """plan="selective" (postings probe at the allowed docs only — the
+    SCALE.md selective-filter plan) is bitwise identical to the dense
+    mask for any allowed-set size, including ids absent from the
+    corpus, and plan="auto" agrees with both."""
+    eng = P._index_for(SF)
+    all_ids = eng.doclens.ids
+    rng = np.random.default_rng(7)
+    absent = np.array([-5, 10**12], dtype=np.int64)
+    for frac in (0.002, 0.02, 0.3, 1.0):
+        n = max(1, int(len(all_ids) * frac))
+        allowed = np.concatenate(
+            [rng.choice(all_ids, size=n, replace=False), absent])
+        for q in (P.BM25_QUERY, "merge sort", "zzz_missing"):
+            d = eng.search_filtered(q, 10, allowed_doc_ids=allowed,
+                                    plan="dense")
+            s = eng.search_filtered(q, 10, allowed_doc_ids=allowed,
+                                    plan="selective")
+            a = eng.search_filtered(q, 10, allowed_doc_ids=allowed,
+                                    plan="auto")
+            assert d == s == a, (frac, q)
+    assert eng.search_filtered(P.BM25_QUERY, 10, allowed_doc_ids=[],
+                               plan="selective") == []
+
+
 def test_zipf_fit_negative_slope(P):
     df = P.zipf_fit(SF).to_pandas()
     assert len(df) == 1
