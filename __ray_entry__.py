@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_dedup": P.ingest_dedup,
         "ingest_dedup_indexed": P.ingest_dedup_indexed,
         "phrase_search_positional": P.phrase_search_positional,
+        "phrase_search_appended": P.phrase_search_appended,
         "near_search_positional": P.near_search_positional,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
@@ -2170,6 +2171,8 @@ FROM w CROSS JOIN d""",
     oracles["ingest_dedup_indexed"] = oracles["ingest_dedup"]
     # positional-sidecar mechanisms share the streaming-scan oracles
     oracles["phrase_search_positional"] = oracles["phrase_search"]
+    # ... including the incremental (build half → append half) path
+    oracles["phrase_search_appended"] = oracles["phrase_search"]
     oracles["near_search_positional"] = oracles["near_search"]
     if not qt_rows:
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)

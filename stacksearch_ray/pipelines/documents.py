@@ -4655,6 +4655,40 @@ def phrase_search_positional(sf_dir: str):
     })
 
 
+def phrase_search_appended(sf_dir: str):
+    """Exact phrase query from the positional sidecar of an
+    INCREMENTALLY built index: first half built with
+    store_positions=True, second half appended — appended segment rows
+    carry their own per-doc position blobs, and phrase/NEAR are sound
+    on appended indexes without compaction (positions don't depend on
+    avgdl, unlike block-max bounds). Shares phrase_search's oracle:
+    the incremental positional path must match the DuckDB full-corpus
+    streaming truth, row for row."""
+    import pyarrow.dataset as pads
+
+    from ..append import append_to_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(CACHE_ROOT, tag, "index_pos_appended")
+    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+        n = pq.read_metadata(_docs(sf_dir)).num_rows
+        cut = int(n) // 2
+        first = rd.read_parquet(_docs(sf_dir),
+                                filter=pads.field("doc_id") < cut)
+        second = rd.read_parquet(_docs(sf_dir),
+                                 filter=pads.field("doc_id") >= cut)
+        build_index(first, index_dir, content_col="text", id_col="doc_id",
+                    meta_cols=("lang", "source"), num_shards=4,
+                    term_buckets=16, store_positions=True)
+        append_to_index(second, index_dir)
+    eng = QueryEngine(index_dir)
+    ids, counts = eng.phrase_occurrences(PHRASE)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_occurrences": pa.array(counts, pa.int64()),
+    })
+
+
 def near_search_positional(sf_dir: str):
     """NEAR/k answered by the positional sidecar alone — min |Δpos|
     from the index's per-term position lists (no text re-read); same
