@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_positional": P.phrase_search_positional,
         "phrase_search_appended": P.phrase_search_appended,
         "near_search_positional": P.near_search_positional,
+        "wildcard_search": P.wildcard_search,
+        "min_window_search": P.min_window_search,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -266,6 +268,10 @@ def oracle_sql() -> dict[str, str]:
     _CORR_ROWS = ", ".join(f"('{t}')" for t in sorted(set(_cq(_CORR_Q))))
     _SNIP_TERMS = ", ".join(
         f"'{t}'" for t in sorted(set(_cq(BM25_QUERY))))
+    _MW_K = len(set(_cq(BM25_QUERY)))
+    from stacksearch_ray.pipelines.documents import (
+        WILDCARD_PREFIX as _WILDCARD_PREFIX,
+    )
     kept = kept_tokens_cte()
 
     # BPE learner mirror: 10 unrolled merge rounds (the MMR unrolled-
@@ -2128,6 +2134,30 @@ g AS (SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_gap
       FROM a JOIN b USING (doc_id) GROUP BY a.doc_id)
 SELECT doc_id, CAST(min_gap AS BIGINT) AS min_gap
 FROM g WHERE min_gap <= {_NEAR_GAP}""",
+        "wildcard_search": f"""
+WITH {kept},
+m AS (SELECT doc_id, term FROM kept
+      WHERE term LIKE '{_WILDCARD_PREFIX}%')
+SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM m GROUP BY doc_id""",
+        "min_window_search": f"""
+WITH {token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+q AS (SELECT doc_id, term, pos FROM pos WHERE term IN ({_SNIP_TERMS})),
+full_docs AS (SELECT doc_id FROM q GROUP BY doc_id
+              HAVING count(DISTINCT term) = {_MW_K}),
+starts AS (SELECT doc_id, pos AS p FROM q
+           WHERE doc_id IN (SELECT doc_id FROM full_docs)),
+nxt AS (SELECT s.doc_id, s.p, q.term, min(q.pos) AS np
+        FROM starts s JOIN q USING (doc_id)
+        WHERE q.pos >= s.p GROUP BY s.doc_id, s.p, q.term),
+cover AS (SELECT doc_id, p, count(*) AS nt, max(np) - p + 1 AS w
+          FROM nxt GROUP BY doc_id, p)
+SELECT doc_id, CAST(min(w) AS BIGINT) AS min_window
+FROM cover WHERE nt = {_MW_K} GROUP BY doc_id""",
         "index_stats": f"""
 WITH {kept},
 dl AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY 1),

@@ -144,7 +144,9 @@ def append_to_index(source, index_dir: str,
         for rb in union.to_batches(columns=["doc_len"]):
             n_docs += rb.num_rows
             total_len += int(pc.sum(rb.column(0)).as_py() or 0)
-        check_doc_id_collisions(union, n_docs)
+        # paths (not the pads dataset) so the beyond-driver-scale
+        # distributed audit path is reachable here too
+        check_doc_id_collisions([docs_dir, staged_dir], n_docs)
     except BaseException:
         shutil.rmtree(staged_dir, ignore_errors=True)
         raise

@@ -470,10 +470,55 @@ class DocIdCollisionError(ValueError):
     pass
 
 
-# above this doc count the driver-side uniqueness check is skipped (the
-# ids no longer fit driver memory comfortably); at that scale run a Ray
-# groupby(doc_id).count() audit instead
+# above this doc count the ids no longer fit driver memory comfortably:
+# the uniqueness check switches from the driver-side np.unique to the
+# distributed hash-bucket audit below
 _COLLISION_CHECK_MAX_DOCS = 50_000_000
+
+
+def _audit_doc_id_collisions_distributed(paths, num_buckets: int = 64
+                                         ) -> None:
+    """Doc-id uniqueness audit for corpora beyond the driver ceiling:
+    one column-pruned read of doc_id, a hash-bucket shuffle of the ids
+    only, and a vectorized per-bucket duplicate scan (the house
+    hash-bucket pattern — a native groupby(doc_id).count() at 10⁸+
+    distinct keys is the measured ~50× trap). Only duplicated ids reach
+    the driver — normally zero rows."""
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []  # read_parquet wants files, not a dir list
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, fs in os.walk(p):
+                files.extend(os.path.join(root, f) for f in fs
+                             if f.endswith(".parquet"))
+        else:
+            files.append(p)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        bk = (pd.util.hash_array(ids.astype(np.uint64))
+              % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"doc_id": ids, "__b": bk})
+
+    def dups(g: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(g["doc_id"].combine_chunks())
+                      .astype(np.int64))
+        d = ids[1:][ids[1:] == ids[:-1]]
+        return pa.table({"doc_id": pa.array(np.unique(d), pa.int64())})
+
+    dup_rows = (rd.read_parquet(files, columns=["doc_id"])
+                .map_batches(bucketize, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(dups, batch_format="pyarrow")
+                .take_all())
+    if dup_rows:
+        sample = sorted(r["doc_id"] for r in dup_rows[:5])
+        raise DocIdCollisionError(
+            f"{len(dup_rows)} duplicate doc_id(s) in the docs table "
+            f"(distributed audit; sample {sample}) — duplicate rows in "
+            "the id column, or (astronomically unlikely) a derived-id "
+            "hash collision; deduplicate the source first")
 
 
 def check_doc_id_collisions(docs, n_docs: int) -> None:
@@ -481,13 +526,22 @@ def check_doc_id_collisions(docs, n_docs: int) -> None:
     derived 63-bit id, or duplicate rows in an id_col source) would merge
     two documents' postings — the doc_id-sorted posting invariant
     (SURVEY.md §2.9) silently breaks. Fails loudly instead.
-    ``docs`` is a docs dir path or an already-built pyarrow Dataset."""
+    ``docs`` is a docs dir path, a list of dirs, or an already-built
+    pyarrow Dataset. Below _COLLISION_CHECK_MAX_DOCS the check is one
+    driver-side np.unique; above it, the distributed hash-bucket audit
+    (path inputs only — every build/append call site passes paths)."""
     import pyarrow.dataset as pads
 
-    if n_docs == 0 or n_docs > _COLLISION_CHECK_MAX_DOCS:
+    if n_docs == 0:
+        return
+    if n_docs > _COLLISION_CHECK_MAX_DOCS:
+        if isinstance(docs, (str, list)):
+            _audit_doc_id_collisions_distributed(docs)
         return
     if isinstance(docs, str):
         docs = pads.dataset(docs)
+    elif isinstance(docs, list):
+        docs = pads.dataset([pads.dataset(p) for p in docs])
     ids = docs.to_table(columns=["doc_id"])["doc_id"]
     arr = np.asarray(ids.combine_chunks()).astype(np.int64)
     uniq = len(np.unique(arr))

@@ -4689,6 +4689,41 @@ def phrase_search_appended(sf_dir: str):
     })
 
 
+WILDCARD_PREFIX = "mer"
+
+
+def wildcard_search(sf_dir: str):
+    """Wildcard (prefix*) retrieval from the index alone: a sorted-range
+    term_dict read finds every indexed term with the prefix, and the
+    matched terms' postings union gives per-doc distinct-term and
+    summed-occurrence counts (QueryEngine.search_wildcard). Oracle:
+    tokenize-mirror + LIKE 'prefix%'."""
+    eng = _index_for(sf_dir)
+    ids, n_terms, n_tokens = eng.search_wildcard(WILDCARD_PREFIX)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_terms": pa.array(n_terms, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+    })
+
+
+def min_window_search(sf_dir: str):
+    """Minimal-interval proximity (shortest token window covering every
+    query term) per doc containing ALL query terms — served from the
+    positional sidecar alone (QueryEngine.min_cover_windows, one
+    searchsorted per term over packed doc<<32|pos streams). Oracle:
+    per-start next-occurrence max in SQL over the tokenize-mirror
+    positions."""
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    ids, w = eng.min_cover_windows(clean_query(BM25_QUERY))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "min_window": pa.array(w, pa.int64()),
+    })
+
+
 def near_search_positional(sf_dir: str):
     """NEAR/k answered by the positional sidecar alone — min |Δpos|
     from the index's per-term position lists (no text re-read); same

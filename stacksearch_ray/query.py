@@ -554,6 +554,88 @@ class QueryEngine:
         np.minimum.at(mg, np.searchsorted(uniq, docs), gaps)
         return common[uniq], mg
 
+    def prefix_terms(self, prefix: str) -> list[str]:
+        """All indexed terms with the given prefix — a sorted-range
+        read of the term_dict ([prefix, prefix+1) filters prune row
+        groups), the serving primitive behind wildcard queries."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        t = pq.read_table(self._term_dict_dir, columns=["term"],
+                          filters=[("term", ">=", prefix),
+                                   ("term", "<", hi)])
+        return sorted(t["term"].to_pylist())
+
+    def search_wildcard(self, prefix: str
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Wildcard (prefix*) retrieval: (doc_ids, n_terms, n_tokens)
+        for every doc containing ANY indexed term with the prefix —
+        n_terms = distinct matching terms in the doc, n_tokens = their
+        summed occurrences. Postings union across the matched terms'
+        segment rows; (term, doc) pairs are unique across rows (doc
+        sets per term are shard-disjoint), so one bincount per doc
+        counts terms exactly."""
+        empty = (np.empty(0, np.int64),) * 3
+        terms = self.prefix_terms(prefix)
+        if not terms:
+            return empty
+        segs = self._segments_for(terms)
+        ids_l, tf_l = [], []
+        for t in terms:
+            for i, r in enumerate(segs[t]):
+                ids, tfs, *_ = self._decoded(t, i, r)
+                ids_l.append(ids)
+                tf_l.append(tfs)
+        if not ids_l:
+            return empty
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tf_l).astype(np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        n_terms = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_tokens = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n_tokens, inv, tfs)  # int64 scatter-add, never float
+        return uniq, n_terms, n_tokens
+
+    def min_cover_windows(self, terms: list[str]
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """Minimal-interval proximity from the positional sidecar: per
+        doc containing ALL ``terms``, the length of the shortest token
+        window covering every term at least once (the classic proximity
+        ranking signal). Fully vectorized: the optimal window starts at
+        some term occurrence, so every packed (local_doc << 32 | pos)
+        occurrence is a candidate start; one searchsorted per term
+        finds each term's first occurrence ≥ the start, the window end
+        is their max, and windows whose end escapes the start's doc are
+        killed by the packed high bits. Requires store_positions=True."""
+        terms = sorted(set(terms))
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if not terms:
+            return empty
+        common = self._common_docs(terms)
+        if len(common) == 0:
+            return empty
+        packed = self._positions_over(terms, common)
+        starts = np.unique(np.concatenate(packed))
+        ends = np.zeros(len(starts), dtype=np.int64)
+        valid = np.ones(len(starts), dtype=bool)
+        big = np.iinfo(np.int64).max
+        for pk in packed:
+            j = np.searchsorted(pk, starts)
+            ok = j < len(pk)
+            nxt = np.where(ok, pk[np.minimum(j, len(pk) - 1)], big)
+            ends = np.maximum(ends, nxt)
+            valid &= ok
+        sh = np.int64(32)
+        mask = (np.int64(1) << sh) - 1
+        valid &= (ends >> sh) == (starts >> sh)   # window stays in-doc
+        w = (ends & mask) - (starts & mask) + 1
+        didx = (starts >> sh).astype(np.int64)
+        out = np.full(len(common), big, dtype=np.int64)
+        np.minimum.at(out, didx[valid], w[valid])
+        # every common doc has ≥1 valid window (it contains all terms)
+        assert (out < big).all()
+        return common, out
+
     def get_docs(self, doc_ids: list[int]) -> list[dict]:
         """Doc-store lookup (J1 analog — the reference's fetch_post_by_id,
         /root/reference/results.py:149-158, without the full scan):

@@ -168,6 +168,33 @@ def test_append_collision_detected(ray_session, tmp_path):
     assert len(after) == 10
 
 
+def test_distributed_collision_audit(ray_session, tmp_path, monkeypatch):
+    """Above _COLLISION_CHECK_MAX_DOCS the uniqueness check runs as a
+    distributed hash-bucket audit (ids never materialize on the driver);
+    force that path with a tiny ceiling: a unique corpus passes, a
+    duplicate append fails loudly and leaves the index untouched."""
+    import os
+
+    import stacksearch_ray.build as B
+    from stacksearch_ray.append import append_to_index
+    from stacksearch_ray.build import (
+        DocIdCollisionError,
+        build_index,
+        load_stats,
+    )
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 120, rows_per_file=60)
+    monkeypatch.setattr(B, "_COLLISION_CHECK_MAX_DOCS", 10)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, num_shards=2)  # unique ids pass the audit
+    assert load_stats(idx)["n_docs"] == 120
+    with pytest.raises(DocIdCollisionError, match="distributed audit"):
+        append_to_index(corpus, idx)  # same docs again → duplicates
+    assert not [n for n in os.listdir(idx) if n.startswith("docs.staged")]
+    assert load_stats(idx)["n_docs"] == 120
+
+
 def test_compact_crash_recovery(ray_session, tmp_path):
     """A crash between compact_index's two renames must be healable:
     QueryEngine open restores segments.old and serves the same results."""

@@ -465,6 +465,57 @@ def test_term_positions_match_tokenization(P):
             assert pos[starts[i]:ends[i]].tolist() == want
 
 
+def test_wildcard_search_matches_tokenization(P):
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    ids, n_terms, n_tokens = eng.search_wildcard(P.WILDCARD_PREFIX)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    want = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = [w for w in clean_query(txt, max_tokens=None)
+                if w.startswith(P.WILDCARD_PREFIX)]
+        if toks:
+            want[d] = (len(set(toks)), len(toks))
+    got = {int(d): (int(a), int(b))
+           for d, a, b in zip(ids, n_terms, n_tokens)}
+    assert got == want and len(got) > 0
+    # no-match prefix -> empty, not an error
+    assert eng.search_wildcard("zzzzq")[0].size == 0
+
+
+def test_min_cover_windows_brute_force(P):
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    terms = sorted(set(clean_query(P.BM25_QUERY)))
+    ids, w = eng.min_cover_windows(terms)
+    got = dict(zip(ids.tolist(), w.tolist()))
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    want = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = clean_query(txt, max_tokens=None)
+        if not set(terms) <= set(toks):
+            continue
+        best = len(toks)
+        for i in range(len(toks)):
+            seen = set()
+            for j in range(i, len(toks)):
+                if toks[j] in terms:
+                    seen.add(toks[j])
+                    if len(seen) == len(terms):
+                        best = min(best, j - i + 1)
+                        break
+        want[d] = best
+    assert got == want and len(got) > 0
+
+
 def test_positional_guards(P, ray_session, tmp_path):
     """A non-positional index refuses positional queries loudly."""
     import pytest as _pytest
