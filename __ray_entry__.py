@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_corpus": P.curated_corpus,
         "embedding_dedup_corpus": P.embedding_dedup_corpus,
         "minhash_clusters": P.minhash_clusters,
+        "neardup_keep_longest": P.neardup_keep_longest,
         "minhash_search": P.minhash_search,
         "simhash_sigs": P.simhash_sigs,
         "simhash_pairs": P.simhash_pairs,
@@ -2199,6 +2200,21 @@ FROM w CROSS JOIN d""",
     # the persistent-index screening path returns the same gate table:
     # one oracle, two mechanisms (the phrase_search_indexed pattern)
     oracles["ingest_dedup_indexed"] = oracles["ingest_dedup"]
+    # keep-longest near-dup policy: the SAME clustering chain as
+    # minhash_clusters, with the final component select extended by a
+    # (n_chars DESC, doc_id ASC) row_number keep-filter
+    oracles["neardup_keep_longest"] = oracles["minhash_clusters"].replace(
+        "SELECT node AS doc_id, min(lbl) AS cluster_id "
+        "FROM reach GROUP BY node",
+        """,
+comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         FROM reach GROUP BY node),
+rk AS (SELECT c.doc_id, c.cluster_id,
+              row_number() OVER (PARTITION BY c.cluster_id
+                                 ORDER BY d.n_chars DESC, c.doc_id ASC)
+                  AS rn
+       FROM comp c JOIN documents d USING (doc_id))
+SELECT doc_id, cluster_id FROM rk WHERE rn = 1""")
     # positional-sidecar mechanisms share the streaming-scan oracles
     oracles["phrase_search_positional"] = oracles["phrase_search"]
     # ... including the incremental (build half → append half) path

@@ -2504,6 +2504,40 @@ def minhash_clusters(sf_dir: str):
                                 shingle_k=1, hash_fn="md5", verify="inline")
 
 
+def neardup_keep_longest(sf_dir: str):
+    """Quality-aware near-dup retention: per MinHash-LSH cluster keep
+    the doc with the MOST characters (tie → min doc_id) — the curation
+    policy real pipelines want (keep the most complete version), vs the
+    min-id representative. Labels come from the same oracled
+    md5/unigram clustering chain as minhash_clusters; the keep decision
+    is one cluster-bucket shuffle with a vectorized per-bucket
+    sort + drop_duplicates (never a per-cluster Python loop)."""
+    from ..functions.joins import hash_join
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    labels = minhash_lsh_clusters(ds, num_perm=64, num_bands=16,
+                                  threshold=0.8, shingle_k=1,
+                                  hash_fn="md5", verify="inline")
+    meta = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
+    joined = hash_join(labels, meta, on="doc_id", num_buckets=8)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cid = np.asarray(b["cluster_id"].combine_chunks()).astype(np.int64)
+        bk = (pd.util.hash_array(cid.astype(np.uint64))
+              % np.uint64(8)).astype(np.int64)
+        return b.append_column("__b", pa.array(bk))
+
+    def keep_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        out = df.drop_duplicates("cluster_id", keep="first")
+        return out[["doc_id", "cluster_id"]].reset_index(drop=True)
+
+    return (joined.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(keep_in_bucket, batch_format="pandas"))
+
+
 def minhash_search(sf_dir: str):
     """MinHash-LSH retrieval (the reference's search path): top-10 docs
     most similar to doc 0's text by estimated Jaccard, via the parquet

@@ -49,6 +49,31 @@ def write_partitioned_resumable(make_ds: Callable[[object], Dataset],
     return {"written": written, "skipped": skipped}
 
 
+def write_jsonl(ds: Dataset, out_dir: str, batch_size: int = 8192) -> int:
+    """Sharded JSONL sink — the interchange format LLM-training loaders
+    consume. One ``part-<uuid>.jsonl`` per map task, serialized with
+    pandas ``to_json(lines=True)`` (C serializer, no per-row Python) and
+    committed tmp→rename so readers never see partial files. Streams
+    with backpressure (the driver only sums per-task row counts).
+    Round-trips through ``ray.data.read_json``. Returns rows written."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(df: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        tmp = path + ".tmp"
+        df.to_json(tmp, orient="records", lines=True, force_ascii=False)
+        os.replace(tmp, path)
+        return pd.DataFrame({"rows": [len(df)]})
+
+    n = (ds.map_batches(dump, batch_format="pandas", batch_size=batch_size)
+         .sum("rows"))
+    return int(n or 0)
+
+
 def export_projector_tsv(ds: Dataset, out_dir: str, vec_col: str,
                          meta_cols: list[str],
                          batch_size: int = 4096) -> tuple[str, str]:

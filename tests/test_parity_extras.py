@@ -56,6 +56,32 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
         os.listdir(os.path.join(out, "part=b")))
 
 
+def test_jsonl_sink_roundtrip(ray_session, tmp_path):
+    """Sharded JSONL export round-trips through ray.data.read_json and
+    never leaves partial (.tmp) files behind."""
+    import os
+
+    import ray.data as rd
+
+    from stacksearch_ray.sinks import write_jsonl
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(100)),
+        "text": [f"line {i} with \"quotes\" and\ttabs" for i in range(100)],
+        "score": [i / 7 for i in range(100)],
+    }))
+    out = str(tmp_path / "jsonl")
+    n = write_jsonl(ds, out, batch_size=16)
+    assert n == 100
+    files = os.listdir(out)
+    assert files and all(f.endswith(".jsonl") for f in files)
+    back = (rd.read_json(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    orig = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(back["text"]) == list(orig["text"])
+    assert np.allclose(back["score"], orig["score"])
+
+
 def test_projector_tsv_sink(ray_session, tmp_path):
     import ray.data as rd
 
