@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_search_positional": P.near_search_positional,
         "wildcard_search": P.wildcard_search,
         "min_window_search": P.min_window_search,
+        "conjunctive_search": P.conjunctive_search,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -2170,6 +2171,17 @@ SELECT CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
        CAST((SELECT sum(cf) FROM td) AS BIGINT) AS total_tokens,
        CAST(floor((SELECT avg(dl::DOUBLE) FROM dl) * 1e6 + 0.5) AS BIGINT)
            AS avgdl_micros""",
+        "conjunctive_search": bm25_scores_sql(BM25_QUERY) + """,
+full_docs AS (
+  SELECT doc_id FROM kept WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = (SELECT count(*) FROM qterms))
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores JOIN full_docs USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "search_page": bm25_scores_sql(BM25_QUERY) + """
 SELECT doc_id,
        CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,

@@ -132,6 +132,19 @@ def run_bench() -> dict:
         timings[f"query_p50{suffix}"] = statistics.median(lat)
         timings[f"query_p95{suffix}"] = statistics.quantiles(lat, n=20)[18]
 
+    # ---- filtered retrieval latency (selective postings-probe plan) ----
+    import numpy as np
+
+    allowed = eng.doclens.ids[::max(1, len(eng.doclens.ids) // 100)][:100]
+    eng.search_filtered(GOLDEN_QUERIES[0], 10, allowed_doc_ids=allowed)
+    lat = []
+    for _ in range(50):
+        for q in GOLDEN_QUERIES:
+            t0 = time.time()
+            eng.search_filtered(q, 10, allowed_doc_ids=allowed)
+            lat.append(time.time() - t0)
+    timings["query_p50_filtered100"] = statistics.median(lat)
+
     # ---- batch query throughput via actor pool ----
     qds = rd.from_items([{"query": GOLDEN_QUERIES[i % len(GOLDEN_QUERIES)]}
                          for i in range(400)]).repartition(8)
@@ -175,7 +188,10 @@ def run_bench() -> dict:
                      ("bpe_encode_stats", P.bpe_encode_stats),
                      ("near_search", P.near_search),
                      ("percolate", P.percolate),
-                     ("global_shuffle", P.global_shuffle)]:
+                     ("global_shuffle", P.global_shuffle),
+                     ("wildcard_search", P.wildcard_search),
+                     ("min_window_search", P.min_window_search),
+                     ("neardup_keep_longest", P.neardup_keep_longest)]:
         t0 = time.time()
         res = fn(SF_DIR)
         if hasattr(res, "count"):

@@ -4723,6 +4723,22 @@ def phrase_search_appended(sf_dir: str):
     })
 
 
+def conjunctive_search(sf_dir: str):
+    """AND-semantics ranked retrieval: BM25 top-10 over docs containing
+    EVERY query term (QueryEngine.search_conjunctive — posting id-set
+    intersection feeds the selective filtered scorer, which probes only
+    the candidates). Oracle: the bm25 score chain + a HAVING-all-terms
+    candidate filter."""
+    eng = _index_for(sf_dir)
+    res = eng.search_conjunctive(BM25_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+    })
+
+
 WILDCARD_PREFIX = "mer"
 
 

@@ -749,6 +749,32 @@ class QueryEngine:
             return self._search_exhaustive(terms, k, scorer, allowed=allowed)
         return self._search_filtered_selective(terms, k, scorer, apos)
 
+    def search_conjunctive(self, query: str, k: int = 10,
+                           scorer: str = "bm25"
+                           ) -> list[tuple[int, float]]:
+        """AND-semantics ranked retrieval: BM25 top-k restricted to docs
+        containing EVERY query term. Candidates come from intersecting
+        the terms' posting id-sets (term_doc_ids), then the selective
+        filtered scorer probes ONLY the candidates — cost scales with
+        |candidates|, not Σ df. Scores equal the unfiltered scores of
+        the surviving docs (SQL HAVING-all-terms then ORDER BY)."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        common: np.ndarray | None = None
+        for t in terms:
+            ids = self.term_doc_ids(t)
+            common = ids if common is None else np.intersect1d(
+                common, ids, assume_unique=True)
+            if len(common) == 0:
+                return []
+        lid = self.doclens.ids
+        pos = np.searchsorted(lid, common)
+        ok = pos < len(lid)
+        pos = pos[ok]
+        apos = pos[lid[pos] == common[ok]]
+        return self._search_filtered_selective(terms, k, scorer, apos)
+
     def _search_filtered_selective(self, terms: list[str], k: int,
                                    scorer: str, apos: np.ndarray
                                    ) -> list[tuple[int, float]]:

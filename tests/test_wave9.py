@@ -465,6 +465,31 @@ def test_term_positions_match_tokenization(P):
             assert pos[starts[i]:ends[i]].tolist() == want
 
 
+def test_conjunctive_search_semantics(P):
+    """AND-ranked retrieval: every hit contains ALL query terms, scores
+    equal the unfiltered scores, and the result is identical to
+    filtering on the posting-intersection set."""
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    terms = sorted(set(clean_query(P.BM25_QUERY)))
+    res = eng.search_conjunctive(P.BM25_QUERY, 10)
+    assert len(res) == 10
+    sets = {t: set(eng.term_doc_ids(t).tolist()) for t in terms}
+    full = dict(eng.search(P.BM25_QUERY, 10_000, method="exhaustive"))
+    for d, s in res:
+        assert all(d in sets[t] for t in terms), d
+        assert full[d] == s
+    common = None
+    for t in terms:
+        ids = eng.term_doc_ids(t)
+        common = ids if common is None else np.intersect1d(common, ids,
+                                                           assume_unique=True)
+    assert res == eng.search_filtered(P.BM25_QUERY, 10,
+                                      allowed_doc_ids=common)
+    assert eng.search_conjunctive("merge zzz_missing", 5) == []
+
+
 def test_wildcard_search_matches_tokenization(P):
     import pyarrow.parquet as pq
 
