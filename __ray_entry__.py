@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": P.wildcard_search,
         "min_window_search": P.min_window_search,
         "conjunctive_search": P.conjunctive_search,
+        "orders_monthly": P.orders_monthly,
+        "lineitem_profile": P.lineitem_profile,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -272,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         f"'{t}'" for t in sorted(set(_cq(BM25_QUERY))))
     _MW_K = len(set(_cq(BM25_QUERY)))
     from stacksearch_ray.pipelines.documents import (
+        PROFILE_COLS as _PROFILE_COLS,
         WILDCARD_PREFIX as _WILDCARD_PREFIX,
     )
     kept = kept_tokens_cte()
@@ -2171,6 +2174,19 @@ SELECT CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
        CAST((SELECT sum(cf) FROM td) AS BIGINT) AS total_tokens,
        CAST(floor((SELECT avg(dl::DOUBLE) FROM dl) * 1e6 + 0.5) AS BIGINT)
            AS avgdl_micros""",
+        "orders_monthly": """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_micros
+FROM orders GROUP BY month""",
+        "lineitem_profile": " UNION ALL ".join(f"""
+SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(min(v) AS BIGINT) AS min_micros,
+       CAST(max(v) AS BIGINT) AS max_micros
+FROM (SELECT CAST(floor({c} * 1e6 + 0.5) AS BIGINT) AS v FROM lineitem)"""
+                                               for c in _PROFILE_COLS),
         "conjunctive_search": bm25_scores_sql(BM25_QUERY) + """,
 full_docs AS (
   SELECT doc_id FROM kept WHERE term IN (SELECT term FROM qterms)

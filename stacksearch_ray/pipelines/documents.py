@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..build import build_index
 from ..micros import pc_micros, to_micros
@@ -4721,6 +4721,80 @@ def phrase_search_appended(sf_dir: str):
         "doc_id": pa.array(ids, pa.int64()),
         "n_occurrences": pa.array(counts, pa.int64()),
     })
+
+
+def orders_monthly(sf_dir: str):
+    """Calendar rollup (the one date-typed aggregate shape the suite
+    lacked): per order month, order count + revenue (micros
+    round-then-sum). The month derives vectorized — datetime64[us] →
+    datetime64[M] → 'YYYY-MM' strings — and the shuffle carries one
+    partial row per (month, batch); both engines compute the naive-UTC
+    calendar month, so the strings match bitwise."""
+    def per_batch(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["o_orderdate"].combine_chunks()
+                        .cast(pa.timestamp("us")))
+        months = np.datetime_as_string(ts.astype("datetime64[M]"))
+        t = pa.table({
+            "month": pa.array(months, pa.string()),
+            "one": np.ones(b.num_rows, dtype=np.int64),
+            "rev": pc_micros(b["o_totalprice"].combine_chunks()),
+        })
+        return _partial_sums(t, ["month"], {"one": "n_orders",
+                                            "rev": "revenue_micros"})
+
+    return (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderdate", "o_totalprice"])
+            .map_batches(per_batch, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("revenue_micros", alias_name="revenue_micros")))
+
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def lineitem_profile(sf_dir: str):
+    """Exact per-column data-quality profile (the profiling pass a
+    pipeline runs before training ingestion): for each numeric column,
+    row count, EXACT distinct count, min and max — all in micros so the
+    two engines agree bitwise. Distinct is computed without any full
+    materialization: values hash-bucket by (column, value), so every
+    copy of a value lands in one bucket and per-bucket np.unique counts
+    are additive; min/max/count ride the same partial rows."""
+    num_buckets = 16
+
+    def explode(b: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in PROFILE_COLS:
+            v = np.asarray(pc_micros(b[c].combine_chunks()))
+            vals.append(v)
+            cols.append(np.full(len(v), c, dtype=object))
+        col = np.concatenate(cols)
+        v = np.concatenate(vals)
+        bk = ((pd.util.hash_array(col) ^ pd.util.hash_array(
+            v.astype(np.uint64))) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "col_name": pa.array(col, pa.string()),
+            "v": v,
+            "__b": bk,
+        })
+
+    def profile_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("col_name", sort=False)["v"]
+        out = g.agg(n="count", n_distinct="nunique", min_micros="min",
+                    max_micros="max").reset_index()
+        return out
+
+    parts = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=list(PROFILE_COLS))
+             .map_batches(explode, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(profile_bucket, batch_format="pandas"))
+    return (parts.groupby("col_name")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_distinct", alias_name="n_distinct"),
+                       Min("min_micros", alias_name="min_micros"),
+                       Max("max_micros", alias_name="max_micros")))
 
 
 def conjunctive_search(sf_dir: str):
