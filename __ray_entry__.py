@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conjunctive_search": P.conjunctive_search,
         "orders_monthly": P.orders_monthly,
         "lineitem_profile": P.lineitem_profile,
+        "curated_packed_sequences": P.curated_packed_sequences,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -2174,6 +2175,47 @@ SELECT CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
        CAST((SELECT sum(cf) FROM td) AS BIGINT) AS total_tokens,
        CAST(floor((SELECT avg(dl::DOUBLE) FROM dl) * 1e6 + 0.5) AS BIGINT)
            AS avgdl_micros""",
+        "curated_packed_sequences": f"""
+WITH full_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents),
+{kept_tokens_cte(table='full_corpus')},
+all_toks AS (
+  SELECT doc_id, count(*) AS n FROM toks WHERE term <> '' GROUP BY doc_id
+),
+kc AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+gated AS (
+  SELECT d.doc_id, d.text
+  FROM full_corpus d
+  LEFT JOIN all_toks a ON d.doc_id = a.doc_id
+  LEFT JOIN kc k ON d.doc_id = k.doc_id
+  WHERE coalesce(k.n, 0) >= 5
+    AND 2 * (coalesce(a.n, 0) - coalesce(k.n, 0)) <= coalesce(a.n, 0)),
+surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1),
+{token_list_cte(table='surv')},
+keptp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM doc_toks),
+cnt AS (SELECT doc_id, count(*) AS n FROM keptp GROUP BY doc_id),
+offs AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM cnt),
+g AS (SELECT k.doc_id, o.off + k.pos AS gp, k.term
+      FROM keptp k JOIN offs o USING (doc_id))
+SELECT CAST(gp // 512 AS BIGINT) AS seq_id,
+       CAST(gp % 512 AS BIGINT) AS pos_in_seq,
+       term, doc_id
+FROM g""",
         "orders_monthly": """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(count(*) AS BIGINT) AS n_orders,

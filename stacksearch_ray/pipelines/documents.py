@@ -1523,21 +1523,19 @@ def events_zscore(sf_dir: str):
             .map_batches(norm, batch_format="pyarrow"))
 
 
-def packed_sequences(sf_dir: str):
-    """LLM-training sequence packing: the doc_id-ordered kept-token
-    stream cut into fixed 512-token sequences — every token gets
-    (seq_id, pos_in_seq). Global token positions come from a
-    DISTRIBUTED exclusive prefix sum over per-doc counts
+def _pack_token_stream(docs, L: int = 512):
+    """Sequence-packing core over a (doc_id, text) Dataset: the
+    doc_id-ordered kept-token stream cut into fixed L-token sequences —
+    every token gets (seq_id, pos_in_seq). Global token positions come
+    from a DISTRIBUTED exclusive prefix sum over per-doc counts
     (functions/windows.py keyed_offsets: range-buckets, one tiny
     per-bucket-totals driver table, vectorized interior cumsums) —
     no global sort, no token-stream shuffle: only doc-sized rows move
     through the offset join; the token stream itself is emitted
-    map-side. The corpus is tokenized twice (count pass + emit pass) —
+    map-side. The input is tokenized twice (count pass + emit pass) —
     the standard trade against materializing the token stream."""
     from ..functions.joins import hash_join
     from ..functions.windows import keyed_offsets
-
-    L = 512
 
     def counts(b: pa.Table) -> pa.Table:
         _, _, lens = tokenize_array(b["text"].combine_chunks())
@@ -1546,7 +1544,6 @@ def packed_sequences(sf_dir: str):
             "n": pa.array(lens, pa.int64()),
         })
 
-    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     offs = keyed_offsets(docs.map_batches(counts, batch_format="pyarrow"),
                          "doc_id", "n")
     joined = hash_join(docs, offs, on="doc_id", num_buckets=8)
@@ -1574,6 +1571,49 @@ def packed_sequences(sf_dir: str):
         })
 
     return joined.map_batches(emit, batch_format="pyarrow")
+
+
+def packed_sequences(sf_dir: str):
+    """LLM-training sequence packing over the full documents table —
+    see _pack_token_stream for the distributed-prefix-sum mechanics."""
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return _pack_token_stream(docs, L=512)
+
+
+def curated_packed_sequences(sf_dir: str):
+    """The flagship end-to-end LLM-data composition: quality gate
+    (≥5 kept tokens, stopword ratio ≤ 1/2) → exact dedup (min-id
+    representative, drop-set discovery shuffles (hash, id) only) →
+    sequence packing over the SURVIVING docs (distributed exclusive
+    prefix sum, 512-token blocks). One pipeline a training-data user
+    actually ships; every stage reuses an independently-oracled
+    kernel, and the composite has its own end-to-end SQL oracle."""
+    from ..functions.dedup import dedup_corpus as _dedup_corpus
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = token_stats_batch(batch.select(["doc_id", "text"]))
+        keep = pc.and_(
+            pc.greater_equal(t["n_kept"], 5),
+            pc.less_equal(
+                pc.multiply(pc.subtract(t["n_tokens"], t["n_kept"]), 2),
+                t["n_tokens"]))
+        return batch.filter(keep)
+
+    # input = documents ∪ an id-shifted copy (the dedup_corpus entry's
+    # construction) so the dedup stage has REAL drops to make: every
+    # original survives (smaller id wins), every shifted copy drops
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    shifted = ds.map_batches(
+        lambda t: pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000),
+                            "text": t["text"]}),
+        batch_format="pyarrow")
+    filtered = ds.union(shifted).map_batches(gate, batch_format="pyarrow")
+    # materialize: _pack_token_stream consumes its input twice (count
+    # pass + emit pass) — without this the gate+dedup lineage re-runs
+    # per consumer (the measured re-execution trap from NOTES.md)
+    kept = _dedup_corpus(filtered, text_col="text", id_col="doc_id"
+                         ).materialize()
+    return _pack_token_stream(kept, L=512)
 
 
 def user_funnel(sf_dir: str):
