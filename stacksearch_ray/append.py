@@ -66,12 +66,78 @@ def recover_segments(index_dir: str) -> bool:
     return acted
 
 
+_FAIL_AT: str | None = None  # test hook: crash injection inside commit
+
+
+def _maybe_fail(point: str) -> None:
+    if _FAIL_AT == point:
+        raise RuntimeError(f"injected crash at {point}")
+
+
+def recover_appends(index_dir: str) -> bool:
+    """Heal an append interrupted mid-commit. The commit point is the
+    stats.json write (it records ``last_append_id``): a pending journal
+    whose id matches stats.json means the data commit finished — roll
+    FORWARD (idempotent term_dict refresh, drop the journal); any other
+    pending journal means it didn't — roll BACK by removing the
+    journal's listed files from docs/ and segments/ plus the staged
+    dirs, leaving the index exactly pre-append. Returns True if a
+    recovery action was taken. Called on append entry and QueryEngine
+    open (alongside recover_segments)."""
+    import glob
+    import shutil
+
+    from .build import load_stats
+
+    acted = False
+    for jpath in sorted(glob.glob(
+            os.path.join(index_dir, "append.pending-*.json"))):
+        with open(jpath) as f:
+            j = json.load(f)
+        aid = j["append_id"]
+        try:
+            committed = load_stats(index_dir).get("last_append_id") == aid
+        except FileNotFoundError:
+            committed = False
+        docs_dir = os.path.join(index_dir, "docs")
+        segments_dir = os.path.join(index_dir, "segments")
+        if committed:
+            from .checkpoint import _write_term_dict
+
+            term_dict_dir = os.path.join(index_dir, "term_dict")
+            shutil.rmtree(term_dict_dir, ignore_errors=True)
+            _write_term_dict(segments_dir, term_dict_dir)
+        else:
+            for name in j.get("docs_files", []):
+                p = os.path.join(docs_dir, name)
+                if os.path.exists(p):
+                    os.remove(p)
+            for name in j.get("segment_files", []):
+                p = os.path.join(segments_dir, name)
+                if os.path.exists(p):
+                    os.remove(p)
+        shutil.rmtree(os.path.join(index_dir, f"docs.staged-{aid}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, f"segments.staged-{aid}"),
+                      ignore_errors=True)
+        os.remove(jpath)
+        acted = True
+    return acted
+
+
 def append_to_index(source, index_dir: str,
                     cfg: IndexBuildConfig | None = None,
                     content_col: str | None = None, id_col: str | None = None,
                     **cfg_overrides) -> dict:
     """Append ``source`` documents to an existing index. Returns updated
-    stats. New doc ids must be disjoint from existing ones (checked)."""
+    stats. New doc ids must be disjoint from existing ones (checked).
+
+    Crash-safe: both the docs rows AND the new segment files are staged
+    outside the live directories while the expensive work (tokenize,
+    collision audit, postings encode) runs; the only mutation window is
+    the journaled commit (two batches of renames + the stats write),
+    and ``recover_appends`` rolls an interrupted commit back — or
+    forward once stats.json (the commit point) has landed."""
     from .build import load_stats
 
     prev = load_stats(index_dir)
@@ -126,13 +192,17 @@ def append_to_index(source, index_dir: str,
     import shutil
     import uuid
 
-    # sweep staged dirs orphaned by a crashed prior append (single-writer
+    # heal any crashed prior append, then sweep journal-less staged
+    # dirs (crash before the journal was written; single-writer
     # assumption: no other append is running against this index)
+    recover_appends(index_dir)
     for name in os.listdir(index_dir):
-        if name.startswith("docs.staged-"):
+        if name.startswith(("docs.staged-", "segments.staged-")):
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
 
-    staged_dir = os.path.join(index_dir, f"docs.staged-{uuid.uuid4().hex}")
+    aid = uuid.uuid4().hex
+    staged_dir = os.path.join(index_dir, f"docs.staged-{aid}")
+    seg_staged = os.path.join(index_dir, f"segments.staged-{aid}")
     try:
         src_ds.map_batches(make_docs_meta_fn(cfg), batch_format="pyarrow",
                            batch_size=cfg.batch_size).write_parquet(staged_dir)
@@ -147,43 +217,64 @@ def append_to_index(source, index_dir: str,
         # paths (not the pads dataset) so the beyond-driver-scale
         # distributed audit path is reachable here too
         check_doc_id_collisions([docs_dir, staged_dir], n_docs)
+
+        avgdl = (total_len / n_docs) if n_docs else 0.0
+        stats = dict(prev)
+        stats.update({"n_docs": n_docs, "total_len": total_len,
+                      "avgdl": avgdl, "appended": True,
+                      "last_append_id": aid})
+
+        # postings pass for the NEW docs only → STAGED segment files
+        # (the live segments/ dir is untouched until the commit below)
+        encoder = SegmentEncoder(avgdl=avgdl, k1=cfg.k1, b=cfg.b,
+                                 block_size=cfg.block_size)
+
+        def encode_group(group: pa.Table) -> pa.Table:
+            return encoder(group)
+
+        (src_ds.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+         .groupby("gkey")
+         .map_groups(encode_group, batch_format="pyarrow")
+         .write_parquet(seg_staged))
     except BaseException:
         shutil.rmtree(staged_dir, ignore_errors=True)
+        shutil.rmtree(seg_staged, ignore_errors=True)
         raise
-    # commit: move staged files into docs/ (names are UUID-unique)
-    for name in os.listdir(staged_dir):
+
+    # ---- journaled commit: record the exact final file names FIRST so
+    # recover_appends can roll an interrupted commit back (or forward
+    # once stats.json — the commit point — has landed) ----
+    docs_files = sorted(os.listdir(staged_dir))
+    segment_files = [f"append-{aid}-{n}" for n in sorted(
+        os.listdir(seg_staged))]
+    journal = os.path.join(index_dir, f"append.pending-{aid}.json")
+    with open(journal + ".tmp", "w") as f:
+        json.dump({"append_id": aid, "docs_files": docs_files,
+                   "segment_files": segment_files}, f)
+    os.replace(journal + ".tmp", journal)
+
+    for name in docs_files:
         os.rename(os.path.join(staged_dir, name),
                   os.path.join(docs_dir, name))
     os.rmdir(staged_dir)
-    avgdl = (total_len / n_docs) if n_docs else 0.0
-    stats = dict(prev)
-    stats.update({"n_docs": n_docs, "total_len": total_len, "avgdl": avgdl,
-                  "appended": True})
-
-    # postings pass for the NEW docs only → additional segment files
-    encoder = SegmentEncoder(avgdl=avgdl, k1=cfg.k1, b=cfg.b,
-                             block_size=cfg.block_size)
-
-    def encode_group(group: pa.Table) -> pa.Table:
-        return encoder(group)
-
-    (src_ds.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
-                        batch_size=cfg.batch_size)
-     .groupby("gkey")
-     .map_groups(encode_group, batch_format="pyarrow")
-     .write_parquet(segments_dir))
+    _maybe_fail("mid_commit_docs")
+    for src, dst in zip(sorted(os.listdir(seg_staged)), segment_files):
+        os.rename(os.path.join(seg_staged, src),
+                  os.path.join(segments_dir, dst))
+    os.rmdir(seg_staged)
+    _maybe_fail("mid_commit_segments")
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)  # COMMIT POINT
+    _maybe_fail("after_stats")
 
     # term_dict refresh (global df/cf over ALL segment rows)
     from .checkpoint import _write_term_dict
 
     term_dict_dir = os.path.join(index_dir, "term_dict")
-    import shutil
-
     shutil.rmtree(term_dict_dir, ignore_errors=True)
     _write_term_dict(segments_dir, term_dict_dir)
-
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
+    os.remove(journal)
     return stats
 
 

@@ -86,9 +86,10 @@ class QueryEngine:
     scores stay bitwise identical to the full engine."""
 
     def __init__(self, index_dir: str, shard_subset: list[int] | None = None):
-        from .append import recover_segments
+        from .append import recover_appends, recover_segments
 
         recover_segments(index_dir)  # heal interrupted compaction swaps
+        recover_appends(index_dir)   # heal interrupted append commits
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         self.n_docs = self.stats["n_docs"]
@@ -860,6 +861,14 @@ class _ShardWorker:
                                            allowed_doc_ids=allowed,
                                            plan=plan)
 
+    def phrase(self, phrase: str) -> tuple[list[int], list[int]]:
+        ids, counts = self.engine.phrase_occurrences(phrase)
+        return ids.tolist(), counts.tolist()
+
+    def near(self, a: str, b: str) -> tuple[list[int], list[int]]:
+        ids, gaps = self.engine.near_min_gaps(a, b)
+        return ids.tolist(), gaps.tolist()
+
 
 class ShardedQueryEngine:
     """Distributed query serving: the index's doc-id shards are
@@ -936,6 +945,37 @@ class ShardedQueryEngine:
         import ray
 
         ray.get([w.warm.remote(queries) for w in self.workers])
+
+    def _merge_disjoint(self, parts) -> tuple[np.ndarray, np.ndarray]:
+        """Workers own disjoint doc shards, so per-worker positional
+        results never overlap: merge = concat + one sort by doc id."""
+        ids = np.concatenate([np.asarray(p[0], dtype=np.int64)
+                              for p in parts])
+        vals = np.concatenate([np.asarray(p[1], dtype=np.int64)
+                               for p in parts])
+        order = np.argsort(ids, kind="stable")
+        return ids[order], vals[order]
+
+    def phrase_occurrences(self, phrase: str
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed exact-phrase serving from the positional sidecar:
+        each worker intersects its own shard subset's position streams;
+        the driver merges the disjoint per-shard results. Bitwise
+        identical to the single-engine phrase_occurrences (tested)."""
+        import ray
+
+        parts = ray.get([w.phrase.remote(phrase) for w in self.workers])
+        return self._merge_disjoint(parts)
+
+    def near_min_gaps(self, term_a: str, term_b: str
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed NEAR/k: per-worker min-gap over its shard subset,
+        disjoint-merge on the driver."""
+        import ray
+
+        parts = ray.get([w.near.remote(term_a, term_b)
+                         for w in self.workers])
+        return self._merge_disjoint(parts)
 
 
 class BM25SearchActor:

@@ -195,6 +195,64 @@ def test_distributed_collision_audit(ray_session, tmp_path, monkeypatch):
     assert load_stats(idx)["n_docs"] == 120
 
 
+def test_append_crash_recovery_journal(ray_session, tmp_path):
+    """The journaled append commit: a crash anywhere before the stats
+    write rolls BACK to exactly the pre-append index on next open; a
+    crash after the commit point rolls FORWARD (term_dict refresh) and
+    the result equals a clean append."""
+    import os
+
+    import stacksearch_ray.append as A
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 200, rows_per_file=100)
+    base = f"{corpus}/part-00000.parquet"
+    delta = f"{corpus}/part-00001.parquet"
+    idx = str(tmp_path / "i")
+    build_index(base, idx, num_shards=2)
+    q0 = "helper_3 field_7 import"
+    before = QueryEngine(idx).search(q0, 10)
+    pre_stats = load_stats(idx)
+
+    def debris():
+        return [n for n in os.listdir(idx) if n.startswith(
+            ("docs.staged", "segments.staged", "append.pending"))]
+
+    for point in ("mid_commit_docs", "mid_commit_segments"):
+        A._FAIL_AT = point
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                A.append_to_index(delta, idx)
+        finally:
+            A._FAIL_AT = None
+        eng = QueryEngine(idx)  # open triggers recover_appends → rollback
+        assert eng.search(q0, 10) == before, point
+        assert load_stats(idx) == pre_stats, point
+        assert not debris(), point
+
+    # crash AFTER the commit point (stats written, term_dict/journal
+    # pending): recovery rolls forward
+    A._FAIL_AT = "after_stats"
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            A.append_to_index(delta, idx)
+    finally:
+        A._FAIL_AT = None
+    eng = QueryEngine(idx)
+    assert not debris()
+    st = load_stats(idx)
+    assert st["n_docs"] == 200 and st["appended"] is True
+    idx2 = str(tmp_path / "i2")
+    build_index(base, idx2, num_shards=2)
+    A.append_to_index(delta, idx2)
+    eng2 = QueryEngine(idx2)
+    for q in QUERIES:
+        assert (eng.search(q, 10, "exhaustive")
+                == eng2.search(q, 10, "exhaustive")), q
+
+
 def test_compact_crash_recovery(ray_session, tmp_path):
     """A crash between compact_index's two renames must be healable:
     QueryEngine open restores segments.old and serves the same results."""

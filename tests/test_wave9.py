@@ -465,6 +465,23 @@ def test_term_positions_match_tokenization(P):
             assert pos[starts[i]:ends[i]].tolist() == want
 
 
+def test_sharded_positional_identical(P, ray_session):
+    """Distributed phrase/NEAR serving: each worker answers from its
+    own shard subset's positional sidecar; the disjoint merge equals
+    the single-engine result exactly."""
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    ids_s, c_s = sharded.phrase_occurrences("merge sort")
+    ids_1, c_1 = eng.phrase_occurrences("merge sort")
+    assert ids_s.tolist() == ids_1.tolist()
+    assert c_s.tolist() == c_1.tolist() and len(ids_s) > 0
+    n_s, g_s = sharded.near_min_gaps("merge", "sort")
+    n_1, g_1 = eng.near_min_gaps("merge", "sort")
+    assert n_s.tolist() == n_1.tolist() and g_s.tolist() == g_1.tolist()
+
+
 def test_conjunctive_search_semantics(P):
     """AND-ranked retrieval: every hit contains ALL query terms, scores
     equal the unfiltered scores, and the result is identical to
