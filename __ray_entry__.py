@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": P.bm25_topk,
         "bm25_topk_wand": P.bm25_topk_wand,
         "bm25_topk_appended": P.bm25_topk_appended,
+        "bm25_topk_deleted": P.bm25_topk_deleted,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -2216,6 +2217,15 @@ SELECT CAST(gp // 512 AS BIGINT) AS seq_id,
        CAST(gp % 512 AS BIGINT) AS pos_in_seq,
        term, doc_id
 FROM g""",
+        "bm25_topk_deleted": bm25_scores_sql(
+            BM25_QUERY, table="surv",
+            pre="surv AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),"
+        ) + """
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "orders_monthly": """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -31,6 +31,7 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 import ray.data as rd
 
@@ -44,25 +45,28 @@ from .build import (
 
 
 def recover_segments(index_dir: str) -> bool:
-    """Heal a compact_index swap interrupted between its two renames:
-    if segments/ is missing but segments.old exists, rename it back
-    (the pre-compaction index is complete and correct). A leftover
-    segments.compact is stale scratch either way — removed. Returns
-    True if a recovery action was taken. Called on compaction entry
-    and on QueryEngine open, so a crash in the swap window never
-    leaves the index unreadable."""
+    """Heal a compact_index swap interrupted between its two renames —
+    for BOTH swapped directories (segments/, and docs/ when a
+    tombstone-purging compaction rewrites the doc table): if the live
+    dir is missing but its .old exists, rename it back (the
+    pre-compaction copy is complete and correct). A leftover .compact
+    is stale scratch either way — removed. Returns True if a recovery
+    action was taken. Called on compaction entry and on QueryEngine
+    open, so a crash in the swap window never leaves the index
+    unreadable."""
     import shutil
 
-    segments_dir = os.path.join(index_dir, "segments")
-    old = segments_dir + ".old"
     acted = False
-    if not os.path.isdir(segments_dir) and os.path.isdir(old):
-        os.rename(old, segments_dir)
-        acted = True
-    if os.path.isdir(segments_dir):
-        # segments present: any .old is a fully-superseded copy
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(segments_dir + ".compact", ignore_errors=True)
+    for sub in ("segments", "docs"):
+        live = os.path.join(index_dir, sub)
+        old = live + ".old"
+        if not os.path.isdir(live) and os.path.isdir(old):
+            os.rename(old, live)
+            acted = True
+        if os.path.isdir(live):
+            # live dir present: any .old is a fully-superseded copy
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(live + ".compact", ignore_errors=True)
     return acted
 
 
@@ -123,6 +127,117 @@ def recover_appends(index_dir: str) -> bool:
         os.remove(jpath)
         acted = True
     return acted
+
+
+def load_tombstones(index_dir: str, stats: dict | None = None) -> "object":
+    """The active deleted-doc-id set (sorted int64 array; empty when no
+    deletes are pending). stats.json names the active tombstone file —
+    the single atomic commit point of delete_from_index."""
+    import numpy as np
+
+    if stats is None:
+        from .build import load_stats
+
+        stats = load_stats(index_dir)
+    name = stats.get("tombstones_file")
+    if not name:
+        return np.empty(0, dtype=np.int64)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, name), columns=["doc_id"])
+    return np.asarray(t["doc_id"].combine_chunks()).astype(np.int64)
+
+
+def delete_from_index(index_dir: str, doc_ids) -> dict:
+    """Tombstone deletion — the missing quarter of the lifecycle
+    (build / append / DELETE / compact). O(delete-set) work now;
+    physical purge happens at the next ``compact_index``.
+
+    Commit is ONE atomic stats.json replace: the full (old ∪ new)
+    deleted-id set is first written to a fresh ``tombstones-{id}``
+    parquet, then stats.json switches to it — a crash anywhere shows
+    either the old or the new delete set, never a torn state. Global
+    stats (n_docs / total_len / avgdl) are recomputed from the
+    actually-present deleted rows, and ``appended`` is set: pruning
+    bounds are stale under the changed avgdl AND deleted docs must
+    never surface, so every query routes to the exhaustive scorer,
+    which masks tombstones (results bitwise equal to a rebuild without
+    the deleted docs — tested). Ids not present in the index are
+    ignored (deletes are idempotent). Re-adding a deleted id requires
+    a compaction first (its row still occupies the docs table, so the
+    append collision check will reject it — by design)."""
+    import uuid
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .build import load_stats, write_stats
+
+    recover_segments(index_dir)
+    recover_appends(index_dir)
+    stats = load_stats(index_dir)
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    old = load_tombstones(index_dir, stats)
+    new_ids = np.setdiff1d(ids, old, assume_unique=True)
+    if len(new_ids) == 0:
+        return stats
+    # only rows that actually exist tombstone (and adjust stats)
+    docs_dir = os.path.join(index_dir, "docs")
+    t = pq.read_table(docs_dir, columns=["doc_id", "doc_len"],
+                      filters=[("doc_id", "in", new_ids.tolist())])
+    found = np.asarray(t["doc_id"].combine_chunks()).astype(np.int64)
+    if len(found) == 0:
+        return stats
+    removed_len = int(np.asarray(t["doc_len"].combine_chunks()).sum())
+    allt = np.union1d(old, found)
+    n_docs = int(stats["n_docs"]) - len(found)
+    total_len = int(stats["total_len"]) - removed_len
+    aid = uuid.uuid4().hex
+    tomb_name = f"tombstones-{aid}.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(allt, pa.int64())}),
+                   os.path.join(index_dir, tomb_name))
+
+    # per-term deleted-df sidecar: physical segment dfs still count
+    # tombstoned docs, but exact idf needs df over ALIVE docs — and the
+    # correction must be GLOBAL (a sharded worker can't see other
+    # shards' postings). Count deleted docs per term once here: one
+    # column-pruned segments scan (term + doc_ids only, postings stay
+    # encoded until the per-row decode), vocab-bounded output. At 10⁹+
+    # postings run this as a Ray map_batches + partial-sum pass — the
+    # driver stream keeps delete cost one order below a rebuild.
+    from .codec import decode_doc_ids
+
+    block_size = int(stats["block_size"])
+    seg_dir = os.path.join(index_dir, "segments")
+    counts: dict[str, int] = {}
+    for rb in pads.dataset(seg_dir).to_batches(columns=["term", "doc_ids"]):
+        for term, blob in zip(rb.column(0).to_pylist(),
+                              rb.column(1).to_pylist()):
+            ids = decode_doc_ids(blob, block_size)
+            j = np.minimum(np.searchsorted(allt, ids), len(allt) - 1)
+            c = int((allt[j] == ids).sum())
+            if c:
+                counts[term] = counts.get(term, 0) + c
+    ddf_name = f"deleted-df-{aid}.parquet"
+    terms_sorted = sorted(counts)
+    pq.write_table(pa.table({
+        "term": pa.array(terms_sorted, pa.string()),
+        "ddf": pa.array([counts[t] for t in terms_sorted], pa.int64()),
+    }), os.path.join(index_dir, ddf_name))
+
+    stats.update({
+        "n_docs": n_docs, "total_len": total_len,
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "appended": True,  # stale bounds + mandatory tombstone masking
+        "tombstones_file": tomb_name, "n_tombstones": len(allt),
+        "deleted_df_file": ddf_name,
+    })
+    write_stats(index_dir, stats)  # COMMIT POINT (atomic replace)
+    for name in os.listdir(index_dir):  # sweep superseded sidecars
+        if (name.startswith(("tombstones-", "deleted-df-"))
+                and aid not in name):
+            os.remove(os.path.join(index_dir, name))
+    return stats
 
 
 def append_to_index(source, index_dir: str,
@@ -218,6 +333,15 @@ def append_to_index(source, index_dir: str,
         # distributed audit path is reachable here too
         check_doc_id_collisions([docs_dir, staged_dir], n_docs)
 
+        # tombstoned rows are physically present until compaction but
+        # must not count toward global stats
+        tomb = load_tombstones(index_dir, prev)
+        if len(tomb):
+            td = pq.read_table(docs_dir, columns=["doc_len"],
+                               filters=[("doc_id", "in", tomb.tolist())])
+            n_docs -= td.num_rows
+            total_len -= int(pc.sum(td["doc_len"]).as_py() or 0)
+
         avgdl = (total_len / n_docs) if n_docs else 0.0
         stats = dict(prev)
         stats.update({"n_docs": n_docs, "total_len": total_len,
@@ -264,8 +388,9 @@ def append_to_index(source, index_dir: str,
                   os.path.join(segments_dir, dst))
     os.rmdir(seg_staged)
     _maybe_fail("mid_commit_segments")
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)  # COMMIT POINT
+    from .build import write_stats
+
+    write_stats(index_dir, stats)  # COMMIT POINT (atomic replace)
     _maybe_fail("after_stats")
 
     # term_dict refresh (global df/cf over ALL segment rows)
@@ -323,6 +448,7 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
         encode_position_lists,
     )
 
+    recover_appends(index_dir)
     stats = load_stats(index_dir)
     store_positions = bool(stats.get("store_positions"))
     avgdl = float(stats["avgdl"])
@@ -330,6 +456,17 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
     block_size = int(stats["block_size"])
     segments_dir = os.path.join(index_dir, "segments")
     docs_dir = os.path.join(index_dir, "docs")
+    # tombstone purge: compaction drops deleted docs' postings AND doc
+    # rows physically; the sorted id set rides each explode closure
+    # (delete sets are tiny next to the corpus; ray.put it at 10⁸+)
+    tomb = load_tombstones(index_dir, stats)
+
+    def _alive(ids: np.ndarray) -> np.ndarray:
+        if len(tomb) == 0:
+            return np.ones(len(ids), dtype=bool)
+        j = np.searchsorted(tomb, ids)
+        j = np.minimum(j, len(tomb) - 1)
+        return tomb[j] != ids
 
     def explode(batch: pa.Table) -> pa.Table:
         terms_u = batch["term"].to_pylist()
@@ -341,13 +478,7 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
             shard = int(batch["shard"][i].as_py())
             ids = decode_doc_ids(batch["doc_ids"][i].as_py(), block_size)
             tfs = decode_tfs(batch["tfs"][i].as_py())
-            n = len(ids)
-            t_out.append(np.full(n, terms_u[i], dtype=object))
-            d_out.append(ids)
-            tf_out.append(tfs)
-            sh_out.append(np.full(n, shard, dtype=np.int32))
-            gk_out.append(np.full(n, shard * term_buckets + bucket_u[i],
-                                  dtype=np.int64))
+            blobs = None
             if store_positions:
                 # segment blob → flat absolute positions → re-split into
                 # per-doc blobs (identity round-trip: varint/gap encode is
@@ -356,8 +487,23 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
                 tfs64 = tfs.astype(np.int64)
                 flat = decode_positions(batch["positions"][i].as_py(), tfs64)
                 ends_d = np.cumsum(tfs64)
-                pos_out.extend(encode_position_lists(flat, ends_d - tfs64,
-                                                     ends_d))
+                blobs = encode_position_lists(flat, ends_d - tfs64, ends_d)
+            if len(tomb):
+                keep = _alive(ids)
+                ids, tfs = ids[keep], tfs[keep]
+                if blobs is not None:
+                    blobs = [bl for bl, k in zip(blobs, keep) if k]
+            n = len(ids)
+            if n == 0:
+                continue
+            t_out.append(np.full(n, terms_u[i], dtype=object))
+            d_out.append(ids)
+            tf_out.append(tfs)
+            sh_out.append(np.full(n, shard, dtype=np.int32))
+            gk_out.append(np.full(n, shard * term_buckets + bucket_u[i],
+                                  dtype=np.int64))
+            if blobs is not None:
+                pos_out.extend(blobs)
         if not t_out:
             cols = {
                 "term": pa.array([], pa.string()),
@@ -412,13 +558,47 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
         raise
     shutil.rmtree(old)
 
+    if len(tomb):
+        # rewrite the docs table without the tombstoned rows (same
+        # .compact → .old swap; recover_segments heals docs/ too).
+        # Ordering keeps every crash point consistent: segments are
+        # already purged, but stats still carries tombstones_file until
+        # the final write, so engines keep masking (a no-op once purged)
+        docs_tmp = docs_dir + ".compact"
+        shutil.rmtree(docs_tmp, ignore_errors=True)
+
+        def drop_deleted(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+            return b.filter(pa.array(_alive(ids)))
+
+        (rd.read_parquet(docs_dir)
+         .map_batches(drop_deleted, batch_format="pyarrow")
+         .write_parquet(docs_tmp))
+        docs_old = docs_dir + ".old"
+        shutil.rmtree(docs_old, ignore_errors=True)
+        os.rename(docs_dir, docs_old)
+        try:
+            os.rename(docs_tmp, docs_dir)
+        except OSError:
+            os.rename(docs_old, docs_dir)
+            raise
+        shutil.rmtree(docs_old)
+
     from .checkpoint import _write_term_dict
 
     term_dict_dir = os.path.join(index_dir, "term_dict")
     shutil.rmtree(term_dict_dir, ignore_errors=True)
     _write_term_dict(segments_dir, term_dict_dir)
 
+    from .build import write_stats
+
     stats["appended"] = False
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
+    tomb_file = stats.pop("tombstones_file", None)
+    stats.pop("n_tombstones", None)
+    stats.pop("deleted_df_file", None)
+    write_stats(index_dir, stats)
+    if tomb_file:  # purge complete: drop every delete artifact
+        for name in os.listdir(index_dir):
+            if name.startswith(("tombstones-", "deleted-df-")):
+                os.remove(os.path.join(index_dir, name))
     return stats

@@ -437,8 +437,7 @@ def build_index(source, index_dir: str,
         "id_col": cfg.id_col,
         "store_positions": cfg.store_positions,
     }
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
+    write_stats(index_dir, stats)
 
     # ---- term-partitioned merge (THE shuffle) over STAGED postings ----
     encoder = SegmentEncoder(avgdl=avgdl, k1=cfg.k1, b=cfg.b, block_size=cfg.block_size)
@@ -555,6 +554,17 @@ def check_doc_id_collisions(docs, n_docs: int) -> None:
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats.json")) as f:
         return json.load(f)
+
+
+def write_stats(index_dir: str, stats: dict) -> None:
+    """Atomic stats.json replace (tmp + rename). stats.json is the
+    COMMIT POINT for append and delete, so a torn write must be
+    impossible — every writer in the lifecycle goes through here."""
+    path = os.path.join(index_dir, "stats.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1)
+    os.replace(tmp, path)
 
 
 def idf(n_docs: int, df: int) -> float:

@@ -270,8 +270,9 @@ def build_index_resumable(source: str | list[str], index_dir: str,
     }
     import json as _json
 
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        _json.dump(stats, f, indent=1)
+    from .build import write_stats
+
+    write_stats(index_dir, stats)
     manifest.mark_phase("stats", n_docs=n_docs, avgdl=avgdl)
     manifest.save()
 

@@ -3217,6 +3217,36 @@ def bm25_topk_appended(sf_dir: str):
     })
 
 
+def bm25_topk_deleted(sf_dir: str):
+    """Deletion surfaced in the driver harness (the lifecycle's fourth
+    quarter: build / append / DELETE / compact): build over ALL
+    documents, tombstone every doc_id % 7 == 0 via delete_from_index
+    (O(delete-set) now, physical purge at the next compaction), then
+    run the fixed BM25 query. Oracle: the bm25 chain over the corpus
+    WITHOUT the deleted docs — the tombstoned index must match it
+    bitwise (masked exhaustive scorer + delete-time global stats and
+    per-term df corrections)."""
+    from ..append import delete_from_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(CACHE_ROOT, tag, "index_deleted")
+    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+        build_index(_docs(sf_dir), index_dir, content_col="text",
+                    id_col="doc_id", meta_cols=("lang", "source"),
+                    num_shards=4, term_buckets=16)
+        ids = pq.read_table(_docs(sf_dir),
+                            columns=["doc_id"])["doc_id"].to_pylist()
+        delete_from_index(index_dir, [i for i in ids if i % 7 == 0])
+    eng = QueryEngine(index_dir)
+    res = eng.search(BM25_QUERY, 10, method="auto")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+    })
+
+
 def event_trigrams(sf_dir: str):
     """Behavioral sequence mining: the top-10 event-type TRIGRAMS across
     per-user timelines (ordered by ts, event_id — the deterministic

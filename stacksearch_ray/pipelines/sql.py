@@ -59,12 +59,15 @@ def ngram_cte(n: int, name: str) -> str:
   FROM doc_toks)"""
 
 
-def bm25_scores_sql(query: str, k1: float = 1.2, b: float = 0.75) -> str:
-    """CTE chain ending in ``scores(doc_id, score)`` for a query string."""
+def bm25_scores_sql(query: str, k1: float = 1.2, b: float = 0.75,
+                    table: str = "documents", pre: str = "") -> str:
+    """CTE chain ending in ``scores(doc_id, score)`` for a query string.
+    ``table`` points the tokenize mirror at another relation; ``pre``
+    injects CTEs before it (e.g. a filtered ``surv`` corpus)."""
     terms = sorted(set(clean_query(query)))
     terms_values = ", ".join(f"('{t}')" for t in terms)
     return f"""
-WITH {kept_tokens_cte()},
+WITH {pre}{kept_tokens_cte(table=table)},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),

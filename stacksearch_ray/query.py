@@ -98,6 +98,23 @@ class QueryEngine:
         self.b = float(self.stats["b"])
         self.block_size = int(self.stats["block_size"])
         self.doclens = _DocLens(os.path.join(index_dir, "docs"), shard_subset)
+        # tombstoned docs (delete_from_index) stay physically present
+        # until compaction; a dense alive-mask over the local doc space
+        # hides them from every query path. stats["appended"] is set by
+        # deletes, so scoring already routes to the exhaustive scorer.
+        from .append import load_tombstones
+
+        deleted = load_tombstones(index_dir, self.stats)
+        self._deleted_sorted = deleted
+        self._alive = np.ones(len(self.doclens.ids), dtype=bool)
+        if len(deleted):
+            pos = np.searchsorted(self.doclens.ids, deleted)
+            ok = pos < len(self.doclens.ids)
+            pos = pos[ok]
+            self._alive[pos[self.doclens.ids[pos] == deleted[ok]]] = False
+        self.has_deletes = bool(len(deleted))
+        self._ddf_file = self.stats.get("deleted_df_file")
+        self._ddf_cache: dict[str, int] = {}
         self._seg_dir = os.path.join(index_dir, "segments")
         self._term_dict_dir = os.path.join(index_dir, "term_dict")
         self.shard_subset = sorted(shard_subset) if shard_subset is not None else None
@@ -168,18 +185,42 @@ class QueryEngine:
 
     def _df_global(self, terms: list[str],
                    segs: dict[str, list[dict]]) -> dict[str, int]:
-        """Global df per term. Full engine: sum over the term's segment
-        rows (all shards visible). Shard subset: term_dict lookup."""
+        """Global df per term over ALIVE docs. Full engine: sum over the
+        term's segment rows (all shards visible). Shard subset:
+        term_dict lookup. With pending deletes, the physical dfs are
+        corrected by the delete-time per-term sidecar (the correction
+        must be global — a worker can't see other shards' postings), so
+        idf equals a rebuild without the deleted docs, bitwise."""
         if self.shard_subset is None:
-            return {t: sum(r["df"] for r in segs[t]) for t in terms}
-        missing = [t for t in terms if t not in self._df_cache]
-        if missing:
-            t = pq.read_table(self._term_dict_dir, columns=["term", "df"],
+            dfs = {t: sum(r["df"] for r in segs[t]) for t in terms}
+        else:
+            missing = [t for t in terms if t not in self._df_cache]
+            if missing:
+                t = pq.read_table(self._term_dict_dir,
+                                  columns=["term", "df"],
+                                  filters=[("term", "in", missing)])
+                found = dict(zip(t["term"].to_pylist(),
+                                 t["df"].to_pylist()))
+                for m in missing:
+                    self._df_cache[m] = int(found.get(m, 0))
+            dfs = {t: self._df_cache[t] for t in terms}
+        if self.has_deletes:
+            ddf = self._deleted_df(terms)
+            dfs = {t: dfs[t] - ddf[t] for t in terms}
+        return dfs
+
+    def _deleted_df(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._ddf_cache]
+        if missing and self._ddf_file:
+            t = pq.read_table(os.path.join(self.index_dir, self._ddf_file),
                               filters=[("term", "in", missing)])
-            found = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+            found = dict(zip(t["term"].to_pylist(), t["ddf"].to_pylist()))
             for m in missing:
-                self._df_cache[m] = int(found.get(m, 0))
-        return {t: self._df_cache[t] for t in terms}
+                self._ddf_cache[m] = int(found.get(m, 0))
+        else:
+            for m in missing:
+                self._ddf_cache[m] = 0
+        return {t: self._ddf_cache[t] for t in terms}
 
     # ---------- exhaustive TAAT ----------
 
@@ -243,6 +284,8 @@ class QueryEngine:
                 any_rows = True
         if not any_rows:
             return []
+        if self.has_deletes:
+            hit &= self._alive  # tombstoned docs never surface
         if allowed is not None:
             # dense allowed-set mask over the local doc space (sorted
             # membership probe — scores are untouched, so filtered
@@ -416,7 +459,10 @@ class QueryEngine:
         if not segs:
             return np.empty(0, np.int64)
         parts = [self._decoded(term, i, r)[0] for i, r in enumerate(segs)]
-        return np.unique(np.concatenate(parts))
+        ids = np.unique(np.concatenate(parts))
+        if self.has_deletes:
+            ids = ids[self._alive[np.searchsorted(self.doclens.ids, ids)]]
+        return ids
 
     def term_positions(self, term: str
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -496,7 +542,12 @@ class QueryEngine:
                 common, ids, assume_unique=True)
             if len(common) == 0:
                 break
-        return common if common is not None else np.empty(0, np.int64)
+        if common is None:
+            return np.empty(0, np.int64)
+        if self.has_deletes and len(common):
+            common = common[
+                self._alive[np.searchsorted(self.doclens.ids, common)]]
+        return common
 
     def phrase_occurrences(self, phrase: str
                            ) -> tuple[np.ndarray, np.ndarray]:
@@ -595,6 +646,9 @@ class QueryEngine:
         n_terms = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         n_tokens = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(n_tokens, inv, tfs)  # int64 scatter-add, never float
+        if self.has_deletes:
+            keep = self._alive[np.searchsorted(self.doclens.ids, uniq)]
+            uniq, n_terms, n_tokens = uniq[keep], n_terms[keep], n_tokens[keep]
         return uniq, n_terms, n_tokens
 
     def min_cover_windows(self, terms: list[str]
@@ -644,6 +698,13 @@ class QueryEngine:
         t = pq.read_table(os.path.join(self.index_dir, "docs"),
                           filters=[("doc_id", "in", list(doc_ids))])
         by_id = {r["doc_id"]: r for r in t.to_pylist()}
+        if self.has_deletes:
+            dl = self._deleted_sorted
+            j = np.searchsorted(dl, np.asarray(sorted(by_id),
+                                               dtype=np.int64))
+            j = np.minimum(j, len(dl) - 1)
+            dead = {d for d, p in zip(sorted(by_id), j) if dl[p] == d}
+            by_id = {d: r for d, r in by_id.items() if d not in dead}
         return [by_id[d] for d in doc_ids if d in by_id]
 
     def search_with_docs(self, query: str, k: int = 10, method: str = "auto",
@@ -785,6 +846,8 @@ class QueryEngine:
         postings never scatter into the full doc space, so cost scales
         with |allowed| · rows, not Σ df. Per-doc adds happen in the same
         sorted-term row order as the dense path → bitwise identical."""
+        if self.has_deletes:
+            apos = apos[self._alive[apos]]
         if len(apos) == 0:
             return []
         custom = None

@@ -1,0 +1,152 @@
+"""Deletion lifecycle: tombstone masking makes every query path equal a
+rebuild WITHOUT the deleted docs (bitwise — global stats are recomputed
+at delete time), compaction purges physically and restores pruning, and
+appends into a tombstoned index keep stats exact."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+QUERIES = ["merge sort join stream window", "merge sort", "dup stream",
+           "zzz_missing"]
+
+
+@pytest.fixture(scope="module")
+def deleted_setup(ray_session, tmp_path_factory):
+    from stacksearch_ray.append import delete_from_index
+    from stacksearch_ray.build import build_index
+
+    root = tmp_path_factory.mktemp("delete")
+    t = pq.read_table(DOCS)
+    del_ids = [i for i in t["doc_id"].to_pylist() if i % 7 == 0]
+    surv = t.filter(pc.invert(pc.is_in(
+        t["doc_id"], value_set=pa.array(del_ids, pa.int64()))))
+    surv_p = str(root / "surv.parquet")
+    pq.write_table(surv, surv_p)
+    kw = dict(content_col="text", id_col="doc_id", num_shards=4,
+              term_buckets=8, store_positions=True)
+    idx = str(root / "idx")
+    build_index(DOCS, idx, **kw)
+    delete_from_index(idx, del_ids)
+    ref = str(root / "ref")
+    build_index(surv_p, ref, **kw)
+    return idx, ref, del_ids, kw, surv_p
+
+
+def test_delete_masks_equal_rebuild(deleted_setup):
+    from stacksearch_ray.build import load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    idx, ref, del_ids, _, _ = deleted_setup
+    si, sr = load_stats(idx), load_stats(ref)
+    # global stats recomputed at delete time == rebuilt corpus, bitwise
+    assert si["n_docs"] == sr["n_docs"]
+    assert si["total_len"] == sr["total_len"]
+    assert si["avgdl"] == sr["avgdl"]
+    e, r = QueryEngine(idx), QueryEngine(ref)
+    for q in QUERIES:
+        want = r.search(q, 10, "exhaustive")
+        # appended flag routes every method to the masked exhaustive path
+        for m in ("auto", "exhaustive", "wand", "bmax"):
+            assert e.search(q, 10, m) == want, (q, m)
+    # positional, wildcard, candidate and doc-store paths all mask
+    assert (e.phrase_occurrences("merge sort")[0].tolist()
+            == r.phrase_occurrences("merge sort")[0].tolist())
+    na, ga = e.near_min_gaps("merge", "sort")
+    nb, gb = r.near_min_gaps("merge", "sort")
+    assert na.tolist() == nb.tolist() and ga.tolist() == gb.tolist()
+    wa = e.search_wildcard("mer")
+    wb = r.search_wildcard("mer")
+    for x, y in zip(wa, wb):
+        assert x.tolist() == y.tolist()
+    assert e.term_doc_ids("merge").tolist() == r.term_doc_ids("merge").tolist()
+    assert e.get_docs(del_ids[:5]) == []
+    # filtered search never resurrects deleted docs
+    allowed = np.asarray(del_ids[:20] + [d for d in e.doclens.ids[:50]
+                                         if d % 7 != 0], dtype=np.int64)
+    for plan in ("dense", "selective"):
+        res = e.search_filtered(QUERIES[0], 10, allowed_doc_ids=allowed,
+                                plan=plan)
+        assert all(d % 7 != 0 for d, _ in res)
+    # idempotent: re-deleting + unknown ids changes nothing
+    from stacksearch_ray.append import delete_from_index
+
+    st2 = delete_from_index(idx, del_ids[:3] + [10**15])
+    assert st2["n_docs"] == si["n_docs"]
+    assert st2["n_tombstones"] == si["n_tombstones"]
+
+
+def test_compact_purges_tombstones(deleted_setup, tmp_path):
+    import os
+    import shutil
+
+    from stacksearch_ray.append import compact_index
+    from stacksearch_ray.build import load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    idx, ref, del_ids, _, _ = deleted_setup
+    c = str(tmp_path / "compacted")
+    shutil.copytree(idx, c)
+    stats = compact_index(c, term_buckets=8)
+    assert stats["appended"] is False
+    assert "tombstones_file" not in stats
+    assert not [n for n in os.listdir(c) if n.startswith("tombstones-")]
+    # physical purge: docs table == rebuild's rows; segments bitwise ==
+    a = pq.read_table(os.path.join(c, "segments")).to_pandas()
+    b = pq.read_table(os.path.join(ref, "segments")).to_pandas()
+    a = a.sort_values(["term", "shard"]).reset_index(drop=True)
+    b = b.sort_values(["term", "shard"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("term", "shard", "df", "cf", "doc_ids", "tfs", "positions"):
+        assert (a[col] == b[col]).all(), col
+    assert (pq.read_table(os.path.join(c, "docs")).num_rows
+            == pq.read_table(os.path.join(ref, "docs")).num_rows)
+    # pruning restored and still identical to the rebuild
+    ec, er = QueryEngine(c), QueryEngine(ref)
+    assert not ec.has_deletes
+    for q in QUERIES:
+        want = er.search(q, 10, "exhaustive")
+        for m in ("auto", "exhaustive", "bmax"):
+            assert ec.search(q, 10, m) == want, (q, m)
+
+
+def test_delete_then_append_stats_exact(ray_session, tmp_path):
+    """Appending into a tombstoned index must subtract the tombstoned
+    rows from the refreshed global stats — avgdl stays bitwise equal to
+    a rebuild over (survivors + delta)."""
+    from stacksearch_ray.append import append_to_index, delete_from_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    t = pq.read_table(DOCS)
+    del_ids = [i for i in t["doc_id"].to_pylist() if i % 5 == 0]
+    delta = pa.table({
+        "doc_id": pc.add(t["doc_id"], 10_000_000),
+        "text": t["text"],
+    })
+    delta_p = str(tmp_path / "delta.parquet")
+    pq.write_table(delta, delta_p)
+    surv = t.filter(pc.invert(pc.is_in(
+        t["doc_id"], value_set=pa.array(del_ids, pa.int64()))))
+    ref_tbl = pa.concat_tables([surv.select(["doc_id", "text"]), delta])
+    ref_p = str(tmp_path / "ref.parquet")
+    pq.write_table(ref_tbl, ref_p)
+
+    kw = dict(content_col="text", id_col="doc_id", num_shards=4,
+              term_buckets=8)
+    idx = str(tmp_path / "idx")
+    build_index(DOCS, idx, **kw)
+    delete_from_index(idx, del_ids)
+    append_to_index(delta_p, idx)
+    ref = str(tmp_path / "ref_idx")
+    build_index(ref_p, ref, **kw)
+    si, sr = load_stats(idx), load_stats(ref)
+    assert si["n_docs"] == sr["n_docs"]
+    assert si["total_len"] == sr["total_len"]
+    assert si["avgdl"] == sr["avgdl"]
+    e, r = QueryEngine(idx), QueryEngine(ref)
+    for q in QUERIES:
+        assert e.search(q, 10, "auto") == r.search(q, 10, "exhaustive"), q
