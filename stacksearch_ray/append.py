@@ -403,6 +403,63 @@ def append_to_index(source, index_dir: str,
     return stats
 
 
+def upsert_to_index(source, index_dir: str,
+                    cfg: IndexBuildConfig | None = None,
+                    content_col: str | None = None,
+                    id_col: str | None = None,
+                    **cfg_overrides) -> dict:
+    """Replace-or-insert the delta: tombstone any delta ids already in
+    the index, compact to free them (the append collision check forbids
+    re-adding a tombstoned id — its row still occupies the docs table),
+    then append the delta. Cost = one delete + one compaction + one
+    delta scan, so this is the MERGE-batch shape: accumulate updates
+    and upsert in batches rather than per document. Returns the final
+    stats. Results equal a from-scratch rebuild of the merged corpus
+    (tested, bitwise)."""
+    from .build import load_stats
+
+    prev = load_stats(index_dir)
+    cfg = cfg or IndexBuildConfig()
+    if content_col is not None:
+        cfg.content_col = content_col
+    if id_col is not None:
+        cfg.id_col = id_col
+    for k, v in cfg_overrides.items():
+        setattr(cfg, k, v)
+    # resolve delta ids EXACTLY the way the append will (inherited cols)
+    if prev.get("content_col"):
+        cfg.content_col = prev["content_col"]
+    if "id_col" in prev:
+        cfg.id_col = prev["id_col"]
+    cfg.num_shards = int(prev["num_shards"])
+
+    from .build import _resolve_doc_ids
+
+    if isinstance(source, rd.Dataset):
+        src_ds = source
+    else:
+        src_ds = rd.read_parquet(source)
+
+    def ids_only(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table({"doc_id": pa.array(
+            np.asarray(_resolve_doc_ids(b, cfg)), pa.int64())})
+
+    delta_ids = (src_ds.map_batches(ids_only, batch_format="pyarrow")
+                 .to_pandas()["doc_id"].to_numpy())
+    docs_dir = os.path.join(index_dir, "docs")
+    existing = pq.read_table(
+        docs_dir, columns=["doc_id"],
+        filters=[("doc_id", "in", delta_ids.tolist())])
+    if existing.num_rows:
+        delete_from_index(index_dir, existing["doc_id"].to_pylist())
+        compact_index(index_dir)
+    return append_to_index(source, index_dir, cfg=None,
+                           content_col=content_col, id_col=id_col,
+                           **cfg_overrides)
+
+
 _COMPACT_DOCLENS_CACHE: dict[tuple[str, int], object] = {}
 
 

@@ -113,6 +113,67 @@ def test_compact_purges_tombstones(deleted_setup, tmp_path):
             assert ec.search(q, 10, m) == want, (q, m)
 
 
+def test_sharded_engine_with_deletes(deleted_setup, ray_session):
+    """Sharded serving under tombstones: each worker masks its subset
+    and the global deleted-df correction keeps idf identical — fan-out
+    results bitwise equal the single tombstoned engine (and hence the
+    rebuild)."""
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    idx, ref, _, _, _ = deleted_setup
+    single = QueryEngine(idx)
+    sharded = ShardedQueryEngine(idx, num_workers=4)
+    for q in QUERIES:
+        assert sharded.search(q, 10) == single.search(q, 10), q
+
+
+def test_upsert_equals_rebuild(ray_session, tmp_path):
+    """upsert_to_index (delete → compact → append) over modified + new
+    docs equals a from-scratch rebuild of the merged corpus."""
+    import pandas as pd
+
+    from stacksearch_ray.append import upsert_to_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    df = pq.read_table(DOCS).to_pandas()[["doc_id", "text"]]
+    mod = df[df.doc_id % 5 == 0].copy()
+    mod["text"] = mod["text"] + " upserted marker xqtoken"
+    new = pd.DataFrame({
+        "doc_id": np.arange(10_000_000, 10_000_050, dtype=np.int64),
+        "text": [f"fresh upsert doc {i} xqtoken merge sort"
+                 for i in range(50)],
+    })
+    delta = pd.concat([mod, new], ignore_index=True)
+    delta_p = str(tmp_path / "delta.parquet")
+    pq.write_table(pa.Table.from_pandas(delta, preserve_index=False),
+                   delta_p)
+    merged = pd.concat([df[df.doc_id % 5 != 0], delta], ignore_index=True)
+    merged_p = str(tmp_path / "merged.parquet")
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                   merged_p)
+    base_p = str(tmp_path / "base.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), base_p)
+
+    kw = dict(content_col="text", id_col="doc_id", num_shards=4,
+              term_buckets=8)
+    idx = str(tmp_path / "idx")
+    build_index(base_p, idx, **kw)
+    upsert_to_index(delta_p, idx)
+    ref = str(tmp_path / "ref")
+    build_index(merged_p, ref, **kw)
+    si, sr = load_stats(idx), load_stats(ref)
+    assert si["n_docs"] == sr["n_docs"]
+    assert si["total_len"] == sr["total_len"]
+    assert si["avgdl"] == sr["avgdl"]
+    e, r = QueryEngine(idx), QueryEngine(ref)
+    for q in QUERIES + ["xqtoken", "upserted marker"]:
+        assert e.search(q, 10, "auto") == r.search(q, 10, "exhaustive"), q
+    # the updated content actually serves (old version gone)
+    top = e.search("xqtoken", 200)
+    assert len(top) == len(mod) + len(new)
+
+
 def test_delete_then_append_stats_exact(ray_session, tmp_path):
     """Appending into a tombstoned index must subtract the tombstoned
     rows from the refreshed global stats — avgdl stays bitwise equal to
