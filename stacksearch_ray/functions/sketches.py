@@ -90,6 +90,91 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
     return acc.estimate()
 
 
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a d×w int64
+    counter matrix; point estimate = min over the d rows. Estimates
+    only ever OVERCOUNT, by ≤ ⌈e/w⌉·N with probability ≥ 1 − e^{−d}
+    (N = total added weight). Counters are plain sums → element-wise
+    add merges exactly, so it follows the same map-side shape as HLL:
+    one serialized sketch row per batch, tiny driver merge, no
+    (value → count) shuffle. Row hashes derive from one base 64-bit
+    hash via fixed odd multipliers (seeded, deterministic)."""
+
+    def __init__(self, w: int = 2048, d: int = 4,
+                 table: np.ndarray | None = None):
+        if w & (w - 1):
+            raise ValueError("w must be a power of two")
+        self.w, self.d = w, d
+        rng = np.random.default_rng(13)
+        self._mul = (rng.integers(1, 2**63, size=d, dtype=np.uint64)
+                     * np.uint64(2) + np.uint64(1))  # odd multipliers
+        self._add = rng.integers(0, 2**63, size=d, dtype=np.uint64)
+        self._shift = np.uint64(64 - int(np.log2(w)))
+        self.table = (table if table is not None
+                      else np.zeros((d, w), dtype=np.int64))
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64)
+        return np.stack([((h * self._mul[i] + self._add[i])
+                          >> self._shift).astype(np.int64)
+                         for i in range(self.d)])
+
+    def add_hashes(self, h: np.ndarray,
+                   weights: np.ndarray | None = None) -> "CountMin":
+        w = (weights.astype(np.int64) if weights is not None
+             else np.ones(len(h), dtype=np.int64))
+        for i, idx in enumerate(self._rows(h)):
+            np.add.at(self.table[i], idx, w)  # int64 scatter-add
+        return self
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        idx = self._rows(h)
+        return np.min(np.stack([self.table[i, idx[i]]
+                                for i in range(self.d)]), axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, w: int = 2048, d: int = 4) -> "CountMin":
+        return cls(w, d, np.frombuffer(b, dtype=np.int64)
+                   .reshape(d, w).copy())
+
+
+def cms_token_counts(ds: Dataset, text_col: str = "text",
+                     w: int = 2048, d: int = 4) -> CountMin:
+    """Distributed Count-Min over the kept-token stream: each batch
+    tokenizes map-side and emits ONE sketch row weighted by per-term
+    tf; the driver merges d·w counters per batch. Probe frequencies
+    afterwards with ``estimate_hashes(md5/pd hashes of terms)`` — the
+    streaming frequency-oracle for corpora whose exact term counts
+    would be a full shuffle."""
+    from ..text import term_frequencies
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        tf = term_frequencies(batch[text_col].combine_chunks())
+        h = pd.util.hash_array(
+            np.asarray(tf.vocab.to_pylist(), dtype=object))
+        cm = CountMin(w, d).add_hashes(
+            h[tf.codes], np.asarray(tf.tf, dtype=np.int64))
+        return pa.table({"sketch": pa.array([cm.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    acc = CountMin(w, d)
+    for row in parts:
+        acc.merge(CountMin.from_bytes(row["sketch"], w, d))
+    return acc
+
+
+def cms_estimate_terms(cm: CountMin, terms: list[str]) -> np.ndarray:
+    h = pd.util.hash_array(np.asarray(terms, dtype=object))
+    return cm.estimate_hashes(h)
+
+
 def mg_compress(vals: np.ndarray, cnts: np.ndarray,
                 k: int) -> tuple[np.ndarray, np.ndarray]:
     """Misra-Gries compression of exact (value, count) pairs to at most

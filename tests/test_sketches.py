@@ -98,3 +98,63 @@ def test_heavy_hitters_k_too_small_raises(ray_session):
     ds = rd.from_arrow(pa.table({"v": np.arange(10_000, dtype=np.int64)}))
     with pytest.raises(ValueError, match="too small"):
         heavy_hitters_exact(ds, "v", threshold_frac=0.001, k=10)
+
+
+def test_count_min_properties():
+    """CMS never undercounts; merge equals one-shot; error bounded."""
+    from stacksearch_ray.functions.sketches import CountMin
+
+    rng = np.random.default_rng(5)
+    vals = rng.zipf(1.3, 50_000)
+    vals = np.minimum(vals, 10_000).astype(np.int64)
+    import pandas as pd
+
+    h = pd.util.hash_array(vals)
+    cm = CountMin(w=2048, d=4).add_hashes(h)
+    uniq, cnts = np.unique(vals, return_counts=True)
+    hu = pd.util.hash_array(uniq)
+    est = cm.estimate_hashes(hu)
+    assert (est >= cnts).all()  # one-sided error
+    # e/w bound: overcount <= e*N/w for (almost) all probes; allow the
+    # probabilistic tail a 3x margin
+    bound = 3 * np.e * len(vals) / 2048
+    assert np.quantile(est - cnts, 0.99) <= bound
+    # mergeability: two halves merged == one pass (exact table equality)
+    a = CountMin(w=2048, d=4).add_hashes(h[:25_000])
+    b = CountMin(w=2048, d=4).add_hashes(h[25_000:])
+    assert (a.merge(b).table == cm.table).all()
+    # round-trip
+    back = CountMin.from_bytes(cm.to_bytes(), 2048, 4)
+    assert (back.table == cm.table).all()
+
+
+def test_cms_token_counts_dataset(ray_session):
+    """Distributed CMS over the real documents table: estimates are
+    >= exact per-term counts and tight on hot terms."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stacksearch_ray.functions.sketches import (
+        cms_estimate_terms,
+        cms_token_counts,
+    )
+    from stacksearch_ray.text import clean_query
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    ds = rd.read_parquet(docs, columns=["text"]).repartition(4)
+    cm = cms_token_counts(ds, "text", w=4096, d=4)
+    texts = pq.read_table(docs, columns=["text"])["text"].to_pylist()
+    from collections import Counter
+
+    exact = Counter()
+    total = 0
+    for t in texts:
+        toks = clean_query(t, max_tokens=None)
+        exact.update(toks)
+        total += len(toks)
+    probe = [t for t, _ in exact.most_common(20)] + ["merge", "sort", "dup"]
+    est = cms_estimate_terms(cm, probe)
+    truth = np.array([exact[t] for t in probe], dtype=np.int64)
+    assert (est >= truth).all()
+    assert (est - truth <= np.e * total / 4096 + 1).all()
