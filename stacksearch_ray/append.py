@@ -202,22 +202,10 @@ def delete_from_index(index_dir: str, doc_ids) -> dict:
     # correction must be GLOBAL (a sharded worker can't see other
     # shards' postings). Count deleted docs per term once here: one
     # column-pruned segments scan (term + doc_ids only, postings stay
-    # encoded until the per-row decode), vocab-bounded output. At 10⁹+
-    # postings run this as a Ray map_batches + partial-sum pass — the
-    # driver stream keeps delete cost one order below a rebuild.
-    from .codec import decode_doc_ids
-
+    # encoded until the per-row decode), vocab-bounded output.
     block_size = int(stats["block_size"])
     seg_dir = os.path.join(index_dir, "segments")
-    counts: dict[str, int] = {}
-    for rb in pads.dataset(seg_dir).to_batches(columns=["term", "doc_ids"]):
-        for term, blob in zip(rb.column(0).to_pylist(),
-                              rb.column(1).to_pylist()):
-            ids = decode_doc_ids(blob, block_size)
-            j = np.minimum(np.searchsorted(allt, ids), len(allt) - 1)
-            c = int((allt[j] == ids).sum())
-            if c:
-                counts[term] = counts.get(term, 0) + c
+    counts = _deleted_df_counts(seg_dir, allt, block_size)
     ddf_name = f"deleted-df-{aid}.parquet"
     terms_sorted = sorted(counts)
     pq.write_table(pa.table({
@@ -401,6 +389,64 @@ def append_to_index(source, index_dir: str,
     _write_term_dict(segments_dir, term_dict_dir)
     os.remove(journal)
     return stats
+
+
+# above this segment-row count the deleted-df scan runs as a Ray
+# map_batches pass (per-batch vocab-sized partials, driver merge);
+# below it a driver-side Arrow stream wins (no session warm-up cost) —
+# the same routing idea as checkpoint._TERM_DICT_RAY_THRESHOLD
+_DDF_RAY_THRESHOLD = 2_000_000
+
+
+def _deleted_df_counts(seg_dir: str, allt, block_size: int,
+                       threshold: int | None = None) -> dict[str, int]:
+    """Per-term count of tombstoned docs across all segment rows.
+    Small indexes stream on the driver; large ones fan out as a
+    map_batches pass whose output is (term, ddf) partials — one row
+    per term PER BATCH, so the driver merge is vocab-bounded and no
+    (term → count) shuffle happens (the hash-bucket-vs-native-groupby
+    trap doesn't apply: there is no groupby at all)."""
+    import numpy as np
+
+    from .codec import decode_doc_ids
+
+    if threshold is None:
+        threshold = _DDF_RAY_THRESHOLD
+
+    def batch_counts(rb) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for term, blob in zip(rb.column(0).to_pylist(),
+                              rb.column(1).to_pylist()):
+            ids = decode_doc_ids(blob, block_size)
+            j = np.minimum(np.searchsorted(allt, ids), len(allt) - 1)
+            c = int((allt[j] == ids).sum())
+            if c:
+                out[term] = out.get(term, 0) + c
+        return out
+
+    dset = pads.dataset(seg_dir, format="parquet")
+    counts: dict[str, int] = {}
+    if dset.count_rows() < threshold:
+        for rb in dset.to_batches(columns=["term", "doc_ids"]):
+            for t, c in batch_counts(rb).items():
+                counts[t] = counts.get(t, 0) + c
+        return counts
+
+    def partials(b: pa.Table) -> pa.Table:
+        rb = b.combine_chunks().to_batches()[0] if b.num_rows else None
+        part = batch_counts(rb) if rb is not None else {}
+        terms = sorted(part)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "ddf": pa.array([part[t] for t in terms], pa.int64()),
+        })
+
+    rows = (rd.read_parquet(seg_dir, columns=["term", "doc_ids"])
+            .map_batches(partials, batch_format="pyarrow")
+            .take_all())  # vocab-bounded per batch
+    for r in rows:
+        counts[r["term"]] = counts.get(r["term"], 0) + int(r["ddf"])
+    return counts
 
 
 def upsert_to_index(source, index_dir: str,

@@ -113,6 +113,25 @@ def test_compact_purges_tombstones(deleted_setup, tmp_path):
             assert ec.search(q, 10, m) == want, (q, m)
 
 
+def test_deleted_df_distributed_equals_driver(deleted_setup, ray_session):
+    """The deleted-df sidecar scan has two execution strategies (driver
+    Arrow stream vs Ray map_batches partials); both must produce the
+    identical per-term counts."""
+    import os
+
+    from stacksearch_ray.append import _deleted_df_counts, load_tombstones
+    from stacksearch_ray.build import load_stats
+
+    idx, _, _, _, _ = deleted_setup
+    st = load_stats(idx)
+    allt = load_tombstones(idx, st)
+    seg = os.path.join(idx, "segments")
+    bs = int(st["block_size"])
+    a = _deleted_df_counts(seg, allt, bs, threshold=10**9)  # driver path
+    b = _deleted_df_counts(seg, allt, bs, threshold=0)      # Ray path
+    assert a == b and len(a) > 0
+
+
 def test_sharded_engine_with_deletes(deleted_setup, ray_session):
     """Sharded serving under tombstones: each worker masks its subset
     and the global deleted-df correction keeps idf identical — fan-out
