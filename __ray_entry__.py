@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": P.orders_monthly,
         "lineitem_profile": P.lineitem_profile,
         "curated_packed_sequences": P.curated_packed_sequences,
+        "length_batching": P.length_batching,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         f"'{t}'" for t in sorted(set(_cq(BM25_QUERY))))
     _MW_K = len(set(_cq(BM25_QUERY)))
     from stacksearch_ray.pipelines.documents import (
+        LEN_BATCH_B as P_LEN_B,
         PROFILE_COLS as _PROFILE_COLS,
         WILDCARD_PREFIX as _WILDCARD_PREFIX,
     )
@@ -2226,6 +2228,16 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "length_batching": f"""
+WITH r AS (SELECT doc_id, n_chars,
+                  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn
+           FROM documents)
+SELECT CAST(rn // {P_LEN_B} AS BIGINT) AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT)
+           AS padding_chars
+FROM r GROUP BY rn // {P_LEN_B}""",
         "orders_monthly": """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -3930,6 +3930,82 @@ def global_shuffle(sf_dir: str):
             .map_groups(number, batch_format="pandas"))
 
 
+LEN_BATCH_B = 32
+LEN_BUCKET_W = 200
+
+
+def length_batching(sf_dir: str):
+    """Length-bucketed (sorted) batching — the padding-minimizing
+    batcher a tokenizer pipeline runs before training: docs ranked
+    globally by (n_chars, doc_id), cut into fixed 32-doc batches,
+    per-batch padding = max·count − sum. The global rank needs NO
+    global sort: RANGE buckets on n_chars (equal lengths can never
+    straddle a bucket, so bucket order == value order), per-bucket
+    vectorized sort, and a driver cumsum of bucket counts broadcast
+    back as rank bases (the global_shuffle / keyed_offsets pattern).
+    Per-batch stats then reduce through map-side partials — batches
+    may straddle buckets, but the partial rows are batch-count-sized."""
+    import ray as _ray
+
+    B, W = LEN_BATCH_B, LEN_BUCKET_W
+
+    def tag(b: pa.Table) -> pa.Table:
+        nc = np.asarray(b["n_chars"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_chars": pa.array(nc, pa.int64()),
+            "bucket": pa.array(nc // W, pa.int64()),
+        })
+
+    tagged = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
+              .map_batches(tag, batch_format="pyarrow").materialize())
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({"bucket": b["bucket"].combine_chunks(),
+                      "n": np.ones(b.num_rows, dtype=np.int64)})
+        return _partial_sums(t, ["bucket"], {"n": "n"})
+
+    counts = (tagged.map_batches(bucket_counts, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("bucket"))
+    base = np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+    ref = _ray.put(dict(zip(counts["bucket"].to_numpy().tolist(),
+                            base.tolist())))
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+             .reset_index(drop=True))
+        rank = (_ray.get(ref)[int(g["bucket"].iloc[0])]
+                + np.arange(len(g), dtype=np.int64))
+        bi = rank // B
+        # batch-count-sized partials: per (batch_idx) n / sum / max
+        out = (pd.DataFrame({"batch_idx": bi,
+                             "n_chars": g["n_chars"].to_numpy(np.int64)})
+               .groupby("batch_idx", sort=False)["n_chars"]
+               .agg(n="count", sum_chars="sum", max_chars="max")
+               .reset_index())
+        return out
+
+    agg = (tagged.groupby("bucket").map_groups(number, batch_format="pandas")
+           .groupby("batch_idx")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars"),
+                      Max("max_chars", alias_name="max_chars")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_docs"].combine_chunks()).astype(np.int64)
+        s = np.asarray(b["sum_chars"].combine_chunks()).astype(np.int64)
+        m = np.asarray(b["max_chars"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "batch_idx": b["batch_idx"].combine_chunks().cast(pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "max_chars": pa.array(m, pa.int64()),
+            "padding_chars": pa.array(m * n - s, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 MLT_DOC = 0
 
 
