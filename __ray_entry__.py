@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": P.lineitem_profile,
         "curated_packed_sequences": P.curated_packed_sequences,
         "length_batching": P.length_batching,
+        "copurchase_triangles": P.copurchase_triangles,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -2228,6 +2229,24 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "copurchase_triangles": """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (SELECT count(*) AS t
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (SELECT node, count(*) AS d FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+w AS (SELECT sum(d * (d - 1) // 2) AS w FROM deg)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(w.w AS BIGINT) AS n_wedges,
+       CAST(tri.t AS BIGINT) AS n_triangles,
+       CAST(tri.t * 3000000 // w.w AS BIGINT) AS clustering_micros
+FROM tri, w""",
         "length_batching": f"""
 WITH r AS (SELECT doc_id, n_chars,
                   row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn

@@ -3217,6 +3217,151 @@ def bm25_topk_appended(sf_dir: str):
     })
 
 
+def copurchase_triangles(sf_dir: str):
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph — the classic distributed graph-structure op
+    (community density signal). Edges are distinct co-purchased part
+    pairs (a < b). Triangles count via the standard two-join MPC shape
+    with the a < b < c orientation (each triangle exactly once):
+    wedges = edges ⋈ edges on (b == a), then the closing (a, c) pair
+    semi-joins the edge set on a packed int64 key — no adjacency lists
+    ship, no per-edge Python loops. Clustering = 3·triangles / Σ C(d,2)
+    in micros (d from one degree reduce)."""
+    from ..functions.joins import hash_join
+
+    # distinct edges via the basket-expansion + hash-bucket reduce the
+    # copurchase entry uses (pairs unique per order, deduped globally)
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["l_orderkey"].combine_chunks()).astype(np.int64)
+        h = pd.util.hash_array(k)
+        return pa.table({
+            "l_orderkey": pa.array(k, pa.int64()),
+            "l_partkey": b["l_partkey"].combine_chunks().cast(pa.int64()),
+            "__bucket": pa.array((h % np.uint64(16)).astype(np.int64)),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = (g[["l_orderkey", "l_partkey"]].drop_duplicates()
+              .sort_values(["l_orderkey", "l_partkey"], kind="mergesort"))
+        ok = df["l_orderkey"].to_numpy()
+        parts = df["l_partkey"].to_numpy()
+        first = np.concatenate(([True], ok[1:] != ok[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(ok)))
+        out_a, out_b = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            st = starts[counts == s]
+            ia, ib = np.triu_indices(s, k=1)
+            out_a.append(parts[st[:, None] + ia].ravel())
+            out_b.append(parts[st[:, None] + ib].ravel())
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return (pd.DataFrame({"a": np.concatenate(out_a),
+                              "b": np.concatenate(out_b)})
+                .drop_duplicates())
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["a"]).astype(np.int64) * np.int64(1_000_003)
+            + np.asarray(t["b"]).astype(np.int64))
+        return t.append_column(
+            "__b2", pa.array((h % np.uint64(16)).astype(np.int64)))
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates().reset_index(drop=True)
+
+    edges = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_partkey"])
+             .map_batches(tag, batch_format="pyarrow")
+             .groupby("__bucket").map_groups(pairs, batch_format="pandas")
+             .map_batches(tag_edge, batch_format="pyarrow")
+             .groupby("__b2").map_groups(dedup_edges, batch_format="pandas")
+             .materialize())  # consumed by 4 downstream pipelines
+    n_edges = edges.count()
+
+    # degree reduce → Σ C(d, 2) (the wedge denominator)
+    def deg_partials(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([np.asarray(b["a"]).astype(np.int64),
+                                np.asarray(b["b"]).astype(np.int64)])
+        t = pa.table({"node": pa.array(nodes, pa.int64()),
+                      "d": np.ones(len(nodes), dtype=np.int64)})
+        return _partial_sums(t, ["node"], {"d": "d"})
+
+    deg = (edges.map_batches(deg_partials, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("d", alias_name="d")))
+    wedges = int(deg.map_batches(
+        lambda b: pa.table({"w": pa.array(
+            [int((np.asarray(b["d"]).astype(np.int64)
+                  * (np.asarray(b["d"]).astype(np.int64) - 1) // 2).sum())],
+            pa.int64())}),
+        batch_format="pyarrow").sum("w") or 0)
+
+    # oriented wedges: e1.(a,b) ⋈ e2.(a=b_e1, c) gives a < b < c paths;
+    # the closing (a, c) pair must be an edge. Wedges (~Σ paths of
+    # length 2, the big intermediate) are generated AND closed INSIDE
+    # each join bucket against one broadcast of the packed edge-key set
+    # (8 B/edge via ray.put — fine to ~10⁸ edges; beyond that switch
+    # the closing test to a second hash join), so they never ride a
+    # shuffle. Pack (x << 32 | y) — part keys sit far below 2³¹
+    # (guarded).
+    import ray as _ray
+
+    ek = edges.map_batches(
+        lambda t: pa.table({"k": pa.array(
+            (np.asarray(t["a"]).astype(np.int64) << np.int64(32))
+            | np.asarray(t["b"]).astype(np.int64), pa.int64())}),
+        batch_format="pyarrow").to_pandas()["k"].to_numpy()
+    assert (np.asarray(ek) >> 32 < 2**31).all()
+    ek_ref = _ray.put(np.sort(ek.astype(np.int64)))
+
+    def tag_wedge_side(t: pa.Table, side: int) -> pa.Table:
+        # unified (a, b, c) layout: the join key is the MIDDLE node b
+        a = np.asarray(t["a"]).astype(np.int64)
+        b_ = np.asarray(t["b"]).astype(np.int64)
+        key = b_ if side == 0 else a
+        h = pd.util.hash_array(key)
+        return pa.table({
+            "a": pa.array(a if side == 0 else np.full(len(a), -1), pa.int64()),
+            "b": pa.array(key, pa.int64()),
+            "c": pa.array(b_ if side == 1 else np.full(len(a), -1), pa.int64()),
+            "__side": pa.array(np.full(len(a), side, dtype=np.int8)),
+            "__bk": pa.array((h % np.uint64(16)).astype(np.int64)),
+        })
+
+    both = (edges.map_batches(lambda t: tag_wedge_side(t, 0),
+                              batch_format="pyarrow")
+            .union(edges.map_batches(lambda t: tag_wedge_side(t, 1),
+                                     batch_format="pyarrow")))
+
+    def close_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][["a", "b"]]
+        r = g[g["__side"] == 1][["b", "c"]]
+        if l.empty or r.empty:
+            return pd.DataFrame({"t": [0]})
+        m = l.merge(r, on="b")
+        k = ((m["a"].to_numpy(np.int64) << np.int64(32))
+             | m["c"].to_numpy(np.int64))
+        keys = _ray.get(ek_ref)
+        j = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+        return pd.DataFrame({"t": [int((keys[j] == k).sum())]})
+
+    n_triangles = int(both.groupby("__bk")
+                      .map_groups(close_in_bucket, batch_format="pandas")
+                      .sum("t") or 0)
+
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([wedges], pa.int64()),
+        "n_triangles": pa.array([n_triangles], pa.int64()),
+        "clustering_micros": pa.array(
+            [n_triangles * 3_000_000 // wedges if wedges else 0],
+            pa.int64()),
+    })
+
+
 def bm25_topk_deleted(sf_dir: str):
     """Deletion surfaced in the driver harness (the lifecycle's fourth
     quarter: build / append / DELETE / compact): build over ALL
