@@ -113,6 +113,48 @@ def test_compact_purges_tombstones(deleted_setup, tmp_path):
             assert ec.search(q, 10, m) == want, (q, m)
 
 
+def test_delete_random_sets_match_bm25_oracle(ray_session, tmp_path):
+    """Randomized delete shapes vs the ground-truth oracle: for several
+    seeded random delete sets, the tombstoned index's top-10 (ids AND
+    bitwise scores) equals a from-scratch OracleBM25 over exactly the
+    surviving docs."""
+    import shutil
+
+    from stacksearch_ray.append import delete_from_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.corpus import generate_corpus, write_corpus
+    from stacksearch_ray.oracle import OracleBM25
+    from stacksearch_ray.query import QueryEngine
+    from stacksearch_ray.schema import doc_id_for
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 200, rows_per_file=100)
+    base_idx = str(tmp_path / "base")
+    build_index(corpus, base_idx, num_shards=4)
+    tbl = generate_corpus(200)
+    docs = {doc_id_for(r, p, c): t for r, p, c, t in
+            zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(),
+                tbl["commit"].to_pylist(), tbl["content"].to_pylist())}
+    all_ids = np.array(sorted(docs), dtype=np.int64)
+    queries = ["def return var_1", "helper_3 field_7 import",
+               "numpy python", "Determine a user's timezone"]
+    for seed in (3, 17, 99):
+        rng = np.random.default_rng(seed)
+        frac = rng.uniform(0.05, 0.6)
+        dels = rng.choice(all_ids, size=int(len(all_ids) * frac),
+                          replace=False)
+        idx = str(tmp_path / f"idx{seed}")
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.copytree(base_idx, idx)
+        delete_from_index(idx, dels)
+        surviving = {d: t for d, t in docs.items()
+                     if d not in set(dels.tolist())}
+        oracle = OracleBM25(surviving)
+        eng = QueryEngine(idx)
+        for q in queries:
+            assert eng.search(q, 10) == oracle.search(q, 10), (seed, q)
+
+
 def test_deleted_df_distributed_equals_driver(deleted_setup, ray_session):
     """The deleted-df sidecar scan has two execution strategies (driver
     Arrow stream vs Ray map_batches partials); both must produce the
