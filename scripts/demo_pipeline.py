@@ -232,6 +232,23 @@ def main() -> int:
           first_merge="".join(merges.iloc[0][["lhs", "rhs"]])
           if len(merges) else None)
 
+    # 6i. full lifecycle: tombstone-delete a slice, verify the masked
+    # index still serves (bitwise == rebuild-without, see tests), then
+    # compact-purge and run the integrity audit
+    t0 = time.time()
+    from stacksearch_ray.append import compact_index, delete_from_index
+    from stacksearch_ray.fsck import fsck_index
+
+    victims = [int(d) for d in en_ids.to_pylist()[:25]]
+    delete_from_index(idx, victims)
+    eng5 = QueryEngine(idx)
+    post_delete = eng5.search(q, 3)
+    compact_index(idx)
+    rep = fsck_index(idx)
+    stage("lifecycle", t0, deleted=len(victims),
+          post_delete_top1=(int(post_delete[0][0]) if post_delete else None),
+          fsck_ok=rep.ok, fsck_segment_rows=rep.checked_segment_rows)
+
     # 7. export training sequences
     t0 = time.time()
     out = os.path.join(args.workdir, "training")
