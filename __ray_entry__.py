@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_packed_sequences": P.curated_packed_sequences,
         "length_batching": P.length_batching,
         "copurchase_triangles": P.copurchase_triangles,
+        "revenue_by_nation": P.revenue_by_nation,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -2229,6 +2230,21 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "revenue_by_nation": """
+WITH lrev AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                  AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_orderkey)
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(lrev.rev) AS BIGINT) AS revenue_micros
+FROM lrev
+JOIN orders o ON o.o_orderkey = lrev.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY region, nation""",
         "copurchase_triangles": """
 WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

@@ -3217,6 +3217,101 @@ def bm25_topk_appended(sf_dir: str):
     })
 
 
+def revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-flavored rollup — the suite's first FIVE-table chain
+    (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region): revenue
+    pre-aggregates to ORDER grain through hash buckets (the shuffle
+    carries (orderkey, rev_micros) partials, never line items), one
+    partitioned hash join against orders, then the three dimension
+    hops ride ONE ray.put broadcast each (customer/nation/region are
+    the classic small sides), and the final (region, nation) groupby
+    reduces partials. Revenue = Σ floor(extprice·(1−disc)·1e6+0.5)
+    per row — the micros round-then-sum convention both engines share."""
+    import ray as _ray
+
+    from ..functions.joins import hash_join
+
+    def lrev(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        rev = to_micros(price * (1.0 - disc))
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"].combine_chunks().cast(pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+        })
+        return _partial_sums(t, ["l_orderkey"], {"rev": "rev"})
+
+    def tag_ok(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"].combine_chunks()).astype(np.int64)
+        return t.append_column("__b", pa.array(
+            (pd.util.hash_array(k) % np.uint64(8)).astype(np.int64)))
+
+    def reduce_ok(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("l_orderkey", as_index=False)["rev"].sum())
+
+    per_order = (rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(lrev, batch_format="pyarrow")
+        .map_batches(tag_ok, batch_format="pyarrow")
+        .groupby("__b").map_groups(reduce_ok, batch_format="pandas"))
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"].combine_chunks().cast(pa.int64()),
+            "o_custkey": t["o_custkey"].combine_chunks().cast(pa.int64()),
+        }), batch_format="pyarrow")
+    joined = hash_join(per_order, orders, on="l_orderkey", num_buckets=8)
+
+    # dimension hops: sorted-array lookup maps, shipped once
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ck = np.asarray(cust["c_custkey"]).astype(np.int64)
+    order_c = np.argsort(ck)
+    nk = np.asarray(nat["n_nationkey"]).astype(np.int64)
+    order_n = np.argsort(nk)
+    rk = np.asarray(reg["r_regionkey"]).astype(np.int64)
+    order_r = np.argsort(rk)
+    dims = _ray.put({
+        "ck": ck[order_c],
+        "c_nat": np.asarray(cust["c_nationkey"]).astype(np.int64)[order_c],
+        "nk": nk[order_n],
+        "n_name": np.asarray(nat["n_name"].to_pylist(),
+                             dtype=object)[order_n],
+        "n_reg": np.asarray(nat["n_regionkey"]).astype(np.int64)[order_n],
+        "rk": rk[order_r],
+        "r_name": np.asarray(reg["r_name"].to_pylist(),
+                             dtype=object)[order_r],
+    })
+
+    def rollup(b: pa.Table) -> pa.Table:
+        d = _ray.get(dims)
+        cust_k = np.asarray(b["o_custkey"].combine_chunks()).astype(np.int64)
+        natk = d["c_nat"][np.searchsorted(d["ck"], cust_k)]
+        ni = np.searchsorted(d["nk"], natk)
+        nation = d["n_name"][ni]
+        region = d["r_name"][np.searchsorted(d["rk"], d["n_reg"][ni])]
+        t = pa.table({
+            "region": pa.array(region, pa.string()),
+            "nation": pa.array(nation, pa.string()),
+            "one": np.ones(b.num_rows, dtype=np.int64),
+            "rev": b["rev"].combine_chunks().cast(pa.int64()),
+        })
+        return _partial_sums(t, ["region", "nation"],
+                             {"one": "n_orders", "rev": "revenue_micros"})
+
+    return (joined.map_batches(rollup, batch_format="pyarrow")
+            .groupby(["region", "nation"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("revenue_micros", alias_name="revenue_micros")))
+
+
 def copurchase_triangles(sf_dir: str):
     """Triangle count + global clustering coefficient of the
     co-purchase graph — the classic distributed graph-structure op
