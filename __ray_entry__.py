@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_pairs": P.edit_pairs,
         "jw_pairs": P.jw_pairs,
         "pagerank": P.pagerank,
+        "ppr_related": P.ppr_related,
         "connected_components": P.connected_components,
         "user_modal_event": P.user_modal_event,
         "value_mad": P.value_mad,
@@ -1244,6 +1245,46 @@ p3 AS (
   SELECT nd.node, 150000 // nn.n + (850000 * coalesce(s.c, 0)) // 1000000
          AS pr
   FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p2 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node)
+SELECT node, CAST(pr AS BIGINT) AS pr_micros FROM p3""",
+        # personalized variant: teleport mass splits over the seed set
+        # {7, 42} (1000000 // 2 start, 150000 // 2 per-step base on the
+        # seeds, 0 elsewhere); otherwise the identical unrolled steps
+        "ppr_related": """
+WITH edges AS (
+  SELECT DISTINCT l_orderkey % 512 AS src, l_partkey % 512 AS dst
+  FROM lineitem),
+ew AS (
+  SELECT e.src, e.dst, od.od
+  FROM edges e JOIN (SELECT src, count(*) AS od FROM edges GROUP BY src) od
+    ON od.src = e.src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+p0 AS (SELECT node,
+              CASE WHEN node IN (7, 42) THEN 500000 ELSE 0 END AS pr
+       FROM nodes),
+p1 AS (
+  SELECT nd.node,
+         CASE WHEN nd.node IN (7, 42) THEN 75000 ELSE 0 END
+         + (850000 * coalesce(s.c, 0)) // 1000000 AS pr
+  FROM nodes nd
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p0 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node),
+p2 AS (
+  SELECT nd.node,
+         CASE WHEN nd.node IN (7, 42) THEN 75000 ELSE 0 END
+         + (850000 * coalesce(s.c, 0)) // 1000000 AS pr
+  FROM nodes nd
+  LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
+             FROM ew e JOIN p1 p ON p.node = e.src GROUP BY e.dst) s
+    ON s.dst = nd.node),
+p3 AS (
+  SELECT nd.node,
+         CASE WHEN nd.node IN (7, 42) THEN 75000 ELSE 0 END
+         + (850000 * coalesce(s.c, 0)) // 1000000 AS pr
+  FROM nodes nd
   LEFT JOIN (SELECT e.dst, sum(p.pr // e.od) AS c
              FROM ew e JOIN p2 p ON p.node = e.src GROUP BY e.dst) s
     ON s.dst = nd.node)

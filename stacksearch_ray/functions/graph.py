@@ -43,12 +43,20 @@ def _rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
 
 
 def pagerank_micros(edges: Dataset, iterations: int = 3,
-                    num_buckets: int = 32) -> Dataset:
+                    num_buckets: int = 32,
+                    seeds: "list[int] | None" = None) -> Dataset:
     """PageRank over a directed edge Dataset (``src``, ``dst`` int64,
     pre-deduplicated) → (``node``, ``pr_micros``). Damping 0.85;
     dangling mass is dropped (both engines identically). Returns after
     ``iterations`` synchronous steps from the uniform start
     ``SCALE // n``.
+
+    With ``seeds``, this is PERSONALIZED PageRank: the teleport mass
+    (0.15·SCALE per step) concentrates on the seed set (integer-split
+    across seeds, 0 elsewhere) and the walk starts there — the
+    related-node discovery primitive (related parts via co-purchase,
+    similar docs via a near-dup graph). Integer-micros arithmetic is
+    unchanged, so the personalized trajectory stays engine-exact.
     """
     edges = edges.materialize()  # reused 3× below (outdeg, join, nodes)
     outdeg = (edges.groupby("src").count()
@@ -68,12 +76,34 @@ def pagerank_micros(edges: Dataset, iterations: int = 3,
                      batch_format="pyarrow")
         .materialize())
     n = nodes.count()
-    base = 150_000 // n  # 0.15 · SCALE spread uniformly
-    pr0 = SCALE // n
+    if seeds is None:
+        base_u = 150_000 // n  # 0.15 · SCALE spread uniformly
+        pr0_u = SCALE // n
+
+        def base_vec(node_arr: np.ndarray) -> np.ndarray:
+            return np.full(len(node_arr), base_u, np.int64)
+
+        def pr0_vec(node_arr: np.ndarray) -> np.ndarray:
+            return np.full(len(node_arr), pr0_u, np.int64)
+    else:
+        sd = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        base_s = 150_000 // len(sd)
+        pr0_s = SCALE // len(sd)
+
+        def _is_seed(node_arr: np.ndarray) -> np.ndarray:
+            j = np.minimum(np.searchsorted(sd, node_arr), len(sd) - 1)
+            return sd[j] == node_arr
+
+        def base_vec(node_arr: np.ndarray) -> np.ndarray:
+            return np.where(_is_seed(node_arr), base_s, 0).astype(np.int64)
+
+        def pr0_vec(node_arr: np.ndarray) -> np.ndarray:
+            return np.where(_is_seed(node_arr), pr0_s, 0).astype(np.int64)
 
     pr = nodes.map_batches(
         lambda t: t.append_column(
-            "pr_micros", pa.array(np.full(t.num_rows, pr0, np.int64))),
+            "pr_micros", pa.array(pr0_vec(
+                np.asarray(t["node"].combine_chunks()).astype(np.int64)))),
         batch_format="pyarrow").materialize()
 
     zeros = nodes.map_batches(
@@ -95,9 +125,10 @@ def pagerank_micros(edges: Dataset, iterations: int = 3,
 
     def step(t: pa.Table) -> pa.Table:
         c = np.asarray(t["c"].combine_chunks()).astype(np.int64)
-        new = base + (DAMP_NUM * c) // SCALE
+        node_arr = np.asarray(t["node"].combine_chunks()).astype(np.int64)
+        new = base_vec(node_arr) + (DAMP_NUM * c) // SCALE
         return pa.table({
-            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "node": pa.array(node_arr, pa.int64()),
             "pr_micros": pa.array(new, pa.int64())})
 
     for _ in range(iterations):

@@ -2268,6 +2268,37 @@ def edit_pairs(sf_dir: str):
                                len_bucket=32)
 
 
+PPR_SEEDS = (7, 42)
+
+
+def ppr_related(sf_dir: str):
+    """PERSONALIZED PageRank over the same co-purchase graph as the
+    pagerank entry, teleporting to seed nodes {7, 42} — the related-
+    node discovery primitive ('parts reachable from these two') used
+    for related-doc ranking over similarity graphs. Same integer-
+    micros kernel (functions/graph.pagerank_micros with seeds=), so
+    the personalized trajectory is engine-exact against the unrolled
+    SQL mirror."""
+    from ..functions.graph import pagerank_micros
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["l_orderkey"].combine_chunks()) % 512
+        d = np.asarray(b["l_partkey"].combine_chunks()) % 512
+        pair = s.astype(np.int64) * 512 + d
+        u = np.unique(pair)
+        return pa.table({"src": pa.array(u // 512, pa.int64()),
+                         "dst": pa.array(u % 512, pa.int64())})
+
+    edges = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_partkey"])
+             .map_batches(mk_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda t: pa.table({"src": t["src"],
+                                              "dst": t["dst"]}),
+                          batch_format="pyarrow"))
+    return pagerank_micros(edges, iterations=3, seeds=list(PPR_SEEDS))
+
+
 def pagerank(sf_dir: str):
     """PageRank (3 synchronous iterations, damping 0.85) over the
     directed graph src = l_orderkey % 512 → dst = l_partkey % 512
