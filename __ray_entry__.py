@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
         "events_debounce": P.events_debounce,
+        "events_sessionize": P.events_sessionize,
         "user_retention": P.user_retention,
         "corrected_search": P.corrected_search,
         "filtered_search": P.filtered_search,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
     from stacksearch_ray.pipelines.documents import (
         LEN_BATCH_B as P_LEN_B,
         PROFILE_COLS as _PROFILE_COLS,
+        SESSION_GAP_US as _SESS_GAP,
         WILDCARD_PREFIX as _WILDCARD_PREFIX,
     )
     kept = kept_tokens_cte()
@@ -2186,6 +2188,22 @@ g AS (SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_gap
       FROM a JOIN b USING (doc_id) GROUP BY a.doc_id)
 SELECT doc_id, CAST(min_gap AS BIGINT) AS min_gap
 FROM g WHERE min_gap <= {_NEAR_GAP}""",
+        "events_sessionize": f"""
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+m AS (SELECT *,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > {_SESS_GAP}
+                  THEN 1 ELSE 0 END AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_us) AS BIGINT) AS start_us,
+       CAST(max(ts_us) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, sess""",
         "wildcard_search": f"""
 WITH {kept},
 m AS (SELECT doc_id, term FROM kept

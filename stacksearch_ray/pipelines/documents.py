@@ -4735,6 +4735,60 @@ def hot_term_shards(sf_dir: str):
 DEBOUNCE_GAP_US = 86_400_000_000  # 1 day
 
 
+SESSION_GAP_US = 3 * 86_400 * 1_000_000  # 3 days on this sparse cadence
+
+
+def events_sessionize(sf_dir: str):
+    """Gap-based sessionization — the canonical event-stream op: a new
+    session starts at a user's first event or after a > 3-day silence;
+    output is one row per session (user, session ordinal, event count,
+    span). One hash-bucket shuffle on user_id; inside a bucket EVERY
+    user sessionizes off one mergesort + one shifted compare + one
+    cumsum (session ids = running break count, user-local via an
+    offset subtraction) — no per-user loop. Oracle: LAG-gap breaks +
+    a running SUM() window."""
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": b["ts"].combine_chunks().cast(pa.int64()),
+            "__bucket": pa.array(u % 32, pa.int64()),
+        })
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["user_id", "ts_us", "event_id"],
+                           kind="mergesort").reset_index(drop=True))
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap_brk = np.concatenate(
+            ([False], ts[1:] - ts[:-1] > SESSION_GAP_US))
+        brk = new_user | gap_brk
+        run = np.cumsum(brk)                      # global session run id
+        first = np.flatnonzero(new_user)
+        # user-local ordinal: subtract the run id at each user's start
+        base = np.zeros(len(g), dtype=np.int64)
+        base[first] = run[first]
+        np.maximum.accumulate(base, out=base)
+        sess = run - base + 1
+        out = (pd.DataFrame({"user_id": u, "session_idx": sess,
+                             "ts_us": ts})
+               .groupby(["user_id", "session_idx"], as_index=False)
+               .agg(n_events=("ts_us", "size"),
+                    start_us=("ts_us", "min"),
+                    end_us=("ts_us", "max")))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(sessions, batch_format="pandas"))
+
+
 def events_debounce(sf_dir: str):
     """Event-stream debouncing (burst collapse, the classic telemetry
     cleanup): keep an event only when it's the FIRST of its
