@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": P.value_histogram,
         "qty_discount_corr": P.qty_discount_corr,
         "price_qty_regression": P.price_qty_regression,
+        "price_qty_corr": P.price_qty_corr,
         "nation_supplier_csv": P.nation_supplier_csv,
         "lineitem_unpivot": P.lineitem_unpivot,
         "customer_urgent_left": P.customer_urgent_left,
@@ -790,6 +791,31 @@ SELECT CAST(floor(
              * sqrt((n * syy - sy * sy)::DOUBLE))) * 1e6 + 0.5)
        AS BIGINT) AS corr_micros
 FROM s""",
+        "price_qty_corr": """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*)::HUGEINT AS n,
+         sum(CAST(l_quantity AS BIGINT))::HUGEINT AS sx,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT))::HUGEINT AS sy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice + 0.5) AS BIGINT))::HUGEINT
+             AS sxy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT))::HUGEINT AS sxx,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice + 0.5) AS BIGINT))::HUGEINT
+             AS syy
+  FROM lineitem GROUP BY l_returnflag),
+c AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         (n * sxy - sx * sy)::DOUBLE
+         / sqrt((n * sxx - sx * sx)::DOUBLE)
+         / sqrt((n * syy - sy * sy)::DOUBLE) AS corr
+  FROM s)
+SELECT l_returnflag, n,
+       CAST(floor(corr * 1e6 + 0.5) AS BIGINT) AS corr_micros,
+       CAST(floor(corr * corr * 1e6 + 0.5) AS BIGINT) AS r2_micros
+FROM c""",
         "price_qty_regression": """
 WITH s AS (
   SELECT l_returnflag,

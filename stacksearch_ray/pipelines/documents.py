@@ -1988,6 +1988,61 @@ def price_qty_regression(sf_dir: str):
     })
 
 
+def price_qty_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation (and r²) of price vs
+    quantity from EXACT integer sufficient statistics — the regression
+    entry's pattern plus Σy². Price travels as WHOLE currency units
+    here (floor(p+0.5)): Σy² in cents would overflow int64 partials
+    near sf0.3, in units it holds to sf100 (corr is invariant to the
+    y-scale; the rounding convention is shared by both engines, so
+    hashes still match). Cross terms exceed int64 → Python ints on the
+    3-row driver final, HUGEINT in the oracle; the float tail is the
+    fixed two-division form dn / sqrt(ddx) / sqrt(ddy), identical
+    expression order both engines."""
+    import math
+
+    def part(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["l_quantity"].combine_chunks()
+                       .cast(pa.float64())).astype(np.int64)
+        y = np.floor(np.asarray(b["l_extendedprice"].combine_chunks()
+                                .cast(pa.float64())) + 0.5).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "n": np.ones(len(x), np.int64), "sx": x, "sy": y,
+            "sxy": x * y, "sxx": x * x, "syy": y * y,
+        })
+        return _partial_sums(
+            t, ["l_returnflag"],
+            {c: c for c in ("n", "sx", "sy", "sxy", "sxx", "syy")})
+
+    rows = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_quantity",
+                                     "l_extendedprice"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+            .take_all())  # 3 rows — the aggregate, not the data
+    flags, ns, corrs, r2s = [], [], [], []
+    for r in sorted(rows, key=lambda r: r["l_returnflag"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        dn = n * sxy - sx * sy
+        ddx = n * sxx - sx * sx
+        ddy = n * syy - sy * sy
+        corr = float(dn) / math.sqrt(float(ddx)) / math.sqrt(float(ddy))
+        flags.append(r["l_returnflag"])
+        ns.append(n)
+        corrs.append(to_micros(corr))
+        r2s.append(to_micros(corr * corr))
+    return pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "corr_micros": pa.array(corrs, pa.int64()),
+        "r2_micros": pa.array(r2s, pa.int64()),
+    })
+
+
 def nation_supplier_csv(sf_dir: str):
     """Ordered string_agg per group: each nation's supplier names as
     one comma-joined string, sorted — SQL ``string_agg(s_name, ','
