@@ -76,6 +76,22 @@ def _ensure_scale_corpus() -> str:
 SCALE_ONLY = os.environ.get("GRAFT_SCALE_ONLY") == "1"
 
 
+def _sweep_stale_tmp() -> None:
+    """Remove bench artifacts left by dead runs: stale multi-GB /tmp
+    trees cost ~2x on build_scale via page-cache/writeback pressure
+    (measured, BASELINE.md). The shared scale corpus (_DONE-marked) and
+    the conformance cache are kept."""
+    import glob
+
+    pid = str(os.getpid())
+    for path in glob.glob("/tmp/ssr_bench_*idx_*"):
+        if not path.endswith(f"_{pid}"):
+            shutil.rmtree(path, ignore_errors=True)
+    for path in glob.glob(f"/tmp/ssr_bench_corpus_*"):
+        if os.path.basename(path) != os.path.basename(SCALE_CORPUS):
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -85,6 +101,11 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Keep the executor out of the >16-worker thrash regime (BASELINE.md;
+    # the measured host cap, applied as the executor CPU budget).
+    from stacksearch_ray.runtime import cap_execution_cpus
+
+    cap_execution_cpus(MAX_TASKS)
 
     import ray.data as rd
 
@@ -93,14 +114,26 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     docs_path = os.path.join(SF_DIR, "documents.parquet")
+    _sweep_stale_tmp()
     if SCALE_ONLY:
         return _scale_build_only(ray, rd, timings)
 
-    # warm page cache + worker imports (untimed): the first map task per
-    # worker pays the library import; a 200-row throwaway build spawns
-    # and warms the pool so the timed build measures steady-state cost
-    # (BASELINE.md protocol excludes one-time session overhead)
+    # warm page cache + worker imports (untimed): the first map task in
+    # each NEW worker process pays the heavy library imports (~1.5 s
+    # measured), so force the full MAX_TASKS worker pool to spawn and
+    # import up front — otherwise the first few timed entries absorb the
+    # spawn cost (term_counts measured 5.3 s cold vs 1.4 s warm).
+    # (BASELINE.md protocol excludes one-time session overhead.)
     rd.read_parquet(docs_path).count()
+
+    def _warm(batch):
+        from stacksearch_ray.pipelines import documents as _P  # noqa: F401
+        from stacksearch_ray import build as _b, query as _q  # noqa: F401
+        time.sleep(0.5)  # hold the worker so all MAX_TASKS slots spawn
+        return batch
+
+    rd.range(MAX_TASKS, override_num_blocks=MAX_TASKS).map_batches(
+        _warm, batch_format="pyarrow").count()
     warm_idx = f"/tmp/ssr_bench_warm_idx_{os.getpid()}"
     shutil.rmtree(warm_idx, ignore_errors=True)
     build_index(rd.read_parquet(docs_path).limit(200), warm_idx,

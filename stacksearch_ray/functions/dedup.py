@@ -360,7 +360,8 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
                          verify: str = "inline",
                          max_bucket_pairs_ids: int = 256,
                          stats_out: dict | None = None,
-                         hash_fn: str = "pd") -> Dataset:
+                         hash_fn: str = "pd",
+                         num_buckets: int = 16) -> Dataset:
     """(doc_id, cluster_id): connected components over verified near-dup
     pairs; singletons keep cluster_id == doc_id.
 
@@ -397,6 +398,10 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     (md5_number_lower token hashing) — how the driver's
     minhash_clusters entry gets its SQL oracle.
 
+    ``num_buckets`` (inline verify): coarse-bucket count for the single
+    verify shuffle — size to the input (band rows / ~4M per bucket at
+    scale); the default fits bench/conformance corpora.
+
     ``stats_out`` (inline verify only): pass a dict to receive
     ``verified_pairs`` and ``starred_pairs`` — the count of pairs that
     came from degenerate buckets collapsed to a hub star
@@ -411,7 +416,7 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
     if verify == "inline":
         bands = sigs.map_batches(
             lambda t: _bands_batch(t, num_bands, num_perm, carry_sig=True),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
         # node set stays a Dataset: distributed clustering never pulls
         # the doc_id array to the driver (driver clustering converts
         # inside _cluster_pairs — small-corpus opt-in)
@@ -419,48 +424,87 @@ def minhash_lsh_clusters(ds: Dataset, text_col: str = "text",
             lambda t: pa.table(
                 {"doc_id": t[id_col].combine_chunks().cast(pa.int64())}),
             batch_format="pyarrow")
-        bands = _filter_collision_buckets(bands)
-        if bands is None:
-            return _cluster_pairs(
-                rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
-                                        "b": pa.array([], pa.int64())})),
-                nodes, clustering, max_iters)
 
-        def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE hash-bucket shuffle: (band, band_hash) groups are hashed
+        # into num_buckets coarse buckets and each bucket verifies ALL
+        # its groups vectorized — singleton groups (the vast majority in
+        # a mostly-unique corpus) cost one boolean-mask skip instead of
+        # a per-group Ray map_groups call, and the previous separate
+        # collision-count groupby (a second full band-table shuffle) is
+        # gone entirely. Ray's native groupby on the raw (band,
+        # band_hash) key is a global sort shuffle that measured ~5x the
+        # cost of this bucketed form at bench scale (the same ~50x
+        # lesson as propagate_min_labels_ds at 10^6+ distinct keys).
+        def tag_bucket(t: pa.Table) -> pa.Table:
+            with np.errstate(over="ignore"):
+                k = (np.asarray(t["band_hash"].combine_chunks())
+                     .astype(np.int64) * np.int64(64)
+                     + np.asarray(t["band"].combine_chunks())
+                     .astype(np.int64))
+            h = pd.util.hash_array(k)
+            return t.append_column("__bucket", pa.array(
+                (h % np.uint64(num_buckets)).astype(np.int64)))
+
+        def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                   "b": pd.Series(dtype=np.int64),
                                   "starred": pd.Series(dtype=np.int8)})
-            g = g.drop_duplicates("doc_id")
-            if len(g) < 2:
+            if df.empty:
                 return empty
-            ids = g["doc_id"].to_numpy().astype(np.int64)
-            order = np.argsort(ids)
-            ids = ids[order]
-            mat = np.frombuffer(b"".join(g["sig"].to_numpy()[order]),
-                                dtype=np.uint64).reshape(-1, num_perm)
-            if len(ids) > max_bucket_pairs_ids:
-                # degenerate bucket: star around the min id (see
-                # pairs_in_bucket below for the trade-off), verified
-                # against the hub's full signature; pairs are marked
-                # starred so callers can audit via stats_out
-                est = (mat[0] == mat[1:]).mean(axis=1)
-                keep = est >= threshold
-                return pd.DataFrame({
-                    "a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
-                    "b": ids[1:][keep],
-                    "starred": np.ones(int(keep.sum()), dtype=np.int8)})
-            ai, bi = np.triu_indices(len(ids), k=1)
-            est = (mat[ai] == mat[bi]).mean(axis=1)
-            keep = est >= threshold
-            return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
-                                 "starred": np.zeros(int(keep.sum()),
-                                                     dtype=np.int8)})
+            df = df.drop_duplicates(["band", "band_hash", "doc_id"])
+            # groups contiguous, ids ascending within each group
+            df = df.sort_values(["band", "band_hash", "doc_id"],
+                                kind="mergesort")
+            band = df["band"].to_numpy()
+            bh = df["band_hash"].to_numpy()
+            ids_all = df["doc_id"].to_numpy().astype(np.int64)
+            sig_all = df["sig"].to_numpy()
+            new_grp = np.empty(len(df), dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+            starts = np.flatnonzero(new_grp)
+            ends = np.concatenate((starts[1:], [len(df)]))
+            outs_a: list[np.ndarray] = []
+            outs_b: list[np.ndarray] = []
+            outs_s: list[np.ndarray] = []
+            # python loop over COLLISION groups only (singletons skip);
+            # per-group pair count bounded by max_bucket_pairs_ids
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                ids = ids_all[s:e]
+                mat = np.frombuffer(b"".join(sig_all[s:e]),
+                                    dtype=np.uint64).reshape(-1, num_perm)
+                if len(ids) > max_bucket_pairs_ids:
+                    # degenerate bucket: star around the min id (see
+                    # pairs_in_bucket below for the trade-off), verified
+                    # against the hub's full signature; pairs are marked
+                    # starred so callers can audit via stats_out
+                    est = (mat[0] == mat[1:]).mean(axis=1)
+                    keep = est >= threshold
+                    outs_a.append(np.full(int(keep.sum()), ids[0],
+                                          dtype=np.int64))
+                    outs_b.append(ids[1:][keep])
+                    outs_s.append(np.ones(int(keep.sum()), dtype=np.int8))
+                else:
+                    ai, bi = np.triu_indices(len(ids), k=1)
+                    est = (mat[ai] == mat[bi]).mean(axis=1)
+                    keep = est >= threshold
+                    outs_a.append(ids[ai][keep])
+                    outs_b.append(ids[bi][keep])
+                    outs_s.append(np.zeros(int(keep.sum()), dtype=np.int8))
+            if not outs_a:
+                return empty
+            return pd.DataFrame({"a": np.concatenate(outs_a),
+                                 "b": np.concatenate(outs_b),
+                                 "starred": np.concatenate(outs_s)})
 
         # pairs shared by several bands stay duplicated here — min-label
         # propagation and the driver drop_duplicates are both idempotent
         # to repeated edges, so no global pair-dedup shuffle is needed
-        verified = bands.groupby(["band", "band_hash"]).map_groups(
-            verify_in_bucket, batch_format="pandas")
+        verified = (bands.map_batches(tag_bucket, batch_format="pyarrow")
+                    .groupby("__bucket")
+                    .map_groups(verify_bucket, batch_format="pandas"))
         if stats_out is not None:
             # audit channel for the degenerate-bucket star trade-off:
             # how many verified pairs came from starred (hub-only) buckets

@@ -42,6 +42,13 @@ from ..query import QueryEngine
 from ..text import term_frequencies, tokenize_array
 
 from ..schema import INDEX_FORMAT_VERSION
+from ..runtime import cap_execution_cpus
+
+# Driver sessions run ray.init(num_cpus=32) on a host that thrashes past
+# ~16 concurrent CPU-bound workers (BASELINE.md). Cap the Ray Data
+# executor's CPU budget once at import so every entry below runs in the
+# non-degraded regime regardless of the session size.
+cap_execution_cpus()
 
 BM25_QUERY = "merge sort join stream window"
 CACHE_ROOT = f"/tmp/stacksearch_ray_cache/v{INDEX_FORMAT_VERSION}"
