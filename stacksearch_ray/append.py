@@ -501,7 +501,11 @@ def upsert_to_index(source, index_dir: str,
     if existing.num_rows:
         delete_from_index(index_dir, existing["doc_id"].to_pylist())
         compact_index(index_dir)
-    return append_to_index(source, index_dir, cfg=None,
+    # forward the RESOLVED cfg: explicit fields the caller set on their
+    # cfg object (batch_size, term_buckets, ...) must reach the append
+    # leg too, not just the id-resolution above; the explicit col kwargs
+    # still travel so append's own mismatch check sees caller intent
+    return append_to_index(source, index_dir, cfg=cfg,
                            content_col=content_col, id_col=id_col,
                            **cfg_overrides)
 
@@ -661,6 +665,21 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
         raise
     shutil.rmtree(old)
 
+    from .build import write_stats
+
+    if stats.pop("deleted_df_file", None) is not None:
+        # The segments swap just purged tombstoned postings, so segment
+        # dfs are already corrected — a stats.json still pointing at the
+        # deleted-df sidecar would make every engine opened in this
+        # window subtract the correction AGAIN (double subtraction →
+        # inflated idf), and no recovery path re-runs compaction for us.
+        # Drop the pointer atomically NOW; tombstones_file stays until
+        # the docs swap below so doc-store masking keeps hiding rows the
+        # docs table still physically holds (masking alive postings is a
+        # no-op). A crash anywhere after this point leaves correct
+        # scoring; re-running compact_index is idempotent.
+        write_stats(index_dir, stats)
+
     if len(tomb):
         # rewrite the docs table without the tombstoned rows (same
         # .compact → .old swap; recover_segments heals docs/ too).
@@ -693,12 +712,9 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
     shutil.rmtree(term_dict_dir, ignore_errors=True)
     _write_term_dict(segments_dir, term_dict_dir)
 
-    from .build import write_stats
-
     stats["appended"] = False
     tomb_file = stats.pop("tombstones_file", None)
     stats.pop("n_tombstones", None)
-    stats.pop("deleted_df_file", None)
     write_stats(index_dir, stats)
     if tomb_file:  # purge complete: drop every delete artifact
         for name in os.listdir(index_dir):

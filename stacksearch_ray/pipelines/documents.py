@@ -3497,12 +3497,22 @@ def copurchase_triangles(sf_dir: str):
     # (guarded).
     import ray as _ray
 
+    def pack_edge_keys(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"]).astype(np.int64)
+        b_ = np.asarray(t["b"]).astype(np.int64)
+        # explicit raise, not assert (stripped under python -O): a key
+        # outside the packing range would silently corrupt the count —
+        # both halves guarded BEFORE the OR can bleed across fields
+        if (a >= 2**31).any() or (a < 0).any() or (b_ >= 2**32).any() \
+                or (b_ < 0).any():
+            raise ValueError(
+                "edge key outside (0 <= a < 2^31, 0 <= b < 2^32) "
+                "packing range")
+        return pa.table({"k": pa.array((a << np.int64(32)) | b_,
+                                       pa.int64())})
+
     ek = edges.map_batches(
-        lambda t: pa.table({"k": pa.array(
-            (np.asarray(t["a"]).astype(np.int64) << np.int64(32))
-            | np.asarray(t["b"]).astype(np.int64), pa.int64())}),
-        batch_format="pyarrow").to_pandas()["k"].to_numpy()
-    assert (np.asarray(ek) >> 32 < 2**31).all()
+        pack_edge_keys, batch_format="pyarrow").to_pandas()["k"].to_numpy()
     ek_ref = _ray.put(np.sort(ek.astype(np.int64)))
 
     def tag_wedge_side(t: pa.Table, side: int) -> pa.Table:

@@ -78,9 +78,14 @@ TERM_DICT_SCHEMA = pa.schema(
 # Bump when the on-disk index layout changes (segments schema, codec,
 # stats fields) — consumers embed it in cache paths so stale indexes from
 # older code are never read.
-INDEX_FORMAT_VERSION = 2  # v2: optional positional sidecar (segments
-#     gain a ``positions`` binary column when built with
-#     store_positions=True; stats.json records the flag)
+INDEX_FORMAT_VERSION = 3  # v3: tombstone lifecycle sidecars
+#     (tombstones-*/deleted-df-* files; stats.json keys tombstones_file,
+#     deleted_df_file, n_tombstones, last_append_id; append.pending-*
+#     journals). A v2 reader opening a tombstoned index would silently
+#     serve deleted docs — the version gate makes that impossible.
+# v2: optional positional sidecar (segments gain a ``positions`` binary
+#     column when built with store_positions=True; stats.json records
+#     the flag)
 
 # 63-bit mask: doc ids stay positive int64.
 _ID_MASK = (1 << 63) - 1

@@ -51,21 +51,36 @@ def write_partitioned_resumable(make_ds: Callable[[object], Dataset],
 
 def write_jsonl(ds: Dataset, out_dir: str, batch_size: int = 8192) -> int:
     """Sharded JSONL sink — the interchange format LLM-training loaders
-    consume. One ``part-<uuid>.jsonl`` per map task, serialized with
-    pandas ``to_json(lines=True)`` (C serializer, no per-row Python) and
+    consume. One part file per map batch, serialized with pandas
+    ``to_json(lines=True)`` (C serializer, no per-row Python) and
     committed tmp→rename so readers never see partial files. Streams
     with backpressure (the driver only sums per-task row counts).
-    Round-trips through ``ray.data.read_json``. Returns rows written."""
+    Round-trips through ``ray.data.read_json``. Returns rows written.
+
+    Part names are DETERMINISTIC — derived from the serialized batch
+    content — so a Ray task retry after its rename committed rewrites
+    the same file instead of leaving a duplicate part that read_json
+    would double-count (the uuid-named variant had that bug). Blocks
+    are deterministic under retry, so the re-executed batch hashes to
+    the same name. Caveat: two byte-identical batches coalesce into one
+    part; any dataset with a unique id column can't produce that."""
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
 
     def dump(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
         import uuid
 
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
-        tmp = path + ".tmp"
-        df.to_json(tmp, orient="records", lines=True, force_ascii=False)
+        payload = df.to_json(orient="records", lines=True,
+                             force_ascii=False)
+        name = hashlib.sha256(payload.encode()).hexdigest()[:24]
+        path = os.path.join(out_dir, f"part-{name}-{len(df)}.jsonl")
+        # tmp name stays unique per attempt: two concurrent attempts at
+        # the same batch must not interleave writes into one tmp file
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(payload)
         os.replace(tmp, path)
         return pd.DataFrame({"rows": [len(df)]})
 

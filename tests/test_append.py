@@ -325,3 +325,64 @@ def test_multi_append_microbatch_ingestion(ray_session, tmp_path):
     eng, engr = QueryEngine(idx), QueryEngine(rebuild)
     for q in QUERIES:
         assert eng.search(q, 10, "auto") == engr.search(q, 10, "auto")
+
+
+def test_compact_crash_after_segment_swap_scores_exactly(
+        ray_session, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): a crash AFTER compaction's segments swap but
+    BEFORE the docs rewrite used to leave stats.json pointing at the
+    deleted-df sidecar while segment dfs were already purged — engines
+    then subtracted the correction twice (inflated idf). The fix drops
+    deleted_df_file atomically right after the swap, so every later
+    crash point serves exact scores; re-running compact rolls forward."""
+    import json
+    import os
+
+    import ray.data as rd_mod
+
+    from stacksearch_ray.append import compact_index, delete_from_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 120, rows_per_file=120)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, num_shards=2)
+    all_ids = pq.read_table(os.path.join(idx, "docs"),
+                            columns=["doc_id"])["doc_id"].to_pylist()
+    victims = sorted(all_ids)[::4][:30]
+    delete_from_index(idx, victims)
+    # tombstoned scoring is bitwise == rebuild-without-deleted (pinned
+    # in test_delete) — capture it as the ground truth for every later
+    # crash state
+    before = {q: QueryEngine(idx).search(q, 10, "exhaustive")
+              for q in QUERIES}
+
+    real_read = rd_mod.read_parquet
+
+    def crash_on_docs(path, *a, **k):
+        if str(path).rstrip("/").endswith("/docs"):
+            raise RuntimeError("injected crash before docs rewrite")
+        return real_read(path, *a, **k)
+
+    monkeypatch.setattr(rd_mod, "read_parquet", crash_on_docs)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_index(idx)
+    monkeypatch.setattr(rd_mod, "read_parquet", real_read)
+
+    # the crash window state: segments purged, docs not yet rewritten —
+    # stats must NOT reference the deleted-df sidecar anymore (double
+    # subtraction), but must keep masking the still-present doc rows
+    st = load_stats(idx)
+    assert "deleted_df_file" not in st
+    assert st.get("tombstones_file")
+    for q in QUERIES:
+        assert QueryEngine(idx).search(q, 10, "exhaustive") == before[q], q
+
+    # roll forward: a re-run completes the purge and stays exact
+    compact_index(idx)
+    st = load_stats(idx)
+    assert "tombstones_file" not in st and "deleted_df_file" not in st
+    eng = QueryEngine(idx)
+    for q in QUERIES:
+        assert eng.search(q, 10, "exhaustive") == before[q], q
