@@ -358,18 +358,55 @@ def jaro_winkler_pairs_kernel(codes: np.ndarray, lens: np.ndarray,
     return np.where(ok, jw, 0.0)
 
 
+def _block_pair_indices(g: pd.DataFrame, max_block_rows: int,
+                        neighbor_window: int) -> tuple[pd.DataFrame, np.ndarray, np.ndarray, bool]:
+    """Candidate pair indices for one (lang, len-bucket) block.
+
+    Blocks up to ``max_block_rows`` get the exact all-pairs triangle
+    (the oracle semantics). Over-full blocks — the 100-TB hot-block
+    case ("python", common length band, 10⁸ docs → 10¹⁶ pairs) — fall
+    back to SORTED NEIGHBORHOOD: rows sorted by prefix, each row paired
+    with its next ``neighbor_window`` neighbors, bounding the block at
+    m·W pairs. Prefix-similar near-dups sort adjacent, so recall for
+    the tight-threshold pairs these operators exist for stays high;
+    the trade-off is documented at each caller. Returns the (possibly
+    re-sorted) block, index arrays, and whether the exact path ran."""
+    m = len(g)
+    if m <= max_block_rows:
+        g = g.sort_values("doc_id")
+        ia, ib = np.triu_indices(m, k=1)
+        return g, ia, ib, True
+    g = g.sort_values(["prefix", "doc_id"], kind="mergesort")
+    base = np.arange(m, dtype=np.int64)
+    ia_parts, ib_parts = [], []
+    for d in range(1, min(neighbor_window, m - 1) + 1):
+        ia_parts.append(base[:-d])
+        ib_parts.append(base[d:])
+    return g, np.concatenate(ia_parts), np.concatenate(ib_parts), False
+
+
 def jaro_winkler_sim_pairs(ds: Dataset, min_sim: float,
                            prefix_len: int = 64, text_col: str = "text",
                            id_col: str = "doc_id", lang_col: str = "lang",
                            len_col: str = "n_chars",
-                           len_bucket: int = 32) -> Dataset:
+                           len_bucket: int = 32,
+                           max_block_rows: int = 8192,
+                           neighbor_window: int = 8) -> Dataset:
     """Near-dup pairs by Jaro-Winkler ≥ ``min_sim`` over
     ``prefix_len``-char prefixes, blocked by (lang, n_chars //
     len_bucket) exactly like edit_distance_pairs — one blocking
     shuffle, all pairs per block in one vectorized kernel pass.
     Similarity ships as ``jw_micros`` (bitwise vs DuckDB, so the
     threshold cut is engine-identical). ASCII-equivalent inputs only:
-    the kernel compares bytes while SQL substr counts characters."""
+    the kernel compares bytes while SQL substr counts characters.
+
+    Blocks larger than ``max_block_rows`` switch from the exact
+    all-pairs triangle to a sorted-neighborhood scan (each row vs its
+    ``neighbor_window`` prefix-sorted successors, m·W pairs) — high
+    recall for the ≥0.9-similarity pairs this gate targets (such pairs
+    share long prefixes and sort adjacent), bounded cost on a 10⁸-doc
+    hot block. The default cap never triggers at conformance scales,
+    so the DuckDB oracle sees the exact path."""
     if prefix_len > 64:
         raise ValueError("prefix_len > 64 breaks the bitmask kernel")
 
@@ -390,14 +427,15 @@ def jaro_winkler_sim_pairs(ds: Dataset, min_sim: float,
         m = len(g)
         if m < 2:
             return pd.DataFrame(empty)
-        g = g.sort_values("doc_id")
+        g, ia, ib, exact = _block_pair_indices(g, max_block_rows, neighbor_window)
         codes, lens = _encode_ascii(g["prefix"], prefix_len)
         ids = g["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(m, k=1)
         jw = jaro_winkler_pairs_kernel(codes, lens, ia, ib)
         keep = jw >= min_sim
-        return pd.DataFrame({"doc_id_a": ids[ia[keep]],
-                             "doc_id_b": ids[ib[keep]],
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        if not exact:  # neighborhood pairs aren't id-ordered
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b,
                              "jw_micros": to_micros(jw[keep])})
 
     return (ds.map_batches(prep, batch_format="pyarrow")
@@ -419,14 +457,22 @@ def _encode_ascii(strs: pd.Series, width: int) -> tuple[np.ndarray, np.ndarray]:
 def edit_distance_pairs(ds: Dataset, max_dist: int, prefix_len: int = 64,
                         text_col: str = "text", id_col: str = "doc_id",
                         lang_col: str = "lang", len_col: str = "n_chars",
-                        len_bucket: int = 32) -> Dataset:
+                        len_bucket: int = 32,
+                        max_block_rows: int = 8192,
+                        neighbor_window: int = 8) -> Dataset:
     """Near-duplicate pairs by Levenshtein over ``prefix_len``-char
     prefixes, blocked by (lang, n_chars // len_bucket) — the blocking
     IS the operator contract (edit distance is only meaningful between
     similar-length same-language docs, and it bounds each block's
     all-pairs cost). One shuffle (the blocking groupby); within each
     block all candidate pairs run through one vectorized Myers pass.
-    """
+
+    Blocks larger than ``max_block_rows`` fall back to a
+    sorted-neighborhood scan (see ``_block_pair_indices``): m·W pairs
+    instead of m²/2, high recall for small-``max_dist`` pairs (a
+    ≤max_dist-edit prefix pair diverges late and sorts adjacent). The
+    default cap never triggers at conformance scales, so the DuckDB
+    oracle sees the exact path."""
     if prefix_len > 64:
         raise ValueError("prefix_len > 64 breaks the single-word Myers path")
 
@@ -447,14 +493,15 @@ def edit_distance_pairs(ds: Dataset, max_dist: int, prefix_len: int = 64,
         m = len(g)
         if m < 2:
             return pd.DataFrame(empty)
-        g = g.sort_values("doc_id")
+        g, ia, ib, exact = _block_pair_indices(g, max_block_rows, neighbor_window)
         codes, lens = _encode_ascii(g["prefix"], prefix_len)
         ids = g["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(m, k=1)
         lev = myers_pairs(codes, lens, ia, ib)
         keep = lev <= max_dist
-        return pd.DataFrame({"doc_id_a": ids[ia[keep]],
-                             "doc_id_b": ids[ib[keep]],
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        if not exact:  # neighborhood pairs aren't id-ordered
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b,
                              "lev": lev[keep].astype(np.int64)})
 
     return (ds.map_batches(prep, batch_format="pyarrow")

@@ -813,11 +813,22 @@ def simhash_near_dup_pairs(ds: Dataset, text_col: str = "text",
 
 def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
                         id_col: str = "doc_id",
-                        threshold: float = 0.5) -> Dataset:
+                        threshold: float = 0.5,
+                        max_rows: int | None = 100_000) -> Dataset:
     """Exact token-SET Jaccard ≥ threshold over all pairs. The small side
     (full token-set table) is broadcast via ray.put and each batch compares
     its docs against all docs with larger ids — O(n²/2) exact, the ground
-    truth the sketch paths approximate. Use only at oracle scales."""
+    truth the sketch paths approximate. Use only at oracle scales:
+    inputs above ``max_rows`` raise toward ``minhash_lsh_clusters`` /
+    ``containment_pairs`` (the guard counts the input, which executes
+    its lineage once; pass ``max_rows=None`` to skip)."""
+    if max_rows is not None:
+        n = ds.count()
+        if n > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the O(n²) exact-oracle path; input has "
+                f"{n} rows > max_rows={max_rows}. Use minhash_lsh_clusters / "
+                f"containment_pairs at scale, or pass max_rows=None to force.")
     def tok_sets(batch: pa.Table) -> pa.Table:
         content = batch[text_col].combine_chunks()
         flat, doc_idx, doc_lens = tokenize_array(content)

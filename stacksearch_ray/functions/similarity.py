@@ -42,12 +42,23 @@ def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
 
 
 def knn_brute_force(ds: Dataset, queries: np.ndarray, k: int = 10,
-                    emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    max_rows: int | None = 5_000_000) -> pa.Table:
     """Exact cosine top-k for each query row. Returns
     (query_id, vec_id, sim_micros, rank) — float64 cosine, int64 micros.
 
     Partial top-k per batch keeps the driver merge at
-    O(num_batches · q · k), independent of corpus size."""
+    O(num_batches · q · k), independent of corpus size — but compute is
+    a full O(n·q) corpus scan per call: inputs above ``max_rows`` raise
+    toward ``knn_lsh`` / ``knn_ivf`` (the guard counts the input, which
+    executes its lineage once; pass ``max_rows=None`` to skip)."""
+    if max_rows is not None:
+        n = ds.count()
+        if n > max_rows:
+            raise ValueError(
+                f"knn_brute_force scans the full corpus per call; input has "
+                f"{n} rows > max_rows={max_rows}. Use knn_lsh / knn_ivf at "
+                f"scale, or pass max_rows=None to force.")
     q = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(q)
 
@@ -221,7 +232,8 @@ def cosine_pairs_lsh(ds: Dataset, threshold: float = 0.9,
 
 def cosine_pairs(ds: Dataset, threshold: float = 0.95,
                  emb_col: str = "embedding", id_col: str = "vec_id",
-                 block_size: int = 4096) -> pa.Table:
+                 block_size: int = 4096,
+                 max_rows: int | None = 200_000) -> pa.Table:
     """Exact near-duplicate pairs (a < b, cosine ≥ threshold) via BLOCKED
     all-pairs: normalized blocks are materialized into the object store
     (``to_arrow_refs`` — never the driver heap), and each compare task
@@ -230,7 +242,18 @@ def cosine_pairs(ds: Dataset, threshold: float = 0.95,
     O(n²/2) for an *exact* loose-threshold pair join; for HIGH thresholds
     (≥ ~0.8) use ``cosine_pairs_lsh`` which prunes candidates to
     colliding buckets. Upper-triangle block pruning skips peer blocks
-    whose max id can't exceed the batch's min id."""
+    whose max id can't exceed the batch's min id. Inputs above
+    ``max_rows`` raise toward ``cosine_pairs_lsh`` (the guard counts
+    the input, which executes its lineage once; ``max_rows=None``
+    skips it)."""
+    if max_rows is not None:
+        n = ds.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is the exact O(n²) pair join; input has "
+                f"{n} rows > max_rows={max_rows}. Use cosine_pairs_lsh at "
+                f"scale, or pass max_rows=None to force.")
+
     def norm_project(b: pa.Table) -> pa.Table:
         ids = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
         if len(ids) == 0:

@@ -177,3 +177,20 @@ def test_mega_duplicate_bucket_stays_linear(ray_session):
     lbl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert all(lbl[i] == 0 for i in range(600))
     assert lbl[600] == 600
+
+
+def test_ngram_jaccard_size_guard(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from stacksearch_ray.functions.dedup import ngram_jaccard_pairs
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(32)), pa.int64()),
+        "text": pa.array([f"alpha beta gamma {i}" for i in range(32)]),
+    })
+    with pytest.raises(ValueError, match="minhash_lsh_clusters"):
+        ngram_jaccard_pairs(rd.from_arrow(t), max_rows=10)
+    out = ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5).to_pandas()
+    assert (out["a"] < out["b"]).all()
