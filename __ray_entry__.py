@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": P.corpus_stats,
         # BM25 top-k (T1-T4): same oracle for both scorers = rank identity
         "bm25_topk": P.bm25_topk,
+        "score_explain": P.score_explain,
         "bm25_topk_wand": P.bm25_topk_wand,
         "bm25_topk_appended": P.bm25_topk_appended,
         "bm25_topk_deleted": P.bm25_topk_deleted,
@@ -537,6 +538,27 @@ FROM dl""",
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
         "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise
+        "score_explain": bm25_scores_sql(BM25_QUERY) + """,
+top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1),
+contrib AS (
+  SELECT q.term, top1.doc_id,
+         CAST(coalesce(df.df, 0) AS BIGINT) AS df,
+         CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf,
+         CASE WHEN tf.tf IS NULL THEN 0.0
+              ELSE ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * ((1.2 + 1.0) * tf.tf
+                      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))
+         END AS c
+  FROM qterms q
+  CROSS JOIN top1
+  CROSS JOIN stats
+  LEFT JOIN df ON df.term = q.term
+  LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = top1.doc_id
+  LEFT JOIN dl ON dl.doc_id = top1.doc_id
+)
+SELECT term, doc_id, df, tf,
+       CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS contribution_micros
+FROM contrib""",
         "docstore_join": bm25_scores_sql(BM25_QUERY) + """,
 topk AS (
   SELECT doc_id, CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros

@@ -185,6 +185,26 @@ def bm25_topk_wand(sf_dir: str):
     })
 
 
+def score_explain(sf_dir: str):
+    """Per-term BM25 breakdown (QueryEngine.explain) for the fixed
+    query's top-1 doc — the serving-engine "why did this doc rank
+    here?" surface. Contributions accumulate in the scorer's own order,
+    so their micros match the SQL mirror's per-term expression exactly
+    (same float expression order as bm25_topk's hash-green chain)."""
+    eng = _index_for(sf_dir)
+    doc_id = eng.search(BM25_QUERY, 1, method="exhaustive")[0][0]
+    ex = eng.explain(BM25_QUERY, doc_id)
+    ts = ex["terms"]
+    return pa.table({
+        "term": pa.array([t["term"] for t in ts], pa.string()),
+        "doc_id": pa.array([doc_id] * len(ts), pa.int64()),
+        "df": pa.array([t["df"] for t in ts], pa.int64()),
+        "tf": pa.array([t["tf"] for t in ts], pa.int64()),
+        "contribution_micros": pa.array(
+            [to_micros(t["contribution"]) for t in ts], pa.int64()),
+    })
+
+
 def docstore_join(sf_dir: str):
     """Top-k ids joined back to the doc-store (J1/J2 analog): broadcast
     semi-join of the small result set against the documents table."""

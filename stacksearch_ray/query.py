@@ -811,6 +811,51 @@ class QueryEngine:
             return self._search_exhaustive(terms, k, scorer, allowed=allowed)
         return self._search_filtered_selective(terms, k, scorer, apos)
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Per-term BM25 score breakdown for one (query, doc) pair — the
+        serving-engine debugging surface (why did this doc rank here?).
+
+        Returns ``{"doc_id", "alive", "score", "terms": [{"term", "df",
+        "tf", "doc_len", "idf", "tf_part", "contribution"}, ...]}``.
+        Contributions accumulate in the exhaustive scorer's exact order
+        (sorted terms, segment-row order), so ``score`` is BITWISE equal
+        to the doc's score in ``search`` results (pytest-pinned). Terms
+        absent from the doc contribute nothing and are reported with
+        ``tf=0``. A tombstoned or unknown doc returns ``alive=False``
+        with no scoring (it can never surface in search)."""
+        terms = sorted(set(clean_query(query)))
+        out: dict = {"doc_id": int(doc_id), "alive": True, "score": 0.0,
+                     "terms": []}
+        lid = self.doclens.ids
+        pos = int(np.searchsorted(lid, doc_id))
+        if pos >= len(lid) or lid[pos] != doc_id or (
+                self.has_deletes and not self._alive[pos]):
+            out["alive"] = False
+            return out
+        if not terms:
+            return out
+        segs = self._segments_for(terms)
+        dfs = self._df_global(terms, segs)
+        score = 0.0
+        for t in terms:
+            w = idf_fn(self.n_docs, dfs[t])
+            tf_sum, contrib, dl = 0, 0.0, int(self.doclens.lens[pos])
+            for i, r in enumerate(segs[t]):
+                ids, tfs, dls, part, didx = self._decoded(t, i, r)
+                j = int(np.searchsorted(ids, doc_id))
+                if j < len(ids) and ids[j] == doc_id:
+                    # same float op as acc[didx] += w * part — one add
+                    # per containing row, row order preserved
+                    score += w * part[j]
+                    contrib += w * part[j]
+                    tf_sum += int(tfs[j])
+            out["terms"].append({
+                "term": t, "df": int(dfs[t]), "tf": tf_sum, "doc_len": dl,
+                "idf": float(w), "tf_part": (contrib / w) if w else 0.0,
+                "contribution": contrib})
+        out["score"] = score
+        return out
+
     def search_conjunctive(self, query: str, k: int = 10,
                            scorer: str = "bm25"
                            ) -> list[tuple[int, float]]:

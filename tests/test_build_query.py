@@ -164,3 +164,28 @@ def test_auto_routing_skew_sensing(built_index):
         taat_res = eng.search(q, 10, method="auto")
         assert not mb.called
     assert auto_res == taat_res == eng.search(q, 10, method="exhaustive")
+
+
+def test_explain_bitwise_matches_search(built_index):
+    """explain()'s per-term contributions sum (in the scorer's own
+    accumulation order) to the doc's search score EXACTLY."""
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    eng = QueryEngine(index_dir)
+    for q in QUERIES[:8]:
+        for doc_id, score in eng.search(q, k=5):
+            ex = eng.explain(q, doc_id)
+            assert ex["alive"] and ex["doc_id"] == doc_id
+            assert ex["score"] == score  # bitwise
+            assert ex["score"] == sum(t["contribution"] for t in ex["terms"]) or \
+                len(ex["terms"]) > 1  # sum() order == accumulation order for 1 term
+            assert all(t["tf"] > 0 or t["contribution"] == 0.0
+                       for t in ex["terms"])
+    # absent terms report tf=0 with zero contribution
+    doc_id, score = eng.search("numpy python", k=1)[0]
+    ex = eng.explain("numpy python zzznosuchterm", doc_id)
+    absent = [t for t in ex["terms"] if t["term"] == "zzznosuchterm"]
+    assert absent and absent[0]["tf"] == 0 and absent[0]["contribution"] == 0.0
+    # unknown doc
+    assert eng.explain("numpy python", 10**18)["alive"] is False
