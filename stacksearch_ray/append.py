@@ -510,6 +510,92 @@ def upsert_to_index(source, index_dir: str,
                            **cfg_overrides)
 
 
+def merge_indexes(sources: list[str], out_dir: str) -> dict:
+    """Merge independently built indexes into a NEW index at ``out_dir``
+    WITHOUT re-tokenizing — the scale ingestion pattern: build K
+    shard-group indexes in parallel jobs (each sees 1/K of the corpus),
+    then merging is a file-level union + stats refresh, O(index files),
+    no pass over the text. Returns the merged stats.
+
+    Requirements (checked): ≥2 sources sharing num_shards / block_size /
+    k1 / b / store_positions / content_col / id_col; no pending
+    tombstones (compact a deleted-from source first — sidecar merging
+    is not worth the complexity when compaction already normalizes);
+    disjoint doc-id spaces (the build's collision audit runs over the
+    merged docs table, distributed beyond driver scale).
+
+    The merged index is marked ``appended``: each source's block-max
+    bounds were encoded under its OWN avgdl, so pruning would be
+    unsound under the merged stats — exhaustive scoring recomputes
+    exactly (bitwise == a full rebuild's search results, pytest), and a
+    follow-up ``compact_index`` re-encode restores pruning (compacted
+    merge bitwise == rebuild, including positions).
+
+    Crash story: ``out_dir`` must be fresh; stats.json is written LAST,
+    so an interrupted merge leaves an index that cannot be opened
+    (load_stats fails) — delete and re-run. Files are hard-linked when
+    the filesystem allows (sources stay untouched either way)."""
+    import shutil
+
+    from .build import load_stats, write_stats
+
+    if len(sources) < 2:
+        raise ValueError("merge_indexes needs at least two source indexes")
+    stats_list = []
+    for s in sources:
+        recover_segments(s)
+        recover_appends(s)
+        st = load_stats(s)
+        if len(load_tombstones(s, st)):
+            raise ValueError(
+                f"source {s!r} has pending tombstones — run compact_index "
+                "on it first, then merge")
+        stats_list.append(st)
+    base = stats_list[0]
+    for key in ("num_shards", "block_size", "k1", "b", "content_col",
+                "id_col", "store_positions"):
+        vals = {json.dumps(st.get(key)) for st in stats_list}
+        if len(vals) > 1:
+            raise ValueError(
+                f"merge_indexes: sources disagree on {key}: {sorted(vals)}")
+
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"out_dir {out_dir!r} exists and is not empty")
+    docs_out = os.path.join(out_dir, "docs")
+    seg_out = os.path.join(out_dir, "segments")
+    os.makedirs(docs_out, exist_ok=True)
+    os.makedirs(seg_out, exist_ok=True)
+
+    def link_all(src_sub: str, dst: str, tag: str) -> None:
+        for name in sorted(os.listdir(src_sub)):
+            s_path = os.path.join(src_sub, name)
+            d_path = os.path.join(dst, f"{tag}-{name}")
+            try:
+                os.link(s_path, d_path)
+            except OSError:
+                shutil.copy2(s_path, d_path)
+
+    for i, s in enumerate(sources):
+        link_all(os.path.join(s, "docs"), docs_out, f"merge{i}")
+        link_all(os.path.join(s, "segments"), seg_out, f"merge{i}")
+
+    n_docs = sum(int(st["n_docs"]) for st in stats_list)
+    total_len = sum(int(st["total_len"]) for st in stats_list)
+    check_doc_id_collisions(docs_out, n_docs)
+
+    from .checkpoint import _write_term_dict
+
+    _write_term_dict(seg_out, os.path.join(out_dir, "term_dict"))
+    stats = dict(base)
+    for drop in ("tombstones_file", "deleted_df_file", "last_append_id"):
+        stats.pop(drop, None)
+    stats.update({"n_docs": n_docs, "total_len": total_len,
+                  "avgdl": (total_len / n_docs) if n_docs else 0.0,
+                  "appended": True})
+    write_stats(out_dir, stats)  # COMMIT POINT — index readable from here
+    return stats
+
+
 _COMPACT_DOCLENS_CACHE: dict[tuple[str, int], object] = {}
 
 

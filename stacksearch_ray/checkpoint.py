@@ -127,24 +127,46 @@ def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
 def _encode_shard(shard: int, stage_postings_dir: str, seg_path: str,
                   encoder: SegmentEncoder,
                   store_positions: bool = False) -> dict:
+    return _encode_shards([shard], stage_postings_dir, [seg_path],
+                          encoder, store_positions)[0]
+
+
+def _encode_shards(shards: list[int], stage_postings_dir: str,
+                   seg_paths: list[str], encoder: SegmentEncoder,
+                   store_positions: bool = False) -> list[dict]:
+    """Encode a BATCH of shards from ONE staged-postings scan. With one
+    scan per shard, a high shard count pays S × n_partition_files
+    parquet opens (measured: 41 s → 106 s shard phase going 256 → 1024
+    shards on the 2M-doc corpus, ~65k extra footer reads) — batching
+    divides the fixed open cost by the batch size. Row groups are
+    shard-aligned spans in shard order within each file, so the
+    combined scan filtered per shard yields rows in exactly the order
+    the per-shard scan did — segment output is bitwise unchanged."""
     t0 = time.time()
     pa.set_cpu_count(1)
     pa.set_io_thread_count(2)
     dset = pads.dataset(stage_postings_dir, format="parquet")
-    table = dset.scanner(filter=pads.field("shard") == shard,
+    table = dset.scanner(filter=pads.field("shard").isin(shards),
                          use_threads=False).to_table()
-    seg_table = encoder(table) if table.num_rows else None
-    if seg_table is None:
-        from .build import _empty_segments_table
+    shard_col = table["shard"].to_numpy() if table.num_rows else None
+    out = []
+    for shard, seg_path in zip(shards, seg_paths):
+        t1 = time.time()
+        sub = table.take(np.flatnonzero(shard_col == shard)) \
+            if table.num_rows else table
+        seg_table = encoder(sub) if sub.num_rows else None
+        if seg_table is None:
+            from .build import _empty_segments_table
 
-        seg_table = _empty_segments_table(store_positions)
-    atomic_write_parquet(seg_table, seg_path)
-    return {
-        "shard": shard,
-        "postings": table.num_rows,
-        "terms": seg_table.num_rows,
-        "wall_s": round(time.time() - t0, 3),
-    }
+            seg_table = _empty_segments_table(store_positions)
+        atomic_write_parquet(seg_table, seg_path)
+        out.append({
+            "shard": shard,
+            "postings": sub.num_rows,
+            "terms": seg_table.num_rows,
+            "wall_s": round(time.time() - (t1 if len(shards) > 1 else t0), 3),
+        })
+    return out
 
 
 def build_index_resumable(source: str | list[str], index_dir: str,
@@ -287,17 +309,24 @@ def build_index_resumable(source: str | list[str], index_dir: str,
         shard_units.append({"shard": k, "seg_path": seg_path})
     if shard_units:
         def run_shard(b: pa.Table) -> pa.Table:
-            rows = []
-            for u in b.to_pylist():
-                rows.append(_encode_shard(u["shard"], stage_postings,
-                                          u["seg_path"], encoder,
-                                          cfg.store_positions))
+            units = b.to_pylist()
+            rows = _encode_shards([u["shard"] for u in units],
+                                  stage_postings,
+                                  [u["seg_path"] for u in units],
+                                  encoder, cfg.store_positions)
             return pa.Table.from_pylist([
                 {"shard": r["shard"], "lineage": _json.dumps(r)} for r in rows])
 
+        # batch shards per task: one task per shard pays S × n_files
+        # parquet opens across the phase (fixed cost dominates past
+        # ~256 shards at bench scale — see _encode_shards); keep ≥4
+        # waves per worker for load balance
+        slots = max(1, concurrency or 16)
+        shards_per_task = max(1, len(shard_units) // (slots * 4))
         res = (
             rd.from_items(shard_units)
-            .map_batches(run_shard, batch_size=1, batch_format="pyarrow",
+            .map_batches(run_shard, batch_size=shards_per_task,
+                         batch_format="pyarrow",
                          concurrency=concurrency)
             .take_all()
         )

@@ -1,0 +1,99 @@
+"""merge_indexes: file-level union of independently built indexes ==
+full rebuild (search bitwise; compacted-merge segments bitwise)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from stacksearch_ray.corpus import write_corpus
+
+QUERIES = ["Determine a user's timezone", "def return var_1",
+           "helper_3 field_7 import", "numpy python", "zzz_missing"]
+
+
+@pytest.fixture(scope="module")
+def merged(ray_session, tmp_path_factory):
+    from stacksearch_ray.append import merge_indexes
+    from stacksearch_ray.build import build_index
+
+    root = tmp_path_factory.mktemp("merge")
+    full = str(root / "full")
+    write_corpus(full, 300, rows_per_file=100)
+    parts = sorted(f"{full}/{n}" for n in os.listdir(full))
+    idx_a, idx_b, idx_m = (str(root / n) for n in ("a", "b", "m"))
+    idx_full = str(root / "rebuild")
+    build_index(parts[:2], idx_a, num_shards=4)
+    build_index(parts[2:], idx_b, num_shards=4)
+    build_index(full, idx_full, num_shards=4)
+    stats = merge_indexes([idx_a, idx_b], idx_m)
+    return idx_m, idx_full, stats, root
+
+
+def test_merge_matches_rebuild_search(merged):
+    from stacksearch_ray.build import load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    idx_m, idx_full, stats, _ = merged
+    full_stats = load_stats(idx_full)
+    assert stats["n_docs"] == full_stats["n_docs"]
+    assert stats["avgdl"] == full_stats["avgdl"]  # bitwise (sum of ints / int)
+    assert stats["appended"] is True
+    m, f = QueryEngine(idx_m), QueryEngine(idx_full)
+    for q in QUERIES:
+        assert m.search(q, 10) == f.search(q, 10), q
+    # integrity audit holds on the merged artifacts (duplicate
+    # (term, shard) rows are legal because stats.appended is set)
+    from stacksearch_ray.fsck import fsck_index
+
+    rep = fsck_index(idx_m)
+    assert rep.ok, rep.errors
+
+
+def test_compacted_merge_bitwise_equals_rebuild(merged):
+    from stacksearch_ray.append import compact_index
+    from stacksearch_ray.query import QueryEngine
+
+    idx_m, idx_full, _, _ = merged
+    compact_index(idx_m)
+    a = pq.read_table(os.path.join(idx_m, "segments")).to_pandas()
+    b = pq.read_table(os.path.join(idx_full, "segments")).to_pandas()
+    key = ["term", "shard"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), col
+    m, f = QueryEngine(idx_m), QueryEngine(idx_full)
+    for q in QUERIES:
+        for method in ("exhaustive", "bmax"):
+            assert m.search(q, 10, method) == f.search(q, 10, method), (q, method)
+
+
+def test_merge_rejects_bad_inputs(merged, ray_session, tmp_path):
+    from stacksearch_ray.append import delete_from_index, merge_indexes
+    from stacksearch_ray.build import build_index
+
+    idx_m, idx_full, _, root = merged
+    # fewer than two sources
+    with pytest.raises(ValueError, match="at least two"):
+        merge_indexes([idx_full], str(tmp_path / "x"))
+    # config mismatch (different shard count)
+    other = str(tmp_path / "othershards")
+    write_corpus(str(tmp_path / "c2"), 50, rows_per_file=50)
+    build_index(str(tmp_path / "c2"), other, num_shards=2)
+    with pytest.raises(ValueError, match="num_shards"):
+        merge_indexes([idx_full, other], str(tmp_path / "y"))
+    # overlapping doc ids (same corpus twice)
+    from stacksearch_ray.build import DocIdCollisionError
+
+    dup = str(tmp_path / "dup")
+    build_index(str(tmp_path / "c2"), dup, num_shards=2)
+    with pytest.raises(DocIdCollisionError):
+        merge_indexes([other, dup], str(tmp_path / "z"))
+    # tombstoned source refused
+    some_id = int(pq.read_table(os.path.join(other, "docs"),
+                                columns=["doc_id"])["doc_id"][0].as_py())
+    delete_from_index(other, [some_id])
+    with pytest.raises(ValueError, match="tombstones"):
+        merge_indexes([other, dup], str(tmp_path / "w"))

@@ -64,6 +64,17 @@ def test_checkpointed_equals_streamed(ray_session, corpus_dir, tmp_path_factory)
     for q in ["Determine a user's timezone", "def return var_1",
               "numpy python", "helper_3 field_7 import"]:
         assert a.search(q, 10) == b.search(q, 10), q
+    # segment rows are BITWISE identical across build paths (also guards
+    # the batched shard-encode: combined-scan row order == per-shard scan)
+    import pyarrow.parquet as pq
+
+    sa = pq.read_table(os.path.join(idx_s, "segments")).to_pandas() \
+        .sort_values(["term", "shard"]).reset_index(drop=True)
+    sb = pq.read_table(os.path.join(idx_c, "segments")).to_pandas() \
+        .sort_values(["term", "shard"]).reset_index(drop=True)
+    assert list(sa.columns) == list(sb.columns)
+    for col in sa.columns:
+        assert sa[col].tolist() == sb[col].tolist(), col
 
 
 def test_rerun_completed_build_is_noop(ray_session, corpus_dir, tmp_path_factory):
