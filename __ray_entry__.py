@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_explain": P.score_explain,
         "bm25_topk_wand": P.bm25_topk_wand,
         "bm25_topk_appended": P.bm25_topk_appended,
+        "bm25_topk_merged": P.bm25_topk_merged,
         "bm25_topk_deleted": P.bm25_topk_deleted,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
@@ -538,6 +539,7 @@ FROM dl""",
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
         "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise
+        "bm25_topk_merged": bm25,   # merge lifecycle == rebuild, bitwise
         "score_explain": bm25_scores_sql(BM25_QUERY) + """,
 top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1),
 contrib AS (

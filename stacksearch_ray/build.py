@@ -48,18 +48,19 @@ from .codec import (
     BLOCK_SIZE,
     BM25_B,
     BM25_K1,
-    encode_position_lists,
+    encode_position_lists_arrow,
     encode_segment,
 )
 from .schema import doc_ids_batch, sha256_batch, shard_of
 from .text import BatchTermFreqs, term_frequencies, tokenize_array
 
 
-def _tf_with_positions(content) -> tuple[BatchTermFreqs, list[bytes]]:
+def _tf_with_positions(content) -> tuple[BatchTermFreqs, "pa.Array"]:
     """term_frequencies PLUS per-(doc, term) position blobs (1-based
-    token positions, gap+varint). Pair ordering is IDENTICAL to
-    term_frequencies (np.unique on the packed key), so the positions
-    column aligns with the postings explode row-for-row."""
+    token positions, gap+varint) as a zero-copy Arrow binary column.
+    Pair ordering is IDENTICAL to term_frequencies (np.unique on the
+    packed key), so the positions column aligns with the postings
+    explode row-for-row."""
     flat, doc_idx, doc_lens = tokenize_array(content)
     if len(flat) == 0:
         return (BatchTermFreqs(
@@ -69,7 +70,7 @@ def _tf_with_positions(content) -> tuple[BatchTermFreqs, list[bytes]]:
             doc_lens=doc_lens,
             codes=np.empty(0, dtype=np.int64),
             vocab=pa.array([], type=pa.string()),
-        ), [])
+        ), pa.array([], pa.binary()))
     doc_starts = np.concatenate(([0], np.cumsum(doc_lens)))[:-1]
     pos = (np.arange(len(doc_idx), dtype=np.int64)
            - np.repeat(doc_starts, doc_lens) + 1)
@@ -81,7 +82,7 @@ def _tf_with_positions(content) -> tuple[BatchTermFreqs, list[bytes]]:
     uniq, counts = np.unique(key, return_counts=True)
     ends = np.cumsum(counts)
     starts = ends - counts
-    blobs = encode_position_lists(pos[order], starts, ends)
+    blobs = encode_position_lists_arrow(pos[order], starts, ends)
     pair_doc = uniq // len(vocab)
     pair_code = uniq % len(vocab)
     terms = vocab.take(pa.array(pair_code, type=pa.int64()))
@@ -187,7 +188,7 @@ def make_postings_fn(cfg: IndexBuildConfig):
             "gkey": gkey,
         }
         if cfg.store_positions:
-            cols["pos"] = pa.array(pos_blobs, pa.binary())
+            cols["pos"] = pos_blobs
         return pa.table(cols)
 
     return postings
@@ -239,7 +240,7 @@ def make_fused_build_fn(cfg: IndexBuildConfig, docs_dir: str,
             "gkey": gkey,
         }
         if cfg.store_positions:
-            pcols["pos"] = pa.array(pos_blobs, pa.binary())
+            pcols["pos"] = pos_blobs
         postings = pa.table(pcols)
 
         tag = uuid.uuid4().hex
@@ -286,10 +287,20 @@ class SegmentEncoder:
         order = np.lexsort((doc_ids, codes, shards))
         codes, doc_ids, tfs, doc_lens, shards = (
             codes[order], doc_ids[order], tfs[order], doc_lens[order], shards[order])
-        pos_blobs = None
+        pos_offs = pos_data = None
         if has_pos:
-            pos_blobs = np.asarray(group["pos"].to_pylist(),
-                                   dtype=object)[order]
+            # reorder via take (compacts into fresh contiguous buffers),
+            # then slice segment blobs straight out of the data buffer —
+            # no per-doc Python bytes objects (the previous
+            # to_pylist + b"".join built one per posting)
+            parr = group["pos"].combine_chunks().take(pa.array(order))
+            if parr.null_count:
+                parr = parr.fill_null(b"")
+            pos_offs = np.frombuffer(parr.buffers()[1], dtype=np.int32)[
+                parr.offset:parr.offset + len(parr) + 1]
+            dbuf = parr.buffers()[2]
+            pos_data = (np.frombuffer(dbuf, dtype=np.uint8)
+                        if dbuf is not None else np.empty(0, np.uint8))
         # boundaries where (shard, code) changes
         change = np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0)) + 1
         starts = np.concatenate(([0], change))
@@ -317,8 +328,10 @@ class SegmentEncoder:
             out["block_max_score"].append(seg.block_max_score.tolist())
             if has_pos:
                 # per-doc blobs are independently decodable, so the
-                # segment blob is plain concatenation in doc order
-                out["positions"].append(b"".join(pos_blobs[s:e]))
+                # segment blob is plain concatenation in doc order —
+                # rows s:e are contiguous post-take, one buffer slice
+                out["positions"].append(
+                    pos_data[pos_offs[s]:pos_offs[e]].tobytes())
         cols = {
             "term": pa.array(out["term"], type=pa.string()),
             "shard": pa.array(out["shard"], type=pa.int32()),

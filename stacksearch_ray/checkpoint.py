@@ -101,7 +101,7 @@ def _process_partition(files: list[str], pid: str, cfg: IndexBuildConfig,
         "shard": p_shard,
     }
     if cfg.store_positions:
-        pcols["pos"] = pa.array(pos_blobs, pa.binary())
+        pcols["pos"] = pos_blobs
     postings = pa.table(pcols).sort_by(
         [("shard", "ascending"), ("term", "ascending")])
 

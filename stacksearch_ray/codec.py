@@ -185,6 +185,43 @@ def encode_position_lists(pos_sorted: np.ndarray,
     return [bytes(buf[cum[s]:cum[e]]) for s, e in zip(starts, ends)]
 
 
+def encode_position_lists_arrow(pos_sorted: np.ndarray,
+                                starts: np.ndarray,
+                                ends: np.ndarray) -> "pa.Array":
+    """Zero-copy variant of ``encode_position_lists`` for CONTIGUOUS
+    groups (``starts[0] == 0`` and ``starts[i+1] == ends[i]``, the
+    layout np.unique produces): the varint stream is wrapped directly
+    as a pyarrow BinaryArray through an offsets buffer — no per-group
+    Python ``bytes`` (measured ~1/3 of the positional partition-phase
+    overhead at 400k docs). Byte content is identical to the list
+    variant (same varint stream, same split points)."""
+    import pyarrow as pa
+
+    n_groups = len(starts)
+    if len(pos_sorted) == 0:
+        return pa.array([b""] * n_groups, pa.binary())
+    if n_groups == 0:
+        return pa.array([], pa.binary())
+    if starts[0] != 0 or (len(starts) > 1
+                          and not np.array_equal(starts[1:], ends[:-1])):
+        raise ValueError("encode_position_lists_arrow needs contiguous groups")
+    n = len(pos_sorted)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[1:] = (pos_sorted[1:] - pos_sorted[:-1]).astype(np.uint64)
+    gaps[starts] = pos_sorted[starts].astype(np.uint64)
+    buf, nbytes = varint_encode(gaps)
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
+    total = int(cum[ends[-1]])
+    if total >= 2**31:
+        raise ValueError("position blob batch exceeds int32 offsets — "
+                         "lower the build batch_size")
+    offs = cum[np.concatenate((starts[:1], ends))].astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n_groups,
+        [None, pa.py_buffer(np.ascontiguousarray(offs)),
+         pa.py_buffer(np.ascontiguousarray(buf[:total]))])
+
+
 def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
     """Decode a segment's concatenated position blob back to absolute
     positions (flat, aligned with the posting order: doc i's positions

@@ -3330,6 +3330,46 @@ def bm25_topk_appended(sf_dir: str):
     })
 
 
+def bm25_topk_merged(sf_dir: str):
+    """Parallel-ingest parity: build TWO independent indexes over
+    disjoint halves of documents, merge_indexes them (file-level union,
+    no re-tokenize), compact (restores pruning; bitwise == rebuild,
+    pinned by test_merge), then run the fixed BM25 query. Shares
+    bm25_topk's oracle SQL — rank AND score identity of the
+    merge lifecycle against DuckDB over the full corpus."""
+    import pyarrow.dataset as pads
+
+    from ..append import compact_index, merge_indexes
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(CACHE_ROOT, tag, "index_merged")
+    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+        import shutil
+
+        n = pq.read_metadata(_docs(sf_dir)).num_rows
+        cut = int(n) // 2
+        half_a = os.path.join(CACHE_ROOT, tag, "index_merge_half_a")
+        half_b = os.path.join(CACHE_ROOT, tag, "index_merge_half_b")
+        for half, pred in ((half_a, pads.field("doc_id") < cut),
+                           (half_b, pads.field("doc_id") >= cut)):
+            build_index(rd.read_parquet(_docs(sf_dir), filter=pred),
+                        half, content_col="text", id_col="doc_id",
+                        meta_cols=("lang", "source"), num_shards=4,
+                        term_buckets=16)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        merge_indexes([half_a, half_b], index_dir)
+        compact_index(index_dir, term_buckets=16)
+        shutil.rmtree(half_a, ignore_errors=True)
+        shutil.rmtree(half_b, ignore_errors=True)
+    eng = QueryEngine(index_dir)
+    res = eng.search(BM25_QUERY, 10, method="auto")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 def revenue_by_nation(sf_dir: str):
     """TPC-H Q5-flavored rollup — the suite's first FIVE-table chain
     (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region): revenue
