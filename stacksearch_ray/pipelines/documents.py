@@ -4678,9 +4678,13 @@ def ingest_dedup(sf_dir: str):
         t = t.filter(pc.greater(t["n_tokens"], 0))
         return _bands_batch(t, 16, 64, carry_sig=True)
 
-    bands = (sigs.map_batches(bands_nonempty, batch_format="pyarrow")
-             .materialize())
-    bands = _filter_collision_buckets(bands)
+    # no collision-bucket prefilter: it costs a full aggregate shuffle
+    # to prune singleton groups the bucketed verify below skips with one
+    # boolean mask (the minhash_clusters lesson). The trade is shuffling
+    # all band rows (sig-carrying) instead of collision rows only — at
+    # 100 TB size num_buckets to the band-row count, or reinstate
+    # _filter_collision_buckets if sig payload ever dominates the wire.
+    bands = sigs.map_batches(bands_nonempty, batch_format="pyarrow")
 
     def zeros(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
@@ -4693,27 +4697,62 @@ def ingest_dedup(sf_dir: str):
     incoming0 = (rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
                  .map_batches(zeros, batch_format="pandas"))
 
-    if bands is None:
-        matches = incoming0
-    else:
-        def best_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                                  "m": pd.Series(dtype=np.int64)})
-            g = g.drop_duplicates("doc_id")
-            ids = g["doc_id"].to_numpy().astype(np.int64)
+    # ONE hash-bucket shuffle instead of the native (band, band_hash)
+    # groupby (a global sort + one Python call per tiny group — the
+    # measured ~50× trap; same fix as minhash_lsh_clusters' inline
+    # verify): coarse buckets by folded-key hash, then each bucket
+    # verifies ALL its groups vectorized (singletons cost one mask).
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            k = (np.asarray(t["band_hash"].combine_chunks())
+                 .astype(np.int64) * np.int64(64)
+                 + np.asarray(t["band"].combine_chunks())
+                 .astype(np.int64))
+        h = pd.util.hash_array(k)
+        return t.append_column("__bucket", pa.array(
+            (h % np.uint64(64)).astype(np.int64)))
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "m": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.drop_duplicates(["band", "band_hash", "doc_id"])
+        df = df.sort_values(["band", "band_hash", "doc_id"],
+                            kind="mergesort")
+        band = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids_all = df["doc_id"].to_numpy().astype(np.int64)
+        sig_all = df["sig"].to_numpy()
+        new_grp = np.empty(len(df), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_grp)
+        ends = np.concatenate((starts[1:], [len(df)]))
+        out_id: list[np.ndarray] = []
+        out_m: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
             ex = ids < split
             if not ex.any() or ex.all():
-                return empty
-            mat = np.frombuffer(b"".join(g["sig"].to_numpy()),
+                continue
+            mat = np.frombuffer(b"".join(sig_all[s:e]),
                                 dtype=np.uint64).reshape(-1, 64)
             m = ((mat[~ex][:, None, :] == mat[ex][None, :, :])
                  .sum(axis=2).max(axis=1))
-            return pd.DataFrame({"doc_id": ids[~ex],
-                                 "m": m.astype(np.int64)})
+            out_id.append(ids[~ex])
+            out_m.append(m.astype(np.int64))
+        if not out_id:
+            return empty
+        return pd.DataFrame({"doc_id": np.concatenate(out_id),
+                             "m": np.concatenate(out_m)})
 
-        matches = (bands.groupby(["band", "band_hash"])
-                   .map_groups(best_in_bucket, batch_format="pandas")
-                   .union(incoming0))
+    matches = (bands.map_batches(tag_bucket, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(verify_bucket, batch_format="pandas")
+               .union(incoming0))
 
     return _ingest_gate_finalize(matches)
 
