@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_sample": P.domain_mix_sample,
         "decayed_events": P.decayed_events,
         "dup_ngram_stats": P.dup_ngram_stats,
+        "dedup_spans": P.dedup_spans,
         "phrase_search_indexed": P.phrase_search_indexed,
         "token_fertility": P.token_fertility,
         "containment_pairs": P.containment_pairs,
@@ -1544,6 +1545,31 @@ c AS (SELECT e.event_type,
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(c) // count(*) AS BIGINT) AS winsor_mean_micros
 FROM c GROUP BY event_type""",
+        "dedup_spans": f"""
+WITH {token_list_cte()},
+grams AS (
+  SELECT doc_id, u.i AS p,
+         md5_number_lower(array_to_string(toks[u.i:u.i+7], ' ')) AS h
+  FROM doc_toks, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+                       FROM grams GROUP BY h) WHERE c >= 2),
+cov AS (SELECT DISTINCT g.doc_id, g.p + s.j AS cp
+        FROM grams g JOIN dup USING (h), generate_series(0, 7) AS s(j)),
+tok AS (SELECT doc_id, toks[u.i] AS term, u.i AS p
+        FROM doc_toks, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+kept AS (SELECT t.doc_id, t.p, t.term FROM tok t
+         WHERE NOT EXISTS (SELECT 1 FROM cov
+                           WHERE cov.doc_id = t.doc_id AND cov.cp = t.p))
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_covered,
+       coalesce(k.txt, '') AS kept_text
+FROM doc_toks d
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id) c
+       ON d.doc_id = c.doc_id
+LEFT JOIN (SELECT doc_id, string_agg(term, ' ' ORDER BY p) AS txt
+           FROM kept GROUP BY doc_id) k
+       ON d.doc_id = k.doc_id""",
         "dup_ngram_stats": f"""
 WITH {token_list_cte()},
 {ngram_cte(8, 'g8')},

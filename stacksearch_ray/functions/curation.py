@@ -82,6 +82,92 @@ def doc_ngram_hashes(batch: pa.Table, n: int, text_col: str = "text",
 # ---------------- benchmark decontamination ----------------
 
 
+def remove_duplicate_spans(ds: Dataset, n: int = 8,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_buckets: int = 16) -> Dataset:
+    """Exact duplicated-SPAN removal — the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better")
+    exact-substring dedup as a corpus TRANSFORM (dup_ngram_stats is the
+    metric twin): every token covered by an ``n``-gram that occurs in
+    ≥2 DISTINCT documents is dropped; the doc survives with its
+    uncovered analyzer-stream tokens re-joined. Returns (doc_id,
+    n_tokens, n_covered, kept_text) for EVERY input doc.
+
+    Pass 1 builds the duplicated-gram set exactly like dup_ngram_stats
+    (distinct (doc, md5-low64 gram) pairs → per-batch partials → 16
+    hash buckets → count ≥ 2), broadcast sorted via ray.put (dup-set
+    sized; route through the bloom semi-join above ~10⁸ entries).
+    Pass 2 streams the corpus once: member gram starts found by one
+    searchsorted, token coverage by a ±1 delta array + cumsum over the
+    flat token stream (spans never cross doc boundaries), kept text
+    re-joined per doc (output-sized work). Gram identity is md5-low64
+    == DuckDB md5_number_lower, so the entry is fully SQL-oracled."""
+    import ray as _ray
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        doc, h = doc_ngram_hashes(b, n, text_col, id_col)
+        # doc_ngram_hashes returns DISTINCT (doc, gram) pairs, so
+        # counting hashes counts distinct docs per gram
+        u, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(u.view(np.int64), pa.int64()),
+            "c": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((u % np.uint64(num_buckets)).view(np.int64)),
+        })
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("h", as_index=False)["c"].sum()
+        return agg[agg["c"] >= 2][["h"]]
+
+    dup = (ds.map_batches(pair_counts, batch_format="pyarrow")
+           .groupby("__b").map_groups(reduce_bucket, batch_format="pandas")
+           .to_pandas())  # duplicated-gram-set-sized (see docstring)
+    dup_sorted = np.sort(dup["h"].to_numpy(np.int64).view(np.uint64))
+    dref = _ray.put(dup_sorted)
+
+    def transform(b: pa.Table) -> pa.Table:
+        dupset = _ray.get(dref)
+        ids = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
+        flat, doc_idx, doc_lens = tokenize_array(b[text_col].combine_chunks())
+        nrows = len(ids)
+        L = len(flat)
+        covered = np.zeros(L, dtype=bool)
+        m = L - n + 1
+        if m > 0 and len(dupset):
+            valid = doc_idx[:m] == doc_idx[n - 1:]
+            starts_g = np.flatnonzero(valid)
+            ng, _rows = _ngrams_from_flat(flat, doc_idx, n)
+            h = md5_low64_arrow(ng)
+            pos = np.searchsorted(dupset, h)
+            ok = pos < len(dupset)
+            mem = np.zeros(len(h), dtype=bool)
+            mem[ok] = dupset[pos[ok]] == h[ok]
+            mstarts = starts_g[mem]
+            delta = np.zeros(L + n, dtype=np.int64)
+            np.add.at(delta, mstarts, 1)
+            np.add.at(delta, mstarts + n, -1)
+            covered = np.cumsum(delta[:L]) > 0
+        kept_texts = [""] * nrows
+        n_cov = np.zeros(nrows, dtype=np.int64)
+        if L:
+            n_cov = np.bincount(doc_idx[covered],
+                                minlength=nrows).astype(np.int64)
+            keep = ~covered
+            toks = flat.to_numpy(zero_copy_only=False)[keep]
+            kdoc = doc_idx[keep]
+            # per-doc string assembly is output-sized (one join per doc)
+            for ri, txt in pd.Series(toks).groupby(kdoc).agg(" ".join).items():
+                kept_texts[int(ri)] = txt
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(doc_lens.astype(np.int64), pa.int64()),
+            "n_covered": pa.array(n_cov, pa.int64()),
+            "kept_text": pa.array(kept_texts, pa.string()),
+        })
+
+    return ds.map_batches(transform, batch_format="pyarrow")
+
+
 def contamination_flags(ds: Dataset, n: int = 3, bench_mod: int = 97,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> Dataset:

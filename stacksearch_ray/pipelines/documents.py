@@ -3041,6 +3041,19 @@ def decayed_events(sf_dir: str):
                        Sum("decayed_micros", alias_name="decayed_micros")))
 
 
+def dedup_spans(sf_dir: str):
+    """Exact duplicated-span REMOVAL (Lee et al. 2021) over documents —
+    the transform twin of dup_ngram_stats: tokens covered by an 8-gram
+    occurring in ≥2 distinct docs are dropped, the doc survives with
+    its uncovered tokens re-joined. Fully SQL-oracled (md5-low64 gram
+    identity; coverage = dup-gram starts × generate_series(0,7);
+    kept_text = string_agg over uncovered ordinals)."""
+    from ..functions.curation import remove_duplicate_spans
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return remove_duplicate_spans(docs, n=8)
+
+
 def dup_ngram_stats(sf_dir: str):
     """Cross-document duplicated-span signal (the exact-substring dedup
     metric of Lee et al. 2021, "Deduplicating Training Data Makes

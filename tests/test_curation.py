@@ -301,3 +301,42 @@ def test_pair_fallback_matches_exact_on_small_block(ray_session):
     exact_s = exact.sort_values(key).reset_index(drop=True)
     fb_s = fb.sort_values(key).reset_index(drop=True)
     assert fb_s[key].equals(exact_s[key])
+
+
+def test_remove_duplicate_spans(ray_session):
+    """Lee-style span removal: an 8-gram shared by two docs is excised
+    from both; unique text and short docs survive untouched."""
+    import ray.data as rd
+
+    from stacksearch_ray.functions.curation import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = [
+        f"unique1 prefix {shared} suffix1 tail1 end1 stop1",
+        f"unique2 other {shared} suffix2 tail2 end2 stop2",
+        "totally different words here nothing shared at all today",
+        "short doc",  # < 8 tokens: no grams, untouched
+    ]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = (remove_duplicate_spans(rd.from_arrow(t), n=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    # the shared 8 tokens are covered in docs 1 and 2, nothing else is
+    assert out.loc[1, "n_covered"] == 8
+    assert out.loc[2, "n_covered"] == 8
+    assert out.loc[3, "n_covered"] == 0
+    assert out.loc[4, "n_covered"] == 0
+    assert "gamma" not in out.loc[1, "kept_text"]
+    assert out.loc[1, "kept_text"] == "unique1 prefix suffix1 tail1 end1 stop1"
+    assert out.loc[2, "kept_text"] == "unique2 suffix2 tail2 end2 stop2"
+    # kept_text is the ANALYZER stream (stopwords dropped), not raw text
+    from stacksearch_ray.text import clean_query
+
+    assert out.loc[3, "kept_text"] == " ".join(
+        clean_query(texts[2], max_tokens=None))
+    assert out.loc[4, "kept_text"] == " ".join(
+        clean_query(texts[3], max_tokens=None))
+    assert (out["n_tokens"] - out["n_covered"] >=
+            out["kept_text"].str.split().str.len() - 1).all()
