@@ -599,10 +599,13 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
 _COMPACT_DOCLENS_CACHE: dict[tuple[str, int], object] = {}
 
 
-def _doclens_for_shard(docs_dir: str, shard: int):
+def _doclens_for_shard(docs_dir: str, shard: int, gen: int = 0):
     """Per-worker-process cache of shard-pruned doclens lookups (compact
-    tasks see few shards each; cap keeps worker heap bounded)."""
-    key = (docs_dir, shard)
+    tasks see few shards each; cap keeps worker heap bounded). ``gen``
+    (the sharding generation, = num_shards in use) keys the cache so a
+    reshard's rewritten docs table never collides with entries cached
+    under the previous shard layout in the same worker process."""
+    key = (docs_dir, shard, gen)
     hit = _COMPACT_DOCLENS_CACHE.get(key)
     if hit is None:
         from .query import _DocLens
@@ -614,7 +617,8 @@ def _doclens_for_shard(docs_dir: str, shard: int):
     return hit
 
 
-def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
+def compact_index(index_dir: str, term_buckets: int = 32,
+                  num_shards: int | None = None) -> dict:
     """Segment-merge compaction: decode every (term, shard) posting row,
     re-group, and re-encode exactly ONE row per (term, shard) under the
     index's CURRENT global stats, then clear ``stats["appended"]`` —
@@ -622,6 +626,16 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
     pre-append rows carry block-max bounds encoded against a stale
     avgdl). The compacted index is bitwise equal to a from-scratch
     rebuild of the same corpus (tested).
+
+    ``num_shards``: RESHARD while compacting — the cluster-growth op: a
+    64-shard index built for 8 nodes re-shards to 1024 for 128 nodes
+    with one compaction's cost, no re-tokenize. Posting shards are
+    reassigned per doc (``shard_of(doc_id, S_new)``), the docs table is
+    rewritten FIRST (new shard column — the encode's doc_len lookups
+    read it shard-pruned), and stats.num_shards lands with the final
+    write. Resharded == built-at-S_new bitwise (tested). The
+    single-process engine stays correct at every crash point (scoring
+    never reads docs.shard); re-open ShardedQueryEngine pools after.
 
     Ray pipeline: read segments → decode rows to postings (doc_len
     joined back from the shard-pruned docs table, cached per worker) →
@@ -640,6 +654,7 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
         decode_tfs,
         encode_position_lists,
     )
+    from .schema import shard_of
 
     recover_appends(index_dir)
     stats = load_stats(index_dir)
@@ -647,6 +662,9 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     block_size = int(stats["block_size"])
+    s_old = int(stats["num_shards"])
+    s_new = int(num_shards) if num_shards else s_old
+    reshard = s_new != s_old
     segments_dir = os.path.join(index_dir, "segments")
     docs_dir = os.path.join(index_dir, "docs")
     # tombstone purge: compaction drops deleted docs' postings AND doc
@@ -692,9 +710,15 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
             t_out.append(np.full(n, terms_u[i], dtype=object))
             d_out.append(ids)
             tf_out.append(tfs)
-            sh_out.append(np.full(n, shard, dtype=np.int32))
-            gk_out.append(np.full(n, shard * term_buckets + bucket_u[i],
-                                  dtype=np.int64))
+            if reshard:
+                # shard reassignment happens here, per posting — the
+                # groupby below then merges postings from several old
+                # rows into each new (term, shard) group
+                sh = shard_of(ids, s_new).astype(np.int32)
+            else:
+                sh = np.full(n, shard, dtype=np.int32)
+            sh_out.append(sh)
+            gk_out.append(sh.astype(np.int64) * term_buckets + bucket_u[i])
             if blobs is not None:
                 pos_out.extend(blobs)
         if not t_out:
@@ -729,11 +753,44 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
             return encoder(g)
         shard = int(g["shard"][0].as_py())
         ids = np.asarray(g["doc_id"].combine_chunks()).astype(np.int64)
-        dls = _doclens_for_shard(docs_dir, shard).lookup(ids)
+        dls = _doclens_for_shard(docs_dir, shard, s_new).lookup(ids)
         g = g.append_column("doc_len", pa.array(dls.astype(np.int64)))
         return encoder(g)
 
     recover_segments(index_dir)  # heal any half-finished prior swap first
+
+    if reshard:
+        # docs table FIRST: the encode below reads doc_lens shard-pruned
+        # by the NEW shard column (and the rewrite folds the tombstone
+        # drop in). Crash between here and the final stats write leaves
+        # a fully-correct single-process index (scoring never reads
+        # docs.shard); re-running compact_index(num_shards=...) heals.
+        docs_tmp = docs_dir + ".compact"
+        shutil.rmtree(docs_tmp, ignore_errors=True)
+
+        def rewrite_docs(bt: pa.Table) -> pa.Table:
+            ids = np.asarray(bt["doc_id"].combine_chunks()).astype(np.int64)
+            if len(tomb):
+                keep = _alive(ids)
+                bt = bt.filter(pa.array(keep))
+                ids = ids[keep]
+            i = bt.column_names.index("shard")
+            return bt.set_column(i, "shard",
+                                 pa.array(shard_of(ids, s_new), pa.int32()))
+
+        (rd.read_parquet(docs_dir)
+         .map_batches(rewrite_docs, batch_format="pyarrow")
+         .write_parquet(docs_tmp))
+        docs_old = docs_dir + ".old"
+        shutil.rmtree(docs_old, ignore_errors=True)
+        os.rename(docs_dir, docs_old)
+        try:
+            os.rename(docs_tmp, docs_dir)
+        except OSError:
+            os.rename(docs_old, docs_dir)
+            raise
+        shutil.rmtree(docs_old)
+
     tmp = segments_dir + ".compact"
     shutil.rmtree(tmp, ignore_errors=True)
     (rd.read_parquet(segments_dir)
@@ -766,9 +823,10 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
         # scoring; re-running compact_index is idempotent.
         write_stats(index_dir, stats)
 
-    if len(tomb):
+    if len(tomb) and not reshard:
         # rewrite the docs table without the tombstoned rows (same
         # .compact → .old swap; recover_segments heals docs/ too).
+        # (a reshard already rewrote docs, tombstone drop folded in)
         # Ordering keeps every crash point consistent: segments are
         # already purged, but stats still carries tombstones_file until
         # the final write, so engines keep masking (a no-op once purged)
@@ -799,6 +857,7 @@ def compact_index(index_dir: str, term_buckets: int = 32) -> dict:
     _write_term_dict(segments_dir, term_dict_dir)
 
     stats["appended"] = False
+    stats["num_shards"] = s_new  # reshard commit rides the final write
     tomb_file = stats.pop("tombstones_file", None)
     stats.pop("n_tombstones", None)
     write_stats(index_dir, stats)

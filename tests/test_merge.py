@@ -97,3 +97,82 @@ def test_merge_rejects_bad_inputs(merged, ray_session, tmp_path):
     delete_from_index(other, [some_id])
     with pytest.raises(ValueError, match="tombstones"):
         merge_indexes([other, dup], str(tmp_path / "w"))
+
+
+# ---------------- reshard (compact_index(num_shards=...)) ----------------
+
+
+def test_reshard_equals_rebuild(ray_session, tmp_path_factory):
+    from stacksearch_ray.append import compact_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.fsck import fsck_index
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("reshard")
+    corpus = str(root / "c")
+    write_corpus(corpus, 300, rows_per_file=100)
+    idx = str(root / "idx4")
+    ref = str(root / "ref8")
+    build_index(corpus, idx, num_shards=4)
+    build_index(corpus, ref, num_shards=8)
+    compact_index(idx, num_shards=8)
+    assert load_stats(idx)["num_shards"] == 8
+    # segments bitwise equal to a from-scratch 8-shard build
+    a = pq.read_table(os.path.join(idx, "segments")).to_pandas() \
+        .sort_values(["term", "shard"]).reset_index(drop=True)
+    b = pq.read_table(os.path.join(ref, "segments")).to_pandas() \
+        .sort_values(["term", "shard"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), col
+    # docs table carries the new shard assignment
+    da = pq.read_table(os.path.join(idx, "docs")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    db = pq.read_table(os.path.join(ref, "docs")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert da["shard"].tolist() == db["shard"].tolist()
+    rep = fsck_index(idx)
+    assert rep.ok, rep.errors
+    m, f = QueryEngine(idx), QueryEngine(ref)
+    for q in QUERIES:
+        for method in ("exhaustive", "bmax"):
+            assert m.search(q, 10, method) == f.search(q, 10, method), (q, method)
+
+
+def test_reshard_with_tombstones_purges_and_rekeys(ray_session,
+                                                   tmp_path_factory):
+    from stacksearch_ray.append import compact_index, delete_from_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("reshard_tomb")
+    corpus = str(root / "c")
+    write_corpus(corpus, 200, rows_per_file=100)
+    idx = str(root / "idx")
+    build_index(corpus, idx, num_shards=4, store_positions=True)
+    all_ids = pq.read_table(os.path.join(idx, "docs"),
+                            columns=["doc_id"])["doc_id"].to_pylist()
+    dead = sorted(all_ids)[::7]
+    delete_from_index(idx, dead)
+    compact_index(idx, num_shards=16)
+    st = load_stats(idx)
+    assert st["num_shards"] == 16
+    assert not st.get("tombstones_file")
+    # reference: full rebuild at 16 shards, same deletes, then compact
+    ref = str(root / "ref")
+    build_index(corpus, ref, num_shards=16, store_positions=True)
+    delete_from_index(ref, dead)
+    compact_index(ref)
+    a = pq.read_table(os.path.join(idx, "segments")).to_pandas() \
+        .sort_values(["term", "shard"]).reset_index(drop=True)
+    b = pq.read_table(os.path.join(ref, "segments")).to_pandas() \
+        .sort_values(["term", "shard"]).reset_index(drop=True)
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), col
+    m, f = QueryEngine(idx), QueryEngine(ref)
+    for q in QUERIES[:3]:
+        assert m.search(q, 10) == f.search(q, 10), q
+    ids_m, cnt_m = m.phrase_occurrences("def return")
+    ids_f, cnt_f = f.phrase_occurrences("def return")
+    assert ids_m.tolist() == ids_f.tolist()
+    assert cnt_m.tolist() == cnt_f.tolist()
