@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_appended": P.phrase_search_appended,
         "near_search_positional": P.near_search_positional,
         "wildcard_search": P.wildcard_search,
+        "regex_search": P.regex_search,
         "min_window_search": P.min_window_search,
         "conjunctive_search": P.conjunctive_search,
         "orders_monthly": P.orders_monthly,
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         LEN_BATCH_B as P_LEN_B,
         PROFILE_COLS as _PROFILE_COLS,
         SESSION_GAP_US as _SESS_GAP,
+        REGEX_PATTERN as _REGEX_PATTERN,
         WILDCARD_PREFIX as _WILDCARD_PREFIX,
     )
     kept = kept_tokens_cte()
@@ -2284,6 +2286,13 @@ FROM s GROUP BY user_id, sess""",
 WITH {kept},
 m AS (SELECT doc_id, term FROM kept
       WHERE term LIKE '{_WILDCARD_PREFIX}%')
+SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM m GROUP BY doc_id""",
+        "regex_search": f"""
+WITH {kept},
+m AS (SELECT doc_id, term FROM kept
+      WHERE regexp_full_match(term, '{_REGEX_PATTERN}'))
 SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM m GROUP BY doc_id""",

@@ -5486,6 +5486,25 @@ def wildcard_search(sf_dir: str):
     })
 
 
+REGEX_PATTERN = "s[a-z]+"
+
+
+def regex_search(sf_dir: str):
+    """Regex retrieval from the index alone (Lucene RegexpQuery
+    analog): QueryEngine.regex_terms matches the pattern over the
+    term_dict (leading-literal range pruning), then the matched terms'
+    postings union gives per-doc distinct-term and summed-occurrence
+    counts — same machinery as wildcard_search. Oracle:
+    tokenize-mirror + regexp_full_match."""
+    eng = _index_for(sf_dir)
+    ids, n_terms, n_tokens = eng.search_regex(REGEX_PATTERN)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_terms": pa.array(n_terms, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+    })
+
+
 def min_window_search(sf_dir: str):
     """Minimal-interval proximity (shortest token window covering every
     query term) per doc containing ALL query terms — served from the

@@ -618,6 +618,38 @@ class QueryEngine:
                                    ("term", "<", hi)])
         return sorted(t["term"].to_pylist())
 
+    def regex_terms(self, pattern: str) -> list[str]:
+        """Indexed terms FULLY matching the regex (Lucene RegexpQuery
+        analog). The pattern's leading literal run prunes the term_dict
+        read to its sorted range (the FST-prefix optimization); a
+        pattern with no literal prefix scans the vocab-sized term
+        column once — at 10⁹ docs the vocabulary is still millions of
+        rows, not corpus-sized, so the scan is a driver-local read."""
+        import re
+
+        rx = re.compile(pattern)
+        meta = set(".^$*+?{}[]\\|()")
+        lit = []
+        for ch in pattern:
+            if ch in meta:
+                break
+            lit.append(ch)
+        filters = None
+        if lit:
+            p = "".join(lit)
+            hi = p[:-1] + chr(ord(p[-1]) + 1)
+            filters = [("term", ">=", p), ("term", "<", hi)]
+        t = pq.read_table(self._term_dict_dir, columns=["term"],
+                          filters=filters)
+        return sorted(s for s in t["term"].to_pylist() if rx.fullmatch(s))
+
+    def search_regex(self, pattern: str
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Regex retrieval: (doc_ids, n_terms, n_tokens) for every doc
+        containing ANY indexed term that fully matches ``pattern`` —
+        same postings-union machinery as search_wildcard."""
+        return self._union_terms(self.regex_terms(pattern))
+
     def search_wildcard(self, prefix: str
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Wildcard (prefix*) retrieval: (doc_ids, n_terms, n_tokens)
@@ -627,8 +659,11 @@ class QueryEngine:
         segment rows; (term, doc) pairs are unique across rows (doc
         sets per term are shard-disjoint), so one bincount per doc
         counts terms exactly."""
+        return self._union_terms(self.prefix_terms(prefix))
+
+    def _union_terms(self, terms: list[str]
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         empty = (np.empty(0, np.int64),) * 3
-        terms = self.prefix_terms(prefix)
         if not terms:
             return empty
         segs = self._segments_for(terms)
@@ -959,6 +994,9 @@ class _ShardWorker:
             self.engine.search(q, 10)
         return 1
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        return self.engine.explain(query, doc_id)
+
     def search_filtered(self, query: str, k: int, allowed_ref,
                         plan: str = "auto") -> list[tuple[int, float]]:
         import ray
@@ -1000,6 +1038,10 @@ class ShardedQueryEngine:
         worker_cls = ray.remote(num_cpus=num_cpus_per_worker)(_ShardWorker)
         self.workers = [worker_cls.remote(index_dir, c.tolist())
                         for c in chunks if len(c)]
+        self._n_shards = n_shards
+        self._worker_of_shard = {int(s): wi
+                                 for wi, c in enumerate(chunks)
+                                 for s in c}
 
     def search(self, query: str, k: int = 10, method: str = "auto",
                scorer: str = "bm25") -> list[tuple[int, float]]:
@@ -1010,6 +1052,19 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Per-term score breakdown, routed to the ONE worker whose
+        shard subset owns the doc (df comes from the term_dict, so the
+        breakdown is bitwise identical to the full engine's)."""
+        import ray
+
+        from .schema import shard_of
+
+        shard = int(shard_of(np.asarray([doc_id], dtype=np.int64),
+                             self._n_shards)[0])
+        w = self.workers[self._worker_of_shard[shard]]
+        return ray.get(w.explain.remote(query, doc_id))
 
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "auto", scorer: str = "bm25"

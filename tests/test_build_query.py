@@ -189,3 +189,37 @@ def test_explain_bitwise_matches_search(built_index):
     assert absent and absent[0]["tf"] == 0 and absent[0]["contribution"] == 0.0
     # unknown doc
     assert eng.explain("numpy python", 10**18)["alive"] is False
+
+
+def test_regex_search_and_terms(built_index):
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    eng = QueryEngine(index_dir)
+    # literal-prefix pruned path and full-scan path agree
+    pruned = eng.regex_terms("var[0-9]+")
+    assert pruned and all(t.startswith("var") for t in pruned)
+    scanned = eng.regex_terms("[v]ar[0-9]+")  # no literal prefix
+    assert scanned == pruned
+    ids, n_terms, n_tokens = eng.search_regex("var[0-9]+")
+    # regex union == manual union over the matched terms
+    import numpy as np
+
+    manual = set()
+    for t in pruned:
+        manual.update(eng.term_doc_ids(t).tolist())
+    assert set(ids.tolist()) == manual
+    assert (n_terms >= 1).all() and (n_tokens >= n_terms).all()
+
+
+def test_sharded_explain_bitwise(built_index, ray_session):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    _, index_dir, _ = built_index
+    eng = QueryEngine(index_dir)
+    sh = ShardedQueryEngine(index_dir, num_workers=3)
+    for q in QUERIES[:3]:
+        for doc_id, score in eng.search(q, k=3):
+            ex = sh.explain(q, doc_id)
+            assert ex["score"] == score  # bitwise, routed to one worker
+            assert ex == eng.explain(q, doc_id)
