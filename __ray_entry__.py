@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": P.bm25_topk,
         "score_explain": P.score_explain,
         "bm25_topk_wand": P.bm25_topk_wand,
+        "boosted_search": P.boosted_search,
         "bm25_topk_appended": P.bm25_topk_appended,
         "bm25_topk_merged": P.bm25_topk_merged,
         "bm25_topk_deleted": P.bm25_topk_deleted,
@@ -293,6 +294,45 @@ def oracle_sql() -> dict[str, str]:
         WILDCARD_PREFIX as _WILDCARD_PREFIX,
     )
     kept = kept_tokens_cte()
+
+    from stacksearch_ray.pipelines.documents import BOOSTS as _BOOSTS
+    from stacksearch_ray.text import clean_query as _cq2
+
+    _bmap = {}
+    for _raw, _bv in _BOOSTS.items():
+        for _t in _cq2(_raw):
+            _bmap[_t] = float(_bv)
+    _boost_rows = ", ".join(f"('{t}', {_bmap[t]!r})" for t in sorted(_bmap))
+    _boosted_sql = f"""
+WITH {kept},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, boost) AS (VALUES {_boost_rows}),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * qterms.boost)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN qterms USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT 10"""
 
     # BPE learner mirror: 10 unrolled merge rounds (the MMR unrolled-
     # CTE pattern; AS MATERIALIZED or the chained rounds re-inline).
@@ -539,6 +579,7 @@ dl AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
 SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_len,
        CAST(floor(sum(n)::DOUBLE / count(*) * 1e6 + 0.5) AS BIGINT) AS avgdl_micros
 FROM dl""",
+        "boosted_search": _boosted_sql,
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
         "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise

@@ -174,6 +174,24 @@ def bm25_topk(sf_dir: str):
     })
 
 
+BOOSTS = {"merge": 2.0, "sort": 1.0, "join": 0.25,
+          "stream": 1.5, "window": 0.5}
+
+
+def boosted_search(sf_dir: str):
+    """Per-term query boosts (Lucene term^2.0 analog): top-10 under
+    score = Σ boost·idf·tf_part — exhaustive (boosts invalidate stored
+    pruning bounds). Oracle: the bm25 chain with a CASE boost factor in
+    the same (idf · boost) · part expression order."""
+    eng = _index_for(sf_dir)
+    res = eng.search_boosted(BOOSTS, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 def bm25_topk_wand(sf_dir: str):
     """Same result via block-max WAND (oracle: same SQL — rank identity)."""
     eng = _index_for(sf_dir)

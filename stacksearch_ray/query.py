@@ -246,9 +246,23 @@ class QueryEngine:
                 self._dec_cache[key] = hit
         return hit
 
+    def search_boosted(self, boosts: dict[str, float], k: int = 10
+                       ) -> list[tuple[int, float]]:
+        """Per-term query boosts (the Lucene ``term^2.0`` analog):
+        score = Σ_t boost_t · idf_t · tf_part. Exhaustive only — stored
+        block-max bounds know nothing about boosts, so pruning would be
+        unsound. Weight expression order is (idf · boost) · part,
+        mirrored exactly by the SQL oracle."""
+        bmap = {}
+        for raw, bv in boosts.items():
+            for t in clean_query(raw):
+                bmap[t] = float(bv)
+        return self._search_exhaustive(sorted(bmap), k, boosts=bmap)
+
     def _search_exhaustive(self, terms: list[str], k: int,
                            scorer: str = "bm25",
-                           allowed: np.ndarray | None = None
+                           allowed: np.ndarray | None = None,
+                           boosts: dict[str, float] | None = None
                            ) -> list[tuple[int, float]]:
         custom = None
         if scorer != "bm25":
@@ -273,6 +287,8 @@ class QueryEngine:
                 continue
             df_global = dfs[t]
             w = idf_fn(self.n_docs, df_global)
+            if boosts is not None:
+                w = w * boosts[t]
             for i, r in enumerate(rows):
                 ids, tfs, dls, part, didx = self._decoded(t, i, r)
                 if custom is None:
@@ -945,6 +961,8 @@ class QueryEngine:
                 continue
             df_global = dfs[t]
             w = idf_fn(self.n_docs, df_global)
+            if boosts is not None:
+                w = w * boosts[t]
             for i, r in enumerate(rows):
                 ids, tfs, dls, part, didx = self._decoded(t, i, r)
                 j = np.searchsorted(didx, apos)  # didx ascends (ids sorted)

@@ -223,3 +223,20 @@ def test_sharded_explain_bitwise(built_index, ray_session):
             ex = sh.explain(q, doc_id)
             assert ex["score"] == score  # bitwise, routed to one worker
             assert ex == eng.explain(q, doc_id)
+
+
+def test_search_boosted(built_index):
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    eng = QueryEngine(index_dir)
+    q = "def return var_1 helper_3"
+    plain = eng.search(q, 10, method="exhaustive")
+    assert plain
+    # all-ones boosts: w * 1.0 is a float no-op -> bitwise identical
+    ones = eng.search_boosted({t: 1.0 for t in q.split()}, 10)
+    assert ones == plain
+    # an asymmetric boost changes the ranking on this corpus
+    boosted = eng.search_boosted({"def": 0.05, "return": 0.05,
+                                  "var_1": 5.0, "helper_3": 1.0}, 10)
+    assert [d for d, _ in boosted] != [d for d, _ in plain]
