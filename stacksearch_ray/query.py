@@ -961,8 +961,6 @@ class QueryEngine:
                 continue
             df_global = dfs[t]
             w = idf_fn(self.n_docs, df_global)
-            if boosts is not None:
-                w = w * boosts[t]
             for i, r in enumerate(rows):
                 ids, tfs, dls, part, didx = self._decoded(t, i, r)
                 j = np.searchsorted(didx, apos)  # didx ascends (ids sorted)
