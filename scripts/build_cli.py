@@ -35,10 +35,19 @@ def main() -> int:
     p.add_argument("--compact", action="store_true",
                    help="merge appended segments of an EXISTING index under "
                         "fresh stats (restores wand/bmax pruning)")
+    p.add_argument("--reshard", type=int, default=None, metavar="S",
+                   help="with --compact: change the shard count to S while "
+                        "compacting (no re-tokenize; == a rebuild at S)")
+    p.add_argument("--merge", nargs="+", default=None, metavar="IDX",
+                   help="merge two or more EXISTING indexes into --index-dir "
+                        "(file-level union, no re-tokenize; compact after "
+                        "to restore pruning)")
     p.add_argument("--files-per-partition", type=int, default=1)
     args = p.parse_args()
-    if not args.compact and args.source is None:
-        p.error("--source is required unless --compact")
+    if not args.compact and args.merge is None and args.source is None:
+        p.error("--source is required unless --compact or --merge")
+    if args.reshard is not None and not args.compact:
+        p.error("--reshard requires --compact")
 
     import ray
 
@@ -55,10 +64,19 @@ def main() -> int:
     t0 = time.time()
     kwargs = dict(content_col=args.content_col, id_col=args.id_col,
                   num_shards=args.num_shards, term_buckets=args.term_buckets)
+    if args.merge is not None:
+        from stacksearch_ray.append import merge_indexes
+
+        stats = merge_indexes(args.merge, args.index_dir)
+        print(json.dumps({"stats": stats,
+                          "wall_s": round(time.time() - t0, 2)}))
+        ray.shutdown()
+        return 0
     if args.compact:
         from stacksearch_ray.append import compact_index
 
-        stats = compact_index(args.index_dir, term_buckets=args.term_buckets)
+        stats = compact_index(args.index_dir, term_buckets=args.term_buckets,
+                              num_shards=args.reshard)
         print(json.dumps({"stats": stats,
                           "wall_s": round(time.time() - t0, 2)}))
         ray.shutdown()
