@@ -683,12 +683,47 @@ def compact_index(index_dir: str, term_buckets: int = 32,
         terms_u = batch["term"].to_pylist()
         bucket_u = (pd.util.hash_array(np.asarray(terms_u, dtype=object))
                     % np.uint64(term_buckets)).astype(np.int64)
+        # bulk-extract once: per-row ChunkedArray[i].as_py() costs ~0.2ms
+        # of overhead each, which dominates when segment rows are small
+        # (fine sharding × small vocab — measured 243 s → 31 s on the
+        # 2M-doc/256-shard compact)
+        shards_l = batch["shard"].to_pylist()
+        docids_l = batch["doc_ids"].to_pylist()
+        tfs_l = batch["tfs"].to_pylist()
+        pos_l = batch["positions"].to_pylist() if store_positions else None
         t_out, d_out, tf_out, sh_out, gk_out = [], [], [], [], []
         pos_out: list[bytes] = []
+        if not store_positions and batch.num_rows:
+            # fully vectorized path: ONE batched varint decode for the
+            # whole segments batch (per-row numpy fixed cost dominates
+            # when rows are small — fine sharding × small vocab;
+            # measured 30× on 50k tiny rows), then flat filters/repeats
+            from .codec import decode_doc_ids_batch, decode_tfs_batch
+
+            ids_f, offs = decode_doc_ids_batch(docids_l, block_size)
+            tfs_f, _ = decode_tfs_batch(tfs_l)
+            sizes = np.diff(offs)
+            row_idx = np.repeat(np.arange(batch.num_rows), sizes)
+            if len(tomb):
+                keep = _alive(ids_f)
+                ids_f, tfs_f, row_idx = ids_f[keep], tfs_f[keep], row_idx[keep]
+            if reshard:
+                sh = shard_of(ids_f, s_new).astype(np.int32)
+            else:
+                sh = np.asarray(shards_l, dtype=np.int32)[row_idx]
+            gk = sh.astype(np.int64) * term_buckets + bucket_u[row_idx]
+            return pa.table({
+                "term": pa.array(
+                    np.asarray(terms_u, dtype=object)[row_idx], pa.string()),
+                "doc_id": ids_f.astype(np.int64),
+                "tf": tfs_f.astype(np.int64),
+                "shard": sh,
+                "gkey": gk,
+            })
         for i in range(batch.num_rows):
-            shard = int(batch["shard"][i].as_py())
-            ids = decode_doc_ids(batch["doc_ids"][i].as_py(), block_size)
-            tfs = decode_tfs(batch["tfs"][i].as_py())
+            shard = shards_l[i]
+            ids = decode_doc_ids(docids_l[i], block_size)
+            tfs = decode_tfs(tfs_l[i])
             blobs = None
             if store_positions:
                 # segment blob → flat absolute positions → re-split into
@@ -696,7 +731,7 @@ def compact_index(index_dir: str, term_buckets: int = 32,
                 # deterministic), so the shuffle rows carry the same
                 # ``pos`` column the positional build emits
                 tfs64 = tfs.astype(np.int64)
-                flat = decode_positions(batch["positions"][i].as_py(), tfs64)
+                flat = decode_positions(pos_l[i], tfs64)
                 ends_d = np.cumsum(tfs64)
                 blobs = encode_position_lists(flat, ends_d - tfs64, ends_d)
             if len(tomb):

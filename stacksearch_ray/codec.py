@@ -150,6 +150,71 @@ def decode_tfs(buf: bytes) -> np.ndarray:
     return varint_decode(buf).astype(np.int64)
 
 
+def varint_decode_batch(bufs: list[bytes]
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY standalone LEB128 buffers in ONE vectorized pass:
+    concatenate, decode, split. Per-call numpy fixed cost (~40-90 µs)
+    dominates when rows are small (fine sharding × small vocab), so
+    compaction's per-segment-row decode uses this instead of one
+    varint_decode call per row. Returns (values uint64, row_offsets
+    int64 of length len(bufs)+1)."""
+    n_rows = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n_rows)
+    byte_offs = np.concatenate(([0], np.cumsum(lens)))
+    b = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, np.uint64), np.zeros(n_rows + 1, np.int64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    sizes = ends - starts + 1
+    pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, sizes)
+    vals7 = ((b & np.uint8(0x7F)).astype(np.uint64)
+             << (pos.astype(np.uint64) * np.uint64(7)))
+    vals = np.add.reduceat(vals7, starts)
+    # varints never span row buffers, so the count of value-terminators
+    # below each row's byte boundary gives the row's value offset
+    row_offsets = np.concatenate(
+        ([0], np.searchsorted(ends, byte_offs[1:], side="left")))
+    return vals, row_offsets
+
+
+def decode_doc_ids_batch(bufs: list[bytes],
+                         block_size: int = BLOCK_SIZE
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Batched ``decode_doc_ids``: (flat absolute ids, row_offsets).
+    Every block start re-encodes the absolute id (the skip-block
+    property), so the per-block base subtraction vectorizes across ALL
+    rows at once: bases are the global-cumsum values just before each
+    reset position. Row i's ids are flat[row_offsets[i]:
+    row_offsets[i+1]], identical to decode_doc_ids(bufs[i])."""
+    deltas, offs = varint_decode_batch(bufs)
+    deltas = deltas.astype(np.int64)
+    n = len(deltas)
+    if n == 0:
+        return deltas, offs
+    cum = np.cumsum(deltas)
+    sizes = np.diff(offs)
+    nblocks = (sizes + block_size - 1) // block_size
+    total_blocks = int(nblocks.sum())
+    row_of_block = np.repeat(np.arange(len(sizes)), nblocks)
+    blk_base = np.concatenate(([0], np.cumsum(nblocks)))[:-1]
+    blk_in_row = np.arange(total_blocks) - np.repeat(blk_base, nblocks)
+    reset_starts = offs[:-1][row_of_block] + blk_in_row * block_size
+    row_ends = (offs[:-1] + sizes)[row_of_block]
+    seg_sizes = np.minimum(reset_starts + block_size, row_ends) - reset_starts
+    bases = np.where(reset_starts > 0,
+                     cum[np.maximum(reset_starts - 1, 0)], 0)
+    return cum - np.repeat(bases, seg_sizes), offs
+
+
+def decode_tfs_batch(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    vals, offs = varint_decode_batch(bufs)
+    return vals.astype(np.int64), offs
+
+
 def decode_block(seg_doc_ids: bytes, seg_tfs: bytes,
                  skip_doc_offset: np.ndarray, skip_tf_offset: np.ndarray,
                  block: int, n_postings: int,

@@ -72,3 +72,38 @@ def test_block_max_is_tight():
     seg = encode_segment(ids, tfs, lens, avgdl=100.0, block_size=128)
     expect = bm25_tf_part(np.array([1]), np.array([100]), 100.0)[0]
     assert np.allclose(seg.block_max_score, expect)
+
+
+def test_batched_decode_matches_per_row():
+    """decode_doc_ids_batch / decode_tfs_batch == per-row decodes on
+    random segment rows (incl. multi-block rows and empties)."""
+    import numpy as np
+
+    from stacksearch_ray.codec import (
+        decode_doc_ids,
+        decode_doc_ids_batch,
+        decode_tfs,
+        decode_tfs_batch,
+        encode_segment,
+    )
+
+    rng = np.random.default_rng(21)
+    bufs_d, bufs_t, exp_i, exp_t = [], [], [], []
+    for _ in range(300):
+        n = int(rng.integers(1, 500))
+        ids = np.sort(rng.choice(10**7, n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, n).astype(np.int64)
+        seg = encode_segment(ids, tfs, np.full(n, 40, np.int64),
+                             avgdl=40.0, k1=1.2, b=0.75, block_size=128)
+        bufs_d.append(seg.doc_ids)
+        bufs_t.append(seg.tfs)
+        exp_i.append(decode_doc_ids(seg.doc_ids, 128))
+        exp_t.append(decode_tfs(seg.tfs))
+    fi, offs = decode_doc_ids_batch(bufs_d, 128)
+    ft, offs2 = decode_tfs_batch(bufs_t)
+    assert np.array_equal(offs, offs2)
+    for i in range(len(bufs_d)):
+        assert np.array_equal(fi[offs[i]:offs[i + 1]], exp_i[i]), i
+        assert np.array_equal(ft[offs[i]:offs[i + 1]], exp_t[i]), i
+    fe, oe = decode_doc_ids_batch([b"", b""], 128)
+    assert len(fe) == 0 and oe.tolist() == [0, 0, 0]

@@ -176,3 +176,54 @@ def test_reshard_with_tombstones_purges_and_rekeys(ray_session,
     ids_f, cnt_f = f.phrase_occurrences("def return")
     assert ids_m.tolist() == ids_f.tolist()
     assert cnt_m.tolist() == cnt_f.tolist()
+
+
+def test_reshard_interrupted_is_recoverable(ray_session, tmp_path):
+    """A crash mid-reshard (docs already rekeyed, segments not yet)
+    leaves a SERVING-correct index — scoring never reads docs.shard —
+    and re-running the reshard completes it (fsck green, == rebuild)."""
+    from stacksearch_ray.append import compact_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.fsck import fsck_index
+    from stacksearch_ray.query import QueryEngine
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 120, rows_per_file=60)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, num_shards=2)
+    before = QueryEngine(idx).search("def return var_1", 5)
+
+    # simulate the crash: run the docs-rekey half by hand (exactly what
+    # compact_index(num_shards=8) does first), then "crash" before the
+    # segments pipeline
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stacksearch_ray.schema import shard_of
+
+    docs_dir = os.path.join(idx, "docs")
+
+    def rekey(bt: pa.Table) -> pa.Table:
+        ids = np.asarray(bt["doc_id"].combine_chunks()).astype(np.int64)
+        i = bt.column_names.index("shard")
+        return bt.set_column(i, "shard",
+                             pa.array(shard_of(ids, 8), pa.int32()))
+
+    import shutil
+
+    tmp_docs = docs_dir + ".new"
+    rd.read_parquet(docs_dir).map_batches(
+        rekey, batch_format="pyarrow").write_parquet(tmp_docs)
+    shutil.rmtree(docs_dir)
+    os.rename(tmp_docs, docs_dir)
+
+    # crashed state: docs rekeyed to 8, segments/stats still at 2 —
+    # single-process serving unaffected
+    assert QueryEngine(idx).search("def return var_1", 5) == before
+    # re-running the reshard completes it
+    compact_index(idx, num_shards=8)
+    assert load_stats(idx)["num_shards"] == 8
+    rep = fsck_index(idx)
+    assert rep.ok, rep.errors
+    assert QueryEngine(idx).search("def return var_1", 5) == before
