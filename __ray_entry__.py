@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_explain": P.score_explain,
         "bm25_topk_wand": P.bm25_topk_wand,
         "boosted_search": P.boosted_search,
+        "synonym_search": P.synonym_search,
+        "prf_search": P.prf_search,
+        "prf_expansion": P.prf_expansion,
         "bm25_topk_appended": P.bm25_topk_appended,
         "bm25_topk_merged": P.bm25_topk_merged,
         "bm25_topk_deleted": P.bm25_topk_deleted,
@@ -241,14 +244,23 @@ def oracle_sql() -> dict[str, str]:
     import numpy as np
 
     from stacksearch_ray.functions.textstats import LANG_MARKERS
-    from stacksearch_ray.pipelines.documents import BM25_QUERY
+    from stacksearch_ray.pipelines.documents import (
+        BM25_QUERY,
+        PRF_BETA as _PRF_BETA,
+        PRF_FB_DOCS as _PRF_FB_DOCS,
+        PRF_FB_TERMS as _PRF_FB_TERMS,
+        SYN_GROUPS as _SYN_GROUPS,
+    )
     from stacksearch_ray.micros import sql_micros
     from stacksearch_ray.pipelines.sql import (
         bm25_scores_sql,
         bm25_topk_sql,
         kept_tokens_cte,
         ngram_cte,
+        prf_terms_sql,
+        prf_topk_sql,
         sql_stopword_list,
+        synonym_topk_sql,
         token_list_cte,
     )
 
@@ -580,6 +592,11 @@ SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_len,
        CAST(floor(sum(n)::DOUBLE / count(*) * 1e6 + 0.5) AS BIGINT) AS avgdl_micros
 FROM dl""",
         "boosted_search": _boosted_sql,
+        "synonym_search": synonym_topk_sql(_SYN_GROUPS, 10),
+        "prf_search": prf_topk_sql(BM25_QUERY, 10, _PRF_FB_DOCS,
+                                   _PRF_FB_TERMS, _PRF_BETA),
+        "prf_expansion": prf_terms_sql(BM25_QUERY, _PRF_FB_DOCS,
+                                       _PRF_FB_TERMS),
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
         "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise

@@ -192,6 +192,65 @@ def boosted_search(sf_dir: str):
     })
 
 
+SYN_GROUPS = [["merge", "join"], ["sort", "order"], ["stream", "batch"]]
+
+
+def synonym_search(sf_dir: str):
+    """Synonym-group retrieval (Lucene SynonymQuery analog): each group
+    contributes the MAX of its members' idf·part contributions per doc,
+    groups sum. Oracle: per-(doc, group) max over the bm25 chain's
+    contribution expression, then a per-doc sum."""
+    eng = _index_for(sf_dir)
+    res = eng.search_synonym_groups(SYN_GROUPS, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+PRF_FB_DOCS, PRF_FB_TERMS, PRF_BETA = 5, 3, 0.4
+
+
+def _sf_text_lookup(sf_dir: str):
+    """text_lookup for search_prf: doc_id-pushdown read of the source
+    documents table (the docs sidecar stores metadata, not content)."""
+    def lookup(doc_ids):
+        t = pq.read_table(_docs(sf_dir), columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", list(doc_ids))])
+        return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    return lookup
+
+
+def prf_search(sf_dir: str):
+    """Rocchio pseudo-relevance feedback: BM25 top-5 feedback docs →
+    top-3 expansion terms by summed idf·part weight (micros-ranked,
+    term-asc tie-break) → boosted re-search (original terms 1.0,
+    expansion 0.4). Fully SQL-oracled end-to-end (prf_topk_sql)."""
+    eng = _index_for(sf_dir)
+    res, _ = eng.search_prf(BM25_QUERY, 10, fb_docs=PRF_FB_DOCS,
+                            fb_terms=PRF_FB_TERMS, beta=PRF_BETA,
+                            text_lookup=_sf_text_lookup(sf_dir))
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+def prf_expansion(sf_dir: str):
+    """The PRF expansion terms themselves (stage 2 of prf_search), with
+    their feedback weights — oracled by the cw/expn CTE chain."""
+    eng = _index_for(sf_dir)
+    ranked = eng.prf_expansion_terms(BM25_QUERY, fb_docs=PRF_FB_DOCS,
+                                     fb_terms=PRF_FB_TERMS,
+                                     text_lookup=_sf_text_lookup(sf_dir))
+    return pa.table({
+        "term": pa.array([t for t, _ in ranked], pa.string()),
+        "weight_micros": pa.array([w for _, w in ranked], pa.int64()),
+    })
+
+
 def bm25_topk_wand(sf_dir: str):
     """Same result via block-max WAND (oracle: same SQL — rank identity)."""
     eng = _index_for(sf_dir)

@@ -98,3 +98,129 @@ SELECT doc_id,
 FROM scores
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def synonym_topk_sql(groups: list[list[str]], k: int = 10) -> str:
+    """Mirror of QueryEngine.search_synonym_groups: per (doc, group)
+    MAX of the member terms' idf·part contributions, summed over groups
+    — same float expression order as the bm25 chain; max is order-free."""
+    norm = []
+    for g in groups:
+        terms = sorted({t for raw in g for t in clean_query(raw)})
+        if terms:
+            norm.append(terms)
+    rows = ", ".join(
+        f"('{t}', {gi})"
+        for gi, g in enumerate(sorted(norm, key=lambda g: g[0]))
+        for t in g)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+syn(term, grp) AS (VALUES {rows}),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM syn) GROUP BY 1
+),
+gmax AS (
+  SELECT tf.doc_id, syn.grp,
+         max( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS gc
+  FROM tf
+  JOIN df USING (term)
+  JOIN syn USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+scores AS (SELECT doc_id, sum(gc) AS score FROM gmax GROUP BY 1)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def prf_expansion_cte(query: str, fb_docs: int = 5,
+                      fb_terms: int = 3) -> str:
+    """CTE chain (appended to bm25_scores_sql's) ending in
+    ``expn(term)`` + ``cw(term, wm)``: Rocchio pseudo-relevance-feedback
+    expansion terms. fb = top-``fb_docs`` docs of the base query
+    (score desc, doc_id asc — the engine's tie-break); candidate weight
+    = Σ over fb docs of idf·part, micros-rounded BEFORE ranking exactly
+    as QueryEngine.prf_expansion_terms does."""
+    return f""",
+fb AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT {fb_docs}),
+cand AS (
+  SELECT kept.term, kept.doc_id, count(*)::DOUBLE AS tf
+  FROM kept JOIN fb USING (doc_id)
+  WHERE kept.term NOT IN (SELECT term FROM qterms)
+  GROUP BY 1, 2
+),
+cdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT DISTINCT term FROM cand) GROUP BY 1
+),
+cw AS (
+  SELECT cand.term,
+         CAST(floor(sum( ln((stats.n_docs - cdf.df + 0.5) / (cdf.df + 0.5) + 1.0)
+              * ((1.2 + 1.0) * cand.tf
+                 / (cand.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) )
+              * 1e6 + 0.5) AS BIGINT) AS wm
+  FROM cand
+  JOIN cdf USING (term)
+  JOIN dl ON dl.doc_id = cand.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+),
+expn AS (SELECT term FROM cw ORDER BY wm DESC, term ASC LIMIT {fb_terms})"""
+
+
+def prf_terms_sql(query: str, fb_docs: int = 5, fb_terms: int = 3) -> str:
+    """The chosen expansion terms + their weight micros (mirror of
+    QueryEngine.prf_expansion_terms)."""
+    return (bm25_scores_sql(query)
+            + prf_expansion_cte(query, fb_docs, fb_terms) + """
+SELECT term, wm AS weight_micros FROM cw
+ORDER BY wm DESC, term ASC
+LIMIT """ + str(fb_terms))
+
+
+def prf_topk_sql(query: str, k: int = 10, fb_docs: int = 5,
+                 fb_terms: int = 3, beta: float = 0.4) -> str:
+    """Full Rocchio PRF retrieval mirror: base top-fb_docs → expansion
+    term selection (micros-ranked) → boosted re-search with original
+    terms at 1.0 and expansion terms at ``beta``, in the boosted
+    scorer's (idf · boost) · part expression order."""
+    return (bm25_scores_sql(query)
+            + prf_expansion_cte(query, fb_docs, fb_terms) + f""",
+boosts AS (SELECT term, 1.0 AS boost FROM qterms
+           UNION ALL SELECT term, {float(beta)!r} FROM expn),
+bdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM boosts) GROUP BY 1
+),
+fscores AS (
+  SELECT tf.doc_id,
+         sum( (ln((stats.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+               * boosts.boost)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN bdf USING (term)
+  JOIN boosts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fscores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}""")

@@ -48,6 +48,7 @@ from .codec import (
     decode_positions,
     decode_tfs,
 )
+from .micros import to_micros
 from .text import clean_query
 
 
@@ -259,6 +260,143 @@ class QueryEngine:
                 bmap[t] = float(bv)
         return self._search_exhaustive(sorted(bmap), k, boosts=bmap)
 
+    def search_synonym_groups(self, groups: list[list[str]], k: int = 10
+                              ) -> list[tuple[int, float]]:
+        """Synonym-group retrieval (Lucene ``SynonymQuery`` / best-fields
+        semantics): each group contributes the MAX of its members' BM25
+        term contributions per doc, groups sum:
+
+            score(d) = Σ_g max_{t ∈ g} idf_t · tf_part(t, d)
+
+        max (not sum) keeps a doc mentioning one group member many times
+        from out-ranking genuine multi-concept matches when the group's
+        variants co-occur. Exhaustive only — stored block-max bounds
+        upper-bound per-term sums, not group maxima. Bitwise contract:
+        per-term contributions reuse the exhaustive chain (idf · part);
+        np.maximum is exact; groups accumulate in sorted order of their
+        first member — the SQL mirror takes MAX per (doc, group) then
+        sums, micros-identical."""
+        norm: list[list[str]] = []
+        for g in groups:
+            terms = sorted({t for raw in g for t in clean_query(raw)})
+            if terms:
+                norm.append(terms)
+        if not norm:
+            return []
+        all_terms = sorted({t for g in norm for t in g})
+        segs = self._segments_for(all_terms)
+        dfs = self._df_global(all_terms, segs)
+        n_local = len(self.doclens.ids)
+        acc = np.zeros(n_local, dtype=np.float64)
+        hit = np.zeros(n_local, dtype=bool)
+        gacc = np.zeros(n_local, dtype=np.float64)
+        tacc = np.zeros(n_local, dtype=np.float64)
+        any_rows = False
+        for g in sorted(norm, key=lambda g: g[0]):
+            gacc[:] = 0.0
+            ghit = False
+            for t in g:  # sorted within group (deterministic, max is
+                rows = segs[t]  # order-free anyway)
+                if not rows:
+                    continue
+                w = idf_fn(self.n_docs, dfs[t])
+                tacc[:] = 0.0
+                for i, r in enumerate(rows):
+                    ids, tfs, dls, part, didx = self._decoded(t, i, r)
+                    tacc[didx] += w * part
+                    hit[didx] = True
+                ghit = True
+                any_rows = True
+                np.maximum(gacc, tacc, out=gacc)
+            if ghit:
+                acc += gacc
+        if not any_rows:
+            return []
+        return self._topk_dense(acc, hit, k)
+
+    def search_prf(self, query: str, k: int = 10, fb_docs: int = 5,
+                   fb_terms: int = 3, beta: float = 0.4,
+                   text_lookup=None
+                   ) -> tuple[list[tuple[int, float]], list[str]]:
+        """Rocchio-style pseudo-relevance feedback (two-stage retrieval):
+
+        1. exhaustive BM25 top-``fb_docs`` for the raw query;
+        2. re-tokenize those docs from the doc store; every non-query
+           term is a candidate, weighted by its summed BM25 contribution
+           over the feedback docs (Σ_d idf_t · tf_part(t, d) — the same
+           float expression as scoring, doc_id-ascending accumulation);
+        3. top-``fb_terms`` candidates by (weight-micros desc, term asc)
+           — micros comparison, so the SQL mirror picks identically;
+        4. final boosted search: original terms at 1.0, expansion terms
+           at ``beta``.
+
+        Returns (topk, expansion_terms). ``text_lookup(doc_ids) ->
+        {doc_id: text}`` supplies feedback-doc content (the index's doc
+        store keeps metadata + sha, not text — J1's fetch goes to the
+        source table with doc_id pushdown). Cost model at scale: stage 2
+        touches ``fb_docs`` docs (bounded) + one df lookup per candidate
+        term; the two searches are the only corpus-wide work."""
+        if text_lookup is None:
+            raise ValueError(
+                "search_prf needs text_lookup(doc_ids) -> {doc_id: text} "
+                "— the docs sidecar stores metadata, not content")
+        qterms = sorted(set(clean_query(query)))
+        if not qterms:
+            return [], []
+        base = self._search_exhaustive(qterms, fb_docs)
+        if not base:
+            return [], []
+        ranked = self.prf_expansion_terms(query, fb_docs, fb_terms,
+                                          text_lookup, _base=base)
+        chosen = [t for t, _ in ranked]
+        boosts = {t: 1.0 for t in qterms}
+        boosts.update({t: float(beta) for t in chosen})
+        return (self._search_exhaustive(sorted(boosts), k, boosts=boosts),
+                chosen)
+
+    def prf_expansion_terms(self, query: str, fb_docs: int = 5,
+                            fb_terms: int = 3, text_lookup=None,
+                            _base=None) -> list[tuple[str, int]]:
+        """Stage 2 of search_prf on its own: the top-``fb_terms``
+        expansion candidates as (term, weight_micros), ordered by
+        (weight desc, term asc). Weight = Σ over feedback docs of
+        idf · tf_part — the scorer's own expression, micros-rounded
+        BEFORE ranking so selection is deterministic across engines."""
+        if text_lookup is None:
+            raise ValueError(
+                "prf_expansion_terms needs text_lookup(doc_ids) -> "
+                "{doc_id: text}")
+        qterms = sorted(set(clean_query(query)))
+        base = (self._search_exhaustive(qterms, fb_docs)
+                if _base is None else _base)
+        if not base:
+            return []
+        texts = text_lookup([d for d, _ in base])
+        per_doc: list[tuple[int, dict[str, int]]] = []
+        for did in sorted(int(d) for d, _ in base):
+            cnt: dict[str, int] = {}
+            for t in clean_query(texts[did]):
+                cnt[t] = cnt.get(t, 0) + 1
+            per_doc.append((did, cnt))
+        cands = sorted({t for _, c in per_doc for t in c} - set(qterms))
+        if not cands:
+            return []
+        cdfs = self._df_global(cands, self._segments_for(cands))
+        weights: dict[str, int] = {}
+        for t in cands:
+            w = idf_fn(self.n_docs, cdfs[t])
+            s = 0.0
+            for did, cnt in per_doc:  # doc_id-ascending order
+                tf = cnt.get(t)
+                if tf:
+                    dl = np.array([self.doclens.lookup_one(did)])
+                    s += w * float(bm25_tf_part(
+                        np.array([tf], dtype=np.float64), dl,
+                        self.avgdl, self.k1, self.b)[0])
+            weights[t] = to_micros(s)
+        chosen = sorted(weights, key=lambda t: (-weights[t], t))[:fb_terms]
+        return [(t, weights[t]) for t in chosen]
+
     def _search_exhaustive(self, terms: list[str], k: int,
                            scorer: str = "bm25",
                            allowed: np.ndarray | None = None,
@@ -300,6 +438,16 @@ class QueryEngine:
                 any_rows = True
         if not any_rows:
             return []
+        return self._topk_dense(acc, hit, k, allowed)
+
+    def _topk_dense(self, acc: np.ndarray, hit: np.ndarray, k: int,
+                    allowed: np.ndarray | None = None
+                    ) -> list[tuple[int, float]]:
+        """(score desc, doc_id asc) top-k from a dense accumulator over
+        the sorted local doc space — the shared tail of every exhaustive
+        scorer (plain / boosted / synonym-group). Moved verbatim from
+        _search_exhaustive: masking and ordering only, scores untouched."""
+        n_local = len(self.doclens.ids)
         if self.has_deletes:
             hit &= self._alive  # tombstoned docs never surface
         if allowed is not None:

@@ -240,3 +240,62 @@ def test_search_boosted(built_index):
     boosted = eng.search_boosted({"def": 0.05, "return": 0.05,
                                   "var_1": 5.0, "helper_3": 1.0}, 10)
     assert [d for d, _ in boosted] != [d for d, _ in plain]
+
+
+def test_search_synonym_groups(built_index):
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    eng = QueryEngine(index_dir)
+    n = len(eng.doclens.ids)
+    # singleton groups degenerate to plain BM25: max over one term is
+    # the term's own contribution -> bitwise equal to search()
+    q = "def return"
+    syn = eng.search_synonym_groups([["def"], ["return"]], n)
+    plain = eng.search(q, n, method="exhaustive")
+    assert syn == plain
+    # group-max semantics: score(d) for one group == max of the two
+    # single-term scores, per doc, bitwise
+    a, b = "var_1", "helper_3"
+    sa = dict(eng.search(a, n, method="exhaustive"))
+    sb = dict(eng.search(b, n, method="exhaustive"))
+    got = dict(eng.search_synonym_groups([[a, b]], n))
+    want = {d: max(sa.get(d, 0.0), sb.get(d, 0.0))
+            for d in set(sa) | set(sb)}
+    assert got == want
+    # unknown terms contribute nothing; all-unknown -> empty
+    assert eng.search_synonym_groups([["zzz_no_such_term"]], 10) == []
+    assert (eng.search_synonym_groups([[a, "zzz_no_such_term"]], n)
+            == eng.search(a, n, method="exhaustive"))
+
+
+def test_search_prf(built_index, oracle):
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir, _ = built_index
+    _, docs = oracle
+    eng = QueryEngine(index_dir)
+
+    def lookup(ids):
+        return {d: docs[d] for d in ids}
+
+    q = "def return var_1"
+    res, exp = eng.search_prf(q, 10, fb_docs=5, fb_terms=3, beta=0.4,
+                              text_lookup=lookup)
+    assert res and len(exp) == 3
+    qterms = {"def", "return", "var_1"}
+    assert not (set(exp) & qterms)  # expansion excludes query terms
+    # deterministic across calls (segment cache warm vs cold)
+    res2, exp2 = eng.search_prf(q, 10, fb_docs=5, fb_terms=3, beta=0.4,
+                                text_lookup=lookup)
+    assert res2 == res and exp2 == exp
+    # fb_terms=0 -> no expansion -> boosts are all-ones over the query
+    # terms -> bitwise identical to the plain exhaustive search
+    res0, exp0 = eng.search_prf(q, 10, fb_terms=0, text_lookup=lookup)
+    assert exp0 == [] and res0 == eng.search(q, 10, method="exhaustive")
+    # expansion ranking is (weight_micros desc, term asc)
+    ranked = eng.prf_expansion_terms(q, 5, 50, text_lookup=lookup)
+    ws = [(-w, t) for t, w in ranked]
+    assert ws == sorted(ws)
+    with pytest.raises(ValueError):
+        eng.search_prf(q, 10)
