@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": P.bm25_topk_wand,
         "boosted_search": P.boosted_search,
         "synonym_search": P.synonym_search,
+        "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
         "prf_expansion": P.prf_expansion,
         "bm25_topk_appended": P.bm25_topk_appended,
@@ -246,10 +247,13 @@ def oracle_sql() -> dict[str, str]:
     from stacksearch_ray.functions.textstats import LANG_MARKERS
     from stacksearch_ray.pipelines.documents import (
         BM25_QUERY,
+        FIELD_W_BODY as _FW_BODY,
+        FIELD_W_TITLE as _FW_TITLE,
         PRF_BETA as _PRF_BETA,
         PRF_FB_DOCS as _PRF_FB_DOCS,
         PRF_FB_TERMS as _PRF_FB_TERMS,
         SYN_GROUPS as _SYN_GROUPS,
+        TITLE_K as P_TITLE_K,
     )
     from stacksearch_ray.micros import sql_micros
     from stacksearch_ray.pipelines.sql import (
@@ -257,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_topk_sql,
         kept_tokens_cte,
         ngram_cte,
+        fielded_topk_sql,
         prf_terms_sql,
         prf_topk_sql,
         sql_stopword_list,
@@ -593,6 +598,8 @@ SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_len,
 FROM dl""",
         "boosted_search": _boosted_sql,
         "synonym_search": synonym_topk_sql(_SYN_GROUPS, 10),
+        "fielded_search": fielded_topk_sql(
+            BM25_QUERY, 10, P_TITLE_K, _FW_TITLE, _FW_BODY),
         "prf_search": prf_topk_sql(BM25_QUERY, 10, _PRF_FB_DOCS,
                                    _PRF_FB_TERMS, _PRF_BETA),
         "prf_expansion": prf_terms_sql(BM25_QUERY, _PRF_FB_DOCS,

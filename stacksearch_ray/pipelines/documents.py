@@ -192,6 +192,99 @@ def boosted_search(sf_dir: str):
     })
 
 
+TITLE_K, FIELD_W_TITLE, FIELD_W_BODY = 8, 2.0, 1.0
+
+_fielded_engines: dict[str, tuple[QueryEngine, QueryEngine]] = {}
+
+
+def _take_ranges(begin: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Flat int64 indices covering [begin[i], end[i]) for every i, in
+    order — the gather pattern for slicing per-doc spans out of a flat
+    token array without a Python loop."""
+    ln = (end - begin).astype(np.int64)
+    tot = int(ln.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    out = np.repeat(begin.astype(np.int64), ln)
+    csum = np.concatenate(([0], np.cumsum(ln)[:-1]))
+    return out + np.arange(tot, dtype=np.int64) - np.repeat(csum, ln)
+
+
+def _field_split_batch(batch: pa.Table) -> pa.Table:
+    """Derive (title_text, body_text) per doc: title = first TITLE_K
+    kept tokens, body = the rest. Tokens are already clean (lowercase
+    alnum, no stopwords), so re-tokenizing the space-joined field text
+    reproduces them exactly — the field indexes see the same terms the
+    SQL mirror slices out of doc_toks."""
+    flat, _, doc_lens = tokenize_array(batch["text"])
+    starts = np.concatenate(([0], np.cumsum(doc_lens))).astype(np.int64)
+    tstop = np.minimum(starts[:-1] + TITLE_K, starts[1:])
+
+    def join_spans(begin, end):
+        idx = _take_ranges(begin, end)
+        vals = flat.take(pa.array(idx, pa.int64()))
+        offs = np.concatenate(([0], np.cumsum(end - begin))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        return pc.binary_join(lists, " ")
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "title_text": join_spans(starts[:-1], tstop),
+        "body_text": join_spans(tstop, starts[1:]),
+    })
+
+
+def _fielded_for(sf_dir: str) -> tuple[QueryEngine, QueryEngine]:
+    """Two per-field BM25 indexes (title = first TITLE_K kept tokens,
+    body = rest), built once per sf_dir from a derived fields table.
+    Each field index has its own n_docs/avgdl/df over docs where that
+    field is non-empty (the build's empty-doc filter), exactly like the
+    SQL mirror's per-field CTE chains."""
+    if sf_dir not in _fielded_engines:
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = os.path.join(CACHE_ROOT, tag)
+        fields_dir = os.path.join(base, "fields")
+        done = os.path.join(base, "fields._done")  # outside the parquet dir
+        if not os.path.exists(done):
+            (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+             .map_batches(_field_split_batch, batch_format="pyarrow")
+             .write_parquet(fields_dir))
+            open(done, "w").close()
+        engines = []
+        for field in ("title", "body"):
+            idx_dir = os.path.join(base, f"index_{field}")
+            if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+                build_index(fields_dir, idx_dir,
+                            content_col=f"{field}_text", id_col="doc_id",
+                            num_shards=4, term_buckets=16)
+            engines.append(QueryEngine(idx_dir))
+        _fielded_engines[sf_dir] = tuple(engines)
+    return _fielded_engines[sf_dir]
+
+
+def fielded_search(sf_dir: str):
+    """Fielded retrieval (the Elasticsearch multi-field ``title^2 body``
+    analog): score = 2.0·BM25_title + 1.0·BM25_body, each field scored
+    against its own index (own n_docs/avgdl/df). Missing fields
+    contribute 0.0 in the same expression order as the SQL mirror's
+    FULL OUTER JOIN + coalesce. At scale the per-field exhaustive
+    accumulators would merge inside one engine; entry-level composition
+    keeps the two-index lifecycle (build, append, compact) per field."""
+    et, eb = _fielded_for(sf_dir)
+    st = dict(et.search(BM25_QUERY, len(et.doclens.ids),
+                        method="exhaustive"))
+    sb = dict(eb.search(BM25_QUERY, len(eb.doclens.ids),
+                        method="exhaustive"))
+    scores = {d: FIELD_W_TITLE * st.get(d, 0.0) + FIELD_W_BODY * sb.get(d, 0.0)
+              for d in set(st) | set(sb)}
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in top], pa.int64()),
+        "rank": pa.array(list(range(1, len(top) + 1)), pa.int64()),
+    })
+
+
 SYN_GROUPS = [["merge", "join"], ["sort", "order"], ["stream", "batch"]]
 
 

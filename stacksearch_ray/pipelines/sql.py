@@ -145,6 +145,59 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def fielded_topk_sql(query: str, k: int = 10, title_k: int = 8,
+                     wt: float = 2.0, wb: float = 1.0) -> str:
+    """Mirror of the fielded_search entry: title = first ``title_k``
+    kept tokens, body = the rest; each field gets its own full bm25
+    chain (own n_docs/avgdl/df over docs where the field is non-empty);
+    combined = wt·title + wb·body with missing fields coalesced to 0.0
+    — identical float expression order to the entry."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+
+    def chain(p: str, kept: str) -> str:
+        return f"""
+{p}tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {kept} GROUP BY 1, 2),
+{p}dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {kept} GROUP BY 1),
+{p}stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM {p}dl),
+{p}df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM {kept}
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+{p}scores AS (
+  SELECT tf.doc_id,
+         sum( ln(({p}stats.n_docs - {p}df.df + 0.5) / ({p}df.df + 0.5) + 1.0)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / {p}stats.avgdl)))) )
+           AS score
+  FROM {p}tf tf
+  JOIN {p}df USING (term)
+  JOIN {p}dl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN {p}stats
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH {token_list_cte()},
+qterms(term) AS (VALUES {terms_values}),
+tkept AS (SELECT doc_id, unnest(toks[1:{title_k}]) AS term FROM doc_toks),
+bkept AS (SELECT doc_id, unnest(toks[{title_k + 1}:]) AS term FROM doc_toks),
+{chain('t', 'tkept')},
+{chain('b', 'bkept')},
+fsc AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         {float(wt)!r} * coalesce(t.score, 0.0)
+         + {float(wb)!r} * coalesce(b.score, 0.0) AS score
+  FROM tscores t FULL OUTER JOIN bscores b ON t.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fsc
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def prf_expansion_cte(query: str, fb_docs: int = 5,
                       fb_terms: int = 3) -> str:
     """CTE chain (appended to bm25_scores_sql's) ending in

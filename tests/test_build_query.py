@@ -299,3 +299,40 @@ def test_search_prf(built_index, oracle):
     assert ws == sorted(ws)
     with pytest.raises(ValueError):
         eng.search_prf(q, 10)
+
+
+def test_field_split_batch_matches_tokenizer():
+    import pyarrow as pa
+
+    from stacksearch_ray.pipelines.documents import (
+        TITLE_K,
+        _field_split_batch,
+        _take_ranges,
+    )
+    from stacksearch_ray.text import clean_query
+    import numpy as np
+
+    # _take_ranges == the python-loop reference gather
+    rng = np.random.default_rng(7)
+    begin = np.sort(rng.integers(0, 50, 20)).astype(np.int64)
+    end = begin + rng.integers(0, 9, 20)
+    want = np.concatenate([np.arange(b, e) for b, e in zip(begin, end)]
+                          or [np.empty(0, np.int64)])
+    assert (_take_ranges(begin, end) == want).all()
+
+    texts = [
+        "Merge Sort beats the Bubble sort on big tables, always!",
+        "a the of",          # all stopwords -> both fields empty
+        "",                   # empty doc
+        "join " * 20,         # long single-term doc, body non-empty
+        "short title only",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    out = _field_split_batch(batch)
+    for i, text in enumerate(texts):
+        toks = clean_query(text)
+        title = out["title_text"][i].as_py().split()
+        body = out["body_text"][i].as_py().split()
+        assert title == toks[:TITLE_K]
+        assert body == toks[TITLE_K:]
