@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -518,11 +519,18 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
     no pass over the text. Returns the merged stats.
 
     Requirements (checked): ≥2 sources sharing num_shards / block_size /
-    k1 / b / store_positions / content_col / id_col; no pending
-    tombstones (compact a deleted-from source first — sidecar merging
-    is not worth the complexity when compaction already normalizes);
-    disjoint doc-id spaces (the build's collision audit runs over the
-    merged docs table, distributed beyond driver scale).
+    k1 / b / store_positions / content_col / id_col; disjoint doc-id
+    spaces (the build's collision audit runs over the merged PHYSICAL
+    docs table — tombstoned rows included, so an id tombstoned in one
+    source and live in another is rejected like any collision).
+
+    Sources MAY carry pending tombstones: the merged index unions the
+    tombstone sets and sums the per-term deleted-df sidecars (doc
+    spaces are disjoint, so the per-source ddf counts are additive and
+    the merged correction stays exact — source n_docs/total_len already
+    exclude deleted rows, so the summed stats need no adjustment).
+    Compacting the merged index purges them physically, bitwise equal
+    to a rebuild without the deleted docs (test_merge).
 
     The merged index is marked ``appended``: each source's block-max
     bounds were encoded under its OWN avgdl, so pruning would be
@@ -542,14 +550,20 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
     if len(sources) < 2:
         raise ValueError("merge_indexes needs at least two source indexes")
     stats_list = []
+    tomb_arrays: list[np.ndarray] = []
+    ddf_counts: dict[str, int] = {}
     for s in sources:
         recover_segments(s)
         recover_appends(s)
         st = load_stats(s)
-        if len(load_tombstones(s, st)):
-            raise ValueError(
-                f"source {s!r} has pending tombstones — run compact_index "
-                "on it first, then merge")
+        tmb = load_tombstones(s, st)
+        if len(tmb):
+            tomb_arrays.append(np.asarray(tmb, dtype=np.int64))
+            if st.get("deleted_df_file"):
+                dt = pq.read_table(os.path.join(s, st["deleted_df_file"]))
+                for term, ddf in zip(dt["term"].to_pylist(),
+                                     dt["ddf"].to_pylist()):
+                    ddf_counts[term] = ddf_counts.get(term, 0) + int(ddf)
         stats_list.append(st)
     base = stats_list[0]
     for key in ("num_shards", "block_size", "k1", "b", "content_col",
@@ -592,6 +606,26 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
     stats.update({"n_docs": n_docs, "total_len": total_len,
                   "avgdl": (total_len / n_docs) if n_docs else 0.0,
                   "appended": True})
+    if tomb_arrays:
+        # union the sources' tombstone sets + sum their ddf sidecars
+        # (disjoint doc spaces -> additive, exact) into fresh sidecars
+        import uuid
+
+        allt = np.unique(np.concatenate(tomb_arrays))
+        aid = uuid.uuid4().hex
+        tomb_name = f"tombstones-{aid}.parquet"
+        pq.write_table(pa.table({"doc_id": pa.array(allt, pa.int64())}),
+                       os.path.join(out_dir, tomb_name))
+        ddf_name = f"deleted-df-{aid}.parquet"
+        terms_sorted = sorted(ddf_counts)
+        pq.write_table(pa.table({
+            "term": pa.array(terms_sorted, pa.string()),
+            "ddf": pa.array([ddf_counts[t] for t in terms_sorted],
+                            pa.int64()),
+        }), os.path.join(out_dir, ddf_name))
+        stats.update({"tombstones_file": tomb_name,
+                      "n_tombstones": len(allt),
+                      "deleted_df_file": ddf_name})
     write_stats(out_dir, stats)  # COMMIT POINT — index readable from here
     return stats
 

@@ -91,12 +91,79 @@ def test_merge_rejects_bad_inputs(merged, ray_session, tmp_path):
     build_index(str(tmp_path / "c2"), dup, num_shards=2)
     with pytest.raises(DocIdCollisionError):
         merge_indexes([other, dup], str(tmp_path / "z"))
-    # tombstoned source refused
+    # a tombstoned id in one source colliding with the same PHYSICAL id
+    # in another source is still a collision (the dead row would mask
+    # the live one)
     some_id = int(pq.read_table(os.path.join(other, "docs"),
                                 columns=["doc_id"])["doc_id"][0].as_py())
     delete_from_index(other, [some_id])
-    with pytest.raises(ValueError, match="tombstones"):
+    with pytest.raises(DocIdCollisionError):
         merge_indexes([other, dup], str(tmp_path / "w"))
+
+
+def test_merge_carries_tombstones(ray_session, tmp_path_factory):
+    """Sources with pending tombstones merge WITHOUT compacting first:
+    tombstone sets union, per-term deleted-df sidecars sum, and the
+    merged index scores bitwise like a rebuild of (all docs - deleted);
+    compacting the merged index then purges physically, segments
+    bitwise equal to that rebuild."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from stacksearch_ray.append import (
+        compact_index,
+        delete_from_index,
+        merge_indexes,
+    )
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    root = tmp_path_factory.mktemp("merge_tomb")
+    t = pq.read_table(docs)
+    ids = t["doc_id"]
+    half_a = t.filter(pc.equal(pc.bit_wise_and(ids, 1), 0))
+    half_b = t.filter(pc.equal(pc.bit_wise_and(ids, 1), 1))
+    del_a = half_a["doc_id"].to_pylist()[::9]
+    del_b = half_b["doc_id"].to_pylist()[::13]
+    surv = t.filter(pc.invert(pc.is_in(
+        ids, value_set=pa.array(del_a + del_b, pa.int64()))))
+    pa_p, pb_p, surv_p = (str(root / f"{n}.parquet")
+                          for n in ("a", "b", "surv"))
+    pq.write_table(half_a, pa_p)
+    pq.write_table(half_b, pb_p)
+    pq.write_table(surv, surv_p)
+    kw = dict(content_col="text", id_col="doc_id", num_shards=4,
+              term_buckets=8)
+    idx_a, idx_b, idx_m, ref = (str(root / n)
+                                for n in ("a", "b", "m", "ref"))
+    build_index(pa_p, idx_a, **kw)
+    build_index(pb_p, idx_b, **kw)
+    delete_from_index(idx_a, del_a)
+    delete_from_index(idx_b, del_b)
+    build_index(surv_p, ref, **kw)
+    stats = merge_indexes([idx_a, idx_b], idx_m)
+    rs = load_stats(ref)
+    assert stats["n_docs"] == rs["n_docs"]
+    assert stats["total_len"] == rs["total_len"]
+    assert stats["n_tombstones"] == len(del_a) + len(del_b)
+    m, r = QueryEngine(idx_m), QueryEngine(ref)
+    for q in QUERIES:
+        want = r.search(q, 10, "exhaustive")
+        for method in ("auto", "exhaustive", "wand", "bmax"):
+            assert m.search(q, 10, method) == want, (q, method)
+    # compact purges: segments bitwise == the rebuild's
+    compact_index(idx_m)
+    a = pq.read_table(os.path.join(idx_m, "segments")).to_pandas() \
+        .sort_values(["term", "shard"]).reset_index(drop=True)
+    b = pq.read_table(os.path.join(ref, "segments")).to_pandas() \
+        .sort_values(["term", "shard"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), col
+    m2 = QueryEngine(idx_m)
+    for q in QUERIES:
+        assert m2.search(q, 10, "bmax") == r.search(q, 10, "bmax"), q
 
 
 # ---------------- reshard (compact_index(num_shards=...)) ----------------
