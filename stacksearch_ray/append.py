@@ -149,6 +149,278 @@ def load_tombstones(index_dir: str, stats: dict | None = None) -> "object":
     return np.asarray(t["doc_id"].combine_chunks()).astype(np.int64)
 
 
+def recover_purges(index_dir: str) -> bool:
+    """Heal an interrupted purge_doc_ids. The journal is written AFTER
+    every staged artifact exists, so recovery always rolls FORWARD:
+    re-apply the remaining staged-file renames (os.replace is atomic;
+    already-applied entries have no staged file left), re-write the
+    journal's final stats, sweep sidecars the new stats no longer
+    reference, drop the staged dir + journal. Journal-less
+    purge.staged-* dirs are pre-intent scratch — swept. Returns True if
+    a recovery action was taken. Called on every lifecycle entry point
+    and on QueryEngine open."""
+    import glob
+    import shutil
+
+    from .build import load_stats, write_stats
+
+    acted = False
+    journaled: set[str] = set()
+    for jpath in sorted(glob.glob(
+            os.path.join(index_dir, "purge.pending-*.json"))):
+        with open(jpath) as f:
+            j = json.load(f)
+        journaled.add(f"purge.staged-{j['purge_id']}")
+        for staged_rel, live_rel in j["renames"]:
+            sp = os.path.join(index_dir, staged_rel)
+            if os.path.exists(sp):  # already-applied entries have no
+                os.replace(sp, os.path.join(index_dir, live_rel))
+        for live_rel in j.get("removals", []):
+            lp = os.path.join(index_dir, live_rel)
+            if os.path.exists(lp):
+                os.remove(lp)
+        write_stats(index_dir, j["stats"])
+        _sweep_orphan_sidecars(index_dir, j["stats"])
+        shutil.rmtree(os.path.join(
+            index_dir, f"purge.staged-{j['purge_id']}"), ignore_errors=True)
+        os.remove(jpath)
+        acted = True
+    for name in os.listdir(index_dir):
+        if name.startswith("purge.staged-") and name not in journaled:
+            shutil.rmtree(os.path.join(index_dir, name),
+                          ignore_errors=True)
+            acted = True
+    return acted
+
+
+def _sweep_orphan_sidecars(index_dir: str, stats: dict) -> None:
+    """Remove tombstones-* / deleted-df-* files the given stats no
+    longer reference (superseded by a delete/purge commit)."""
+    keep = {stats.get("tombstones_file"), stats.get("deleted_df_file")}
+    for name in os.listdir(index_dir):
+        if (name.startswith(("tombstones-", "deleted-df-"))
+                and name not in keep):
+            os.remove(os.path.join(index_dir, name))
+
+
+def purge_doc_ids(index_dir: str, doc_ids) -> dict:
+    """Physically remove a bounded set of TOMBSTONED ids without a full
+    compaction — the surgical middle ground between delete_from_index
+    (O(delete-set), logical) and compact_index (O(index), physical).
+    Cost is O(size of the affected shards' files): only segment files
+    whose rows contain a purged id and docs files holding a purged row
+    are rewritten; every untouched row keeps its original encoded bytes
+    verbatim. After the purge the ids are fully gone, so they can be
+    RE-ADDED by a normal append (the upsert path: delete → purge →
+    append replaces the previous delete → FULL compact).
+
+    Affected segment rows are re-encoded from their surviving postings
+    under the index's CURRENT stats — delete_from_index already set
+    n_docs/total_len/avgdl to the rebuild-without-deleted values, so
+    re-encoded rows are bitwise the rebuild's (positions re-split per
+    doc, identity round-trip). ``appended`` stays True (untouched rows
+    still carry bounds from the original avgdl).
+
+    Sidecars shrink exactly: the purged ids leave the tombstone set and
+    each rewritten row's removed-posting count is subtracted from the
+    per-term deleted-df sidecar (computed from the same decode that
+    drives the rewrite, so the correction can't drift from the bytes).
+
+    Crash story (single writer): staged rewrites + fresh sidecars are
+    written first, then a ``purge.pending-{id}.json`` journal records
+    every rename and the final stats; only then do live files change.
+    A crash before the journal leaves the index untouched (scratch
+    swept); after it, recover_purges — run on every lifecycle entry and
+    QueryEngine open — rolls the purge forward deterministically, so no
+    reader ever sees purged segments under the old (over-counting)
+    deleted-df sidecar."""
+    import shutil
+    import uuid
+
+    from .build import load_stats, write_stats
+    from .codec import (
+        decode_doc_ids,
+        decode_positions,
+        decode_tfs,
+        encode_position_lists,
+    )
+
+    recover_segments(index_dir)
+    recover_appends(index_dir)
+    recover_purges(index_dir)
+    stats = load_stats(index_dir)
+    tomb = load_tombstones(index_dir, stats)
+    D = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(D) == 0:
+        return stats
+    missing = np.setdiff1d(D, tomb, assume_unique=True)
+    if len(missing):
+        raise ValueError(
+            f"purge_doc_ids only purges tombstoned ids; {len(missing)} "
+            f"id(s) are not tombstoned (e.g. {missing[:3].tolist()}) — "
+            "delete_from_index them first")
+    docs_dir = os.path.join(index_dir, "docs")
+    seg_dir = os.path.join(index_dir, "segments")
+    block_size = int(stats["block_size"])
+    store_positions = bool(stats.get("store_positions"))
+
+    dt = pq.read_table(docs_dir, columns=["doc_id", "shard"],
+                       filters=[("doc_id", "in", D.tolist())])
+    affected_shards = set(dt["shard"].to_pylist())
+
+    aid = uuid.uuid4().hex
+    staged_root = f"purge.staged-{aid}"
+    staged_dir = os.path.join(index_dir, staged_root)
+    os.makedirs(os.path.join(staged_dir, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(staged_dir, "docs"), exist_ok=True)
+    encoder = SegmentEncoder(avgdl=float(stats["avgdl"]),
+                             k1=float(stats["k1"]), b=float(stats["b"]),
+                             block_size=block_size)
+    from .query import _DocLens
+
+    doclens: dict[int, object] = {}
+    removed_counts: dict[str, int] = {}
+    renames: list[list[str]] = []
+    removals: list[str] = []
+
+    def reencode_row(tb: pa.Table, i: int) -> pa.Table:
+        """One (term, shard) segment row -> its purged re-encode (0 or
+        1 rows), original column order preserved."""
+        term = tb["term"][i].as_py()
+        shard = int(tb["shard"][i].as_py())
+        ids = decode_doc_ids(tb["doc_ids"][i].as_py(), block_size)
+        tfs = decode_tfs(tb["tfs"][i].as_py())
+        j = np.minimum(np.searchsorted(D, ids), len(D) - 1)
+        keep = D[j] != ids
+        removed_counts[term] = removed_counts.get(term, 0) + int(
+            (~keep).sum())
+        if not keep.any():
+            return tb.schema.empty_table()
+        cols = {
+            "term": pa.array([term] * int(keep.sum()), pa.string()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "tf": pa.array(tfs[keep].astype(np.int64), pa.int64()),
+            "shard": pa.array(np.full(int(keep.sum()), shard, np.int32)),
+        }
+        if shard not in doclens:
+            doclens[shard] = _DocLens(docs_dir, [shard])
+        cols["doc_len"] = pa.array(
+            doclens[shard].lookup(ids[keep]).astype(np.int64), pa.int64())
+        if store_positions:
+            tfs64 = tfs.astype(np.int64)
+            flat = decode_positions(tb["positions"][i].as_py(), tfs64)
+            ends = np.cumsum(tfs64)
+            blobs = encode_position_lists(flat, ends - tfs64, ends)
+            cols["pos"] = pa.array(
+                [bl for bl, k in zip(blobs, keep) if k], pa.binary())
+        enc = encoder(pa.table(cols))
+        return enc.select(tb.column_names).cast(tb.schema)
+
+    for fname in sorted(os.listdir(seg_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        fpath = os.path.join(seg_dir, fname)
+        tb = pq.read_table(fpath)
+        shards_np = np.asarray(tb["shard"].combine_chunks())
+        cand = np.flatnonzero(
+            np.isin(shards_np, np.fromiter(affected_shards, np.int32,
+                                           len(affected_shards))))
+        hit_rows = []
+        for i in cand.tolist():
+            ids = decode_doc_ids(tb["doc_ids"][i].as_py(), block_size)
+            j = np.minimum(np.searchsorted(D, ids), len(D) - 1)
+            if (D[j] == ids).any():
+                hit_rows.append(i)
+        if not hit_rows:
+            continue
+        pieces, prev = [], 0
+        for i in hit_rows:
+            if i > prev:
+                pieces.append(tb.slice(prev, i - prev))
+            pieces.append(reencode_row(tb, i))
+            prev = i + 1
+        if prev < tb.num_rows:
+            pieces.append(tb.slice(prev, tb.num_rows - prev))
+        new_tb = pa.concat_tables(pieces)
+        if new_tb.num_rows:
+            pq.write_table(new_tb,
+                           os.path.join(staged_dir, "segments", fname))
+            renames.append([f"{staged_root}/segments/{fname}",
+                            f"segments/{fname}"])
+        else:
+            removals.append(f"segments/{fname}")
+
+    for fname in sorted(os.listdir(docs_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        fpath = os.path.join(docs_dir, fname)
+        tb = pq.read_table(fpath)
+        ids = np.asarray(tb["doc_id"].combine_chunks()).astype(np.int64)
+        j = np.minimum(np.searchsorted(D, ids), len(D) - 1)
+        keep = D[j] != ids
+        if keep.all():
+            continue
+        new_tb = tb.filter(pa.array(keep))
+        if new_tb.num_rows:
+            pq.write_table(new_tb, os.path.join(staged_dir, "docs", fname))
+            renames.append([f"{staged_root}/docs/{fname}",
+                            f"docs/{fname}"])
+        else:
+            removals.append(f"docs/{fname}")
+
+    # fresh sidecars (inert until the journaled stats switch)
+    new_stats = dict(stats)
+    new_tomb = np.setdiff1d(tomb, D, assume_unique=True)
+    for key in ("tombstones_file", "deleted_df_file", "n_tombstones"):
+        new_stats.pop(key, None)
+    if len(new_tomb):
+        tomb_name = f"tombstones-{aid}.parquet"
+        pq.write_table(pa.table({"doc_id": pa.array(new_tomb, pa.int64())}),
+                       os.path.join(index_dir, tomb_name))
+        new_stats["tombstones_file"] = tomb_name
+        new_stats["n_tombstones"] = len(new_tomb)
+        if stats.get("deleted_df_file"):
+            old_ddf = pq.read_table(
+                os.path.join(index_dir, stats["deleted_df_file"]))
+            ddf = dict(zip(old_ddf["term"].to_pylist(),
+                           (int(x) for x in old_ddf["ddf"].to_pylist())))
+            for term, c in removed_counts.items():
+                left = ddf.get(term, 0) - c
+                if left > 0:
+                    ddf[term] = left
+                else:
+                    ddf.pop(term, None)
+            ddf_name = f"deleted-df-{aid}.parquet"
+            ts = sorted(ddf)
+            pq.write_table(pa.table({
+                "term": pa.array(ts, pa.string()),
+                "ddf": pa.array([ddf[t] for t in ts], pa.int64()),
+            }), os.path.join(index_dir, ddf_name))
+            new_stats["deleted_df_file"] = ddf_name
+
+    journal = os.path.join(index_dir, f"purge.pending-{aid}.json")
+    with open(journal + ".tmp", "w") as f:
+        json.dump({"purge_id": aid, "renames": renames,
+                   "removals": removals, "stats": new_stats}, f)
+    os.replace(journal + ".tmp", journal)  # INTENT — roll-forward from here
+
+    _maybe_fail("purge_after_journal")
+    for staged_rel, live_rel in renames:
+        os.replace(os.path.join(index_dir, staged_rel),
+                   os.path.join(index_dir, live_rel))
+        _maybe_fail("purge_mid_renames")
+    for live_rel in removals:
+        lp = os.path.join(index_dir, live_rel)
+        if os.path.exists(lp):
+            os.remove(lp)
+    write_stats(index_dir, new_stats)  # COMMIT POINT
+    _maybe_fail("purge_after_stats")
+    _sweep_orphan_sidecars(index_dir, new_stats)
+    shutil.rmtree(staged_dir, ignore_errors=True)
+    os.remove(journal)
+    return new_stats
+
+
 def delete_from_index(index_dir: str, doc_ids) -> dict:
     """Tombstone deletion — the missing quarter of the lifecycle
     (build / append / DELETE / compact). O(delete-set) work now;
@@ -165,8 +437,9 @@ def delete_from_index(index_dir: str, doc_ids) -> dict:
     which masks tombstones (results bitwise equal to a rebuild without
     the deleted docs — tested). Ids not present in the index are
     ignored (deletes are idempotent). Re-adding a deleted id requires
-    a compaction first (its row still occupies the docs table, so the
-    append collision check will reject it — by design)."""
+    its physical row to be gone first — ``purge_doc_ids`` (surgical,
+    O(affected files)) or ``compact_index`` (full) — because the append
+    collision check sees the tombstoned row (by design)."""
     import uuid
 
     import numpy as np
@@ -176,6 +449,7 @@ def delete_from_index(index_dir: str, doc_ids) -> dict:
 
     recover_segments(index_dir)
     recover_appends(index_dir)
+    recover_purges(index_dir)
     stats = load_stats(index_dir)
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     old = load_tombstones(index_dir, stats)
@@ -300,6 +574,7 @@ def append_to_index(source, index_dir: str,
     # dirs (crash before the journal was written; single-writer
     # assumption: no other append is running against this index)
     recover_appends(index_dir)
+    recover_purges(index_dir)
     for name in os.listdir(index_dir):
         if name.startswith(("docs.staged-", "segments.staged-")):
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
@@ -500,8 +775,12 @@ def upsert_to_index(source, index_dir: str,
         docs_dir, columns=["doc_id"],
         filters=[("doc_id", "in", delta_ids.tolist())])
     if existing.num_rows:
+        # logical delete, then SURGICAL purge of exactly those ids —
+        # O(affected shard files), not the previous full compact_index
+        # (O(index) to upsert one doc); the append below then re-adds
+        # the new contents under fresh stats
         delete_from_index(index_dir, existing["doc_id"].to_pylist())
-        compact_index(index_dir)
+        purge_doc_ids(index_dir, existing["doc_id"].to_pylist())
     # forward the RESOLVED cfg: explicit fields the caller set on their
     # cfg object (batch_size, term_buckets, ...) must reach the append
     # leg too, not just the id-resolution above; the explicit col kwargs
@@ -555,6 +834,7 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
     for s in sources:
         recover_segments(s)
         recover_appends(s)
+        recover_purges(s)
         st = load_stats(s)
         tmb = load_tombstones(s, st)
         if len(tmb):
@@ -698,6 +978,7 @@ def compact_index(index_dir: str, term_buckets: int = 32,
     from .schema import shard_of
 
     recover_appends(index_dir)
+    recover_purges(index_dir)
     stats = load_stats(index_dir)
     store_positions = bool(stats.get("store_positions"))
     avgdl = float(stats["avgdl"])

@@ -87,10 +87,11 @@ class QueryEngine:
     scores stay bitwise identical to the full engine."""
 
     def __init__(self, index_dir: str, shard_subset: list[int] | None = None):
-        from .append import recover_appends, recover_segments
+        from .append import recover_appends, recover_purges, recover_segments
 
         recover_segments(index_dir)  # heal interrupted compaction swaps
         recover_appends(index_dir)   # heal interrupted append commits
+        recover_purges(index_dir)    # roll interrupted purges forward
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         self.n_docs = self.stats["n_docs"]
