@@ -3,6 +3,9 @@ and compare against oracle_sql() via DuckDB the way the driver does
 (row count + schema + order-insensitive value hash).
 
     python scripts/selfcheck.py [--sf-dir /root/testdata/sf0.01] [names...]
+    python scripts/selfcheck.py --shard 0/4   # deterministic name-split
+                                              # (run the 4 shards in
+                                              # parallel processes)
 """
 
 from __future__ import annotations
@@ -43,6 +46,9 @@ def value_hash(df) -> str:
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="run only entries where stable-hash(name) %% N "
+                        "== I — shard the surface across processes")
     p.add_argument("names", nargs="*")
     args = p.parse_args()
 
@@ -66,6 +72,10 @@ def main() -> int:
 
     qs, sqls = E.queries(), E.oracle_sql()
     names = args.names or list(qs)
+    if args.shard:
+        i, n = (int(x) for x in args.shard.split("/"))
+        names = [nm for nm in names
+                 if int(hashlib.md5(nm.encode()).hexdigest(), 16) % n == i]
     failures = 0
     for name in names:
         t0 = time.time()
