@@ -224,6 +224,8 @@ def run_bench() -> dict:
                      ("global_shuffle", P.global_shuffle),
                      ("wildcard_search", P.wildcard_search),
                      ("min_window_search", P.min_window_search),
+                     ("synonym_search", P.synonym_search),
+                     ("prf_search", P.prf_search),
                      ("neardup_keep_longest", P.neardup_keep_longest)]:
         t0 = time.time()
         res = fn(SF_DIR)

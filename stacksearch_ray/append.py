@@ -316,6 +316,8 @@ def purge_doc_ids(index_dir: str, doc_ids) -> dict:
         enc = encoder(pa.table(cols))
         return enc.select(tb.column_names).cast(tb.schema)
 
+    from .codec import decode_doc_ids_batch
+
     for fname in sorted(os.listdir(seg_dir)):
         if not fname.endswith(".parquet"):
             continue
@@ -325,12 +327,22 @@ def purge_doc_ids(index_dir: str, doc_ids) -> dict:
         cand = np.flatnonzero(
             np.isin(shards_np, np.fromiter(affected_shards, np.int32,
                                            len(affected_shards))))
-        hit_rows = []
-        for i in cand.tolist():
-            ids = decode_doc_ids(tb["doc_ids"][i].as_py(), block_size)
-            j = np.minimum(np.searchsorted(D, ids), len(D) - 1)
-            if (D[j] == ids).any():
-                hit_rows.append(i)
+        if len(cand) == 0:
+            continue
+        # ONE vectorized decode over all candidate rows (per-row numpy
+        # fixed cost dominates at vocab-sized row counts — the same
+        # lesson as compact's batched decode), then a flat membership
+        # probe reduced per row
+        bufs = tb["doc_ids"].take(pa.array(cand, pa.int64())).to_pylist()
+        ids_f, offs = decode_doc_ids_batch(bufs, block_size)
+        j = np.minimum(np.searchsorted(D, ids_f), len(D) - 1)
+        hit_flat = (D[j] == ids_f)
+        row_hits = np.add.reduceat(hit_flat, offs[:-1]) if len(ids_f) \
+            else np.zeros(len(cand), dtype=np.int64)
+        # reduceat on an empty row span yields the NEXT element; zero
+        # rows can't exist in segments (df >= 1), but guard anyway
+        row_hits = np.where(np.diff(offs) > 0, row_hits, 0)
+        hit_rows = cand[np.flatnonzero(row_hits)].tolist()
         if not hit_rows:
             continue
         pieces, prev = [], 0

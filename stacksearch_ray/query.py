@@ -1159,6 +1159,14 @@ class _ShardWorker:
             self.engine.search(q, 10)
         return 1
 
+    def search_boosted(self, boosts: dict, k: int
+                       ) -> list[tuple[int, float]]:
+        return self.engine.search_boosted(boosts, k)
+
+    def search_synonym_groups(self, groups: list[list[str]], k: int
+                              ) -> list[tuple[int, float]]:
+        return self.engine.search_synonym_groups(groups, k)
+
     def explain(self, query: str, doc_id: int) -> dict:
         return self.engine.explain(query, doc_id)
 
@@ -1248,6 +1256,32 @@ class ShardedQueryEngine:
             merged.sort(key=lambda x: (-x[1], x[0]))
             out.append(merged[:k])
         return out
+
+    def search_boosted(self, boosts: dict, k: int = 10
+                       ) -> list[tuple[int, float]]:
+        """Distributed boosted search: per-worker exhaustive boosted
+        scoring over disjoint shard subsets (global df via term_dict),
+        standard top-k merge — bitwise identical to the single engine."""
+        import ray
+
+        futs = [w.search_boosted.remote(boosts, k) for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_synonym_groups(self, groups: list[list[str]], k: int = 10
+                              ) -> list[tuple[int, float]]:
+        """Distributed synonym-group search: per-doc group-max scores
+        are shard-local (a doc's postings live in one shard subset), so
+        the fan-out merge is the standard disjoint top-k — bitwise
+        identical to the single engine."""
+        import ray
+
+        futs = [w.search_synonym_groups.remote(groups, k)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
 
     def search_filtered(self, query: str, k: int = 10,
                         allowed_doc_ids=None,

@@ -62,3 +62,17 @@ def test_search_many_batched(index_dir):
     assert len(batch) == len(queries)
     for q, res in zip(queries, batch):
         assert res == eng.search(q, 10), q
+
+
+def test_sharded_boosted_and_synonym_identity(index_dir):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    sharded = ShardedQueryEngine(index_dir, num_workers=3)
+    boosts = {"def": 0.3, "return": 2.0, "var_1": 1.0}
+    assert (sharded.search_boosted(boosts, 10)
+            == eng.search_boosted(boosts, 10))
+    groups = [["def", "return"], ["var_1", "helper_3"]]
+    assert (sharded.search_synonym_groups(groups, 10)
+            == eng.search_synonym_groups(groups, 10))
+    assert sharded.search_synonym_groups([["zzz_missing"]], 10) == []
