@@ -43,9 +43,19 @@ def main() -> int:
                         "(file-level union, no re-tokenize; compact after "
                         "to restore pruning)")
     p.add_argument("--files-per-partition", type=int, default=1)
+    p.add_argument("--delete", nargs="+", type=int, default=None,
+                   metavar="ID", help="tombstone these doc ids "
+                   "(exact idf via the deleted-df sidecar)")
+    p.add_argument("--purge", nargs="+", type=int, default=None,
+                   metavar="ID", help="physically purge these "
+                   "ALREADY-TOMBSTONED ids (surgical, O(affected "
+                   "files)); combine with --delete to do both")
     args = p.parse_args()
-    if not args.compact and args.merge is None and args.source is None:
-        p.error("--source is required unless --compact or --merge")
+    lifecycle = (args.compact or args.merge is not None
+                 or args.delete is not None or args.purge is not None)
+    if not lifecycle and args.source is None:
+        p.error("--source is required unless --compact/--merge/"
+                "--delete/--purge")
     if args.reshard is not None and not args.compact:
         p.error("--reshard requires --compact")
 
@@ -68,6 +78,18 @@ def main() -> int:
         from stacksearch_ray.append import merge_indexes
 
         stats = merge_indexes(args.merge, args.index_dir)
+        print(json.dumps({"stats": stats,
+                          "wall_s": round(time.time() - t0, 2)}))
+        ray.shutdown()
+        return 0
+    if args.delete is not None or args.purge is not None:
+        from stacksearch_ray.append import delete_from_index, purge_doc_ids
+
+        stats = None
+        if args.delete is not None:
+            stats = delete_from_index(args.index_dir, args.delete)
+        if args.purge is not None:
+            stats = purge_doc_ids(args.index_dir, args.purge)
         print(json.dumps({"stats": stats,
                           "wall_s": round(time.time() - t0, 2)}))
         ray.shutdown()
