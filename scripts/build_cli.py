@@ -50,9 +50,13 @@ def main() -> int:
                    metavar="ID", help="physically purge these "
                    "ALREADY-TOMBSTONED ids (surgical, O(affected "
                    "files)); combine with --delete to do both")
+    p.add_argument("--snapshot", default=None, metavar="OUT_DIR",
+                   help="hardlink snapshot of --index-dir (O(files), "
+                   "no data copied; A/B serving & backups)")
     args = p.parse_args()
     lifecycle = (args.compact or args.merge is not None
-                 or args.delete is not None or args.purge is not None)
+                 or args.delete is not None or args.purge is not None
+                 or args.snapshot is not None)
     if not lifecycle and args.source is None:
         p.error("--source is required unless --compact/--merge/"
                 "--delete/--purge")
@@ -78,6 +82,14 @@ def main() -> int:
         from stacksearch_ray.append import merge_indexes
 
         stats = merge_indexes(args.merge, args.index_dir)
+        print(json.dumps({"stats": stats,
+                          "wall_s": round(time.time() - t0, 2)}))
+        ray.shutdown()
+        return 0
+    if args.snapshot is not None:
+        from stacksearch_ray.append import snapshot_index
+
+        stats = snapshot_index(args.index_dir, args.snapshot)
         print(json.dumps({"stats": stats,
                           "wall_s": round(time.time() - t0, 2)}))
         ray.shutdown()

@@ -21,13 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def hardlink_clone(src: str, dst: str) -> None:
+    from stacksearch_ray.append import snapshot_index
+
     shutil.rmtree(dst, ignore_errors=True)
-    for root, _dirs, files in os.walk(src):
-        rel = os.path.relpath(root, src)
-        out = os.path.join(dst, rel) if rel != "." else dst
-        os.makedirs(out, exist_ok=True)
-        for f in files:
-            os.link(os.path.join(root, f), os.path.join(out, f))
+    snapshot_index(src, dst)
 
 
 def main() -> int:

@@ -203,6 +203,39 @@ def _sweep_orphan_sidecars(index_dir: str, stats: dict) -> None:
             os.remove(os.path.join(index_dir, name))
 
 
+def snapshot_index(index_dir: str, out_dir: str) -> dict:
+    """Hardlink snapshot of a quiesced index — O(file count), zero data
+    copied (copy2 fallback crossing filesystems). Because every
+    lifecycle mutation is copy-on-write at file granularity (append
+    adds files; delete adds sidecars + swaps stats; purge/compact
+    REPLACE files via fresh staged ones — never edit in place), a
+    snapshot stays internally consistent while the source continues to
+    mutate: the A/B-serving and pre-mutation-backup primitive. Pending
+    journals are healed FIRST so the snapshot never carries an
+    in-flight mutation. Returns the snapshot's stats."""
+    import shutil
+
+    from .build import load_stats
+
+    recover_segments(index_dir)
+    recover_appends(index_dir)
+    recover_purges(index_dir)
+    stats = load_stats(index_dir)  # raises if not an index
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"out_dir {out_dir!r} exists and is not empty")
+    for root, _dirs, files in os.walk(index_dir):
+        rel = os.path.relpath(root, index_dir)
+        out = os.path.join(out_dir, rel) if rel != "." else out_dir
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            src = os.path.join(root, f)
+            try:
+                os.link(src, os.path.join(out, f))
+            except OSError:
+                shutil.copy2(src, os.path.join(out, f))
+    return stats
+
+
 def _gather_spans(offs: np.ndarray, rows: np.ndarray) -> np.ndarray:
     """Flat indices covering rows' spans [offs[r], offs[r+1])."""
     begin, end = offs[rows], offs[rows + 1]

@@ -186,3 +186,32 @@ def test_purge_then_readd_and_compact(ray_session, tmp_path_factory):
         .sort_values(["term", "shard"]).reset_index(drop=True)
     for col in a.columns:
         assert a[col].tolist() == b[col].tolist(), col
+
+
+def test_snapshot_index(ray_session, tmp_path_factory):
+    """Hardlink snapshot serves identically; mutating the SOURCE after
+    the snapshot (delete + purge) leaves the snapshot's results frozen
+    — file-granularity copy-on-write, no data copied."""
+    from stacksearch_ray.append import (
+        delete_from_index,
+        purge_doc_ids,
+        snapshot_index,
+    )
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("snap")
+    idx, snap = str(root / "idx"), str(root / "snap")
+    build_index(DOCS, idx, **KW)
+    before = QueryEngine(idx).search(QUERIES[0], 10)
+    snapshot_index(idx, snap)
+    assert QueryEngine(snap).search(QUERIES[0], 10) == before
+    dels = [d for d, _ in before[:3]]
+    delete_from_index(idx, dels)
+    purge_doc_ids(idx, dels)
+    after = QueryEngine(idx).search(QUERIES[0], 10)
+    assert not (set(d for d, _ in after) & set(dels))
+    # the snapshot still serves the pre-mutation view, bitwise
+    assert QueryEngine(snap).search(QUERIES[0], 10) == before
+    with pytest.raises(ValueError, match="not empty"):
+        snapshot_index(idx, snap)
