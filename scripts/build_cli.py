@@ -59,9 +59,16 @@ def main() -> int:
                  or args.snapshot is not None)
     if not lifecycle and args.source is None:
         p.error("--source is required unless --compact/--merge/"
-                "--delete/--purge")
+                "--delete/--purge/--snapshot")
     if args.reshard is not None and not args.compact:
         p.error("--reshard requires --compact")
+    if args.snapshot is not None and (args.delete is not None
+                                      or args.purge is not None
+                                      or args.compact):
+        p.error("--snapshot cannot be combined with mutations "
+                "(--delete/--purge/--compact) — snapshot first or "
+                "after in a separate invocation so the intent is "
+                "unambiguous")
 
     import ray
 

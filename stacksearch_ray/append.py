@@ -179,6 +179,7 @@ def recover_purges(index_dir: str) -> bool:
             lp = os.path.join(index_dir, live_rel)
             if os.path.exists(lp):
                 os.remove(lp)
+        _apply_dir_swaps(index_dir, j.get("dir_swaps", []))
         write_stats(index_dir, j["stats"])
         _sweep_orphan_sidecars(index_dir, j["stats"])
         shutil.rmtree(os.path.join(
@@ -191,6 +192,19 @@ def recover_purges(index_dir: str) -> bool:
                           ignore_errors=True)
             acted = True
     return acted
+
+
+def _apply_dir_swaps(index_dir: str, dir_swaps) -> None:
+    """Replace live dirs with staged ones (idempotent: a missing staged
+    dir means the swap already happened)."""
+    import shutil
+
+    for staged_rel, live_rel in dir_swaps:
+        sp = os.path.join(index_dir, staged_rel)
+        if os.path.isdir(sp):
+            lp = os.path.join(index_dir, live_rel)
+            shutil.rmtree(lp, ignore_errors=True)
+            os.rename(sp, lp)
 
 
 def _sweep_orphan_sidecars(index_dir: str, stats: dict) -> None:
@@ -238,29 +252,25 @@ def snapshot_index(index_dir: str, out_dir: str) -> dict:
 
 def _gather_spans(offs: np.ndarray, rows: np.ndarray) -> np.ndarray:
     """Flat indices covering rows' spans [offs[r], offs[r+1])."""
-    begin, end = offs[rows], offs[rows + 1]
-    ln = end - begin
-    tot = int(ln.sum())
-    if tot == 0:
-        return np.empty(0, np.int64)
-    csum = np.concatenate(([0], np.cumsum(ln)[:-1]))
-    return (np.repeat(begin, ln)
-            + np.arange(tot, dtype=np.int64) - np.repeat(csum, ln))
+    from .codec import gather_ranges
+
+    return gather_ranges(offs[rows], offs[rows + 1])
 
 
 def _purge_segment_file(fpath: str, out_path: str, D: np.ndarray,
                         affected: list[int], block_size: int,
                         store_positions: bool, encoder, dl_lookup
-                        ) -> tuple[str, dict[str, int]]:
+                        ) -> tuple[str, dict[str, list[int]]]:
     """Rewrite ONE segment file without the purged ids. Returns
-    (action, per-term removed-posting counts): action is "skip" (no
+    (action, {term: [removed_df, removed_cf]}): action is "skip" (no
     purged posting in the file — live file untouched), "rename" (the
     staged rewrite at out_path replaces it), or "removal" (every row
     emptied). Untouched rows keep their original encoded bytes verbatim
     (table slices); affected rows are batch re-encoded with ONE decode
     pass + ONE encoder call ((term, shard) is unique within a file —
-    build/append/compact all emit one row per group) and spliced back
-    in original row order."""
+    build/append/compact each emit one row per group, though one FILE
+    may coalesce several shards' groups, so per-term counts SUM across
+    rows) and spliced back in original row order."""
     from .codec import (
         decode_doc_ids_batch,
         decode_positions,
@@ -317,10 +327,16 @@ def _purge_segment_file(fpath: str, out_path: str, D: np.ndarray,
         tb["term"].take(pa.array(hit_rows, pa.int64())).to_pylist(),
         dtype=object)
     shards_h = shards_np[hit_rows]
-    removed_per_row = np.add.reduceat(
-        ~keep, np.concatenate(([0], np.cumsum(sizes_h)[:-1])))
-    counts = {str(t): int(c) for t, c in zip(terms_h, removed_per_row)
-              if c}
+    row_starts = np.concatenate(([0], np.cumsum(sizes_h)[:-1]))
+    removed_per_row = np.add.reduceat(~keep, row_starts)
+    removed_cf_per_row = np.add.reduceat(
+        np.where(keep, 0, tfs_h), row_starts)
+    counts: dict[str, list[int]] = {}
+    for t, c, cf in zip(terms_h, removed_per_row, removed_cf_per_row):
+        if c:  # SUM across rows — one file can hold a term in >1 shard
+            cur = counts.setdefault(str(t), [0, 0])
+            cur[0] += int(c)
+            cur[1] += int(cf)
     cols = {
         "term": pa.array(np.repeat(terms_h, sizes_h)[keep], pa.string()),
         "doc_id": pa.array(ids_h[keep], pa.int64()),
@@ -357,6 +373,8 @@ def _purge_segment_file(fpath: str, out_path: str, D: np.ndarray,
         prev = i + 1
     if prev < tb.num_rows:
         pieces.append(tb.slice(prev, tb.num_rows - prev))
+    if not pieces:  # every row emptied: concat_tables([]) would raise
+        return "removal", counts
     new_tb = pa.concat_tables(pieces)
     if new_tb.num_rows:
         pq.write_table(new_tb, out_path)
@@ -429,7 +447,7 @@ def purge_doc_ids(index_dir: str, doc_ids) -> dict:
     staged_dir = os.path.join(index_dir, staged_root)
     os.makedirs(os.path.join(staged_dir, "segments"), exist_ok=True)
     os.makedirs(os.path.join(staged_dir, "docs"), exist_ok=True)
-    removed_counts: dict[str, int] = {}
+    removed_counts: dict[str, list[int]] = {}  # term -> [df, cf] removed
     renames: list[list[str]] = []
     removals: list[str] = []
 
@@ -495,8 +513,10 @@ def purge_doc_ids(index_dir: str, doc_ids) -> dict:
         results = [(r["fname"], r["action"], json.loads(r["counts"]))
                    for r in rows]
     for fname, action, counts in sorted(results, key=lambda r: r[0]):
-        for t, c in counts.items():
-            removed_counts[t] = removed_counts.get(t, 0) + c
+        for t, (c_df, c_cf) in counts.items():
+            cur = removed_counts.setdefault(t, [0, 0])
+            cur[0] += c_df
+            cur[1] += c_cf
         if action == "rename":
             renames.append([f"{staged_root}/segments/{fname}",
                             f"segments/{fname}"])
@@ -537,8 +557,8 @@ def purge_doc_ids(index_dir: str, doc_ids) -> dict:
                 os.path.join(index_dir, stats["deleted_df_file"]))
             ddf = dict(zip(old_ddf["term"].to_pylist(),
                            (int(x) for x in old_ddf["ddf"].to_pylist())))
-            for term, c in removed_counts.items():
-                left = ddf.get(term, 0) - c
+            for term, (c_df, _c_cf) in removed_counts.items():
+                left = ddf.get(term, 0) - c_df
                 if left > 0:
                     ddf[term] = left
                 else:
@@ -551,10 +571,41 @@ def purge_doc_ids(index_dir: str, doc_ids) -> dict:
             }), os.path.join(index_dir, ddf_name))
             new_stats["deleted_df_file"] = ddf_name
 
+    # term_dict update — INCREMENTAL (vocab-sized, keeps purge
+    # O(affected files) where a segments-scan rebuild would be
+    # O(index)): term_dict tracks PHYSICAL segment df/cf, and the
+    # rewrite's exact removed (df, cf) per term is already in hand.
+    # Staged as a full replacement dir so the journal can roll the
+    # swap forward; without this, shard-subset engines (which read df
+    # from term_dict) would score against stale counts.
+    dir_swaps: list[list[str]] = []
+    td_dir = os.path.join(index_dir, "term_dict")
+    if removed_counts and os.path.isdir(td_dir):
+        old_td = pq.read_table(td_dir)
+        t_l = old_td["term"].to_pylist()
+        df_l = old_td["df"].to_pylist()
+        cf_l = old_td["cf"].to_pylist()
+        new_rows = []
+        for t, df_v, cf_v in zip(t_l, df_l, cf_l):
+            rem = removed_counts.get(t)
+            if rem is not None:
+                df_v, cf_v = int(df_v) - rem[0], int(cf_v) - rem[1]
+            if df_v > 0:  # fully-purged terms leave the dictionary
+                new_rows.append((t, int(df_v), int(cf_v)))
+        td_staged = os.path.join(staged_dir, "term_dict")
+        os.makedirs(td_staged, exist_ok=True)
+        pq.write_table(pa.table({
+            "term": pa.array([r[0] for r in new_rows], pa.string()),
+            "df": pa.array([r[1] for r in new_rows], pa.int64()),
+            "cf": pa.array([r[2] for r in new_rows], pa.int64()),
+        }), os.path.join(td_staged, "term_dict.parquet"))
+        dir_swaps.append([f"{staged_root}/term_dict", "term_dict"])
+
     journal = os.path.join(index_dir, f"purge.pending-{aid}.json")
     with open(journal + ".tmp", "w") as f:
         json.dump({"purge_id": aid, "renames": renames,
-                   "removals": removals, "stats": new_stats}, f)
+                   "removals": removals, "dir_swaps": dir_swaps,
+                   "stats": new_stats}, f)
     os.replace(journal + ".tmp", journal)  # INTENT — roll-forward from here
 
     _maybe_fail("purge_after_journal")
@@ -566,6 +617,8 @@ def purge_doc_ids(index_dir: str, doc_ids) -> dict:
         lp = os.path.join(index_dir, live_rel)
         if os.path.exists(lp):
             os.remove(lp)
+    _apply_dir_swaps(index_dir, dir_swaps)
+    _maybe_fail("purge_after_dirswap")
     write_stats(index_dir, new_stats)  # COMMIT POINT
     _maybe_fail("purge_after_stats")
     _sweep_orphan_sidecars(index_dir, new_stats)

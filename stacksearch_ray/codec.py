@@ -30,6 +30,20 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def gather_ranges(begin: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Flat int64 indices covering [begin[i], end[i]) for every i, in
+    order — the vectorized gather for slicing per-row spans out of a
+    flat array without a Python loop (shared by the purge rewrite and
+    the fielded-search token split)."""
+    ln = (end - begin).astype(np.int64)
+    tot = int(ln.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    csum = np.concatenate(([0], np.cumsum(ln)[:-1]))
+    return (np.repeat(begin.astype(np.int64), ln)
+            + np.arange(tot, dtype=np.int64) - np.repeat(csum, ln))
+
+
 def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a uint64 array. Returns (buffer, per-value byte counts)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)

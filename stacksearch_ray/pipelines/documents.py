@@ -199,15 +199,10 @@ _fielded_engines: dict[str, tuple[QueryEngine, QueryEngine]] = {}
 
 def _take_ranges(begin: np.ndarray, end: np.ndarray) -> np.ndarray:
     """Flat int64 indices covering [begin[i], end[i]) for every i, in
-    order — the gather pattern for slicing per-doc spans out of a flat
-    token array without a Python loop."""
-    ln = (end - begin).astype(np.int64)
-    tot = int(ln.sum())
-    if tot == 0:
-        return np.empty(0, np.int64)
-    out = np.repeat(begin.astype(np.int64), ln)
-    csum = np.concatenate(([0], np.cumsum(ln)[:-1]))
-    return out + np.arange(tot, dtype=np.int64) - np.repeat(csum, ln)
+    order — codec.gather_ranges, shared with the purge rewrite."""
+    from ..codec import gather_ranges
+
+    return gather_ranges(begin, end)
 
 
 def _field_split_batch(batch: pa.Table) -> pa.Table:

@@ -185,6 +185,24 @@ class QueryEngine:
                 self._seg_cache[r["term"]].append(r)
         return {t: self._seg_cache[t] for t in terms}
 
+    def _df_only(self, terms: list[str]) -> dict[str, int]:
+        """Global ALIVE df per term WITHOUT fetching posting blobs: a
+        column-pruned (term, df) segments read — for idf-only needs
+        (PRF candidate weighting), where _segments_for would read and
+        cache every candidate's full posting rows. Shard-subset engines
+        already have the blob-free term_dict path in _df_global."""
+        if self.shard_subset is not None:
+            return self._df_global(terms, {})
+        t = pq.read_table(self._seg_dir, filters=[("term", "in", terms)],
+                          columns=["term", "df"])
+        dfs = {m: 0 for m in terms}
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            dfs[term] += int(df)
+        if self.has_deletes:
+            ddf = self._deleted_df(terms)
+            dfs = {m: dfs[m] - ddf[m] for m in terms}
+        return dfs
+
     def _df_global(self, terms: list[str],
                    segs: dict[str, list[dict]]) -> dict[str, int]:
         """Global df per term over ALIVE docs. Full engine: sum over the
@@ -382,7 +400,7 @@ class QueryEngine:
         cands = sorted({t for _, c in per_doc for t in c} - set(qterms))
         if not cands:
             return []
-        cdfs = self._df_global(cands, self._segments_for(cands))
+        cdfs = self._df_only(cands)
         weights: dict[str, int] = {}
         for t in cands:
             w = idf_fn(self.n_docs, cdfs[t])
