@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_explain": P.score_explain,
         "bm25_topk_wand": P.bm25_topk_wand,
         "boosted_search": P.boosted_search,
+        "tfidf_search": P.tfidf_search,
+        "lm_dirichlet_search": P.lm_dirichlet_search,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -260,8 +262,10 @@ def oracle_sql() -> dict[str, str]:
         bm25_scores_sql,
         bm25_topk_sql,
         kept_tokens_cte,
+        lm_dirichlet_topk_sql,
         ngram_cte,
         fielded_topk_sql,
+        tfidf_topk_sql,
         prf_terms_sql,
         prf_topk_sql,
         sql_stopword_list,
@@ -597,6 +601,8 @@ SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_len,
        CAST(floor(sum(n)::DOUBLE / count(*) * 1e6 + 0.5) AS BIGINT) AS avgdl_micros
 FROM dl""",
         "boosted_search": _boosted_sql,
+        "tfidf_search": tfidf_topk_sql(BM25_QUERY, 10),
+        "lm_dirichlet_search": lm_dirichlet_topk_sql(BM25_QUERY, 10),
         "synonym_search": synonym_topk_sql(_SYN_GROUPS, 10),
         "fielded_search": fielded_topk_sql(
             BM25_QUERY, 10, P_TITLE_K, _FW_TITLE, _FW_BODY),

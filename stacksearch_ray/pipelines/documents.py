@@ -174,6 +174,35 @@ def bm25_topk(sf_dir: str):
     })
 
 
+def tfidf_search(sf_dir: str):
+    """Top-10 under the registry ``tfidf`` scorer (§2.10 pluggable
+    ranking exercised end-to-end at the driver): score =
+    Σ ln(n_docs/df)·ln(1+tf). Non-bm25 scorers route through the
+    exhaustive path (stored block-max bounds are bm25-specific)."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, scorer="tfidf")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+def lm_dirichlet_search(sf_dir: str):
+    """Top-10 under query-likelihood with Dirichlet smoothing (Zhai &
+    Lafferty 2001; Lucene LMDirichletSimilarity analog) — the
+    collection-stats scorer hook: the engine binds each term's global
+    cf (segment rows / term_dict) and the corpus total_len from
+    stats.json into the registered scorer, once per query."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, scorer="lm_dirichlet")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 BOOSTS = {"merge": 2.0, "sort": 1.0, "join": 0.25,
           "stream": 1.5, "window": 0.5}
 

@@ -100,6 +100,78 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def tfidf_topk_sql(query: str, k: int = 10) -> str:
+    """Mirror of the registry ``tfidf`` scorer through the exhaustive
+    path: score = Σ_t ln(n_docs/df) · ln(1.0 + tf) — same expression
+    order as registry.tfidf_scorer (df > 0 for every joined term, so
+    Python's max(df, 1) never bites)."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(stats.n_docs / df.df) * ln(1.0 + tf.tf) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def lm_dirichlet_topk_sql(query: str, k: int = 10,
+                          mu: float = 2000.0) -> str:
+    """Mirror of the registry ``lm_dirichlet`` collection-stats scorer
+    (Zhai & Lafferty 2001): per (doc, term)
+    max(0, ln(1 + tf/((mu·cf)/total_len)) + ln(mu/(dl+mu))), summed per
+    doc — identical float expression order to registry.lm_dirichlet_
+    scorer. cf = collection frequency over kept tokens; total_len =
+    Σ dl (integer-valued doubles, exact under any summation order)."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT sum(dl) AS total_len FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( greatest(0.0,
+              ln(1.0 + tf.tf / (({mu} * cf.cf) / stats.total_len))
+              + ln({mu} / (dl.dl + {mu}))) ) AS score
+  FROM tf
+  JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def synonym_topk_sql(groups: list[list[str]], k: int = 10) -> str:
     """Mirror of QueryEngine.search_synonym_groups: per (doc, group)
     MAX of the member terms' idf·part contributions, summed over groups

@@ -98,6 +98,10 @@ class QueryEngine:
         self.avgdl = float(self.stats["avgdl"])
         self.k1 = float(self.stats["k1"])
         self.b = float(self.stats["b"])
+        # total kept tokens over ALIVE docs (build writes it; delete
+        # subtracts the removed doc_lens) — collection-stats scorers
+        # (lm_dirichlet) read it as p(t|C)'s denominator
+        self.total_len = int(self.stats["total_len"])
         self.block_size = int(self.stats["block_size"])
         self.doclens = _DocLens(os.path.join(index_dir, "docs"), shard_subset)
         # tombstoned docs (delete_from_index) stay physically present
@@ -228,6 +232,20 @@ class QueryEngine:
             ddf = self._deleted_df(terms)
             dfs = {t: dfs[t] - ddf[t] for t in terms}
         return dfs
+
+    def _cf_global(self, terms: list[str],
+                   segs: dict[str, list[dict]]) -> dict[str, int]:
+        """Global PHYSICAL collection frequency per term. Full engine:
+        sum over the term's segment rows (already fetched). Shard
+        subset: term_dict lookup (a subset's local cf would skew
+        p(t|C)). Physical = counts tombstoned docs' occurrences until
+        purge/compact (purge keeps term_dict cf exact incrementally)."""
+        if self.shard_subset is None:
+            return {t: sum(r["cf"] for r in segs[t]) for t in terms}
+        t = pq.read_table(self._term_dict_dir, columns=["term", "cf"],
+                          filters=[("term", "in", terms)])
+        found = dict(zip(t["term"].to_pylist(), t["cf"].to_pylist()))
+        return {m: int(found.get(m, 0)) for m in terms}
 
     def _deleted_df(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._ddf_cache]
@@ -416,17 +434,38 @@ class QueryEngine:
         chosen = sorted(weights, key=lambda t: (-weights[t], t))[:fb_terms]
         return [(t, weights[t]) for t in chosen]
 
+    def _resolve_scorer(self, scorer: str, terms: list[str],
+                        segs: dict[str, list[dict]]):
+        """None for bm25 (the inlined fast path); otherwise a closure
+        ``fn(tfs, dls, df_global, term) -> float64 ndarray`` over the
+        registered scorer. A scorer whose signature declares ``cf`` (or
+        ``**kwargs``) is a collection-stats scorer (registry.py): its
+        per-term global cf and the corpus total_len are bound here, once
+        per query."""
+        if scorer == "bm25":
+            return None
+        import inspect
+
+        from .registry import get_scorer
+
+        custom = get_scorer(scorer)
+        params = inspect.signature(custom).parameters
+        if "cf" in params or any(p.kind == p.VAR_KEYWORD
+                                 for p in params.values()):
+            cfs = self._cf_global(terms, segs)
+            return lambda tfs, dls, dfg, t: custom(
+                tfs, dls, dfg, self.n_docs, self.avgdl,
+                cf=cfs[t], total_len=self.total_len)
+        return lambda tfs, dls, dfg, t: custom(
+            tfs, dls, dfg, self.n_docs, self.avgdl)
+
     def _search_exhaustive(self, terms: list[str], k: int,
                            scorer: str = "bm25",
                            allowed: np.ndarray | None = None,
                            boosts: dict[str, float] | None = None
                            ) -> list[tuple[int, float]]:
-        custom = None
-        if scorer != "bm25":
-            from .registry import get_scorer
-
-            custom = get_scorer(scorer)
         segs = self._segments_for(terms)
+        custom = self._resolve_scorer(scorer, terms, segs)
         dfs = self._df_global(terms, segs)
         # dense accumulator over the engine's sorted local doc-id space:
         # no per-query np.unique sort — each segment row scatters once
@@ -451,8 +490,7 @@ class QueryEngine:
                 if custom is None:
                     acc[didx] += w * part
                 else:
-                    acc[didx] += custom(tfs, dls, df_global, self.n_docs,
-                                        self.avgdl)
+                    acc[didx] += custom(tfs, dls, df_global, t)
                 hit[didx] = True
                 any_rows = True
         if not any_rows:
@@ -1113,12 +1151,8 @@ class QueryEngine:
             apos = apos[self._alive[apos]]
         if len(apos) == 0:
             return []
-        custom = None
-        if scorer != "bm25":
-            from .registry import get_scorer
-
-            custom = get_scorer(scorer)
         segs = self._segments_for(terms)
+        custom = self._resolve_scorer(scorer, terms, segs)
         dfs = self._df_global(terms, segs)
         acc = np.zeros(len(apos), dtype=np.float64)
         hit = np.zeros(len(apos), dtype=bool)
@@ -1141,8 +1175,7 @@ class QueryEngine:
                 if custom is None:
                     acc[ai] += w * part[src]
                 else:
-                    acc[ai] += custom(tfs, dls, df_global, self.n_docs,
-                                      self.avgdl)[src]
+                    acc[ai] += custom(tfs, dls, df_global, t)[src]
                 hit[ai] = True
         cand = np.flatnonzero(hit)
         if len(cand) == 0:

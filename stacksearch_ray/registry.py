@@ -10,7 +10,11 @@ Ours: named registries for tokenizers, scorers and sources. A scorer is
 ``fn(tf, doc_len, df, n_docs, avgdl) -> float64 ndarray`` (idf-inclusive,
 vectorized over postings); the query engine's exhaustive path accepts any
 registered scorer, so ranking functions beyond BM25 (TF-IDF, constant,
-user-defined) plug in without touching the engine.
+user-defined) plug in without touching the engine. A scorer that also
+declares keyword params ``cf`` / ``total_len`` (or ``**kwargs``) is a
+COLLECTION-STATS scorer: the engine passes the term's global collection
+frequency and the corpus's total kept-token count (language-model
+similarities need p(t|C) = cf/total_len — see ``lm_dirichlet``).
 """
 
 from __future__ import annotations
@@ -94,3 +98,30 @@ def match_count_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
                        n_docs: int, avgdl: float) -> np.ndarray:
     """Coordination-level ranking: one point per matched query term."""
     return np.ones(len(tf), dtype=np.float64)
+
+
+@register_scorer("lm_dirichlet")
+def lm_dirichlet_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
+                        n_docs: int, avgdl: float, *,
+                        cf: int, total_len: int,
+                        mu: float = 2000.0) -> np.ndarray:
+    """Query-likelihood with Dirichlet smoothing (Zhai & Lafferty 2001;
+    the Lucene ``LMDirichletSimilarity`` analog), per-term clamp at 0:
+
+        score(t, d) = max(0, ln(1 + tf / (mu · cf/total_len))
+                             + ln(mu / (dl + mu)))
+
+    Collection-stats scorer: declares keyword params ``cf`` (global
+    collection frequency of the term) and ``total_len`` (total kept
+    tokens) — the engine detects them in the signature and supplies
+    both (query.py _search_exhaustive). cf is PHYSICAL (segment/
+    term_dict counts): exact on clean, purged or compacted indexes;
+    with pending tombstones it still counts the deleted docs'
+    occurrences (purge_doc_ids / compact_index restore exactness),
+    while result masking stays exact either way. Expression order is
+    mirrored by the DuckDB oracle (pipelines/sql.py) micros-bitwise:
+    ln(1.0 + tf / ((mu · cf) / total_len)) + ln(mu / (dl + mu))."""
+    s = (np.log(1.0 + tf.astype(np.float64) / (mu * float(cf)
+                                               / float(total_len)))
+         + np.log(mu / (doc_len.astype(np.float64) + mu)))
+    return np.maximum(0.0, s)

@@ -1,0 +1,156 @@
+"""Collection-stats scorer hook (lm_dirichlet) + tfidf through the
+driver path: brute-force ground truth, shard-subset bitwise identity,
+filtered-plan identity, tombstone masking."""
+
+import math
+
+import numpy as np
+import pytest
+
+from stacksearch_ray.corpus import generate_corpus, write_corpus
+from stacksearch_ray.text import clean_query
+
+MU = 2000.0
+
+
+@pytest.fixture(scope="module")
+def lm_index(ray_session, tmp_path_factory):
+    from stacksearch_ray.build import build_index
+
+    root = tmp_path_factory.mktemp("scorers")
+    corpus_dir = str(root / "corpus")
+    index_dir = str(root / "index")
+    write_corpus(corpus_dir, 300, rows_per_file=75)
+    build_index(corpus_dir, index_dir, num_shards=4)
+    return corpus_dir, index_dir
+
+
+def _brute_lm(query: str, n_rows: int = 300) -> dict[int, float]:
+    """Ground-truth LM-Dirichlet scores straight from the corpus text,
+    independent of the index: per-term clamp at 0, summed in sorted-term
+    order (the engine's accumulation order)."""
+    from stacksearch_ray.schema import doc_id_for
+
+    tbl = generate_corpus(n_rows)
+    docs = {}
+    for i in range(n_rows):
+        did = doc_id_for(tbl["repo"][i].as_py(), tbl["path"][i].as_py(),
+                         tbl["commit"][i].as_py())
+        docs[did] = clean_query(tbl["content"][i].as_py(), max_tokens=None)
+    total_len = sum(len(t) for t in docs.values() if t)
+    terms = sorted(set(clean_query(query)))
+    cf = {t: sum(toks.count(t) for toks in docs.values()) for t in terms}
+    scores: dict[int, float] = {}
+    for did, toks in docs.items():
+        if not toks:
+            continue
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or cf[t] == 0:
+                continue
+            val = (math.log(1.0 + tf / (MU * float(cf[t]) / float(total_len)))
+                   + math.log(MU / (len(toks) + MU)))
+            s += max(0.0, val)
+        if s > 0.0:
+            scores[did] = s
+    return scores
+
+
+def test_lm_dirichlet_matches_brute_force(lm_index):
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir = lm_index
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    res = eng.search(q, 10, scorer="lm_dirichlet")
+    assert len(res) == 10
+    truth = _brute_lm(q)
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in res] == [d for d, _ in want]
+    for (d, s), (_, ws) in zip(res, want):
+        assert s == pytest.approx(ws, abs=1e-12), d
+
+
+def test_lm_dirichlet_shard_subset_bitwise(lm_index):
+    """Disjoint shard-subset engines (cf via term_dict) reproduce the
+    full engine's lm scores bitwise — every doc lives in exactly one
+    subset, so the union of per-subset results re-ranked equals full."""
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir = lm_index
+    full = QueryEngine(index_dir)
+    q = "def return import"
+    want = full.search(q, 20, scorer="lm_dirichlet")
+    got = []
+    for subset in ([0, 1], [2, 3]):
+        got += QueryEngine(index_dir, shard_subset=subset).search(
+            q, 20, scorer="lm_dirichlet")
+    got.sort(key=lambda r: (-r[1], r[0]))
+    assert got[:len(want)] == want  # floats compared EXACTLY
+
+
+def test_lm_dirichlet_filtered_plans_identical(lm_index):
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir = lm_index
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    base = dict(eng.search(q, 300, scorer="lm_dirichlet"))
+    allowed = sorted(base)[::3][:20]
+    dense = eng.search_filtered(q, 10, allowed_doc_ids=allowed,
+                                plan="dense", scorer="lm_dirichlet")
+    sel = eng.search_filtered(q, 10, allowed_doc_ids=allowed,
+                              plan="selective", scorer="lm_dirichlet")
+    assert dense == sel
+    for d, s in dense:
+        assert s == base[d]  # filtering never changes a survivor's score
+
+
+def test_lm_dirichlet_masks_deleted(ray_session, tmp_path_factory):
+    from stacksearch_ray.append import delete_from_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("scorers_del")
+    corpus_dir = str(root / "corpus")
+    index_dir = str(root / "index")
+    write_corpus(corpus_dir, 120, rows_per_file=60)
+    build_index(corpus_dir, index_dir, num_shards=2)
+    q = "def return import"
+    top = QueryEngine(index_dir).search(q, 3, scorer="lm_dirichlet")
+    victim = top[0][0]
+    delete_from_index(index_dir, [victim])
+    res = QueryEngine(index_dir).search(q, 10, scorer="lm_dirichlet")
+    assert victim not in {d for d, _ in res}
+
+
+def test_tfidf_matches_brute_force(lm_index):
+    from stacksearch_ray.query import QueryEngine
+    from stacksearch_ray.schema import doc_id_for
+
+    _, index_dir = lm_index
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    res = eng.search(q, 10, scorer="tfidf")
+    tbl = generate_corpus(300)
+    docs = {}
+    for i in range(300):
+        did = doc_id_for(tbl["repo"][i].as_py(), tbl["path"][i].as_py(),
+                         tbl["commit"][i].as_py())
+        toks = clean_query(tbl["content"][i].as_py(), max_tokens=None)
+        if toks:
+            docs[did] = toks
+    n_docs = len(docs)
+    terms = sorted(set(clean_query(q)))
+    df = {t: sum(t in toks for toks in docs.values()) for t in terms}
+    truth = {}
+    for did, toks in docs.items():
+        s = sum(math.log(n_docs / max(df[t], 1)) * math.log(1.0 + toks.count(t))
+                for t in terms if toks.count(t))
+        if s > 0.0:
+            truth[did] = s
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in res] == [d for d, _ in want]
+    for (d, s), (_, ws) in zip(res, want):
+        assert s == pytest.approx(ws, abs=1e-12), d
