@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_search": P.boosted_search,
         "tfidf_search": P.tfidf_search,
         "lm_dirichlet_search": P.lm_dirichlet_search,
+        "lm_jm_search": P.lm_jm_search,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_topk_sql,
         kept_tokens_cte,
         lm_dirichlet_topk_sql,
+        lm_jm_topk_sql,
         ngram_cte,
         fielded_topk_sql,
         tfidf_topk_sql,
@@ -603,6 +605,7 @@ FROM dl""",
         "boosted_search": _boosted_sql,
         "tfidf_search": tfidf_topk_sql(BM25_QUERY, 10),
         "lm_dirichlet_search": lm_dirichlet_topk_sql(BM25_QUERY, 10),
+        "lm_jm_search": lm_jm_topk_sql(BM25_QUERY, 10),
         "synonym_search": synonym_topk_sql(_SYN_GROUPS, 10),
         "fielded_search": fielded_topk_sql(
             BM25_QUERY, 10, P_TITLE_K, _FW_TITLE, _FW_BODY),

@@ -203,6 +203,20 @@ def lm_dirichlet_search(sf_dir: str):
     })
 
 
+def lm_jm_search(sf_dir: str):
+    """Top-10 under query-likelihood with Jelinek-Mercer smoothing
+    (Zhai & Lafferty 2001; Lucene LMJelinekMercerSimilarity analog) —
+    the second collection-stats scorer through the §2.10 hook, proving
+    the cf/total_len binding is scorer-generic."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, scorer="lm_jelinek_mercer")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 BOOSTS = {"merge": 2.0, "sort": 1.0, "join": 0.25,
           "stream": 1.5, "window": 0.5}
 

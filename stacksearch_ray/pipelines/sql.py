@@ -172,6 +172,43 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def lm_jm_topk_sql(query: str, k: int = 10, lam: float = 0.1) -> str:
+    """Mirror of the registry ``lm_jelinek_mercer`` collection-stats
+    scorer: per (doc, term) ln(1 + coef·(tf/dl) / (cf/total_len)) with
+    coef = (1-λ)/λ computed in Python and injected as a literal —
+    identical float expression order to registry.lm_jelinek_mercer_
+    scorer."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    coef = (1.0 - lam) / lam
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT sum(dl) AS total_len FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + ({coef!r} * (tf.tf / dl.dl))
+                 / (cf.cf / stats.total_len)) ) AS score
+  FROM tf
+  JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def synonym_topk_sql(groups: list[list[str]], k: int = 10) -> str:
     """Mirror of QueryEngine.search_synonym_groups: per (doc, group)
     MAX of the member terms' idf·part contributions, summed over groups

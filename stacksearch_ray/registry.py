@@ -125,3 +125,26 @@ def lm_dirichlet_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
                                                / float(total_len)))
          + np.log(mu / (doc_len.astype(np.float64) + mu)))
     return np.maximum(0.0, s)
+
+
+@register_scorer("lm_jelinek_mercer")
+def lm_jelinek_mercer_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
+                             n_docs: int, avgdl: float, *,
+                             cf: int, total_len: int,
+                             lam: float = 0.1) -> np.ndarray:
+    """Query-likelihood with Jelinek-Mercer (linear) smoothing (Zhai &
+    Lafferty 2001; the Lucene ``LMJelinekMercerSimilarity`` analog):
+
+        score(t, d) = ln(1 + ((1-λ)/λ) · (tf/dl) / (cf/total_len))
+
+    Always ≥ 0 for tf ≥ 1, so no clamp. Collection-stats scorer like
+    ``lm_dirichlet`` (same cf/total_len binding and the same exactness
+    caveats with pending tombstones). The DuckDB oracle
+    (pipelines/sql.py lm_jm_topk_sql) mirrors the float expression
+    order micros-bitwise: the (1-λ)/λ coefficient is computed HERE and
+    injected into the SQL as a literal so both engines use the
+    identical double."""
+    coef = (1.0 - lam) / lam
+    return np.log(1.0 + (coef * (tf.astype(np.float64)
+                                 / doc_len.astype(np.float64)))
+                  / (float(cf) / float(total_len)))

@@ -125,6 +125,45 @@ def test_lm_dirichlet_masks_deleted(ray_session, tmp_path_factory):
     assert victim not in {d for d, _ in res}
 
 
+def test_lm_jelinek_mercer_matches_brute_force(lm_index):
+    from stacksearch_ray.query import QueryEngine
+    from stacksearch_ray.schema import doc_id_for
+
+    _, index_dir = lm_index
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    res = eng.search(q, 10, scorer="lm_jelinek_mercer")
+    assert len(res) == 10
+    tbl = generate_corpus(300)
+    docs = {}
+    for i in range(300):
+        did = doc_id_for(tbl["repo"][i].as_py(), tbl["path"][i].as_py(),
+                         tbl["commit"][i].as_py())
+        toks = clean_query(tbl["content"][i].as_py(), max_tokens=None)
+        if toks:
+            docs[did] = toks
+    total_len = sum(len(t) for t in docs.values())
+    terms = sorted(set(clean_query(q)))
+    cf = {t: sum(toks.count(t) for toks in docs.values()) for t in terms}
+    lam = 0.1
+    coef = (1.0 - lam) / lam
+    truth = {}
+    for did, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or cf[t] == 0:
+                continue
+            s += math.log(1.0 + (coef * (tf / len(toks)))
+                          / (cf[t] / total_len))
+        if s > 0.0:
+            truth[did] = s
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in res] == [d for d, _ in want]
+    for (d, s), (_, ws) in zip(res, want):
+        assert s == pytest.approx(ws, abs=1e-12), d
+
+
 def test_tfidf_matches_brute_force(lm_index):
     from stacksearch_ray.query import QueryEngine
     from stacksearch_ray.schema import doc_id_for
