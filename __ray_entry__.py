@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": P.tfidf_search,
         "lm_dirichlet_search": P.lm_dirichlet_search,
         "lm_jm_search": P.lm_jm_search,
+        "feature_boost_search": P.feature_boost_search,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
     from stacksearch_ray.functions.textstats import LANG_MARKERS
     from stacksearch_ray.pipelines.documents import (
         BM25_QUERY,
+        FEATURE_BOOST_W as _FB_W,
         FIELD_W_BODY as _FW_BODY,
         FIELD_W_TITLE as _FW_TITLE,
         PRF_BETA as _PRF_BETA,
@@ -265,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         kept_tokens_cte,
         lm_dirichlet_topk_sql,
         lm_jm_topk_sql,
+        feature_boost_topk_sql,
         ngram_cte,
         fielded_topk_sql,
         tfidf_topk_sql,
@@ -606,6 +609,7 @@ FROM dl""",
         "tfidf_search": tfidf_topk_sql(BM25_QUERY, 10),
         "lm_dirichlet_search": lm_dirichlet_topk_sql(BM25_QUERY, 10),
         "lm_jm_search": lm_jm_topk_sql(BM25_QUERY, 10),
+        "feature_boost_search": feature_boost_topk_sql(BM25_QUERY, 10, _FB_W),
         "synonym_search": synonym_topk_sql(_SYN_GROUPS, 10),
         "fielded_search": fielded_topk_sql(
             BM25_QUERY, 10, P_TITLE_K, _FW_TITLE, _FW_BODY),

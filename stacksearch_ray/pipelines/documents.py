@@ -217,6 +217,28 @@ def lm_jm_search(sf_dir: str):
     })
 
 
+FEATURE_BOOST_W = 0.25
+
+
+def feature_boost_search(sf_dir: str):
+    """Function-score search (Lucene FunctionScoreQuery / ES
+    function_score additive analog): combined = bm25 + 0.25·ln(1+n_chars)
+    — a static doc-value prior (here: document length in chars) folded
+    into ranking at query time. The feature column is a column-pruned
+    read of the docs table; at scale it is the doc-values sidecar."""
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "n_chars"])
+    feat = np.log(1.0 + t["n_chars"].to_numpy().astype(np.float64))
+    res = eng.search_feature_boost(
+        BM25_QUERY, 10, feature_ids=t["doc_id"].to_numpy(),
+        feature_vals=feat, weight=FEATURE_BOOST_W)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 BOOSTS = {"merge": 2.0, "sort": 1.0, "join": 0.25,
           "stream": 1.5, "window": 0.5}
 

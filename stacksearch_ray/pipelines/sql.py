@@ -172,6 +172,25 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def feature_boost_topk_sql(query: str, k: int = 10,
+                           weight: float = 0.25) -> str:
+    """Mirror of QueryEngine.search_feature_boost with feature =
+    ln(1 + n_chars) from the documents table: combined =
+    bm25_score + weight·ln(1.0 + n_chars) per matched doc — identical
+    float expression order to the engine's acc + weight·feat."""
+    return bm25_scores_sql(query) + f"""
+SELECT s.doc_id,
+       CAST(floor((s.score + {weight!r} * ln(1.0 + d.n_chars)) * 1e6 + 0.5)
+            AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (
+            ORDER BY (s.score + {weight!r} * ln(1.0 + d.n_chars)) DESC,
+                     s.doc_id ASC) AS BIGINT) AS rank
+FROM scores s
+JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY (s.score + {weight!r} * ln(1.0 + d.n_chars)) DESC, s.doc_id ASC
+LIMIT {k}"""
+
+
 def lm_jm_topk_sql(query: str, k: int = 10, lam: float = 0.1) -> str:
     """Mirror of the registry ``lm_jelinek_mercer`` collection-stats
     scorer: per (doc, term) ln(1 + coef·(tf/dl) / (cf/total_len)) with

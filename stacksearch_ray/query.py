@@ -459,10 +459,43 @@ class QueryEngine:
         return lambda tfs, dls, dfg, t: custom(
             tfs, dls, dfg, self.n_docs, self.avgdl)
 
+    def search_feature_boost(self, query: str, k: int = 10, *,
+                             feature_ids, feature_vals,
+                             weight: float = 1.0, scorer: str = "bm25"
+                             ) -> list[tuple[int, float]]:
+        """Function-score ranking (the Lucene ``FunctionScoreQuery`` /
+        ES ``function_score`` additive analog): combined(d) =
+        text_score(d) + weight·feature(d) over docs matching ≥1 query
+        term — a static doc-value signal (popularity, recency, length
+        prior) folded into ranking at query time.
+
+        ``feature_ids`` / ``feature_vals``: parallel arrays mapping
+        doc_id → feature value; docs without a row default to 0.0.
+        Exhaustive-only (the stored block-max bounds upper-bound the
+        text score, not the combined score). Float expression order is
+        ``acc + weight·feat`` per doc, mirrored by the DuckDB oracle
+        (pipelines/sql.py feature_boost_topk_sql) micros-bitwise."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        ids = np.asarray(feature_ids, dtype=np.int64)
+        vals = np.asarray(feature_vals, dtype=np.float64)
+        n_local = len(self.doclens.ids)
+        feat = np.zeros(n_local, dtype=np.float64)
+        pos = np.searchsorted(self.doclens.ids, ids)
+        ok = pos < n_local
+        pos = pos[ok]
+        hitsel = self.doclens.ids[pos] == ids[ok]
+        feat[pos[hitsel]] = vals[ok][hitsel]
+        return self._search_exhaustive(terms, k, scorer,
+                                       feature=feat, feature_weight=weight)
+
     def _search_exhaustive(self, terms: list[str], k: int,
                            scorer: str = "bm25",
                            allowed: np.ndarray | None = None,
-                           boosts: dict[str, float] | None = None
+                           boosts: dict[str, float] | None = None,
+                           feature: np.ndarray | None = None,
+                           feature_weight: float = 1.0
                            ) -> list[tuple[int, float]]:
         segs = self._segments_for(terms)
         custom = self._resolve_scorer(scorer, terms, segs)
@@ -495,6 +528,12 @@ class QueryEngine:
                 any_rows = True
         if not any_rows:
             return []
+        if feature is not None:
+            # additive doc-value boost over matched docs only — the
+            # per-doc expression is acc + weight·feat, the exact order
+            # the SQL oracle spells (score + w * ln(...))
+            m = np.flatnonzero(hit)
+            acc[m] = acc[m] + feature_weight * feature[m]
         return self._topk_dense(acc, hit, k, allowed)
 
     def _topk_dense(self, acc: np.ndarray, hit: np.ndarray, k: int,

@@ -125,6 +125,56 @@ def test_lm_dirichlet_masks_deleted(ray_session, tmp_path_factory):
     assert victim not in {d for d, _ in res}
 
 
+def test_feature_boost_weight_zero_is_plain_bm25(lm_index):
+    """weight=0 → combined == text score bitwise (the additive term is
+    0.0·feat, and x + 0.0 is exact for finite x)."""
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir = lm_index
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    plain = eng.search(q, 15, method="exhaustive")
+    ids = np.array([d for d, _ in plain], np.int64)
+    boosted = eng.search_feature_boost(
+        q, 15, feature_ids=np.sort(ids), feature_vals=np.ones(len(ids)),
+        weight=0.0)
+    assert boosted == plain
+
+
+def test_feature_boost_reranks_and_defaults_zero(lm_index):
+    """A large feature on one low-ranked doc promotes it to rank 1;
+    docs without a feature row keep their plain text score exactly."""
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir = lm_index
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    plain = eng.search(q, 20, method="exhaustive")
+    victim, vscore = plain[-1]
+    res = eng.search_feature_boost(
+        q, 20, feature_ids=np.array([victim], np.int64),
+        feature_vals=np.array([100.0]), weight=1.0)
+    assert res[0][0] == victim
+    assert res[0][1] == vscore + 1.0 * 100.0
+    unboosted = {d: s for d, s in res if d != victim}
+    for d, s in plain[:-1]:
+        if d in unboosted:
+            assert unboosted[d] == s  # feature defaults 0 → score unchanged
+
+
+def test_feature_boost_unknown_ids_ignored(lm_index):
+    from stacksearch_ray.query import QueryEngine
+
+    _, index_dir = lm_index
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    plain = eng.search(q, 10, method="exhaustive")
+    res = eng.search_feature_boost(
+        q, 10, feature_ids=np.array([-1, 2**62], np.int64),
+        feature_vals=np.array([5.0, 7.0]), weight=1.0)
+    assert res == plain
+
+
 def test_lm_jelinek_mercer_matches_brute_force(lm_index):
     from stacksearch_ray.query import QueryEngine
     from stacksearch_ray.schema import doc_id_for
