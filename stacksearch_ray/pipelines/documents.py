@@ -4521,6 +4521,58 @@ def fuzzy_vocab_match(sf_dir: str):
     })
 
 
+SPELL_PROBES = ("mrege", "sortt", "jion", "streem", "windoww",
+                "qurey", "zzzzqq")
+
+
+def spellfix_search(sf_dir: str):
+    """End-to-end "did you mean" retrieval (Lucene DirectSpellChecker →
+    re-query analog): each query token is corrected to the best vocab
+    term within Levenshtein distance ≤ 2 — (dist asc, df desc, term asc)
+    tie-break — tokens with no neighborhood are dropped, then the
+    corrected term set runs plain BM25 top-10. Distances come from the
+    Myers bit-parallel kernel (exact Levenshtein for terms ≤64 chars);
+    candidate generation is length-blocked (||t|-|p|| ≤ 2 is implied by
+    dist ≤ 2, so blocking is pure pruning). At scale the vocab pass is
+    a map over the term_dict Dataset; only the ≤2-edit neighborhood
+    reaches the driver."""
+    from ..functions.curation import _encode_ascii, myers_levenshtein
+
+    eng = _index_for(sf_dir)
+    probes = list(SPELL_PROBES)
+    t = pq.read_table(eng._term_dict_dir, columns=["term", "df"])
+    terms = pd.Series(t["term"].to_pylist())
+    dfv = np.asarray(t["df"].to_pylist(), dtype=np.int64)
+    p_codes, p_lens = _encode_ascii(pd.Series(probes), 64)
+    t_codes, t_lens = _encode_ascii(terms, 64)
+    t_arr = terms.to_numpy(dtype=object)
+    corrected: set[str] = set()
+    for i, p in enumerate(probes):
+        cand = np.flatnonzero(np.abs(t_lens - p_lens[i]) <= 2)
+        if len(cand) == 0:
+            continue
+        d = myers_levenshtein(
+            np.repeat(p_codes[i][None, :], len(cand), axis=0),
+            np.full(len(cand), p_lens[i], dtype=np.int64),
+            t_codes[cand], t_lens[cand])
+        hit = d <= 2
+        if not hit.any():
+            continue
+        ct, cd, cdf = t_arr[cand[hit]], d[hit], dfv[cand[hit]]
+        j = np.lexsort((ct, -cdf, cd))[0]  # dist asc, df desc, term asc
+        corrected.add(str(ct[j]))
+    if not corrected:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_micros": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    res = eng.search(" ".join(sorted(corrected)), 10, method="exhaustive")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 SHUFFLE_SEED = 7
 SHUFFLE_BUCKETS = 64
 

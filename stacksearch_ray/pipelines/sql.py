@@ -191,6 +191,58 @@ ORDER BY (s.score + {weight!r} * ln(1.0 + d.n_chars)) DESC, s.doc_id ASC
 LIMIT {k}"""
 
 
+def spellfix_topk_sql(probes: tuple[str, ...], k: int = 10,
+                      k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of the spellfix_search entry: per probe, the best vocab
+    term within levenshtein ≤ 2 — (dist asc, df desc, term asc) —
+    then the plain bm25 chain over the DISTINCT corrected terms.
+    DuckDB's levenshtein == the entry's Myers kernel (exact edit
+    distance); vocab df == count(DISTINCT doc_id) == the term_dict df."""
+    probes_values = ", ".join(f"('{p}')" for p in probes)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS vdf
+          FROM kept GROUP BY 1),
+probes(probe) AS (VALUES {probes_values}),
+cand AS (
+  SELECT p.probe, v.term, v.vdf,
+         levenshtein(p.probe, v.term)::BIGINT AS dist
+  FROM probes p JOIN vocab v ON levenshtein(p.probe, v.term) <= 2
+),
+best AS (
+  SELECT probe, term FROM (
+    SELECT probe, term, row_number() OVER (
+        PARTITION BY probe ORDER BY dist ASC, vdf DESC, term ASC) AS rn
+    FROM cand) WHERE rn = 1
+),
+qterms AS (SELECT DISTINCT term FROM best),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (({k1} + 1.0) * tf.tf
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def lm_jm_topk_sql(query: str, k: int = 10, lam: float = 0.1) -> str:
     """Mirror of the registry ``lm_jelinek_mercer`` collection-stats
     scorer: per (doc, term) ln(1 + coef·(tf/dl) / (cf/total_len)) with

@@ -102,3 +102,19 @@ def test_sampled_entries_match_oracle(entry_mod, name):
     a = mine[sorted(mine.columns)].astype(str).apply("|".join, axis=1)
     b = oracle[sorted(oracle.columns)].astype(str).apply("|".join, axis=1)
     assert sorted(a) == sorted(b), name
+
+
+def test_spellfix_corrects_to_expected_terms(entry_mod):
+    """spellfix_search == plain BM25 over the hand-derived corrections
+    (mrege→merge, sortt→sort, jion→join, streem→stream, windoww→window,
+    qurey→query, zzzzqq→dropped) — pins the correction step end-to-end
+    against the documents vocab."""
+    from stacksearch_ray.micros import to_micros
+    from stacksearch_ray.pipelines.documents import _index_for, spellfix_search
+
+    got = spellfix_search(SF).to_pandas()
+    eng = _index_for(SF)
+    res = eng.search("join merge query sort stream window", 10,
+                     method="exhaustive")
+    assert list(got["doc_id"]) == [d for d, _ in res]
+    assert list(got["score_micros"]) == [to_micros(s) for _, s in res]
