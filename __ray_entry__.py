@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm_search": P.lm_jm_search,
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
+        "ir_eval": P.ir_eval,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -258,6 +259,8 @@ def oracle_sql() -> dict[str, str]:
         PRF_BETA as _PRF_BETA,
         PRF_FB_DOCS as _PRF_FB_DOCS,
         PRF_FB_TERMS as _PRF_FB_TERMS,
+        IR_EVAL_K as _IR_K,
+        IR_EVAL_QUERIES as _IR_QUERIES,
         SPELL_PROBES as _SPELL_PROBES,
         SYN_GROUPS as _SYN_GROUPS,
         TITLE_K as P_TITLE_K,
@@ -271,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         lm_jm_topk_sql,
         feature_boost_topk_sql,
         spellfix_topk_sql,
+        ir_eval_sql,
         ngram_cte,
         fielded_topk_sql,
         tfidf_topk_sql,
@@ -614,6 +618,7 @@ FROM dl""",
         "lm_jm_search": lm_jm_topk_sql(BM25_QUERY, 10),
         "feature_boost_search": feature_boost_topk_sql(BM25_QUERY, 10, _FB_W),
         "spellfix_search": spellfix_topk_sql(_SPELL_PROBES, 10),
+        "ir_eval": ir_eval_sql(_IR_QUERIES, _IR_K),
         "synonym_search": synonym_topk_sql(_SYN_GROUPS, 10),
         "fielded_search": fielded_topk_sql(
             BM25_QUERY, 10, P_TITLE_K, _FW_TITLE, _FW_BODY),

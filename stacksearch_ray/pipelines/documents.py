@@ -12,6 +12,7 @@ The documents table maps onto the engine's corpus as
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -4518,6 +4519,57 @@ def fuzzy_vocab_match(sf_dir: str):
         "dist": pa.array(out["dist"].to_numpy(np.int64)),
         "df": pa.array(out["df"].to_numpy(np.int64)),
         "rank": pa.array(out["rank"].to_numpy(np.int64)),
+    })
+
+
+IR_EVAL_QUERIES = ("merge sort", "dup scan", "dup query window",
+                   "filter vector", "dup")
+IR_EVAL_K = 10
+
+
+def ir_eval(sf_dir: str):
+    """Distributed IR evaluation (the A8 results-aggregation surface as
+    ranking-quality metrics): for each fixed query, BM25 top-10 is
+    scored against conjunctive relevance (a doc is relevant iff it
+    contains EVERY query term — the classic pseudo-qrels). Per query:
+    n_rel, hits@10, reciprocal rank, DCG@10 and ideal-DCG@10 (natural
+    log, binary gains). DCG sums travel per-row round-then-sum in
+    micros (CLAUDE.md rule 4) so both engines sum exact int64; nDCG =
+    dcg/idcg is derivable and base-invariant."""
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    out = {c: [] for c in ("query", "n_rel", "hits_at_10", "rr_micros",
+                           "dcg_micros", "idcg_micros")}
+    for q in sorted(IR_EVAL_QUERIES):
+        terms = sorted(set(clean_query(q)))
+        rel: np.ndarray | None = None
+        for t in terms:
+            ids = eng.term_doc_ids(t)
+            rel = ids if rel is None else np.intersect1d(
+                rel, ids, assume_unique=True)
+        rel = rel if rel is not None else np.empty(0, np.int64)
+        res = eng.search(q, IR_EVAL_K, method="exhaustive")
+        ranks = [r for r, (d, _) in enumerate(res, 1)
+                 if np.searchsorted(rel, d) < len(rel)
+                 and rel[np.searchsorted(rel, d)] == d]
+        rr = to_micros(1.0 / ranks[0]) if ranks else 0
+        dcg = sum(to_micros(1.0 / math.log(r + 1.0)) for r in ranks)
+        idcg = sum(to_micros(1.0 / math.log(i + 1.0))
+                   for i in range(1, min(len(rel), IR_EVAL_K) + 1))
+        out["query"].append(q)
+        out["n_rel"].append(len(rel))
+        out["hits_at_10"].append(len(ranks))
+        out["rr_micros"].append(rr)
+        out["dcg_micros"].append(dcg)
+        out["idcg_micros"].append(idcg)
+    return pa.table({
+        "query": pa.array(out["query"], pa.string()),
+        "n_rel": pa.array(out["n_rel"], pa.int64()),
+        "hits_at_10": pa.array(out["hits_at_10"], pa.int64()),
+        "rr_micros": pa.array(out["rr_micros"], pa.int64()),
+        "dcg_micros": pa.array(out["dcg_micros"], pa.int64()),
+        "idcg_micros": pa.array(out["idcg_micros"], pa.int64()),
     })
 
 

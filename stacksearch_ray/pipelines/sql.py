@@ -191,6 +191,89 @@ ORDER BY (s.score + {weight!r} * ln(1.0 + d.n_chars)) DESC, s.doc_id ASC
 LIMIT {k}"""
 
 
+def ir_eval_sql(queries: tuple[str, ...], k: int = 10,
+                k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of the ir_eval entry: one bm25 chain per (qid, doc) —
+    the proven per-query chain with a qid column — ranked per qid by
+    (score desc, doc_id asc); conjunctive relevance (doc has EVERY
+    query term); RR / DCG@k / IDCG@k in per-row-rounded micros so the
+    sums are exact int64 on both engines."""
+    qmap = {qi: sorted(set(clean_query(q)))
+            for qi, q in enumerate(sorted(queries))}
+    qterms_values = ", ".join(f"('{t}', {qi})"
+                              for qi, ts in qmap.items() for t in ts)
+    queries_values = ", ".join(f"({qi}, '{q}')"
+                               for qi, q in enumerate(sorted(queries)))
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, qid) AS (VALUES {qterms_values}),
+queries(qid, query) AS (VALUES {queries_values}),
+qsize AS (SELECT qid, count(*)::BIGINT AS nt FROM qterms GROUP BY 1),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (({k1} + 1.0) * tf.tf
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id, row_number() OVER (
+        PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scores) WHERE rank <= {k}
+),
+rel AS (
+  SELECT q.qid, tf.doc_id
+  FROM tf JOIN qterms q USING (term) JOIN qsize s ON s.qid = q.qid
+  GROUP BY q.qid, tf.doc_id, s.nt
+  HAVING count(DISTINCT tf.term) = s.nt
+),
+relcount AS (SELECT qid, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+hits AS (
+  SELECT t.qid, t.rank FROM topk t
+  JOIN rel r ON r.qid = t.qid AND r.doc_id = t.doc_id
+),
+agg AS (
+  SELECT qid, count(*)::BIGINT AS hits_at_10,
+         CAST(floor(1.0 / min(rank) * 1e6 + 0.5) AS BIGINT) AS rr_micros,
+         sum(CAST(floor(1.0 / ln(rank + 1.0) * 1e6 + 0.5) AS BIGINT))
+           AS dcg_micros
+  FROM hits GROUP BY 1
+),
+ideal AS (
+  SELECT qid,
+         sum(CAST(floor(1.0 / ln(i + 1.0) * 1e6 + 0.5) AS BIGINT))
+           AS idcg_micros
+  FROM (SELECT qid, unnest(range(1, least(n_rel, {k}) + 1)) AS i
+        FROM relcount)
+  GROUP BY 1
+)
+SELECT q.query,
+       coalesce(rc.n_rel, 0) AS n_rel,
+       coalesce(a.hits_at_10, 0) AS hits_at_10,
+       coalesce(a.rr_micros, 0) AS rr_micros,
+       CAST(coalesce(a.dcg_micros, 0) AS BIGINT) AS dcg_micros,
+       CAST(coalesce(i.idcg_micros, 0) AS BIGINT) AS idcg_micros
+FROM queries q
+LEFT JOIN relcount rc ON rc.qid = q.qid
+LEFT JOIN agg a ON a.qid = q.qid
+LEFT JOIN ideal i ON i.qid = q.qid
+ORDER BY q.query"""
+
+
 def spellfix_topk_sql(probes: tuple[str, ...], k: int = 10,
                       k1: float = 1.2, b: float = 0.75) -> str:
     """Mirror of the spellfix_search entry: per probe, the best vocab

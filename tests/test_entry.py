@@ -118,3 +118,19 @@ def test_spellfix_corrects_to_expected_terms(entry_mod):
                      method="exhaustive")
     assert list(got["doc_id"]) == [d for d, _ in res]
     assert list(got["score_micros"]) == [to_micros(s) for _, s in res]
+
+
+def test_ir_eval_metric_invariants(entry_mod):
+    """DCG@10 never exceeds ideal DCG, RR ∈ (0, 1] when any hit exists,
+    hits@10 ≤ min(n_rel, 10) — and the 3-term conjunctive query must be
+    strictly harder than the single-term one (nDCG < 1)."""
+    from stacksearch_ray.pipelines.documents import ir_eval
+
+    df = ir_eval(SF).to_pandas().set_index("query")
+    assert (df["dcg_micros"] <= df["idcg_micros"]).all()
+    assert (df["hits_at_10"] <= df[["n_rel"]].clip(upper=10)["n_rel"]).all()
+    hit_rows = df[df["hits_at_10"] > 0]
+    assert ((hit_rows["rr_micros"] > 0)
+            & (hit_rows["rr_micros"] <= 1_000_000)).all()
+    assert (df.loc["dup query window", "dcg_micros"]
+            < df.loc["dup query window", "idcg_micros"])
