@@ -1257,6 +1257,17 @@ class _ShardWorker:
                               ) -> list[tuple[int, float]]:
         return self.engine.search_synonym_groups(groups, k)
 
+    def search_feature_boost(self, query: str, k: int, feature_ref,
+                             weight: float, scorer: str = "bm25"
+                             ) -> list[tuple[int, float]]:
+        import ray
+
+        feats = (ray.get(feature_ref)
+                 if not isinstance(feature_ref, tuple) else feature_ref)
+        return self.engine.search_feature_boost(
+            query, k, feature_ids=feats[0], feature_vals=feats[1],
+            weight=weight, scorer=scorer)
+
     def explain(self, query: str, doc_id: int) -> dict:
         return self.engine.explain(query, doc_id)
 
@@ -1368,6 +1379,26 @@ class ShardedQueryEngine:
         import ray
 
         futs = [w.search_synonym_groups.remote(groups, k)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_feature_boost(self, query: str, k: int = 10, *,
+                             feature_ids, feature_vals,
+                             weight: float = 1.0, scorer: str = "bm25"
+                             ) -> list[tuple[int, float]]:
+        """Distributed function-score search: the (doc_id → feature)
+        arrays ship to the object store ONCE (ray.put) and every worker
+        reads the same copy to boost its own disjoint shard subset —
+        combined per-doc scores are shard-local, so the merge is the
+        standard score-desc/doc-asc top-k, bitwise identical to the
+        single-engine search_feature_boost."""
+        import ray
+
+        ref = ray.put((np.asarray(feature_ids, dtype=np.int64),
+                       np.asarray(feature_vals, dtype=np.float64)))
+        futs = [w.search_feature_boost.remote(query, k, ref, weight, scorer)
                 for w in self.workers]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))

@@ -76,3 +76,21 @@ def test_sharded_boosted_and_synonym_identity(index_dir):
     assert (sharded.search_synonym_groups(groups, 10)
             == eng.search_synonym_groups(groups, 10))
     assert sharded.search_synonym_groups([["zzz_missing"]], 10) == []
+
+
+def test_sharded_feature_boost_identity(index_dir):
+    import numpy as np
+
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    sharded = ShardedQueryEngine(index_dir, num_workers=3)
+    q = "def return var_1"
+    # deterministic synthetic feature over every doc in the index
+    ids = eng.doclens.ids
+    vals = np.log(1.0 + (ids % 97).astype(np.float64))
+    single = eng.search_feature_boost(q, 12, feature_ids=ids,
+                                      feature_vals=vals, weight=0.5)
+    fan = sharded.search_feature_boost(q, 12, feature_ids=ids,
+                                       feature_vals=vals, weight=0.5)
+    assert fan == single  # floats compared EXACTLY (disjoint shards)
