@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
+        "min_match_search": P.min_match_search,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         PRF_FB_DOCS as _PRF_FB_DOCS,
         PRF_FB_TERMS as _PRF_FB_TERMS,
         IR_EVAL_K as _IR_K,
+        MIN_MATCH_M as _MM_M,
         IR_EVAL_QUERIES as _IR_QUERIES,
         SPELL_PROBES as _SPELL_PROBES,
         SYN_GROUPS as _SYN_GROUPS,
@@ -275,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         feature_boost_topk_sql,
         spellfix_topk_sql,
         ir_eval_sql,
+        min_match_topk_sql,
         ngram_cte,
         fielded_topk_sql,
         tfidf_topk_sql,
@@ -619,6 +622,7 @@ FROM dl""",
         "feature_boost_search": feature_boost_topk_sql(BM25_QUERY, 10, _FB_W),
         "spellfix_search": spellfix_topk_sql(_SPELL_PROBES, 10),
         "ir_eval": ir_eval_sql(_IR_QUERIES, _IR_K),
+        "min_match_search": min_match_topk_sql(BM25_QUERY, _MM_M, 10),
         "synonym_search": synonym_topk_sql(_SYN_GROUPS, 10),
         "fielded_search": fielded_topk_sql(
             BM25_QUERY, 10, P_TITLE_K, _FW_TITLE, _FW_BODY),

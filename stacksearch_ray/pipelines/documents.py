@@ -4522,6 +4522,23 @@ def fuzzy_vocab_match(sf_dir: str):
     })
 
 
+MIN_MATCH_M = 3
+
+
+def min_match_search(sf_dir: str):
+    """Minimum-should-match retrieval (Lucene minimum_should_match):
+    BM25 top-10 over docs matching ≥3 of the 5 query terms — the
+    middle ground between OR and AND semantics; survivors keep their
+    full accumulated scores."""
+    eng = _index_for(sf_dir)
+    res = eng.search_min_should_match(BM25_QUERY, MIN_MATCH_M, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 IR_EVAL_QUERIES = ("merge sort", "dup scan", "dup query window",
                    "filter vector", "dup")
 IR_EVAL_K = 10

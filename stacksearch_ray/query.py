@@ -1151,6 +1151,43 @@ class QueryEngine:
         out["score"] = score
         return out
 
+    def search_min_should_match(self, query: str, min_match: int,
+                                k: int = 10) -> list[tuple[int, float]]:
+        """Minimum-should-match retrieval (the Lucene/ES
+        ``minimum_should_match`` analog): BM25 top-k restricted to docs
+        matching at least ``min_match`` DISTINCT query terms — the
+        middle ground between OR (min_match=1 == plain search) and AND
+        (min_match=n_terms == search_conjunctive). Surviving docs keep
+        their full accumulated scores over the terms they DO match,
+        exactly SQL's HAVING count(DISTINCT term) >= m then ORDER BY.
+
+        A doc lives in exactly one shard and each (term, shard) segment
+        row carries it at most once, so the per-doc matched-term count
+        is a plain scatter-add alongside the score accumulator."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        if min_match <= 1:
+            return self._search_exhaustive(terms, k)
+        segs = self._segments_for(terms)
+        dfs = self._df_global(terms, segs)
+        n_local = len(self.doclens.ids)
+        acc = np.zeros(n_local, dtype=np.float64)
+        nmatch = np.zeros(n_local, dtype=np.int32)
+        for t in terms:  # sorted order → deterministic accumulation
+            rows = segs[t]
+            if not rows:
+                continue
+            w = idf_fn(self.n_docs, dfs[t])
+            for i, r in enumerate(rows):
+                ids, tfs, dls, part, didx = self._decoded(t, i, r)
+                acc[didx] += w * part
+                nmatch[didx] += 1
+        hit = nmatch >= min_match
+        if not hit.any():
+            return []
+        return self._topk_dense(acc, hit, k)
+
     def search_conjunctive(self, query: str, k: int = 10,
                            scorer: str = "bm25"
                            ) -> list[tuple[int, float]]:

@@ -94,3 +94,30 @@ def test_sharded_feature_boost_identity(index_dir):
     fan = sharded.search_feature_boost(q, 12, feature_ids=ids,
                                        feature_vals=vals, weight=0.5)
     assert fan == single  # floats compared EXACTLY (disjoint shards)
+
+
+def test_min_should_match_semantics(index_dir):
+    """m=1 == plain exhaustive; m=n_terms == conjunctive; middle m keeps
+    only docs matching ≥m terms, at their full accumulated scores."""
+    import numpy as np
+
+    from stacksearch_ray.query import QueryEngine
+
+    from stacksearch_ray.text import clean_query
+
+    eng = QueryEngine(index_dir)
+    q = "def return var_1"
+    terms = sorted(set(clean_query(q)))  # var_1 tokenizes to var1
+    assert (eng.search_min_should_match(q, 1, 10)
+            == eng.search(q, 10, method="exhaustive"))
+    assert (eng.search_min_should_match(q, 3, 10)
+            == eng.search_conjunctive(q, 10))
+    mid = eng.search_min_should_match(q, 2, 50)
+    full = dict(eng.search(q, 10_000, method="exhaustive"))
+    for d, s in mid:
+        n = sum(int(np.searchsorted(eng.term_doc_ids(t), d)
+                    < len(eng.term_doc_ids(t))
+                    and eng.term_doc_ids(t)[np.searchsorted(
+                        eng.term_doc_ids(t), d)] == d) for t in terms)
+        assert n >= 2, (d, n)
+        assert s == full[d]  # survivor keeps its unfiltered score
