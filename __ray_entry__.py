@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
         "min_match_search": P.min_match_search,
+        "embedding_decontamination": P.embedding_decontamination,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -261,6 +262,8 @@ def oracle_sql() -> dict[str, str]:
         PRF_FB_DOCS as _PRF_FB_DOCS,
         PRF_FB_TERMS as _PRF_FB_TERMS,
         IR_EVAL_K as _IR_K,
+        DECON_MOD as _DC_MOD,
+        DECON_SIM_T as _DC_T,
         MIN_MATCH_M as _MM_M,
         IR_EVAL_QUERIES as _IR_QUERIES,
         SPELL_PROBES as _SPELL_PROBES,
@@ -623,6 +626,20 @@ FROM dl""",
         "spellfix_search": spellfix_topk_sql(_SPELL_PROBES, 10),
         "ir_eval": ir_eval_sql(_IR_QUERIES, _IR_K),
         "min_match_search": min_match_topk_sql(BM25_QUERY, _MM_M, 10),
+        "embedding_decontamination": f"""
+WITH bench AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS be
+               FROM embeddings WHERE vec_id % {_DC_MOD} = 0),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id % {_DC_MOD} <> 0),
+sims AS (SELECT c.vec_id, b.bid, list_cosine_similarity(c.e, b.be) AS sim
+         FROM corpus c CROSS JOIN bench b),
+best AS (SELECT vec_id, bid, sim, row_number() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, bid ASC) AS rn
+         FROM sims)
+SELECT vec_id, bid AS match_id,
+       CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros
+FROM best WHERE rn = 1 AND sim >= {_DC_T}
+ORDER BY vec_id""",
         "synonym_search": synonym_topk_sql(_SYN_GROUPS, 10),
         "fielded_search": fielded_topk_sql(
             BM25_QUERY, 10, P_TITLE_K, _FW_TITLE, _FW_BODY),

@@ -4522,6 +4522,69 @@ def fuzzy_vocab_match(sf_dir: str):
     })
 
 
+DECON_MOD = 50
+DECON_SIM_T = 0.40
+
+
+def embedding_decontamination(sf_dir: str):
+    """Fuzzy decontamination in embedding space: flag corpus vectors
+    whose max cosine against the benchmark set (vec_id % 50 == 0 — the
+    held-out eval slice) reaches the threshold, with the best-matching
+    benchmark id. The benchmark side is small BY DEFINITION, so it
+    broadcasts once (ray.put) and every batch does one matmul against
+    it — the exact shape contamination screening takes at 100 TB
+    (blocklist embeddings ≪ corpus). Ties at equal sim pick the
+    smallest benchmark id (benchmark matrix is vec_id-sorted and
+    argmax returns the first maximum)."""
+    from ..functions.similarity import _emb_matrix, _normalize
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def pick_bench(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["vec_id"].combine_chunks()).astype(np.int64)
+        return t.take(pa.array(np.flatnonzero(v % DECON_MOD == 0)))
+
+    bench = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(pick_bench, batch_format="pyarrow")
+             .to_pandas().sort_values("vec_id"))  # small by construction
+    bench_ids = bench["vec_id"].to_numpy(np.int64)
+    bench_mat = _normalize(np.asarray(
+        np.stack(bench["embedding"].to_numpy()), dtype=np.float64))
+    import ray as _ray
+    ref = _ray.put((bench_ids, bench_mat))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bids, bmat = _ray.get(ref)
+        ids = np.asarray(batch["vec_id"].combine_chunks()).astype(np.int64)
+        keep = ids % DECON_MOD != 0
+        emb = _normalize(_emb_matrix(batch, "embedding"))[keep]
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "match_id": pa.array([], pa.int64()),
+                             "sim_micros": pa.array([], pa.int64())})
+        sims = emb @ bmat.T
+        best = sims.argmax(axis=1)  # first max → smallest benchmark id
+        best_sim = sims[np.arange(len(best)), best]
+        hit = best_sim >= DECON_SIM_T
+        return pa.table({
+            "vec_id": pa.array(ids[hit], pa.int64()),
+            "match_id": pa.array(bids[best[hit]], pa.int64()),
+            "sim_micros": pa.array(
+                np.asarray([to_micros(s) for s in best_sim[hit]],
+                           dtype=np.int64)),
+        })
+
+    out = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+           .map_batches(flag, batch_format="pyarrow").to_pandas()
+           .sort_values("vec_id"))
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+        "match_id": pa.array(out["match_id"].to_numpy(np.int64)),
+        "sim_micros": pa.array(out["sim_micros"].to_numpy(np.int64)),
+    })
+
+
 MIN_MATCH_M = 3
 
 
