@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_eval": P.ir_eval,
         "min_match_search": P.min_match_search,
         "embedding_decontamination": P.embedding_decontamination,
+        "stemmed_search": P.stemmed_search,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         MIN_MATCH_M as _MM_M,
         IR_EVAL_QUERIES as _IR_QUERIES,
         SPELL_PROBES as _SPELL_PROBES,
+        STEM_QUERY as _STEM_Q,
         SYN_GROUPS as _SYN_GROUPS,
         TITLE_K as P_TITLE_K,
     )
@@ -281,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         spellfix_topk_sql,
         ir_eval_sql,
         min_match_topk_sql,
+        stemmed_topk_sql,
         ngram_cte,
         fielded_topk_sql,
         tfidf_topk_sql,
@@ -626,6 +629,7 @@ FROM dl""",
         "spellfix_search": spellfix_topk_sql(_SPELL_PROBES, 10),
         "ir_eval": ir_eval_sql(_IR_QUERIES, _IR_K),
         "min_match_search": min_match_topk_sql(BM25_QUERY, _MM_M, 10),
+        "stemmed_search": stemmed_topk_sql(_STEM_Q, 10),
         "embedding_decontamination": f"""
 WITH bench AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS be
                FROM embeddings WHERE vec_id % {_DC_MOD} = 0),

@@ -4522,6 +4522,84 @@ def fuzzy_vocab_match(sf_dir: str):
     })
 
 
+STEM_RULES = ((r"^([a-z0-9]{3,})ing$", r"\1"),
+              (r"^([a-z0-9]{3,})ed$", r"\1"),
+              (r"^([a-z0-9]{3,}[a-rt-z0-9])s$", r"\1"))
+STEM_QUERY = "sorting joins streams windows"
+
+_stem_engines: dict[str, QueryEngine] = {}
+
+
+def _stem_flat(flat: pa.Array) -> pa.Array:
+    """Vectorized suffix stemmer (s/ed/ing, ≥3-char stems) — applied in
+    rule order over the token array. Arrow, Python re and DuckDB
+    regexp_replace all use the same semantics here (RE2-compatible
+    patterns, verified token-for-token in tests)."""
+    for pat, rep in STEM_RULES:
+        flat = pc.replace_substring_regex(flat, pattern=pat, replacement=rep)
+    return flat
+
+
+def _stem_token(t: str) -> str:
+    import re
+
+    for pat, rep in STEM_RULES:
+        t = re.sub(pat, rep, t)
+    return t
+
+
+def _stem_join_batch(batch: pa.Table) -> pa.Table:
+    """Analyzer pipeline tokenize → stem → rejoin: stemmed tokens are
+    still lowercase alnum (no spaces), so re-tokenizing the joined text
+    reproduces them exactly; the build's tokenizer re-drops any token
+    that stemmed INTO a stopword, which the SQL mirror also does."""
+    flat, _, doc_lens = tokenize_array(batch["text"])
+    offs = np.concatenate(([0], np.cumsum(doc_lens))).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                     _stem_flat(flat))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "stemmed_text": pc.binary_join(lists, " ")})
+
+
+def _stemmed_index_for(sf_dir: str) -> QueryEngine:
+    """BM25 index under the stemming analyzer, built once per sf_dir
+    from a derived stemmed-text table (same pattern as _fielded_for)."""
+    if sf_dir not in _stem_engines:
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = os.path.join(CACHE_ROOT, tag)
+        stem_dir = os.path.join(base, "stemmed")
+        done = os.path.join(base, "stemmed._done")
+        if not os.path.exists(done):
+            (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+             .map_batches(_stem_join_batch, batch_format="pyarrow")
+             .write_parquet(stem_dir))
+            open(done, "w").close()
+        idx_dir = os.path.join(base, "index_stem")
+        if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+            build_index(stem_dir, idx_dir, content_col="stemmed_text",
+                        id_col="doc_id", num_shards=4, term_buckets=16)
+        _stem_engines[sf_dir] = QueryEngine(idx_dir)
+    return _stem_engines[sf_dir]
+
+
+def stemmed_search(sf_dir: str):
+    """Analyzer-variant retrieval (§2.10 pluggable analysis exercised
+    end-to-end): index AND query both run tokenize → suffix-stem
+    (s/ed/ing), so morphological query variants conflate with corpus
+    terms ("sorting joins streams windows" retrieves sort/join/stream/
+    window docs). BM25 top-10 under the stemmed index's own stats."""
+    from ..text import clean_query
+
+    eng = _stemmed_index_for(sf_dir)
+    stemmed = {_stem_token(t) for t in clean_query(STEM_QUERY)}
+    res = eng.search(" ".join(sorted(stemmed)), 10, method="exhaustive")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 DECON_MOD = 50
 DECON_SIM_T = 0.40
 

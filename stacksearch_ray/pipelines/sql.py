@@ -191,6 +191,70 @@ ORDER BY (s.score + {weight!r} * ln(1.0 + d.n_chars)) DESC, s.doc_id ASC
 LIMIT {k}"""
 
 
+def stemmed_topk_sql(query: str, k: int = 10,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of the stemmed_search entry: kept tokens run the same
+    3-rule suffix stemmer (nested regexp_replace in rule order — RE2
+    semantics on both engines), tokens that stem INTO a stopword are
+    re-dropped (the build re-tokenizes the joined stemmed text), then
+    the plain bm25 chain over the stemmed query terms."""
+    import re
+
+    from ..stopwords import ENGLISH_STOPWORD_SET
+
+    rules = ((r"^([a-z0-9]{3,})ing$", r"\1"),
+             (r"^([a-z0-9]{3,})ed$", r"\1"),
+             (r"^([a-z0-9]{3,}[a-rt-z0-9])s$", r"\1"))
+
+    def stem(t: str) -> str:
+        for pat, rep in rules:
+            t = re.sub(pat, rep, t)
+        return t
+
+    terms = sorted({stem(t) for t in clean_query(query)}
+                   - set(ENGLISH_STOPWORD_SET))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {kept_tokens_cte()},
+stemmed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(term,
+             '^([a-z0-9]{{3,}})ing$', '\\1'),
+             '^([a-z0-9]{{3,}})ed$', '\\1'),
+             '^([a-z0-9]{{3,}}[a-rt-z0-9])s$', '\\1') AS term
+  FROM kept),
+kept2 AS (
+  SELECT doc_id, term FROM stemmed
+  WHERE term NOT IN ({sql_stopword_list()})
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept2 GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept2
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (({k1} + 1.0) * tf.tf
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def min_match_topk_sql(query: str, min_match: int, k: int = 10,
                        k1: float = 1.2, b: float = 0.75) -> str:
     """Mirror of QueryEngine.search_min_should_match: the plain bm25

@@ -134,3 +134,20 @@ def test_ir_eval_metric_invariants(entry_mod):
             & (hit_rows["rr_micros"] <= 1_000_000)).all()
     assert (df.loc["dup query window", "dcg_micros"]
             < df.loc["dup query window", "idcg_micros"])
+
+
+def test_stemmed_search_conflates_variants(entry_mod):
+    """The stemmed index retrieves docs for morphological query variants
+    ("sorting joins…" → sort/join/…) with nonzero scores, and the stem
+    rules agree between the Arrow kernel and the scalar mirror."""
+    import pyarrow as pa
+
+    from stacksearch_ray.pipelines.documents import (_stem_flat, _stem_token,
+                                                     stemmed_search)
+
+    toks = ["sorting", "joins", "merged", "windows", "was", "pass", "dup"]
+    assert ([_stem_token(t) for t in toks]
+            == _stem_flat(pa.array(toks)).to_pylist())
+    got = stemmed_search(SF).to_pandas()
+    assert len(got) == 10
+    assert (got["score_micros"] > 0).all()
