@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_match_search": P.min_match_search,
         "embedding_decontamination": P.embedding_decontamination,
         "stemmed_search": P.stemmed_search,
+        "dismax_search": P.dismax_search,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         PRF_FB_TERMS as _PRF_FB_TERMS,
         IR_EVAL_K as _IR_K,
         DECON_MOD as _DC_MOD,
+        DISMAX_TIE as _DM_TIE,
         DECON_SIM_T as _DC_T,
         MIN_MATCH_M as _MM_M,
         IR_EVAL_QUERIES as _IR_QUERIES,
@@ -284,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         ir_eval_sql,
         min_match_topk_sql,
         stemmed_topk_sql,
+        dismax_topk_sql,
         ngram_cte,
         fielded_topk_sql,
         tfidf_topk_sql,
@@ -630,6 +633,7 @@ FROM dl""",
         "ir_eval": ir_eval_sql(_IR_QUERIES, _IR_K),
         "min_match_search": min_match_topk_sql(BM25_QUERY, _MM_M, 10),
         "stemmed_search": stemmed_topk_sql(_STEM_Q, 10),
+        "dismax_search": dismax_topk_sql(BM25_QUERY, 10, P_TITLE_K, _DM_TIE),
         "embedding_decontamination": f"""
 WITH bench AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS be
                FROM embeddings WHERE vec_id % {_DC_MOD} = 0),

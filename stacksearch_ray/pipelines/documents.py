@@ -346,6 +346,35 @@ def fielded_search(sf_dir: str):
     })
 
 
+DISMAX_TIE = 0.3
+
+
+def dismax_search(sf_dir: str):
+    """Dis-max / best-fields retrieval (the Lucene DisjunctionMaxQuery
+    analog over the title/body field split): per doc, combined =
+    max(title, body) + tie·(title + body - max) with missing fields
+    coalesced to 0.0 — the best-matching field dominates, the other
+    contributes tie_breaker-weighted. Same per-field engines (own
+    n_docs/avgdl/df) as fielded_search; identical float expression
+    order to the SQL mirror's greatest() form."""
+    et, eb = _fielded_for(sf_dir)
+    st = dict(et.search(BM25_QUERY, len(et.doclens.ids),
+                        method="exhaustive"))
+    sb = dict(eb.search(BM25_QUERY, len(eb.doclens.ids),
+                        method="exhaustive"))
+    scores = {}
+    for d in set(st) | set(sb):
+        t, b = st.get(d, 0.0), sb.get(d, 0.0)
+        mx = max(t, b)
+        scores[d] = mx + DISMAX_TIE * (t + b - mx)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in top], pa.int64()),
+        "rank": pa.array(list(range(1, len(top) + 1)), pa.int64()),
+    })
+
+
 SYN_GROUPS = [["merge", "join"], ["sort", "order"], ["stream", "batch"]]
 
 

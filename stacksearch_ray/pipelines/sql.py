@@ -542,6 +542,16 @@ def fielded_topk_sql(query: str, k: int = 10, title_k: int = 8,
   GROUP BY tf.doc_id
 )"""
 
+    combined = (f"{float(wt)!r} * coalesce(t.score, 0.0)\n"
+                f"         + {float(wb)!r} * coalesce(b.score, 0.0)")
+    return _two_field_sql(chain, terms_values, title_k, combined, k)
+
+
+def _two_field_sql(chain, terms_values: str, title_k: int,
+                   combined_expr: str, k: int) -> str:
+    """Shared tail of the two-field oracles (fielded weighted-sum and
+    dis-max): title/body kept splits, two bm25 chains, a combiner
+    expression over (t.score, b.score), micros top-k."""
     return f"""
 WITH {token_list_cte()},
 qterms(term) AS (VALUES {terms_values}),
@@ -551,8 +561,7 @@ bkept AS (SELECT doc_id, unnest(toks[{title_k + 1}:]) AS term FROM doc_toks),
 {chain('b', 'bkept')},
 fsc AS (
   SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
-         {float(wt)!r} * coalesce(t.score, 0.0)
-         + {float(wb)!r} * coalesce(b.score, 0.0) AS score
+         {combined_expr} AS score
   FROM tscores t FULL OUTER JOIN bscores b ON t.doc_id = b.doc_id
 )
 SELECT doc_id,
@@ -561,6 +570,50 @@ SELECT doc_id,
 FROM fsc
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def dismax_topk_sql(query: str, k: int = 10, title_k: int = 8,
+                    tie: float = 0.3) -> str:
+    """Mirror of the dismax_search entry (Lucene DisjunctionMaxQuery):
+    combined = greatest(t, b) + tie·(t + b - greatest(t, b)) with
+    missing fields coalesced to 0.0 — identical float expression order
+    to the entry's mx + tie·(t + b - mx)."""
+    # reuse fielded_topk_sql's chain by regenerating it here (the inner
+    # helper is scoped to that builder; the SQL text must stay bitwise
+    # in sync, so both builders share _two_field_sql for everything
+    # outside the combiner expression)
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+
+    def chain(p: str, kept: str) -> str:
+        return f"""
+{p}tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {kept} GROUP BY 1, 2),
+{p}dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {kept} GROUP BY 1),
+{p}stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM {p}dl),
+{p}df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM {kept}
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+{p}scores AS (
+  SELECT tf.doc_id,
+         sum( ln(({p}stats.n_docs - {p}df.df + 0.5) / ({p}df.df + 0.5) + 1.0)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / {p}stats.avgdl)))) )
+           AS score
+  FROM {p}tf tf
+  JOIN {p}df USING (term)
+  JOIN {p}dl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN {p}stats
+  GROUP BY tf.doc_id
+)"""
+
+    combined = (
+        "greatest(coalesce(t.score, 0.0), coalesce(b.score, 0.0))\n"
+        f"         + {float(tie)!r} * (coalesce(t.score, 0.0)"
+        " + coalesce(b.score, 0.0)\n"
+        "            - greatest(coalesce(t.score, 0.0),"
+        " coalesce(b.score, 0.0)))")
+    return _two_field_sql(chain, terms_values, title_k, combined, k)
 
 
 def prf_expansion_cte(query: str, fb_docs: int = 5,
