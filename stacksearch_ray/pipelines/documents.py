@@ -4551,9 +4551,8 @@ def fuzzy_vocab_match(sf_dir: str):
     })
 
 
-STEM_RULES = ((r"^([a-z0-9]{3,})ing$", r"\1"),
-              (r"^([a-z0-9]{3,})ed$", r"\1"),
-              (r"^([a-z0-9]{3,}[a-rt-z0-9])s$", r"\1"))
+from ..text import STEM_RULES, stem_token as _stem_token  # noqa: E402
+
 STEM_QUERY = "sorting joins streams windows"
 
 _stem_engines: dict[str, QueryEngine] = {}
@@ -4567,14 +4566,6 @@ def _stem_flat(flat: pa.Array) -> pa.Array:
     for pat, rep in STEM_RULES:
         flat = pc.replace_substring_regex(flat, pattern=pat, replacement=rep)
     return flat
-
-
-def _stem_token(t: str) -> str:
-    import re
-
-    for pat, rep in STEM_RULES:
-        t = re.sub(pat, rep, t)
-    return t
 
 
 def _stem_join_batch(batch: pa.Table) -> pa.Table:

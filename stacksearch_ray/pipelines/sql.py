@@ -198,20 +198,14 @@ def stemmed_topk_sql(query: str, k: int = 10,
     semantics on both engines), tokens that stem INTO a stopword are
     re-dropped (the build re-tokenizes the joined stemmed text), then
     the plain bm25 chain over the stemmed query terms."""
-    import re
-
     from ..stopwords import ENGLISH_STOPWORD_SET
+    from ..text import STEM_RULES, stem_token
 
-    rules = ((r"^([a-z0-9]{3,})ing$", r"\1"),
-             (r"^([a-z0-9]{3,})ed$", r"\1"),
-             (r"^([a-z0-9]{3,}[a-rt-z0-9])s$", r"\1"))
-
-    def stem(t: str) -> str:
-        for pat, rep in rules:
-            t = re.sub(pat, rep, t)
-        return t
-
-    terms = sorted({stem(t) for t in clean_query(query)}
+    r1, r2, r3 = (p for p, _ in STEM_RULES)
+    assert (r1, r2, r3) == (r"^([a-z0-9]{3,})ing$", r"^([a-z0-9]{3,})ed$",
+                            r"^([a-z0-9]{3,}[a-rt-z0-9])s$"), \
+        "SQL literal below must be regenerated if STEM_RULES change"
+    terms = sorted({stem_token(t) for t in clean_query(query)}
                    - set(ENGLISH_STOPWORD_SET))
     terms_values = ", ".join(f"('{t}')" for t in terms)
     return f"""

@@ -74,6 +74,19 @@ from .text import clean_query  # noqa: E402
 register_tokenizer("reference")(clean_query)
 
 
+@register_tokenizer("suffix_stem")
+def suffix_stem_tokenizer(query: str, max_tokens: int | None = 16
+                          ) -> list[str]:
+    """Analyzer = reference tokenize → 3-rule suffix stem (ing/ed/s,
+    ≥3-char stems). The same rules run vectorized over Arrow token
+    arrays at index time (pipelines/documents._stem_flat) and in the
+    DuckDB oracle (pipelines/sql.stemmed_topk_sql) — RE2 semantics on
+    all three paths, pinned token-for-token by tests."""
+    from .text import stem_token
+
+    return [stem_token(t) for t in clean_query(query, max_tokens=max_tokens)]
+
+
 @register_scorer("bm25")
 def bm25_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
                 n_docs: int, avgdl: float,

@@ -35,6 +35,22 @@ from .stopwords import ENGLISH_STOPWORD_SET
 CLEAN_PATTERN = "[^a-zA-Z0-9 \n]+"
 _CLEAN_RE = re.compile(CLEAN_PATTERN)
 
+# THE suffix-stemmer rule set (ing/ed/s, ≥3-char stems), applied in
+# order. Single source of truth for the scalar tokenizer path
+# (registry.suffix_stem_tokenizer), the vectorized Arrow index path
+# (pipelines/documents._stem_flat) and the DuckDB oracle
+# (pipelines/sql.stemmed_topk_sql embeds the same patterns) — all
+# RE2-compatible, pinned token-for-token by tests.
+STEM_RULES = ((r"^([a-z0-9]{3,})ing$", r"\1"),
+              (r"^([a-z0-9]{3,})ed$", r"\1"),
+              (r"^([a-z0-9]{3,}[a-rt-z0-9])s$", r"\1"))
+
+
+def stem_token(t: str) -> str:
+    for pat, rep in STEM_RULES:
+        t = re.sub(pat, rep, t)
+    return t
+
 _STOPWORD_ARRAY = pa.array(sorted(ENGLISH_STOPWORD_SET), type=pa.string())
 
 
