@@ -61,16 +61,37 @@ def _docs(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+def _ensure_built(ready_path: str, build) -> None:
+    """Cross-process-safe build-if-missing for conformance-cache
+    artifacts: parallel selfcheck shards share CACHE_ROOT, so a cold
+    cache must never be built by two processes into the same directory
+    (interleaved files would corrupt it). One coarse flock serializes
+    all cache builds; the re-check under the lock makes the loser a
+    no-op. ``ready_path`` must only exist once the artifact is COMPLETE
+    — a commit file the builder writes last (stats.json / config.json)
+    or an explicit ``._done`` marker for multi-step builds."""
+    if os.path.exists(ready_path):
+        return
+    import fcntl
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    with open(os.path.join(CACHE_ROOT, ".build.lock"), "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        if not os.path.exists(ready_path):
+            build()
+
+
 def _index_for(sf_dir: str) -> QueryEngine:
     """Build (once per sf_dir per process) the BM25 index over documents."""
     if sf_dir not in _engines:
         tag = sf_dir.strip("/").replace("/", "_")
         index_dir = os.path.join(CACHE_ROOT, tag, "index")
-        if not os.path.exists(os.path.join(index_dir, "stats.json")):
-            build_index(_docs(sf_dir), index_dir, content_col="text",
-                        id_col="doc_id", meta_cols=("lang", "source"),
-                        num_shards=4, term_buckets=16,
-                        store_positions=True)
+        _ensure_built(
+            os.path.join(index_dir, "stats.json"),
+            lambda: build_index(_docs(sf_dir), index_dir, content_col="text",
+                                id_col="doc_id", meta_cols=("lang", "source"),
+                                num_shards=4, term_buckets=16,
+                                store_positions=True))
         _engines[sf_dir] = QueryEngine(index_dir)
     return _engines[sf_dir]
 
@@ -306,18 +327,25 @@ def _fielded_for(sf_dir: str) -> tuple[QueryEngine, QueryEngine]:
         base = os.path.join(CACHE_ROOT, tag)
         fields_dir = os.path.join(base, "fields")
         done = os.path.join(base, "fields._done")  # outside the parquet dir
-        if not os.path.exists(done):
+
+        def _write_fields():
+            import shutil
+
+            shutil.rmtree(fields_dir, ignore_errors=True)  # heal partials
             (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
              .map_batches(_field_split_batch, batch_format="pyarrow")
              .write_parquet(fields_dir))
             open(done, "w").close()
+
+        _ensure_built(done, _write_fields)
         engines = []
         for field in ("title", "body"):
             idx_dir = os.path.join(base, f"index_{field}")
-            if not os.path.exists(os.path.join(idx_dir, "stats.json")):
-                build_index(fields_dir, idx_dir,
-                            content_col=f"{field}_text", id_col="doc_id",
-                            num_shards=4, term_buckets=16)
+            _ensure_built(
+                os.path.join(idx_dir, "stats.json"),
+                lambda idx_dir=idx_dir, field=field: build_index(
+                    fields_dir, idx_dir, content_col=f"{field}_text",
+                    id_col="doc_id", num_shards=4, term_buckets=16))
             engines.append(QueryEngine(idx_dir))
         _fielded_engines[sf_dir] = tuple(engines)
     return _fielded_engines[sf_dir]
@@ -784,10 +812,17 @@ def semantic_knn(sf_dir: str):
 
     tag = sf_dir.strip("/").replace("/", "_")
     art_dir = os.path.join(CACHE_ROOT, tag, "semantic_ppmi_svd")
-    if not os.path.isdir(art_dir):
+
+    def _train_semantic():
+        import shutil
+
+        shutil.rmtree(art_dir, ignore_errors=True)  # heal partial trains
         ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
         train_semantic_artifact(ds, art_dir, vocab_size=2000,
                                 window=4, dim=64)
+        open(art_dir + "._done", "w").close()
+
+    _ensure_built(art_dir + "._done", _train_semantic)
     enc = SemanticEncoder(art_dir)
     q_tbl = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
                           columns=["text"])
@@ -818,10 +853,17 @@ def autoencoder_embed(sf_dir: str):
     tag = sf_dir.strip("/").replace("/", "_")
     art_dir = os.path.join(CACHE_ROOT, tag, "linear_dae")
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    if not os.path.isdir(art_dir):
+
+    def _train_dae():
+        import shutil
+
+        shutil.rmtree(art_dir, ignore_errors=True)  # heal partial trains
         train_linear_autoencoder(
             rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
             art_dir, dim_out=8, epochs=12)
+        open(art_dir + "._done", "w").close()
+
+    _ensure_built(art_dir + "._done", _train_dae)
     return rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
         .map_batches(AutoencoderEncoder, batch_format="pyarrow",
                      batch_size=256, concurrency=2,
@@ -2962,10 +3004,12 @@ def minhash_search(sf_dir: str):
 
     tag = sf_dir.strip("/").replace("/", "_")
     idx_dir = os.path.join(CACHE_ROOT, tag, "minhash_index_md5")
-    if not os.path.exists(os.path.join(idx_dir, "config.json")):
-        ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-        MinHashSearchIndex.build(ds, idx_dir, num_perm=128, num_bands=32,
-                                 shingle_k=1, hash_fn="md5")
+    _ensure_built(
+        os.path.join(idx_dir, "config.json"),  # written last by build()
+        lambda: MinHashSearchIndex.build(
+            rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]),
+            idx_dir, num_perm=128, num_bands=32, shingle_k=1,
+            hash_fn="md5"))
     idx = MinHashSearchIndex(idx_dir)
     q_text = pq.read_table(_docs(sf_dir), filters=[("doc_id", "=", 0)],
                            columns=["text"])["text"][0].as_py()
@@ -3015,9 +3059,11 @@ def knn_ivf(sf_dir: str):
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     tag = sf_dir.strip("/").replace("/", "_")
     idx_dir = os.path.join(CACHE_ROOT, tag, "ivf_index")
-    if not os.path.exists(os.path.join(idx_dir, "config.json")):
-        ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-        IVFIndex.build(ds, idx_dir, k=8, iters=4, seed=17)
+    _ensure_built(
+        os.path.join(idx_dir, "config.json"),  # written last by build()
+        lambda: IVFIndex.build(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            idx_dir, k=8, iters=4, seed=17))
     idx = IVFIndex(idx_dir)
     t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
     q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
@@ -3582,7 +3628,12 @@ def bm25_topk_appended(sf_dir: str):
 
     tag = sf_dir.strip("/").replace("/", "_")
     index_dir = os.path.join(CACHE_ROOT, tag, "index_appended")
-    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_appended():
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
         n = pq.read_metadata(_docs(sf_dir)).num_rows
         cut = int(n) // 2
         first = rd.read_parquet(_docs(sf_dir),
@@ -3594,6 +3645,9 @@ def bm25_topk_appended(sf_dir: str):
                     term_buckets=16)
         append_to_index(second, index_dir)
         compact_index(index_dir, term_buckets=16)
+        open(done, "w").close()
+
+    _ensure_built(done, _build_appended)
     eng = QueryEngine(index_dir)
     res = eng.search(BM25_QUERY, 10, method="auto")
     return pa.table({
@@ -3616,7 +3670,9 @@ def bm25_topk_merged(sf_dir: str):
 
     tag = sf_dir.strip("/").replace("/", "_")
     index_dir = os.path.join(CACHE_ROOT, tag, "index_merged")
-    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_merged():
         import shutil
 
         n = pq.read_metadata(_docs(sf_dir)).num_rows
@@ -3625,6 +3681,7 @@ def bm25_topk_merged(sf_dir: str):
         half_b = os.path.join(CACHE_ROOT, tag, "index_merge_half_b")
         for half, pred in ((half_a, pads.field("doc_id") < cut),
                            (half_b, pads.field("doc_id") >= cut)):
+            shutil.rmtree(half, ignore_errors=True)
             build_index(rd.read_parquet(_docs(sf_dir), filter=pred),
                         half, content_col="text", id_col="doc_id",
                         meta_cols=("lang", "source"), num_shards=4,
@@ -3634,6 +3691,9 @@ def bm25_topk_merged(sf_dir: str):
         compact_index(index_dir, term_buckets=16)
         shutil.rmtree(half_a, ignore_errors=True)
         shutil.rmtree(half_b, ignore_errors=True)
+        open(done, "w").close()
+
+    _ensure_built(done, _build_merged)
     eng = QueryEngine(index_dir)
     res = eng.search(BM25_QUERY, 10, method="auto")
     return pa.table({
@@ -3906,13 +3966,21 @@ def bm25_topk_deleted(sf_dir: str):
 
     tag = sf_dir.strip("/").replace("/", "_")
     index_dir = os.path.join(CACHE_ROOT, tag, "index_deleted")
-    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_deleted():
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
         build_index(_docs(sf_dir), index_dir, content_col="text",
                     id_col="doc_id", meta_cols=("lang", "source"),
                     num_shards=4, term_buckets=16)
         ids = pq.read_table(_docs(sf_dir),
                             columns=["doc_id"])["doc_id"].to_pylist()
         delete_from_index(index_dir, [i for i in ids if i % 7 == 0])
+        open(done, "w").close()
+
+    _ensure_built(done, _build_deleted)
     eng = QueryEngine(index_dir)
     res = eng.search(BM25_QUERY, 10, method="auto")
     return pa.table({
@@ -4589,15 +4657,23 @@ def _stemmed_index_for(sf_dir: str) -> QueryEngine:
         base = os.path.join(CACHE_ROOT, tag)
         stem_dir = os.path.join(base, "stemmed")
         done = os.path.join(base, "stemmed._done")
-        if not os.path.exists(done):
+
+        def _write_stemmed():
+            import shutil
+
+            shutil.rmtree(stem_dir, ignore_errors=True)  # heal partials
             (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
              .map_batches(_stem_join_batch, batch_format="pyarrow")
              .write_parquet(stem_dir))
             open(done, "w").close()
+
+        _ensure_built(done, _write_stemmed)
         idx_dir = os.path.join(base, "index_stem")
-        if not os.path.exists(os.path.join(idx_dir, "stats.json")):
-            build_index(stem_dir, idx_dir, content_col="stemmed_text",
-                        id_col="doc_id", num_shards=4, term_buckets=16)
+        _ensure_built(
+            os.path.join(idx_dir, "stats.json"),
+            lambda: build_index(stem_dir, idx_dir, content_col="stemmed_text",
+                                id_col="doc_id", num_shards=4,
+                                term_buckets=16))
         _stem_engines[sf_dir] = QueryEngine(idx_dir)
     return _stem_engines[sf_dir]
 
@@ -5777,13 +5853,14 @@ def ingest_dedup_indexed(sf_dir: str):
         _, _, lens = tokenize_array(b["text"].combine_chunks())
         return b.filter(pa.array(lens > 0))
 
-    if not os.path.exists(os.path.join(idx_dir, "config.json")):
-        existing = docs.map_batches(
-            lambda b: nonempty(b.filter(pc.less(b["doc_id"], split))),
-            batch_format="pyarrow")
-        MinHashSearchIndex.build(existing, idx_dir, num_perm=64,
-                                 num_bands=16, shingle_k=3, seed=7,
-                                 hash_fn="md5")
+    _ensure_built(
+        os.path.join(idx_dir, "config.json"),  # written last by build()
+        lambda: MinHashSearchIndex.build(
+            docs.map_batches(
+                lambda b: nonempty(b.filter(pc.less(b["doc_id"], split))),
+                batch_format="pyarrow"),
+            idx_dir, num_perm=64, num_bands=16, shingle_k=3, seed=7,
+            hash_fn="md5"))
     idx = MinHashSearchIndex(idx_dir)
     bucket_dir, sig_dir = idx.bucket_dir, idx.sig_dir
 
@@ -5871,7 +5948,12 @@ def phrase_search_appended(sf_dir: str):
 
     tag = sf_dir.strip("/").replace("/", "_")
     index_dir = os.path.join(CACHE_ROOT, tag, "index_pos_appended")
-    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_pos_appended():
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
         n = pq.read_metadata(_docs(sf_dir)).num_rows
         cut = int(n) // 2
         first = rd.read_parquet(_docs(sf_dir),
@@ -5882,6 +5964,9 @@ def phrase_search_appended(sf_dir: str):
                     meta_cols=("lang", "source"), num_shards=4,
                     term_buckets=16, store_positions=True)
         append_to_index(second, index_dir)
+        open(done, "w").close()
+
+    _ensure_built(done, _build_pos_appended)
     eng = QueryEngine(index_dir)
     ids, counts = eng.phrase_occurrences(PHRASE)
     return pa.table({
