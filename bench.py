@@ -226,6 +226,14 @@ def run_bench() -> dict:
                      ("min_window_search", P.min_window_search),
                      ("synonym_search", P.synonym_search),
                      ("prf_search", P.prf_search),
+                     ("spellfix_search", P.spellfix_search),
+                     ("min_match_search", P.min_match_search),
+                     ("feature_boost_search", P.feature_boost_search),
+                     ("dismax_search", P.dismax_search),
+                     ("stemmed_search", P.stemmed_search),
+                     ("ir_eval", P.ir_eval),
+                     ("embedding_decontamination",
+                      P.embedding_decontamination),
                      ("neardup_keep_longest", P.neardup_keep_longest)]:
         t0 = time.time()
         res = fn(SF_DIR)
