@@ -250,6 +250,44 @@ def snapshot_index(index_dir: str, out_dir: str) -> dict:
     return stats
 
 
+def set_index_alias(alias_dir: str, index_dir: str) -> str:
+    """Point ``alias_dir`` at ``index_dir`` ATOMICALLY (tmp + rename of
+    alias.json) — the zero-downtime reindex primitive: build or
+    snapshot a new index anywhere, then flip the alias; readers opening
+    through the alias (query.open_index) see either the old or the new
+    index, never a mix. The target must be a complete index (stats.json
+    present — the build/merge/compact commit point)."""
+    import json
+
+    from .build import load_stats
+
+    load_stats(index_dir)  # raises unless index_dir is a complete index
+    os.makedirs(alias_dir, exist_ok=True)
+    final = os.path.join(alias_dir, "alias.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"index_dir": os.path.abspath(index_dir)}, f)
+    os.replace(tmp, final)
+    return final
+
+
+def resolve_index_alias(path: str) -> str:
+    """``path`` itself if it is an index; otherwise follow ONE
+    alias.json hop (aliases never chain — the target must be a real
+    index, enforced by set_index_alias)."""
+    import json
+
+    if os.path.exists(os.path.join(path, "stats.json")):
+        return path
+    alias = os.path.join(path, "alias.json")
+    if os.path.exists(alias):
+        with open(alias) as f:
+            return json.load(f)["index_dir"]
+    raise FileNotFoundError(
+        f"{path!r} is neither an index (stats.json) nor an alias "
+        f"(alias.json)")
+
+
 def _gather_spans(offs: np.ndarray, rows: np.ndarray) -> np.ndarray:
     """Flat indices covering rows' spans [offs[r], offs[r+1])."""
     from .codec import gather_ranges

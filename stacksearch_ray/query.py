@@ -77,6 +77,16 @@ class _DocLens:
         return float(self.lens[self.ids.searchsorted(doc_id)])
 
 
+def open_index(path: str, **kwargs) -> "QueryEngine":
+    """Open an index OR an alias directory (append.set_index_alias):
+    resolves one alias.json hop, then constructs a QueryEngine. The
+    reader's view pins at open time — flipping the alias afterwards
+    affects only subsequent opens (zero-downtime reindex)."""
+    from .append import resolve_index_alias
+
+    return QueryEngine(resolve_index_alias(path), **kwargs)
+
+
 class QueryEngine:
     """Loads stats + doc lens once; segment rows fetched per query with
     parquet predicate pushdown on ``term`` (and cached).

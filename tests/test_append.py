@@ -386,3 +386,33 @@ def test_compact_crash_after_segment_swap_scores_exactly(
     eng = QueryEngine(idx)
     for q in QUERIES:
         assert eng.search(q, 10, "exhaustive") == before[q], q
+
+
+def test_index_alias_atomic_flip(ray_session, tmp_path_factory):
+    """set_index_alias + open_index: readers opened through the alias
+    pin their view at open; flipping the alias atomically retargets
+    subsequent opens; a non-index target is rejected."""
+    import pytest as _pytest
+
+    from stacksearch_ray.append import resolve_index_alias, set_index_alias
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import open_index
+
+    root = tmp_path_factory.mktemp("alias")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 150, rows_per_file=75)
+    idx_a, idx_b = str(root / "a"), str(root / "b")
+    build_index([f"{corpus}/part-00000.parquet"], idx_a, num_shards=2)
+    build_index(corpus, idx_b, num_shards=2)
+    alias = str(root / "serving")
+
+    with _pytest.raises(Exception):
+        set_index_alias(alias, str(root / "not_an_index"))
+
+    set_index_alias(alias, idx_a)
+    eng = open_index(alias)
+    assert len(eng.doclens.ids) == 75
+    set_index_alias(alias, idx_b)           # atomic flip
+    assert len(eng.doclens.ids) == 75       # open reader pinned
+    assert len(open_index(alias).doclens.ids) == 150
+    assert resolve_index_alias(idx_a) == idx_a  # plain index passthrough
