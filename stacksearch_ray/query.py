@@ -1315,6 +1315,10 @@ class _ShardWorker:
             query, k, feature_ids=feats[0], feature_vals=feats[1],
             weight=weight, scorer=scorer)
 
+    def search_min_should_match(self, query: str, min_match: int, k: int
+                                ) -> list[tuple[int, float]]:
+        return self.engine.search_min_should_match(query, min_match, k)
+
     def explain(self, query: str, doc_id: int) -> dict:
         return self.engine.explain(query, doc_id)
 
@@ -1446,6 +1450,20 @@ class ShardedQueryEngine:
         ref = ray.put((np.asarray(feature_ids, dtype=np.int64),
                        np.asarray(feature_vals, dtype=np.float64)))
         futs = [w.search_feature_boost.remote(query, k, ref, weight, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_min_should_match(self, query: str, min_match: int,
+                                k: int = 10) -> list[tuple[int, float]]:
+        """Distributed minimum-should-match: a doc's matched-term count
+        is shard-local (its postings live in one shard subset), so each
+        worker filters exactly and the merge is the standard disjoint
+        top-k — bitwise identical to the single engine."""
+        import ray
+
+        futs = [w.search_min_should_match.remote(query, min_match, k)
                 for w in self.workers]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))

@@ -121,3 +121,14 @@ def test_min_should_match_semantics(index_dir):
                         eng.term_doc_ids(t), d)] == d) for t in terms)
         assert n >= 2, (d, n)
         assert s == full[d]  # survivor keeps its unfiltered score
+
+
+def test_sharded_min_should_match_identity(index_dir):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    sharded = ShardedQueryEngine(index_dir, num_workers=3)
+    q = "def return var_1"
+    for m in (1, 2, 3):
+        assert (sharded.search_min_should_match(q, m, 12)
+                == eng.search_min_should_match(q, m, 12)), m
