@@ -336,3 +336,48 @@ def test_field_split_batch_matches_tokenizer():
         body = out["body_text"][i].as_py().split()
         assert title == toks[:TITLE_K]
         assert body == toks[TITLE_K:]
+
+
+def test_segment_file_pruning_identity(ray_session, tmp_path_factory):
+    """The lazy term-bucket file map prunes cold segment reads; results
+    must be bitwise identical to the unpruned read, the sidecar must
+    persist/reload, and lifecycle mutations (append) must invalidate it
+    per-file (new files get scanned, terms in them never missed)."""
+    import os
+
+    from stacksearch_ray.append import append_to_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.corpus import write_corpus
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("segmap")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 300, rows_per_file=100)
+    idx = str(root / "idx")
+    build_index([f"{corpus}/part-0000{i}.parquet" for i in (0, 1)], idx,
+                num_shards=4, term_buckets=16)
+
+    queries = ["def return var_1", "helper_3 field_7", "zzz_missing",
+               "numpy python import"]
+    plain = QueryEngine(idx)
+    plain._seg_map_loaded = True  # force unpruned reads
+    want = [plain.search(q, 10) for q in queries]
+
+    pruned = QueryEngine(idx)
+    got = [pruned.search(q, 10) for q in queries]
+    assert got == want
+    side = os.path.join(idx, "seg_bucket_map.json")
+    assert os.path.exists(side)  # persisted for the next open
+
+    # sidecar reload path (no rescan) still exact
+    again = QueryEngine(idx)
+    assert [again.search(q, 10) for q in queries] == want
+
+    # append adds segment files: a FRESH engine must rescan only the
+    # new files and find terms that now exist
+    append_to_index([f"{corpus}/part-00002.parquet"], idx)
+    full = QueryEngine(idx)
+    full._seg_map_loaded = True
+    want2 = [full.search(q, 10) for q in queries]
+    fresh = QueryEngine(idx)
+    assert [fresh.search(q, 10) for q in queries] == want2
