@@ -149,6 +149,15 @@ def run_bench() -> dict:
                 meta_cols=("lang", "source"), num_shards=8, term_buckets=32)
     timings["build_documents"] = time.time() - t0
 
+    # ---- cold first query: fresh engine, no seg cache, no sidecar map
+    # (the file-pruned cold path; BASELINE.md "Cold-query latency") ----
+    t0 = time.time()
+    QueryEngine(idx_dir).search(GOLDEN_QUERIES[0], 10, "auto")
+    timings["query_first_cold"] = time.time() - t0
+    t0 = time.time()  # second fresh engine: sidecar map now persisted
+    QueryEngine(idx_dir).search(GOLDEN_QUERIES[1], 10, "auto")
+    timings["query_first_cold_mapped"] = time.time() - t0
+
     # ---- query latency (warm engine, p50 over golden set) ----
     eng = QueryEngine(idx_dir)
     for q in GOLDEN_QUERIES:  # warm segment cache

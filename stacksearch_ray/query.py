@@ -1479,6 +1479,9 @@ class ShardedQueryEngine:
                  num_cpus_per_worker: float = 1.0):
         import ray
 
+        from .append import resolve_index_alias
+
+        index_dir = resolve_index_alias(index_dir)  # alias dirs welcome
         stats = load_stats(index_dir)
         n_shards = int(stats["num_shards"])
         num_workers = min(num_workers, n_shards)
