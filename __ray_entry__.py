@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_decontamination": P.embedding_decontamination,
         "stemmed_search": P.stemmed_search,
         "dismax_search": P.dismax_search,
+        "query_completion": P.query_completion,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         DECON_MOD as _DC_MOD,
         DISMAX_TIE as _DM_TIE,
         DECON_SIM_T as _DC_T,
+        COMPLETION_K as _QC_K,
         MIN_MATCH_M as _MM_M,
         IR_EVAL_QUERIES as _IR_QUERIES,
         SPELL_PROBES as _SPELL_PROBES,
@@ -634,6 +636,24 @@ FROM dl""",
         "min_match_search": min_match_topk_sql(BM25_QUERY, _MM_M, 10),
         "stemmed_search": stemmed_topk_sql(_STEM_Q, 10),
         "dismax_search": dismax_topk_sql(BM25_QUERY, 10, P_TITLE_K, _DM_TIE),
+        "query_completion": f"""
+WITH {token_list_cte()},
+pairs AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS prefix,
+         unnest(toks[2:]) AS term
+  FROM doc_toks
+),
+cnt AS (
+  SELECT prefix, term, count(*)::BIGINT AS c FROM pairs
+  WHERE prefix IN (SELECT unnest(['merge', 'sort', 'window'])) GROUP BY 1, 2
+),
+r AS (
+  SELECT prefix, term, c, CAST(row_number() OVER (
+      PARTITION BY prefix ORDER BY c DESC, term ASC) AS BIGINT) AS rank
+  FROM cnt
+)
+SELECT prefix, term, c, rank FROM r WHERE rank <= {_QC_K}
+ORDER BY prefix, rank""",
         "embedding_decontamination": f"""
 WITH bench AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS be
                FROM embeddings WHERE vec_id % {_DC_MOD} = 0),

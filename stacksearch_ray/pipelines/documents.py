@@ -4696,6 +4696,68 @@ def stemmed_search(sf_dir: str):
     })
 
 
+COMPLETION_PREFIXES = ("merge", "sort", "window")
+COMPLETION_K = 3
+
+
+def query_completion(sf_dir: str):
+    """Search-as-you-type next-word suggestion: for each prefix term,
+    the top-3 following terms by adjacent-bigram count over the corpus
+    ((count desc, term asc) tie-break) — the suggest-next-token surface
+    a query box needs, mined from the corpus itself. The prefix filter
+    runs map-side on zero-copy token-array slices, so only the
+    (prefix, next) pair counts — ≤ |prefixes|·vocab rows — ever reach
+    the driver."""
+    prefixes = pa.array(sorted(COMPLETION_PREFIXES), pa.string())
+
+    def part(b: pa.Table) -> pa.Table:
+        empty = pa.table({"prefix": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        m = len(flat) - 1
+        if m <= 0:
+            return empty
+        valid = doc_idx[:m] == doc_idx[1:]
+        first, second = flat.slice(0, m), flat.slice(1, m)
+        keep = pc.and_(pa.array(valid),
+                       pc.is_in(first, value_set=prefixes))
+        first, second = first.filter(keep), second.filter(keep)
+        if len(first) == 0:
+            return empty
+        df = pd.DataFrame({"prefix": first.to_pylist(),
+                           "term": second.to_pylist()})
+        g = (df.groupby(["prefix", "term"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        return pa.table({
+            "prefix": pa.array(g["prefix"].to_numpy(dtype=object)),
+            "term": pa.array(g["term"].to_numpy(dtype=object)),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+        })
+
+    parts = (rd.read_parquet(_docs(sf_dir), columns=["text"])
+             .map_batches(part, batch_format="pyarrow").to_pandas())
+    out = {c: [] for c in ("prefix", "term", "c", "rank")}
+    if len(parts):
+        cnt = (parts.groupby(["prefix", "term"], as_index=False)["c"]
+               .sum())
+        for p in sorted(set(cnt["prefix"])):
+            g = cnt[cnt["prefix"] == p]
+            order = np.lexsort((g["term"].to_numpy(dtype=object),
+                                -g["c"].to_numpy(np.int64)))
+            g = g.iloc[order[:COMPLETION_K]]
+            out["prefix"].extend(g["prefix"])
+            out["term"].extend(g["term"])
+            out["c"].extend(int(x) for x in g["c"])
+            out["rank"].extend(range(1, len(g) + 1))
+    return pa.table({
+        "prefix": pa.array(out["prefix"], pa.string()),
+        "term": pa.array(out["term"], pa.string()),
+        "c": pa.array(out["c"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })
+
+
 DECON_MOD = 50
 DECON_SIM_T = 0.40
 
