@@ -1151,6 +1151,9 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
                       "n_tombstones": len(allt),
                       "deleted_df_file": ddf_name})
     write_stats(out_dir, stats)  # COMMIT POINT — index readable from here
+    from .query import write_seg_bucket_map
+
+    write_seg_bucket_map(out_dir)  # post-commit polish: readers prune cold
     return stats
 
 
@@ -1546,4 +1549,7 @@ def compact_index(index_dir: str, term_buckets: int = 32,
         for name in os.listdir(index_dir):
             if name.startswith(("tombstones-", "deleted-df-")):
                 os.remove(os.path.join(index_dir, name))
+    from .query import write_seg_bucket_map
+
+    write_seg_bucket_map(index_dir)  # compaction replaced every file
     return stats

@@ -475,6 +475,9 @@ def build_index(source, index_dir: str,
     from .checkpoint import _write_term_dict
 
     _write_term_dict(segments_dir, term_dict_dir)
+    from .query import write_seg_bucket_map
+
+    write_seg_bucket_map(index_dir)  # first reader prunes immediately
     return stats
 
 

@@ -340,6 +340,9 @@ def build_index_resumable(source: str | list[str], index_dir: str,
         _write_term_dict(segments_dir, term_dict_dir)
         manifest.mark_phase("term_dict")
         manifest.save()
+    from .query import write_seg_bucket_map
+
+    write_seg_bucket_map(index_dir)  # first reader prunes immediately
     return stats
 
 

@@ -78,6 +78,44 @@ class _DocLens:
         return float(self.lens[self.ids.searchsorted(doc_id)])
 
 
+def scan_seg_bucket_map(seg_dir: str) -> dict[str, dict]:
+    """Sidecar entries for every segment file: one term-only column
+    scan per file → sorted distinct map-bucket list, keyed by
+    (size, mtime_ns). Shared by the reader's lazy build and the build
+    paths' eager emit (write_seg_bucket_map)."""
+    entries: dict[str, dict] = {}
+    for name in sorted(os.listdir(seg_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(seg_dir, name)
+        st = os.stat(path)
+        terms = pq.read_table(path, columns=["term"])["term"]
+        uniq = terms.combine_chunks().unique()
+        bks = (sorted(set(
+            QueryEngine._map_buckets_of(uniq.to_pylist()).tolist()))
+            if len(uniq) else [])
+        entries[name] = {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
+                         "buckets": bks}
+    return entries
+
+
+def write_seg_bucket_map(index_dir: str) -> str:
+    """Emit the cold-query file-pruning sidecar (seg_bucket_map.json)
+    for a complete index — called by the build paths so the FIRST
+    reader already prunes; readers keep the lazy per-file refresh for
+    indexes mutated after the fact (append/purge/compact invalidate
+    exactly the files they rewrite via the size+mtime keys)."""
+    import json
+
+    entries = scan_seg_bucket_map(os.path.join(index_dir, "segments"))
+    side = os.path.join(index_dir, "seg_bucket_map.json")
+    tmp = side + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+    os.replace(tmp, side)
+    return side
+
+
 def open_index(path: str, **kwargs) -> "QueryEngine":
     """Open an index OR an alias directory (append.set_index_alias):
     resolves one alias.json hop, then constructs a QueryEngine. The
