@@ -29,14 +29,21 @@ def main() -> int:
                    help="serve through N shard-subset Ray workers")
     p.add_argument("--with-docs", action="store_true",
                    help="attach doc metadata to results")
+    p.add_argument("--min-match", type=int, default=0, metavar="M",
+                   help="minimum-should-match: only docs matching >= M "
+                        "distinct query terms (single-engine path)")
     p.add_argument("query", nargs="+")
     args = p.parse_args()
 
+    from stacksearch_ray.append import resolve_index_alias
     from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
 
-    if not os.path.exists(os.path.join(args.index_dir, "stats.json")):
-        print(f"error: {args.index_dir} is not a built index "
-              "(no stats.json; run scripts/build_cli.py first)", file=sys.stderr)
+    try:  # alias directories (set_index_alias) resolve transparently
+        args.index_dir = resolve_index_alias(args.index_dir)
+    except FileNotFoundError:
+        print(f"error: {args.index_dir} is not a built index or alias "
+              "(no stats.json/alias.json; run scripts/build_cli.py first)",
+              file=sys.stderr)
         return 2
     if args.sharded:
         import ray
@@ -66,7 +73,12 @@ def main() -> int:
         return 0
     eng = QueryEngine(args.index_dir)
     for q in args.query:
-        if args.with_docs:
+        if args.min_match:
+            res = eng.search_min_should_match(q, args.min_match, args.k)
+            print(json.dumps({"query": q,
+                              "results": [{"doc_id": d, "score": s}
+                                          for d, s in res]}))
+        elif args.with_docs:
             rows = eng.search_with_docs(q, args.k, method=args.method,
                                         scorer=args.scorer)
             print(json.dumps({"query": q, "results": rows}))
