@@ -1463,7 +1463,12 @@ def compact_index(index_dir: str, term_buckets: int = 32,
                 from .build import _empty_segments_table
 
                 seg_table = _empty_segments_table(store_positions)
-            atomic_write_parquet(seg_table, u["seg_path"])
+            # term-sorted rows + small row groups → parquet term-range
+            # stats prune cold reads (same as the checkpoint build)
+            atomic_write_parquet(
+                seg_table, u["seg_path"],
+                row_group_boundaries=list(range(64, seg_table.num_rows,
+                                                64)))
             outs.append(u["seg_path"])
         return pa.table({"out": pa.array(outs, pa.string())})
 

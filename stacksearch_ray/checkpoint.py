@@ -159,7 +159,14 @@ def _encode_shards(shards: list[int], stage_postings_dir: str,
             from .build import _empty_segments_table
 
             seg_table = _empty_segments_table(store_positions)
-        atomic_write_parquet(seg_table, seg_path)
+        # rows are term-sorted within the shard; small row groups give
+        # parquet term-range statistics real pruning power, so a cold
+        # query decompresses only the matching groups' blob pages
+        # instead of the whole 30+ MB shard file (measured 2.5 s → ms
+        # at 2M docs). 64 rows/group ≈ tens of groups per shard.
+        atomic_write_parquet(
+            seg_table, seg_path,
+            row_group_boundaries=list(range(64, seg_table.num_rows, 64)))
         out.append({
             "shard": shard,
             "postings": sub.num_rows,
