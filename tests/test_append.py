@@ -416,3 +416,20 @@ def test_index_alias_atomic_flip(ray_session, tmp_path_factory):
     assert len(eng.doclens.ids) == 75       # open reader pinned
     assert len(open_index(alias).doclens.ids) == 150
     assert resolve_index_alias(idx_a) == idx_a  # plain index passthrough
+
+
+def test_sharded_engine_opens_alias(ray_session, tmp_path_factory):
+    from stacksearch_ray.append import set_index_alias
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    root = tmp_path_factory.mktemp("alias_sharded")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 120, rows_per_file=60)
+    idx = str(root / "idx")
+    build_index(corpus, idx, num_shards=4)
+    alias = str(root / "live")
+    set_index_alias(alias, idx)
+    sharded = ShardedQueryEngine(alias, num_workers=2)
+    assert (sharded.search("def return", 10)
+            == QueryEngine(idx).search("def return", 10))

@@ -381,3 +381,54 @@ def test_segment_file_pruning_identity(ray_session, tmp_path_factory):
     want2 = [full.search(q, 10) for q in queries]
     fresh = QueryEngine(idx)
     assert [fresh.search(q, 10) for q in queries] == want2
+
+
+def test_row_group_boundaries_roundtrip(tmp_path):
+    """atomic_write_parquet row-group splitting: every boundary shape
+    (empty, under one group, exact multiple, off-by-one) round-trips
+    the table exactly and produces the expected group count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.state.manifest import atomic_write_parquet
+
+    for n, expect_groups in ((0, 0), (1, 1), (63, 1), (64, 1),
+                             (65, 2), (128, 2), (129, 3)):
+        t = pa.table({"term": pa.array([f"t{i:04d}" for i in range(n)]),
+                      "v": pa.array(list(range(n)), pa.int64())})
+        p = str(tmp_path / f"rg_{n}.parquet")
+        atomic_write_parquet(t, p,
+                             row_group_boundaries=list(range(64, n, 64)))
+        got = pq.read_table(p)
+        assert got.equals(t), n
+        assert pq.ParquetFile(p).metadata.num_row_groups == expect_groups, n
+
+
+def test_pruned_search_property(ray_session, tmp_path_factory):
+    """Property: for a pile of random queries (hot, rare, absent,
+    mixed), pruned cold reads == map-disabled reads on a checkpoint-
+    built index (row-grouped shard files) — the engine-side invariant
+    behind both pruning layers."""
+    import numpy as np
+
+    from stacksearch_ray.checkpoint import build_index_resumable
+    from stacksearch_ray.corpus import write_corpus
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("prune_prop")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 400, rows_per_file=100)
+    idx = str(root / "idx")
+    build_index_resumable(corpus, idx, num_shards=4, term_buckets=8)
+
+    rng = np.random.default_rng(5)
+    vocab = ["def", "return", "import", "class", "var_1", "var_7",
+             "helper_3", "field_2", "numpy", "zzz_absent", "qqq_absent"]
+    queries = [" ".join(rng.choice(vocab,
+                                   size=rng.integers(1, 5), replace=False))
+               for _ in range(25)]
+    plain = QueryEngine(idx)
+    plain._seg_map_loaded = True  # unpruned ground truth
+    pruned = QueryEngine(idx)
+    for q in queries:
+        assert pruned.search(q, 10) == plain.search(q, 10), q
