@@ -1286,6 +1286,52 @@ class QueryEngine:
             return self._search_exhaustive(terms, k, scorer, allowed=allowed)
         return self._search_filtered_selective(terms, k, scorer, apos)
 
+    def plan(self, query: str, k: int = 10) -> dict:
+        """Query-plan introspection (the latency-debugging counterpart
+        of ``explain``): what WOULD ``search(query, k)`` do and read,
+        without scoring. Returns ``{"terms": [{"term", "df",
+        "segment_rows", "cached"}...], "n_postings", "df_skew",
+        "doclen_cv", "method", "candidate_files", "files_to_read"}``
+        — ``method`` reproduces the auto-router's exact decision
+        (same thresholds, same inputs); the file counts expose the two
+        cold-read pruning layers (term-bucket map, then the exact
+        term-only verify). ``files_to_read`` is None when every needed
+        term is already cached (no read would happen) and also when no
+        map exists (whole-directory read)."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return {"terms": [], "n_postings": 0, "method": None,
+                    "candidate_files": None, "files_to_read": None}
+        missing = [t for t in terms if t not in self._seg_cache]
+        cand = self._seg_paths_for(missing) if missing else None
+        reads = (self._segments_verified_paths(missing)
+                 if missing else None)
+        segs = self._segments_for(terms)
+        dfs = self._df_global(terms, segs)
+        per_term = [{"term": t, "df": int(dfs[t]),
+                     "segment_rows": len(segs[t]),
+                     "cached": t not in missing} for t in terms]
+        phys = [sum(r["df"] for r in segs[t]) for t in terms]
+        n_postings = int(sum(phys))
+        skew = float(max(phys) / max(1, min(phys))) if phys else 1.0
+        if self.stats.get("appended"):
+            method = "exhaustive"
+        else:
+            method = ("bmax" if n_postings >= self.wand_min_postings
+                      or (n_postings >= self.bmax_uniform_min_postings
+                          and skew <= self.bmax_uniform_max_skew
+                          and self._doclen_cv() >= self.bmax_min_dl_cv)
+                      else "exhaustive")
+        return {
+            "terms": per_term,
+            "n_postings": n_postings,
+            "df_skew": round(skew, 3),
+            "doclen_cv": round(self._doclen_cv(), 4),
+            "method": method,
+            "candidate_files": (len(cand) if cand is not None else None),
+            "files_to_read": (len(reads) if reads is not None else None),
+        }
+
     def explain(self, query: str, doc_id: int) -> dict:
         """Per-term BM25 score breakdown for one (query, doc) pair — the
         serving-engine debugging surface (why did this doc rank here?).

@@ -432,3 +432,40 @@ def test_pruned_search_property(ray_session, tmp_path_factory):
     pruned = QueryEngine(idx)
     for q in queries:
         assert pruned.search(q, 10) == plain.search(q, 10), q
+
+
+def test_query_plan_introspection(ray_session, tmp_path_factory):
+    """plan(): router decision matches the documented auto rule, the
+    pruning-layer counts are consistent (reads ≤ candidates ≤ total
+    segment files), and a planned term becomes cached."""
+    import os
+
+    from stacksearch_ray.checkpoint import build_index_resumable
+    from stacksearch_ray.corpus import write_corpus
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("plan")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 400, rows_per_file=100)
+    idx = str(root / "idx")
+    build_index_resumable(corpus, idx, num_shards=4, term_buckets=8)
+    eng = QueryEngine(idx)
+    n_files = len([f for f in os.listdir(os.path.join(idx, "segments"))
+                   if f.endswith(".parquet")])
+
+    p = eng.plan("def return var_1")
+    assert [t["term"] for t in p["terms"]] == ["def", "return", "var1"]
+    assert all(not t["cached"] for t in p["terms"])
+    assert p["files_to_read"] <= p["candidate_files"] <= n_files
+    assert p["n_postings"] == sum(
+        t["df"] for t in p["terms"])  # no deletes → physical == alive df
+    # small corpus → auto must route to the exhaustive scorer
+    assert p["method"] == "exhaustive"
+    assert eng.search("def return var_1", 5, method=p["method"]) \
+        == eng.search("def return var_1", 5, method="auto")
+
+    p2 = eng.plan("def return var_1")
+    assert all(t["cached"] for t in p2["terms"])  # plan warmed the cache
+    assert p2["files_to_read"] is None  # nothing left to read
+
+    assert eng.plan("")["method"] is None
