@@ -29,6 +29,9 @@ def main() -> int:
                    help="serve through N shard-subset Ray workers")
     p.add_argument("--with-docs", action="store_true",
                    help="attach doc metadata to results")
+    p.add_argument("--plan", action="store_true",
+                   help="print the query plan (router decision, pruning "
+                        "layer file counts) instead of searching")
     p.add_argument("--min-match", type=int, default=0, metavar="M",
                    help="minimum-should-match: only docs matching >= M "
                         "distinct query terms (single-engine path)")
@@ -73,7 +76,9 @@ def main() -> int:
         return 0
     eng = QueryEngine(args.index_dir)
     for q in args.query:
-        if args.min_match:
+        if args.plan:
+            print(json.dumps({"query": q, "plan": eng.plan(q, args.k)}))
+        elif args.min_match:
             res = eng.search_min_should_match(q, args.min_match, args.k)
             print(json.dumps({"query": q,
                               "results": [{"doc_id": d, "score": s}
