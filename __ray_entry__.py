@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": P.tfidf_search,
         "lm_dirichlet_search": P.lm_dirichlet_search,
         "lm_jm_search": P.lm_jm_search,
+        "bm25plus_search": P.bm25plus_search,
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": P.wildcard_search,
         "regex_search": P.regex_search,
         "min_window_search": P.min_window_search,
+        "sloppy_phrase_search": P.sloppy_phrase_search,
         "conjunctive_search": P.conjunctive_search,
         "orders_monthly": P.orders_monthly,
         "lineitem_profile": P.lineitem_profile,
@@ -281,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_scores_sql,
         bm25_topk_sql,
         kept_tokens_cte,
+        bm25plus_topk_sql,
         lm_dirichlet_topk_sql,
         lm_jm_topk_sql,
         feature_boost_topk_sql,
@@ -308,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
         N_BPE_MERGES as _N_BPE,
         NEAR_MAX_GAP as _NEAR_GAP,
         NEAR_TERMS as _NEAR_TERMS,
+        SLOPPY_SLOP as _SLOPPY_SLOP,
+        SLOPPY_TERMS as _SLOPPY_TERMS,
         SHUFFLE_BUCKETS as _SHUF_B,
         SHUFFLE_SEED as _SHUF_SEED,
     )
@@ -630,6 +635,7 @@ FROM dl""",
         "tfidf_search": tfidf_topk_sql(BM25_QUERY, 10),
         "lm_dirichlet_search": lm_dirichlet_topk_sql(BM25_QUERY, 10),
         "lm_jm_search": lm_jm_topk_sql(BM25_QUERY, 10),
+        "bm25plus_search": bm25plus_topk_sql(BM25_QUERY, 10),
         "feature_boost_search": feature_boost_topk_sql(BM25_QUERY, 10, _FB_W),
         "spellfix_search": spellfix_topk_sql(_SPELL_PROBES, 10),
         "ir_eval": ir_eval_sql(_IR_QUERIES, _IR_K),
@@ -2449,6 +2455,24 @@ cover AS (SELECT doc_id, p, count(*) AS nt, max(np) - p + 1 AS w
           FROM nxt GROUP BY doc_id, p)
 SELECT doc_id, CAST(min(w) AS BIGINT) AS min_window
 FROM cover WHERE nt = {_MW_K} GROUP BY doc_id""",
+        # greedy earliest-next chain per start == engine min_ordered_spans
+        "sloppy_phrase_search": f"""
+WITH {token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+p1 AS (SELECT doc_id, pos FROM pos WHERE term = '{_SLOPPY_TERMS[0]}'),
+p2 AS (SELECT doc_id, pos FROM pos WHERE term = '{_SLOPPY_TERMS[1]}'),
+p3 AS (SELECT doc_id, pos FROM pos WHERE term = '{_SLOPPY_TERMS[2]}'),
+c2 AS (SELECT p1.doc_id, p1.pos AS s, min(p2.pos) AS e
+       FROM p1 JOIN p2 USING (doc_id) WHERE p2.pos > p1.pos
+       GROUP BY p1.doc_id, p1.pos),
+c3 AS (SELECT c2.doc_id, c2.s, min(p3.pos) AS e
+       FROM c2 JOIN p3 USING (doc_id) WHERE p3.pos > c2.e
+       GROUP BY c2.doc_id, c2.s),
+g AS (SELECT doc_id, min(e - s + 1) AS span FROM c3 GROUP BY doc_id)
+SELECT doc_id, CAST(span AS BIGINT) AS span
+FROM g WHERE span <= {len(_SLOPPY_TERMS) + _SLOPPY_SLOP}""",
         "index_stats": f"""
 WITH {kept},
 dl AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY 1),

@@ -239,6 +239,20 @@ def lm_jm_search(sf_dir: str):
     })
 
 
+def bm25plus_search(sf_dir: str):
+    """Top-10 under BM25+ (Lv & Zhai 2011) — the lower-bounded tf
+    normalization through the §2.10 scorer registry: score =
+    Σ ln((n_docs+1)/df)·(bm25_tf_part + δ), δ = 1.0. Long matching
+    docs keep a score floor that plain BM25's saturation erodes."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, scorer="bm25_plus")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 FEATURE_BOOST_W = 0.25
 
 
@@ -6191,4 +6205,26 @@ def near_search_positional(sf_dir: str):
     return pa.table({
         "doc_id": pa.array(ids[keep], pa.int64()),
         "min_gap": pa.array(mg[keep], pa.int64()),
+    })
+
+
+SLOPPY_TERMS = ("sort", "merge", "join")   # order-significant
+SLOPPY_SLOP = 2                            # match iff span - 3 <= 2
+
+
+def sloppy_phrase_search(sf_dir: str):
+    """Sloppy phrase query (Lucene PhraseQuery with slop): docs where
+    the terms occur IN ORDER within a token window of at most
+    len(terms) + slop, plus the minimal such span — served from the
+    positional sidecar alone (QueryEngine.min_ordered_spans: greedy
+    earliest-next chain, one searchsorted per term per round). The
+    oracle replays the same greedy chain as a per-start MIN CTE ladder
+    over the tokenize-mirror positions (greedy is optimal for a fixed
+    start, so both engines compute the true minimal ordered span)."""
+    eng = _index_for(sf_dir)
+    ids, spans = eng.min_ordered_spans(list(SLOPPY_TERMS))
+    keep = spans <= len(SLOPPY_TERMS) + SLOPPY_SLOP
+    return pa.table({
+        "doc_id": pa.array(ids[keep], pa.int64()),
+        "span": pa.array(spans[keep], pa.int64()),
     })

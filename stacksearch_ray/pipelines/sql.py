@@ -133,6 +133,45 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def bm25plus_topk_sql(query: str, k: int = 10, k1: float = 1.2,
+                      b: float = 0.75, delta: float = 1.0) -> str:
+    """Mirror of the registry ``bm25_plus`` scorer (Lv & Zhai 2011):
+    per (doc, term) ln((n_docs+1)/df) · (bm25_tf_part + δ), summed per
+    doc — identical float expression order to registry.bm25_plus_scorer
+    (idf · (part + δ), part spelled exactly like bm25_scores_sql)."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs + 1.0) / df.df)
+              * ((({k1} + 1.0) * tf.tf
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / stats.avgdl))))
+                 + {delta!r}) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def lm_dirichlet_topk_sql(query: str, k: int = 10,
                           mu: float = 2000.0) -> str:
     """Mirror of the registry ``lm_dirichlet`` collection-stats scorer

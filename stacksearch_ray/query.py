@@ -1166,6 +1166,52 @@ class QueryEngine:
         assert (out < big).all()
         return common, out
 
+    def min_ordered_spans(self, terms: list[str]
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """ORDERED minimal-span proximity (the Lucene sloppy-PhraseQuery
+        primitive): per doc, the length of the shortest token window
+        containing occurrences of ``terms`` IN ORDER at strictly
+        increasing positions. A phrase with slop s matches iff
+        span - len(terms) ≤ s. Unlike min_cover_windows the terms list
+        is ORDER-SIGNIFICANT and may repeat ("merge sort merge" needs
+        two distinct merge occurrences).
+
+        Greedy chain, fully vectorized: for every occurrence of
+        terms[0] as a candidate start, each later term takes its FIRST
+        position strictly after the running end (one searchsorted per
+        term) — earliest-next is optimal for a fixed start, so the min
+        over starts is the true minimal ordered span. Chains whose end
+        escapes the start's doc are killed by the packed high bits
+        (positions are doc-major monotone, so an in-doc end implies
+        in-doc intermediates). Requires store_positions=True."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if not terms:
+            return empty
+        common = self._common_docs(sorted(set(terms)))
+        if len(common) == 0:
+            return empty
+        packed = self._positions_over(terms, common)
+        starts = packed[0]
+        cur = starts
+        valid = np.ones(len(starts), dtype=bool)
+        big = np.iinfo(np.int64).max
+        for pk in packed[1:]:
+            j = np.searchsorted(pk, cur, side="right")
+            ok = valid & (j < len(pk))
+            cur = np.where(ok, pk[np.minimum(j, len(pk) - 1)], big)
+            valid = ok
+        sh = np.int64(32)
+        mask = (np.int64(1) << sh) - 1
+        valid &= (cur >> sh) == (starts >> sh)
+        w = (cur & mask) - (starts & mask) + 1
+        didx = (starts >> sh).astype(np.int64)
+        out = np.full(len(common), big, dtype=np.int64)
+        np.minimum.at(out, didx[valid], w[valid])
+        # a doc can contain all distinct terms yet no in-order chain —
+        # drop those (unlike min_cover_windows, matching is not implied)
+        hit = out < big
+        return common[hit], out[hit]
+
     def get_docs(self, doc_ids: list[int]) -> list[dict]:
         """Doc-store lookup (J1 analog — the reference's fetch_post_by_id,
         /root/reference/results.py:149-158, without the full scan):
@@ -1556,6 +1602,10 @@ class _ShardWorker:
         ids, gaps = self.engine.near_min_gaps(a, b)
         return ids.tolist(), gaps.tolist()
 
+    def ordered_spans(self, terms: list[str]) -> tuple[list[int], list[int]]:
+        ids, spans = self.engine.min_ordered_spans(terms)
+        return ids.tolist(), spans.tolist()
+
 
 class ShardedQueryEngine:
     """Distributed query serving: the index's doc-id shards are
@@ -1741,6 +1791,16 @@ class ShardedQueryEngine:
         import ray
 
         parts = ray.get([w.near.remote(term_a, term_b)
+                         for w in self.workers])
+        return self._merge_disjoint(parts)
+
+    def min_ordered_spans(self, terms: list[str]
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed sloppy-phrase spans: per-worker ordered-span
+        minimum over its shard subset, disjoint-merge on the driver."""
+        import ray
+
+        parts = ray.get([w.ordered_spans.remote(terms)
                          for w in self.workers])
         return self._merge_disjoint(parts)
 

@@ -106,6 +106,27 @@ def tfidf_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
     return idf * np.log(1.0 + tf.astype(np.float64))
 
 
+@register_scorer("bm25_plus")
+def bm25_plus_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
+                     n_docs: int, avgdl: float,
+                     k1: float = 1.2, b: float = 0.75,
+                     delta: float = 1.0) -> np.ndarray:
+    """BM25+ (Lv & Zhai, CIKM 2011): the lower-bounded tf normalization
+    — a constant δ added to the saturated tf part so long documents
+    that DO match a term can never score below a floor:
+
+        score(t, d) = ln((n_docs + 1)/df) · (bm25_tf_part + δ)
+
+    idf uses the BM25+ paper's ln((N+1)/df) (always > 0 for df ≤ N, so
+    the δ floor can't flip sign). Mirrored micros-bitwise by the DuckDB
+    oracle (pipelines/sql.bm25plus_topk_sql): identical float expression
+    order, δ injected as the same literal."""
+    from .codec import bm25_tf_part
+
+    idf = math.log((n_docs + 1.0) / df)
+    return idf * (bm25_tf_part(tf, doc_len, avgdl, k1, b) + delta)
+
+
 @register_scorer("match_count")
 def match_count_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
                        n_docs: int, avgdl: float) -> np.ndarray:

@@ -72,6 +72,55 @@ def test_lm_dirichlet_matches_brute_force(lm_index):
         assert s == pytest.approx(ws, abs=1e-12), d
 
 
+def test_bm25_plus_matches_brute_force(lm_index):
+    """BM25+ (Lv & Zhai 2011) through the scorer registry: ground truth
+    straight from the corpus text, same expression order as the scorer
+    (idf · (part + δ)); δ keeps every matched (doc, term) above idf·δ."""
+    from stacksearch_ray.query import QueryEngine
+    from stacksearch_ray.schema import doc_id_for
+
+    _, index_dir = lm_index
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    res = eng.search(q, 10, scorer="bm25_plus")
+    assert len(res) == 10
+
+    tbl = generate_corpus(300)
+    docs = {}
+    for i in range(300):
+        did = doc_id_for(tbl["repo"][i].as_py(), tbl["path"][i].as_py(),
+                         tbl["commit"][i].as_py())
+        docs[did] = clean_query(tbl["content"][i].as_py(), max_tokens=None)
+    lens = {d: len(t) for d, t in docs.items() if t}
+    n_docs = len(lens)
+    avgdl = sum(lens.values()) / n_docs
+    terms = sorted(set(clean_query(q)))
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    truth = {}
+    for did, toks in docs.items():
+        if not toks:
+            continue
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            part = (1.2 + 1.0) * tf / (tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * (len(toks) / avgdl)))
+            s += math.log((n_docs + 1.0) / df[t]) * (part + 1.0)
+        if s > 0.0:
+            truth[did] = s
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in res] == [d for d, _ in want]
+    for (d, s), (_, ws) in zip(res, want):
+        assert s == pytest.approx(ws, abs=1e-9), d
+    # the δ floor: every matched doc scores ≥ Σ_matched idf·δ over its
+    # matched terms — spot-check the floor binds above plain bm25
+    plain = dict(eng.search(q, 300, method="exhaustive"))
+    for d, s in res:
+        assert s > plain.get(d, 0.0)
+
+
 def test_lm_dirichlet_shard_subset_bitwise(lm_index):
     """Disjoint shard-subset engines (cf via term_dict) reproduce the
     full engine's lm scores bitwise — every doc lives in exactly one

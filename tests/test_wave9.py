@@ -558,6 +558,70 @@ def test_min_cover_windows_brute_force(P):
     assert got == want and len(got) > 0
 
 
+def _brute_ordered_span(toks: list[str], terms: list[str]) -> int | None:
+    """Exhaustive minimal ordered span: min over ALL strictly-increasing
+    occurrence chains (independent of the engine's greedy strategy)."""
+    occ = [[i for i, w in enumerate(toks) if w == t] for t in terms]
+    if any(not o for o in occ):
+        return None
+    best = None
+
+    def rec(ti: int, prev: int, start: int):
+        nonlocal best
+        if ti == len(terms):
+            span = prev - start + 1
+            best = span if best is None or span < best else best
+            return
+        for p in occ[ti]:
+            if p > prev:
+                rec(ti + 1, p, start)
+
+    for s in occ[0]:
+        rec(1, s, s)
+    return best
+
+
+def test_min_ordered_spans_brute_force(P):
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for terms in (["sort", "merge", "join"], ["join", "merge", "sort"],
+                  ["merge", "merge"], ["window"]):
+        ids, w = eng.min_ordered_spans(terms)
+        got = dict(zip(ids.tolist(), w.tolist()))
+        want = {}
+        for d, txt in texts.items():
+            span = _brute_ordered_span(clean_query(txt, max_tokens=None),
+                                       terms)
+            if span is not None:
+                want[d] = span
+        assert got == want and len(got) > 0, terms
+    # order-significance: the two directions genuinely differ somewhere
+    f = dict(zip(*[x.tolist() for x in
+                   eng.min_ordered_spans(["sort", "merge", "join"])]))
+    r = dict(zip(*[x.tolist() for x in
+                   eng.min_ordered_spans(["join", "merge", "sort"])]))
+    assert f != r
+    assert eng.min_ordered_spans([])[0].size == 0
+
+
+def test_sharded_ordered_spans_identical(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    terms = list(P.SLOPPY_TERMS)
+    ids_s, w_s = sharded.min_ordered_spans(terms)
+    ids_1, w_1 = eng.min_ordered_spans(terms)
+    assert ids_s.tolist() == ids_1.tolist()
+    assert w_s.tolist() == w_1.tolist() and len(ids_s) > 0
+
+
 def test_positional_guards(P, ray_session, tmp_path):
     """A non-positional index refuses positional queries loudly."""
     import pytest as _pytest
