@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_dirichlet_search": P.lm_dirichlet_search,
         "lm_jm_search": P.lm_jm_search,
         "bm25plus_search": P.bm25plus_search,
+        "proximity_boost_search": P.proximity_boost_search,
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         N_BPE_MERGES as _N_BPE,
         NEAR_MAX_GAP as _NEAR_GAP,
         NEAR_TERMS as _NEAR_TERMS,
+        PROX_BOOST_W as _PROX_W,
         SLOPPY_SLOP as _SLOPPY_SLOP,
         SLOPPY_TERMS as _SLOPPY_TERMS,
         SHUFFLE_BUCKETS as _SHUF_B,
@@ -2455,6 +2457,37 @@ cover AS (SELECT doc_id, p, count(*) AS nt, max(np) - p + 1 AS w
           FROM nxt GROUP BY doc_id, p)
 SELECT doc_id, CAST(min(w) AS BIGINT) AS min_window
 FROM cover WHERE nt = {_MW_K} GROUP BY doc_id""",
+        # bm25 chain + min-window CTE ladder; combined mirrors the
+        # engine's acc + weight·(1/(1+window)) float expression order
+        "proximity_boost_search": bm25_scores_sql(BM25_QUERY) + f""",
+{token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+q AS (SELECT doc_id, term, pos FROM pos WHERE term IN ({_SNIP_TERMS})),
+full_docs AS (SELECT doc_id FROM q GROUP BY doc_id
+              HAVING count(DISTINCT term) = {_MW_K}),
+starts AS (SELECT doc_id, pos AS p FROM q
+           WHERE doc_id IN (SELECT doc_id FROM full_docs)),
+nxt AS (SELECT s.doc_id, s.p, q.term, min(q.pos) AS np
+        FROM starts s JOIN q USING (doc_id)
+        WHERE q.pos >= s.p GROUP BY s.doc_id, s.p, q.term),
+cover AS (SELECT doc_id, p, count(*) AS nt, max(np) - p + 1 AS w
+          FROM nxt GROUP BY doc_id, p),
+mw AS (SELECT doc_id, min(w) AS min_window
+       FROM cover WHERE nt = {_MW_K} GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(floor((s.score + {_PROX_W!r}
+                   * coalesce(1.0 / (1.0 + mw.min_window), 0.0))
+                  * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (
+            ORDER BY (s.score + {_PROX_W!r}
+                      * coalesce(1.0 / (1.0 + mw.min_window), 0.0)) DESC,
+                     s.doc_id ASC) AS BIGINT) AS rank
+FROM scores s LEFT JOIN mw ON mw.doc_id = s.doc_id
+ORDER BY (s.score + {_PROX_W!r}
+          * coalesce(1.0 / (1.0 + mw.min_window), 0.0)) DESC, s.doc_id ASC
+LIMIT 10""",
         # greedy earliest-next chain per start == engine min_ordered_spans
         "sloppy_phrase_search": f"""
 WITH {token_list_cte()},

@@ -253,6 +253,25 @@ def bm25plus_search(sf_dir: str):
     })
 
 
+PROX_BOOST_W = 2.0
+
+
+def proximity_boost_search(sf_dir: str):
+    """Relevance + proximity ranking (the classic web-search phrase
+    boost): combined = bm25 + 2.0/(1 + min_cover_window) for docs
+    containing ALL query terms, plain bm25 otherwise — term closeness
+    promotes docs where the query words cluster. Positional-sidecar
+    feature through the proven feature-boost accumulation; oracle =
+    bm25 chain + min-window CTE ladder, LEFT JOIN coalesce-0.0."""
+    eng = _index_for(sf_dir)
+    res = eng.search_proximity_boost(BM25_QUERY, 10, weight=PROX_BOOST_W)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 FEATURE_BOOST_W = 0.25
 
 

@@ -663,6 +663,28 @@ class QueryEngine:
         return self._search_exhaustive(terms, k, scorer,
                                        feature=feat, feature_weight=weight)
 
+    def search_proximity_boost(self, query: str, k: int = 10,
+                               weight: float = 1.0, scorer: str = "bm25"
+                               ) -> list[tuple[int, float]]:
+        """Proximity-boosted ranking (relevance + term closeness — the
+        classic "phrase boost" of web search): combined(d) =
+        text_score(d) + weight · 1/(1 + min_cover_window(d)), where the
+        window term applies only to docs containing ALL query terms
+        (others keep their text score exactly: acc + weight·0.0 is
+        bitwise exact). Rides the proven feature-boost accumulation
+        (acc + weight·feat), with the positional sidecar providing the
+        feature — so the DuckDB mirror is the bm25 chain + the
+        min-window CTE ladder, LEFT JOIN + coalesce-0.0. Requires
+        store_positions=True."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        ids, w = self.min_cover_windows(terms)
+        feat = 1.0 / (1.0 + w.astype(np.float64))
+        return self.search_feature_boost(query, k, feature_ids=ids,
+                                         feature_vals=feat, weight=weight,
+                                         scorer=scorer)
+
     def _search_exhaustive(self, terms: list[str], k: int,
                            scorer: str = "bm25",
                            allowed: np.ndarray | None = None,

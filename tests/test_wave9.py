@@ -622,6 +622,26 @@ def test_sharded_ordered_spans_identical(P, ray_session):
     assert w_s.tolist() == w_1.tolist() and len(ids_s) > 0
 
 
+def test_proximity_boost_semantics(P):
+    """weight=0 == plain bm25 bitwise; with weight, every all-terms doc
+    gains exactly weight/(1+min_window) and partial-match docs keep
+    their text score exactly."""
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    q = P.BM25_QUERY
+    assert eng.search_proximity_boost(q, 15, weight=0.0) == \
+        eng.search(q, 15, method="exhaustive")
+    plain = dict(eng.search(q, 500, method="exhaustive"))
+    wins = dict(zip(*[x.tolist() for x in
+                      eng.min_cover_windows(sorted(set(clean_query(q))))]))
+    for d, s in eng.search_proximity_boost(q, 50, weight=2.0):
+        if d in wins:
+            assert s == plain[d] + 2.0 * (1.0 / (1.0 + wins[d]))
+        else:
+            assert s == plain[d]
+
+
 def test_positional_guards(P, ray_session, tmp_path):
     """A non-positional index refuses positional queries loudly."""
     import pytest as _pytest
