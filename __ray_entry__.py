@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm_search": P.lm_jm_search,
         "bm25plus_search": P.bm25plus_search,
         "proximity_boost_search": P.proximity_boost_search,
+        "collapse_search": P.collapse_search,
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
@@ -2457,6 +2458,20 @@ cover AS (SELECT doc_id, p, count(*) AS nt, max(np) - p + 1 AS w
           FROM nxt GROUP BY doc_id, p)
 SELECT doc_id, CAST(min(w) AS BIGINT) AS min_window
 FROM cover WHERE nt = {_MW_K} GROUP BY doc_id""",
+        # per-source best (score desc, doc_id asc) then global top-10
+        "collapse_search": bm25_scores_sql(BM25_QUERY) + """
+SELECT doc_id, source,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM (
+  SELECT s.doc_id, d.source, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+) WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""",
         # bm25 chain + min-window CTE ladder; combined mirrors the
         # engine's acc + weight·(1/(1+window)) float expression order
         "proximity_boost_search": bm25_scores_sql(BM25_QUERY) + f""",

@@ -272,6 +272,30 @@ def proximity_boost_search(sf_dir: str):
     })
 
 
+def collapse_search(sf_dir: str):
+    """Field-collapsed top-10 (ES ``collapse`` analog): at most ONE hit
+    per ``source`` — result diversification over the collapse key, here
+    the docs table's source column (a doc-values sidecar at scale).
+    Rank all matches, keep each source's best (score desc, doc_id asc),
+    return the global top-10 survivors."""
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "source"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    src = np.asarray(t["source"])
+    order = np.argsort(ids)
+    ids, src = ids[order], src[order]
+    uniq, codes = np.unique(src, return_inverse=True)
+    res = eng.search_collapse(BM25_QUERY, 10, group_ids=ids,
+                              group_codes=codes.astype(np.int64))
+    return pa.table({
+        "doc_id": pa.array([d for d, _, _ in res], pa.int64()),
+        "source": pa.array([str(uniq[g]) for _, g, _ in res], pa.string()),
+        "score_micros": pa.array([to_micros(s) for _, _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 FEATURE_BOOST_W = 0.25
 
 

@@ -663,6 +663,48 @@ class QueryEngine:
         return self._search_exhaustive(terms, k, scorer,
                                        feature=feat, feature_weight=weight)
 
+    def search_collapse(self, query: str, k: int = 10, *,
+                        group_ids, group_codes, per_group: int = 1,
+                        scorer: str = "bm25") -> list[tuple[int, int, float]]:
+        """Field-collapsed top-k (the Elasticsearch ``collapse`` /
+        Lucene grouping analog): rank all matching docs, keep at most
+        ``per_group`` best per group (score desc, doc_id asc within a
+        group), return the global top-k of the survivors as
+        (doc_id, group_code, score). Result diversification — e.g. at
+        most one hit per source/domain.
+
+        ``group_ids`` (sorted doc ids) / ``group_codes`` (int64): the
+        per-doc collapse key, a doc-values column at scale. Docs
+        without a row collapse into their own singleton group (never
+        suppressed). Exhaustive ranking + one early-exit pass down the
+        ranked list; on the sharded path each worker would return its
+        local per-group best (groups need not be shard-local — the
+        driver re-collapses the union, which is exact because a
+        group's global best is some worker's local best)."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        gi = np.asarray(group_ids, dtype=np.int64)
+        gc = np.asarray(group_codes, dtype=np.int64)
+        ranked = self._search_exhaustive(terms, len(self.doclens.ids),
+                                         scorer)
+        out: list[tuple[int, int, float]] = []
+        taken: dict[int, int] = {}
+        for d, s in ranked:
+            j = np.searchsorted(gi, d)
+            if j < len(gi) and gi[j] == d:
+                g = int(gc[j])
+                n = taken.get(g, 0)
+                if n >= per_group:
+                    continue
+                taken[g] = n + 1
+            else:
+                g = -1  # singleton group: never collapses
+            out.append((d, g, s))
+            if len(out) == k:
+                break
+        return out
+
     def search_proximity_boost(self, query: str, k: int = 10,
                                weight: float = 1.0, scorer: str = "bm25"
                                ) -> list[tuple[int, float]]:
@@ -1628,6 +1670,10 @@ class _ShardWorker:
         ids, spans = self.engine.min_ordered_spans(terms)
         return ids.tolist(), spans.tolist()
 
+    def proximity_boost(self, query: str, k: int, weight: float,
+                        scorer: str = "bm25") -> list[tuple[int, float]]:
+        return self.engine.search_proximity_boost(query, k, weight, scorer)
+
 
 class ShardedQueryEngine:
     """Distributed query serving: the index's doc-id shards are
@@ -1825,6 +1871,21 @@ class ShardedQueryEngine:
         parts = ray.get([w.ordered_spans.remote(terms)
                          for w in self.workers])
         return self._merge_disjoint(parts)
+
+    def search_proximity_boost(self, query: str, k: int = 10,
+                               weight: float = 1.0, scorer: str = "bm25"
+                               ) -> list[tuple[int, float]]:
+        """Distributed proximity-boosted ranking: the min-cover-window
+        feature is doc-local, so each worker boosts its own shard
+        subset (global df via term_dict keeps text scores bitwise);
+        driver merges local top-k."""
+        import ray
+
+        futs = [w.proximity_boost.remote(query, k, weight, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
 
 
 class BM25SearchActor:

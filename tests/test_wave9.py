@@ -642,6 +642,52 @@ def test_proximity_boost_semantics(P):
             assert s == plain[d]
 
 
+def test_sharded_proximity_boost_identical(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    got = sharded.search_proximity_boost(P.BM25_QUERY, 10, weight=2.0)
+    want = eng.search_proximity_boost(P.BM25_QUERY, 10, weight=2.0)
+    assert got == want and len(got) == 10  # floats compared EXACTLY
+
+
+def test_collapse_search_semantics(P):
+    """Survivors are each group's best; suppressed docs are exactly the
+    matched docs whose group already has a better (score, -doc_id)."""
+    import pyarrow.parquet as pq
+
+    eng = P._index_for(SF)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "source"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    src = np.asarray(t["source"])
+    order = np.argsort(ids)
+    ids, src = ids[order], src[order]
+    uniq, codes = np.unique(src, return_inverse=True)
+    res = eng.search_collapse(P.BM25_QUERY, 1000, group_ids=ids,
+                              group_codes=codes.astype(np.int64))
+    ranked = eng.search(P.BM25_QUERY, len(ids) + 10, method="exhaustive")
+    grp = dict(zip(ids.tolist(), codes.tolist()))
+    want, seen = [], set()
+    for d, s in ranked:
+        g = grp[d]
+        if g in seen:
+            continue
+        seen.add(g)
+        want.append((d, g, s))
+    assert res == want
+    assert len(res) == len({g for _, g, _ in res})  # one per group
+    assert 0 < len(res) < len(ranked)               # it DID collapse
+    # per_group=2 keeps at most two per group and is a superset
+    res2 = eng.search_collapse(P.BM25_QUERY, 1000, group_ids=ids,
+                               group_codes=codes.astype(np.int64),
+                               per_group=2)
+    from collections import Counter
+    assert max(Counter(g for _, g, _ in res2).values()) <= 2
+    assert set(d for d, _, _ in res).issubset(d for d, _, _ in res2)
+
+
 def test_positional_guards(P, ray_session, tmp_path):
     """A non-positional index refuses positional queries loudly."""
     import pytest as _pytest
