@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25plus_search": P.bm25plus_search,
         "proximity_boost_search": P.proximity_boost_search,
         "collapse_search": P.collapse_search,
+        "boolean_dsl_search": P.boolean_dsl_search,
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
@@ -2458,6 +2459,17 @@ cover AS (SELECT doc_id, p, count(*) AS nt, max(np) - p + 1 AS w
           FROM nxt GROUP BY doc_id, p)
 SELECT doc_id, CAST(min(w) AS BIGINT) AS min_window
 FROM cover WHERE nt = {_MW_K} GROUP BY doc_id""",
+        # mirrors BOOL_DSL = "(merge AND sort) OR (join AND NOT window)"
+        "boolean_dsl_search": f"""
+WITH {kept},
+s AS (SELECT doc_id,
+             bool_or(term = 'merge')  AS h_merge,
+             bool_or(term = 'sort')   AS h_sort,
+             bool_or(term = 'join')   AS h_join,
+             bool_or(term = 'window') AS h_window
+      FROM kept GROUP BY doc_id)
+SELECT doc_id FROM s
+WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window)""",
         # per-source best (score desc, doc_id asc) then global top-10
         "collapse_search": bm25_scores_sql(BM25_QUERY) + """
 SELECT doc_id, source,

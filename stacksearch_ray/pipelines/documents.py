@@ -4556,6 +4556,20 @@ def boolean_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+BOOL_DSL = "(merge AND sort) OR (join AND NOT window)"
+
+
+def boolean_dsl_search(sf_dir: str):
+    """Boolean retrieval through the query LANGUAGE surface
+    (QueryEngine.search_boolean_dsl): recursive-descent AND/OR/NOT +
+    parentheses over analyzer-normalized terms, evaluated as sorted-set
+    algebra on the postings. The fixed expression exercises nesting,
+    both connectives and negation in one tree."""
+    eng = _index_for(sf_dir)
+    ids = eng.search_boolean_dsl(BOOL_DSL)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 AUTOCOMPLETE_PREFIX = "s"
 
 

@@ -663,6 +663,83 @@ class QueryEngine:
         return self._search_exhaustive(terms, k, scorer,
                                        feature=feat, feature_weight=weight)
 
+    def search_boolean_dsl(self, expr: str) -> np.ndarray:
+        """Boolean retrieval over a query LANGUAGE (the Lucene
+        BooleanQuery / classic IR set-algebra surface): ``AND`` /
+        ``OR`` / ``NOT`` / parentheses over bare terms, e.g.
+        ``(merge AND sort) OR (join AND NOT window)``. Returns the
+        sorted matching doc ids.
+
+        Recursive-descent parser (OR lowest precedence, then AND, NOT
+        tightest); terms run through the analyzer (a term that
+        normalizes away, e.g. a stopword, is a parse error — silent
+        empty sets hide typos). Evaluation is sorted-set algebra over
+        term_doc_ids postings (alive docs only); a bare ``NOT x``
+        complements against the alive universe."""
+        toks: list[str] = []
+        for raw in expr.replace("(", " ( ").replace(")", " ) ").split():
+            toks.append(raw)
+        pos = 0
+
+        def peek() -> str | None:
+            return toks[pos] if pos < len(toks) else None
+
+        def take() -> str:
+            nonlocal pos
+            t = toks[pos]
+            pos += 1
+            return t
+
+        def universe() -> np.ndarray:
+            ids = self.doclens.ids
+            return ids[self._alive] if self.has_deletes else ids
+
+        def atom() -> np.ndarray:
+            if peek() is None:
+                raise ValueError(f"unexpected end of expression {expr!r}")
+            t = take()
+            if t == "(":
+                v = or_expr()
+                if peek() != ")":
+                    raise ValueError(f"expected ')' in {expr!r}")
+                take()
+                return v
+            if t in (")", "AND", "OR", "NOT"):
+                raise ValueError(f"unexpected {t!r} in {expr!r}")
+            terms = clean_query(t)
+            if len(terms) != 1:
+                raise ValueError(
+                    f"query word {t!r} does not normalize to one term")
+            return self.term_doc_ids(terms[0])
+
+        def not_expr() -> np.ndarray:
+            if peek() == "NOT":
+                take()
+                return np.setdiff1d(universe(), not_expr(),
+                                    assume_unique=True)
+            return atom()
+
+        def and_expr() -> np.ndarray:
+            v = not_expr()
+            while peek() == "AND":
+                take()
+                v = np.intersect1d(v, not_expr(), assume_unique=True)
+            return v
+
+        def or_expr() -> np.ndarray:
+            v = and_expr()
+            while peek() == "OR":
+                take()
+                v = np.union1d(v, and_expr())
+            return v
+
+        if not toks:
+            raise ValueError("empty boolean expression")
+        out = or_expr()
+        if pos != len(toks):
+            raise ValueError(f"trailing tokens in {expr!r}")
+        return out
+
     def search_collapse(self, query: str, k: int = 10, *,
                         group_ids, group_codes, per_group: int = 1,
                         scorer: str = "bm25") -> list[tuple[int, int, float]]:

@@ -642,6 +642,41 @@ def test_proximity_boost_semantics(P):
             assert s == plain[d]
 
 
+def test_boolean_dsl_brute_force(P):
+    """Parser + set algebra vs per-doc term-set evaluation for a range
+    of expressions: nesting, precedence (OR < AND < NOT), double
+    negation, bare NOT against the universe."""
+    eng = P._index_for(SF)
+    ts = _doc_term_sets(P)
+
+    def want(pred):
+        return sorted(d for d, s in ts.items() if pred(s))
+
+    cases = [
+        ("merge", lambda s: "merge" in s),
+        ("merge AND sort", lambda s: "merge" in s and "sort" in s),
+        ("merge OR sort", lambda s: "merge" in s or "sort" in s),
+        ("NOT merge", lambda s: "merge" not in s),
+        ("NOT NOT merge", lambda s: "merge" in s),
+        ("(merge AND sort) OR (join AND NOT window)",
+         lambda s: ("merge" in s and "sort" in s)
+         or ("join" in s and "window" not in s)),
+        # precedence: AND binds tighter than OR, NOT tighter than AND
+        ("merge OR sort AND window",
+         lambda s: "merge" in s or ("sort" in s and "window" in s)),
+        ("merge AND NOT sort OR join",
+         lambda s: ("merge" in s and "sort" not in s) or "join" in s),
+    ]
+    for expr, pred in cases:
+        got = eng.search_boolean_dsl(expr).tolist()
+        assert got == want(pred), expr
+    import pytest as _pytest
+    for bad in ("", "merge AND", "(merge", "merge )", "AND merge",
+                "the"):  # 'the' is a stopword -> normalizes away
+        with _pytest.raises(ValueError):
+            eng.search_boolean_dsl(bad)
+
+
 def test_sharded_proximity_boost_identical(P, ray_session):
     from stacksearch_ray.query import ShardedQueryEngine
 
