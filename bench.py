@@ -150,7 +150,12 @@ def run_bench() -> dict:
     timings["build_documents"] = time.time() - t0
 
     # ---- cold first query: fresh engine, no seg cache, no sidecar map
-    # (the file-pruned cold path; BASELINE.md "Cold-query latency") ----
+    # (the file-pruned cold path; BASELINE.md "Cold-query latency").
+    # build_index now emits the sidecar eagerly, so DELETE it first —
+    # otherwise this measures the mapped path twice ----
+    sidecar = os.path.join(idx_dir, "seg_bucket_map.json")
+    if os.path.exists(sidecar):
+        os.remove(sidecar)
     t0 = time.time()
     QueryEngine(idx_dir).search(GOLDEN_QUERIES[0], 10, "auto")
     timings["query_first_cold"] = time.time() - t0

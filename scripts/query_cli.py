@@ -48,6 +48,15 @@ def main() -> int:
               "(no stats.json/alias.json; run scripts/build_cli.py first)",
               file=sys.stderr)
         return 2
+    if args.sharded and (args.plan or args.min_match):
+        # --plan is single-engine introspection and --min-match fans out
+        # through a different entrypoint — refuse loudly rather than
+        # silently serving plain searches
+        print("error: --plan/--min-match cannot combine with --sharded "
+              "(drop --sharded for introspection, or use the library's "
+              "ShardedQueryEngine.search_min_should_match)",
+              file=sys.stderr)
+        return 2
     if args.sharded:
         import ray
 

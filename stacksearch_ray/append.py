@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -264,7 +265,9 @@ def set_index_alias(alias_dir: str, index_dir: str) -> str:
     load_stats(index_dir)  # raises unless index_dir is a complete index
     os.makedirs(alias_dir, exist_ok=True)
     final = os.path.join(alias_dir, "alias.json")
-    tmp = final + ".tmp"
+    # unique tmp per writer: two concurrent flips must never share an
+    # inode, or one's os.replace publishes the other's half-written file
+    tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump({"index_dir": os.path.abspath(index_dir)}, f)
     os.replace(tmp, final)

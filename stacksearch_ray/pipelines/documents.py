@@ -289,7 +289,8 @@ def collapse_search(sf_dir: str):
                               group_codes=codes.astype(np.int64))
     return pa.table({
         "doc_id": pa.array([d for d, _, _ in res], pa.int64()),
-        "source": pa.array([str(uniq[g]) for _, g, _ in res], pa.string()),
+        "source": pa.array([str(uniq[g]) if g >= 0 else ""
+                            for _, g, _ in res], pa.string()),
         "score_micros": pa.array([to_micros(s) for _, _, s in res],
                                  pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),

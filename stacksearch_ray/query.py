@@ -78,32 +78,34 @@ class _DocLens:
         return float(self.lens[self.ids.searchsorted(doc_id)])
 
 
-def scan_seg_bucket_map(seg_dir: str) -> dict[str, dict]:
-    """Sidecar entries for every segment file: one term-only column
-    scan per file → sorted distinct map-bucket list, keyed by
-    (size, mtime_ns). Shared by the reader's lazy build and the build
-    paths' eager emit (write_seg_bucket_map)."""
-    names = [n for n in sorted(os.listdir(seg_dir))
-             if n.endswith(".parquet")]
-
-    def one(name: str) -> tuple[str, dict]:
-        path = os.path.join(seg_dir, name)
+def _seg_map_entry(path: str, st: os.stat_result | None = None) -> dict:
+    """One segment file's sidecar entry: term-only column scan →
+    sorted distinct map-bucket list, keyed by (size, mtime_ns). The
+    SINGLE implementation behind both the build paths' eager emit
+    (scan_seg_bucket_map) and the reader's lazy per-file refresh
+    (_load_seg_map) — the two must never diverge."""
+    if st is None:
         st = os.stat(path)
-        # ParquetFile.read skips read_table's dataset machinery —
-        # 0.3 ms vs 2.7 ms per small file (measured, 222-file index)
-        terms = pq.ParquetFile(path).read(columns=["term"],
-                                          use_threads=False)["term"]
-        uniq = terms.combine_chunks().unique()
-        bks = (sorted(set(
-            QueryEngine._map_buckets_of(uniq.to_pylist()).tolist()))
-            if len(uniq) else [])
-        return name, {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
-                      "buckets": bks}
+    # ParquetFile.read skips read_table's dataset machinery —
+    # 0.3 ms vs 2.7 ms per small file (measured, 222-file index)
+    terms = pq.ParquetFile(path).read(columns=["term"],
+                                      use_threads=False)["term"]
+    uniq = terms.combine_chunks().unique()
+    bks = (sorted(set(
+        QueryEngine._map_buckets_of(uniq.to_pylist()).tolist()))
+        if len(uniq) else [])
+    return {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
+            "buckets": bks}
 
-    # serial on purpose: the per-file cost is GIL-held footer parsing,
-    # so a thread pool only adds switching overhead (measured 67 ms
-    # serial vs 427 ms with 8 threads at 222 files)
-    return dict(one(n) for n in names)
+
+def scan_seg_bucket_map(seg_dir: str) -> dict[str, dict]:
+    """Sidecar entries for every segment file (see _seg_map_entry).
+    Serial on purpose: the per-file cost is GIL-held footer parsing,
+    so a thread pool only adds switching overhead (measured 67 ms
+    serial vs 427 ms with 8 threads at 222 files)."""
+    return {n: _seg_map_entry(os.path.join(seg_dir, n))
+            for n in sorted(os.listdir(seg_dir))
+            if n.endswith(".parquet")}
 
 
 def write_seg_bucket_map(index_dir: str) -> str:
@@ -285,14 +287,8 @@ class QueryEngine:
                 out[name] = set(ent["buckets"])
                 continue
             changed = True
-            terms = pq.ParquetFile(path).read(columns=["term"],
-                                              use_threads=False)["term"]
-            uniq = terms.combine_chunks().unique()
-            bks = sorted(set(self._map_buckets_of(uniq.to_pylist()).tolist())
-                         ) if len(uniq) else []
-            entries[name] = {"size": st.st_size,
-                             "mtime_ns": st.st_mtime_ns, "buckets": bks}
-            out[name] = set(bks)
+            entries[name] = _seg_map_entry(path, st)
+            out[name] = set(entries[name]["buckets"])
         if changed or set(cached) != set(files):
             try:  # best-effort persist (read-only dirs stay in-memory)
                 tmp = side + f".tmp.{os.getpid()}"
@@ -338,13 +334,20 @@ class QueryEngine:
                 out.append(p)
         return out
 
-    def _segments_for(self, terms: list[str]) -> dict[str, list[dict]]:
+    _AUTO = object()  # sentinel: "compute verified paths here"
+
+    def _segments_for(self, terms: list[str],
+                      verified_paths=_AUTO) -> dict[str, list[dict]]:
         missing = [t for t in terms if t not in self._seg_cache]
         if missing:
             filters = [("term", "in", missing)]
             if self.shard_subset is not None:
                 filters.append(("shard", "in", self.shard_subset))
-            paths = self._segments_verified_paths(missing)
+            # plan() precomputes the verify scan for its file counts and
+            # hands it in — don't pay the per-candidate term read twice
+            paths = (self._segments_verified_paths(missing)
+                     if verified_paths is QueryEngine._AUTO
+                     else verified_paths)
             for m in missing:
                 self._seg_cache[m] = []
             if paths != []:
@@ -765,18 +768,25 @@ class QueryEngine:
         gc = np.asarray(group_codes, dtype=np.int64)
         ranked = self._search_exhaustive(terms, len(self.doclens.ids),
                                          scorer)
+        if not ranked:
+            return []
+        # one bulk searchsorted maps every ranked doc to its group code
+        # (-1 = no row: singleton, never collapses); the walk down the
+        # ranked order is then plain-int bookkeeping with early exit
+        rd_ = np.fromiter((d for d, _ in ranked), np.int64, len(ranked))
+        j = np.searchsorted(gi, rd_)
+        jc = np.minimum(j, max(len(gi) - 1, 0))
+        hit = (j < len(gi)) & (gi[jc] == rd_) if len(gi) else \
+            np.zeros(len(rd_), dtype=bool)
+        groups = np.where(hit, gc[jc] if len(gi) else -1, -1)
         out: list[tuple[int, int, float]] = []
         taken: dict[int, int] = {}
-        for d, s in ranked:
-            j = np.searchsorted(gi, d)
-            if j < len(gi) and gi[j] == d:
-                g = int(gc[j])
+        for (d, s), g in zip(ranked, groups.tolist()):
+            if g >= 0:
                 n = taken.get(g, 0)
                 if n >= per_group:
                     continue
                 taken[g] = n + 1
-            else:
-                g = -1  # singleton group: never collapses
             out.append((d, g, s))
             if len(out) == k:
                 break
@@ -1493,7 +1503,8 @@ class QueryEngine:
         cand = self._seg_paths_for(missing) if missing else None
         reads = (self._segments_verified_paths(missing)
                  if missing else None)
-        segs = self._segments_for(terms)
+        segs = self._segments_for(
+            terms, verified_paths=(reads if missing else QueryEngine._AUTO))
         dfs = self._df_global(terms, segs)
         per_term = [{"term": t, "df": int(dfs[t]),
                      "segment_rows": len(segs[t]),

@@ -123,7 +123,10 @@ def bm25_plus_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
     order, δ injected as the same literal."""
     from .codec import bm25_tf_part
 
-    idf = math.log((n_docs + 1.0) / df)
+    # max(df, 1): alive-df can be 0 with pending tombstones (all docs
+    # holding the term deleted) — those rows' contributions are masked
+    # from results anyway, and the oracle's df CTE never sees df=0
+    idf = math.log((n_docs + 1.0) / max(df, 1))
     return idf * (bm25_tf_part(tf, doc_len, avgdl, k1, b) + delta)
 
 
