@@ -248,6 +248,11 @@ def run_bench() -> dict:
                      ("ir_eval", P.ir_eval),
                      ("embedding_decontamination",
                       P.embedding_decontamination),
+                     ("sloppy_phrase_search", P.sloppy_phrase_search),
+                     ("proximity_boost_search", P.proximity_boost_search),
+                     ("collapse_search", P.collapse_search),
+                     ("boolean_dsl_search", P.boolean_dsl_search),
+                     ("bm25plus_search", P.bm25plus_search),
                      ("neardup_keep_longest", P.neardup_keep_longest)]:
         t0 = time.time()
         res = fn(SF_DIR)

@@ -66,9 +66,16 @@ def _line_pool(rng: np.random.Generator) -> np.ndarray:
 
 
 def generate_corpus(n_rows: int, seed: int = SEED,
-                    lines: tuple[int, int] = (3, 40)) -> pa.Table:
-    """Deterministic corpus table. Same (n_rows, seed, lines) → identical
-    bytes. ``lines`` controls per-doc size (bench uses heavier docs)."""
+                    lines: tuple[int, int] = (3, 40),
+                    row_offset: int = 0) -> pa.Table:
+    """Deterministic corpus table. Same (n_rows, seed, lines,
+    row_offset) → identical bytes. ``lines`` controls per-doc size
+    (bench uses heavier docs). ``row_offset`` shifts the identity
+    fields (repo/path/commit) so CHUNKED generation — one call per
+    chunk with its own seed and a running offset — yields globally
+    collision-free doc ids without materializing one giant table
+    (the 10M-doc scale drill's path); default 0 leaves every existing
+    caller byte-identical."""
     rng = np.random.default_rng(seed)
     pool = _line_pool(rng)
     n_lines = rng.integers(lines[0], lines[1], size=n_rows)
@@ -76,13 +83,14 @@ def generate_corpus(n_rows: int, seed: int = SEED,
     offsets = np.concatenate(([0], np.cumsum(n_lines)))
     repo, path, commit, lang, content = [], [], [], [], []
     join = "\n".join
-    for i in range(n_rows):
+    for j in range(n_rows):
+        i = row_offset + j  # global identity; local j indexes the draws
         ext, lg = _EXTS[i % len(_EXTS)]
         repo.append(f"org{i % 7}/repo{i % 53}")
         path.append(f"src/pkg{i % 11}/mod{i}{ext}")
         commit.append(hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40])
         lang.append(lg)
-        body = join(list(pool[idx[offsets[i]:offsets[i + 1]]]))
+        body = join(list(pool[idx[offsets[j]:offsets[j + 1]]]))
         if i < len(GOLDEN_SENTENCES):
             body = f'"""{GOLDEN_SENTENCES[i]}"""\n' + body
         content.append(body)
