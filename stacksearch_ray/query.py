@@ -1762,6 +1762,17 @@ class _ShardWorker:
                         scorer: str = "bm25") -> list[tuple[int, float]]:
         return self.engine.search_proximity_boost(query, k, weight, scorer)
 
+    def collapse(self, query: str, k: int, group_ref, per_group: int,
+                 scorer: str = "bm25") -> list[tuple[int, int, float]]:
+        import ray
+
+        gi, gc = (ray.get(group_ref) if not isinstance(group_ref, tuple)
+                  else group_ref)
+        return self.engine.search_collapse(query, k, group_ids=gi,
+                                           group_codes=gc,
+                                           per_group=per_group,
+                                           scorer=scorer)
+
 
 class ShardedQueryEngine:
     """Distributed query serving: the index's doc-id shards are
@@ -1974,6 +1985,40 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    def search_collapse(self, query: str, k: int = 10, *,
+                        group_ids, group_codes, per_group: int = 1,
+                        scorer: str = "bm25") -> list[tuple[int, int, float]]:
+        """Distributed field-collapsed top-k. Groups need NOT be
+        shard-local: each worker returns its local collapsed top-k
+        (ships the group mapping once via ray.put), the driver merges
+        by (score desc, doc_id asc) and re-collapses. Exact because
+        any doc cut by a worker's local-k was beaten there by k
+        collapsed survivors, each of which either reaches the global
+        list or loses only to a better same-group doc — so k better
+        results always exist globally. Bitwise-identical to the
+        single-engine result (tested)."""
+        import ray
+
+        gi = np.asarray(group_ids, dtype=np.int64)
+        gc = np.asarray(group_codes, dtype=np.int64)
+        ref = ray.put((gi, gc))
+        futs = [w.collapse.remote(query, k, ref, per_group, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[2], x[0]))
+        out: list[tuple[int, int, float]] = []
+        taken: dict[int, int] = {}
+        for d, g, s in merged:
+            if g >= 0:
+                n = taken.get(g, 0)
+                if n >= per_group:
+                    continue
+                taken[g] = n + 1
+            out.append((d, g, s))
+            if len(out) == k:
+                break
+        return out
 
 
 class BM25SearchActor:

@@ -687,6 +687,32 @@ def test_sharded_proximity_boost_identical(P, ray_session):
     assert got == want and len(got) == 10  # floats compared EXACTLY
 
 
+def test_sharded_collapse_identical(P, ray_session):
+    """Groups span shards (source is independent of doc_id sharding):
+    the per-worker collapse + driver re-collapse equals single-engine
+    exactly, at per_group 1 and 2."""
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "source"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    src = np.asarray(t["source"])
+    order = np.argsort(ids)
+    ids, src = ids[order], src[order]
+    _, codes = np.unique(src, return_inverse=True)
+    codes = codes.astype(np.int64)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    for pg in (1, 2):
+        got = sharded.search_collapse(P.BM25_QUERY, 10, group_ids=ids,
+                                      group_codes=codes, per_group=pg)
+        want = eng.search_collapse(P.BM25_QUERY, 10, group_ids=ids,
+                                   group_codes=codes, per_group=pg)
+        assert got == want and len(got) == 10, pg
+
+
 def test_collapse_search_semantics(P):
     """Survivors are each group's best; suppressed docs are exactly the
     matched docs whose group already has a better (score, -doc_id)."""
