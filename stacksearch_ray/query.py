@@ -318,9 +318,21 @@ class QueryEngine:
         columns never touched) keeps ONLY files that truly contain one
         of the terms. The blob read that follows decompresses ~matching
         files instead of the whole directory — measured 4-8× less cold
-        I/O for rare terms. Returns None when no map is available."""
+        I/O for rare terms. Returns None when no map is available.
+
+        When MOST files are candidates the verify can't prune much but
+        still pays ~1 ms/file (GIL-held footer parse — 1024-shard 10M
+        index: ~1 s per cold query for zero pruning, every term lives
+        in every per-shard file once df >> S), so above a count+ratio
+        threshold the unverified candidate list goes straight to the
+        blob read; its term filters keep correctness, and the SORTED
+        superset preserves per-term segment-row order bitwise."""
         paths = self._seg_paths_for(missing)
         if paths is None or paths == []:
+            return paths
+        m = self._seg_map  # populated by _seg_paths_for
+        if len(paths) > 64 and m is not None \
+                and len(paths) * 4 > len(m) * 3:
             return paths
         import pyarrow.compute as pc
 
