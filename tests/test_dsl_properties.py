@@ -1,0 +1,131 @@
+"""Property tests for the session-4 query surfaces against ONE shared
+index over a small real corpus: hypothesis drives random boolean
+expression trees (engine set algebra vs per-doc term-set evaluation)
+and random ordered-span term sequences (greedy chain vs exhaustive
+chain enumeration)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stacksearch_ray.corpus import generate_corpus, write_corpus
+from stacksearch_ray.schema import doc_id_for
+from stacksearch_ray.text import clean_query
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def dsl_index(ray_session, tmp_path_factory):
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("dslprop")
+    corpus_dir = str(root / "corpus")
+    index_dir = str(root / "index")
+    write_corpus(corpus_dir, N_DOCS, rows_per_file=50)
+    build_index(corpus_dir, index_dir, num_shards=4, term_buckets=8,
+                store_positions=True)
+    tbl = generate_corpus(N_DOCS)
+    toks = {}
+    for i in range(N_DOCS):
+        did = doc_id_for(tbl["repo"][i].as_py(), tbl["path"][i].as_py(),
+                         tbl["commit"][i].as_py())
+        toks[did] = clean_query(tbl["content"][i].as_py(), max_tokens=None)
+    # an 8-term probe vocab spanning common and rare
+    from collections import Counter
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    common = [t for t, _ in cnt.most_common(4)]
+    rare = [t for t, _ in cnt.most_common()[-4:]]
+    return QueryEngine(index_dir), toks, common + rare
+
+
+# ---- boolean DSL: random expression trees ----
+
+def _expr(depth):
+    leaf = st.integers(0, 7)  # index into the probe vocab
+    if depth == 0:
+        return st.tuples(st.just("t"), leaf)
+    sub = _expr(depth - 1)
+    return st.one_of(
+        st.tuples(st.just("t"), leaf),
+        st.tuples(st.just("not"), sub),
+        st.tuples(st.just("and"), sub, sub),
+        st.tuples(st.just("or"), sub, sub),
+    )
+
+
+def _render(node, vocab):
+    kind = node[0]
+    if kind == "t":
+        return vocab[node[1]]
+    if kind == "not":
+        return f"NOT ({_render(node[1], vocab)})"
+    op = "AND" if kind == "and" else "OR"
+    return (f"({_render(node[1], vocab)}) {op} "
+            f"({_render(node[2], vocab)})")
+
+
+def _eval(node, vocab, term_set):
+    kind = node[0]
+    if kind == "t":
+        return vocab[node[1]] in term_set
+    if kind == "not":
+        return not _eval(node[1], vocab, term_set)
+    a = _eval(node[1], vocab, term_set)
+    b = _eval(node[2], vocab, term_set)
+    return (a and b) if kind == "and" else (a or b)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_expr(3))
+def test_boolean_dsl_random_trees(dsl_index, tree):
+    eng, toks, vocab = dsl_index
+    got = eng.search_boolean_dsl(_render(tree, vocab)).tolist()
+    want = sorted(d for d, ts in toks.items()
+                  if _eval(tree, vocab, set(ts)))
+    assert got == want
+
+
+# ---- ordered spans: random term sequences (repeats allowed) ----
+# scalar reference: per-start greedy chain with bisect (the vectorized
+# packed kernel must match this spec; greedy == exhaustive optimum is
+# separately pinned by test_wave9's enumeration on real docs)
+
+def _brute_span(seq, terms):
+    import bisect
+
+    occ = {t: [i for i, w in enumerate(seq) if w == t]
+           for t in set(terms)}
+    if any(not occ[t] for t in terms):
+        return None
+    best = None
+    for s in occ[terms[0]]:
+        prev, ok = s, True
+        for t in terms[1:]:
+            lst = occ[t]
+            j = bisect.bisect_right(lst, prev)
+            if j == len(lst):
+                ok = False
+                break
+            prev = lst[j]
+        if ok:
+            span = prev - s + 1
+            best = span if best is None or span < best else best
+    return best
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.integers(0, 7), min_size=1, max_size=4))
+def test_ordered_spans_random_sequences(dsl_index, term_idx):
+    eng, toks, vocab = dsl_index
+    terms = [vocab[i] for i in term_idx]
+    ids, spans = eng.min_ordered_spans(terms)
+    got = dict(zip(ids.tolist(), spans.tolist()))
+    want = {}
+    for d, seq in toks.items():
+        s = _brute_span(seq, terms)
+        if s is not None:
+            want[d] = s
+    assert got == want
