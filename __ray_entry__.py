@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search": P.regex_search,
         "min_window_search": P.min_window_search,
         "sloppy_phrase_search": P.sloppy_phrase_search,
+        "phrase_ranked_search": P.phrase_ranked_search,
         "conjunctive_search": P.conjunctive_search,
         "orders_monthly": P.orders_monthly,
         "lineitem_profile": P.lineitem_profile,
@@ -2533,6 +2534,31 @@ c3 AS (SELECT c2.doc_id, c2.s, min(p3.pos) AS e
 g AS (SELECT doc_id, min(e - s + 1) AS span FROM c3 GROUP BY doc_id)
 SELECT doc_id, CAST(span AS BIGINT) AS span
 FROM g WHERE span <= {len(_SLOPPY_TERMS) + _SLOPPY_SLOP}""",
+        # sloppy span ladder filters the bm25 chain: phrase-ranked top-k
+        "phrase_ranked_search": bm25_scores_sql(
+            " ".join(_SLOPPY_TERMS)) + f""",
+{token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+p1 AS (SELECT doc_id, pos FROM pos WHERE term = '{_SLOPPY_TERMS[0]}'),
+p2 AS (SELECT doc_id, pos FROM pos WHERE term = '{_SLOPPY_TERMS[1]}'),
+p3 AS (SELECT doc_id, pos FROM pos WHERE term = '{_SLOPPY_TERMS[2]}'),
+c2 AS (SELECT p1.doc_id, p1.pos AS s, min(p2.pos) AS e
+       FROM p1 JOIN p2 USING (doc_id) WHERE p2.pos > p1.pos
+       GROUP BY p1.doc_id, p1.pos),
+c3 AS (SELECT c2.doc_id, c2.s, min(p3.pos) AS e
+       FROM c2 JOIN p3 USING (doc_id) WHERE p3.pos > c2.e
+       GROUP BY c2.doc_id, c2.s),
+g AS (SELECT doc_id, min(e - s + 1) AS span FROM c3 GROUP BY doc_id
+      HAVING min(e - s + 1) <= {len(_SLOPPY_TERMS) + _SLOPPY_SLOP})
+SELECT s.doc_id,
+       CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores s JOIN g ON g.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT 10""",
         "index_stats": f"""
 WITH {kept},
 dl AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY 1),

@@ -6270,6 +6270,22 @@ SLOPPY_TERMS = ("sort", "merge", "join")   # order-significant
 SLOPPY_SLOP = 2                            # match iff span - 3 <= 2
 
 
+def phrase_ranked_search(sf_dir: str):
+    """Quoted-phrase search-box semantics: docs matching the sloppy
+    phrase (ordered span ≤ n+slop from the positional sidecar) RANKED
+    by BM25 over the phrase terms — QueryEngine.search_phrase_ranked,
+    the min_ordered_spans → search_filtered composition (survivor
+    scores bitwise equal their unfiltered scores)."""
+    eng = _index_for(sf_dir)
+    res = eng.search_phrase_ranked(" ".join(SLOPPY_TERMS), 10,
+                                   slop=SLOPPY_SLOP)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 def sloppy_phrase_search(sf_dir: str):
     """Sloppy phrase query (Lucene PhraseQuery with slop): docs where
     the terms occur IN ORDER within a token window of at most

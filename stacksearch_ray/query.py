@@ -721,6 +721,14 @@ class QueryEngine:
                 return v
             if t in (")", "AND", "OR", "NOT"):
                 raise ValueError(f"unexpected {t!r} in {expr!r}")
+            if t.endswith("*") and len(t) > 1:
+                # wildcard atom: union of postings over the prefix range
+                terms = clean_query(t[:-1])
+                if len(terms) != 1:
+                    raise ValueError(
+                        f"wildcard prefix {t!r} does not normalize "
+                        "to one term")
+                return self._union_terms(self.prefix_terms(terms[0]))[0]
             terms = clean_query(t)
             if len(terms) != 1:
                 raise ValueError(
@@ -754,6 +762,27 @@ class QueryEngine:
         if pos != len(toks):
             raise ValueError(f"trailing tokens in {expr!r}")
         return out
+
+    def search_phrase_ranked(self, phrase: str, k: int = 10,
+                             slop: int = 0, scorer: str = "bm25"
+                             ) -> list[tuple[int, float]]:
+        """The composite serving primitive behind quoted-phrase search
+        boxes: docs whose ordered minimal span satisfies ``slop``
+        (span - n_terms ≤ slop, via the positional sidecar), RANKED by
+        the text scorer over the phrase's terms. Two proven stages —
+        min_ordered_spans produces the allowed set, search_filtered
+        scores it (survivor scores bitwise equal their unfiltered
+        scores). slop=0 = exact-phrase-in-order ranking. Requires
+        store_positions=True."""
+        terms = clean_query(phrase, max_tokens=None)
+        if not terms:
+            return []
+        ids, spans = self.min_ordered_spans(terms)
+        allowed = ids[spans <= len(terms) + slop]
+        if len(allowed) == 0:
+            return []
+        return self.search_filtered(phrase, k, allowed_doc_ids=allowed,
+                                    scorer=scorer)
 
     def search_collapse(self, query: str, k: int = 10, *,
                         group_ids, group_codes, per_group: int = 1,
@@ -1774,6 +1803,9 @@ class _ShardWorker:
                         scorer: str = "bm25") -> list[tuple[int, float]]:
         return self.engine.search_proximity_boost(query, k, weight, scorer)
 
+    def boolean_dsl(self, expr: str) -> list[int]:
+        return self.engine.search_boolean_dsl(expr).tolist()
+
     def collapse(self, query: str, k: int, group_ref, per_group: int,
                  scorer: str = "bm25") -> list[tuple[int, int, float]]:
         import ray
@@ -1997,6 +2029,20 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    def search_boolean_dsl(self, expr: str) -> np.ndarray:
+        """Distributed boolean retrieval: each worker evaluates the
+        expression over its shard subset (NOT complements against the
+        worker-LOCAL universe — shards partition docs, so the union of
+        local complements IS the global complement); driver concats the
+        disjoint results. Bitwise-identical to single-engine (tested)."""
+        import ray
+
+        parts = ray.get([w.boolean_dsl.remote(expr)
+                         for w in self.workers])
+        ids = np.concatenate([np.asarray(p, dtype=np.int64)
+                              for p in parts])
+        return np.sort(ids)
 
     def search_collapse(self, query: str, k: int = 10, *,
                         group_ids, group_codes, per_group: int = 1,

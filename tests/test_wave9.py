@@ -677,6 +677,48 @@ def test_boolean_dsl_brute_force(P):
             eng.search_boolean_dsl(bad)
 
 
+def test_boolean_dsl_wildcard_atom(P):
+    eng = P._index_for(SF)
+    ts = _doc_term_sets(P)
+    got = eng.search_boolean_dsl("mer* AND NOT sort").tolist()
+    want = sorted(d for d, s in ts.items()
+                  if any(t.startswith("mer") for t in s)
+                  and "sort" not in s)
+    assert got == want and len(got) > 0
+
+
+def test_sharded_boolean_dsl_identical(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    expr = "(merge AND sort) OR (join AND NOT window)"
+    assert sharded.search_boolean_dsl(expr).tolist() == \
+        eng.search_boolean_dsl(expr).tolist()
+    assert sharded.search_boolean_dsl("NOT merge").tolist() == \
+        eng.search_boolean_dsl("NOT merge").tolist()
+
+
+def test_phrase_ranked_semantics(P):
+    """Results are exactly the sloppy-matched docs ranked by plain
+    bm25, with their unfiltered scores bitwise."""
+    eng = P._index_for(SF)
+    phrase = " ".join(P.SLOPPY_TERMS)
+    ids, spans = eng.min_ordered_spans(list(P.SLOPPY_TERMS))
+    allowed = set(ids[spans <= len(P.SLOPPY_TERMS)
+                      + P.SLOPPY_SLOP].tolist())
+    res = eng.search_phrase_ranked(phrase, 100, slop=P.SLOPPY_SLOP)
+    assert {d for d, _ in res} == allowed
+    plain = dict(eng.search(phrase, 500, method="exhaustive"))
+    for d, s in res:
+        assert s == plain[d]
+    assert [d for d, _ in res] == sorted(
+        allowed, key=lambda d: (-plain[d], d))
+    # slop=0 requires the exact in-order adjacency
+    for d, _ in eng.search_phrase_ranked(phrase, 100, slop=0):
+        assert d in allowed
+
+
 def test_sharded_proximity_boost_identical(P, ray_session):
     from stacksearch_ray.query import ShardedQueryEngine
 
