@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_boost_search": P.proximity_boost_search,
         "collapse_search": P.collapse_search,
         "boolean_dsl_search": P.boolean_dsl_search,
+        "sorted_boolean_search": P.sorted_boolean_search,
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
@@ -2471,6 +2472,23 @@ s AS (SELECT doc_id,
       FROM kept GROUP BY doc_id)
 SELECT doc_id FROM s
 WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window)""",
+        # boolean match ordered by the n_chars doc-value, not relevance
+        "sorted_boolean_search": f"""
+WITH {kept},
+s AS (SELECT doc_id,
+             bool_or(term = 'merge')  AS h_merge,
+             bool_or(term = 'sort')   AS h_sort,
+             bool_or(term = 'join')   AS h_join,
+             bool_or(term = 'window') AS h_window
+      FROM kept GROUP BY doc_id),
+m AS (SELECT doc_id FROM s
+      WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window))
+SELECT m.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(row_number() OVER (ORDER BY d.n_chars DESC, m.doc_id ASC)
+            AS BIGINT) AS rank
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+ORDER BY d.n_chars DESC, m.doc_id ASC
+LIMIT 10""",
         # per-source best (score desc, doc_id asc) then global top-10
         "collapse_search": bm25_scores_sql(BM25_QUERY) + """
 SELECT doc_id, source,

@@ -4571,6 +4571,26 @@ def boolean_dsl_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def sorted_boolean_search(sf_dir: str):
+    """Sort-by-field serving (the ES ``sort`` clause): boolean DSL
+    match ordered by the n_chars doc-value DESC (doc_id asc ties)
+    instead of relevance — top-10 longest docs satisfying the
+    expression. Field shipped as parallel arrays (a doc-values
+    sidecar at scale); inner-join semantics with the field table."""
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "n_chars"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    vals = t["n_chars"].to_numpy().astype(np.int64)
+    o = np.argsort(ids)
+    res = eng.search_sorted_by(BOOL_DSL, 10, field_ids=ids[o],
+                               field_vals=vals[o])
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "n_chars": pa.array([v for _, v in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 AUTOCOMPLETE_PREFIX = "s"
 
 

@@ -763,6 +763,30 @@ class QueryEngine:
             raise ValueError(f"trailing tokens in {expr!r}")
         return out
 
+    def search_sorted_by(self, expr: str, k: int = 10, *,
+                         field_ids, field_vals, descending: bool = True
+                         ) -> list[tuple[int, float]]:
+        """Boolean match ordered by a DOC-VALUE field instead of
+        relevance (the ES ``sort`` clause): evaluate the boolean DSL
+        expression, gather each matching doc's field value
+        (``field_ids`` sorted / ``field_vals`` parallel — a doc-values
+        sidecar at scale), return the top-k by (value, then doc_id asc;
+        value desc by default). Matching docs absent from the field
+        arrays are dropped (no NULL-sort ambiguity — mirror the oracle
+        with an inner join)."""
+        ids = self.search_boolean_dsl(expr)
+        if len(ids) == 0:
+            return []
+        fi = np.asarray(field_ids, dtype=np.int64)
+        fv = np.asarray(field_vals)
+        j = np.searchsorted(fi, ids)
+        jc = np.minimum(j, max(len(fi) - 1, 0))
+        hit = (j < len(fi)) & (fi[jc] == ids) if len(fi) else \
+            np.zeros(len(ids), dtype=bool)
+        ids, vals = ids[hit], fv[jc[hit]]
+        order = np.lexsort((ids, -vals if descending else vals))[:k]
+        return [(int(ids[i]), vals[i].item()) for i in order]
+
     def search_phrase_ranked(self, phrase: str, k: int = 10,
                              slop: int = 0, scorer: str = "bm25"
                              ) -> list[tuple[int, float]]:
@@ -1571,21 +1595,26 @@ class QueryEngine:
             "files_to_read": (len(reads) if reads is not None else None),
         }
 
-    def explain(self, query: str, doc_id: int) -> dict:
-        """Per-term BM25 score breakdown for one (query, doc) pair — the
+    def explain(self, query: str, doc_id: int,
+                scorer: str = "bm25") -> dict:
+        """Per-term score breakdown for one (query, doc) pair — the
         serving-engine debugging surface (why did this doc rank here?).
 
-        Returns ``{"doc_id", "alive", "score", "terms": [{"term", "df",
-        "tf", "doc_len", "idf", "tf_part", "contribution"}, ...]}``.
-        Contributions accumulate in the exhaustive scorer's exact order
-        (sorted terms, segment-row order), so ``score`` is BITWISE equal
-        to the doc's score in ``search`` results (pytest-pinned). Terms
-        absent from the doc contribute nothing and are reported with
-        ``tf=0``. A tombstoned or unknown doc returns ``alive=False``
-        with no scoring (it can never surface in search)."""
+        Returns ``{"doc_id", "alive", "score", "scorer", "terms":
+        [{"term", "df", "tf", "doc_len", "idf", "tf_part",
+        "contribution"}, ...]}``. Contributions accumulate in the
+        exhaustive scorer's exact order (sorted terms, segment-row
+        order), so ``score`` is BITWISE equal to the doc's score in
+        ``search`` results (pytest-pinned). Terms absent from the doc
+        contribute nothing and are reported with ``tf=0``. A tombstoned
+        or unknown doc returns ``alive=False`` with no scoring (it can
+        never surface in search). Any registry scorer works —
+        collection-stats scorers get their cf/total_len binding exactly
+        as in search; the bm25-specific ``idf``/``tf_part`` fields are
+        None for other scorers (their contribution need not factor)."""
         terms = sorted(set(clean_query(query)))
         out: dict = {"doc_id": int(doc_id), "alive": True, "score": 0.0,
-                     "terms": []}
+                     "scorer": scorer, "terms": []}
         lid = self.doclens.ids
         pos = int(np.searchsorted(lid, doc_id))
         if pos >= len(lid) or lid[pos] != doc_id or (
@@ -1595,6 +1624,7 @@ class QueryEngine:
         if not terms:
             return out
         segs = self._segments_for(terms)
+        custom = self._resolve_scorer(scorer, terms, segs)
         dfs = self._df_global(terms, segs)
         score = 0.0
         for t in terms:
@@ -1604,14 +1634,18 @@ class QueryEngine:
                 ids, tfs, dls, part, didx = self._decoded(t, i, r)
                 j = int(np.searchsorted(ids, doc_id))
                 if j < len(ids) and ids[j] == doc_id:
-                    # same float op as acc[didx] += w * part — one add
+                    # same float op as the accumulator add — one add
                     # per containing row, row order preserved
-                    score += w * part[j]
-                    contrib += w * part[j]
+                    c = (w * part[j] if custom is None
+                         else float(custom(tfs, dls, dfs[t], t)[j]))
+                    score += c
+                    contrib += c
                     tf_sum += int(tfs[j])
             out["terms"].append({
                 "term": t, "df": int(dfs[t]), "tf": tf_sum, "doc_len": dl,
-                "idf": float(w), "tf_part": (contrib / w) if w else 0.0,
+                "idf": float(w) if custom is None else None,
+                "tf_part": ((contrib / w) if w else 0.0)
+                if custom is None else None,
                 "contribution": contrib})
         out["score"] = score
         return out
@@ -1774,8 +1808,9 @@ class _ShardWorker:
                                 ) -> list[tuple[int, float]]:
         return self.engine.search_min_should_match(query, min_match, k)
 
-    def explain(self, query: str, doc_id: int) -> dict:
-        return self.engine.explain(query, doc_id)
+    def explain(self, query: str, doc_id: int,
+                scorer: str = "bm25") -> dict:
+        return self.engine.explain(query, doc_id, scorer)
 
     def search_filtered(self, query: str, k: int, allowed_ref,
                         plan: str = "auto") -> list[tuple[int, float]]:
@@ -1858,7 +1893,8 @@ class ShardedQueryEngine:
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
 
-    def explain(self, query: str, doc_id: int) -> dict:
+    def explain(self, query: str, doc_id: int,
+                scorer: str = "bm25") -> dict:
         """Per-term score breakdown, routed to the ONE worker whose
         shard subset owns the doc (df comes from the term_dict, so the
         breakdown is bitwise identical to the full engine's)."""
@@ -1869,7 +1905,7 @@ class ShardedQueryEngine:
         shard = int(shard_of(np.asarray([doc_id], dtype=np.int64),
                              self._n_shards)[0])
         w = self.workers[self._worker_of_shard[shard]]
-        return ray.get(w.explain.remote(query, doc_id))
+        return ray.get(w.explain.remote(query, doc_id, scorer))
 
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "auto", scorer: str = "bm25"

@@ -677,6 +677,46 @@ def test_boolean_dsl_brute_force(P):
             eng.search_boolean_dsl(bad)
 
 
+def test_sorted_boolean_search_semantics(P):
+    """Top-k by the field, ties by doc_id; result set == boolean match
+    ∩ field table; values are the docs' true field values."""
+    import pyarrow.parquet as pq
+
+    eng = P._index_for(SF)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    vals = t["n_chars"].to_numpy().astype(np.int64)
+    o = np.argsort(ids)
+    ids, vals = ids[o], vals[o]
+    nch = dict(zip(ids.tolist(), vals.tolist()))
+    expr = "(merge AND sort) OR (join AND NOT window)"
+    matched = eng.search_boolean_dsl(expr).tolist()
+    res = eng.search_sorted_by(expr, 10, field_ids=ids, field_vals=vals)
+    want = sorted(matched, key=lambda d: (-nch[d], d))[:10]
+    assert [d for d, _ in res] == want
+    assert all(v == nch[d] for d, v in res)
+    asc = eng.search_sorted_by(expr, 10, field_ids=ids, field_vals=vals,
+                               descending=False)
+    assert [d for d, _ in asc] == sorted(
+        matched, key=lambda d: (nch[d], d))[:10]
+
+
+def test_explain_all_scorers_bitwise(P):
+    """explain(scorer=X) total equals the doc's search(scorer=X) score
+    EXACTLY for every registered ranking scorer."""
+    eng = P._index_for(SF)
+    q = P.BM25_QUERY
+    for scorer in ("bm25", "bm25_plus", "tfidf", "lm_dirichlet",
+                   "lm_jelinek_mercer"):
+        for d, s in eng.search(q, 5, scorer=scorer):
+            ex = eng.explain(q, d, scorer=scorer)
+            assert ex["score"] == s, (scorer, d)
+            assert ex["alive"] and ex["scorer"] == scorer
+            if scorer != "bm25":
+                assert all(row["idf"] is None for row in ex["terms"])
+
+
 def test_boolean_dsl_wildcard_atom(P):
     eng = P._index_for(SF)
     ts = _doc_term_sets(P)
