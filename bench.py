@@ -252,6 +252,8 @@ def run_bench() -> dict:
                      ("proximity_boost_search", P.proximity_boost_search),
                      ("collapse_search", P.collapse_search),
                      ("boolean_dsl_search", P.boolean_dsl_search),
+                     ("sorted_boolean_search", P.sorted_boolean_search),
+                     ("phrase_ranked_search", P.phrase_ranked_search),
                      ("bm25plus_search", P.bm25plus_search),
                      ("neardup_keep_longest", P.neardup_keep_longest)]:
         t0 = time.time()
