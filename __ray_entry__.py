@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_search": P.collapse_search,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
+        "match_stats_agg": P.match_stats_agg,
+        "match_histogram": P.match_histogram,
+        "significant_terms": P.significant_terms,
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
@@ -314,9 +317,11 @@ def oracle_sql() -> dict[str, str]:
         FUZZY_PROBES as _FUZZY_PROBES,
         MLT_DOC as _MLT_DOC,
         N_BPE_MERGES as _N_BPE,
+        HIST_W as _HIST_W,
         NEAR_MAX_GAP as _NEAR_GAP,
         NEAR_TERMS as _NEAR_TERMS,
         PROX_BOOST_W as _PROX_W,
+        SIG_K as _SIG_K,
         SLOPPY_SLOP as _SLOPPY_SLOP,
         SLOPPY_TERMS as _SLOPPY_TERMS,
         SHUFFLE_BUCKETS as _SHUF_B,
@@ -2472,6 +2477,64 @@ s AS (SELECT doc_id,
       FROM kept GROUP BY doc_id)
 SELECT doc_id FROM s
 WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window)""",
+        # ES stats-agg over the boolean-matched set
+        "match_stats_agg": f"""
+WITH {kept},
+s AS (SELECT doc_id,
+             bool_or(term = 'merge')  AS h_merge,
+             bool_or(term = 'sort')   AS h_sort,
+             bool_or(term = 'join')   AS h_join,
+             bool_or(term = 'window') AS h_window
+      FROM kept GROUP BY doc_id),
+m AS (SELECT doc_id FROM s
+      WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+       CAST(floor(sum(d.n_chars)::DOUBLE / count(*) * 1e6 + 0.5)
+            AS BIGINT) AS avg_chars_micros
+FROM m JOIN documents d ON d.doc_id = m.doc_id""",
+        # ES histogram-agg over the boolean-matched set
+        "match_histogram": f"""
+WITH {kept},
+s AS (SELECT doc_id,
+             bool_or(term = 'merge')  AS h_merge,
+             bool_or(term = 'sort')   AS h_sort,
+             bool_or(term = 'join')   AS h_join,
+             bool_or(term = 'window') AS h_window
+      FROM kept GROUP BY doc_id),
+m AS (SELECT doc_id FROM s
+      WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window))
+SELECT CAST((d.n_chars // {_HIST_W}) * {_HIST_W} AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1""",
+        # ES significant_terms over the boolean-matched foreground
+        "significant_terms": f"""
+WITH {kept},
+s AS (SELECT doc_id,
+             bool_or(term = 'merge')  AS h_merge,
+             bool_or(term = 'sort')   AS h_sort,
+             bool_or(term = 'join')   AS h_join,
+             bool_or(term = 'window') AS h_window
+      FROM kept GROUP BY doc_id),
+m AS (SELECT doc_id FROM s
+      WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window)),
+stats AS (SELECT (SELECT count(DISTINCT doc_id) FROM kept) AS n_bg,
+                 (SELECT count(*) FROM m) AS n_fg),
+df AS (SELECT term, count(DISTINCT doc_id) AS bg,
+              count(DISTINCT CASE WHEN doc_id IN (SELECT doc_id FROM m)
+                             THEN doc_id END) AS fg
+       FROM kept GROUP BY term),
+r AS (SELECT term, bg, fg,
+             CAST(floor(((fg::DOUBLE / stats.n_fg)
+                         / (bg::DOUBLE / stats.n_bg)) * 1e6 + 0.5)
+                  AS BIGINT) AS ratio_micros
+      FROM df CROSS JOIN stats WHERE fg > 0)
+SELECT term, CAST(fg AS BIGINT) AS fg_df, CAST(bg AS BIGINT) AS bg_df,
+       ratio_micros
+FROM r ORDER BY ratio_micros DESC, term ASC LIMIT {_SIG_K}""",
         # boolean match ordered by the n_chars doc-value, not relevance
         "sorted_boolean_search": f"""
 WITH {kept},

@@ -4591,6 +4591,131 @@ def sorted_boolean_search(sf_dir: str):
     })
 
 
+HIST_W = 200  # n_chars histogram bucket width
+
+
+def match_stats_agg(sf_dir: str):
+    """Metric aggregation over a matched set (the ES stats-agg shape):
+    count/sum/min/max/avg of the n_chars doc-value across docs matching
+    the boolean DSL expression. Matched ids come from the index
+    (driver-side, bounded); the metric scan is a column-pruned Ray
+    aggregate with a broadcast membership mask — no shuffle wider than
+    the 4-number partials."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    eng = _index_for(sf_dir)
+    matched = eng.search_boolean_dsl(BOOL_DSL)
+
+    def mask(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        hit = np.zeros(len(ids), dtype=bool)
+        if len(matched):
+            j = np.searchsorted(matched, ids)
+            jc = np.minimum(j, len(matched) - 1)
+            hit = (j < len(matched)) & (matched[jc] == ids)
+        return b.filter(pa.array(hit))
+
+    agg = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
+           .map_batches(mask, batch_format="pyarrow")
+           .aggregate(Count(), Sum("n_chars"), Min("n_chars"),
+                      Max("n_chars")))
+    n = int(agg["count()"])
+    s = int(agg["sum(n_chars)"])
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "sum_chars": pa.array([s], pa.int64()),
+        "min_chars": pa.array([int(agg["min(n_chars)"])], pa.int64()),
+        "max_chars": pa.array([int(agg["max(n_chars)"])], pa.int64()),
+        "avg_chars_micros": pa.array([to_micros(s / n)], pa.int64()),
+    })
+
+
+def match_histogram(sf_dir: str):
+    """Histogram aggregation over a matched set (the ES histogram-agg
+    shape): doc counts per fixed-width n_chars bucket across the
+    boolean-matched docs. Map-side partials (one row per bucket per
+    batch) then a bucket-keyed sum — the shuffle carries buckets, not
+    docs."""
+    eng = _index_for(sf_dir)
+    matched = eng.search_boolean_dsl(BOOL_DSL)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        hit = np.zeros(len(ids), dtype=bool)
+        if len(matched):
+            j = np.searchsorted(matched, ids)
+            jc = np.minimum(j, len(matched) - 1)
+            hit = (j < len(matched)) & (matched[jc] == ids)
+        nch = np.asarray(b["n_chars"].combine_chunks()).astype(np.int64)[hit]
+        lo = (nch // HIST_W) * HIST_W
+        t = pa.table({"bucket_lo": lo,
+                      "n": np.ones(len(lo), dtype=np.int64)})
+        return _partial_sums(t, ["bucket_lo"], {"n": "n"})
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket_lo").aggregate(Sum("n", alias_name="n")))
+
+
+SIG_K = 20
+
+
+def significant_terms(sf_dir: str):
+    """Significant-terms aggregation (the ES significant_terms analog):
+    terms overrepresented in the boolean-matched foreground vs the
+    whole corpus, scored by the df-rate ratio
+    (fg_df/n_fg)/(bg_df/n_bg), top-20 (ratio desc, term asc —
+    micros-rounded BEFORE ranking, the cross-engine float hazard).
+    One tokenize pass computes fg and bg dfs together ((doc, term)
+    pairs are distinct per pass); the vocab-sized term table is the
+    only materialization."""
+    eng = _index_for(sf_dir)
+    matched = eng.search_boolean_dsl(BOOL_DSL)
+
+    def flags(b: pa.Table) -> pa.Table:
+        tf = term_frequencies(b["text"].combine_chunks())
+        doc_ids = np.asarray(b["doc_id"].combine_chunks()
+                             ).astype(np.int64)[tf.doc_idx]
+        if len(matched):
+            j = np.searchsorted(matched, doc_ids)
+            jc = np.minimum(j, len(matched) - 1)
+            fg = ((j < len(matched)) & (matched[jc] == doc_ids)
+                  ).astype(np.int64)
+        else:
+            fg = np.zeros(len(doc_ids), dtype=np.int64)
+        t = pa.table({"term": tf.terms, "bg": np.ones(len(fg), np.int64),
+                      "fg": fg})
+        return _partial_sums(t, ["term"], {"bg": "bg", "fg": "fg"})
+
+    # docs-with-kept-tokens count: batches partition docs, so per-batch
+    # distinct-doc counts sum exactly
+    def nbg_partial(b: pa.Table) -> pa.Table:
+        tf = term_frequencies(b["text"].combine_chunks())
+        n = len(np.unique(tf.doc_idx))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    src = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    n_bg = int(src.map_batches(nbg_partial, batch_format="pyarrow")
+               .sum("n"))
+    n_fg = len(matched)
+    t = (src.map_batches(flags, batch_format="pyarrow")
+         .groupby("term").aggregate(Sum("bg", alias_name="bg"),
+                                    Sum("fg", alias_name="fg"))
+         .to_pandas())  # vocab-sized (bounded), documented
+    t = t[t["fg"] > 0]
+    ratio = ((t["fg"].to_numpy().astype(np.float64) / n_fg)
+             / (t["bg"].to_numpy().astype(np.float64) / n_bg))
+    t = t.assign(ratio_micros=np.floor(ratio * 1e6 + 0.5).astype(np.int64))
+    t = t.sort_values(["ratio_micros", "term"],
+                      ascending=[False, True]).head(SIG_K)
+    return pa.table({
+        "term": pa.array(t["term"].tolist(), pa.string()),
+        "fg_df": pa.array(t["fg"].tolist(), pa.int64()),
+        "bg_df": pa.array(t["bg"].tolist(), pa.int64()),
+        "ratio_micros": pa.array(t["ratio_micros"].tolist(), pa.int64()),
+    })
+
+
 AUTOCOMPLETE_PREFIX = "s"
 
 

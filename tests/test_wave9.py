@@ -677,6 +677,33 @@ def test_boolean_dsl_brute_force(P):
             eng.search_boolean_dsl(bad)
 
 
+def test_match_aggs_consistent(P):
+    """stats-agg numbers equal a direct pandas computation over the
+    matched set; histogram buckets sum to the match count; every
+    significant term's fg_df ≤ its bg_df and the ratios rank the
+    must-have terms (merge/sort/join appear with ratio > 1)."""
+    import pyarrow.parquet as pq
+
+    eng = P._index_for(SF)
+    matched = set(eng.search_boolean_dsl(P.BOOL_DSL).tolist())
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    sub = t[t.doc_id.isin(matched)]
+    stats = P.match_stats_agg(SF).to_pydict()
+    assert stats["n_docs"] == [len(sub)]
+    assert stats["sum_chars"] == [int(sub.n_chars.sum())]
+    assert stats["min_chars"] == [int(sub.n_chars.min())]
+    assert stats["max_chars"] == [int(sub.n_chars.max())]
+    hist = P.match_histogram(SF).to_pandas()
+    assert int(hist["n"].sum()) == len(sub)
+    assert (hist["bucket_lo"] % P.HIST_W == 0).all()
+    sig = P.significant_terms(SF).to_pandas()
+    assert (sig["fg_df"] <= sig["bg_df"]).all()
+    by_term = dict(zip(sig["term"], sig["ratio_micros"]))
+    assert by_term.get("merge", 0) > 1_000_000
+    assert by_term.get("sort", 0) > 1_000_000
+
+
 def test_sorted_boolean_search_semantics(P):
     """Top-k by the field, ties by doc_id; result set == boolean match
     ∩ field table; values are the docs' true field values."""
