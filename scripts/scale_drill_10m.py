@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROWS = int(os.environ.get("GRAFT_DRILL_ROWS", "10000000"))
 SHARDS = int(os.environ.get("GRAFT_DRILL_SHARDS", "1024"))
 CHUNK = 1_000_000
-ROWS_PER_FILE = 78_125  # 128 files at 10M
+ROWS_PER_FILE = 78_125  # 13 ragged files per 1M chunk -> 130 at 10M
 CORPUS = f"/tmp/ssr_drill10m_corpus_{ROWS}"
 INDEX = f"/tmp/ssr_drill10m_idx_{ROWS}"
 QUERIES = ["def return var_1 helper_3", "var_7 helper_11 field_13",

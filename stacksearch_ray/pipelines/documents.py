@@ -4603,17 +4603,18 @@ def match_stats_agg(sf_dir: str):
     the 4-number partials."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
+    from ..query import sorted_member_mask
+
     eng = _index_for(sf_dir)
     matched = eng.search_boolean_dsl(BOOL_DSL)
+    if len(matched) == 0:  # 0-row result beats a ZeroDivision crash
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in ("n_docs", "sum_chars", "min_chars",
+                                   "max_chars", "avg_chars_micros")})
 
     def mask(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
-        hit = np.zeros(len(ids), dtype=bool)
-        if len(matched):
-            j = np.searchsorted(matched, ids)
-            jc = np.minimum(j, len(matched) - 1)
-            hit = (j < len(matched)) & (matched[jc] == ids)
-        return b.filter(pa.array(hit))
+        return b.filter(pa.array(sorted_member_mask(matched, ids)))
 
     agg = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "n_chars"])
            .map_batches(mask, batch_format="pyarrow")
@@ -4639,13 +4640,11 @@ def match_histogram(sf_dir: str):
     eng = _index_for(sf_dir)
     matched = eng.search_boolean_dsl(BOOL_DSL)
 
+    from ..query import sorted_member_mask
+
     def partial(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
-        hit = np.zeros(len(ids), dtype=bool)
-        if len(matched):
-            j = np.searchsorted(matched, ids)
-            jc = np.minimum(j, len(matched) - 1)
-            hit = (j < len(matched)) & (matched[jc] == ids)
+        hit = sorted_member_mask(matched, ids)
         nch = np.asarray(b["n_chars"].combine_chunks()).astype(np.int64)[hit]
         lo = (nch // HIST_W) * HIST_W
         t = pa.table({"bucket_lo": lo,
@@ -4666,43 +4665,49 @@ def significant_terms(sf_dir: str):
     whole corpus, scored by the df-rate ratio
     (fg_df/n_fg)/(bg_df/n_bg), top-20 (ratio desc, term asc —
     micros-rounded BEFORE ranking, the cross-engine float hazard).
-    One tokenize pass computes fg and bg dfs together ((doc, term)
-    pairs are distinct per pass); the vocab-sized term table is the
-    only materialization."""
+    ONE tokenize pass computes fg and bg dfs AND the corpus doc count
+    together ((doc, term) pairs are distinct per pass; a "\\x00ndocs"
+    sentinel row per batch carries its distinct-doc count — tokens are
+    [a-z0-9]+ so the name can never collide); the vocab-sized term
+    table is the only materialization."""
+    from ..query import sorted_member_mask
+
     eng = _index_for(sf_dir)
     matched = eng.search_boolean_dsl(BOOL_DSL)
+    n_fg = len(matched)
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "fg_df": pa.array([], pa.int64()),
+                      "bg_df": pa.array([], pa.int64()),
+                      "ratio_micros": pa.array([], pa.int64())})
+    if n_fg == 0:
+        return empty
+
+    NDOCS_KEY = "\x00ndocs"
 
     def flags(b: pa.Table) -> pa.Table:
         tf = term_frequencies(b["text"].combine_chunks())
         doc_ids = np.asarray(b["doc_id"].combine_chunks()
                              ).astype(np.int64)[tf.doc_idx]
-        if len(matched):
-            j = np.searchsorted(matched, doc_ids)
-            jc = np.minimum(j, len(matched) - 1)
-            fg = ((j < len(matched)) & (matched[jc] == doc_ids)
-                  ).astype(np.int64)
-        else:
-            fg = np.zeros(len(doc_ids), dtype=np.int64)
+        fg = sorted_member_mask(matched, doc_ids).astype(np.int64)
         t = pa.table({"term": tf.terms, "bg": np.ones(len(fg), np.int64),
                       "fg": fg})
-        return _partial_sums(t, ["term"], {"bg": "bg", "fg": "fg"})
-
-    # docs-with-kept-tokens count: batches partition docs, so per-batch
-    # distinct-doc counts sum exactly
-    def nbg_partial(b: pa.Table) -> pa.Table:
-        tf = term_frequencies(b["text"].combine_chunks())
-        n = len(np.unique(tf.doc_idx))
-        return pa.table({"n": pa.array([n], pa.int64())})
+        part = _partial_sums(t, ["term"], {"bg": "bg", "fg": "fg"})
+        sent = pa.table({"term": pa.array([NDOCS_KEY], pa.string()),
+                         "bg": pa.array([len(np.unique(tf.doc_idx))],
+                                        pa.int64()),
+                         "fg": pa.array([0], pa.int64())})
+        return pa.concat_tables([part, sent])
 
     src = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-    n_bg = int(src.map_batches(nbg_partial, batch_format="pyarrow")
-               .sum("n"))
-    n_fg = len(matched)
     t = (src.map_batches(flags, batch_format="pyarrow")
          .groupby("term").aggregate(Sum("bg", alias_name="bg"),
                                     Sum("fg", alias_name="fg"))
          .to_pandas())  # vocab-sized (bounded), documented
-    t = t[t["fg"] > 0]
+    sent = t[t["term"] == NDOCS_KEY]
+    n_bg = int(sent["bg"].iloc[0]) if len(sent) else 0
+    t = t[(t["term"] != NDOCS_KEY) & (t["fg"] > 0)]
+    if n_bg == 0 or len(t) == 0:
+        return empty
     ratio = ((t["fg"].to_numpy().astype(np.float64) / n_fg)
              / (t["bg"].to_numpy().astype(np.float64) / n_bg))
     t = t.assign(ratio_micros=np.floor(ratio * 1e6 + 0.5).astype(np.int64))

@@ -125,6 +125,39 @@ def write_seg_bucket_map(index_dir: str) -> str:
     return side
 
 
+def sorted_member_mask(sorted_arr: np.ndarray, ids: np.ndarray
+                       ) -> np.ndarray:
+    """Boolean membership of ``ids`` in the SORTED unique ``sorted_arr``
+    via one bulk searchsorted — the shared probe behind collapse /
+    sort-by-field / matched-set aggregation masks (handles the empty
+    array without special-casing at call sites)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    j = np.searchsorted(sorted_arr, ids)
+    jc = np.minimum(j, len(sorted_arr) - 1)
+    return (j < len(sorted_arr)) & (sorted_arr[jc] == ids)
+
+
+def _collapse_walk(ranked: list, per_group: int, k: int) -> list:
+    """Shared collapse pass: walk (doc_id, group, score) tuples already
+    ordered by (score desc, doc_id asc), keep at most ``per_group`` per
+    non-negative group (-1 = singleton sentinel, never collapses),
+    early-exit at k. Used by both the single-engine and the sharded
+    re-collapse so the semantics can never diverge."""
+    out: list = []
+    taken: dict[int, int] = {}
+    for d, g, s in ranked:
+        if g >= 0:
+            n = taken.get(g, 0)
+            if n >= per_group:
+                continue
+            taken[g] = n + 1
+        out.append((d, g, s))
+        if len(out) == k:
+            break
+    return out
+
+
 def open_index(path: str, **kwargs) -> "QueryEngine":
     """Open an index OR an alias directory (append.set_index_alias):
     resolves one alias.json hop, then constructs a QueryEngine. The
@@ -638,14 +671,23 @@ class QueryEngine:
 
         custom = get_scorer(scorer)
         params = inspect.signature(custom).parameters
+        # a scorer declaring k1/b is in the BM25 family: bind the
+        # INDEX's stored parameters (stats.json), not the signature
+        # defaults — search(scorer="bm25_plus") must normalize tf
+        # exactly like the index's own bm25 on custom-k1/b indexes
+        kw: dict = {}
+        if "k1" in params:
+            kw["k1"] = self.k1
+        if "b" in params:
+            kw["b"] = self.b
         if "cf" in params or any(p.kind == p.VAR_KEYWORD
                                  for p in params.values()):
             cfs = self._cf_global(terms, segs)
             return lambda tfs, dls, dfg, t: custom(
                 tfs, dls, dfg, self.n_docs, self.avgdl,
-                cf=cfs[t], total_len=self.total_len)
+                cf=cfs[t], total_len=self.total_len, **kw)
         return lambda tfs, dls, dfg, t: custom(
-            tfs, dls, dfg, self.n_docs, self.avgdl)
+            tfs, dls, dfg, self.n_docs, self.avgdl, **kw)
 
     def search_feature_boost(self, query: str, k: int = 10, *,
                              feature_ids, feature_vals,
@@ -691,9 +733,7 @@ class QueryEngine:
         empty sets hide typos). Evaluation is sorted-set algebra over
         term_doc_ids postings (alive docs only); a bare ``NOT x``
         complements against the alive universe."""
-        toks: list[str] = []
-        for raw in expr.replace("(", " ( ").replace(")", " ) ").split():
-            toks.append(raw)
+        toks = expr.replace("(", " ( ").replace(")", " ) ").split()
         pos = 0
 
         def peek() -> str | None:
@@ -779,11 +819,9 @@ class QueryEngine:
             return []
         fi = np.asarray(field_ids, dtype=np.int64)
         fv = np.asarray(field_vals)
-        j = np.searchsorted(fi, ids)
-        jc = np.minimum(j, max(len(fi) - 1, 0))
-        hit = (j < len(fi)) & (fi[jc] == ids) if len(fi) else \
-            np.zeros(len(ids), dtype=bool)
-        ids, vals = ids[hit], fv[jc[hit]]
+        hit = sorted_member_mask(fi, ids)
+        ids = ids[hit]
+        vals = fv[np.searchsorted(fi, ids)]
         order = np.lexsort((ids, -vals if descending else vals))[:k]
         return [(int(ids[i]), vals[i].item()) for i in order]
 
@@ -831,6 +869,9 @@ class QueryEngine:
             return []
         gi = np.asarray(group_ids, dtype=np.int64)
         gc = np.asarray(group_codes, dtype=np.int64)
+        if len(gc) and gc.min() < 0:
+            raise ValueError("group_codes must be non-negative "
+                             "(-1 is the internal singleton sentinel)")
         ranked = self._search_exhaustive(terms, len(self.doclens.ids),
                                          scorer)
         if not ranked:
@@ -839,23 +880,14 @@ class QueryEngine:
         # (-1 = no row: singleton, never collapses); the walk down the
         # ranked order is then plain-int bookkeeping with early exit
         rd_ = np.fromiter((d for d, _ in ranked), np.int64, len(ranked))
-        j = np.searchsorted(gi, rd_)
-        jc = np.minimum(j, max(len(gi) - 1, 0))
-        hit = (j < len(gi)) & (gi[jc] == rd_) if len(gi) else \
-            np.zeros(len(rd_), dtype=bool)
-        groups = np.where(hit, gc[jc] if len(gi) else -1, -1)
-        out: list[tuple[int, int, float]] = []
-        taken: dict[int, int] = {}
-        for (d, s), g in zip(ranked, groups.tolist()):
-            if g >= 0:
-                n = taken.get(g, 0)
-                if n >= per_group:
-                    continue
-                taken[g] = n + 1
-            out.append((d, g, s))
-            if len(out) == k:
-                break
-        return out
+        hit = sorted_member_mask(gi, rd_)
+        groups = np.where(
+            hit, gc[np.minimum(np.searchsorted(gi, rd_),
+                               max(len(gi) - 1, 0))] if len(gi) else -1,
+            -1)
+        return _collapse_walk(
+            [(d, g, s) for (d, s), g in zip(ranked, groups.tolist())],
+            per_group, k)
 
     def search_proximity_boost(self, query: str, k: int = 10,
                                weight: float = 1.0, scorer: str = "bm25"
@@ -2096,23 +2128,15 @@ class ShardedQueryEngine:
 
         gi = np.asarray(group_ids, dtype=np.int64)
         gc = np.asarray(group_codes, dtype=np.int64)
+        if len(gc) and gc.min() < 0:
+            raise ValueError("group_codes must be non-negative "
+                             "(-1 is the internal singleton sentinel)")
         ref = ray.put((gi, gc))
         futs = [w.collapse.remote(query, k, ref, per_group, scorer)
                 for w in self.workers]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[2], x[0]))
-        out: list[tuple[int, int, float]] = []
-        taken: dict[int, int] = {}
-        for d, g, s in merged:
-            if g >= 0:
-                n = taken.get(g, 0)
-                if n >= per_group:
-                    continue
-                taken[g] = n + 1
-            out.append((d, g, s))
-            if len(out) == k:
-                break
-        return out
+        return _collapse_walk(merged, per_group, k)
 
 
 class BM25SearchActor:

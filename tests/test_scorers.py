@@ -121,6 +121,39 @@ def test_bm25_plus_matches_brute_force(lm_index):
         assert s > plain.get(d, 0.0)
 
 
+def test_bm25_plus_uses_index_k1_b(ray_session, tmp_path_factory):
+    """On a custom-parameter index the bm25_plus tf part must use the
+    STORED k1/b (stats.json), not the scorer-signature defaults — the
+    'BM25 family' contract."""
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.codec import bm25_tf_part
+    from stacksearch_ray.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("bm25plus_kb")
+    corpus_dir = str(root / "corpus")
+    index_dir = str(root / "index")
+    write_corpus(corpus_dir, 120, rows_per_file=60)
+    K1, B = 2.0, 0.5
+    build_index(corpus_dir, index_dir, num_shards=2, k1=K1, b=B)
+    eng = QueryEngine(index_dir)
+    q = "def return import"
+    res = eng.search(q, 5, scorer="bm25_plus")
+    assert res
+    for d, s in res:
+        ex = eng.explain(q, d, scorer="bm25_plus")
+        # recompute each contribution with the INDEX params
+        want = 0.0
+        for row in ex["terms"]:
+            if row["tf"] == 0:
+                continue
+            part = float(bm25_tf_part(
+                np.array([row["tf"]], dtype=np.float64),
+                np.array([row["doc_len"]], dtype=np.float64),
+                eng.avgdl, K1, B)[0])
+            want += math.log((eng.n_docs + 1.0) / row["df"]) * (part + 1.0)
+        assert s == pytest.approx(want, abs=1e-12), d
+
+
 def test_lm_dirichlet_shard_subset_bitwise(lm_index):
     """Disjoint shard-subset engines (cf via term_dict) reproduce the
     full engine's lm scores bitwise — every doc lives in exactly one

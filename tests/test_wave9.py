@@ -856,6 +856,11 @@ def test_collapse_search_semantics(P):
     from collections import Counter
     assert max(Counter(g for _, g, _ in res2).values()) <= 2
     assert set(d for d, _, _ in res).issubset(d for d, _, _ in res2)
+    # negative user codes collide with the singleton sentinel: refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-negative"):
+        eng.search_collapse(P.BM25_QUERY, 10, group_ids=ids,
+                            group_codes=np.full(len(ids), -5, np.int64))
 
 
 def test_positional_guards(P, ray_session, tmp_path):
