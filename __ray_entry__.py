@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_search": P.collapse_search,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
+        "bool_query_search": P.bool_query_search,
         "match_stats_agg": P.match_stats_agg,
         "match_histogram": P.match_histogram,
         "significant_terms": P.significant_terms,
@@ -317,6 +318,9 @@ def oracle_sql() -> dict[str, str]:
         FUZZY_PROBES as _FUZZY_PROBES,
         MLT_DOC as _MLT_DOC,
         N_BPE_MERGES as _N_BPE,
+        BQ_MUST as P_BQ_MUST,
+        BQ_NOT as P_BQ_NOT,
+        BQ_SHOULD as P_BQ_SHOULD,
         HIST_W as _HIST_W,
         NEAR_MAX_GAP as _NEAR_GAP,
         NEAR_TERMS as _NEAR_TERMS,
@@ -2477,6 +2481,23 @@ s AS (SELECT doc_id,
       FROM kept GROUP BY doc_id)
 SELECT doc_id FROM s
 WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window)""",
+        # ES bool query: must AND-filter + must_not, scored on
+        # must+should over the survivors (scores == unfiltered)
+        "bool_query_search": bm25_scores_sql(
+            " ".join(P_BQ_MUST + P_BQ_SHOULD)) + f""",
+flags AS (SELECT doc_id,
+                 bool_or(term = '{P_BQ_MUST[0]}') AS m0,
+                 bool_or(term = '{P_BQ_MUST[1]}') AS m1,
+                 bool_or(term = '{P_BQ_NOT[0]}')  AS x0
+          FROM kept GROUP BY doc_id),
+allowed AS (SELECT doc_id FROM flags WHERE m0 AND m1 AND NOT x0)
+SELECT s.doc_id,
+       CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores s JOIN allowed a ON a.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT 10""",
         # ES stats-agg over the boolean-matched set
         "match_stats_agg": f"""
 WITH {kept},

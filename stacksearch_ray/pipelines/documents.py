@@ -4591,6 +4591,26 @@ def sorted_boolean_search(sf_dir: str):
     })
 
 
+BQ_MUST = ("merge", "sort")
+BQ_SHOULD = ("stream", "window")
+BQ_NOT = ("dup",)
+
+
+def bool_query_search(sf_dir: str):
+    """The ES ``bool`` query with scoring: must-match AND filter,
+    must_not exclusion, should terms boosting the score of survivors —
+    QueryEngine.search_bool_query (postings set algebra → filtered
+    scorer; survivor scores bitwise equal their unfiltered scores over
+    must+should)."""
+    eng = _index_for(sf_dir)
+    res = eng.search_bool_query(BQ_MUST, BQ_SHOULD, BQ_NOT, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 HIST_W = 200  # n_chars histogram bucket width
 
 

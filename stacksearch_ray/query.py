@@ -803,6 +803,48 @@ class QueryEngine:
             raise ValueError(f"trailing tokens in {expr!r}")
         return out
 
+    def search_bool_query(self, must, should=(), must_not=(),
+                          k: int = 10, scorer: str = "bm25"
+                          ) -> list[tuple[int, float]]:
+        """The ES ``bool`` query shape with scoring: docs containing
+        EVERY ``must`` term and NO ``must_not`` term, ranked by the
+        text scorer over must + should terms (``should`` terms widen
+        scoring, not matching — the classic must-filters/should-boosts
+        split). Allowed set from sorted postings algebra, then the
+        proven filtered scorer (survivor scores bitwise equal their
+        unfiltered scores over the scoring terms)."""
+        def norm(words) -> list[str]:
+            out = []
+            for w in words:
+                ts = clean_query(w)
+                if len(ts) != 1:
+                    raise ValueError(
+                        f"bool-query word {w!r} does not normalize "
+                        "to one term")
+                out.append(ts[0])
+            return out
+
+        must = norm(must)
+        if not must:
+            raise ValueError("bool query needs at least one must term")
+        should = norm(should)
+        must_not = norm(must_not)
+        allowed: np.ndarray | None = None
+        for t in must:
+            ids = self.term_doc_ids(t)
+            allowed = ids if allowed is None else np.intersect1d(
+                allowed, ids, assume_unique=True)
+            if len(allowed) == 0:
+                return []
+        for t in must_not:
+            allowed = np.setdiff1d(allowed, self.term_doc_ids(t),
+                                   assume_unique=True)
+        if len(allowed) == 0:
+            return []
+        return self.search_filtered(" ".join(must + should), k,
+                                    allowed_doc_ids=allowed,
+                                    scorer=scorer)
+
     def search_sorted_by(self, expr: str, k: int = 10, *,
                          field_ids, field_vals, descending: bool = True
                          ) -> list[tuple[int, float]]:

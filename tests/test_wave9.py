@@ -677,6 +677,30 @@ def test_boolean_dsl_brute_force(P):
             eng.search_boolean_dsl(bad)
 
 
+def test_bool_query_semantics(P):
+    """Result set = must-AND minus must_not; scores equal the plain
+    scores over must+should; should terms only boost, never admit."""
+    eng = P._index_for(SF)
+    ts = _doc_term_sets(P)
+    res = eng.search_bool_query(P.BQ_MUST, P.BQ_SHOULD, P.BQ_NOT, 1000)
+    got = {d for d, _ in res}
+    want = {d for d, s in ts.items()
+            if all(t in s for t in P.BQ_MUST)
+            and not any(t in s for t in P.BQ_NOT)}
+    assert got == want and len(got) > 0
+    q = " ".join(P.BQ_MUST + P.BQ_SHOULD)
+    plain = dict(eng.search(q, 500, method="exhaustive"))
+    for d, s in res:
+        assert s == plain[d]
+    # a doc with only should terms is NOT admitted
+    only_should = [d for d, s in ts.items()
+                   if "merge" not in s and any(t in s for t in P.BQ_SHOULD)]
+    assert not (set(only_should) & got)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.search_bool_query([], ["stream"])
+
+
 def test_match_aggs_consistent(P):
     """stats-agg numbers equal a direct pandas computation over the
     matched set; histogram buckets sum to the match count; every
