@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": P.knn_cosine,
         "knn_ann_lsh": P.knn_ann_lsh,
         "knn_ivf": P.knn_ivf,
+        "knn_pq": P.knn_pq,
         "embedding_pairs": P.embedding_pairs,
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
@@ -590,6 +591,30 @@ FROM ({mmr_union}) ORDER BY rank"""
             for i in range(len(_cents)))
     except (OSError, FileNotFoundError):
         pass  # sf0.01 absent: omit the knn_ivf oracle
+    # knn_pq codebooks + query ADC LUT: the per-subspace micros-exact
+    # k-means mirror; LUT entries are Python-computed int64 micros, so
+    # the only cross-engine float surface is the assignment argmin
+    pq_cb_rows = pq_lut_rows = None
+    try:
+        from stacksearch_ray.functions.pq import (adc_lut_micros,
+                                                  train_pq_codebooks)
+        from stacksearch_ray.pipelines.documents import PQ_K, PQ_M
+
+        _e2 = _pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        _x2 = np.asarray(_e2["embedding"].to_pylist(), dtype=np.float64)
+        _x2 = _x2[np.argsort(_e2["vec_id"].to_numpy())]
+        _cbs = train_pq_codebooks(_x2, m=PQ_M, k=PQ_K, iters=4, seed=17)
+        _lut = adc_lut_micros(_x2[0], _cbs)
+        pq_cb_rows = ", ".join(
+            "({}, {}, [{}]::DOUBLE[])".format(
+                s, j, ", ".join(repr(float(v)) for v in _cbs[s][j]))
+            for s in range(PQ_M) for j in range(PQ_K))
+        pq_lut_rows = ", ".join(f"({s}, {j}, {int(_lut[s][j])})"
+                                for s in range(PQ_M) for j in range(PQ_K))
+        _pq_sub = _x2.shape[1] // PQ_M
+    except (OSError, FileNotFoundError):
+        pass  # sf0.01 absent: omit the knn_pq oracle
     # pii_redact: counts + replacements on the PROGRESSIVELY redacted
     # text, in PII_PATTERNS order — built from the same pattern list the
     # Ray stage uses so the two engines can never drift
@@ -2843,4 +2868,24 @@ SELECT doc_id, cluster_id FROM rk WHERE rn = 1""")
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)
     if ivf_cent_rows is None:
         oracles.pop("knn_ivf")      # centroid literals need sf0.01
+    if pq_cb_rows is not None:     # codebook literals need sf0.01
+        oracles["knn_pq"] = f"""
+WITH cb(m, j, c) AS (VALUES {pq_cb_rows}),
+lut(m, j, d) AS (VALUES {pq_lut_rows}),
+a AS (SELECT e.vec_id, cb.m, cb.j,
+             row_number() OVER (PARTITION BY e.vec_id, cb.m
+                  ORDER BY list_distance(
+                      e.embedding[cb.m * {_pq_sub} + 1
+                                  : cb.m * {_pq_sub} + {_pq_sub}
+                                  ]::DOUBLE[], cb.c) ASC,
+                           cb.j ASC) AS rn
+      FROM embeddings e CROSS JOIN cb),
+codes AS (SELECT vec_id, m, j FROM a WHERE rn = 1),
+dist AS (SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS dist_micros
+         FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+         GROUP BY c.vec_id)
+SELECT vec_id, dist_micros,
+       CAST(row_number() OVER (ORDER BY dist_micros ASC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM dist ORDER BY dist_micros ASC, vec_id ASC LIMIT 10"""
     return oracles

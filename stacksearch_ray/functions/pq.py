@@ -1,0 +1,109 @@
+"""Product quantization (PQ) approximate nearest neighbor — the
+vector-COMPRESSION scale path (Jégou, Douze & Schmid, TPAMI 2011),
+complementing the coarse-quantizer IVF (ivf.py) and hyperplane LSH
+(similarity.py): the embedding dim splits into M subspaces, each with
+its own small k-means codebook; a vector stores only M one-byte codes
+(64 float64 → 4 bytes here), and a query scores candidates through an
+asymmetric-distance lookup table (ADC) without touching the original
+floats. At 100 TB the codes table is ~1/128 the raw vectors — the
+difference between spilling and RAM-resident rescoring.
+
+Determinism contract: codebooks come from the micros-exact k-means
+mirror (ivf.kmeans_numpy — integer partial sums commute, bitwise equal
+to the distributed trainer); assignment is argmin L2 with first-min
+ties, the same expression the DuckDB oracle replays via list_distance
++ row_number; ADC LUT entries are micros-rounded in PYTHON and handed
+to the oracle as integer literals, so the cross-engine float surface
+is the assignment only (the proven knn_ivf pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..micros import to_micros
+from .ivf import assign_centroids, kmeans_numpy
+
+
+def train_pq_codebooks(x: np.ndarray, m: int = 4, k: int = 8,
+                       iters: int = 4, seed: int = 17) -> list[np.ndarray]:
+    """Per-subspace codebooks: subspace s is the column block
+    [s·d/m, (s+1)·d/m) trained with the micros-exact k-means at
+    seed+s (independent draws per subspace)."""
+    x = np.asarray(x, dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [kmeans_numpy(x[:, s * sub:(s + 1) * sub], k=k, iters=iters,
+                         seed=seed + s) for s in range(m)]
+
+
+def encode_pq(x: np.ndarray, codebooks: list[np.ndarray]) -> np.ndarray:
+    """(n, M) int64 codes: per subspace, nearest codebook row (argmin
+    L2, first-min ties) — vectorized via the shared assign kernel."""
+    x = np.asarray(x, dtype=np.float64)
+    sub = codebooks[0].shape[1]
+    return np.stack([assign_centroids(x[:, s * sub:(s + 1) * sub], cb)
+                     for s, cb in enumerate(codebooks)], axis=1)
+
+
+def adc_lut_micros(q: np.ndarray, codebooks: list[np.ndarray]
+                   ) -> np.ndarray:
+    """(M, K) int64 micros of the query-to-centroid SQUARED L2 per
+    subspace — per-entry round-then-sum (the repo's micros rule), so
+    both engines rank by identical int64 ADC distances."""
+    q = np.asarray(q, dtype=np.float64)
+    sub = codebooks[0].shape[1]
+    out = []
+    for s, cb in enumerate(codebooks):
+        diff = cb - q[s * sub:(s + 1) * sub][None, :]
+        out.append([to_micros(float(v)) for v in (diff * diff).sum(axis=1)])
+    return np.asarray(out, dtype=np.int64)
+
+
+def encode_pq_ds(ds: Dataset, codebooks: list[np.ndarray],
+                 emb_col: str = "embedding", id_col: str = "vec_id"
+                 ) -> Dataset:
+    """Distributed encode: map_batches over the vectors (codebooks
+    broadcast in the closure — k·d floats, trivially small), emitting
+    (vec_id, code_0..code_{M-1}) — the compressed representation that
+    replaces the raw vectors downstream."""
+    def enc(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[emb_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
+        codes = encode_pq(x, codebooks)
+        cols = {id_col: pa.array(ids, pa.int64())}
+        for s in range(codes.shape[1]):
+            cols[f"code_{s}"] = pa.array(codes[:, s], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds: Dataset, lut: np.ndarray, k: int = 10,
+            id_col: str = "vec_id") -> pa.Table:
+    """ADC top-k over the codes table: per batch, distance = Σ_m
+    LUT[m][code_m] (int64 gather-sum, no floats), keep the batch-local
+    top-k, then one driver merge of the tiny partials — cost is one
+    pass over CODES (M bytes/vector at scale), never the raw vectors."""
+    m = lut.shape[0]
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
+        dist = np.zeros(len(ids), dtype=np.int64)
+        for s in range(m):
+            dist += lut[s][np.asarray(b[f"code_{s}"].combine_chunks())]
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "dist_micros": pa.array(dist[order], pa.int64())})
+
+    parts = codes_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["dist_micros", id_col]).head(k)
+    return pa.table({
+        id_col: pa.array(parts[id_col].tolist(), pa.int64()),
+        "dist_micros": pa.array(parts["dist_micros"].tolist(), pa.int64()),
+        "rank": pa.array(list(range(1, len(parts) + 1)), pa.int64()),
+    })

@@ -3128,6 +3128,34 @@ def knn_ivf(sf_dir: str):
     return idx.search(q, k=10, nprobe=2)
 
 
+PQ_M, PQ_K = 4, 8
+
+
+def knn_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011 — the vector-
+    compression scale path): 64-dim embeddings → 4 one-byte codes via
+    per-subspace micros-exact k-means codebooks; the query scores the
+    CODES table through an int64 ADC lookup (per-entry micros
+    round-then-sum), top-10 by (dist asc, vec_id asc). Codebooks train
+    driver-side here (oracle parity; at scale: train on a sample, the
+    encode/search passes stay distributed). The oracle replays the
+    assignment with codebook literals + list_distance row_number (the
+    knn_ivf pattern) and sums the SAME integer LUT literals."""
+    from ..functions.pq import (adc_lut_micros, encode_pq_ds, pq_topk,
+                                train_pq_codebooks)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(t["vec_id"].to_numpy())
+    x = x[order]  # vec_id order: training must match the oracle's scan
+    cbs = train_pq_codebooks(x, m=PQ_M, k=PQ_K, iters=4, seed=17)
+    q = x[0]  # vec_id = 0 (sorted order)
+    codes = encode_pq_ds(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]), cbs)
+    return pq_topk(codes, adc_lut_micros(q, cbs), k=10)
+
+
 def multimodal_features(sf_dir: str):
     """Image features from REAL pixels: the synthetic media table's
     image rows are valid 24-bit BMPs, decoded by the pure-NumPy codec
