@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ann_lsh": P.knn_ann_lsh,
         "knn_ivf": P.knn_ivf,
         "knn_pq": P.knn_pq,
+        "pq_dedup_groups": P.pq_dedup_groups,
         "embedding_pairs": P.embedding_pairs,
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
@@ -2888,4 +2889,28 @@ SELECT vec_id, dist_micros,
        CAST(row_number() OVER (ORDER BY dist_micros ASC, vec_id ASC)
             AS BIGINT) AS rank
 FROM dist ORDER BY dist_micros ASC, vec_id ASC LIMIT 10"""
+        oracles["pq_dedup_groups"] = f"""
+WITH cb(m, j, c) AS (VALUES {pq_cb_rows}),
+a AS (SELECT e.vec_id, cb.m, cb.j,
+             row_number() OVER (PARTITION BY e.vec_id, cb.m
+                  ORDER BY list_distance(
+                      e.embedding[cb.m * {_pq_sub} + 1
+                                  : cb.m * {_pq_sub} + {_pq_sub}
+                                  ]::DOUBLE[], cb.c) ASC,
+                           cb.j ASC) AS rn
+      FROM embeddings e CROSS JOIN cb),
+codes AS (SELECT vec_id, m, j FROM a WHERE rn = 1),
+cells AS (SELECT vec_id,
+                 sum(j * CAST(pow({PQ_K}, {PQ_M} - 1 - m) AS BIGINT))
+                     AS cell
+          FROM codes GROUP BY vec_id),
+g AS (SELECT vec_id, cell,
+             count(*) OVER (PARTITION BY cell) AS cell_size,
+             min(vec_id) OVER (PARTITION BY cell) AS first_id
+      FROM cells)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       CAST(cell_size AS BIGINT) AS cell_size,
+       CAST(CASE WHEN vec_id = first_id THEN 1 ELSE 0 END AS BIGINT)
+           AS keep
+FROM g"""
     return oracles

@@ -3156,6 +3156,49 @@ def knn_pq(sf_dir: str):
     return pq_topk(codes, adc_lut_micros(q, cbs), k=10)
 
 
+def pq_dedup_groups(sf_dir: str):
+    """Semantic coarse dedup via PQ cells (the SemDeDup-shaped cheap
+    pass): vectors sharing ALL subspace codes land in one quantization
+    cell — near-duplicate candidates found without any pairwise
+    distance work. Emits per vector its cell and the cell's population
+    plus a deterministic keep flag (lowest vec_id per cell); at 100 TB
+    this is a single groupby over 4-byte codes, the pre-filter before
+    exact verification."""
+    from ..functions.pq import encode_pq_ds, train_pq_codebooks
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    x = x[np.argsort(t["vec_id"].to_numpy())]
+    cbs = train_pq_codebooks(x, m=PQ_M, k=PQ_K, iters=4, seed=17)
+    codes = encode_pq_ds(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]), cbs)
+
+    def cell(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["vec_id"].combine_chunks()).astype(np.int64)
+        c = np.stack([np.asarray(b[f"code_{s}"].combine_chunks())
+                      for s in range(PQ_M)], axis=1).astype(np.int64)
+        packed = np.zeros(len(ids), dtype=np.int64)
+        for s in range(PQ_M):  # K=8 codes pack into 3 bits each
+            packed = packed * PQ_K + c[:, s]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cell": pa.array(packed, pa.int64())})
+
+    cells = codes.map_batches(cell, batch_format="pyarrow").to_pandas()
+    # cell-population + keep-first: groupby over ≤ K^M cells (bounded)
+    g = cells.groupby("cell")["vec_id"]
+    size = g.transform("size").astype(np.int64)
+    keep = g.transform("min").astype(np.int64) == cells["vec_id"]
+    out = cells.assign(cell_size=size, keep=keep.astype(np.int64))
+    out = out.sort_values("vec_id")
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].tolist(), pa.int64()),
+        "cell": pa.array(out["cell"].tolist(), pa.int64()),
+        "cell_size": pa.array(out["cell_size"].tolist(), pa.int64()),
+        "keep": pa.array(out["keep"].tolist(), pa.int64()),
+    })
+
+
 def multimodal_features(sf_dir: str):
     """Image features from REAL pixels: the synthetic media table's
     image rows are valid 24-bit BMPs, decoded by the pure-NumPy codec
