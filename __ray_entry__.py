@@ -2541,7 +2541,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(max(d.n_chars) AS BIGINT) AS max_chars,
        CAST(floor(sum(d.n_chars)::DOUBLE / count(*) * 1e6 + 0.5)
             AS BIGINT) AS avg_chars_micros
-FROM m JOIN documents d ON d.doc_id = m.doc_id""",
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+HAVING count(*) > 0""",
         # ES histogram-agg over the boolean-matched set
         "match_histogram": f"""
 WITH {kept},
@@ -2870,9 +2871,10 @@ SELECT doc_id, cluster_id FROM rk WHERE rn = 1""")
     if ivf_cent_rows is None:
         oracles.pop("knn_ivf")      # centroid literals need sf0.01
     if pq_cb_rows is not None:     # codebook literals need sf0.01
-        oracles["knn_pq"] = f"""
+        # the ONE assignment CTE prefix both PQ oracles share — edits
+        # to slice bounds / tie-break / casts apply to both by design
+        _pq_assign = f"""
 WITH cb(m, j, c) AS (VALUES {pq_cb_rows}),
-lut(m, j, d) AS (VALUES {pq_lut_rows}),
 a AS (SELECT e.vec_id, cb.m, cb.j,
              row_number() OVER (PARTITION BY e.vec_id, cb.m
                   ORDER BY list_distance(
@@ -2881,7 +2883,9 @@ a AS (SELECT e.vec_id, cb.m, cb.j,
                                   ]::DOUBLE[], cb.c) ASC,
                            cb.j ASC) AS rn
       FROM embeddings e CROSS JOIN cb),
-codes AS (SELECT vec_id, m, j FROM a WHERE rn = 1),
+codes AS (SELECT vec_id, m, j FROM a WHERE rn = 1)"""
+        oracles["knn_pq"] = _pq_assign + f""",
+lut(m, j, d) AS (VALUES {pq_lut_rows}),
 dist AS (SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS dist_micros
          FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
          GROUP BY c.vec_id)
@@ -2889,17 +2893,7 @@ SELECT vec_id, dist_micros,
        CAST(row_number() OVER (ORDER BY dist_micros ASC, vec_id ASC)
             AS BIGINT) AS rank
 FROM dist ORDER BY dist_micros ASC, vec_id ASC LIMIT 10"""
-        oracles["pq_dedup_groups"] = f"""
-WITH cb(m, j, c) AS (VALUES {pq_cb_rows}),
-a AS (SELECT e.vec_id, cb.m, cb.j,
-             row_number() OVER (PARTITION BY e.vec_id, cb.m
-                  ORDER BY list_distance(
-                      e.embedding[cb.m * {_pq_sub} + 1
-                                  : cb.m * {_pq_sub} + {_pq_sub}
-                                  ]::DOUBLE[], cb.c) ASC,
-                           cb.j ASC) AS rn
-      FROM embeddings e CROSS JOIN cb),
-codes AS (SELECT vec_id, m, j FROM a WHERE rn = 1),
+        oracles["pq_dedup_groups"] = _pq_assign + f""",
 cells AS (SELECT vec_id,
                  sum(j * CAST(pow({PQ_K}, {PQ_M} - 1 - m) AS BIGINT))
                      AS cell

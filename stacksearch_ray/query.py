@@ -125,17 +125,22 @@ def write_seg_bucket_map(index_dir: str) -> str:
     return side
 
 
-def sorted_member_mask(sorted_arr: np.ndarray, ids: np.ndarray
-                       ) -> np.ndarray:
+def sorted_member_mask(sorted_arr: np.ndarray, ids: np.ndarray,
+                       return_idx: bool = False):
     """Boolean membership of ``ids`` in the SORTED unique ``sorted_arr``
     via one bulk searchsorted — the shared probe behind collapse /
     sort-by-field / matched-set aggregation masks (handles the empty
-    array without special-casing at call sites)."""
+    array without special-casing at call sites). With ``return_idx``
+    also returns the clamped positions, so callers gathering values
+    for the hits reuse this searchsorted instead of running another."""
     if len(sorted_arr) == 0:
-        return np.zeros(len(ids), dtype=bool)
+        mask = np.zeros(len(ids), dtype=bool)
+        idx = np.zeros(len(ids), dtype=np.int64)
+        return (mask, idx) if return_idx else mask
     j = np.searchsorted(sorted_arr, ids)
     jc = np.minimum(j, len(sorted_arr) - 1)
-    return (j < len(sorted_arr)) & (sorted_arr[jc] == ids)
+    mask = (j < len(sorted_arr)) & (sorted_arr[jc] == ids)
+    return (mask, jc) if return_idx else mask
 
 
 def _collapse_walk(ranked: list, per_group: int, k: int) -> list:
@@ -861,9 +866,8 @@ class QueryEngine:
             return []
         fi = np.asarray(field_ids, dtype=np.int64)
         fv = np.asarray(field_vals)
-        hit = sorted_member_mask(fi, ids)
-        ids = ids[hit]
-        vals = fv[np.searchsorted(fi, ids)]
+        hit, idx = sorted_member_mask(fi, ids, return_idx=True)
+        ids, vals = ids[hit], fv[idx[hit]]
         order = np.lexsort((ids, -vals if descending else vals))[:k]
         return [(int(ids[i]), vals[i].item()) for i in order]
 
@@ -922,11 +926,8 @@ class QueryEngine:
         # (-1 = no row: singleton, never collapses); the walk down the
         # ranked order is then plain-int bookkeeping with early exit
         rd_ = np.fromiter((d for d, _ in ranked), np.int64, len(ranked))
-        hit = sorted_member_mask(gi, rd_)
-        groups = np.where(
-            hit, gc[np.minimum(np.searchsorted(gi, rd_),
-                               max(len(gi) - 1, 0))] if len(gi) else -1,
-            -1)
+        hit, idx = sorted_member_mask(gi, rd_, return_idx=True)
+        groups = np.where(hit, gc[idx] if len(gi) else -1, -1)
         return _collapse_walk(
             [(d, g, s) for (d, s), g in zip(ranked, groups.tolist())],
             per_group, k)

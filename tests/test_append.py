@@ -451,17 +451,17 @@ def test_index_alias_concurrent_flips(ray_session, tmp_path_factory):
     for p in procs:
         p.start()
     ok = {os.path.abspath(idx_a), os.path.abspath(idx_b)}
-    seen = set()
-    while any(p.is_alive() for p in procs):
+    resolves = 0
+    # a fixed floor of resolves guarantees the reader loop actually
+    # races the writers even if spawn overhead delays them
+    while any(p.is_alive() for p in procs) or resolves < 50:
         got = resolve_index_alias(alias)   # must never raise or tear
         assert got in ok, got
-        seen.add(got)
+        resolves += 1
     for p in procs:
         p.join()
         assert p.exitcode == 0
     assert resolve_index_alias(alias) in ok
-    # the storm actually exercised both targets
-    assert len(seen) >= 1
     leftovers = [f for f in os.listdir(alias) if ".tmp." in f]
     assert leftovers == []  # every writer's tmp was consumed by rename
 
