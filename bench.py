@@ -255,6 +255,9 @@ def run_bench() -> dict:
                      ("sorted_boolean_search", P.sorted_boolean_search),
                      ("phrase_ranked_search", P.phrase_ranked_search),
                      ("bm25plus_search", P.bm25plus_search),
+                     ("bool_query_search", P.bool_query_search),
+                     ("knn_pq", P.knn_pq),
+                     ("pq_dedup_groups", P.pq_dedup_groups),
                      ("neardup_keep_longest", P.neardup_keep_longest)]:
         t0 = time.time()
         res = fn(SF_DIR)
