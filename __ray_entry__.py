@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": P.knn_ivf,
         "knn_pq": P.knn_pq,
         "pq_dedup_groups": P.pq_dedup_groups,
+        "knn_ivfpq": P.knn_ivfpq,
         "embedding_pairs": P.embedding_pairs,
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
@@ -597,6 +598,7 @@ FROM ({mmr_union}) ORDER BY rank"""
     # the only cross-engine float surface is the assignment argmin
     pq_cb_rows = pq_lut_rows = None
     try:
+        from stacksearch_ray.functions.ivf import kmeans_numpy
         from stacksearch_ray.functions.pq import (adc_lut_micros,
                                                   train_pq_codebooks)
         from stacksearch_ray.pipelines.documents import PQ_K, PQ_M
@@ -614,6 +616,12 @@ FROM ({mmr_union}) ORDER BY rank"""
         pq_lut_rows = ", ".join(f"({s}, {j}, {int(_lut[s][j])})"
                                 for s in range(PQ_M) for j in range(PQ_K))
         _pq_sub = _x2.shape[1] // PQ_M
+        # ivfpq probes: 2 nearest coarse cells to the query, Python-side
+        _coarse2 = kmeans_numpy(_x2, k=8, iters=4, seed=17)
+        _d2 = ((_coarse2 - _x2[0][None, :]) ** 2).sum(axis=1)
+        pq_probe_list = ", ".join(
+            str(int(c)) for c in np.sort(
+                np.argsort(_d2, kind="stable")[:2]))
     except (OSError, FileNotFoundError):
         pass  # sf0.01 absent: omit the knn_pq oracle
     # pii_redact: counts + replacements on the PROGRESSIVELY redacted
@@ -2893,6 +2901,27 @@ SELECT vec_id, dist_micros,
        CAST(row_number() OVER (ORDER BY dist_micros ASC, vec_id ASC)
             AS BIGINT) AS rank
 FROM dist ORDER BY dist_micros ASC, vec_id ASC LIMIT 10"""
+        if ivf_cent_rows is not None:
+            oracles["knn_ivfpq"] = _pq_assign + f""",
+coarse(ccid, cc) AS (VALUES {ivf_cent_rows}),
+ca AS (SELECT e.vec_id, coarse.ccid,
+              row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[],
+                                          coarse.cc) ASC,
+                            coarse.ccid ASC) AS rn
+       FROM embeddings e CROSS JOIN coarse),
+csel AS (SELECT vec_id, ccid FROM ca WHERE rn = 1),
+lut(m, j, d) AS (VALUES {pq_lut_rows}),
+dist AS (SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS dist_micros
+         FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+         GROUP BY c.vec_id)
+SELECT d2.vec_id, d2.dist_micros,
+       CAST(row_number() OVER (ORDER BY d2.dist_micros ASC,
+                                        d2.vec_id ASC) AS BIGINT) AS rank
+FROM dist d2 JOIN csel ON csel.vec_id = d2.vec_id
+WHERE csel.ccid IN ({pq_probe_list})
+ORDER BY d2.dist_micros ASC, d2.vec_id ASC
+LIMIT 10"""
         oracles["pq_dedup_groups"] = _pq_assign + f""",
 cells AS (SELECT vec_id,
                  sum(j * CAST(pow({PQ_K}, {PQ_M} - 1 - m) AS BIGINT))

@@ -83,6 +83,54 @@ def encode_pq_ds(ds: Dataset, codebooks: list[np.ndarray],
     return ds.map_batches(enc, batch_format="pyarrow")
 
 
+def ivfpq_topk(ds: Dataset, coarse: np.ndarray,
+               codebooks: list[np.ndarray], q: np.ndarray, k: int = 10,
+               nprobe: int = 2, emb_col: str = "embedding",
+               id_col: str = "vec_id") -> pa.Table:
+    """IVF-PQ composite (the FAISS-style scale architecture): the
+    coarse k-means cells prune candidates to the query's ``nprobe``
+    nearest partitions, PQ codes + an int64 ADC lookup score ONLY the
+    survivors. Here the probe filter runs inside the encode pass over
+    the raw stream; at 100 TB the corpus lives centroid-partitioned on
+    disk (ivf.IVFIndex layout) with the codes as a per-partition
+    sidecar, so the probe prunes at the READ and ADC touches M bytes
+    per candidate. (Codebooks here quantize raw vectors, not coarse
+    residuals — the residual refinement changes the codebooks, not
+    this flow.) Probes and LUT are Python-side, so the oracle's float
+    surface stays the two argmin assignments."""
+    q = np.asarray(q, dtype=np.float64)
+    order = np.argsort(((coarse - q[None, :]) ** 2).sum(axis=1),
+                       kind="stable")[:nprobe]
+    probes = np.sort(order.astype(np.int64))
+    lut = adc_lut_micros(q, codebooks)
+    m = lut.shape[0]
+
+    def part(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[emb_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dist_micros": pa.array([], pa.int64())})
+        cid = assign_centroids(x, coarse)
+        keep = np.isin(cid, probes)
+        ids, x = ids[keep], x[keep]
+        codes = encode_pq(x, codebooks)
+        dist = np.zeros(len(ids), dtype=np.int64)
+        for s in range(m):
+            dist += lut[s][codes[:, s]]
+        o = np.lexsort((ids, dist))[:k]
+        return pa.table({id_col: pa.array(ids[o], pa.int64()),
+                         "dist_micros": pa.array(dist[o], pa.int64())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["dist_micros", id_col]).head(k)
+    return pa.table({
+        id_col: pa.array(parts[id_col].tolist(), pa.int64()),
+        "dist_micros": pa.array(parts["dist_micros"].tolist(), pa.int64()),
+        "rank": pa.array(list(range(1, len(parts) + 1)), pa.int64()),
+    })
+
+
 def pq_topk(codes_ds: Dataset, lut: np.ndarray, k: int = 10,
             id_col: str = "vec_id") -> pa.Table:
     """ADC top-k over the codes table: per batch, distance = Σ_m

@@ -3156,6 +3156,25 @@ def knn_pq(sf_dir: str):
     return pq_topk(codes, adc_lut_micros(q, cbs), k=10)
 
 
+def knn_ivfpq(sf_dir: str):
+    """IVF-PQ composite ANN (the FAISS-style scale path): the knn_ivf
+    coarse centroids prune to 2 probed cells, the knn_pq codebooks +
+    int64 ADC rank only the survivors. Both assignment stages replay
+    in the oracle from the SAME centroid/codebook literals; probes and
+    the LUT are Python-side integers."""
+    from ..functions.ivf import kmeans_numpy
+    from ..functions.pq import ivfpq_topk, train_pq_codebooks
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    x = x[np.argsort(t["vec_id"].to_numpy())]
+    coarse = kmeans_numpy(x, k=8, iters=4, seed=17)  # == knn_ivf's
+    cbs = train_pq_codebooks(x, m=PQ_M, k=PQ_K, iters=4, seed=17)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return ivfpq_topk(ds, coarse, cbs, x[0], k=10, nprobe=2)
+
+
 def pq_dedup_groups(sf_dir: str):
     """Semantic coarse dedup via PQ cells (the SemDeDup-shaped cheap
     pass): vectors sharing ALL subspace codes land in one quantization

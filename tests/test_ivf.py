@@ -124,3 +124,46 @@ def test_pq_encode_and_adc(ray_session):
     # top-10 in the query's cluster (ids 0-49) — the compression keeps
     # the coarse geometry
     assert all(0 <= d < 50 for d in ids[order].tolist()), ids[order]
+
+
+def test_ivfpq_composes_probe_and_adc(ray_session):
+    """IVF-PQ results are exactly the full-PQ ADC ranking restricted to
+    the 2 probed coarse cells."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stacksearch_ray.functions.ivf import (assign_centroids,
+                                               kmeans_numpy)
+    from stacksearch_ray.functions.pq import (adc_lut_micros, encode_pq,
+                                              ivfpq_topk,
+                                              train_pq_codebooks)
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((6, 32)) * 3.0
+    x = np.concatenate([c + rng.standard_normal((40, 32))
+                        for c in centers])
+    ids = np.arange(len(x), dtype=np.int64)
+    coarse = kmeans_numpy(x, k=6, iters=4, seed=17)
+    cbs = train_pq_codebooks(x, m=4, k=8, iters=4, seed=17)
+    q = x[3]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids, "embedding": [r.tolist() for r in x]}))
+    got = ivfpq_topk(ds, coarse, cbs, q, k=10, nprobe=2)
+
+    probes = set(np.argsort(((coarse - q) ** 2).sum(axis=1),
+                            kind="stable")[:2].tolist())
+    cid = assign_centroids(x, coarse)
+    keep = np.isin(cid, list(probes))
+    codes = encode_pq(x[keep], cbs)
+    lut = adc_lut_micros(q, cbs)
+    dist = np.zeros(keep.sum(), dtype=np.int64)
+    for s in range(4):
+        dist += lut[s][codes[:, s]]
+    kid = ids[keep]
+    o = np.lexsort((kid, dist))[:10]
+    assert list(zip(got["vec_id"].to_pylist(),
+                    got["dist_micros"].to_pylist())) == \
+        list(zip(kid[o].tolist(), dist[o].tolist()))
+    # pruning is real: some corpus vectors live outside the probes
+    assert keep.sum() < len(x)
