@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": P.knn_pq,
         "pq_dedup_groups": P.pq_dedup_groups,
         "knn_ivfpq": P.knn_ivfpq,
+        "knn_ivfpq_rerank": P.knn_ivfpq_rerank,
         "embedding_pairs": P.embedding_pairs,
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
@@ -2922,6 +2923,33 @@ FROM dist d2 JOIN csel ON csel.vec_id = d2.vec_id
 WHERE csel.ccid IN ({pq_probe_list})
 ORDER BY d2.dist_micros ASC, d2.vec_id ASC
 LIMIT 10"""
+            oracles["knn_ivfpq_rerank"] = _pq_assign + f""",
+coarse(ccid, cc) AS (VALUES {ivf_cent_rows}),
+ca AS (SELECT e.vec_id, coarse.ccid,
+              row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[],
+                                          coarse.cc) ASC,
+                            coarse.ccid ASC) AS rn
+       FROM embeddings e CROSS JOIN coarse),
+csel AS (SELECT vec_id, ccid FROM ca WHERE rn = 1),
+lut(m, j, d) AS (VALUES {pq_lut_rows}),
+dist AS (SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS dist_micros
+         FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+         GROUP BY c.vec_id),
+cand AS (SELECT d2.vec_id
+         FROM dist d2 JOIN csel ON csel.vec_id = d2.vec_id
+         WHERE csel.ccid IN ({pq_probe_list})
+         ORDER BY d2.dist_micros ASC, d2.vec_id ASC LIMIT 100),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+       WHERE vec_id = 0),
+sims AS (SELECT e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], qv.qe)
+                    AS sim
+         FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv)
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10"""
         oracles["pq_dedup_groups"] = _pq_assign + f""",
 cells AS (SELECT vec_id,
                  sum(j * CAST(pow({PQ_K}, {PQ_M} - 1 - m) AS BIGINT))

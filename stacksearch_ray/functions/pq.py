@@ -131,6 +131,46 @@ def ivfpq_topk(ds: Dataset, coarse: np.ndarray,
     })
 
 
+def pq_rerank_exact(ds: Dataset, candidates: np.ndarray, q: np.ndarray,
+                    k: int = 10, emb_col: str = "embedding",
+                    id_col: str = "vec_id") -> pa.Table:
+    """Stage-2 exact re-rank (the T2 candidate+verify shape for
+    vectors): read ONLY the candidate ids' raw embeddings (predicate
+    pushdown — |candidates| rows leave storage, not the corpus), score
+    exact cosine, return top-k by (sim desc, vec_id asc) with
+    sim_micros. The ADC stage bounds |candidates|, so this touches
+    100·512 B where the corpus holds 10⁹ vectors."""
+    q = np.asarray(q, dtype=np.float64)
+    cand = np.sort(np.asarray(candidates, dtype=np.int64))
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
+        from ..query import sorted_member_mask
+
+        keep = sorted_member_mask(cand, ids)
+        ids = ids[keep]
+        x = np.asarray(b[emb_col].to_pylist(), dtype=np.float64)[keep]
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sim_micros": pa.array([], pa.int64())})
+        nq = float(np.sqrt((q * q).sum()))
+        nx = np.sqrt((x * x).sum(axis=1))
+        sim = np.where(nx > 0, (x @ q) / np.where(nx > 0, nx * nq, 1.0),
+                       0.0)
+        sm = np.floor(sim * 1e6 + 0.5).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "sim_micros": pa.array(sm, pa.int64())})
+
+    t = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    t = t.sort_values(["sim_micros", id_col],
+                      ascending=[False, True]).head(k)
+    return pa.table({
+        id_col: pa.array(t[id_col].tolist(), pa.int64()),
+        "sim_micros": pa.array(t["sim_micros"].tolist(), pa.int64()),
+        "rank": pa.array(list(range(1, len(t) + 1)), pa.int64()),
+    })
+
+
 def pq_topk(codes_ds: Dataset, lut: np.ndarray, k: int = 10,
             id_col: str = "vec_id") -> pa.Table:
     """ADC top-k over the codes table: per batch, distance = Σ_m

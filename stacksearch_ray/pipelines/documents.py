@@ -3175,6 +3175,27 @@ def knn_ivfpq(sf_dir: str):
     return ivfpq_topk(ds, coarse, cbs, x[0], k=10, nprobe=2)
 
 
+def knn_ivfpq_rerank(sf_dir: str):
+    """Two-stage vector retrieval (the T2 candidate+verify shape):
+    IVF-PQ ADC produces 100 candidates, a predicate-pushdown read of
+    ONLY those ids' raw embeddings re-ranks them by exact cosine —
+    compressed recall, exact final order. Candidate identity is
+    cross-engine safe (integer ADC distances, vec_id ties)."""
+    from ..functions.ivf import kmeans_numpy
+    from ..functions.pq import (ivfpq_topk, pq_rerank_exact,
+                                train_pq_codebooks)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    x = x[np.argsort(t["vec_id"].to_numpy())]
+    coarse = kmeans_numpy(x, k=8, iters=4, seed=17)
+    cbs = train_pq_codebooks(x, m=PQ_M, k=PQ_K, iters=4, seed=17)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    adc = ivfpq_topk(ds, coarse, cbs, x[0], k=100, nprobe=2)
+    return pq_rerank_exact(ds, adc["vec_id"].to_numpy(), x[0], k=10)
+
+
 def pq_dedup_groups(sf_dir: str):
     """Semantic coarse dedup via PQ cells (the SemDeDup-shaped cheap
     pass): vectors sharing ALL subspace codes land in one quantization
