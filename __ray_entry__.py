@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_search_positional": P.near_search_positional,
         "wildcard_search": P.wildcard_search,
         "regex_search": P.regex_search,
+        "content_substring_search": P.content_substring_search,
+        "content_regex_search": P.content_regex_search,
         "min_window_search": P.min_window_search,
         "sloppy_phrase_search": P.sloppy_phrase_search,
         "phrase_ranked_search": P.phrase_ranked_search,
@@ -325,6 +327,8 @@ def oracle_sql() -> dict[str, str]:
         BQ_MUST as P_BQ_MUST,
         BQ_NOT as P_BQ_NOT,
         BQ_SHOULD as P_BQ_SHOULD,
+        CONTENT_REGEX as _CONTENT_REGEX,
+        SUBSTR_PAT as _SUBSTR_PAT,
         HIST_W as _HIST_W,
         NEAR_MAX_GAP as _NEAR_GAP,
         NEAR_TERMS as _NEAR_TERMS,
@@ -2488,6 +2492,22 @@ m AS (SELECT doc_id, term FROM kept
 SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM m GROUP BY doc_id""",
+        # trigram content index: exact substring over RAW text (non-
+        # overlapping count — replace() and Python str.count agree)
+        "content_substring_search": f"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '{_SUBSTR_PAT}', '')))
+            // length('{_SUBSTR_PAT}') AS BIGINT) AS n_occurrences
+FROM documents WHERE contains(text, '{_SUBSTR_PAT}')
+ORDER BY doc_id""",
+        # trigram-accelerated content regex (RE2 and Python re agree on
+        # this pattern class; counts are non-overlapping both sides)
+        "content_regex_search": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_CONTENT_REGEX}')) AS BIGINT)
+           AS n_matches
+FROM documents WHERE regexp_matches(text, '{_CONTENT_REGEX}')
+ORDER BY doc_id""",
         "min_window_search": f"""
 WITH {token_list_cte()},
 pos AS (SELECT doc_id, unnest(toks) AS term,

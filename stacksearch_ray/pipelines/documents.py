@@ -6583,3 +6583,50 @@ def sloppy_phrase_search(sf_dir: str):
         "doc_id": pa.array(ids[keep], pa.int64()),
         "span": pa.array(spans[keep], pa.int64()),
     })
+
+
+# ---------------- trigram content index (substring / regex) ----------------
+
+from ..trigram import TrigramSearcher, build_trigram_index  # noqa: E402
+
+SUBSTR_PAT = "rt ba"          # crosses token boundaries ("...sort batch...")
+CONTENT_REGEX = "stream (big|small) (sort|join)"
+
+_tri_searchers: dict[str, TrigramSearcher] = {}
+
+
+def _tri_for(sf_dir: str) -> TrigramSearcher:
+    """Trigram content index over documents, built once per sf_dir (the
+    derived-table pattern of _stemmed_index_for): distinct byte-trigrams
+    hex-encoded into tri_text, standard index build over it, original
+    text riding in the docstore for candidate verification."""
+    if sf_dir not in _tri_searchers:
+        tag = sf_dir.strip("/").replace("/", "_")
+        idx_dir = os.path.join(CACHE_ROOT, tag, "index_tri")
+        _ensure_built(
+            os.path.join(idx_dir, "stats.json"),
+            lambda: build_trigram_index(_docs(sf_dir), idx_dir,
+                                        content_col="text", id_col="doc_id",
+                                        num_shards=4, term_buckets=16))
+        _tri_searchers[sf_dir] = TrigramSearcher(idx_dir)
+    return _tri_searchers[sf_dir]
+
+
+def content_substring_search(sf_dir: str):
+    """Exact substring search over RAW content (token search can't
+    express a match crossing token boundaries): trigram-index candidate
+    AND over the pattern's rarest trigrams, then an exact
+    count_substring verify over only the candidates. Result is every
+    doc containing the pattern plus its non-overlapping occurrence
+    count — byte-identical to a full LIKE scan, at posting-lookup
+    cost."""
+    return _tri_for(sf_dir).search_substring(SUBSTR_PAT)
+
+
+def content_regex_search(sf_dir: str):
+    """Regex search over RAW content, trigram-accelerated (the Code
+    Search design: required literals → trigram AND → re-verify
+    candidates only). The fixed pattern carries a required literal
+    ('stream ') so the entry exercises the PRUNED path; regexes with no
+    required literal stream a full-scan verify instead (tested)."""
+    return _tri_for(sf_dir).search_regex(CONTENT_REGEX)
