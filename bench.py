@@ -258,6 +258,8 @@ def run_bench() -> dict:
                      ("bool_query_search", P.bool_query_search),
                      ("knn_pq", P.knn_pq),
                      ("pq_dedup_groups", P.pq_dedup_groups),
+                     ("content_substring_search", P.content_substring_search),
+                     ("content_regex_search", P.content_regex_search),
                      ("neardup_keep_longest", P.neardup_keep_longest)]:
         t0 = time.time()
         res = fn(SF_DIR)

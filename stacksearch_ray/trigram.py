@@ -22,7 +22,8 @@ segment/pruning/lifecycle stack applies unchanged. The ORIGINAL text
 rides along as a docstore meta column, so candidate verification is a
 doc-id-pushdown read of the index's own docs table.
 
-Scale shape (SCALE.md §9): the trigram vocabulary is bounded (≤2^24)
+Scale shape (SCALE.md "Trigram content index"): the trigram
+vocabulary is bounded (≤2^24)
 but Zipf-hot ("e t" class trigrams appear in nearly every doc). The
 searcher therefore probes only the ``max_probe`` RAREST trigrams of
 the pattern (df-ordered via one term_dict filter read) and intersects
