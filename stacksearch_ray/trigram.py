@@ -114,6 +114,28 @@ def build_trigram_index(source, index_dir: str, content_col: str = "text",
                        **cfg_overrides)
 
 
+def append_to_trigram_index(source, index_dir: str,
+                            content_col: str = "text",
+                            id_col: str = "doc_id",
+                            **cfg_overrides) -> dict:
+    """Append documents to an existing trigram index: same derive step,
+    then the journaled staged append (append.py — crash-safe, disjoint
+    id check). The searcher's candidate sets over the appended index are
+    identical to a from-scratch build's (term_doc_ids is stats-free;
+    tested), so substring/regex results are exactly equal."""
+    from .append import append_to_index
+
+    if isinstance(source, rd.Dataset):
+        ds = source.select_columns([id_col, content_col])
+    else:
+        ds = rd.read_parquet(source, columns=[id_col, content_col])
+    derived = ds.map_batches(
+        lambda b: tri_text_batch(b, content_col, id_col),
+        batch_format="pyarrow")
+    cfg_overrides.setdefault("meta_cols", (content_col,))
+    return append_to_index(derived, index_dir, **cfg_overrides)
+
+
 # ---------------- regex → required literals ----------------
 
 _QUANTS = set("*+?")

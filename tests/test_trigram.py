@@ -178,3 +178,31 @@ def test_unicode_pattern(tri, corpus):
     # multi-byte UTF-8 patterns trigram over bytes; absent here → empty
     t = tri.search_substring("héllo")
     assert t.num_rows == 0
+
+
+def test_append_equals_full_build(ray_session, tmp_path, corpus):
+    """build(half1) + append(half2) serves the same substring/regex
+    results as build(full): term_doc_ids candidates are stats-free, so
+    the appended index is EXACTLY equal, not just rank-equal."""
+    import ray.data as rd
+
+    from stacksearch_ray.trigram import (TrigramSearcher,
+                                         append_to_trigram_index,
+                                         build_trigram_index)
+
+    full = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    half1, half2 = full.slice(0, 250), full.slice(250)
+    idx_a = str(tmp_path / "tri_appended")
+    build_trigram_index(rd.from_arrow(half1), idx_a)
+    append_to_trigram_index(rd.from_arrow(half2), idx_a)
+    idx_f = str(tmp_path / "tri_full")
+    build_trigram_index(rd.from_arrow(full), idx_f)
+
+    sa, sf = TrigramSearcher(idx_a), TrigramSearcher(idx_f)
+    for pat in ("rt ba", "w dup", "batch batch", "zz"):
+        ta, tf = sa.search_substring(pat), sf.search_substring(pat)
+        assert ta.equals(tf), pat
+        assert _got(ta) == _expect_substring(corpus, pat), pat
+    for rpat in (r"stream (big|small) (sort|join)", r"(join ){2}"):
+        assert sa.search_regex(rpat).equals(sf.search_regex(rpat)), rpat
