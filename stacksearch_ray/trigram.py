@@ -349,6 +349,18 @@ class TrigramSearcher:
                 out["n_occurrences"].to_numpy(np.int64)),
         })
 
+    def search_wildcard(self, pattern: str) -> pa.Table:
+        """Glob search over raw content: ``*`` matches any (possibly
+        empty) character run, every other character is literal —
+        ``'sort*dup'`` finds docs where 'dup' occurs after 'sort'.
+        Served by regex translation (pieces re.escape'd, joined with
+        ``[\\s\\S]*``), so candidate pruning sees every ≥3-byte literal
+        piece and verification is exact. n_matches counts the greedy
+        regex's non-overlapping matches (≥1 iff the glob matches)."""
+        pieces = pattern.split("*")
+        return self.search_regex(
+            "[\\s\\S]*".join(re.escape(p) for p in pieces))
+
     def search_regex(self, pattern: str) -> pa.Table:
         """All docs whose raw content matches ``pattern`` (Python ``re``
         semantics) with the non-overlapping match count. Candidates come
@@ -398,3 +410,38 @@ class TrigramSearcher:
             "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
             "n_matches": pa.array(out["n_matches"].to_numpy(np.int64)),
         })
+
+
+class ShardedTrigramSearcher(TrigramSearcher):
+    """Distributed candidate generation: the trigram AND is exactly a
+    boolean-DSL conjunction, so it rides ShardedQueryEngine's fan-out —
+    each worker intersects its shard subset's (smaller) posting lists
+    locally and the union of disjoint shard results is the global
+    candidate set. df-ordering still picks the rarest trigrams from the
+    shared term_dict; verification stays driver-side over the pruned
+    candidate fetch (worker-local at cluster scale — each shard's
+    docstore slice holds its own candidates' text)."""
+
+    def __init__(self, index_dir: str, content_col: str = "text",
+                 max_probe: int = DEFAULT_MAX_PROBE, num_workers: int = 4):
+        super().__init__(index_dir, content_col, max_probe)
+        from .query import ShardedQueryEngine
+
+        self.sharded = ShardedQueryEngine(index_dir,
+                                          num_workers=num_workers)
+
+    def _candidates_for(self, literals: list[str]) -> np.ndarray | None:
+        hexes = sorted({h for lit in literals
+                        for h in pattern_trigram_hexes(lit)})
+        if not hexes:
+            return None
+        dfs = self._trigram_dfs(hexes)
+        if any(h not in dfs for h in hexes):
+            self.last_plan = {"mode": "pruned", "n_probed": 0,
+                              "n_candidates": 0}
+            return np.empty(0, np.int64)
+        probe = sorted(hexes, key=lambda h: (dfs[h], h))[: self.max_probe]
+        ids = self.sharded.search_boolean_dsl(" AND ".join(probe))
+        self.last_plan = {"mode": "pruned", "n_probed": len(probe),
+                          "n_candidates": int(len(ids))}
+        return np.asarray(ids, dtype=np.int64)

@@ -206,3 +206,31 @@ def test_append_equals_full_build(ray_session, tmp_path, corpus):
         assert _got(ta) == _expect_substring(corpus, pat), pat
     for rpat in (r"stream (big|small) (sort|join)", r"(join ){2}"):
         assert sa.search_regex(rpat).equals(sf.search_regex(rpat)), rpat
+
+
+def test_wildcard(tri, corpus):
+    import re as _re
+
+    for pat in ("sort*dup", "merge*batch*window", "*join*", "zzz*zzz"):
+        got = _got(tri.search_wildcard(pat))
+        rx = _re.compile("[\\s\\S]*".join(_re.escape(p)
+                                          for p in pat.split("*")))
+        exp = {d: len(rx.findall(s)) for d, s in corpus.items()
+               if rx.search(s)}
+        assert got == exp, pat
+    # all-literal pieces prune; all-star scans
+    tri.search_wildcard("sort*dup")
+    assert tri.last_plan["mode"] == "pruned"
+
+
+def test_sharded_equals_single(tri, corpus):
+    from stacksearch_ray.trigram import ShardedTrigramSearcher
+
+    sh = ShardedTrigramSearcher(tri.index_dir, num_workers=3)
+    for pat in ("rt ba", "w dup", "batch batch batch", "qqqxyz"):
+        a, b = tri.search_substring(pat), sh.search_substring(pat)
+        assert a.equals(b), pat
+    for rpat in (r"stream (big|small) (sort|join)", r"(join ){2}"):
+        assert tri.search_regex(rpat).equals(sh.search_regex(rpat)), rpat
+    sh.search_substring("rt ba")
+    assert sh.last_plan["mode"] == "pruned"
