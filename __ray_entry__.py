@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_decontamination": P.embedding_decontamination,
         "stemmed_search": P.stemmed_search,
         "dismax_search": P.dismax_search,
+        "bm25f_search": P.bm25f_search,
+        "term_vectors": P.term_vectors,
+        "dsir_weights": P.dsir_weights,
         "query_completion": P.query_completion,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
@@ -284,6 +287,11 @@ def oracle_sql() -> dict[str, str]:
         IR_EVAL_K as _IR_K,
         DECON_MOD as _DC_MOD,
         DISMAX_TIE as _DM_TIE,
+        BM25F_WT as _BF_WT,
+        BM25F_WB as _BF_WB,
+        TV_DOC_ID as _TV_DOC,
+        DSIR_TARGET_LANG as _DSIR_LANG,
+        DSIR_K as _DSIR_K,
         DECON_SIM_T as _DC_T,
         COMPLETION_K as _QC_K,
         MIN_MATCH_M as _MM_M,
@@ -307,6 +315,9 @@ def oracle_sql() -> dict[str, str]:
         min_match_topk_sql,
         stemmed_topk_sql,
         dismax_topk_sql,
+        bm25f_topk_sql,
+        term_vectors_sql,
+        dsir_weights_sql,
         ngram_cte,
         fielded_topk_sql,
         tfidf_topk_sql,
@@ -696,6 +707,10 @@ FROM dl""",
         "min_match_search": min_match_topk_sql(BM25_QUERY, _MM_M, 10),
         "stemmed_search": stemmed_topk_sql(_STEM_Q, 10),
         "dismax_search": dismax_topk_sql(BM25_QUERY, 10, P_TITLE_K, _DM_TIE),
+        "bm25f_search": bm25f_topk_sql(BM25_QUERY, 10, P_TITLE_K,
+                                       _BF_WT, _BF_WB),
+        "term_vectors": term_vectors_sql(_TV_DOC),
+        "dsir_weights": dsir_weights_sql(_DSIR_LANG, _DSIR_K),
         "query_completion": f"""
 WITH {token_list_cte()},
 pairs AS (

@@ -461,6 +461,87 @@ def dismax_search(sf_dir: str):
     })
 
 
+BM25F_WT, BM25F_WB, BM25F_K1, BM25F_B = 2.0, 1.0, 1.2, 0.75
+
+
+def bm25f_search(sf_dir: str):
+    """True BM25F (Robertson & Zaragoza 2004) over the title/body field
+    split: per-field tfs are weight-scaled and length-normalized FIRST
+    (each field's own dl and avgdl), the combined pseudo-frequency
+    saturates ONCE through the shared k1 curve, and idf is
+    DOCUMENT-level (df = |title ∪ body postings| = whole-doc df;
+    n_docs = the title engine's count — every doc with ≥1 kept token
+    has a non-empty title). This is the third fielded combiner next to
+    fielded_search (per-field BM25 sum → double saturation) and
+    dismax_search (best field wins): BM25F is the principled one — a
+    term spread across fields can't saturate twice. Composed from raw
+    ``term_postings`` (the cached idf-free parts bake in single-field
+    normalization, so BM25F can't reuse them). Float expression order
+    matches bm25f_topk_sql term for term: wt·(tf_t/norm_t) +
+    wb·(tf_b/norm_b) with a missing field contributing exactly 0.0,
+    then idf·((k1+1)·wtf/(wtf+k1)), accumulated in sorted-term order.
+    At 100 TB the same math runs inside one engine whose segments carry
+    per-field tf columns; entry-level composition keeps the two-index
+    lifecycle per field (SCALE.md)."""
+    from ..text import clean_query
+
+    et, eb = _fielded_for(sf_dir)
+    terms = sorted(set(clean_query(BM25_QUERY)))
+    n_docs = float(len(et.doclens.ids))
+
+    def aligned(ids: np.ndarray, tfs: np.ndarray, u: np.ndarray
+                ) -> np.ndarray:
+        """tf per union doc, 0.0 where the doc lacks the term (sorted
+        membership probe — the coalesce(tf/norm, 0.0) left operand)."""
+        out = np.zeros(u.size, np.float64)
+        if ids.size:
+            pos = np.searchsorted(ids, u)
+            ok = pos < ids.size
+            safe = np.where(ok, pos, 0)
+            m = ok & (ids[safe] == u)
+            out[m] = tfs[safe[m]]
+        return out
+
+    acc = np.zeros(len(et.doclens.ids), np.float64)
+    hit = np.zeros(len(et.doclens.ids), bool)
+    for t in terms:  # sorted → deterministic accumulation order
+        it, ft = et.term_postings(t)
+        ib, fb = eb.term_postings(t)
+        union = np.union1d(it, ib)
+        if union.size == 0:
+            continue
+        df = float(union.size)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        tft = aligned(it, ft, union)
+        tfb = aligned(ib, fb, union)
+        dlt = et.doclens.lookup(union).astype(np.float64)
+        # body dl only exists for docs with > TITLE_K tokens; where it
+        # is missing tf_b is necessarily 0, so a 0.0 stand-in keeps the
+        # body contribution exactly 0.0 (0.0/0.25) — the SQL coalesce.
+        posb = np.searchsorted(eb.doclens.ids, union)
+        okb = posb < eb.doclens.ids.size
+        safeb = np.where(okb, posb, 0)
+        memb = okb & (eb.doclens.ids[safeb] == union)
+        dlb = np.zeros(union.size, np.float64)
+        dlb[memb] = eb.doclens.lens[safeb[memb]].astype(np.float64)
+        wtf = (BM25F_WT * (tft / (1.0 - BM25F_B
+                                  + BM25F_B * (dlt / et.avgdl)))
+               + BM25F_WB * (tfb / (1.0 - BM25F_B
+                                    + BM25F_B * (dlb / eb.avgdl))))
+        contrib = idf * ((BM25F_K1 + 1.0) * wtf / (wtf + BM25F_K1))
+        didx = np.searchsorted(et.doclens.ids, union)
+        acc[didx] += contrib
+        hit[didx] = True
+    m = np.flatnonzero(hit)
+    top = sorted(((int(et.doclens.ids[i]), float(acc[i])) for i in m),
+                 key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in top], pa.int64()),
+        "rank": pa.array(list(range(1, len(top) + 1)), pa.int64()),
+    })
+
+
 SYN_GROUPS = [["merge", "join"], ["sort", "order"], ["stream", "batch"]]
 
 
@@ -548,6 +629,49 @@ def score_explain(sf_dir: str):
         "tf": pa.array([t["tf"] for t in ts], pa.int64()),
         "contribution_micros": pa.array(
             [to_micros(t["contribution"]) for t in ts], pa.int64()),
+    })
+
+
+TV_DOC_ID = 7
+
+
+def term_vectors(sf_dir: str):
+    """Per-doc term statistics (the Elasticsearch ``_termvectors``
+    analog) for one fixed doc: every kept term with its tf, corpus df,
+    and exact BM25 score contribution for that doc. The doc is
+    re-analyzed from the doc store (one pushed-down row read — ES does
+    the same for stored fields); df comes from the INDEX's alive
+    postings (term_doc_ids), so contributions are bitwise the engine's
+    own idf·part chain — a query of exactly these terms scores this
+    doc as their sum."""
+    import pyarrow.dataset as pads
+
+    from ..codec import bm25_tf_part
+    from ..build import idf as idf_fn
+
+    eng = _index_for(sf_dir)
+    row = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"],
+                           filter=pads.field("doc_id") == TV_DOC_ID)
+           .take_all())  # bounded: exactly one doc
+    tf_obj = term_frequencies(pa.chunked_array(
+        [pa.array([r["text"] for r in row], pa.string())]))
+    tf_map = dict(zip(tf_obj.terms.to_pylist(),
+                      tf_obj.tf.astype(np.int64).tolist()))
+    terms = sorted(tf_map)
+    dl = np.array([eng.doclens.lookup_one(TV_DOC_ID)], np.float64)
+    out_tf, out_df, out_c = [], [], []
+    for t in terms:
+        df = int(eng.term_doc_ids(t).size)
+        part = bm25_tf_part(np.array([tf_map[t]], np.int64), dl,
+                            eng.avgdl, eng.k1, eng.b)[0]
+        out_tf.append(tf_map[t])
+        out_df.append(df)
+        out_c.append(to_micros(idf_fn(eng.n_docs, df) * part))
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "tf": pa.array(out_tf, pa.int64()),
+        "df": pa.array(out_df, pa.int64()),
+        "contrib_micros": pa.array(out_c, pa.int64()),
     })
 
 
@@ -1460,6 +1584,79 @@ def doc_logprob(sf_dir: str):
             .map_batches(score, batch_format="pyarrow")
             .groupby("doc_id")
             .aggregate(Sum("logprob_micros", alias_name="logprob_micros")))
+
+
+DSIR_TARGET_LANG, DSIR_K = "en", 50
+
+
+def dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, unigram-feature form):
+    per-doc Σ_tokens ln p_target(t) − ln p_raw(t), add-1 smoothed over
+    the corpus vocab — the data-selection signal that upweights docs
+    resembling the target slice (here lang='en') under the raw
+    corpus. One exploded pass produces (term, in-target) partial counts
+    (map-side combined, the shuffle carries batch-vocab rows); the
+    driver folds the vocab-sized count table into per-term log-ratio
+    micros (bounded: vocab-sized, same contract as doc_logprob) and
+    broadcasts it once via ray.put; the scoring pass is tf·lr_micros
+    int64 per (doc,term), summed — rule-4 round-then-sum, so engines
+    never compare float sums. Top-k selection is the 100-TB shape too:
+    sort on the per-doc weight table (n_docs rows, not tokens)."""
+    import ray as _ray
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tf = term_frequencies(batch["text"].combine_chunks())
+        en = (np.asarray(batch["lang"].combine_chunks())
+              == DSIR_TARGET_LANG)
+        df = pd.DataFrame({
+            "term": tf.terms,
+            "en": en[tf.doc_idx],
+            "tf": tf.tf.astype(np.int64),
+        })
+        out = (df.groupby(["term", "en"], sort=False, as_index=False)
+               .agg(c=("tf", "sum")))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (rd.read_parquet(_docs(sf_dir), columns=["text", "lang"])
+              .map_batches(explode, batch_format="pyarrow")
+              .groupby(["term", "en"])
+              .aggregate(Sum("c", alias_name="c"))
+              .to_pandas())  # bounded: ≤ 2·vocab rows
+    piv = (counts.pivot_table(index="term", columns="en", values="c",
+                              aggfunc="sum", fill_value=0))
+    c_all = (piv.get(True, pd.Series(0, index=piv.index))
+             + piv.get(False, pd.Series(0, index=piv.index))).astype(np.int64)
+    c_en = piv.get(True, pd.Series(0, index=piv.index)).astype(np.int64)
+    n_all = float(int(c_all.sum()))
+    n_en = float(int(c_en.sum()))
+    v = float(len(c_all))
+    lr = (np.log((c_en.to_numpy().astype(np.float64) + 1.0) / (n_en + v))
+          - np.log((c_all.to_numpy().astype(np.float64) + 1.0)
+                   / (n_all + v)))
+    lr_micros = np.floor(lr * 1e6 + 0.5).astype(np.int64)
+    ref = _ray.put(pd.Series(lr_micros, index=c_all.index))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lrm = _ray.get(ref)
+        tf = term_frequencies(batch["text"].combine_chunks())
+        doc_ids = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        lr_vocab = lrm.reindex(tf.vocab.to_pylist()).to_numpy()
+        contrib = tf.tf.astype(np.int64) * lr_vocab[tf.codes].astype(np.int64)
+        out = pd.DataFrame({"doc_id": doc_ids[tf.doc_idx],
+                            "weight_micros": contrib})
+        agg = out.groupby("doc_id", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    w = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+         .map_batches(score, batch_format="pyarrow")
+         .groupby("doc_id")
+         .aggregate(Sum("weight_micros", alias_name="weight_micros"))
+         .sort(["weight_micros", "doc_id"], descending=[True, False])
+         .limit(DSIR_K)
+         .to_pandas())  # bounded: k rows
+    w["rank"] = np.arange(1, len(w) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(
+        w[["doc_id", "weight_micros", "rank"]], preserve_index=False)
 
 
 def events_window_distinct(sf_dir: str):

@@ -649,6 +649,142 @@ def dismax_topk_sql(query: str, k: int = 10, title_k: int = 8,
     return _two_field_sql(chain, terms_values, title_k, combined, k)
 
 
+def bm25f_topk_sql(query: str, k: int = 10, title_k: int = 8,
+                   wt: float = 2.0, wb: float = 1.0, k1: float = 1.2,
+                   b: float = 0.75) -> str:
+    """Mirror of the bm25f_search entry (Robertson/Zaragoza BM25F):
+    per-field tfs are weight-scaled and length-normalized FIRST (each
+    field's own dl/avgdl), the combined pseudo-frequency saturates ONCE
+    through the shared k1 curve, idf is DOCUMENT-level (df over
+    title ∪ body = whole-doc df; n_docs from the title chain — every
+    doc with ≥1 kept token has a non-empty title). A field the doc
+    lacks contributes exactly 0.0 (coalesce of tf/norm); float
+    expression order matches the entry's numpy forms term for term."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {token_list_cte()},
+qterms(term) AS (VALUES {terms_values}),
+tkept AS (SELECT doc_id, unnest(toks[1:{title_k}]) AS term FROM doc_toks),
+bkept AS (SELECT doc_id, unnest(toks[{title_k + 1}:]) AS term FROM doc_toks),
+ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tkept
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM bkept
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+tdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tkept GROUP BY 1),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM bkept GROUP BY 1),
+tstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM tdl),
+bstats AS (SELECT avg(dl) AS avgdl FROM bdl),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT * FROM tkept UNION ALL SELECT * FROM bkept)
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+wtf AS (
+  SELECT coalesce(t.doc_id, bb.doc_id) AS doc_id,
+         coalesce(t.term, bb.term) AS term,
+         {float(wt)!r} * coalesce(t.tf
+             / (1.0 - {float(b)!r} + {float(b)!r} * (tdl.dl / tstats.avgdl)), 0.0)
+       + {float(wb)!r} * coalesce(bb.tf
+             / (1.0 - {float(b)!r} + {float(b)!r} * (bdl.dl / bstats.avgdl)), 0.0)
+           AS wtf
+  FROM ttf t FULL OUTER JOIN btf bb
+    ON t.doc_id = bb.doc_id AND t.term = bb.term
+  LEFT JOIN tdl ON tdl.doc_id = coalesce(t.doc_id, bb.doc_id)
+  LEFT JOIN bdl ON bdl.doc_id = coalesce(t.doc_id, bb.doc_id)
+  CROSS JOIN tstats CROSS JOIN bstats
+),
+scores AS (
+  SELECT wtf.doc_id,
+         sum( ln((tstats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (({float(k1)!r} + 1.0) * wtf.wtf
+                 / (wtf.wtf + {float(k1)!r})) ) AS score
+  FROM wtf JOIN df USING (term) CROSS JOIN tstats
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def term_vectors_sql(doc_id: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of the term_vectors entry (the Elasticsearch
+    ``_termvectors`` analog): per kept term of one doc — tf, corpus df,
+    and the term's exact BM25 score contribution for that doc (the same
+    idf·part chain as bm25_scores_sql, so term_vectors rows sum to the
+    doc's search score for a query of exactly those terms)."""
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dterms AS (SELECT term, tf FROM tf WHERE doc_id = {doc_id}),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM kept
+  WHERE term IN (SELECT term FROM dterms) GROUP BY 1
+)
+SELECT d.term AS term,
+       CAST(d.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       CAST(floor( ln((stats.n_docs - df.df::DOUBLE + 0.5)
+                      / (df.df::DOUBLE + 0.5) + 1.0)
+                   * (({float(k1)!r} + 1.0) * d.tf::DOUBLE
+                      / (d.tf::DOUBLE + {float(k1)!r}
+                         * (1.0 - {float(b)!r} + {float(b)!r}
+                            * (dl.dl / stats.avgdl))))
+                   * 1e6 + 0.5) AS BIGINT) AS contrib_micros
+FROM dterms d
+JOIN df USING (term)
+JOIN dl ON dl.doc_id = {doc_id}
+CROSS JOIN stats
+ORDER BY term ASC"""
+
+
+def dsir_weights_sql(target_lang: str = "en", k: int = 50) -> str:
+    """Mirror of the dsir_weights entry (DSIR, Xie et al. 2023,
+    unigram-feature form): per-doc importance weight
+    Σ_tokens ln(p_target(t)) − ln(p_raw(t)) with add-1 smoothing over
+    the corpus vocab; target = docs whose lang = '{target_lang}', raw =
+    the whole corpus. The per-TERM log-ratio is micros-rounded once,
+    then per-doc sums are exact int64 (tf · lr_micros) — rule-4
+    round-then-sum, so engines never compare float sums."""
+    return f"""
+WITH {kept_tokens_cte()},
+all_c AS (SELECT term, count(*)::DOUBLE AS c FROM kept GROUP BY 1),
+en_ids AS (SELECT doc_id FROM documents WHERE lang = '{target_lang}'),
+en_c AS (
+  SELECT term, count(*)::DOUBLE AS c FROM kept
+  WHERE doc_id IN (SELECT doc_id FROM en_ids) GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT count(*) FROM kept)::DOUBLE AS n_all,
+         (SELECT count(*) FROM kept
+          WHERE doc_id IN (SELECT doc_id FROM en_ids))::DOUBLE AS n_en,
+         (SELECT count(DISTINCT term) FROM kept)::DOUBLE AS v
+),
+lr AS (
+  SELECT a.term,
+         CAST(floor((ln((coalesce(e.c, 0.0) + 1.0) / (tot.n_en + tot.v))
+                     - ln((a.c + 1.0) / (tot.n_all + tot.v)))
+                    * 1e6 + 0.5) AS BIGINT) AS lr_micros
+  FROM all_c a LEFT JOIN en_c e USING (term) CROSS JOIN tot
+),
+doc_tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),
+w AS (
+  SELECT doc_id, CAST(sum(tf * lr_micros) AS BIGINT) AS weight_micros
+  FROM doc_tf JOIN lr USING (term) GROUP BY 1
+)
+SELECT doc_id, weight_micros,
+       CAST(row_number() OVER (ORDER BY weight_micros DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM w
+ORDER BY weight_micros DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def prf_expansion_cte(query: str, fb_docs: int = 5,
                       fb_terms: int = 3) -> str:
     """CTE chain (appended to bm25_scores_sql's) ending in

@@ -1188,6 +1188,28 @@ class QueryEngine:
             ids = ids[self._alive[np.searchsorted(self.doclens.ids, ids)]]
         return ids
 
+    def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) for one term, merged across its segment rows
+        into GLOBAL doc_id order (a doc appears in exactly one shard's
+        segment row per term, so concatenation + one argsort is a
+        permutation, never a merge of duplicates). Alive-masked under
+        tombstones. The raw-frequency primitive for scorers composed
+        OUTSIDE the engine (e.g. BM25F, which mixes per-field tfs
+        before saturation and so can't reuse the cached idf-free
+        parts)."""
+        segs = self._segments_for([term]).get(term, [])
+        if not segs:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        dec = [self._decoded(term, i, r) for i, r in enumerate(segs)]
+        ids = np.concatenate([d[0] for d in dec])
+        tfs = np.concatenate([d[1] for d in dec]).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, tfs = ids[order], tfs[order]
+        if self.has_deletes:
+            alive = self._alive[np.searchsorted(self.doclens.ids, ids)]
+            ids, tfs = ids[alive], tfs[alive]
+        return ids, tfs
+
     def term_positions(self, term: str
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(doc_ids, tfs, flat_positions) for one term, merged across
