@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_search": P.near_search,
         "index_stats": P.index_stats,
         "search_page": P.search_page,
+        "search_after_page": P.search_after_page,
         "domain_temperature_mix": P.domain_temperature_mix,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
@@ -2868,6 +2869,19 @@ FROM (SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
       FROM scores)
 WHERE rank BETWEEN 11 AND 20""",
+        "search_after_page": bm25_scores_sql(BM25_QUERY) + """
+, cur AS (
+  SELECT score, doc_id FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT 1 OFFSET 9
+)
+SELECT s.doc_id,
+       CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) + 10
+            AS BIGINT) AS rank
+FROM scores s, cur
+WHERE s.score < cur.score OR (s.score = cur.score AND s.doc_id > cur.doc_id)
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT 10""",
         "domain_temperature_mix": """
 WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 t AS (SELECT sum(n) AS total FROM c),

@@ -5824,6 +5824,30 @@ def search_page(sf_dir: str):
     })
 
 
+def search_after_page(sf_dir: str):
+    """Cursor pagination (ES ``search_after``): page 2 fetched through
+    a (score, doc_id) cursor taken from page 1's last row, NOT an
+    offset — the deep-paging shape that stays O(k) per shard at any
+    depth. The cursor compares raw float scores (bitwise identical
+    across engines by rule 1); the SQL mirror derives the same cursor
+    with OFFSET 9 LIMIT 1 and applies the same strict-after predicate."""
+    eng = _index_for(sf_dir)
+    page1 = eng.search(BM25_QUERY, 10, method="exhaustive")
+    if not page1:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_micros": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    after_doc, after_score = page1[-1][0], page1[-1][1]
+    res = eng.search_after(BM25_QUERY, after_score, after_doc, 10)
+    return pa.table({
+        "doc_id": pa.array([int(d) for d, _ in res], pa.int64()),
+        "score_micros": pa.array(
+            to_micros(np.array([s for _, s in res], np.float64)),
+            pa.int64()),
+        "rank": pa.array(np.arange(11, 11 + len(res), dtype=np.int64)),
+    })
+
+
 def domain_temperature_mix(sf_dir: str):
     """Temperature-scaled domain mixing (the multilingual/multi-source
     rebalancing rule, α = 0.5): per-source sampling weight

@@ -871,6 +871,31 @@ class QueryEngine:
         order = np.lexsort((ids, -vals if descending else vals))[:k]
         return [(int(ids[i]), vals[i].item()) for i in order]
 
+    def search_after(self, query: str, after_score: float, after_doc: int,
+                     k: int = 10, method: str = "exhaustive",
+                     scorer: str = "bm25") -> list[tuple[int, float]]:
+        """Cursor pagination (the Elasticsearch ``search_after``
+        clause): the k results strictly AFTER the cursor in the
+        engine's (score desc, doc_id asc) total order. Unlike offset
+        paging, a cursor never re-ranks skipped rows and is stable
+        under appends of lower-ranked docs. The cursor compares on the
+        raw float score — sound here because score identity is bitwise
+        across the whole engine (rule 1); a system serializing cursors
+        to clients would compare on the published micros representation
+        instead. Scores every matched doc then filters (exhaustive
+        semantics, like ES's sorted scan); in the sharded engine each
+        worker applies the cursor locally so deep pages never ship
+        more than k rows per worker."""
+        res = self.search(query, len(self.doclens.ids), method=method,
+                          scorer=scorer)
+        out = []
+        for d, s in res:  # already (score desc, doc asc) — keep order
+            if s < after_score or (s == after_score and d > after_doc):
+                out.append((d, s))
+                if len(out) == k:
+                    break
+        return out
+
     def search_phrase_ranked(self, phrase: str, k: int = 10,
                              slop: int = 0, scorer: str = "bm25"
                              ) -> list[tuple[int, float]]:
@@ -1905,6 +1930,10 @@ class _ShardWorker:
                                 ) -> list[tuple[int, float]]:
         return self.engine.search_min_should_match(query, min_match, k)
 
+    def search_after(self, query: str, after_score: float, after_doc: int,
+                     k: int) -> list[tuple[int, float]]:
+        return self.engine.search_after(query, after_score, after_doc, k)
+
     def explain(self, query: str, doc_id: int,
                 scorer: str = "bm25") -> dict:
         return self.engine.explain(query, doc_id, scorer)
@@ -2312,6 +2341,23 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]) if descending
                     else (x[1], x[0]))
+        return merged[:k]
+
+    def search_after(self, query: str, after_score: float, after_doc: int,
+                     k: int = 10) -> list[tuple[int, float]]:
+        """Distributed cursor pagination: every worker applies the
+        cursor to its own disjoint doc subset and returns its local
+        next-k, the driver merges (score desc, doc_id asc) and takes k
+        — exact because the cursor predicate is per-doc, so the global
+        next-k is contained in the union of local next-ks. Deep pages
+        ship at most k rows per worker no matter the offset (the
+        offset-paging alternative ships page·k). Term routing applies."""
+        import ray
+
+        futs = [w.search_after.remote(query, after_score, after_doc, k)
+                for w in self._routed_workers([query])]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
 
     def search_collapse(self, query: str, k: int = 10, *,

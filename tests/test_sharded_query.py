@@ -174,3 +174,29 @@ def test_search_many_routed_identity(index_dir):
     queries = ["def return var_1", "numpy python", "helper_3 field_7", ""]
     got = routed.search_many(queries, 10)
     assert got == [eng.search(q, 10) for q in queries]
+
+
+def test_search_after_cursor(index_dir):
+    """Cursor pages stitch into the exhaustive top-k, and the sharded
+    cursor fan-out is bitwise identical to the single engine."""
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(index_dir)
+    q = "def return var_1"
+    top30 = eng.search(q, 30, method="exhaustive")
+    pages, cur = [], None
+    for _ in range(3):
+        page = (eng.search(q, 10, method="exhaustive") if cur is None
+                else eng.search_after(q, cur[1], cur[0], 10))
+        pages.extend(page)
+        cur = page[-1]
+    assert pages == top30
+    sharded = ShardedQueryEngine(index_dir, num_workers=3,
+                                 route_terms=True)
+    c = top30[9]
+    assert (sharded.search_after(q, c[1], c[0], 10)
+            == eng.search_after(q, c[1], c[0], 10) == top30[10:20])
+    # cursor past the last result -> empty
+    last = top30[-1]
+    deep = eng.search_after(q, last[1], last[0], 1000)
+    assert eng.search(q, 10_000, method="exhaustive")[30:] == deep
