@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": P.index_stats,
         "search_page": P.search_page,
         "search_after_page": P.search_after_page,
+        "federated_search": P.federated_search,
         "domain_temperature_mix": P.domain_temperature_mix,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
@@ -753,6 +754,7 @@ ORDER BY vec_id""",
                                        _PRF_FB_TERMS),
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
+        "federated_search": bm25,  # union of disjoint halves == rebuild
         "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise
         "bm25_topk_merged": bm25,   # merge lifecycle == rebuild, bitwise
         "score_explain": bm25_scores_sql(BM25_QUERY) + """,

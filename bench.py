@@ -260,6 +260,10 @@ def run_bench() -> dict:
                      ("pq_dedup_groups", P.pq_dedup_groups),
                      ("content_substring_search", P.content_substring_search),
                      ("content_regex_search", P.content_regex_search),
+                     ("bm25f_search", P.bm25f_search),
+                     ("term_vectors", P.term_vectors),
+                     ("dsir_weights", P.dsir_weights),
+                     ("search_after_page", P.search_after_page),
                      ("neardup_keep_longest", P.neardup_keep_longest)]:
         t0 = time.time()
         res = fn(SF_DIR)
@@ -295,6 +299,27 @@ def run_bench() -> dict:
             sharded.search(q, 10)
             lat.append(time.time() - t0)
     timings["query_p50_sharded_scale"] = statistics.median(lat)
+
+    # ---- term-routed serving: rare-term queries skip workers whose
+    # bitmap can't hold the term (BASELINE.md "term-routed fan-out") ----
+    t0 = time.time()
+    sharded.enable_term_routing()
+    timings["routing_init"] = time.time() - t0
+    import pyarrow.parquet as pq
+
+    td = (pq.read_table(os.path.join(scale_idx, "term_dict"),
+                        columns=["term", "df"]).to_pandas()
+          .sort_values(["df", "term"]))
+    rare_queries = td[td["df"] >= 1]["term"].tolist()[:4]
+    for q in rare_queries:
+        sharded.search(q, 10)
+    lat = []
+    for _ in range(10):
+        for q in rare_queries:
+            t0 = time.time()
+            sharded.search(q, 10)
+            lat.append(time.time() - t0)
+    timings["query_p50_sharded_routed_rare"] = statistics.median(lat)
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(scale_idx, ignore_errors=True)

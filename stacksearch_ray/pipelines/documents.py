@@ -5824,6 +5824,54 @@ def search_page(sf_dir: str):
     })
 
 
+def federated_search(sf_dir: str):
+    """Virtual multi-index retrieval (FederatedQueryEngine): the corpus
+    split into two independently built indexes (doc_id parity — the
+    per-epoch/per-tenant federation shape), queried as ONE index with
+    union collection stats. Because federation is bitwise equal to the
+    physically merged index, which is bitwise equal to a rebuild over
+    the union, the oracle is simply the whole-table BM25 chain — the
+    strongest possible cross-check of the union-stats math."""
+    from ..query import FederatedQueryEngine
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(CACHE_ROOT, tag)
+    halves = []
+    for par in (0, 1):
+        half_dir = os.path.join(base, f"fed_docs_{par}")
+        done = os.path.join(base, f"fed_docs_{par}._done")
+
+        def _write(par=par, half_dir=half_dir, done=done):
+            import shutil
+
+            shutil.rmtree(half_dir, ignore_errors=True)
+            def keep(batch: pa.Table, par=par) -> pa.Table:
+                ids = np.asarray(batch["doc_id"].combine_chunks())
+                return batch.filter(pa.array(ids % 2 == par))
+
+            (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+             .map_batches(keep, batch_format="pyarrow")
+             .write_parquet(half_dir))
+            open(done, "w").close()
+
+        _ensure_built(done, _write)
+        idx_dir = os.path.join(base, f"fed_index_{par}")
+        _ensure_built(
+            os.path.join(idx_dir, "stats.json"),
+            lambda half_dir=half_dir, idx_dir=idx_dir: build_index(
+                half_dir, idx_dir, content_col="text", id_col="doc_id",
+                num_shards=4, term_buckets=16))
+        halves.append(idx_dir)
+    fed = FederatedQueryEngine(halves)
+    res = fed.search(BM25_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array([int(d) for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
+    })
+
+
 def search_after_page(sf_dir: str):
     """Cursor pagination (ES ``search_after``): page 2 fetched through
     a (score, doc_id) cursor taken from page 1's last row, NOT an

@@ -987,7 +987,11 @@ class QueryEngine:
                            feature_weight: float = 1.0
                            ) -> list[tuple[int, float]]:
         segs = self._segments_for(terms)
-        custom = self._resolve_scorer(scorer, terms, segs)
+        # a CALLABLE scorer bypasses the registry — the federation
+        # hook: FederatedQueryEngine injects union collection stats as
+        # a closure fn(tfs, dls, df_global, term) -> float64 ndarray
+        custom = (scorer if callable(scorer)
+                  else self._resolve_scorer(scorer, terms, segs))
         dfs = self._df_global(terms, segs)
         # dense accumulator over the engine's sorted local doc-id space:
         # no per-query np.unique sort — each segment row scatters once
@@ -2411,3 +2415,115 @@ class BM25SearchActor:
                 s_out.append(score)
         return pa.table({"query": q_out, "doc_id": d_out,
                          "rank": r_out, "score": s_out})
+
+
+class FederatedQueryEngine:
+    """Virtual multi-index search: query K independently built indexes
+    (disjoint doc-id spaces — the merge_indexes contract) as ONE index,
+    bitwise identical to ``QueryEngine(merge_indexes(sources))`` without
+    materializing the merge. Union collection stats are derived exactly
+    as merge_indexes writes them (n_docs/total_len sums, avgdl =
+    total_len/n_docs; per-term df = sum of each source's tombstone-
+    corrected global df) and injected through _search_exhaustive's
+    callable-scorer hook, so per-doc accumulation reproduces the merged
+    engine's float expression order term for term — idf(n_union, df_union)
+    · bm25_tf_part(tf, dl, avgdl_union, k1, b), summed in sorted-term
+    order over a doc's single source.
+
+    The federation story at scale: per-epoch / per-tenant indexes each
+    keep their own lifecycle (append, delete, compact) while serving
+    one query surface; each sub-engine can itself be a
+    ShardedQueryEngine pool on its own nodes. Scoring is exhaustive by
+    construction, exactly like a fresh (pre-compaction) physical merge —
+    merge_indexes + compact_index remains the throughput option when
+    block-max pruning eligibility matters."""
+
+    def __init__(self, index_dirs: list[str]):
+        from .append import resolve_index_alias
+
+        if len(index_dirs) < 2:
+            raise ValueError("FederatedQueryEngine needs ≥2 indexes")
+        self.engines = [QueryEngine(resolve_index_alias(d))
+                        for d in index_dirs]
+        base = self.engines[0]
+        for e in self.engines[1:]:
+            for key in ("k1", "b"):
+                if getattr(e, key) != getattr(base, key):
+                    raise ValueError(
+                        f"federated sources disagree on {key}: "
+                        f"{getattr(base, key)} vs {getattr(e, key)}")
+        ids = np.concatenate([e.doclens.ids for e in self.engines])
+        if len(np.unique(ids)) != len(ids):
+            raise ValueError("federated sources share doc ids — the "
+                             "merge_indexes disjointness contract")
+        self.k1, self.b = base.k1, base.b
+        # stats n_docs / total_len already exclude tombstoned rows
+        # (delete_from_index updates them) — identical to the sums
+        # merge_indexes writes
+        self.n_docs = sum(int(e.stats["n_docs"]) for e in self.engines)
+        self.total_len = sum(int(e.stats["total_len"])
+                             for e in self.engines)
+        self.avgdl = (self.total_len / self.n_docs) if self.n_docs else 0.0
+
+    def _union_dfs(self, terms: list[str]) -> dict[str, int]:
+        dfs = {t: 0 for t in terms}
+        for e in self.engines:
+            for t, d in e._df_only(terms).items():
+                dfs[t] += d
+        return dfs
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k over the union corpus (score desc, doc_id asc), scores
+        bitwise equal to the physically merged index's."""
+        from .build import idf as idf_fn
+        from .codec import bm25_tf_part
+
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        idf_map = {t: idf_fn(self.n_docs, d)
+                   for t, d in self._union_dfs(terms).items() if d > 0}
+        avgdl, k1, b = self.avgdl, self.k1, self.b
+
+        def fed(tfs, dls, dfg, t):
+            # identical expression order to the merged engine's
+            # w * bm25_tf_part(...) accumulation (idf is the scalar w)
+            return idf_map[t] * bm25_tf_part(tfs, dls, avgdl, k1, b)
+
+        merged: list[tuple[int, float]] = []
+        for e in self.engines:
+            merged.extend(e._search_exhaustive(terms, k, fed))
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Per-term breakdown under UNION stats for a doc in whichever
+        source holds it — contributions sum to the federated search
+        score bitwise (same closure, same accumulation order)."""
+        from .build import idf as idf_fn
+        from .codec import bm25_tf_part
+
+        terms = sorted(set(clean_query(query)))
+        owner = None
+        for e in self.engines:
+            pos = int(np.searchsorted(e.doclens.ids, doc_id))
+            if pos < len(e.doclens.ids) and e.doclens.ids[pos] == doc_id:
+                owner = e
+                break
+        if owner is None:
+            raise KeyError(f"doc_id {doc_id} not in any federated source")
+        dfs = self._union_dfs(terms)
+        dl = np.array([owner.doclens.lookup_one(doc_id)], np.float64)
+        out, total = [], 0.0
+        for t in terms:
+            ids, tfs = owner.term_postings(t)
+            pos = int(np.searchsorted(ids, doc_id))
+            if pos >= len(ids) or ids[pos] != doc_id or dfs[t] == 0:
+                continue
+            contrib = float(idf_fn(self.n_docs, dfs[t])
+                            * bm25_tf_part(tfs[pos:pos + 1], dl,
+                                           self.avgdl, self.k1, self.b)[0])
+            out.append({"term": t, "tf": int(tfs[pos]), "df": int(dfs[t]),
+                        "contribution": contrib})
+            total = total + contrib
+        return {"doc_id": doc_id, "score": total, "terms": out}

@@ -294,3 +294,61 @@ def test_reshard_interrupted_is_recoverable(ray_session, tmp_path):
     rep = fsck_index(idx)
     assert rep.ok, rep.errors
     assert QueryEngine(idx).search("def return var_1", 5) == before
+
+
+def test_federated_matches_merged(merged):
+    """FederatedQueryEngine over the two sources == the physically
+    merged index, bitwise — scores, order, everything (robust to test
+    order: compaction keeps idx_m's search results identical)."""
+    from stacksearch_ray.query import FederatedQueryEngine, QueryEngine
+
+    idx_m, _, _, root = merged
+    fed = FederatedQueryEngine([str(root / "a"), str(root / "b")])
+    m = QueryEngine(idx_m)
+    assert fed.n_docs == m.n_docs
+    assert fed.avgdl == m.avgdl  # bitwise: both are sum/sum
+    for q in QUERIES:
+        assert fed.search(q, 10) == m.search(q, 10), q
+    # deep k too (the whole ranking, not just the top page)
+    q = "def return var_1"
+    assert fed.search(q, 10_000) == m.search(q, 10_000)
+    # explain sums to the search score bitwise
+    top = fed.search(q, 1)
+    if top:
+        ex = fed.explain(q, top[0][0])
+        assert ex["score"] == top[0][1]
+
+
+def test_federated_with_tombstoned_source(merged, tmp_path):
+    """A source carrying pending deletes federates exactly like
+    merge_indexes treats it: corrected dfs, corrected n_docs/avgdl."""
+    import shutil
+
+    from stacksearch_ray.append import delete_from_index, merge_indexes
+    from stacksearch_ray.query import FederatedQueryEngine, QueryEngine
+
+    _, _, _, root = merged
+    a2 = str(tmp_path / "a2")
+    shutil.copytree(str(root / "a"), a2)
+    eng_a = QueryEngine(a2)
+    victims = eng_a.doclens.ids[:3].tolist()
+    delete_from_index(a2, victims)
+    m2 = str(tmp_path / "m2")
+    merge_indexes([a2, str(root / "b")], m2)
+    fed = FederatedQueryEngine([a2, str(root / "b")])
+    m = QueryEngine(m2)
+    assert fed.n_docs == m.n_docs
+    for q in QUERIES:
+        assert fed.search(q, 10) == m.search(q, 10), q
+    for d, _s in fed.search("def return var_1", 10):
+        assert d not in victims
+
+
+def test_federated_rejects_overlapping_ids(merged):
+    import pytest as _pytest
+
+    from stacksearch_ray.query import FederatedQueryEngine
+
+    _, idx_full, _, root = merged
+    with _pytest.raises(ValueError, match="doc ids"):
+        FederatedQueryEngine([str(root / "a"), idx_full])
