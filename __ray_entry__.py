@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_dedup_groups": P.pq_dedup_groups,
         "knn_ivfpq": P.knn_ivfpq,
         "knn_ivfpq_rerank": P.knn_ivfpq_rerank,
+        "knn_bq": P.knn_bq,
+        "knn_bq_rerank": P.knn_bq_rerank,
         "embedding_pairs": P.embedding_pairs,
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
@@ -1209,6 +1211,57 @@ sims AS (
 )
 SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
        CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        # binary quantization: sign bits pack into two 32-bit words
+        # (non-negative BIGINTs — no two's-complement edge at bit 63);
+        # v >= 0 and popcount(xor) are float-hazard-free
+        "knn_bq": """
+WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(range(0, len(embedding))) AS j
+           FROM embeddings),
+b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN v >= 0 AND j < 32
+                           THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(sum(CASE WHEN v >= 0 AND j >= 32
+                           THEN (1::BIGINT << (j - 32)) ELSE 0 END)
+                  AS BIGINT) AS w1
+      FROM e GROUP BY vec_id),
+q AS (SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0),
+d AS (SELECT b.vec_id,
+             bit_count(xor(b.w0, q.q0)) + bit_count(xor(b.w1, q.q1))
+                 AS hamming
+      FROM b CROSS JOIN q)
+SELECT vec_id, CAST(hamming AS BIGINT) AS hamming,
+       CAST(row_number() OVER (ORDER BY hamming ASC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM d ORDER BY hamming ASC, vec_id ASC LIMIT 10""",
+        # Hamming top-50 shortlist (integer-exact candidate identity)
+        # -> exact cosine re-rank, knn_cosine's proven float surface
+        "knn_bq_rerank": """
+WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(range(0, len(embedding))) AS j
+           FROM embeddings),
+b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN v >= 0 AND j < 32
+                           THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(sum(CASE WHEN v >= 0 AND j >= 32
+                           THEN (1::BIGINT << (j - 32)) ELSE 0 END)
+                  AS BIGINT) AS w1
+      FROM e GROUP BY vec_id),
+q AS (SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0),
+d AS (SELECT b.vec_id,
+             bit_count(xor(b.w0, q.q0)) + bit_count(xor(b.w1, q.q1))
+                 AS hamming
+      FROM b CROSS JOIN q),
+cand AS (SELECT vec_id FROM d
+         ORDER BY hamming ASC, vec_id ASC LIMIT 50),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT e2.vec_id,
+                list_cosine_similarity(e2.embedding::DOUBLE[], qv.qe) AS sim
+         FROM embeddings e2 JOIN cand USING (vec_id) CROSS JOIN qv)
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+           AS rank
 FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
         "embedding_pairs": """
 SELECT a.vec_id AS a, b.vec_id AS b,

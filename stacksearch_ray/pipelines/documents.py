@@ -3436,6 +3436,43 @@ def pq_dedup_groups(sf_dir: str):
     })
 
 
+BQ_CANDIDATES = 50
+
+
+def knn_bq(sf_dir: str):
+    """Binary-quantization ANN: Hamming top-10 over sign-bit codes
+    (64-dim → two 32-bit words; faiss IndexBinaryFlat analog). An
+    all-integer retrieval surface — the sign test (v >= 0.0) and
+    popcount(xor) are exactly reproducible in the DuckDB mirror, so
+    this ANN flavor is hash-oracled end to end (unlike any float-dot
+    surface). Codes are packed on the fly per batch; at 100 TB the
+    packed table is materialized once (32× smaller than the floats)
+    and the shortlist never touches the float column."""
+    from ..functions.bq import hamming_knn
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return hamming_knn(ds, q, k=10)
+
+
+def knn_bq_rerank(sf_dir: str):
+    """Two-stage binary-quantization retrieval: Hamming top-50
+    shortlist (integer, cross-engine-exact candidate identity) → exact
+    cosine re-rank of only those rows → top-10. The third two-stage
+    ANN next to knn_ivfpq_rerank (PQ candidates) and minhash_search
+    (LSH candidates): compressed recall, exact final order, re-rank
+    reads only candidate embeddings."""
+    from ..functions.bq import hamming_shortlist_rerank
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return hamming_shortlist_rerank(ds, q, k=10, candidates=BQ_CANDIDATES)
+
+
 def multimodal_features(sf_dir: str):
     """Image features from REAL pixels: the synthetic media table's
     image rows are valid 24-bit BMPs, decoded by the pure-NumPy codec
