@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm_search": P.lm_jm_search,
         "bm25plus_search": P.bm25plus_search,
         "proximity_boost_search": P.proximity_boost_search,
+        "rescore_search": P.rescore_search,
+        "coord_search": P.coord_search,
+        "decay_search": P.decay_search,
         "collapse_search": P.collapse_search,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
@@ -181,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_batching": P.length_batching,
         "copurchase_triangles": P.copurchase_triangles,
         "revenue_by_nation": P.revenue_by_nation,
+        "shipping_priority": P.shipping_priority,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -348,6 +352,9 @@ def oracle_sql() -> dict[str, str]:
         NEAR_MAX_GAP as _NEAR_GAP,
         NEAR_TERMS as _NEAR_TERMS,
         PROX_BOOST_W as _PROX_W,
+        RESCORE_WINDOW as _RSC_WIN,
+        RESCORE_QW as _RSC_QW,
+        RESCORE_RW as _RSC_RW,
         SIG_K as _SIG_K,
         SLOPPY_SLOP as _SLOPPY_SLOP,
         SLOPPY_TERMS as _SLOPPY_TERMS,
@@ -2745,6 +2752,72 @@ FROM scores s LEFT JOIN mw ON mw.doc_id = s.doc_id
 ORDER BY (s.score + {_PROX_W!r}
           * coalesce(1.0 / (1.0 + mw.min_window), 0.0)) DESC, s.doc_id ASC
 LIMIT 10""",
+        # linear decay function-score (boost_mode: multiply): rational
+        # arithmetic only — no transcendental 1-ulp hazard
+        "decay_search": bm25_scores_sql(BM25_QUERY) + """
+SELECT s.doc_id,
+       CAST(floor(s.score * greatest(0.0, 1.0 - abs(d.n_chars - 300.0)
+                                            / 600.0) * 1e6 + 0.5)
+            AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (
+            ORDER BY (s.score * greatest(0.0, 1.0 - abs(d.n_chars - 300.0)
+                                               / 600.0)) DESC,
+                     s.doc_id ASC) AS BIGINT) AS rank
+FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY (s.score * greatest(0.0, 1.0 - abs(d.n_chars - 300.0)
+                                   / 600.0)) DESC, s.doc_id ASC
+LIMIT 10""",
+        # Lucene coord(q,d): bm25 · (distinct matched terms / |q|) —
+        # the counter is kept-token distinct count among query terms
+        "coord_search": bm25_scores_sql(BM25_QUERY) + f""",
+mc AS (SELECT doc_id, count(DISTINCT term) AS cnt
+       FROM kept WHERE term IN ({_SNIP_TERMS}) GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(floor(s.score * (mc.cnt::DOUBLE / {_MW_K}) * 1e6 + 0.5)
+            AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (
+            ORDER BY (s.score * (mc.cnt::DOUBLE / {_MW_K})) DESC,
+                     s.doc_id ASC) AS BIGINT) AS rank
+FROM scores s JOIN mc USING (doc_id)
+ORDER BY (s.score * (mc.cnt::DOUBLE / {_MW_K})) DESC, s.doc_id ASC
+LIMIT 10""",
+        # ES rescore: bm25 top-window cut (score desc, doc asc), window
+        # re-ranked by qw·score + rw·prox; docs outside the window are
+        # never promoted — the min-window ladder joins only the window
+        "rescore_search": bm25_scores_sql(BM25_QUERY) + f""",
+win AS (SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scores),
+w30 AS (SELECT doc_id, score FROM win WHERE rn <= {_RSC_WIN}),
+{token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+q AS (SELECT doc_id, term, pos FROM pos WHERE term IN ({_SNIP_TERMS})),
+full_docs AS (SELECT doc_id FROM q GROUP BY doc_id
+              HAVING count(DISTINCT term) = {_MW_K}),
+starts AS (SELECT doc_id, pos AS p FROM q
+           WHERE doc_id IN (SELECT doc_id FROM full_docs)
+             AND doc_id IN (SELECT doc_id FROM w30)),
+nxt AS (SELECT s.doc_id, s.p, q.term, min(q.pos) AS np
+        FROM starts s JOIN q USING (doc_id)
+        WHERE q.pos >= s.p GROUP BY s.doc_id, s.p, q.term),
+cover AS (SELECT doc_id, p, count(*) AS nt, max(np) - p + 1 AS w
+          FROM nxt GROUP BY doc_id, p),
+mw AS (SELECT doc_id, min(w) AS min_window
+       FROM cover WHERE nt = {_MW_K} GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(floor(({_RSC_QW!r} * w.score + {_RSC_RW!r}
+                   * coalesce(1.0 / (1.0 + mw.min_window), 0.0))
+                  * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (
+            ORDER BY ({_RSC_QW!r} * w.score + {_RSC_RW!r}
+                      * coalesce(1.0 / (1.0 + mw.min_window), 0.0)) DESC,
+                     w.doc_id ASC) AS BIGINT) AS rank
+FROM w30 w LEFT JOIN mw ON mw.doc_id = w.doc_id
+ORDER BY ({_RSC_QW!r} * w.score + {_RSC_RW!r}
+          * coalesce(1.0 / (1.0 + mw.min_window), 0.0)) DESC, w.doc_id ASC
+LIMIT 10""",
         # greedy earliest-next chain per start == engine min_ordered_spans
         "sloppy_phrase_search": f"""
 WITH {token_list_cte()},
@@ -2849,6 +2922,27 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # TPC-H Q3: segment + date filters, order-grain revenue,
+        # integer-micros top-10 (revenue desc, orderkey asc)
+        "shipping_priority": """
+WITH c AS (SELECT c_custkey FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM c)
+        AND o_orderdate < TIMESTAMP '1998-07-01'),
+l AS (SELECT l_orderkey,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5)
+                  AS BIGINT) AS rev
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01'),
+r AS (SELECT l.l_orderkey, CAST(sum(l.rev) AS BIGINT) AS revenue_micros,
+             o.o_date_us
+      FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, o.o_date_us)
+SELECT l_orderkey, revenue_micros, CAST(o_date_us AS BIGINT) AS o_date_us,
+       CAST(row_number() OVER (ORDER BY revenue_micros DESC,
+                                        l_orderkey ASC) AS BIGINT) AS rank
+FROM r ORDER BY revenue_micros DESC, l_orderkey ASC LIMIT 10""",
         "revenue_by_nation": """
 WITH lrev AS (
   SELECT l_orderkey,

@@ -272,6 +272,67 @@ def proximity_boost_search(sf_dir: str):
     })
 
 
+DECAY_ORIGIN, DECAY_DENOM = 300.0, 600.0
+
+
+def decay_search(sf_dir: str):
+    """Decay function-score (ES ``function_score`` gauss/exp/linear
+    family, ``boost_mode: multiply``): combined = bm25 · max(0, 1 -
+    |n_chars - 300|/600) — a LINEAR decay prior centered on an origin
+    doc-value (recency/recentness at scale; length here). Linear decay
+    is chosen over exp/gauss deliberately: the factor is pure rational
+    arithmetic, so Ray and DuckDB agree bitwise with no transcendental
+    1-ulp hazard. Rides the multiplicative feature path
+    (search_feature_scale); missing doc-values keep factor 1.0."""
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "n_chars"])
+    nc = t["n_chars"].to_numpy().astype(np.float64)
+    factor = np.maximum(0.0, 1.0 - np.abs(nc - DECAY_ORIGIN) / DECAY_DENOM)
+    res = eng.search_feature_scale(
+        BM25_QUERY, 10, feature_ids=t["doc_id"].to_numpy(),
+        feature_vals=factor)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+def coord_search(sf_dir: str):
+    """Coordination-factor ranking (classic Lucene coord(q,d)): top-10
+    under bm25 · (matched_terms / n_query_terms) — docs matching more
+    of the query promoted multiplicatively. The matched counter rides
+    the min-should-match scatter path; the oracle multiplies the bm25
+    chain by count(DISTINCT term)/|q| in the same expression order."""
+    eng = _index_for(sf_dir)
+    res = eng.search_coord(BM25_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+RESCORE_WINDOW, RESCORE_QW, RESCORE_RW = 30, 1.0, 2.0
+
+
+def rescore_search(sf_dir: str):
+    """Two-phase ranking (ES ``rescore``): BM25 top-30 window, window
+    re-ranked by 1.0·bm25 + 2.0·prox (prox = 1/(1+min_cover_window)
+    over window docs containing all terms, else 0.0), final top-10.
+    Unlike proximity_boost_search the positional scan touches ONLY the
+    window — the production shape when phase two is expensive."""
+    eng = _index_for(sf_dir)
+    res = eng.search_rescore(BM25_QUERY, 10, window_size=RESCORE_WINDOW,
+                             query_weight=RESCORE_QW,
+                             rescore_weight=RESCORE_RW)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 def collapse_search(sf_dir: str):
     """Field-collapsed top-10 (ES ``collapse`` analog): at most ONE hit
     per ``source`` — result diversification over the collapse key, here
@@ -4103,6 +4164,107 @@ def bm25_topk_merged(sf_dir: str):
         "doc_id": pa.array([d for d, _ in res], pa.int64()),
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+Q3_SEGMENT, Q3_CUTOFF = "BUILDING", "1998-07-01"
+
+
+def shipping_priority(sf_dir: str):
+    """TPC-H Q3 (shipping priority): unshipped-revenue top-10 for one
+    market segment — customer(segment) ⋈ orders(date < cutoff) ⋈
+    lineitem(shipdate > cutoff), revenue summed to order grain. Scale
+    shape: the segment's custkeys broadcast once (classic small side),
+    orders filter map-side against that set, lineitem pre-aggregates
+    (orderkey, rev_micros) partials through hash buckets before ONE
+    partitioned join, and the final top-10 is a per-batch partial cut
+    merged on the driver (integer micros — no float ordering hazard).
+    Revenue = Σ floor(extprice·(1−disc)·1e6+0.5) per row (rule 4)."""
+    import ray as _ray
+
+    from ..functions.joins import hash_join
+    from ..query import sorted_member_mask
+
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = np.asarray(cust["c_mktsegment"].to_pylist(),
+                     dtype=object) == Q3_SEGMENT
+    ckeys = np.sort(np.asarray(cust["c_custkey"]).astype(np.int64)[seg])
+    ck_ref = _ray.put(ckeys)
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["o_custkey"].combine_chunks()).astype(np.int64)
+        od = np.asarray(b["o_orderdate"].combine_chunks()
+                        ).astype("datetime64[us]")
+        m = sorted_member_mask(_ray.get(ck_ref), keys) & (od < cutoff)
+        return pa.table({
+            "l_orderkey": b["o_orderkey"].combine_chunks().cast(
+                pa.int64()).filter(pa.array(m)),
+            "o_date_us": pa.array(od[m].astype(np.int64), pa.int64()),
+        })
+
+    orders_f = (rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ofilter, batch_format="pyarrow"))
+
+    def lrev(b: pa.Table) -> pa.Table:
+        sd = np.asarray(b["l_shipdate"].combine_chunks()
+                        ).astype("datetime64[us]")
+        m = sd > cutoff
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)[m]
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)[m]
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"].combine_chunks().cast(
+                pa.int64()).filter(pa.array(m)),
+            "rev": pa.array(to_micros(price * (1.0 - disc)), pa.int64()),
+        })
+        return _partial_sums(t, ["l_orderkey"], {"rev": "rev"})
+
+    def tag_ok(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"].combine_chunks()).astype(np.int64)
+        return t.append_column("__b", pa.array(
+            (pd.util.hash_array(k) % np.uint64(8)).astype(np.int64)))
+
+    def reduce_ok(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    per_order = (rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+        .map_batches(lrev, batch_format="pyarrow")
+        .map_batches(tag_ok, batch_format="pyarrow")
+        .groupby("__b").map_groups(reduce_ok, batch_format="pandas"))
+
+    joined = hash_join(per_order, orders_f, on="l_orderkey", num_buckets=8)
+
+    def cut(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(["l_orderkey", "rev", "o_date_us"])
+        k = np.asarray(b["l_orderkey"].combine_chunks()).astype(np.int64)
+        rev = np.asarray(b["rev"].combine_chunks()).astype(np.int64)
+        order = np.lexsort((k, -rev))[:10]
+        return pa.table({
+            "l_orderkey": pa.array(k[order], pa.int64()),
+            "rev": pa.array(rev[order], pa.int64()),
+            "o_date_us": b["o_date_us"].combine_chunks().cast(
+                pa.int64()).take(pa.array(order, pa.int64())),
+        })
+
+    cand = joined.map_batches(cut, batch_format="pyarrow").take_all()
+    k = np.array([r["l_orderkey"] for r in cand], np.int64)
+    rev = np.array([r["rev"] for r in cand], np.int64)
+    dt = np.array([r["o_date_us"] for r in cand], np.int64)
+    order = np.lexsort((k, -rev))[:10]
+    return pa.table({
+        "l_orderkey": pa.array(k[order], pa.int64()),
+        "revenue_micros": pa.array(rev[order], pa.int64()),
+        "o_date_us": pa.array(dt[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
     })
 
 

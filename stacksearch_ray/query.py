@@ -725,6 +725,33 @@ class QueryEngine:
         return self._search_exhaustive(terms, k, scorer,
                                        feature=feat, feature_weight=weight)
 
+    def search_feature_scale(self, query: str, k: int = 10, *,
+                             feature_ids, feature_vals,
+                             scorer: str = "bm25"
+                             ) -> list[tuple[int, float]]:
+        """MULTIPLICATIVE function-score ranking (ES ``function_score``
+        with ``boost_mode: multiply`` — the decay-function shape):
+        combined(d) = text_score(d) · feature(d) over matched docs.
+        The canonical use is a decay prior (recency, distance from an
+        origin value): pass feature = the decay factor in [0, 1].
+        Docs without a feature row keep factor 1.0 (unscaled), matching
+        ES's missing-value behavior. Exhaustive-only, like the additive
+        sibling (stored bounds cap the text score, not the product)."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        ids = np.asarray(feature_ids, dtype=np.int64)
+        vals = np.asarray(feature_vals, dtype=np.float64)
+        n_local = len(self.doclens.ids)
+        feat = np.ones(n_local, dtype=np.float64)
+        pos = np.searchsorted(self.doclens.ids, ids)
+        ok = pos < n_local
+        pos = pos[ok]
+        hitsel = self.doclens.ids[pos] == ids[ok]
+        feat[pos[hitsel]] = vals[ok][hitsel]
+        return self._search_exhaustive(terms, k, scorer,
+                                       feature=feat, feature_op="mul")
+
     def search_boolean_dsl(self, expr: str) -> np.ndarray:
         """Boolean retrieval over a query LANGUAGE (the Lucene
         BooleanQuery / classic IR set-algebra surface): ``AND`` /
@@ -979,12 +1006,48 @@ class QueryEngine:
                                          feature_vals=feat, weight=weight,
                                          scorer=scorer)
 
+    def search_rescore(self, query: str, k: int = 10, *,
+                       window_size: int = 30, query_weight: float = 1.0,
+                       rescore_weight: float = 1.0, scorer: str = "bm25"
+                       ) -> list[tuple[int, float]]:
+        """Two-phase ranking (the Elasticsearch ``rescore`` analog):
+        retrieve the top ``window_size`` docs with the cheap text
+        scorer, then re-rank ONLY that window by
+
+            combined = query_weight · text + rescore_weight · prox
+
+        where prox = 1/(1 + min_cover_window) for window docs that
+        contain every query term, else exactly 0.0. Unlike
+        search_proximity_boost (which folds proximity into the full
+        ranking), rescore bounds the expensive secondary signal to a
+        fixed window — the production pattern when the second phase is
+        costly (positional scans, a model). Docs outside the window are
+        never promoted, matching ES semantics. The window cut and the
+        final order both tie-break (score desc, doc_id asc), so the
+        DuckDB mirror (scores chain → row_number window → LEFT JOIN
+        min-window ladder) is bitwise. Requires store_positions=True
+        for the proximity feature."""
+        ranked = self.search(query, window_size, method="exhaustive",
+                             scorer=scorer)
+        if not ranked:
+            return []
+        terms = sorted(set(clean_query(query)))
+        win_ids = np.fromiter((d for d, _ in ranked), np.int64, len(ranked))
+        ids, w = self.min_cover_windows(terms, within=win_ids)
+        prox = {int(d): 1.0 / (1.0 + float(x))
+                for d, x in zip(ids.tolist(), w.tolist())}
+        combined = [(d, query_weight * s + rescore_weight * prox.get(d, 0.0))
+                    for d, s in ranked]  # window-sized, not corpus-sized
+        combined.sort(key=lambda kv: (-kv[1], kv[0]))
+        return combined[:k]
+
     def _search_exhaustive(self, terms: list[str], k: int,
                            scorer: str = "bm25",
                            allowed: np.ndarray | None = None,
                            boosts: dict[str, float] | None = None,
                            feature: np.ndarray | None = None,
-                           feature_weight: float = 1.0
+                           feature_weight: float = 1.0,
+                           feature_op: str = "add"
                            ) -> list[tuple[int, float]]:
         segs = self._segments_for(terms)
         # a CALLABLE scorer bypasses the registry — the federation
@@ -1022,11 +1085,15 @@ class QueryEngine:
         if not any_rows:
             return []
         if feature is not None:
-            # additive doc-value boost over matched docs only — the
-            # per-doc expression is acc + weight·feat, the exact order
-            # the SQL oracle spells (score + w * ln(...))
+            # doc-value combine over matched docs only — per-doc
+            # expression is acc + weight·feat ("add", the boost shape)
+            # or acc · feat ("mul", the decay shape), each in exactly
+            # the order its SQL oracle spells
             m = np.flatnonzero(hit)
-            acc[m] = acc[m] + feature_weight * feature[m]
+            if feature_op == "mul":
+                acc[m] = acc[m] * feature[m]
+            else:
+                acc[m] = acc[m] + feature_weight * feature[m]
         return self._topk_dense(acc, hit, k, allowed)
 
     def _topk_dense(self, acc: np.ndarray, hit: np.ndarray, k: int,
@@ -1468,7 +1535,8 @@ class QueryEngine:
             uniq, n_terms, n_tokens = uniq[keep], n_terms[keep], n_tokens[keep]
         return uniq, n_terms, n_tokens
 
-    def min_cover_windows(self, terms: list[str]
+    def min_cover_windows(self, terms: list[str],
+                          within: np.ndarray | None = None
                           ) -> tuple[np.ndarray, np.ndarray]:
         """Minimal-interval proximity from the positional sidecar: per
         doc containing ALL ``terms``, the length of the shortest token
@@ -1484,6 +1552,11 @@ class QueryEngine:
         if not terms:
             return empty
         common = self._common_docs(terms)
+        if within is not None:
+            # restrict the positional scan to the caller's doc set (the
+            # rescore window): the gather below touches only these docs
+            common = np.intersect1d(common, np.asarray(within, np.int64),
+                                    assume_unique=False)
         if len(common) == 0:
             return empty
         packed = self._positions_over(terms, common)
@@ -1811,6 +1884,41 @@ class QueryEngine:
         hit = nmatch >= min_match
         if not hit.any():
             return []
+        return self._topk_dense(acc, hit, k)
+
+    def search_coord(self, query: str, k: int = 10
+                     ) -> list[tuple[int, float]]:
+        """Coordination-factor ranking (classic Lucene coord(q,d),
+        pre-BM25 TFIDFSimilarity): final = bm25(d) · (matched/|q|),
+        where matched = how many DISTINCT query terms the doc contains.
+        Docs matching more of the query are promoted multiplicatively —
+        the historical middle ground between pure disjunction and
+        min_should_match's hard cutoff. Same scatter-accumulated
+        matched-term counter as search_min_should_match; the final
+        per-doc expression is score · (matched / n_terms) in exactly
+        the SQL mirror's order."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        segs = self._segments_for(terms)
+        dfs = self._df_global(terms, segs)
+        n_local = len(self.doclens.ids)
+        acc = np.zeros(n_local, dtype=np.float64)
+        nmatch = np.zeros(n_local, dtype=np.int32)
+        for t in terms:  # sorted order → deterministic accumulation
+            rows = segs[t]
+            if not rows:
+                continue
+            w = idf_fn(self.n_docs, dfs[t])
+            for i, r in enumerate(rows):
+                ids, tfs, dls, part, didx = self._decoded(t, i, r)
+                acc[didx] += w * part
+                nmatch[didx] += 1
+        hit = nmatch > 0
+        if not hit.any():
+            return []
+        nq = float(len(terms))
+        acc[hit] = acc[hit] * (nmatch[hit].astype(np.float64) / nq)
         return self._topk_dense(acc, hit, k)
 
     def search_conjunctive(self, query: str, k: int = 10,
