@@ -102,11 +102,14 @@ def generate_corpus(n_rows: int, seed: int = SEED,
 
 def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
                  rows_per_file: int = 10_000,
-                 lines: tuple[int, int] = (3, 40)) -> list[str]:
+                 lines: tuple[int, int] = (3, 40),
+                 row_offset: int = 0) -> list[str]:
     """Write the corpus as multiple parquet files (partitioned source for
-    resumable builds). Returns the file paths."""
+    resumable builds). Returns the file paths. ``row_offset`` passes
+    through to generate_corpus (collision-free disjoint doc-id ranges
+    for append/merge fixtures); default 0 is byte-identical to before."""
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_corpus(n_rows, seed, lines)
+    table = generate_corpus(n_rows, seed, lines, row_offset)
     paths = []
     for start in range(0, max(n_rows, 1), rows_per_file):
         part = table.slice(start, rows_per_file)
