@@ -2101,6 +2101,28 @@ class _ShardWorker:
                         scorer: str = "bm25") -> list[tuple[int, float]]:
         return self.engine.search_proximity_boost(query, k, weight, scorer)
 
+    def coord(self, query: str, k: int) -> list[tuple[int, float]]:
+        return self.engine.search_coord(query, k)
+
+    def feature_scale(self, query: str, k: int, feature_ref,
+                      scorer: str = "bm25") -> list[tuple[int, float]]:
+        import ray
+
+        feats = (ray.get(feature_ref)
+                 if not isinstance(feature_ref, tuple) else feature_ref)
+        return self.engine.search_feature_scale(
+            query, k, feature_ids=feats[0], feature_vals=feats[1],
+            scorer=scorer)
+
+    def cover_windows(self, terms: list[str], within_ref
+                      ) -> tuple[list[int], list[int]]:
+        import ray
+
+        within = (ray.get(within_ref)
+                  if not isinstance(within_ref, np.ndarray) else within_ref)
+        ids, w = self.engine.min_cover_windows(terms, within=within)
+        return ids.tolist(), w.tolist()
+
     def boolean_dsl(self, expr: str) -> list[int]:
         return self.engine.search_boolean_dsl(expr).tolist()
 
@@ -2391,6 +2413,70 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    def search_coord(self, query: str, k: int = 10
+                     ) -> list[tuple[int, float]]:
+        """Distributed coord-factor ranking: the matched-terms count is
+        doc-local and global df keeps text scores bitwise, so per-worker
+        coord top-k merge is exact."""
+        import ray
+
+        futs = [w.coord.remote(query, k)
+                for w in self._routed_workers([query])]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_feature_scale(self, query: str, k: int = 10, *,
+                             feature_ids, feature_vals,
+                             scorer: str = "bm25"
+                             ) -> list[tuple[int, float]]:
+        """Distributed multiplicative function-score: the doc-value
+        factor table ships to the object store ONCE (ray.put); each
+        worker scales its own shard subset. Bitwise == single engine."""
+        import ray
+
+        ref = ray.put((np.asarray(feature_ids, dtype=np.int64),
+                       np.asarray(feature_vals, dtype=np.float64)))
+        futs = [w.feature_scale.remote(query, k, ref, scorer)
+                for w in self._routed_workers([query])]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_rescore(self, query: str, k: int = 10, *,
+                       window_size: int = 30, query_weight: float = 1.0,
+                       rescore_weight: float = 1.0, scorer: str = "bm25"
+                       ) -> list[tuple[int, float]]:
+        """Distributed ES rescore, exact in two fan-outs: (1) the
+        GLOBAL top-window is the merged cut of per-worker local
+        top-window lists (a doc's global rank ≤ its local rank, so the
+        union covers the global window); (2) the window's doc-id set
+        ships once via ray.put and each worker computes min-cover
+        windows restricted to the docs it owns (positions are
+        doc-local). The driver combines qw·score + rw·prox in the
+        single-engine float order — bitwise identical (tested)."""
+        import ray
+
+        workers = self._routed_workers([query])
+        futs = [w.search.remote(query, window_size, "exhaustive", scorer)
+                for w in workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        window = merged[:window_size]
+        if not window:
+            return []
+        terms = sorted(set(clean_query(query)))
+        win_ids = np.fromiter((d for d, _ in window), np.int64, len(window))
+        ref = ray.put(np.sort(win_ids))
+        parts = ray.get([w.cover_windows.remote(terms, ref)
+                         for w in workers])
+        prox = {int(d): 1.0 / (1.0 + float(x))
+                for ids, ws in parts for d, x in zip(ids, ws)}
+        combined = [(d, query_weight * s + rescore_weight * prox.get(d, 0.0))
+                    for d, s in window]
+        combined.sort(key=lambda kv: (-kv[1], kv[0]))
+        return combined[:k]
 
     def search_boolean_dsl(self, expr: str) -> np.ndarray:
         """Distributed boolean retrieval: each worker evaluates the

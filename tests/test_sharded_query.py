@@ -200,3 +200,56 @@ def test_search_after_cursor(index_dir):
     last = top30[-1]
     deep = eng.search_after(q, last[1], last[0], 1000)
     assert eng.search(q, 10_000, method="exhaustive")[30:] == deep
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(ray_session, tmp_path_factory):
+    from stacksearch_ray.build import build_index
+
+    root = tmp_path_factory.mktemp("sharded_pos")
+    corpus = str(root / "corpus")
+    write_corpus(corpus, 400, rows_per_file=100)
+    idx = str(root / "idx")
+    build_index(corpus, idx, num_shards=8, term_buckets=16,
+                store_positions=True)
+    return idx
+
+
+def test_sharded_coord_identity(pos_index_dir):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(pos_index_dir)
+    sharded = ShardedQueryEngine(pos_index_dir, num_workers=3)
+    for q in ["def return var_1", "helper_3 field_7 import",
+              "numpy python", "zzz_missing"]:
+        assert sharded.search_coord(q, 10) == eng.search_coord(q, 10), q
+
+
+def test_sharded_feature_scale_identity(pos_index_dir):
+    import numpy as np
+
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(pos_index_dir)
+    sharded = ShardedQueryEngine(pos_index_dir, num_workers=3)
+    rng = np.random.default_rng(5)
+    ids = eng.doclens.ids[::3]  # sparse feature table
+    vals = rng.uniform(0.0, 1.0, size=ids.size)
+    q = "def return var_1"
+    assert (sharded.search_feature_scale(q, 15, feature_ids=ids,
+                                         feature_vals=vals)
+            == eng.search_feature_scale(q, 15, feature_ids=ids,
+                                        feature_vals=vals))
+
+
+def test_sharded_rescore_identity(pos_index_dir):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(pos_index_dir)
+    sharded = ShardedQueryEngine(pos_index_dir, num_workers=3)
+    for q in ["def return var_1", "helper_3 field_7 import", "zzz_missing"]:
+        for w in (5, 30, 100):
+            assert (sharded.search_rescore(q, 10, window_size=w,
+                                           rescore_weight=2.0)
+                    == eng.search_rescore(q, 10, window_size=w,
+                                          rescore_weight=2.0)), (q, w)
