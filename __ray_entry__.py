@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_search": P.stemmed_search,
         "dismax_search": P.dismax_search,
         "bm25f_search": P.bm25f_search,
+        "cross_fields_search": P.cross_fields_search,
         "term_vectors": P.term_vectors,
         "dsir_weights": P.dsir_weights,
         "query_completion": P.query_completion,
@@ -185,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": P.copurchase_triangles,
         "revenue_by_nation": P.revenue_by_nation,
         "shipping_priority": P.shipping_priority,
+        "returned_items": P.returned_items,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
         "hot_term_shards": P.hot_term_shards,
@@ -297,6 +299,8 @@ def oracle_sql() -> dict[str, str]:
         DISMAX_TIE as _DM_TIE,
         BM25F_WT as _BF_WT,
         BM25F_WB as _BF_WB,
+        XF_WT as _XF_WT,
+        XF_WB as _XF_WB,
         TV_DOC_ID as _TV_DOC,
         DSIR_TARGET_LANG as _DSIR_LANG,
         DSIR_K as _DSIR_K,
@@ -324,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         stemmed_topk_sql,
         dismax_topk_sql,
         bm25f_topk_sql,
+        cross_fields_topk_sql,
         term_vectors_sql,
         dsir_weights_sql,
         ngram_cte,
@@ -720,6 +725,8 @@ FROM dl""",
         "dismax_search": dismax_topk_sql(BM25_QUERY, 10, P_TITLE_K, _DM_TIE),
         "bm25f_search": bm25f_topk_sql(BM25_QUERY, 10, P_TITLE_K,
                                        _BF_WT, _BF_WB),
+        "cross_fields_search": cross_fields_topk_sql(
+            BM25_QUERY, 10, P_TITLE_K, _XF_WT, _XF_WB),
         "term_vectors": term_vectors_sql(_TV_DOC),
         "dsir_weights": dsir_weights_sql(_DSIR_LANG, _DSIR_K),
         "query_completion": f"""
@@ -2922,6 +2929,27 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # TPC-H Q10: returned lineitems in a quarter window, customer
+        # grain, top-20 (revenue desc, custkey asc) — integer micros
+        "returned_items": """
+WITH l AS (SELECT l_orderkey,
+                  CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * 1e6 + 0.5) AS BIGINT) AS rev
+           FROM lineitem WHERE l_returnflag = 'R'),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate < TIMESTAMP '1998-04-01'),
+r AS (SELECT o.o_custkey, CAST(sum(l.rev) AS BIGINT) AS revenue_micros
+      FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_micros,
+       CAST(row_number() OVER (ORDER BY r.revenue_micros DESC,
+                                        c.c_custkey ASC) AS BIGINT) AS rank
+FROM r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY r.revenue_micros DESC, c.c_custkey ASC
+LIMIT 20""",
         # TPC-H Q3: segment + date filters, order-grain revenue,
         # integer-micros top-10 (revenue desc, orderkey asc)
         "shipping_priority": """

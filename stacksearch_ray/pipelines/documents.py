@@ -603,6 +603,77 @@ def bm25f_search(sf_dir: str):
     })
 
 
+XF_WT, XF_WB = 2.0, 1.0
+
+
+def cross_fields_search(sf_dir: str):
+    """Cross-fields multi_match (the ES ``cross_fields`` / Lucene
+    BlendedTermQuery analog) — the TERM-CENTRIC fielded combiner: for
+    each query term the doc's contribution is idf_blend · max(wt·part_t,
+    wb·part_b) — the term's BEST field wins per term (vs dismax where
+    the best field wins per QUERY, and fielded/bm25f where fields sum).
+    idf is blended as the MAX per-field df (the BlendedTermQuery df
+    blend), so a term common in titles but rare in bodies is weighted
+    by its commonest exposure. part_f is the standard per-field bm25 tf
+    saturation; a missing field contributes exactly 0.0. Float
+    expression order matches cross_fields_topk_sql term for term."""
+    from ..text import clean_query
+
+    et, eb = _fielded_for(sf_dir)
+    terms = sorted(set(clean_query(BM25_QUERY)))
+    n_docs = float(len(et.doclens.ids))
+
+    def aligned(ids: np.ndarray, tfs: np.ndarray, u: np.ndarray
+                ) -> np.ndarray:
+        out = np.zeros(u.size, np.float64)
+        if ids.size:
+            pos = np.searchsorted(ids, u)
+            ok = pos < ids.size
+            safe = np.where(ok, pos, 0)
+            m = ok & (ids[safe] == u)
+            out[m] = tfs[safe[m]]
+        return out
+
+    acc = np.zeros(len(et.doclens.ids), np.float64)
+    hit = np.zeros(len(et.doclens.ids), bool)
+    for t in terms:  # sorted → deterministic accumulation order
+        it, ft = et.term_postings(t)
+        ib, fb = eb.term_postings(t)
+        union = np.union1d(it, ib)
+        if union.size == 0:
+            continue
+        df = float(max(it.size, ib.size))  # BlendedTermQuery max-df
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        tft = aligned(it, ft, union)
+        tfb = aligned(ib, fb, union)
+        dlt = et.doclens.lookup(union).astype(np.float64)
+        posb = np.searchsorted(eb.doclens.ids, union)
+        okb = posb < eb.doclens.ids.size
+        safeb = np.where(okb, posb, 0)
+        memb = okb & (eb.doclens.ids[safeb] == union)
+        dlb = np.zeros(union.size, np.float64)
+        dlb[memb] = eb.doclens.lens[safeb[memb]].astype(np.float64)
+        # per-field bm25 saturation; tf=0 rows divide 0/norm -> exact 0.0
+        part_t = ((BM25F_K1 + 1.0) * tft
+                  / (tft + BM25F_K1 * (1.0 - BM25F_B
+                                       + BM25F_B * (dlt / et.avgdl))))
+        part_b = ((BM25F_K1 + 1.0) * tfb
+                  / (tfb + BM25F_K1 * (1.0 - BM25F_B
+                                       + BM25F_B * (dlb / eb.avgdl))))
+        contrib = idf * np.maximum(XF_WT * part_t, XF_WB * part_b)
+        didx = np.searchsorted(et.doclens.ids, union)
+        acc[didx] += contrib
+        hit[didx] = True
+    m = np.flatnonzero(hit)
+    top = sorted(((int(et.doclens.ids[i]), float(acc[i])) for i in m),
+                 key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in top], pa.int64()),
+        "rank": pa.array(list(range(1, len(top) + 1)), pa.int64()),
+    })
+
+
 SYN_GROUPS = [["merge", "join"], ["sort", "order"], ["stream", "batch"]]
 
 
@@ -4164,6 +4235,110 @@ def bm25_topk_merged(sf_dir: str):
         "doc_id": pa.array([d for d, _ in res], pa.int64()),
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+Q10_LO, Q10_HI = "1998-01-01", "1998-04-01"
+
+
+def returned_items(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returned lineitems in one quarter — lineitem(returnflag=R)
+    ⋈ orders(quarter window) ⋈ customer ⋈ nation. Scale shape: the
+    returned lineitems pre-aggregate to order grain through hash
+    buckets, the windowed orders are the join's pruned side, and the
+    customer/nation dimensions ride ONE broadcast lookup each. Revenue
+    = Σ floor(extprice·(1−disc)·1e6+0.5) per row (rule 4); final cut
+    (revenue desc, custkey asc) is integer-exact."""
+    import ray as _ray
+
+    from ..functions.joins import hash_join
+
+    lo = np.datetime64(Q10_LO, "us")
+    hi = np.datetime64(Q10_HI, "us")
+
+    def lrev(b: pa.Table) -> pa.Table:
+        rf = np.asarray(b["l_returnflag"].combine_chunks().to_pylist(),
+                        dtype=object)
+        m = rf == "R"
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)[m]
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)[m]
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"].combine_chunks().cast(
+                pa.int64()).filter(pa.array(m)),
+            "rev": pa.array(to_micros(price * (1.0 - disc)), pa.int64()),
+        })
+        return _partial_sums(t, ["l_orderkey"], {"rev": "rev"})
+
+    def tag_ok(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"].combine_chunks()).astype(np.int64)
+        return t.append_column("__b", pa.array(
+            (pd.util.hash_array(k) % np.uint64(8)).astype(np.int64)))
+
+    def reduce_ok(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    per_order = (rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+        .map_batches(lrev, batch_format="pyarrow")
+        .map_batches(tag_ok, batch_format="pyarrow")
+        .groupby("__b").map_groups(reduce_ok, batch_format="pandas"))
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        od = np.asarray(b["o_orderdate"].combine_chunks()
+                        ).astype("datetime64[us]")
+        m = (od >= lo) & (od < hi)
+        return pa.table({
+            "l_orderkey": b["o_orderkey"].combine_chunks().cast(
+                pa.int64()).filter(pa.array(m)),
+            "o_custkey": b["o_custkey"].combine_chunks().cast(
+                pa.int64()).filter(pa.array(m)),
+        })
+
+    orders_f = (rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ofilter, batch_format="pyarrow"))
+
+    joined = hash_join(per_order, orders_f, on="l_orderkey", num_buckets=8)
+
+    # customer-grain reduce, then broadcast dims on the driver-side
+    # (result is ≤ |customers in window| rows — bounded)
+    per_cust = (joined
+                .map_batches(lambda t: _partial_sums(
+                    t.select(["o_custkey", "rev"]), ["o_custkey"],
+                    {"rev": "rev"}), batch_format="pyarrow")
+                .to_pandas()
+                .groupby("o_custkey", as_index=False)["rev"].sum())
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    ck = np.asarray(cust["c_custkey"]).astype(np.int64)
+    oc = np.argsort(ck)
+    nk = np.asarray(nat["n_nationkey"]).astype(np.int64)
+    on_ = np.argsort(nk)
+    names = np.asarray(cust["c_name"].to_pylist(), dtype=object)[oc]
+    cnat = np.asarray(cust["c_nationkey"]).astype(np.int64)[oc]
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)[on_]
+
+    keys = per_cust["o_custkey"].to_numpy().astype(np.int64)
+    rev = per_cust["rev"].to_numpy().astype(np.int64)
+    order = np.lexsort((keys, -rev))[:20]
+    keys, rev = keys[order], rev[order]
+    ci = np.searchsorted(ck[oc], keys)
+    ni = np.searchsorted(nk[on_], cnat[ci])
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array(names[ci].tolist(), pa.string()),
+        "n_name": pa.array(nname[ni].tolist(), pa.string()),
+        "revenue_micros": pa.array(rev, pa.int64()),
+        "rank": pa.array(np.arange(1, len(keys) + 1), pa.int64()),
     })
 
 

@@ -710,6 +710,70 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def cross_fields_topk_sql(query: str, k: int = 10, title_k: int = 8,
+                          wt: float = 2.0, wb: float = 1.0,
+                          k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of the cross_fields_search entry (ES cross_fields /
+    Lucene BlendedTermQuery): per term, contribution = idf_blend ·
+    greatest(wt·part_title, wb·part_body) — the term's best field wins
+    per TERM; df blends as the MAX per-field df; part_f is the
+    standard per-field bm25 saturation with a missing field coalescing
+    to exactly 0.0. Same per-field CTE scaffolding as bm25f_topk_sql;
+    float expression order matches the entry's numpy forms."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {token_list_cte()},
+qterms(term) AS (VALUES {terms_values}),
+tkept AS (SELECT doc_id, unnest(toks[1:{title_k}]) AS term FROM doc_toks),
+bkept AS (SELECT doc_id, unnest(toks[{title_k + 1}:]) AS term FROM doc_toks),
+ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tkept
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM bkept
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+tdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tkept GROUP BY 1),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM bkept GROUP BY 1),
+tstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM tdl),
+bstats AS (SELECT avg(dl) AS avgdl FROM bdl),
+tdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tkept
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+bdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM bkept
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+df AS (SELECT coalesce(t.term, bb.term) AS term,
+              greatest(coalesce(t.df, 0.0), coalesce(bb.df, 0.0)) AS df
+       FROM tdf t FULL OUTER JOIN bdf bb ON t.term = bb.term),
+part AS (
+  SELECT coalesce(t.doc_id, bb.doc_id) AS doc_id,
+         coalesce(t.term, bb.term) AS term,
+         greatest(
+           {float(wt)!r} * coalesce(({float(k1)!r} + 1.0) * t.tf
+             / (t.tf + {float(k1)!r} * (1.0 - {float(b)!r} + {float(b)!r}
+                * (tdl.dl / tstats.avgdl))), 0.0),
+           {float(wb)!r} * coalesce(({float(k1)!r} + 1.0) * bb.tf
+             / (bb.tf + {float(k1)!r} * (1.0 - {float(b)!r} + {float(b)!r}
+                * (bdl.dl / bstats.avgdl))), 0.0)
+         ) AS p
+  FROM ttf t FULL OUTER JOIN btf bb
+    ON t.doc_id = bb.doc_id AND t.term = bb.term
+  LEFT JOIN tdl ON tdl.doc_id = coalesce(t.doc_id, bb.doc_id)
+  LEFT JOIN bdl ON bdl.doc_id = coalesce(t.doc_id, bb.doc_id)
+  CROSS JOIN tstats CROSS JOIN bstats
+),
+scores AS (
+  SELECT part.doc_id,
+         sum( ln((tstats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * part.p ) AS score
+  FROM part JOIN df USING (term) CROSS JOIN tstats
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def term_vectors_sql(doc_id: int, k1: float = 1.2, b: float = 0.75) -> str:
     """Mirror of the term_vectors entry (the Elasticsearch
     ``_termvectors`` analog): per kept term of one doc — tf, corpus df,

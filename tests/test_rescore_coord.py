@@ -155,3 +155,77 @@ def test_shipping_priority_brute_force(P):
     got = P.shipping_priority(SF).to_pandas()
     assert got["l_orderkey"].tolist() == g["l_orderkey"].tolist()
     assert got["revenue_micros"].tolist() == g["rev"].tolist()
+
+
+def test_cross_fields_term_centric(P):
+    """Cross-fields: per-term best FIELD wins (term-centric) — build a
+    brute-force replay from the title/body token split and compare
+    doc ids + micros exactly."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.micros import to_micros
+    from stacksearch_ray.text import clean_query
+
+    K1, B = P.BM25F_K1, P.BM25F_B
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    title, body = {}, {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = clean_query(txt, max_tokens=None)
+        if toks:
+            title[d] = toks[:P.TITLE_K]
+            if toks[P.TITLE_K:]:
+                body[d] = toks[P.TITLE_K:]
+    avt = sum(map(len, title.values())) / len(title)
+    avb = sum(map(len, body.values())) / len(body)
+    n = float(len(title))
+    terms = sorted(set(clean_query(P.BM25_QUERY)))
+    scores = {}
+    for term in terms:
+        dft = float(sum(1 for v in title.values() if term in v))
+        dfb = float(sum(1 for v in body.values() if term in v))
+        df = max(dft, dfb)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for d in title:
+            tft = float(title[d].count(term))
+            tfb = float(body.get(d, []).count(term))
+            if tft == 0 and tfb == 0:
+                continue
+            dlt, dlb = float(len(title[d])), float(len(body.get(d, [])))
+            pt = (K1 + 1.0) * tft / (tft + K1 * (1.0 - B + B * (dlt / avt)))
+            pb = (K1 + 1.0) * tfb / (tfb + K1 * (1.0 - B + B * (dlb / avb)))
+            scores[d] = scores.get(d, 0.0) + idf * max(P.XF_WT * pt,
+                                                       P.XF_WB * pb)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = P.cross_fields_search(SF).to_pandas()
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    assert got["score_micros"].tolist() == [to_micros(s) for _, s in want]
+
+
+def test_returned_items_brute_force(P):
+    """Q10 against a pure-pandas replay."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet")).to_pandas()
+    cust = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+    lo, hi = pd.Timestamp(P.Q10_LO), pd.Timestamp(P.Q10_HI)
+    o = orders[(orders["o_orderdate"] >= lo) & (orders["o_orderdate"] < hi)]
+    l = li[li["l_returnflag"] == "R"].copy()
+    l["rev"] = np.floor(l["l_extendedprice"].to_numpy()
+                        * (1.0 - l["l_discount"].to_numpy())
+                        * 1e6 + 0.5).astype(np.int64)
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = j.groupby("o_custkey", as_index=False)["rev"].sum()
+    g = g.sort_values(["rev", "o_custkey"],
+                      ascending=[False, True]).head(20)
+    got = P.returned_items(SF).to_pandas()
+    assert got["c_custkey"].tolist() == g["o_custkey"].tolist()
+    assert got["revenue_micros"].tolist() == g["rev"].tolist()
+    names = dict(zip(cust["c_custkey"], cust["c_name"]))
+    assert got["c_name"].tolist() == [names[c] for c in got["c_custkey"]]
