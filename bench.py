@@ -264,7 +264,15 @@ def run_bench() -> dict:
                      ("term_vectors", P.term_vectors),
                      ("dsir_weights", P.dsir_weights),
                      ("search_after_page", P.search_after_page),
-                     ("neardup_keep_longest", P.neardup_keep_longest)]:
+                     ("neardup_keep_longest", P.neardup_keep_longest),
+                     ("knn_bq", P.knn_bq),
+                     ("knn_bq_rerank", P.knn_bq_rerank),
+                     ("rescore_search", P.rescore_search),
+                     ("coord_search", P.coord_search),
+                     ("decay_search", P.decay_search),
+                     ("cross_fields_search", P.cross_fields_search),
+                     ("shipping_priority", P.shipping_priority),
+                     ("returned_items", P.returned_items)]:
         t0 = time.time()
         res = fn(SF_DIR)
         if hasattr(res, "count"):

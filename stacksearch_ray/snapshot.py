@@ -59,6 +59,9 @@ def snapshot_index(index_dir: str, snap_dir: str,
 
     The snapshot is openable directly (``QueryEngine(snap_dir)``) —
     restore_snapshot exists for re-pointing a serving directory."""
+    from .append import resolve_index_alias
+
+    index_dir = resolve_index_alias(index_dir)  # alias dirs welcome
     if not os.path.isfile(os.path.join(index_dir, "stats.json")):
         raise FileNotFoundError(f"not an index (no stats.json): {index_dir}")
     os.makedirs(snap_dir, exist_ok=True)

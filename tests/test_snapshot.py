@@ -103,3 +103,18 @@ def test_snapshot_rejects_non_index(snap_env, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         snapshot_index(str(tmp_path / "nope"), str(tmp_path / "s"))
+
+
+def test_snapshot_through_alias(snap_env, tmp_path):
+    from stacksearch_ray.append import set_index_alias
+    from stacksearch_ray.query import QueryEngine
+    from stacksearch_ray.snapshot import snapshot_index
+
+    root, corpus, extra, idx = snap_env
+    alias = str(tmp_path / "alias")
+    set_index_alias(alias, idx)
+    snap = str(tmp_path / "snap_via_alias")
+    man = snapshot_index(alias, snap)  # resolves the alias hop
+    assert man["source"] == os.path.abspath(idx)
+    assert (QueryEngine(snap).search(QUERY, 10, method="exhaustive")
+            == QueryEngine(idx).search(QUERY, 10, method="exhaustive"))
