@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq_rerank": P.knn_ivfpq_rerank,
         "knn_bq": P.knn_bq,
         "knn_bq_rerank": P.knn_bq_rerank,
+        "knn_filtered": P.knn_filtered,
         "embedding_pairs": P.embedding_pairs,
         # text -> embedding -> kNN (F2-F5 encoder loop, actor pool)
         "text_knn": P.text_knn,
@@ -1225,6 +1226,20 @@ sims AS (
 )
 SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
        CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        # pre-filtered exact kNN: the metadata predicate applies
+        # BEFORE the distance cut (true top-k of the filtered subset)
+        "knn_filtered": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding::DOUBLE[], q.qe) AS sim
+  FROM embeddings, q WHERE label = 3
+)
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+           AS rank
 FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
         # binary quantization: sign bits pack into two 32-bit words
         # (non-negative BIGINTs — no two's-complement edge at bit 63);

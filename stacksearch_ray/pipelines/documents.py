@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -3566,6 +3567,29 @@ def pq_dedup_groups(sf_dir: str):
         "cell_size": pa.array(out["cell_size"].tolist(), pa.int64()),
         "keep": pa.array(out["keep"].tolist(), pa.int64()),
     })
+
+
+KNN_FILTER_LABEL = 3
+
+
+def knn_filtered(sf_dir: str):
+    """Filtered vector search (the ES kNN-with-filter / Qdrant payload
+    filter shape): exact cosine top-10 restricted to vectors whose
+    label matches — the metadata predicate applies BEFORE the distance
+    cut (pre-filtering), so the result is the true top-k of the
+    filtered subset, never fewer survivors than k while k matches
+    exist. The predicate pushes into the parquet scan (row-group
+    pruning at scale); the distance stage is unchanged
+    knn_brute_force over the surviving rows."""
+    from ..functions.similarity import knn_brute_force
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"],
+                         filter=pads.field("label") == KNN_FILTER_LABEL)
+    out = knn_brute_force(ds, q, k=10)
+    return out.drop_columns(["query_id"])
 
 
 BQ_CANDIDATES = 50
