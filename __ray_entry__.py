@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coord_search": P.coord_search,
         "decay_search": P.decay_search,
         "collapse_search": P.collapse_search,
+        "msearch": P.msearch,
+        "top_hits_by_label": P.top_hits_by_label,
+        "rank_feature_search": P.rank_feature_search,
+        "span_first_search": P.span_first_search,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
         "bool_query_search": P.bool_query_search,
@@ -323,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         lm_dirichlet_topk_sql,
         lm_jm_topk_sql,
         feature_boost_topk_sql,
+        msearch_topk_sql,
         spellfix_topk_sql,
         ir_eval_sql,
         min_match_topk_sql,
@@ -361,6 +366,12 @@ def oracle_sql() -> dict[str, str]:
         RESCORE_WINDOW as _RSC_WIN,
         RESCORE_QW as _RSC_QW,
         RESCORE_RW as _RSC_RW,
+        MSEARCH_QUERIES as _MS_QUERIES,
+        RANK_FEATURE_W as _RF_W,
+        RANK_FEATURE_PIVOT as _RF_PIVOT,
+        SPAN_FIRST_TERM as _SF_TERM,
+        SPAN_FIRST_LIMIT as _SF_LIMIT,
+        TOPHITS_PER_GROUP as _TH_PG,
         SIG_K as _SIG_K,
         SLOPPY_SLOP as _SLOPPY_SLOP,
         SLOPPY_TERMS as _SLOPPY_TERMS,
@@ -2788,6 +2799,53 @@ SELECT s.doc_id,
 FROM scores s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY (s.score * greatest(0.0, 1.0 - abs(d.n_chars - 300.0)
                                    / 600.0)) DESC, s.doc_id ASC
+LIMIT 10""",
+        # ES _msearch: one shared-stats chain ranks the whole batch
+        "msearch": msearch_topk_sql(_MS_QUERIES, 10),
+        # ES terms-agg + top_hits: best per_group hits per lang bucket
+        "top_hits_by_label": bm25_scores_sql(BM25_QUERY) + f""",
+ranked AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC)
+           AS group_rank
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT lang, doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(group_rank AS BIGINT) AS group_rank
+FROM ranked WHERE group_rank <= {_TH_PG}
+ORDER BY lang ASC, group_rank ASC""",
+        # ES rank_feature (saturation): bm25 + w · nc/(nc + pivot) —
+        # rational arithmetic, same acc + w·feat expression order
+        "rank_feature_search": bm25_scores_sql(BM25_QUERY) + f"""
+SELECT s.doc_id,
+       CAST(floor((s.score + {_RF_W!r} * (d.n_chars
+                   / (d.n_chars + {_RF_PIVOT!r}))) * 1e6 + 0.5)
+            AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (
+            ORDER BY (s.score + {_RF_W!r} * (d.n_chars
+                      / (d.n_chars + {_RF_PIVOT!r}))) DESC,
+                     s.doc_id ASC) AS BIGINT) AS rank
+FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY (s.score + {_RF_W!r} * (d.n_chars
+          / (d.n_chars + {_RF_PIVOT!r}))) DESC, s.doc_id ASC
+LIMIT 10""",
+        # Lucene SpanFirstQuery: gate = first occurrence of the term
+        # within the leading kept-token positions (1-based, ≤ limit ⇔
+        # membership in toks[1:limit], DuckDB slices are end-inclusive);
+        # survivors keep their unfiltered bm25 scores
+        "span_first_search": bm25_scores_sql(
+            BM25_QUERY,
+            pre=token_list_cte() + f""",
+first_ok AS (
+  SELECT doc_id FROM doc_toks
+  WHERE list_contains(toks[1:{_SF_LIMIT}], '{_cq(_SF_TERM)[0]}')),""") + """
+SELECT s.doc_id,
+       CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores s JOIN first_ok f ON f.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
 LIMIT 10""",
         # Lucene coord(q,d): bm25 · (distinct matched terms / |q|) —
         # the counter is kept-token distinct count among query terms

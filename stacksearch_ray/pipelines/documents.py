@@ -381,6 +381,120 @@ def feature_boost_search(sf_dir: str):
     })
 
 
+MSEARCH_QUERIES = [BM25_QUERY, "hash table scan",
+                   "filter group agg", "spark data vector"]
+
+
+def msearch(sf_dir: str):
+    """Batched multi-query search (the Elasticsearch ``_msearch``
+    surface): one engine call ranks the whole query batch — the term
+    caches are shared across queries (a term repeated across the batch
+    is read and decoded once), and on the sharded engine the identical
+    batch rides ONE RPC per worker (ShardedQueryEngine.search_many).
+    Output is every query's top-10, keyed by query_id."""
+    eng = _index_for(sf_dir)
+    res = eng.search_many(MSEARCH_QUERIES, 10)
+    qids, dids, sm, rk = [], [], [], []
+    for qi, hits in enumerate(res):
+        for r, (d, s) in enumerate(hits, 1):
+            qids.append(qi)
+            dids.append(d)
+            sm.append(to_micros(s))
+            rk.append(r)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(dids, pa.int64()),
+        "score_micros": pa.array(sm, pa.int64()),
+        "rank": pa.array(rk, pa.int64()),
+    })
+
+
+TOPHITS_PER_GROUP = 2
+
+
+def top_hits_by_label(sf_dir: str):
+    """Grouped top hits (the ES terms-agg + ``top_hits`` shape): for
+    EVERY lang bucket, its best 2 matching docs by BM25 — the "top
+    results per category" surface. Rides search_collapse(per_group=2)
+    with k = the full corpus: the survivor set is bounded by n_groups ×
+    per_group, never by corpus size. At scale each sharded worker
+    returns its local per-group top-2 and the driver re-collapses —
+    exact, because a group's global best-2 are each some worker's local
+    best-2 (the search_collapse docstring argument)."""
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "lang"])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    langs = np.asarray(t["lang"])
+    order = np.argsort(ids)
+    ids, langs = ids[order], langs[order]
+    uniq, codes = np.unique(langs, return_inverse=True)
+    res = eng.search_collapse(BM25_QUERY, len(ids), group_ids=ids,
+                              group_codes=codes.astype(np.int64),
+                              per_group=TOPHITS_PER_GROUP)
+    # collapse emits in global rank order, so a group's hits arrive
+    # score desc / doc asc — group_rank is the per-group running count
+    seen: dict[int, int] = {}
+    rows = []
+    for d, g, s in res:
+        gr = seen.get(g, 0) + 1
+        seen[g] = gr
+        rows.append((str(uniq[g]), d, to_micros(s), gr))
+    rows.sort(key=lambda r: (r[0], r[3]))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score_micros": pa.array([r[2] for r in rows], pa.int64()),
+        "group_rank": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+RANK_FEATURE_W, RANK_FEATURE_PIVOT = 1.5, 300.0
+
+
+def rank_feature_search(sf_dir: str):
+    """Rank-feature scoring (the ES ``rank_feature`` query's saturation
+    function): combined = bm25 + 1.5 · nc/(nc + 300) — a bounded
+    monotone doc-value prior (saturates toward 1.0, so an enormous doc
+    can never drown the text score). The saturation member is chosen
+    because it is pure rational arithmetic — no transcendental 1-ulp
+    hazard between engines. Rides the proven additive feature path
+    (search_feature_boost)."""
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "n_chars"])
+    nc = t["n_chars"].to_numpy().astype(np.float64)
+    sat = nc / (nc + RANK_FEATURE_PIVOT)
+    res = eng.search_feature_boost(
+        BM25_QUERY, 10, feature_ids=t["doc_id"].to_numpy(),
+        feature_vals=sat, weight=RANK_FEATURE_W)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+SPAN_FIRST_TERM, SPAN_FIRST_LIMIT = "merge", 3
+
+
+def span_first_search(sf_dir: str):
+    """Span-first-gated ranking (the Lucene ``SpanFirstQuery`` shape):
+    only docs whose FIRST 'merge' occurrence sits within the leading 3
+    kept-token positions are eligible; survivors are ranked by the
+    standard query with their UNFILTERED scores (the gate is a filter,
+    never a score contribution). The gate is one positional-sidecar
+    read — per-doc first position is O(1) off each posting run's
+    start."""
+    eng = _index_for(sf_dir)
+    res = eng.search_span_first(BM25_QUERY, 10,
+                                first_term=SPAN_FIRST_TERM,
+                                limit=SPAN_FIRST_LIMIT)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
 BOOSTS = {"merge": 2.0, "sort": 1.0, "join": 0.25,
           "stream": 1.5, "window": 0.5}
 

@@ -211,6 +211,53 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def msearch_topk_sql(queries: list[str], k: int = 10,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """Multi-query mirror of QueryEngine.search_many: ONE chain computes
+    every query's bm25 top-k. The tf/dl/stats CTEs are shared and df is
+    scanned once over the UNION of all query terms; per-query ranking is
+    a single PARTITION BY query_id window. The per-(query, doc) score is
+    the single-query chain's exact float expression."""
+    pairs = []
+    for qi, q in enumerate(queries):
+        for t in sorted(set(clean_query(q))):
+            pairs.append((qi, t))
+    values = ", ".join(f"({qi}, '{t}')" for qi, t in pairs)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(query_id, term) AS (VALUES {values}),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (({k1} + 1.0) * tf.tf
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN qterms q ON q.term = tf.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
 def feature_boost_topk_sql(query: str, k: int = 10,
                            weight: float = 0.25) -> str:
     """Mirror of QueryEngine.search_feature_boost with feature =

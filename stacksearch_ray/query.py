@@ -1747,6 +1747,48 @@ class QueryEngine:
             return self._search_exhaustive(terms, k, scorer, allowed=allowed)
         return self._search_filtered_selective(terms, k, scorer, apos)
 
+    def search_many(self, queries: list[str], k: int = 10,
+                    method: str = "auto", scorer: str = "bm25"
+                    ) -> list[list[tuple[int, float]]]:
+        """Batched multi-query retrieval (the Elasticsearch ``_msearch``
+        shape): one engine call scores a whole query batch. The term
+        caches (_seg_cache / _blk_cache) are shared across the batch, so
+        a term repeated across queries is read and decoded once; on the
+        sharded engine the same batch rides ONE RPC per worker
+        (ShardedQueryEngine.search_many). Each element of the result is
+        exactly ``search(queries[i], k)``."""
+        return [self.search(q, k, method=method, scorer=scorer)
+                for q in queries]
+
+    def search_span_first(self, query: str, k: int = 10, *,
+                          first_term: str, limit: int,
+                          scorer: str = "bm25",
+                          plan: str = "auto") -> list[tuple[int, float]]:
+        """Span-first-gated ranking (the Lucene ``SpanFirstQuery``
+        shape, the "term must appear in the title/lead" heuristic):
+        only docs whose FIRST occurrence of ``first_term`` sits within
+        the leading ``limit`` kept-token positions (positions are
+        1-based, so the gate is position ≤ limit) are eligible;
+        survivors are ranked by the plain ``query`` scorer with their
+        UNFILTERED scores (search_filtered semantics — the gate is a
+        filter, never a score contribution). The gate reads the
+        positional sidecar alone (store_positions=True); the per-doc
+        first position is O(1) off each posting run's start — positions
+        within a doc are stored ascending."""
+        toks = clean_query(first_term)
+        if len(toks) != 1:
+            raise ValueError("first_term must normalize to exactly one "
+                             f"kept token, got {toks!r}")
+        ids, tfs, pos = self.term_positions(toks[0])
+        if len(ids) == 0:
+            return []
+        starts = np.cumsum(tfs) - tfs
+        allowed = ids[pos[starts] <= limit]
+        if len(allowed) == 0:
+            return []
+        return self.search_filtered(query, k, allowed_doc_ids=allowed,
+                                    scorer=scorer, plan=plan)
+
     def plan(self, query: str, k: int = 10) -> dict:
         """Query-plan introspection (the latency-debugging counterpart
         of ``explain``): what WOULD ``search(query, k)`` do and read,
@@ -2085,6 +2127,12 @@ class _ShardWorker:
                                            allowed_doc_ids=allowed,
                                            plan=plan)
 
+    def search_span_first(self, query: str, k: int, first_term: str,
+                          limit: int) -> list[tuple[int, float]]:
+        return self.engine.search_span_first(query, k,
+                                             first_term=first_term,
+                                             limit=limit)
+
     def phrase(self, phrase: str) -> tuple[list[int], list[int]]:
         ids, counts = self.engine.phrase_occurrences(phrase)
         return ids.tolist(), counts.tolist()
@@ -2348,6 +2396,22 @@ class ShardedQueryEngine:
         allowed = np.unique(np.asarray(allowed_doc_ids, dtype=np.int64))
         ref = ray.put(allowed)
         futs = [w.search_filtered.remote(query, k, ref, plan)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_span_first(self, query: str, k: int = 10, *,
+                          first_term: str, limit: int
+                          ) -> list[tuple[int, float]]:
+        """Distributed span-first ranking: both the positional gate and
+        the scoring are shard-local (a doc's postings AND positions live
+        in exactly one worker's shard subset), so each worker gates and
+        scores its own docs and the merge is the standard disjoint
+        top-k — bitwise identical to the single engine (tested)."""
+        import ray
+
+        futs = [w.search_span_first.remote(query, k, first_term, limit)
                 for w in self.workers]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
