@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_page": P.search_page,
         "search_after_page": P.search_after_page,
         "federated_search": P.federated_search,
+        "rollover_search": P.rollover_search,
+        "cardinality_kmv": P.cardinality_kmv,
         "domain_temperature_mix": P.domain_temperature_mix,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
@@ -493,6 +495,36 @@ w{i + 1} AS MATERIALIZED (
         f"('{lang}', '{t}')"
         for lang in sorted(k for k, v in LANG_MARKERS.items() if v)
         for t in sorted(LANG_MARKERS[lang]))
+    # KMV bottom-k cardinality: per key, k-th smallest distinct
+    # md5-low64 hash drives (k-1)·2^64/h_k — the exact expression order
+    # of functions/sketches.kmv_estimate (2^64 literal, one divide)
+    from stacksearch_ray.pipelines.documents import (
+        KMV_K as _KK,
+        KMV_KEYS as _KMV_KEYS,
+    )
+
+    def _kmv_key(key: str) -> str:
+        return f"""
+  SELECT '{key}' AS key,
+         CAST(least(c.c, {_KK}) AS BIGINT) AS kept,
+         CAST(floor((CASE WHEN c.c < {_KK} THEN CAST(c.c AS DOUBLE)
+              ELSE ({_KK} - 1.0) * 18446744073709551616.0 /
+                   CAST((SELECT h FROM (SELECT DISTINCT
+                             md5_number_lower({key}) AS h FROM src) t
+                         ORDER BY h LIMIT 1 OFFSET {_KK - 1}) AS DOUBLE)
+              END) * 1e6 + 0.5) AS BIGINT) AS est_micros
+  FROM (SELECT count(DISTINCT md5_number_lower({key})) AS c FROM src) c"""
+
+    _kmv_sql = ("""
+WITH src AS (
+  SELECT CAST(event_id AS VARCHAR) AS event_id,
+         CAST(user_id AS VARCHAR) AS user_id,
+         CAST(user_id AS VARCHAR) || '|' || event_type AS user_type
+  FROM events)
+SELECT * FROM ("""
+                + " UNION ALL ".join(_kmv_key(k) for k in sorted(_KMV_KEYS))
+                + ") ORDER BY key")
+
     lang_id_sql = f"""
 WITH {kept},
 tot AS (SELECT doc_id, count(*) AS total FROM toks WHERE term <> ''
@@ -783,6 +815,8 @@ ORDER BY vec_id""",
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
         "federated_search": bm25,  # union of disjoint halves == rebuild
+        "rollover_search": bm25,   # generations union == rebuild, bitwise
+        "cardinality_kmv": _kmv_sql,
         "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise
         "bm25_topk_merged": bm25,   # merge lifecycle == rebuild, bitwise
         "score_explain": bm25_scores_sql(BM25_QUERY) + """,

@@ -303,3 +303,60 @@ def approx_distinct_tokens(ds: Dataset, text_col: str = "text",
     for row in parts:
         acc.merge(HLL.from_bytes(row["sketch"], p))
     return acc.estimate()
+
+
+# ---------------- KMV (k-minimum values) distinct counting ----------------
+#
+# The DETERMINISTIC cardinality sketch (Bar-Yossef et al. 2002 / the
+# "bottom-k" estimator): keep the k smallest distinct md5-low64 hashes;
+# estimate N̂ = (k-1)·2⁶⁴ / h_(k). Unlike HLL this is exactly
+# reproducible in SQL — the hash is DuckDB's md5_number_lower bit for
+# bit (functions/dedup.md5_low64) and the estimator is one IEEE divide
+# in a pinned expression order — so the driver entry is fully
+# hash-oracled, where approx_vocab (HLL) is rows-only. Mergeable:
+# union the kept sets, re-take the k smallest — order-insensitive, so
+# per-batch partials shuffle k·8 bytes each and no value ever moves.
+
+TWO64 = 18446744073709551616.0  # 2^64, exactly representable
+
+
+def kmv_k_smallest(h: np.ndarray, k: int) -> np.ndarray:
+    """k smallest DISTINCT hashes, ascending (np.unique sorts)."""
+    return np.unique(h.astype(np.uint64))[:k]
+
+
+def kmv_estimate(kept: np.ndarray, k: int) -> float:
+    """Exact count when the universe was smaller than k, else the
+    bottom-k estimator. Expression order is the cross-engine contract:
+    (k-1)·2⁶⁴ first (both factors exact in float64), ONE divide by the
+    round-to-nearest float of h_(k) — mirrored literally in the SQL
+    oracle (pipelines/sql.py kmv CTE)."""
+    if len(kept) < k:
+        return float(len(kept))
+    return (k - 1.0) * TWO64 / float(kept[k - 1])
+
+
+def kmv_distinct(ds: Dataset, string_cols: list[str], k: int = 64
+                 ) -> dict[str, tuple[int, float]]:
+    """Distinct-count estimates for several derived string columns in
+    ONE pass: each batch emits a single row holding every column's
+    k-smallest-distinct partial; the driver merges a handful of tiny
+    rows. Returns {col: (kept_count, estimate)}."""
+    from .dedup import md5_low64_arrow
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in string_cols:
+            h = md5_low64_arrow(batch[c].combine_chunks())
+            cols[c] = pa.array([kmv_k_smallest(h, k)],
+                               pa.list_(pa.uint64()))
+        return pa.table(cols)
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    out = {}
+    for c in string_cols:
+        merged = kmv_k_smallest(np.concatenate(
+            [np.asarray(r[c], dtype=np.uint64) for r in rows])
+            if rows else np.array([], np.uint64), k)
+        out[c] = (len(merged), kmv_estimate(merged, k))
+    return out

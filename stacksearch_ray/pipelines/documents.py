@@ -7411,3 +7411,77 @@ def content_regex_search(sf_dir: str):
     ('stream ') so the entry exercises the PRUNED path; regexes with no
     required literal stream a full-scan verify instead (tested)."""
     return _tri_for(sf_dir).search_regex(CONTENT_REGEX)
+
+
+KMV_K = 64
+KMV_KEYS = ["event_id", "user_id", "user_type"]
+
+
+def cardinality_kmv(sf_dir: str):
+    """Deterministic distinct-count sketching (KMV / bottom-k, the
+    cardinality-agg capability): per-key estimates over the events
+    stream in ONE pass — every batch contributes a k-smallest-distinct
+    md5-low64 partial per key (k·8 bytes; no value ever shuffles), the
+    driver merges a handful of tiny rows. Unlike the HLL twin
+    (approx_vocab, rows-only) this sketch is EXACTLY reproducible in
+    SQL: the hash is DuckDB's md5_number_lower bit for bit and the
+    estimator (k−1)·2⁶⁴/h₍ₖ₎ is one IEEE divide in a pinned expression
+    order, so the entry is fully hash-oracled. Keys span both regimes:
+    event_id engages the estimator at every sf; user_id crosses from
+    exact (< k distinct at sf0.001) to estimated (sf0.01+)."""
+    from ..functions.sketches import kmv_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "event_type"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        eid = pc.cast(b["event_id"], pa.string())
+        uid = pc.cast(b["user_id"], pa.string())
+        ut = pc.binary_join_element_wise(uid, b["event_type"], "|")
+        return pa.table({"event_id": eid, "user_id": uid, "user_type": ut})
+
+    res = kmv_distinct(ev.map_batches(derive, batch_format="pyarrow"),
+                       KMV_KEYS, KMV_K)
+    keys = sorted(res)
+    return pa.table({
+        "key": pa.array(keys, pa.string()),
+        "kept": pa.array([res[k][0] for k in keys], pa.int64()),
+        "est_micros": pa.array([to_micros(res[k][1]) for k in keys],
+                               pa.int64()),
+    })
+
+
+def rollover_search(sf_dir: str):
+    """ILM-style rollover serving (rollover.py): the corpus ingested in
+    arrival order through a max_docs policy cuts into three sealed
+    generations, each an independent index; open_rollover serves them
+    as ONE virtual index with union collection stats. Federation is
+    bitwise equal to the physically merged index, which is bitwise
+    equal to a monolithic rebuild — so the oracle is the whole-table
+    BM25 chain, cross-checking the per-generation stats math end to
+    end."""
+    from ..rollover import open_rollover, rollover_ingest
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(CACHE_ROOT, tag, "rollover")
+    done = base + "._done"
+    n = pq.read_metadata(_docs(sf_dir)).num_rows
+
+    def _build():
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        rollover_ingest(_docs(sf_dir), base, max_docs=(n + 2) // 3,
+                        content_col="text", id_col="doc_id",
+                        num_shards=4, term_buckets=16)
+        open(done, "w").close()
+
+    _ensure_built(done, _build)
+    eng = open_rollover(base)
+    res = eng.search(BM25_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array([int(d) for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
+    })

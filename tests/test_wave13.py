@@ -1,0 +1,203 @@
+"""Wave-13 semantics: KMV bottom-k cardinality sketching and ILM-style
+index rollover (generations + manifest commit points + append routing).
+The DuckDB oracle pins exact entry values; these pin the MEANING and the
+lifecycle invariants."""
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------- KMV ----------------
+
+
+def test_kmv_exact_mode_below_k():
+    from stacksearch_ray.functions.dedup import md5_low64
+    from stacksearch_ray.functions.sketches import kmv_estimate, kmv_k_smallest
+
+    vals = np.array([f"v{i}" for i in range(40)] * 3)
+    kept = kmv_k_smallest(md5_low64(vals), 64)
+    assert len(kept) == 40
+    assert kmv_estimate(kept, 64) == 40.0
+
+
+def test_kmv_estimator_error_bound():
+    from stacksearch_ray.functions.dedup import md5_low64
+    from stacksearch_ray.functions.sketches import kmv_estimate, kmv_k_smallest
+
+    n, k = 5000, 64
+    vals = np.array([f"item-{i}" for i in range(n)])
+    kept = kmv_k_smallest(md5_low64(vals), k)
+    est = kmv_estimate(kept, k)
+    # standard error ~ 1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    assert abs(est - n) / n < 4 / np.sqrt(k - 2)
+
+
+def test_kmv_merge_equals_whole():
+    """Union of per-chunk k-smallest == k-smallest of the whole — the
+    mergeability that lets batches ship k·8-byte partials."""
+    from stacksearch_ray.functions.dedup import md5_low64
+    from stacksearch_ray.functions.sketches import kmv_k_smallest
+
+    vals = np.array([f"x{i % 700}" for i in range(3000)])
+    h = md5_low64(vals)
+    whole = kmv_k_smallest(h, 64)
+    parts = [kmv_k_smallest(c, 64) for c in np.array_split(h, 7)]
+    merged = kmv_k_smallest(np.concatenate(parts), 64)
+    assert np.array_equal(whole, merged)
+
+
+def test_kmv_entry_regimes(ray_session):
+    """event_id engages the estimator (kept == k), user_id at sf0.001 is
+    exact (15 distinct < k) — both regimes exercised in one entry."""
+    from stacksearch_ray.pipelines import documents as P
+
+    t = P.cardinality_kmv(SF).to_pydict()
+    row = dict(zip(t["key"], zip(t["kept"], t["est_micros"])))
+    assert row["user_id"] == (15, 15_000_000)  # exact mode
+    assert row["event_id"][0] == P.KMV_K  # estimator mode
+    true_n = 1000  # event_id is unique per row
+    assert abs(row["event_id"][1] / 1e6 - true_n) / true_n < 0.5
+
+
+# ---------------- rollover ----------------
+
+
+@pytest.fixture()
+def corpus_slices(tmp_path):
+    """sf0.001 docs cut into a 400-row ingest file and a 100-row
+    late-arrival file (disjoint ids by construction)."""
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    first = str(tmp_path / "first.parquet")
+    late = str(tmp_path / "late.parquet")
+    pq.write_table(t.slice(0, 400), first)
+    pq.write_table(t.slice(400, 100), late)
+    return first, late, str(tmp_path / "roll")
+
+
+def test_rollover_ingest_and_search_identity(ray_session, corpus_slices):
+    """3 generations; federated serving over them == the monolithic
+    engine bitwise (scores are shard-config-independent)."""
+    from stacksearch_ray.pipelines import documents as P
+    from stacksearch_ray.rollover import (
+        open_rollover,
+        rollover_ingest,
+        rollover_status,
+    )
+
+    first, late, base = corpus_slices
+    man = rollover_ingest(first, base, max_docs=150,
+                          content_col="text", id_col="doc_id",
+                          num_shards=2, term_buckets=8)
+    assert [g["rows"] for g in man["generations"]] == [150, 150, 100]
+    st = rollover_status(base)
+    assert all(g["committed"] for g in st["generations"])
+
+    got = open_rollover(base).search(P.BM25_QUERY, 10)
+    assert len(got) == 10
+    # identity against a monolithic build over the same 400 rows
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    mono_dir = base + "_mono"
+    build_index(first, mono_dir, content_col="text", id_col="doc_id",
+                num_shards=2, term_buckets=8)
+    want = QueryEngine(mono_dir).search(P.BM25_QUERY, 10,
+                                        method="exhaustive")
+    assert got == want
+
+
+def test_rollover_resume_skips_committed(ray_session, corpus_slices):
+    """Crash simulation: an uncommitted generation (stats.json missing)
+    is rebuilt on re-ingest; committed generations are not touched."""
+    from stacksearch_ray.rollover import open_rollover, rollover_ingest
+
+    first, late, base = corpus_slices
+    rollover_ingest(first, base, max_docs=150,
+                    content_col="text", id_col="doc_id",
+                    num_shards=2, term_buckets=8)
+    from stacksearch_ray.pipelines import documents as P
+
+    pre = open_rollover(base).search(P.BM25_QUERY, 10)
+    g0_stats = os.path.join(base, "gen-000000", "stats.json")
+    g1_stats = os.path.join(base, "gen-000001", "stats.json")
+    mtime0 = os.path.getmtime(g0_stats)
+    os.remove(g1_stats)  # gen-000001 now uncommitted
+    # a partially-visible base still serves the committed generations
+    eng = open_rollover(base)
+    assert len(eng.engines) == 2
+    rollover_ingest(first, base, max_docs=150,
+                    content_col="text", id_col="doc_id",
+                    num_shards=2, term_buckets=8)
+    assert os.path.exists(g1_stats)
+    assert os.path.getmtime(g0_stats) == mtime0  # untouched
+    healed = open_rollover(base)
+    assert len(healed.engines) == 3
+    assert healed.search(P.BM25_QUERY, 10) == pre  # bitwise healed
+
+
+def test_rollover_append_fills_then_rolls(ray_session, corpus_slices):
+    """Late arrivals fill the write generation to max_docs, then seal it
+    and open a new one; serving == a monolithic rebuild over the
+    union."""
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.pipelines import documents as P
+    from stacksearch_ray.query import QueryEngine
+    from stacksearch_ray.rollover import (
+        open_rollover,
+        rollover_append,
+        rollover_ingest,
+        rollover_status,
+    )
+
+    first, late, base = corpus_slices
+    rollover_ingest(first, base, max_docs=150,
+                    content_col="text", id_col="doc_id",
+                    num_shards=2, term_buckets=8)
+    touched = rollover_append(late, base,
+                              content_col="text", id_col="doc_id",
+                              num_shards=2, term_buckets=8)
+    # gen2 had 100/150 → takes 50; remaining 50 open gen-000003
+    assert touched == ["gen-000002", "gen-000003"]
+    st = {g["name"]: g["n_docs"]
+          for g in rollover_status(base)["generations"]}
+    assert st["gen-000002"] == 150 and st["gen-000003"] == 50
+
+    got = open_rollover(base).search(P.BM25_QUERY, 10)
+    mono_dir = base + "_mono_all"
+    build_index(os.path.join(SF, "documents.parquet"), mono_dir,
+                content_col="text", id_col="doc_id",
+                num_shards=2, term_buckets=8)
+    want = QueryEngine(mono_dir).search(P.BM25_QUERY, 10,
+                                        method="exhaustive")
+    assert got == want
+
+
+def test_rollover_guards(ray_session, corpus_slices, tmp_path):
+    from stacksearch_ray.rollover import (
+        open_rollover,
+        rollover_append,
+        rollover_ingest,
+    )
+
+    first, late, base = corpus_slices
+    with pytest.raises(ValueError):
+        rollover_append(late, str(tmp_path / "empty"),
+                        content_col="text", id_col="doc_id")
+    with pytest.raises(ValueError):
+        open_rollover(str(tmp_path / "empty"))
+    rollover_ingest(first, base, max_docs=150,
+                    content_col="text", id_col="doc_id",
+                    num_shards=2, term_buckets=8)
+    with pytest.raises(ValueError):  # changed cut size
+        rollover_ingest(first, base, max_docs=99,
+                        content_col="text", id_col="doc_id")
