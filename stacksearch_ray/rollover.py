@@ -85,7 +85,26 @@ def rollover_ingest(source, base_dir: str, max_docs: int,
             f"{man['max_docs']}, re-ingest asked for {max_docs}; "
             "generation row ranges would shift — use a fresh base_dir")
     man["max_docs"] = max_docs
-    total = sum(n for _, n in _files_with_counts(source))
+    files = [[f, n] for f, n in _files_with_counts(source)]
+    # a resumed ingest is only safe if the previously consumed source is
+    # a PREFIX of the current one (same files, same per-file row counts,
+    # same order) — anything else shifts every generation's row range
+    prev_files = man.get("source_files")
+    if prev_files is not None:
+        if (len(files) < len(prev_files)
+                or [list(p) for p in files[:len(prev_files)]]
+                != [list(p) for p in prev_files]):
+            raise ValueError(
+                "the source changed under a resumed ingest (previously "
+                "consumed files are not a prefix of the current file "
+                "list) — generation row ranges would shift; use a "
+                "fresh base_dir")
+        if len(files) > len(prev_files) and man["generations"]:
+            raise ValueError(
+                "the source grew since the last ingest — route new "
+                "rows through rollover_append (the committed tail "
+                "generation's range cannot be extended in place)")
+    total = sum(n for _, n in files)
     done = _committed(base_dir, man)
     by_name = {g["name"]: g for g in man["generations"]}
     n_gens = (total + max_docs - 1) // max_docs
@@ -93,15 +112,6 @@ def rollover_ingest(source, base_dir: str, max_docs: int,
         name = _gen_name(g)
         start, stop = g * max_docs, min((g + 1) * max_docs, total)
         if name in done:
-            prev = by_name[name]
-            # rows may exceed the ingest range if the generation later
-            # took appends (rollover_append) — still the same range
-            if prev["start"] != start or prev["rows"] < stop - start:
-                raise ValueError(
-                    f"{name} committed over rows "
-                    f"[{prev['start']}, {prev['start'] + prev['rows']}) "
-                    f"but the source now maps it to [{start}, {stop}) — "
-                    "the source changed under a resumed ingest")
             continue
         gen_dir = os.path.join(base_dir, name)
         if os.path.exists(gen_dir):  # uncommitted leftover from a crash
@@ -116,8 +126,49 @@ def rollover_ingest(source, base_dir: str, max_docs: int,
         # full sorted rewrite — a rebuilt EARLIER generation must not
         # drop later committed ones from the manifest
         man["generations"] = [by_name[n] for n in sorted(by_name)]
+        man["source_files"] = files
         _write_manifest(base_dir, man)  # commit point per generation
+    man["source_files"] = files
+    _write_manifest(base_dir, man)
     return man
+
+
+PENDING = "append.pending"
+
+
+def _next_gen_index(man: dict) -> int:
+    """Max existing generation number + 1 — NEVER len(generations):
+    after a retention drop (delete a gen dir + its manifest row) list
+    length would re-issue a live generation's name and destroy it."""
+    return 1 + max(int(g["name"].split("-")[1])
+                   for g in man["generations"])
+
+
+def _append_plan(man: dict, base_dir: str, files: list) -> list[dict]:
+    """Deterministic step plan for routing ``files`` through the
+    rollover policy: one optional fill-append into the write generation,
+    then whole new generations. Computed ONCE and journaled, so a
+    crashed append resumes the same plan instead of re-deriving it from
+    mutated live state (which would double-ingest the applied prefix)."""
+    max_docs = int(man["max_docs"])
+    total = sum(n for _, n in files)
+    last = man["generations"][-1]["name"]
+    live = int(load_stats(os.path.join(base_dir, last))["n_docs"])
+    steps, pos = [], 0
+    room = max_docs - live
+    if room > 0 and total > 0:
+        take = min(room, total)
+        steps.append({"kind": "append", "gen": last, "start": 0,
+                      "take": take, "docs_before": live})
+        pos = take
+    g = _next_gen_index(man)
+    while pos < total:
+        take = min(max_docs, total - pos)
+        steps.append({"kind": "build", "gen": _gen_name(g),
+                      "start": pos, "take": take})
+        g += 1
+        pos += take
+    return steps
 
 
 def rollover_append(new_source, base_dir: str,
@@ -127,47 +178,114 @@ def rollover_append(new_source, base_dir: str,
     """Route new documents through the rollover policy: fill the
     current write generation up to ``max_docs`` (a journaled
     ``append_to_index``), then seal it and start new generation(s) for
-    the remainder. Returns the generation names touched. New doc ids
-    must be disjoint from every existing generation (each append /
-    build runs the standard collision audit within its generation;
-    cross-generation disjointness is enforced at ``open_rollover``)."""
-    from .append import append_to_index
+    the remainder. Returns the generation names touched.
+
+    Crash-safe: the step plan is journaled (``append.pending``) BEFORE
+    any mutation, so a retry after a mid-call crash resumes the SAME
+    plan — an already-applied fill append is detected by the write
+    generation's doc count and skipped, never re-ingested into a fresh
+    generation. A pending journal from a DIFFERENT source must be
+    resolved first (re-run with that source) — refusing is what keeps
+    two interleaved appends from ingesting overlapping row ranges.
+
+    New doc ids must be disjoint from every existing generation (each
+    append/build runs the standard collision audit within its
+    generation; cross-generation disjointness is enforced at
+    ``open_rollover``)."""
+    from .append import append_to_index, recover_appends
 
     man = _read_manifest(base_dir)
     if not man["generations"]:
         raise ValueError(f"{base_dir} has no committed generations — "
                          "run rollover_ingest first")
-    max_docs = int(man["max_docs"])
-    total_new = sum(n for _, n in _files_with_counts(new_source))
+    files = [[f, n] for f, n in _files_with_counts(new_source)]
+    pend_path = os.path.join(base_dir, PENDING)
+    if os.path.exists(pend_path):
+        with open(pend_path) as f:
+            pend = json.load(f)
+        if pend["files"] != files:
+            raise ValueError(
+                f"{base_dir} has an unfinished rollover_append for a "
+                "different source — re-run with that source to resume "
+                f"it first (journal: {pend_path})")
+    else:
+        pend = {"files": files,
+                "steps": _append_plan(man, base_dir, files)}
+        tmp = pend_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pend, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, pend_path)
+
     touched: list[str] = []
-    pos = 0
     by_name = {g["name"]: g for g in man["generations"]}
-    while pos < total_new:
-        last = man["generations"][-1]
-        cur_rows = int(load_stats(
-            os.path.join(base_dir, last["name"]))["n_docs"])
-        room = max_docs - cur_rows
-        if room > 0:
-            take = min(room, total_new - pos)
-            ds = read_corpus_range(new_source, pos, pos + take)
-            append_to_index(ds, os.path.join(base_dir, last["name"]),
-                            content_col=content_col, id_col=id_col)
-            last["rows"] = cur_rows + take
+    for step in pend["steps"]:
+        gen_dir = os.path.join(base_dir, step["gen"])
+        ds = None
+        if step["kind"] == "append":
+            recover_appends(gen_dir)  # settle any half-committed append
+            live = int(load_stats(gen_dir)["n_docs"])
+            want = step["docs_before"] + step["take"]
+            if live == want:
+                pass  # applied before the crash — skip
+            elif live == step["docs_before"]:
+                ds = read_corpus_range(
+                    new_source, step["start"],
+                    step["start"] + step["take"])
+                append_to_index(ds, gen_dir, content_col=content_col,
+                                id_col=id_col)
+            else:
+                raise ValueError(
+                    f"{step['gen']} holds {live} docs; the journaled "
+                    f"fill step expected {step['docs_before']} or "
+                    f"{want} — the generation was mutated outside the "
+                    "pending append; resolve manually and delete "
+                    f"{pend_path}")
         else:
-            take = min(max_docs, total_new - pos)
-            g = len(man["generations"])
-            name = _gen_name(g)
-            ds = read_corpus_range(new_source, pos, pos + take)
-            build_index(ds, os.path.join(base_dir, name),
-                        content_col=content_col, id_col=id_col,
-                        **cfg_overrides)
-            row = {"name": name, "start": -1, "rows": take}
-            man["generations"].append(row)
-            by_name[name] = row
-        touched.append(man["generations"][-1]["name"])
+            if not os.path.exists(os.path.join(gen_dir, "stats.json")):
+                if os.path.exists(gen_dir):  # uncommitted leftover
+                    import shutil
+
+                    shutil.rmtree(gen_dir)
+                ds = read_corpus_range(
+                    new_source, step["start"],
+                    step["start"] + step["take"])
+                build_index(ds, gen_dir, content_col=content_col,
+                            id_col=id_col, **cfg_overrides)
+            if step["gen"] not in by_name:
+                row = {"name": step["gen"], "start": -1,
+                       "rows": step["take"]}
+                man["generations"].append(row)
+                by_name[step["gen"]] = row
+        touched.append(step["gen"])
         _write_manifest(base_dir, man)
-        pos += take
+    os.remove(pend_path)
     return touched
+
+
+def drop_generation(base_dir: str, name: str) -> None:
+    """Retention drop: remove a generation from serving (manifest
+    rewrite = the commit point), then delete its directory. Later
+    appends keep numbering from the MAX surviving generation
+    (_next_gen_index), so a dropped name is never re-issued over live
+    data. The write generation (the last one) cannot be dropped while
+    an append journal is pending."""
+    import shutil
+
+    man = _read_manifest(base_dir)
+    names = [g["name"] for g in man["generations"]]
+    if name not in names:
+        raise ValueError(f"{name} is not a generation of {base_dir}")
+    if (name == names[-1]
+            and os.path.exists(os.path.join(base_dir, PENDING))):
+        raise ValueError(
+            f"{name} is the write generation of a pending append — "
+            "finish the append (re-run rollover_append) first")
+    man["generations"] = [g for g in man["generations"]
+                          if g["name"] != name]
+    _write_manifest(base_dir, man)  # invisible before the rm
+    shutil.rmtree(os.path.join(base_dir, name), ignore_errors=True)
 
 
 def open_rollover(base_dir: str):
@@ -199,4 +317,6 @@ def rollover_status(base_dir: str) -> dict:
         if sealed:
             row["n_docs"] = int(load_stats(d)["n_docs"])
         gens.append(row)
-    return {"max_docs": man["max_docs"], "generations": gens}
+    return {"max_docs": man["max_docs"], "generations": gens,
+            "pending_append": os.path.exists(
+                os.path.join(base_dir, PENDING))}

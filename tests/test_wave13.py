@@ -201,3 +201,113 @@ def test_rollover_guards(ray_session, corpus_slices, tmp_path):
     with pytest.raises(ValueError):  # changed cut size
         rollover_ingest(first, base, max_docs=99,
                         content_col="text", id_col="doc_id")
+
+
+def test_rollover_drop_then_append_never_reissues_name(ray_session,
+                                                       corpus_slices):
+    """Retention drop + later roll: the new generation numbers from the
+    max surviving name, never reusing a dropped or existing one."""
+    from stacksearch_ray.rollover import (
+        drop_generation,
+        open_rollover,
+        rollover_append,
+        rollover_ingest,
+        rollover_status,
+    )
+
+    first, late, base = corpus_slices
+    rollover_ingest(first, base, max_docs=100,
+                    content_col="text", id_col="doc_id",
+                    num_shards=2, term_buckets=8)  # gens 0..3, all full
+    drop_generation(base, "gen-000001")
+    names = [g["name"] for g in rollover_status(base)["generations"]]
+    assert names == ["gen-000000", "gen-000002", "gen-000003"]
+    assert not os.path.exists(os.path.join(base, "gen-000001"))
+    # write gen (gen-000003) is full -> the roll must open gen-000004,
+    # NOT len(generations)=3 (which would destroy live gen-000003)
+    g3_stats_mtime = os.path.getmtime(
+        os.path.join(base, "gen-000003", "stats.json"))
+    touched = rollover_append(late, base,
+                              content_col="text", id_col="doc_id",
+                              num_shards=2, term_buckets=8)
+    assert touched == ["gen-000004"]
+    assert os.path.getmtime(os.path.join(
+        base, "gen-000003", "stats.json")) == g3_stats_mtime
+    assert len(open_rollover(base).engines) == 4
+
+
+def test_rollover_append_crash_resume_no_double_ingest(ray_session,
+                                                       corpus_slices,
+                                                       monkeypatch):
+    """Crash after the fill append committed: the retry resumes the
+    journaled plan, detects the applied fill by doc count, and routes
+    only the REMAINDER to the new generation."""
+    from stacksearch_ray import rollover as R
+
+    first, late, base = corpus_slices
+    R.rollover_ingest(first, base, max_docs=150,
+                      content_col="text", id_col="doc_id",
+                      num_shards=2, term_buckets=8)  # 150/150/100
+
+    # crash injection: die right after the first step's manifest write
+    real_write = R._write_manifest
+    calls = {"n": 0}
+
+    def dying_write(base_dir, man):
+        real_write(base_dir, man)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(R, "_write_manifest", dying_write)
+    with pytest.raises(RuntimeError):
+        R.rollover_append(late, base, content_col="text",
+                          id_col="doc_id", num_shards=2, term_buckets=8)
+    monkeypatch.setattr(R, "_write_manifest", real_write)
+    assert R.rollover_status(base)["pending_append"]
+
+    # a different source must be refused while the journal is pending
+    with pytest.raises(ValueError):
+        R.rollover_append(first, base, content_col="text",
+                          id_col="doc_id")
+
+    touched = R.rollover_append(late, base, content_col="text",
+                                id_col="doc_id", num_shards=2,
+                                term_buckets=8)
+    assert touched == ["gen-000002", "gen-000003"]
+    st = {g["name"]: g["n_docs"]
+          for g in R.rollover_status(base)["generations"]}
+    # 100 late rows: 50 filled gen2 (once!), 50 opened gen3
+    assert st["gen-000002"] == 150 and st["gen-000003"] == 50
+    assert not R.rollover_status(base)["pending_append"]
+
+
+def test_rollover_ingest_refuses_shifted_source(ray_session, tmp_path):
+    """A file inserted before the consumed prefix shifts every range —
+    the fingerprint guard must refuse, even when counts align."""
+    import pyarrow.parquet as pq_
+
+    from stacksearch_ray.rollover import rollover_ingest
+
+    t = pq_.read_table(os.path.join(SF, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    src = tmp_path / "src"
+    src.mkdir()
+    pq_.write_table(t.slice(0, 300), str(src / "b.parquet"))
+    base = str(tmp_path / "roll")
+    rollover_ingest(str(src), base, max_docs=150,
+                    content_col="text", id_col="doc_id",
+                    num_shards=2, term_buckets=8)
+    # same-count file that sorts FIRST: prefix check must catch it
+    pq_.write_table(t.slice(300, 150), str(src / "a.parquet"))
+    with pytest.raises(ValueError):
+        rollover_ingest(str(src), base, max_docs=150,
+                        content_col="text", id_col="doc_id",
+                        num_shards=2, term_buckets=8)
+    # growth at the TAIL is detected and routed to rollover_append
+    os.remove(str(src / "a.parquet"))
+    pq_.write_table(t.slice(300, 150), str(src / "c.parquet"))
+    with pytest.raises(ValueError):
+        rollover_ingest(str(src), base, max_docs=150,
+                        content_col="text", id_col="doc_id",
+                        num_shards=2, term_buckets=8)
