@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_by_label": P.top_hits_by_label,
         "rank_feature_search": P.rank_feature_search,
         "span_first_search": P.span_first_search,
+        "phrase_prefix_search": P.phrase_prefix_search,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
         "bool_query_search": P.bool_query_search,
@@ -2879,6 +2880,31 @@ SELECT s.doc_id,
        CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)
             AS BIGINT) AS rank
 FROM scores s JOIN first_ok f ON f.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT 10""",
+        # ES match_phrase_prefix: 'merge' adjacent to any s* expansion
+        # (expansions = DISTINCT kept terms with the prefix, term order,
+        # LIMIT 50 — mirrors prefix_terms[:max_expansions]); survivors
+        # keep unfiltered fixed-term scores
+        "phrase_prefix_search": bm25_scores_sql(
+            "merge",
+            pre=token_list_cte() + """,
+pp_exps AS (
+  SELECT list(term ORDER BY term) AS es FROM (
+    SELECT DISTINCT t AS term
+    FROM (SELECT unnest(toks) AS t FROM doc_toks)
+    WHERE starts_with(t, 's') ORDER BY t LIMIT 50)),
+pp_gate AS (
+  SELECT DISTINCT dt.doc_id
+  FROM doc_toks dt, pp_exps e
+  WHERE len(list_filter(range(1, len(dt.toks)),
+        i -> dt.toks[i] = 'merge'
+             AND list_contains(e.es, dt.toks[i + 1]))) > 0),""") + """
+SELECT s.doc_id,
+       CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores s JOIN pp_gate g ON g.doc_id = s.doc_id
 ORDER BY s.score DESC, s.doc_id ASC
 LIMIT 10""",
         # Lucene coord(q,d): bm25 · (distinct matched terms / |q|) —

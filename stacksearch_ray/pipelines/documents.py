@@ -7485,3 +7485,26 @@ def rollover_search(sf_dir: str):
                                  pa.int64()),
         "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
     })
+
+
+PHRASE_PREFIX = "merge s"
+PP_MAX_EXP = 50
+
+
+def phrase_prefix_search(sf_dir: str):
+    """Phrase-prefix retrieval (ES ``match_phrase_prefix``): "merge s"
+    matches any doc where 'merge' is immediately followed by an
+    s-prefixed kept token; the prefix expands through the term_dict's
+    sorted range capped at 50 terms (the ES expansion cap — bounded
+    work however common the prefix). Survivors rank by the fixed terms
+    with unfiltered scores (the phrase_ranked/span_first filter
+    convention)."""
+    eng = _index_for(sf_dir)
+    res = eng.search_phrase_prefix(PHRASE_PREFIX, 10,
+                                   max_expansions=PP_MAX_EXP)
+    return pa.table({
+        "doc_id": pa.array([int(d) for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
+    })

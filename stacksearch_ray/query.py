@@ -1789,6 +1789,91 @@ class QueryEngine:
         return self.search_filtered(query, k, allowed_doc_ids=allowed,
                                     scorer=scorer, plan=plan)
 
+    def _positions_subset(self, term: str, common: np.ndarray
+                          ) -> np.ndarray:
+        """Like ``_positions_over`` for a term NOT guaranteed present in
+        every ``common`` doc: packed (index-into-common << 32 | pos) for
+        the docs that do contain it — local indices reference positions
+        in ``common`` so packed streams from different terms align."""
+        ids, tfs, pos = self.term_positions(term)
+        if len(ids) == 0 or len(common) == 0:
+            return np.empty(0, np.int64)
+        j = np.searchsorted(ids, common)
+        hit = (j < len(ids)) & (ids[np.minimum(j, len(ids) - 1)]
+                                == common)
+        sel = np.flatnonzero(hit)
+        if len(sel) == 0:
+            return np.empty(0, np.int64)
+        idx = j[hit]
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        ss, ll = starts[idx], tfs[idx]
+        base = np.cumsum(ll) - ll
+        g = (np.repeat(ss, ll) + np.arange(int(ll.sum()))
+             - np.repeat(base, ll))
+        m = np.int64(1) << np.int64(32)
+        return (np.repeat(sel.astype(np.int64), ll) * m
+                + pos[g].astype(np.int64))
+
+    def search_phrase_prefix(self, phrase: str, k: int = 10, *,
+                             max_expansions: int = 50,
+                             scorer: str = "bm25", plan: str = "auto"
+                             ) -> list[tuple[int, float]]:
+        """Phrase-prefix gating (the Elasticsearch ``match_phrase_prefix``
+        shape — "merge s" matches "merge sort", "merge stream", …): the
+        LAST token is a prefix, expanded through the term_dict's sorted
+        range to at most ``max_expansions`` terms in term order (the ES
+        expansion cap — bounded work however common the prefix); a doc
+        matches when the fixed tokens occur as an exact adjacent phrase
+        immediately followed by ANY expansion. The gate runs on the
+        positional sidecar alone (the phrase_occurrences adjacency
+        chain, with the final link an OR over expansion position sets);
+        survivors are ranked by the fixed terms with their UNFILTERED
+        scores (the phrase_ranked / span_first filter-not-boost
+        convention). A phrase of ONLY the prefix token is refused —
+        that shape is ``search_wildcard`` / the boolean DSL's ``t*``
+        atom, which carry the membership semantics.
+
+        The trailing prefix is normalized (regex-clean + lowercase) but
+        NOT stopword-filtered — it is a prefix of a kept term, not a
+        kept term itself ("merge s" must expand 's', and 'so*' must not
+        vanish because 'so' is a stopword)."""
+        from .text import _CLEAN_RE
+
+        parts = phrase.rsplit(None, 1)
+        if len(parts) < 2:
+            raise ValueError(
+                "phrase needs ≥2 whitespace-separated tokens (fixed "
+                "terms + trailing prefix); a bare prefix is "
+                "search_wildcard")
+        fixed = clean_query(parts[0], max_tokens=None)
+        prefix = _CLEAN_RE.sub("", parts[1]).lower().strip()
+        if not fixed or not prefix:
+            raise ValueError(
+                "phrase must normalize to ≥1 kept fixed token plus a "
+                "non-empty trailing prefix")
+        exps = self.prefix_terms(prefix)[:max_expansions]
+        if not exps:
+            return []
+        common = self._common_docs(sorted(set(fixed)))
+        if len(common) == 0:
+            return []
+        packed = self._positions_over(fixed, common)
+        cur = packed[0]
+        for nxt in packed[1:]:
+            cur = np.intersect1d(cur + 1, nxt, assume_unique=True)
+        if len(cur) == 0:
+            return []
+        exp_pos = np.unique(np.concatenate(
+            [self._positions_subset(e, common) for e in exps]))
+        hit = cur[np.isin(cur + 1, exp_pos, assume_unique=False)]
+        if len(hit) == 0:
+            return []
+        allowed = common[np.unique(hit >> np.int64(32))]
+        return self.search_filtered(" ".join(fixed), k,
+                                    allowed_doc_ids=allowed,
+                                    scorer=scorer, plan=plan)
+
     def plan(self, query: str, k: int = 10) -> dict:
         """Query-plan introspection (the latency-debugging counterpart
         of ``explain``): what WOULD ``search(query, k)`` do and read,
@@ -2133,6 +2218,12 @@ class _ShardWorker:
                                              first_term=first_term,
                                              limit=limit)
 
+    def search_phrase_prefix(self, phrase: str, k: int,
+                             max_expansions: int
+                             ) -> list[tuple[int, float]]:
+        return self.engine.search_phrase_prefix(
+            phrase, k, max_expansions=max_expansions)
+
     def phrase(self, phrase: str) -> tuple[list[int], list[int]]:
         ids, counts = self.engine.phrase_occurrences(phrase)
         return ids.tolist(), counts.tolist()
@@ -2412,6 +2503,23 @@ class ShardedQueryEngine:
         import ray
 
         futs = [w.search_span_first.remote(query, k, first_term, limit)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_phrase_prefix(self, phrase: str, k: int = 10, *,
+                             max_expansions: int = 50
+                             ) -> list[tuple[int, float]]:
+        """Distributed phrase-prefix: every worker expands the prefix
+        over the INDEX-GLOBAL term_dict (shard subsets restrict
+        postings, not vocabulary), so the capped expansion list is
+        identical across workers; the adjacency gate and scoring are
+        doc-local. Merge is the standard disjoint top-k — bitwise
+        identical to the single engine (tested)."""
+        import ray
+
+        futs = [w.search_phrase_prefix.remote(phrase, k, max_expansions)
                 for w in self.workers]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))

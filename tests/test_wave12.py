@@ -154,3 +154,73 @@ def test_rank_feature_brute_force(P):
     base = dict(full)
     for d, sm, _ in got:
         assert sm <= to_micros(base[d] + P.RANK_FEATURE_W) + 1
+
+
+def test_phrase_prefix_brute_force(P):
+    """Gate == raw-text derivation: fixed tokens adjacent in the kept
+    stream, immediately followed by any prefix-expanded kept term;
+    survivors keep unfiltered fixed-term scores."""
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    texts = _doc_texts(P)
+    allowed = set()
+    for d, txt in texts.items():
+        toks = clean_query(txt, max_tokens=None)
+        for i in range(len(toks) - 1):
+            if toks[i] == "merge" and toks[i + 1].startswith("s"):
+                allowed.add(d)
+                break
+    assert allowed
+    got = eng.search_phrase_prefix(P.PHRASE_PREFIX, 10,
+                                   max_expansions=P.PP_MAX_EXP)
+    want = eng.search_filtered("merge", 10,
+                               allowed_doc_ids=sorted(allowed))
+    assert got == want and len(got) > 0
+    full = dict(eng.search("merge", len(eng.doclens.ids)))
+    for d, s in got:
+        assert d in allowed and full[d] == s
+
+
+def test_phrase_prefix_expansion_cap(P):
+    """max_expansions keeps the FIRST N expansions in term order — the
+    capped result equals gating on exactly that subset."""
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    exps = eng.prefix_terms("s")
+    assert len(exps) >= 3 and exps == sorted(exps)
+    capped = eng.search_phrase_prefix("merge s", 500, max_expansions=2)
+    texts = _doc_texts(P)
+    keep = set(exps[:2])
+    allowed = set()
+    for d, txt in texts.items():
+        toks = clean_query(txt, max_tokens=None)
+        if any(toks[i] == "merge" and toks[i + 1] in keep
+               for i in range(len(toks) - 1)):
+            allowed.add(d)
+    assert {d for d, _ in capped} == allowed
+
+
+def test_phrase_prefix_guards_and_stopword_prefix(P):
+    eng = P._index_for(SF)
+    with pytest.raises(ValueError):
+        eng.search_phrase_prefix("merge", 10)  # bare prefix
+    with pytest.raises(ValueError):
+        eng.search_phrase_prefix("the s", 10)  # fixed all stopwords
+    # a stopword-shaped prefix must NOT vanish: 'so*' expands 'sort'
+    res = eng.search_phrase_prefix("merge so", 10)
+    assert res, "'merge so' should match 'merge sort' docs"
+    # unknown prefix: empty, not an error
+    assert eng.search_phrase_prefix("merge zzz", 10) == []
+
+
+def test_sharded_phrase_prefix_identity(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=3)
+    for phrase, cap in (("merge s", 50), ("merge s", 2), ("sort jo", 50)):
+        got = sharded.search_phrase_prefix(phrase, 10, max_expansions=cap)
+        want = eng.search_phrase_prefix(phrase, 10, max_expansions=cap)
+        assert got == want, (phrase, cap)
