@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_feature_search": P.rank_feature_search,
         "span_first_search": P.span_first_search,
         "phrase_prefix_search": P.phrase_prefix_search,
+        "knn_hnsw": P.knn_hnsw,  # rows-only: graph ANN (recall-pinned by pytest)
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
         "bool_query_search": P.bool_query_search,

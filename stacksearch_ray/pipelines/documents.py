@@ -7508,3 +7508,27 @@ def phrase_prefix_search(sf_dir: str):
                                  pa.int64()),
         "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64)),
     })
+
+
+HNSW_NQ = 5
+
+
+def knn_hnsw(sf_dir: str):
+    """Graph ANN (HNSW, Malkov & Yashunin 2016) in its distributed
+    form: IVF centroids partition the vectors, map_groups builds one
+    deterministic graph per partition (hash-seeded layer draws — no RNG
+    state, rebuilds identical), each query greedy-searches its 2
+    nearest partitions' graphs only. Rows-only at the driver (graph
+    traversal is not SQL-expressible); pytest pins recall ≥ 0.9 against
+    the exact brute-force oracle and exact determinism across
+    rebuilds."""
+    from ..functions.hnsw import hnsw_partitioned_knn
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    queries = mat[np.argsort(ids)][:HNSW_NQ]  # first 5 vec_ids
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return hnsw_partitioned_knn(ds, queries, k=10, n_clusters=4,
+                                nprobe=2)

@@ -417,17 +417,28 @@ class QueryEngine:
         already have the blob-free term_dict path in _df_global."""
         if self.shard_subset is not None:
             return self._df_global(terms, {})
-        paths = self._seg_paths_for(terms)
-        if paths == []:
-            t = pa.table({"term": pa.array([], pa.string()),
-                          "df": pa.array([], pa.int64())})
-        else:
-            t = pq.read_table(paths if paths is not None else self._seg_dir,
-                              filters=[("term", "in", terms)],
-                              columns=["term", "df"])
-        dfs = {m: 0 for m in terms}
-        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            dfs[term] += int(df)
+        # memoized into the same PHYSICAL-df cache the shard-subset
+        # path uses (an open engine is an immutable snapshot — the
+        # _seg_cache/_blk_cache contract): repeated idf-only lookups
+        # (every FederatedQueryEngine query, PRF rounds) must not
+        # re-read segment parquet footers per call
+        missing = [m for m in terms if m not in self._df_cache]
+        if missing:
+            paths = self._seg_paths_for(missing)
+            if paths == []:
+                t = pa.table({"term": pa.array([], pa.string()),
+                              "df": pa.array([], pa.int64())})
+            else:
+                t = pq.read_table(paths if paths is not None
+                                  else self._seg_dir,
+                                  filters=[("term", "in", missing)],
+                                  columns=["term", "df"])
+            phys = {m: 0 for m in missing}
+            for term, df in zip(t["term"].to_pylist(),
+                                t["df"].to_pylist()):
+                phys[term] += int(df)
+            self._df_cache.update(phys)
+        dfs = {m: self._df_cache[m] for m in terms}
         if self.has_deletes:
             ddf = self._deleted_df(terms)
             dfs = {m: dfs[m] - ddf[m] for m in terms}

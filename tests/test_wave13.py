@@ -311,3 +311,72 @@ def test_rollover_ingest_refuses_shifted_source(ray_session, tmp_path):
         rollover_ingest(str(src), base, max_docs=150,
                         content_col="text", id_col="doc_id",
                         num_shards=2, term_buckets=8)
+
+
+# ---------------- HNSW ----------------
+
+
+def test_hnsw_recall_and_determinism():
+    from stacksearch_ray.functions.hnsw import HNSW
+
+    rng = np.random.default_rng(5)
+    n, d = 1500, 24
+    vecs = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64) * 3 + 11
+    g = HNSW(ids, vecs, m=8, ef_construction=64)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    hits = total = 0
+    qs = rng.standard_normal((30, d))
+    for q in qs:
+        qn = q / np.linalg.norm(q)
+        truth = set(ids[np.lexsort((ids, -(vn @ qn)))[:10]])
+        got = {i for i, _ in g.search(q, 10, ef=64)}
+        hits += len(truth & got)
+        total += 10
+    assert hits / total >= 0.9, hits / total
+    # reported similarities are the EXACT cosines of the returned ids
+    q = qs[0]
+    qn = q / np.linalg.norm(q)
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    for vid, sim in g.search(q, 10):
+        assert sim == pytest.approx(float(vn[id_to_row[vid]] @ qn),
+                                    abs=1e-12)
+    # deterministic rebuild → identical graph answers
+    g2 = HNSW(ids, vecs, m=8, ef_construction=64)
+    for q in qs[:5]:
+        assert g.search(q, 10) == g2.search(q, 10)
+
+
+def test_hnsw_partitioned_entry(ray_session):
+    """Distributed form: per-query results are ranked, high-recall vs
+    the exact scan over the probed-partition UNION's ground truth, and
+    deterministic across runs."""
+    from stacksearch_ray.pipelines import documents as P
+
+    t1 = P.knn_hnsw(SF).to_pandas()
+    t2 = P.knn_hnsw(SF).to_pandas()
+    assert t1.equals(t2)  # hash-seeded layers + pinned kmeans
+    assert set(t1["query_id"]) == set(range(P.HNSW_NQ))
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(SF, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    queries = mat[order][:P.HNSW_NQ]
+    hits = total = 0
+    for qi in range(P.HNSW_NQ):
+        qn = queries[qi] / np.linalg.norm(queries[qi])
+        truth = set(ids[np.lexsort((ids, -(vn @ qn)))[:10]])
+        got = set(t1[t1["query_id"] == qi]["vec_id"])
+        sub = t1[t1["query_id"] == qi]
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+        assert (np.diff(sub["sim_micros"].to_numpy()) <= 0).all()
+        hits += len(truth & got)
+        total += 10
+    # nprobe=2/4 partitions + in-graph approximation: stay ≥ 0.8
+    # against the FULL-corpus truth (each query is itself a corpus
+    # vector, so its own partition holds most true neighbors)
+    assert hits / total >= 0.8, hits / total
