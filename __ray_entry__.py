@@ -78,6 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first_search": P.span_first_search,
         "phrase_prefix_search": P.phrase_prefix_search,
         "knn_hnsw": P.knn_hnsw,  # rows-only: graph ANN (recall-pinned by pytest)
+        "pinned_search": P.pinned_search,
+        "has_child_search": P.has_child_search,
+        "has_parent_search": P.has_parent_search,
+        "composite_agg_page": P.composite_agg_page,
+        "adjacency_matrix_agg": P.adjacency_matrix_agg,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
         "bool_query_search": P.bool_query_search,
@@ -321,6 +326,16 @@ def oracle_sql() -> dict[str, str]:
         STEM_QUERY as _STEM_Q,
         SYN_GROUPS as _SYN_GROUPS,
         TITLE_K as P_TITLE_K,
+        PINNED_IDS as _PINNED_IDS,
+        HC_STATUS as _HC_STATUS,
+        HC_SEGMENT as _HC_SEG,
+        HC_K as _HC_K,
+        HP_BAL as _HP_BAL,
+        HP_PRIORITY as _HP_PRI,
+        HP_K as _HP_K,
+        COMP_AFTER as _COMP_AFTER,
+        COMP_PAGE as _COMP_PAGE,
+        ADJ_SRC_PREFIX as _ADJ_PRE,
     )
     from stacksearch_ray.micros import sql_micros
     from stacksearch_ray.pipelines.sql import (
@@ -821,6 +836,70 @@ ORDER BY vec_id""",
         "cardinality_kmv": _kmv_sql,
         "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise
         "bm25_topk_merged": bm25,   # merge lifecycle == rebuild, bitwise
+        "pinned_search": bm25_scores_sql(BM25_QUERY) + f""",
+pinned(doc_id, pos) AS (VALUES {", ".join(
+    f"({d}, {i + 1})" for i, d in enumerate(_PINNED_IDS))}),
+pex AS (
+  SELECT p.doc_id, p.pos, coalesce(s.score, 0.0) AS score
+  FROM pinned p JOIN documents d ON d.doc_id = p.doc_id
+  LEFT JOIN scores s ON s.doc_id = p.doc_id),
+org AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM pinned)),
+unioned AS (
+  SELECT doc_id, score, 1 AS pinned, CAST(pos AS BIGINT) AS ord FROM pex
+  UNION ALL
+  SELECT doc_id, score, 0, (SELECT count(*) FROM pex) + rn FROM org)
+SELECT doc_id, CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(pinned AS BIGINT) AS pinned,
+       CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rank
+FROM unioned ORDER BY ord LIMIT 10""",
+        "has_child_search": f"""
+WITH ch AS (
+  SELECT o_custkey AS c_custkey, count(*) AS n_children,
+         max(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+             AS best_child_micros
+  FROM orders WHERE o_orderstatus = '{_HC_STATUS}' GROUP BY 1)
+SELECT c.c_custkey, ch.n_children, ch.best_child_micros,
+       CAST(row_number() OVER (ORDER BY ch.best_child_micros DESC,
+                               c.c_custkey ASC) AS BIGINT) AS rank
+FROM customer c JOIN ch USING (c_custkey)
+WHERE c.c_mktsegment = '{_HC_SEG}'
+ORDER BY best_child_micros DESC, c_custkey ASC LIMIT {_HC_K}""",
+        "has_parent_search": f"""
+WITH par AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) AS ps
+  FROM customer WHERE c_acctbal >= {_HP_BAL})
+SELECT o.o_orderkey, o.o_custkey, par.ps AS parent_score_micros,
+       CAST(row_number() OVER (ORDER BY par.ps DESC,
+                               o.o_orderkey ASC) AS BIGINT) AS rank
+FROM orders o JOIN par ON o.o_custkey = par.c_custkey
+WHERE o.o_orderpriority = '{_HP_PRI}'
+ORDER BY par.ps DESC, o.o_orderkey ASC LIMIT {_HP_K}""",
+        "composite_agg_page": f"""
+WITH b AS (
+  SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+  FROM documents
+  WHERE lang > '{_COMP_AFTER[0]}'
+     OR (lang = '{_COMP_AFTER[0]}' AND source > '{_COMP_AFTER[1]}')
+  GROUP BY 1, 2)
+SELECT lang, source, n_docs, CAST(sum_chars AS BIGINT) AS sum_chars,
+       CAST(row_number() OVER (ORDER BY lang, source) AS BIGINT)
+           AS page_pos
+FROM b ORDER BY lang, source LIMIT {_COMP_PAGE}""",
+        "adjacency_matrix_agg": f"""
+SELECT 'a' AS cell, count(*) AS n FROM documents WHERE lang = 'en'
+UNION ALL SELECT 'a&b', count(*) FROM documents
+  WHERE lang = 'en' AND n_chars >= 200
+UNION ALL SELECT 'a&c', count(*) FROM documents
+  WHERE lang = 'en' AND source LIKE '{_ADJ_PRE}%'
+UNION ALL SELECT 'b', count(*) FROM documents WHERE n_chars >= 200
+UNION ALL SELECT 'b&c', count(*) FROM documents
+  WHERE n_chars >= 200 AND source LIKE '{_ADJ_PRE}%'
+UNION ALL SELECT 'c', count(*) FROM documents
+  WHERE source LIKE '{_ADJ_PRE}%'""",
         "score_explain": bm25_scores_sql(BM25_QUERY) + """,
 top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1),
 contrib AS (

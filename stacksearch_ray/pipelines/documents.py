@@ -7532,3 +7532,216 @@ def knn_hnsw(sf_dir: str):
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
     return hnsw_partitioned_knn(ds, queries, k=10, n_clusters=4,
                                 nprobe=2)
+
+
+# ---------------- ES join-field / pinned / composite surfaces ----------------
+
+PINNED_IDS = [13, 5, 2]
+
+
+def pinned_search(sf_dir: str):
+    """ES pinned (promoted-results) query: PINNED_IDS rank first in the
+    given order — promoted whether or not they match — then organic
+    BM25 fills to k=10 with pinned ids excluded. Pinned rows carry
+    their real matched score (0 when no query term matches), so the
+    oracle is the bm25 CTE chain LEFT-JOINed onto the pinned VALUES
+    list."""
+    eng = _index_for(sf_dir)
+    res = eng.search_pinned(BM25_QUERY, PINNED_IDS, k=10,
+                            method="exhaustive")
+    return pa.table({
+        "doc_id": pa.array([d for d, _, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s, _ in res],
+                                 pa.int64()),
+        "pinned": pa.array([int(p) for _, _, p in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+HC_STATUS, HC_SEGMENT, HC_K = "F", "BUILDING", 15
+
+
+def has_child_search(sf_dir: str):
+    """ES join-field ``has_child`` query (score_mode=max): customers in
+    one market segment having ≥1 child order with status F, ranked by
+    their best matching child's totalprice. Scale shape: children
+    pre-aggregate to parent grain map-side (count + max partials — the
+    shuffle carries one row per custkey per batch, never child rows),
+    the parent side is a dimension read applied AFTER the child agg,
+    and the final cut is integer micros (max of micros == micros of
+    max: floor(x*1e6+0.5) is monotone)."""
+    def part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderstatus"], HC_STATUS))
+        df = pd.DataFrame({
+            "c_custkey": np.asarray(t["o_custkey"].combine_chunks()
+                                    ).astype(np.int64),
+            "best_child_micros": np.asarray(pc_micros(t["o_totalprice"])),
+        })
+        g = (df.groupby("c_custkey", sort=False)["best_child_micros"]
+             .agg(n_children="size", best_child_micros="max")
+             .reset_index())
+        g["n_children"] = g["n_children"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_parent = (rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_children", alias_name="n_children"),
+                   Max("best_child_micros",
+                       alias_name="best_child_micros"))
+        .to_pandas())  # ≤ |customers| rows — bounded (parent grain)
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    ck = np.asarray(cust["c_custkey"]).astype(np.int64)
+    seg = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    oc = np.argsort(ck)
+    ck_s, seg_s = ck[oc], seg[oc]
+
+    keys = per_parent["c_custkey"].to_numpy(np.int64)
+    pos = np.searchsorted(ck_s, keys)
+    ok = (pos < len(ck_s))
+    ok[ok] = (ck_s[pos[ok]] == keys[ok]) & (seg_s[pos[ok]] == HC_SEGMENT)
+    sub = per_parent[ok]
+    keys = sub["c_custkey"].to_numpy(np.int64)
+    n_ch = sub["n_children"].to_numpy(np.int64)
+    best = sub["best_child_micros"].to_numpy(np.int64)
+    order = np.lexsort((keys, -best))[:HC_K]
+    return pa.table({
+        "c_custkey": pa.array(keys[order], pa.int64()),
+        "n_children": pa.array(n_ch[order], pa.int64()),
+        "best_child_micros": pa.array(best[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
+HP_BAL, HP_PRIORITY, HP_K = 8000.0, "1-URGENT", 20
+
+
+def has_parent_search(sf_dir: str):
+    """ES join-field ``has_parent`` query (score=true): urgent orders
+    whose parent customer holds acctbal ≥ 8000, each child scored by
+    its parent's acctbal — the parent score PROPAGATES to children.
+    Scale shape: the matching-parent map (custkey → acctbal micros) is
+    the classic broadcast small side (ray.put once, read per task);
+    children stream map-side with a sorted membership probe and a
+    per-batch partial top-K cut, so the driver merges at most K rows
+    per batch."""
+    import ray as _ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+    bal = np.asarray(cust["c_acctbal"], dtype=np.float64)
+    m = bal >= HP_BAL
+    pk = np.asarray(cust["c_custkey"]).astype(np.int64)[m]
+    pscore = to_micros(bal[m])
+    o = np.argsort(pk)
+    pref = _ray.put((pk[o], pscore[o]))
+
+    def score_children(b: pa.Table) -> pa.Table:
+        pks, psc = _ray.get(pref)
+        t = b.filter(pc.equal(b["o_orderpriority"], HP_PRIORITY))
+        ck = np.asarray(t["o_custkey"].combine_chunks()).astype(np.int64)
+        okey = np.asarray(t["o_orderkey"].combine_chunks()).astype(np.int64)
+        pos = np.searchsorted(pks, ck)
+        hit = pos < len(pks)
+        hit[hit] = pks[pos[hit]] == ck[hit]
+        okey, ck, sc = okey[hit], ck[hit], psc[pos[hit]]
+        cut = np.lexsort((okey, -sc))[:HP_K]  # partial top-K per batch
+        return pa.table({
+            "o_orderkey": pa.array(okey[cut], pa.int64()),
+            "o_custkey": pa.array(ck[cut], pa.int64()),
+            "parent_score_micros": pa.array(sc[cut], pa.int64()),
+        })
+
+    parts = (rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+        .map_batches(score_children, batch_format="pyarrow")
+        .to_pandas())  # ≤ K rows per input batch — bounded
+    okey = parts["o_orderkey"].to_numpy(np.int64)
+    ck = parts["o_custkey"].to_numpy(np.int64)
+    sc = parts["parent_score_micros"].to_numpy(np.int64)
+    order = np.lexsort((okey, -sc))[:HP_K]
+    return pa.table({
+        "o_orderkey": pa.array(okey[order], pa.int64()),
+        "o_custkey": pa.array(ck[order], pa.int64()),
+        "parent_score_micros": pa.array(sc[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
+COMP_AFTER, COMP_PAGE = ("en", "src12"), 7
+
+
+def composite_agg_page(sf_dir: str):
+    """ES composite aggregation with ``after_key`` pagination: the next
+    COMP_PAGE (lang, source) buckets strictly after COMP_AFTER in key
+    order, with per-bucket count and char sum. The after-key PREDICATE
+    (not OFFSET) is what makes deep pagination scale: the key filter
+    applies map-side BEFORE the shuffle, every page is an independent
+    bounded query, and no page re-ranks or materializes earlier ones —
+    OFFSET-paging a 10⁹-bucket agg re-shuffles everything per page."""
+    a_lang, a_src = COMP_AFTER
+
+    def part(b: pa.Table) -> pa.Table:
+        lang = b["lang"].combine_chunks()
+        src = b["source"].combine_chunks()
+        keep = pc.or_(
+            pc.greater(lang, a_lang),
+            pc.and_(pc.equal(lang, a_lang), pc.greater(src, a_src)))
+        t = b.filter(keep)
+        tt = pa.table({
+            "lang": t["lang"].combine_chunks(),
+            "source": t["source"].combine_chunks(),
+            "n_docs": np.ones(t.num_rows, dtype=np.int64),
+            "sum_chars": t["n_chars"].combine_chunks().cast(pa.int64()),
+        })
+        return _partial_sums(tt, ["lang", "source"],
+                             {"n_docs": "n_docs", "sum_chars": "sum_chars"})
+
+    agg = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source", "n_chars"])
+           .map_batches(part, batch_format="pyarrow")
+           .groupby(["lang", "source"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars"))
+           .to_pandas())  # bucket-count-sized (the agg result itself)
+    agg = agg.sort_values(["lang", "source"],
+                          kind="mergesort").head(COMP_PAGE)
+    return pa.table({
+        "lang": pa.array(agg["lang"].tolist(), pa.string()),
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+        "sum_chars": pa.array(agg["sum_chars"].to_numpy(np.int64)),
+        "page_pos": pa.array(np.arange(1, len(agg) + 1, dtype=np.int64)),
+    })
+
+
+ADJ_SRC_PREFIX = "src1"
+
+
+def adjacency_matrix_agg(sf_dir: str):
+    """ES ``adjacency_matrix`` aggregation: doc counts for each of
+    three named filters and each pairwise intersection (a=en docs,
+    b=long docs, c=src1*-sourced docs). One streaming pass: each batch
+    computes the three boolean masks once and emits six (key, n)
+    partial rows; the groupby merges count-sized partials — no shuffle
+    of raw rows, no second scan per cell."""
+    def part(b: pa.Table) -> pa.Table:
+        a = np.asarray(pc.equal(b["lang"], "en"))
+        bb = np.asarray(pc.greater_equal(b["n_chars"], 200))
+        c = np.asarray(pc.starts_with(b["source"], ADJ_SRC_PREFIX))
+        keys = ["a", "a&b", "a&c", "b", "b&c", "c"]
+        ns = [a.sum(), (a & bb).sum(), (a & c).sum(), bb.sum(),
+              (bb & c).sum(), c.sum()]
+        return pa.table({"cell": pa.array(keys, pa.string()),
+                         "n": pa.array(np.asarray(ns, dtype=np.int64))})
+
+    return (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["lang", "source", "n_chars"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Sum("n", alias_name="n")))

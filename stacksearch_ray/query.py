@@ -909,6 +909,47 @@ class QueryEngine:
         order = np.lexsort((ids, -vals if descending else vals))[:k]
         return [(int(ids[i]), vals[i].item()) for i in order]
 
+    def search_pinned(self, query: str, pinned_ids, k: int = 10,
+                      method: str = "auto", scorer: str = "bm25"
+                      ) -> list[tuple[int, float, bool]]:
+        """Elasticsearch ``pinned`` (promoted-results) query: the given
+        ids rank first IN THE GIVEN ORDER — promoted whether or not
+        they match, exactly ES's semantics — then organic results fill
+        the remaining slots, pinned ids excluded, until ``k`` total.
+        Returns (doc_id, score, pinned) triples; a pinned doc carries
+        its real matched score (via explain(), bitwise the search
+        score) or 0.0 when it matches no query term, so the caller can
+        display organic relevance alongside the promotion. Pinned ids
+        that are unknown or tombstoned are skipped (they could never
+        surface organically); duplicates keep the first position."""
+        seen: set[int] = set()
+        pinned: list[tuple[int, float, bool]] = []
+        lid = self.doclens.ids
+        for d in pinned_ids:
+            di = int(d)
+            if di in seen:
+                continue
+            seen.add(di)
+            p = int(np.searchsorted(lid, di))
+            if p < len(lid) and lid[p] == di and (
+                    not self.has_deletes or self._alive[p]):
+                pinned.append(
+                    (di, self.explain(query, di, scorer=scorer)["score"],
+                     True))
+            if len(pinned) >= k:
+                break
+        out = pinned[:k]
+        # over-fetch by |pinned| so excluded promoted docs can't starve
+        # the organic fill
+        for d, s in self.search(query, k=k + len(seen), method=method,
+                                scorer=scorer):
+            if len(out) >= k:
+                break
+            if d in seen:
+                continue
+            out.append((d, s, False))
+        return out
+
     def search_after(self, query: str, after_score: float, after_doc: int,
                      k: int = 10, method: str = "exhaustive",
                      scorer: str = "bm25") -> list[tuple[int, float]]:

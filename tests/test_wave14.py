@@ -1,0 +1,168 @@
+"""Wave-14 semantics: ES pinned (promoted-results) query, join-field
+has_child/has_parent, composite-agg after_key pagination, adjacency
+matrix. The DuckDB oracle (selfcheck) pins exact entry values; these pin
+the MEANING — promotion order, existence/tombstone gating, score
+identity, page-boundary exactness."""
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mini_index(tmp_path, texts, ids=None):
+    from stacksearch_ray.build import build_index
+
+    ids = ids if ids is not None else list(range(len(texts)))
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), src)
+    out = str(tmp_path / "idx")
+    build_index(src, out, content_col="text", id_col="doc_id",
+                num_shards=2, term_buckets=4)
+    return out
+
+
+# ---------------- search_pinned ----------------
+
+
+def test_pinned_order_scores_and_fill(ray_session, tmp_path):
+    from stacksearch_ray.query import QueryEngine
+
+    texts = ["merge sort algorithm", "binary merge tree", "hash join plan",
+             "sort merge join", "unrelated words entirely", "merge merge"]
+    idx = _mini_index(tmp_path, texts)
+    eng = QueryEngine(idx)
+    res = eng.search_pinned("merge sort", [4, 2], k=4)
+    # pinned first, in the GIVEN order, even though 4 matches nothing
+    assert [d for d, _, _ in res[:2]] == [4, 2]
+    assert [p for _, _, p in res] == [True, True, False, False]
+    # pinned score == bitwise the organic score (explain contract):
+    # doc 4 matches no term -> 0.0; doc 2 matches 'sort'? no — 'join'
+    # only; its score equals its score in a full search
+    full = dict((d, s) for d, s in eng.search("merge sort", k=6))
+    assert res[0][1] == 0.0
+    assert res[1][1] == full.get(2, 0.0)
+    # organic fill excludes pinned ids and keeps (score desc, id asc)
+    organic = [d for d, _, _ in res[2:]]
+    expect = [d for d, _ in eng.search("merge sort", k=6)
+              if d not in (4, 2)][:2]
+    assert organic == expect
+
+
+def test_pinned_unknown_duplicate_and_tombstoned_skipped(
+        ray_session, tmp_path):
+    from stacksearch_ray.append import delete_from_index
+    from stacksearch_ray.query import QueryEngine
+
+    texts = ["merge sort", "merge join", "sort join", "merge sort join"]
+    idx = _mini_index(tmp_path, texts)
+    delete_from_index(idx, [1])
+    eng = QueryEngine(idx)
+    res = eng.search_pinned("merge", [99, 3, 3, 1], k=4)
+    # 99 unknown, 1 tombstoned, duplicate 3 collapsed -> one pinned row
+    assert [d for d, _, _ in res if _ or True][:1] == [3]
+    assert res[0][2] is True
+    assert all(d != 1 for d, _, _ in res)
+    assert all(d != 99 for d, _, _ in res)
+    # organic rows are not marked pinned and don't repeat 3
+    assert [d for d, _, p in res if not p].count(3) == 0
+
+
+def test_pinned_k_truncates_pinned_list(ray_session, tmp_path):
+    from stacksearch_ray.query import QueryEngine
+
+    texts = ["a b c", "merge sort", "merge", "sort"]
+    idx = _mini_index(tmp_path, texts)
+    eng = QueryEngine(idx)
+    res = eng.search_pinned("merge sort", [0, 3, 2, 1], k=2)
+    assert [(d, p) for d, _, p in res] == [(0, True), (3, True)]
+
+
+# ---------------- entry-level invariants ----------------
+
+
+def test_composite_page_boundary_and_continuity(ray_session):
+    """Page buckets are strictly after the after_key, contiguous in key
+    order, and agree with a whole-table groupby restricted to the page
+    window (pagination loses nothing)."""
+    from stacksearch_ray.pipelines import documents as P
+
+    t = P.composite_agg_page(SF).to_pandas().sort_values("page_pos")
+    al, asrc = P.COMP_AFTER
+    keys = list(zip(t["lang"], t["source"]))
+    assert all(k > (al, asrc) for k in keys)
+    assert keys == sorted(keys)
+    full = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["lang", "source", "n_chars"]).to_pandas()
+    g = (full.groupby(["lang", "source"], as_index=False)
+         .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")))
+    g = g[[tuple(k) > (al, asrc) for k in zip(g["lang"], g["source"])]]
+    g = g.sort_values(["lang", "source"]).head(P.COMP_PAGE)
+    assert keys == list(zip(g["lang"], g["source"]))
+    assert list(t["n_docs"]) == list(g["n_docs"])
+    assert list(t["sum_chars"]) == list(g["sum_chars"])
+
+
+def test_adjacency_matrix_cells_consistent(ray_session):
+    """Pairwise cells can never exceed their member filters, and every
+    count matches a pandas replay."""
+    from stacksearch_ray.pipelines import documents as P
+
+    t = P.adjacency_matrix_agg(SF).to_pandas()
+    n = dict(zip(t["cell"], t["n"]))
+    full = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["lang", "source", "n_chars"]).to_pandas()
+    a = full["lang"] == "en"
+    b = full["n_chars"] >= 200
+    c = full["source"].str.startswith(P.ADJ_SRC_PREFIX)
+    assert n == {"a": a.sum(), "b": b.sum(), "c": c.sum(),
+                 "a&b": (a & b).sum(), "a&c": (a & c).sum(),
+                 "b&c": (b & c).sum()}
+    assert n["a&b"] <= min(n["a"], n["b"])
+    assert n["b&c"] <= min(n["b"], n["c"])
+
+
+def test_has_child_score_mode_max_semantics(ray_session):
+    """Each returned parent's best_child_micros is the true max over
+    its matching children, and ranking is (best desc, custkey asc)."""
+    from stacksearch_ray.pipelines import documents as P
+
+    t = P.has_child_search(SF).to_pandas()
+    orders = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    cust = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+    ch = orders[orders["o_orderstatus"] == P.HC_STATUS]
+    for _, row in t.iterrows():
+        mine = ch[ch["o_custkey"] == row["c_custkey"]]
+        assert len(mine) == row["n_children"]
+        best = np.floor(mine["o_totalprice"].max() * 1e6 + 0.5)
+        assert int(best) == row["best_child_micros"]
+        seg = cust.loc[cust["c_custkey"] == row["c_custkey"],
+                       "c_mktsegment"].iloc[0]
+        assert seg == P.HC_SEGMENT
+    pairs = list(zip(-t["best_child_micros"], t["c_custkey"]))
+    assert pairs == sorted(pairs)
+
+
+def test_has_parent_score_propagation(ray_session):
+    """Every child's score is exactly its parent's acctbal micros, and
+    only qualifying parents' children appear."""
+    from stacksearch_ray.pipelines import documents as P
+
+    t = P.has_parent_search(SF).to_pandas()
+    cust = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+    bal = dict(zip(cust["c_custkey"], cust["c_acctbal"]))
+    for _, row in t.iterrows():
+        b = bal[row["o_custkey"]]
+        assert b >= P.HP_BAL
+        assert int(np.floor(b * 1e6 + 0.5)) == row["parent_score_micros"]
