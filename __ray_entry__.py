@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_parent_search": P.has_parent_search,
         "composite_agg_page": P.composite_agg_page,
         "adjacency_matrix_agg": P.adjacency_matrix_agg,
+        "search_export": P.search_export,
+        "phrase_suggest": P.phrase_suggest,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
         "bool_query_search": P.bool_query_search,
@@ -336,6 +338,9 @@ def oracle_sql() -> dict[str, str]:
         COMP_AFTER as _COMP_AFTER,
         COMP_PAGE as _COMP_PAGE,
         ADJ_SRC_PREFIX as _ADJ_PRE,
+        PS_PROBES as _PS_PROBES,
+        PS_MAXD as _PS_MAXD,
+        PS_K as _PS_K,
     )
     from stacksearch_ray.micros import sql_micros
     from stacksearch_ray.pipelines.sql import (
@@ -900,6 +905,38 @@ UNION ALL SELECT 'b&c', count(*) FROM documents
   WHERE n_chars >= 200 AND source LIKE '{_ADJ_PRE}%'
 UNION ALL SELECT 'c', count(*) FROM documents
   WHERE source LIKE '{_ADJ_PRE}%'""",
+        "search_export": bm25_scores_sql(BM25_QUERY) + """
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros
+FROM scores s JOIN documents d USING (doc_id)""",
+        "phrase_suggest": f"""
+WITH {kept_tokens_cte()},
+{token_list_cte().lstrip()},
+pairs AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS t1,
+         unnest(toks[2:]) AS t2
+  FROM doc_toks),
+vocab AS (SELECT DISTINCT term FROM kept),
+c1 AS (SELECT term, levenshtein(term, '{_PS_PROBES[0]}')::BIGINT AS d
+       FROM vocab WHERE levenshtein(term, '{_PS_PROBES[0]}') <= {_PS_MAXD}),
+c2 AS (SELECT term, levenshtein(term, '{_PS_PROBES[1]}')::BIGINT AS d
+       FROM vocab WHERE levenshtein(term, '{_PS_PROBES[1]}') <= {_PS_MAXD}),
+cnt AS (
+  SELECT t1 AS cand1, t2 AS cand2, count(*)::BIGINT AS bigram_c
+  FROM pairs
+  WHERE t1 IN (SELECT term FROM c1) AND t2 IN (SELECT term FROM c2)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT cnt.cand1, cnt.cand2, cnt.bigram_c,
+         (c1.d + c2.d) AS total_dist
+  FROM cnt JOIN c1 ON c1.term = cnt.cand1
+           JOIN c2 ON c2.term = cnt.cand2)
+SELECT cand1, cand2, bigram_c, total_dist,
+       CAST(row_number() OVER (ORDER BY bigram_c DESC, total_dist ASC,
+                               cand1 ASC, cand2 ASC) AS BIGINT) AS rank
+FROM scored
+ORDER BY bigram_c DESC, total_dist ASC, cand1 ASC, cand2 ASC
+LIMIT {_PS_K}""",
         "score_explain": bm25_scores_sql(BM25_QUERY) + """,
 top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1),
 contrib AS (

@@ -7745,3 +7745,129 @@ def adjacency_matrix_agg(sf_dir: str):
             .map_batches(part, batch_format="pyarrow")
             .groupby("cell")
             .aggregate(Sum("n", alias_name="n")))
+
+
+def search_export(sf_dir: str):
+    """Retrieval → training-corpus extraction: EVERY doc matching the
+    query (no top-k cut), with its bitwise search score and metadata,
+    as a streaming Dataset — the bridge from the serving index to a
+    downstream data pipeline ("build me a corpus slice about X").
+    Scale shape: the matched (ids, score_micros) arrays broadcast once
+    (ray.put — matched-set-sized, 16 B/doc; for hot-term exports run
+    export_matches per shard-subset engine instead), then ONE
+    column-pruned streaming corpus pass attaches scores via a sorted
+    membership probe. The corpus text/metadata never shuffles and the
+    result streams straight into write_parquet or the next stage."""
+    import ray as _ray
+
+    eng = _index_for(sf_dir)
+    ids, scores = eng.export_matches(BM25_QUERY)
+    ref = _ray.put((ids, to_micros(scores)))
+
+    def attach(b: pa.Table) -> pa.Table:
+        mids, msc = _ray.get(ref)
+        did = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        pos = np.searchsorted(mids, did)
+        hit = pos < len(mids)
+        hit[hit] = mids[pos[hit]] == did[hit]
+        t = b.filter(pa.array(hit))
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "lang": t["lang"].combine_chunks(),
+            "n_chars": t["n_chars"].combine_chunks().cast(pa.int64()),
+            "score_micros": pa.array(msc[pos[hit]], pa.int64()),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir),
+                            columns=["doc_id", "lang", "n_chars"])
+            .map_batches(attach, batch_format="pyarrow"))
+
+
+PS_PROBES, PS_MAXD, PS_K = ("hach", "sart"), 2, 5
+
+
+def phrase_suggest(sf_dir: str):
+    """ES phrase suggester (bigram-context "did you mean" for a
+    two-term query): per-token candidates come from the index vocab
+    within Levenshtein ≤ 2 (Myers kernel, length-blocked), then
+    candidate PAIRS are ranked by corpus adjacent-bigram count — the
+    context decides, unlike spellfix's per-token independence (here
+    the probes' per-token best corrections appear in several pairs;
+    the winning pair differs by corpus). Tie-break (bigram desc, total
+    edit distance asc, cand1, cand2); pairs never co-occurring in the
+    corpus are not suggested. Scale shape: the candidate sets are
+    edit-neighborhood-sized; the bigram pass filters map-side on both
+    sides so only |C1|·|C2| pair counts reach the driver."""
+    from ..functions.curation import _encode_ascii, myers_levenshtein
+
+    eng = _index_for(sf_dir)
+    t = pq.read_table(eng._term_dict_dir, columns=["term"])
+    terms = pd.Series(sorted(set(t["term"].to_pylist())))
+    t_codes, t_lens = _encode_ascii(terms, 64)
+    t_arr = terms.to_numpy(dtype=object)
+    p_codes, p_lens = _encode_ascii(pd.Series(list(PS_PROBES)), 64)
+
+    cands: list[dict[str, int]] = []
+    for i in range(len(PS_PROBES)):
+        blk = np.flatnonzero(np.abs(t_lens - p_lens[i]) <= PS_MAXD)
+        d = myers_levenshtein(
+            np.repeat(p_codes[i][None, :], len(blk), axis=0),
+            np.full(len(blk), p_lens[i], dtype=np.int64),
+            t_codes[blk], t_lens[blk])
+        hit = d <= PS_MAXD
+        cands.append({str(term): int(dist) for term, dist
+                      in zip(t_arr[blk[hit]], d[hit])})
+    c1, c2 = cands
+    if not c1 or not c2:
+        return pa.table({"cand1": pa.array([], pa.string()),
+                         "cand2": pa.array([], pa.string()),
+                         "bigram_c": pa.array([], pa.int64()),
+                         "total_dist": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    s1 = pa.array(sorted(c1), pa.string())
+    s2 = pa.array(sorted(c2), pa.string())
+
+    def part(b: pa.Table) -> pa.Table:
+        empty = pa.table({"cand1": pa.array([], pa.string()),
+                          "cand2": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        m = len(flat) - 1
+        if m <= 0:
+            return empty
+        first, second = flat.slice(0, m), flat.slice(1, m)
+        keep = pc.and_(pa.array(doc_idx[:m] == doc_idx[1:]),
+                       pc.and_(pc.is_in(first, value_set=s1),
+                               pc.is_in(second, value_set=s2)))
+        first, second = first.filter(keep), second.filter(keep)
+        if len(first) == 0:
+            return empty
+        g = (pd.DataFrame({"cand1": first.to_pylist(),
+                           "cand2": second.to_pylist()})
+             .groupby(["cand1", "cand2"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (rd.read_parquet(_docs(sf_dir), columns=["text"])
+             .map_batches(part, batch_format="pyarrow")
+             .to_pandas())  # ≤ |C1|·|C2| rows per batch — bounded
+    if not len(parts):
+        return pa.table({"cand1": pa.array([], pa.string()),
+                         "cand2": pa.array([], pa.string()),
+                         "bigram_c": pa.array([], pa.int64()),
+                         "total_dist": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    cnt = parts.groupby(["cand1", "cand2"], as_index=False)["c"].sum()
+    a1 = cnt["cand1"].to_numpy(dtype=object)
+    a2 = cnt["cand2"].to_numpy(dtype=object)
+    bc = cnt["c"].to_numpy(np.int64)
+    td = np.asarray([c1[x] for x in a1], np.int64) + np.asarray(
+        [c2[x] for x in a2], np.int64)
+    order = np.lexsort((a2, a1, td, -bc))[:PS_K]
+    return pa.table({
+        "cand1": pa.array(a1[order].tolist(), pa.string()),
+        "cand2": pa.array(a2[order].tolist(), pa.string()),
+        "bigram_c": pa.array(bc[order], pa.int64()),
+        "total_dist": pa.array(td[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })

@@ -1758,6 +1758,48 @@ class QueryEngine:
             return self._search_bmax(terms, k)
         return self._search_exhaustive(terms, k)
 
+    def export_matches(self, query: str, scorer: str = "bm25"
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """The retrieval→Dataset bridge: EVERY alive doc matching ≥1
+        query term, as (doc_ids, scores) ARRAYS in doc_id order — no
+        top-k cut, no Python tuple list. Scores ride the exhaustive
+        dense accumulator (same float order as search(), so any doc's
+        exported score is bitwise its search score). This is the shard-
+        local primitive for corpus extraction: callers broadcast the
+        arrays (ray.put) and stream the corpus once attaching scores —
+        at very large matched sets, run it per shard-subset engine so
+        no single process holds the full matched set."""
+        terms = sorted(set(clean_query(query)))
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if not terms:
+            return empty
+        segs = self._segments_for(terms)
+        custom = self._resolve_scorer(scorer, terms, segs)
+        dfs = self._df_global(terms, segs)
+        n_local = len(self.doclens.ids)
+        acc = np.zeros(n_local, dtype=np.float64)
+        hit = np.zeros(n_local, dtype=bool)
+        any_rows = False
+        for t in terms:  # sorted order → deterministic accumulation
+            rows = segs[t]
+            if not rows:
+                continue
+            w = idf_fn(self.n_docs, dfs[t])
+            for i, r in enumerate(rows):
+                ids, tfs, dls, part, didx = self._decoded(t, i, r)
+                if custom is None:
+                    acc[didx] += w * part
+                else:
+                    acc[didx] += custom(tfs, dls, dfs[t], t)
+                hit[didx] = True
+                any_rows = True
+        if not any_rows:
+            return empty
+        if self.has_deletes:
+            hit &= self._alive
+        m = np.flatnonzero(hit)
+        return self.doclens.ids[m].astype(np.int64), acc[m]
+
     def search_filtered(self, query: str, k: int = 10,
                         allowed_doc_ids=None,
                         scorer: str = "bm25",
@@ -2444,6 +2486,48 @@ class ShardedQueryEngine:
                              self._n_shards)[0])
         w = self.workers[self._worker_of_shard[shard]]
         return ray.get(w.explain.remote(query, doc_id, scorer))
+
+    def search_pinned(self, query: str, pinned_ids, k: int = 10,
+                      method: str = "auto", scorer: str = "bm25"
+                      ) -> list[tuple[int, float, bool]]:
+        """Distributed pinned (promoted-results) query: each pinned id
+        routes to the ONE worker owning its shard (the alive check and
+        the matched score come from the owner's explain — bitwise the
+        search score), in parallel; organic results are the standard
+        top-(k+P) fan-out merge with pinned ids excluded. Identical to
+        the single engine's composition by construction."""
+        import ray
+
+        from .schema import shard_of
+
+        seen: set[int] = set()
+        ordered: list[int] = []
+        for d in pinned_ids:
+            di = int(d)
+            if di not in seen:
+                seen.add(di)
+                ordered.append(di)
+        futs = []
+        for di in ordered:
+            shard = int(shard_of(np.asarray([di], dtype=np.int64),
+                                 self._n_shards)[0])
+            w = self.workers[self._worker_of_shard[shard]]
+            futs.append(w.explain.remote(query, di, scorer))
+        pinned: list[tuple[int, float, bool]] = []
+        for di, ex in zip(ordered, ray.get(futs)):
+            if ex["alive"]:
+                pinned.append((di, ex["score"], True))
+            if len(pinned) >= k:
+                break
+        out = pinned[:k]
+        for d, s in self.search(query, k + len(seen), method=method,
+                                scorer=scorer):
+            if len(out) >= k:
+                break
+            if d in seen:
+                continue
+            out.append((d, s, False))
+        return out
 
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "auto", scorer: str = "bm25"

@@ -166,3 +166,76 @@ def test_has_parent_score_propagation(ray_session):
         b = bal[row["o_custkey"]]
         assert b >= P.HP_BAL
         assert int(np.floor(b * 1e6 + 0.5)) == row["parent_score_micros"]
+
+
+def test_pinned_sharded_bitwise(ray_session, tmp_path):
+    """ShardedQueryEngine.search_pinned == QueryEngine.search_pinned,
+    bitwise, including an unknown and a non-matching pinned id."""
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    texts = [f"merge sort doc{i} join stream" if i % 3 == 0
+             else f"window filter doc{i}" for i in range(40)]
+    idx = _mini_index(tmp_path, texts)
+    eng = QueryEngine(idx)
+    sh = ShardedQueryEngine(idx, num_workers=2)
+    for pinned in ([7, 99, 0], [], [1, 1, 2]):
+        a = eng.search_pinned("merge sort join", pinned, k=6)
+        b = sh.search_pinned("merge sort join", pinned, k=6)
+        assert a == b, (pinned, a, b)
+
+
+# ---------------- export_matches / search_export ----------------
+
+
+def test_export_matches_full_set_and_bitwise(ray_session, tmp_path):
+    """export_matches returns EVERY matching alive doc with its exact
+    search score (bitwise), excludes tombstoned docs, and covers docs a
+    top-k cut would drop."""
+    from stacksearch_ray.append import delete_from_index
+    from stacksearch_ray.query import QueryEngine
+
+    texts = [f"merge doc{i}" if i % 2 == 0 else f"filter doc{i}"
+             for i in range(30)]
+    idx = _mini_index(tmp_path, texts)
+    delete_from_index(idx, [0, 2])
+    eng = QueryEngine(idx)
+    ids, scores = eng.export_matches("merge")
+    expect_ids = [i for i in range(30) if i % 2 == 0 and i not in (0, 2)]
+    assert ids.tolist() == expect_ids  # doc_id order, tombstones gone
+    full = dict(eng.search("merge", k=30, method="exhaustive"))
+    for d, s in zip(ids, scores):
+        assert s == full[d]  # bitwise (same accumulator)
+    # empty-query and no-match shapes
+    i2, s2 = eng.export_matches("zzznope")
+    assert len(i2) == 0 and len(s2) == 0
+    i3, s3 = eng.export_matches("")
+    assert len(i3) == 0 and len(s3) == 0
+
+
+def test_phrase_suggest_context_ranking(ray_session):
+    """The suggester's pair ranking follows corpus bigram counts (a
+    pandas replay agrees), every candidate is within PS_MAXD of its
+    probe, and the winning pair co-occurs in the corpus."""
+    from stacksearch_ray.pipelines import documents as P
+    from stacksearch_ray.text import clean_query
+
+    t = P.phrase_suggest(SF).to_pandas()
+    assert len(t) > 0
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["text"]).to_pandas()
+    from collections import Counter
+    bg = Counter()
+    for txt in docs["text"]:
+        toks = clean_query(txt, max_tokens=None)
+        bg.update(zip(toks, toks[1:]))
+    for _, row in t.iterrows():
+        assert bg[(row["cand1"], row["cand2"])] == row["bigram_c"]
+    # ranking is (bigram desc, dist asc, cand1, cand2)
+    keys = list(zip(-t["bigram_c"], t["total_dist"], t["cand1"],
+                    t["cand2"]))
+    assert keys == sorted(keys)
+    # context demo: both (hash, sort) and (hash, part) style pairs are
+    # rankable candidates; the top pair is the corpus's most frequent
+    top = t.iloc[0]
+    assert all(bg[(r["cand1"], r["cand2"])] <= top["bigram_c"]
+               for _, r in t.iterrows())
