@@ -178,14 +178,14 @@ def hnsw_partitioned_knn(ds: Dataset, queries: np.ndarray, k: int = 10,
     n_clusters so partitions stay worker-sized — the same knob as
     IVFIndex."""
     from ..micros import to_micros
-    from .ivf import assign_centroids, train_kmeans
+    from .ivf import assign_centroids, centroid_d2, train_kmeans
     from .similarity import _emb_matrix
 
     cents = train_kmeans(ds, k=n_clusters)
     qm = np.asarray(queries, dtype=np.float64)
-    # per query: the nprobe nearest partitions
-    qd = ((qm * qm).sum(axis=1, keepdims=True) - 2.0 * (qm @ cents.T)
-          + (cents * cents).sum(axis=1)[None, :])
+    # per query: the nprobe nearest partitions (same metric expression
+    # as vector assignment — centroid_d2 is shared by construction)
+    qd = centroid_d2(qm, cents)
     probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
     cid_to_queries: dict[int, list[int]] = {}
     for qi, row in enumerate(probe):

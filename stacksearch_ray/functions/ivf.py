@@ -36,13 +36,20 @@ from ..micros import to_micros
 from .similarity import _emb_matrix
 
 
+def centroid_d2(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Squared-L2 distance matrix (n × k) — THE metric expression for
+    every centroid consumer (assignment here, partition probing in
+    hnsw.py); one definition so assignment and probing can never
+    diverge numerically."""
+    return ((x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :])
+
+
 def assign_centroids(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """Nearest centroid by L2; ties break to the LOWEST centroid id
     (np.argmin returns the first minimum)."""
-    d2 = ((x * x).sum(axis=1, keepdims=True)
-          - 2.0 * (x @ centroids.T)
-          + (centroids * centroids).sum(axis=1)[None, :])
-    return np.argmin(d2, axis=1).astype(np.int64)
+    return np.argmin(centroid_d2(x, centroids), axis=1).astype(np.int64)
 
 
 def _init_centroids(k: int, dim: int, seed: int) -> np.ndarray:

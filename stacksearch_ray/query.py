@@ -939,15 +939,17 @@ class QueryEngine:
             if len(pinned) >= k:
                 break
         out = pinned[:k]
-        # over-fetch by |pinned| so excluded promoted docs can't starve
-        # the organic fill
-        for d, s in self.search(query, k=k + len(seen), method=method,
-                                scorer=scorer):
-            if len(out) >= k:
-                break
-            if d in seen:
-                continue
-            out.append((d, s, False))
+        if len(out) < k:
+            # over-fetch by |pinned| so excluded promoted docs can't
+            # starve the organic fill; skipped entirely when pinned
+            # rows already fill k (the organic pass would be discarded)
+            for d, s in self.search(query, k=k + len(seen),
+                                    method=method, scorer=scorer):
+                if len(out) >= k:
+                    break
+                if d in seen:
+                    continue
+                out.append((d, s, False))
         return out
 
     def search_after(self, query: str, after_score: float, after_doc: int,
@@ -2520,13 +2522,14 @@ class ShardedQueryEngine:
             if len(pinned) >= k:
                 break
         out = pinned[:k]
-        for d, s in self.search(query, k + len(seen), method=method,
-                                scorer=scorer):
-            if len(out) >= k:
-                break
-            if d in seen:
-                continue
-            out.append((d, s, False))
+        if len(out) < k:
+            for d, s in self.search(query, k + len(seen), method=method,
+                                    scorer=scorer):
+                if len(out) >= k:
+                    break
+                if d in seen:
+                    continue
+                out.append((d, s, False))
         return out
 
     def search_many(self, queries: list[str], k: int = 10,
