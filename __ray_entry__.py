@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacency_matrix_agg": P.adjacency_matrix_agg,
         "search_export": P.search_export,
         "phrase_suggest": P.phrase_suggest,
+        "knn_ivf_appended": P.knn_ivf_appended,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
         "bool_query_search": P.bool_query_search,
@@ -677,20 +678,61 @@ FROM ({mmr_union}) ORDER BY rank"""
     # knn_ivf centroids: the pure-NumPy mirror of the distributed
     # k-means — micros-exact updates commute, so these literals are
     # bitwise the centroids the Ray trainer produced on the same table
-    ivf_cent_rows = None
+    ivf_cent_rows = ivf_cent_rows_half = None
     try:
         from stacksearch_ray.functions.ivf import kmeans_numpy
 
         _e = _pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
-                            columns=["embedding"])
+                            columns=["vec_id", "embedding"])
         _x = np.asarray(_e["embedding"].to_pylist(), dtype=np.float64)
         _cents = kmeans_numpy(_x, k=8, iters=4, seed=17)
         ivf_cent_rows = ", ".join(
             "({}, [{}]::DOUBLE[])".format(
                 i, ", ".join(repr(float(v)) for v in _cents[i]))
             for i in range(len(_cents)))
+        # knn_ivf_appended: quantizer FROZEN at build time — centroids
+        # trained on the even-vec_id half only (micros sums commute, so
+        # subset order is irrelevant), assignment replayed on all rows
+        _vids = _e["vec_id"].to_numpy()
+        _ch = kmeans_numpy(_x[_vids % 2 == 0], k=8, iters=4, seed=17)
+        ivf_cent_rows_half = ", ".join(
+            "({}, [{}]::DOUBLE[])".format(
+                i, ", ".join(repr(float(v)) for v in _ch[i]))
+            for i in range(len(_ch)))
     except (OSError, FileNotFoundError):
-        pass  # sf0.01 absent: omit the knn_ivf oracle
+        pass  # sf0.01 absent: omit the knn_ivf oracles
+
+    def _ivf_chain_sql(cent_rows) -> str:
+        """The IVF probe-then-exact-rescore chain for a centroid-
+        literal set: assign every row to its nearest centroid, keep the
+        query's 2 nearest cells, exact cosine inside them."""
+        return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+cents(cid, c) AS (VALUES {cent_rows}),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding::DOUBLE[],
+                                                   c.c) ASC,
+                                     c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c),
+a AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+qp AS (
+  SELECT c.cid,
+         row_number() OVER (ORDER BY list_distance((SELECT qe FROM q),
+                                                   c.c) ASC,
+                            c.cid ASC) AS rn
+  FROM cents c),
+probes AS (SELECT cid FROM qp WHERE rn <= 2),
+cand AS (SELECT a.vec_id FROM a JOIN probes USING (cid)),
+sims AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+           AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10"""
     # knn_pq codebooks + query ADC LUT: the per-subspace micros-exact
     # k-means mirror; LUT entries are Python-computed int64 micros, so
     # the only cross-engine float surface is the assignment argmin
@@ -2337,33 +2379,11 @@ per_query AS (
   GROUP BY c.config, q.variant, q.qid)
 SELECT config, variant, CAST(sum(hit) AS BIGINT) AS hits, count(*) AS n
 FROM per_query GROUP BY config, variant""",
-        "knn_ivf": f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-cents(cid, c) AS (VALUES {ivf_cent_rows}),
-assign AS (
-  SELECT e.vec_id, c.cid,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY list_distance(e.embedding::DOUBLE[],
-                                                   c.c) ASC,
-                                     c.cid ASC) AS rn
-  FROM embeddings e CROSS JOIN cents c),
-a AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-qp AS (
-  SELECT c.cid,
-         row_number() OVER (ORDER BY list_distance((SELECT qe FROM q),
-                                                   c.c) ASC,
-                            c.cid ASC) AS rn
-  FROM cents c),
-probes AS (SELECT cid FROM qp WHERE rn <= 2),
-cand AS (SELECT a.vec_id FROM a JOIN probes USING (cid)),
-sims AS (
-  SELECT e.vec_id,
-         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
-  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
-SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
-       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
-           AS rank
-FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        # one chain, two centroid sets: knn_ivf (trained on all rows)
+        # and knn_ivf_appended (frozen quantizer trained on the even
+        # half; assignment still over all rows — the append contract)
+        "knn_ivf": _ivf_chain_sql(ivf_cent_rows),
+        "knn_ivf_appended": _ivf_chain_sql(ivf_cent_rows_half),
         "minhash_clusters": f"""
 WITH RECURSIVE {kept},
 h AS (SELECT DISTINCT doc_id, md5_number_lower(term) AS th FROM kept),
@@ -3355,6 +3375,7 @@ SELECT doc_id, cluster_id FROM rk WHERE rn = 1""")
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)
     if ivf_cent_rows is None:
         oracles.pop("knn_ivf")      # centroid literals need sf0.01
+        oracles.pop("knn_ivf_appended")
     if pq_cb_rows is not None:     # codebook literals need sf0.01
         # the ONE assignment CTE prefix both PQ oracles share — edits
         # to slice bounds / tie-break / casts apply to both by design

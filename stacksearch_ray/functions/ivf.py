@@ -139,6 +139,14 @@ class IVFIndex:
         self.emb_col = cfg["emb_col"]
         self.id_col = cfg["id_col"]
         self.k = int(cfg["k"])
+        # committed append generations (see append()); missing manifest
+        # = a pre-append index, zero generations
+        mpath = os.path.join(index_dir, "append_manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self.generations = list(json.load(f)["generations"])
+        else:
+            self.generations = []
 
     @staticmethod
     def build(ds: Dataset, index_dir: str, k: int = 8, iters: int = 4,
@@ -162,6 +170,52 @@ class IVFIndex:
                        "emb_col": emb_col, "id_col": id_col}, f)
         return IVFIndex(index_dir)
 
+    def append(self, ds: Dataset) -> int:
+        """Incremental add under the FROZEN coarse quantizer (FAISS
+        IVF ``add`` semantics — centroids never retrain on append, so
+        existing partition membership is stable and search stays a
+        probe of the same cells): new vectors assign to the EXISTING
+        centroids and land in a new append GENERATION directory,
+        hive-partitioned exactly like the base lists. The manifest
+        rewrite (tmp + os.replace) is the commit point: an interrupted
+        append leaves an uncommitted gen directory search never reads,
+        and a retry replaces it wholesale — appends are idempotent
+        under crash-retry. Returns the committed generation number.
+        Caller contract: ids disjoint from rows already indexed (same
+        as build's)."""
+        import shutil
+
+        gen = (max(self.generations) + 1) if self.generations else 1
+        gdir = os.path.join(self.index_dir, "appends", f"gen-{gen}")
+        if os.path.isdir(gdir):
+            shutil.rmtree(gdir)  # crashed earlier attempt: replace
+        c_ref = ray.put(self.centroids)
+        emb_col = self.emb_col
+
+        def tag(batch: pa.Table) -> pa.Table:
+            x = _emb_matrix(batch, emb_col)
+            a = assign_centroids(x, ray.get(c_ref))
+            return batch.append_column("cid", pa.array(a))
+
+        (ds.map_batches(tag, batch_format="pyarrow")
+         .write_parquet(gdir, partition_cols=["cid"]))
+        mpath = os.path.join(self.index_dir, "append_manifest.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"generations": self.generations + [gen]}, f)
+        os.replace(tmp, mpath)  # COMMIT
+        self.generations.append(gen)
+        return gen
+
+    def _part_dirs(self, cid: int) -> list[str]:
+        """Base partition + every COMMITTED append generation's
+        partition for one cell, in commit order."""
+        dirs = [os.path.join(self.index_dir, "lists", f"cid={cid}")]
+        for g in self.generations:
+            dirs.append(os.path.join(self.index_dir, "appends",
+                                     f"gen-{g}", f"cid={cid}"))
+        return [d for d in dirs if os.path.isdir(d)]
+
     def probe_order(self, q: np.ndarray) -> np.ndarray:
         d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
         return np.argsort(d2, kind="stable")
@@ -172,11 +226,9 @@ class IVFIndex:
         partitions, order (sim desc, vec_id asc)."""
         q = np.asarray(q, dtype=np.float64)
         probes = [int(c) for c in self.probe_order(q)[:nprobe]]
-        lists_dir = os.path.join(self.index_dir, "lists")
         tabs = []
         for cid in probes:
-            part = os.path.join(lists_dir, f"cid={cid}")
-            if os.path.isdir(part):
+            for part in self._part_dirs(cid):
                 tabs.append(pq.read_table(
                     part, columns=[self.id_col, self.emb_col]))
         if not tabs:

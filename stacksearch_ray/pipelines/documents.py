@@ -7872,3 +7872,49 @@ def phrase_suggest(sf_dir: str):
         "total_dist": pa.array(td[order], pa.int64()),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+def knn_ivf_appended(sf_dir: str):
+    """IVF index LIFECYCLE (the vector twin of bm25_topk_appended):
+    the ANN index is built over HALF the corpus (even vec_ids) then
+    incrementally extended with the odd half via IVFIndex.append —
+    FAISS ``add`` semantics: the coarse quantizer is FROZEN at build,
+    appended vectors assign to the existing centroids and land in a
+    committed append generation; search probes the same cells across
+    base + generations. The oracle replays the full chain with
+    centroid literals trained on the even half only (micros-exact
+    k-means mirror) and assignment over ALL rows — exactly the frozen-
+    quantizer contract."""
+    import shutil
+
+    from ..functions.ivf import IVFIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tag_d = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(CACHE_ROOT, tag_d, "ivf_index_appended")
+
+    def _half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            v = np.asarray(b["vec_id"].combine_chunks()).astype(np.int64)
+            return b.filter(pa.array(v % 2 == parity))
+        return f
+
+    def build_append():
+        if os.path.isdir(idx_dir):
+            shutil.rmtree(idx_dir)  # half-built artifact: start clean
+        idx = IVFIndex.build(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(_half(0), batch_format="pyarrow"),
+            idx_dir, k=8, iters=4, seed=17)
+        idx.append(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(_half(1), batch_format="pyarrow"))
+
+    # the append manifest is the LAST artifact: its presence == the
+    # full build+append lifecycle completed
+    _ensure_built(os.path.join(idx_dir, "append_manifest.json"),
+                  build_append)
+    idx = IVFIndex(idx_dir)
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    return idx.search(q, k=10, nprobe=2)

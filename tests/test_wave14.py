@@ -239,3 +239,97 @@ def test_phrase_suggest_context_ranking(ray_session):
     top = t.iloc[0]
     assert all(bg[(r["cand1"], r["cand2"])] <= top["bigram_c"]
                for _, r in t.iterrows())
+
+
+# ---------------- IVF append lifecycle ----------------
+
+
+def _emb_parquet(tmp_path, name, ids, rng):
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(
+            [rng.standard_normal(8).tolist() for _ in ids],
+            pa.list_(pa.float32())),
+    })
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def test_ivf_append_equals_frozen_quantizer_search(ray_session, tmp_path):
+    """build(half) + append(half) answers == exact replay of the
+    frozen-quantizer chain (assign ALL rows under the base centroids,
+    probe 2 cells, exact cosine) — the append never retrains."""
+    import ray.data as rd
+    from stacksearch_ray.functions.ivf import IVFIndex, assign_centroids
+    from stacksearch_ray.micros import to_micros
+
+    rng = np.random.default_rng(3)
+    base_p = _emb_parquet(tmp_path, "base.parquet", list(range(0, 60)), rng)
+    add_p = _emb_parquet(tmp_path, "add.parquet", list(range(60, 120)), rng)
+    idx = IVFIndex.build(rd.read_parquet(base_p), str(tmp_path / "ivf"),
+                         k=4, iters=3, seed=11)
+    gen = idx.append(rd.read_parquet(add_p))
+    assert gen == 1
+    # reopen from disk: manifest read back
+    idx2 = IVFIndex(str(tmp_path / "ivf"))
+    assert idx2.generations == [1]
+
+    ta = pq.read_table(base_p)
+    tb = pq.read_table(add_p)
+    ids = np.concatenate([ta["vec_id"].to_numpy(), tb["vec_id"].to_numpy()])
+    x = np.asarray(ta["embedding"].to_pylist()
+                   + tb["embedding"].to_pylist(), dtype=np.float64)
+    q = x[0]
+    cid = assign_centroids(x, idx2.centroids)
+    probes = set(int(c) for c in idx2.probe_order(q)[:2])
+    mask = np.isin(cid, list(probes))
+    sims = (x[mask] @ q) / (np.linalg.norm(x[mask], axis=1)
+                            * np.linalg.norm(q))
+    mids = ids[mask]
+    order = np.lexsort((mids, -sims))[:10]
+    expect = list(zip(mids[order].tolist(),
+                      to_micros(sims[order]).tolist()))
+    got = idx2.search(q, k=10, nprobe=2).to_pandas()
+    assert list(zip(got["vec_id"], got["sim_micros"])) == expect
+
+
+def test_ivf_append_crash_safety(ray_session, tmp_path):
+    """An uncommitted generation directory (crash before the manifest
+    rename) is invisible to search; the retry replaces it and commits."""
+    import ray.data as rd
+    from stacksearch_ray.functions.ivf import IVFIndex
+
+    rng = np.random.default_rng(4)
+    base_p = _emb_parquet(tmp_path, "b.parquet", list(range(30)), rng)
+    add_p = _emb_parquet(tmp_path, "a.parquet", list(range(30, 60)), rng)
+    idx = IVFIndex.build(rd.read_parquet(base_p), str(tmp_path / "ivf2"),
+                         k=2, iters=2, seed=5)
+    q = np.asarray(pq.read_table(base_p)["embedding"].to_pylist(),
+                   dtype=np.float64)[0]
+    before = idx.search(q, k=30, nprobe=2).to_pandas()
+    # simulate the crash: gen data fully written, manifest NOT renamed
+    gdir = tmp_path / "ivf2" / "appends" / "gen-1"
+    import shutil as sh
+    ds = rd.read_parquet(add_p)
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("crash before commit")
+
+    os.replace = boom
+    try:
+        with pytest.raises(RuntimeError):
+            idx.append(ds)
+    finally:
+        os.replace = real_replace
+    assert gdir.is_dir()  # orphan data exists...
+    fresh = IVFIndex(str(tmp_path / "ivf2"))
+    assert fresh.generations == []  # ...but is NOT committed
+    after = fresh.search(q, k=30, nprobe=2).to_pandas()
+    assert after.equals(before)  # search never reads the orphan
+    # retry heals: replaces the orphan wholesale and commits
+    assert fresh.append(rd.read_parquet(add_p)) == 1
+    assert IVFIndex(str(tmp_path / "ivf2")).generations == [1]
+    grown = fresh.search(q, k=60, nprobe=2).to_pandas()
+    assert set(before["vec_id"]).issubset(set(grown["vec_id"]))
