@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_export": P.search_export,
         "phrase_suggest": P.phrase_suggest,
         "knn_ivf_appended": P.knn_ivf_appended,
+        "knn_ivf_deleted": P.knn_ivf_deleted,
+        "knn_ivf_compacted": P.knn_ivf_compacted,
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
         "bool_query_search": P.bool_query_search,
@@ -342,6 +344,8 @@ def oracle_sql() -> dict[str, str]:
         PS_PROBES as _PS_PROBES,
         PS_MAXD as _PS_MAXD,
         PS_K as _PS_K,
+        IVF_DEL_MOD as _IVF_DMOD,
+        IVF_DEL_REM as _IVF_DREM,
     )
     from stacksearch_ray.micros import sql_micros
     from stacksearch_ray.pipelines.sql import (
@@ -702,10 +706,12 @@ FROM ({mmr_union}) ORDER BY rank"""
     except (OSError, FileNotFoundError):
         pass  # sf0.01 absent: omit the knn_ivf oracles
 
-    def _ivf_chain_sql(cent_rows) -> str:
+    def _ivf_chain_sql(cent_rows, del_pred: str = "") -> str:
         """The IVF probe-then-exact-rescore chain for a centroid-
         literal set: assign every row to its nearest centroid, keep the
-        query's 2 nearest cells, exact cosine inside them."""
+        query's 2 nearest cells, exact cosine inside them. ``del_pred``
+        filters tombstoned ids out of the candidate set (the
+        delete/compact lifecycle twins)."""
         return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 cents(cid, c) AS (VALUES {cent_rows}),
@@ -724,7 +730,7 @@ qp AS (
                             c.cid ASC) AS rn
   FROM cents c),
 probes AS (SELECT cid FROM qp WHERE rn <= 2),
-cand AS (SELECT a.vec_id FROM a JOIN probes USING (cid)),
+cand AS (SELECT a.vec_id FROM a JOIN probes USING (cid){del_pred}),
 sims AS (
   SELECT e.vec_id,
          list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
@@ -2384,6 +2390,14 @@ FROM per_query GROUP BY config, variant""",
         # half; assignment still over all rows — the append contract)
         "knn_ivf": _ivf_chain_sql(ivf_cent_rows),
         "knn_ivf_appended": _ivf_chain_sql(ivf_cent_rows_half),
+        # delete leg masks ids ≡ 7 (mod 10); compact leg is the
+        # physically purged rewrite — bitwise the same answers
+        "knn_ivf_deleted": _ivf_chain_sql(
+            ivf_cent_rows,
+            f" WHERE a.vec_id % {_IVF_DMOD} <> {_IVF_DREM}"),
+        "knn_ivf_compacted": _ivf_chain_sql(
+            ivf_cent_rows,
+            f" WHERE a.vec_id % {_IVF_DMOD} <> {_IVF_DREM}"),
         "minhash_clusters": f"""
 WITH RECURSIVE {kept},
 h AS (SELECT DISTINCT doc_id, md5_number_lower(term) AS th FROM kept),
@@ -3376,6 +3390,8 @@ SELECT doc_id, cluster_id FROM rk WHERE rn = 1""")
     if ivf_cent_rows is None:
         oracles.pop("knn_ivf")      # centroid literals need sf0.01
         oracles.pop("knn_ivf_appended")
+        oracles.pop("knn_ivf_deleted")
+        oracles.pop("knn_ivf_compacted")
     if pq_cb_rows is not None:     # codebook literals need sf0.01
         # the ONE assignment CTE prefix both PQ oracles share — edits
         # to slice bounds / tie-break / casts apply to both by design

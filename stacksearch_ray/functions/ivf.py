@@ -147,6 +147,15 @@ class IVFIndex:
                 self.generations = list(json.load(f)["generations"])
         else:
             self.generations = []
+        # tombstoned ids (delete()): SORTED int64 for the search-time
+        # membership mask; physically present until compact_to
+        tpath = os.path.join(index_dir, "tombstones.json")
+        if os.path.exists(tpath):
+            with open(tpath) as f:
+                self.tombstones = np.asarray(sorted(json.load(f)["ids"]),
+                                             dtype=np.int64)
+        else:
+            self.tombstones = np.empty(0, dtype=np.int64)
 
     @staticmethod
     def build(ds: Dataset, index_dir: str, k: int = 8, iters: int = 4,
@@ -207,6 +216,80 @@ class IVFIndex:
         self.generations.append(gen)
         return gen
 
+    def delete(self, ids) -> int:
+        """Tombstone delete (the vector twin of the text index's
+        delete_from_index): ids stay physically present until
+        compact_to, but search masks them via a sorted membership
+        probe BEFORE scoring. Cosine has no collection statistics, so
+        — unlike BM25's deleted-df correction — surviving scores are
+        untouched by construction. Atomic tmp+rename; idempotent (set
+        union). Returns the tombstone count after the union."""
+        cur = set(int(i) for i in self.tombstones)
+        cur.update(int(i) for i in ids)
+        arr = sorted(cur)
+        tpath = os.path.join(self.index_dir, "tombstones.json")
+        tmp = tpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ids": arr}, f)
+        os.replace(tmp, tpath)  # COMMIT
+        self.tombstones = np.asarray(arr, dtype=np.int64)
+        return len(arr)
+
+    def compact_to(self, dst_dir: str) -> "IVFIndex":
+        """Physical rewrite: drop tombstoned rows and fold append
+        generations into the base lists — the vector twin of
+        compact_index. One Ray task per centroid cell reads the cell's
+        base + generation files, filters tombstones, and writes ONE
+        parquet file into the new index (work and memory bounded by
+        the largest cell, tasks fan out across the cluster); the
+        driver writes centroids + config.json LAST, so an interrupted
+        compact leaves an unopenable directory — delete and re-run.
+        Search results over the compacted index are identical to the
+        tombstone-masked source (scores are per-pair cosines)."""
+        import shutil
+
+        if os.path.isdir(dst_dir):
+            shutil.rmtree(dst_dir)  # crashed earlier attempt
+        lists_dir = os.path.join(dst_dir, "lists")
+        os.makedirs(lists_dir, exist_ok=True)
+        tomb_ref = ray.put(self.tombstones)
+        id_col, emb_col = self.id_col, self.emb_col
+
+        @ray.remote
+        def compact_cell(cid: int, src_dirs: list[str], out_dir: str,
+                         tomb) -> int:
+            ts = ray.get(tomb) if not isinstance(tomb, np.ndarray) else tomb
+            tabs = [pq.read_table(d, columns=[id_col, emb_col])
+                    for d in src_dirs]
+            t = pa.concat_tables(tabs)
+            ids = np.asarray(t[id_col].combine_chunks()).astype(np.int64)
+            if len(ts):
+                pos = np.searchsorted(ts, ids)
+                dead = pos < len(ts)
+                dead[dead] = ts[pos[dead]] == ids[dead]
+                t = t.filter(pa.array(~dead))
+            if t.num_rows == 0:
+                return 0
+            cdir = os.path.join(out_dir, f"cid={cid}")
+            os.makedirs(cdir, exist_ok=True)
+            pq.write_table(t, os.path.join(cdir, "part-0.parquet"))
+            return t.num_rows
+
+        futs = []
+        for cid in range(len(self.centroids)):
+            dirs = self._part_dirs(cid)
+            if dirs:
+                futs.append(compact_cell.remote(cid, dirs, lists_dir,
+                                                tomb_ref))
+        ray.get(futs)
+        np.save(os.path.join(dst_dir, "centroids.npy"), self.centroids)
+        with open(os.path.join(dst_dir, "config.json"), "w") as f:
+            json.dump({"k": self.k, "emb_col": emb_col,
+                       "id_col": id_col, "compacted_from":
+                       os.path.basename(self.index_dir)}, f)
+        # config.json written LAST = the commit point
+        return IVFIndex(dst_dir)
+
     def _part_dirs(self, cid: int) -> list[str]:
         """Base partition + every COMMITTED append generation's
         partition for one cell, in commit order."""
@@ -241,6 +324,13 @@ class IVFIndex:
         nq = float(np.sqrt((q * q).sum()))
         nx = np.sqrt((x * x).sum(axis=1))
         ok = (nx > 0)
+        if len(self.tombstones):
+            # deleted docs never surface (masked BEFORE scoring; cosine
+            # is per-pair so survivors' scores are untouched)
+            pos = np.searchsorted(self.tombstones, ids)
+            dead = pos < len(self.tombstones)
+            dead[dead] = self.tombstones[pos[dead]] == ids[dead]
+            ok &= ~dead
         sim = (x[ok] @ q) / (nx[ok] * nq) if nq > 0 else np.zeros(ok.sum())
         ids = ids[ok]
         order = np.lexsort((ids, -sim))[:k]

@@ -7918,3 +7918,64 @@ def knn_ivf_appended(sf_dir: str):
     t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
     q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
     return idx.search(q, k=10, nprobe=2)
+
+
+IVF_DEL_MOD, IVF_DEL_REM = 10, 7
+
+
+def _ivf_lifecycle(sf_dir: str):
+    """Shared build chain for the IVF delete/compact twins: full-table
+    index → tombstone every vec_id ≡ 7 (mod 10) → physical compact
+    into a sibling dir. Each step's commit artifact gates _ensure_built
+    so the chain is idempotent and crash-resumable at step
+    granularity."""
+    import shutil
+
+    from ..functions.ivf import IVFIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tag_d = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(CACHE_ROOT, tag_d, "ivf_index_del")
+    comp = os.path.join(CACHE_ROOT, tag_d, "ivf_index_compacted")
+
+    def build_delete():
+        if os.path.isdir(base):
+            shutil.rmtree(base)  # half-built artifact: start clean
+        idx = IVFIndex.build(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            base, k=8, iters=4, seed=17)
+        v = pq.read_table(emb_path, columns=["vec_id"])["vec_id"].to_numpy()
+        idx.delete(v[v % IVF_DEL_MOD == IVF_DEL_REM])
+
+    _ensure_built(os.path.join(base, "tombstones.json"), build_delete)
+    _ensure_built(os.path.join(comp, "config.json"),
+                  lambda: IVFIndex(base).compact_to(comp))
+    return base, comp, emb_path
+
+
+def knn_ivf_deleted(sf_dir: str):
+    """IVF lifecycle, delete leg: tombstoned ids (vec_id ≡ 7 mod 10)
+    never surface; survivors' cosines are untouched by construction
+    (no collection stats), so the oracle is the knn_ivf chain with the
+    deleted ids filtered from the candidate set."""
+    from ..functions.ivf import IVFIndex
+
+    base, _, emb_path = _ivf_lifecycle(sf_dir)
+    idx = IVFIndex(base)
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    return idx.search(q, k=10, nprobe=2)
+
+
+def knn_ivf_compacted(sf_dir: str):
+    """IVF lifecycle, compact leg: the physically rewritten index
+    (tombstones purged, one file per cell) answers bitwise the same as
+    the tombstone-masked source — it shares knn_ivf_deleted's
+    oracle."""
+    from ..functions.ivf import IVFIndex
+
+    _, comp, emb_path = _ivf_lifecycle(sf_dir)
+    idx = IVFIndex(comp)
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    return idx.search(q, k=10, nprobe=2)

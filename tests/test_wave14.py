@@ -333,3 +333,43 @@ def test_ivf_append_crash_safety(ray_session, tmp_path):
     assert IVFIndex(str(tmp_path / "ivf2")).generations == [1]
     grown = fresh.search(q, k=60, nprobe=2).to_pandas()
     assert set(before["vec_id"]).issubset(set(grown["vec_id"]))
+
+
+def test_ivf_delete_and_compact_identity(ray_session, tmp_path):
+    """Deleted ids never surface; survivors keep exact scores; the
+    physically compacted index answers bitwise the same as the
+    tombstone-masked source and has purged + folded everything."""
+    import ray.data as rd
+    from stacksearch_ray.functions.ivf import IVFIndex
+
+    rng = np.random.default_rng(9)
+    base_p = _emb_parquet(tmp_path, "c.parquet", list(range(50)), rng)
+    add_p = _emb_parquet(tmp_path, "d.parquet", list(range(50, 80)), rng)
+    idx = IVFIndex.build(rd.read_parquet(base_p), str(tmp_path / "ivf3"),
+                         k=3, iters=3, seed=7)
+    idx.append(rd.read_parquet(add_p))
+    q = np.asarray(pq.read_table(base_p)["embedding"].to_pylist(),
+                   dtype=np.float64)[1]
+    pre = idx.search(q, k=80, nprobe=3).to_pandas()
+    victims = pre["vec_id"].iloc[:3].tolist()
+    assert idx.delete(victims) == 3
+    assert idx.delete(victims[:1]) == 3  # idempotent union
+    post = idx.search(q, k=80, nprobe=3).to_pandas()
+    assert not set(victims) & set(post["vec_id"])
+    # survivors: exact same (id, sim) pairs, just re-ranked
+    pre_surv = pre[~pre["vec_id"].isin(victims)]
+    assert list(post["vec_id"]) == list(pre_surv["vec_id"])
+    assert list(post["sim_micros"]) == list(pre_surv["sim_micros"])
+    # compacted twin answers bitwise the same
+    comp = idx.compact_to(str(tmp_path / "ivf3c"))
+    cpost = comp.search(q, k=80, nprobe=3).to_pandas()
+    assert cpost.equals(post)
+    assert comp.generations == [] and len(comp.tombstones) == 0
+    # physical purge: no tombstoned id anywhere in the new lists
+    all_ids = []
+    for cid in range(3):
+        d = tmp_path / "ivf3c" / "lists" / f"cid={cid}"
+        if d.is_dir():
+            all_ids.extend(pq.read_table(str(d))["vec_id"].to_pylist())
+    assert not set(victims) & set(all_ids)
+    assert len(all_ids) == 80 - 3
