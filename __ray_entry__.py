@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_appended": P.bm25_topk_appended,
         "bm25_topk_merged": P.bm25_topk_merged,
         "bm25_topk_deleted": P.bm25_topk_deleted,
+        "delete_by_query_search": P.delete_by_query_search,
+        "rare_terms_agg": P.rare_terms_agg,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -340,6 +342,8 @@ def oracle_sql() -> dict[str, str]:
         HP_K as _HP_K,
         COMP_AFTER as _COMP_AFTER,
         COMP_PAGE as _COMP_PAGE,
+        DBQ_EXPR as _DBQ_EXPR,
+        RARE_K as _RARE_K,
         ADJ_SRC_PREFIX as _ADJ_PRE,
         PS_PROBES as _PS_PROBES,
         PS_MAXD as _PS_MAXD,
@@ -437,6 +441,8 @@ def oracle_sql() -> dict[str, str]:
         WILDCARD_PREFIX as _WILDCARD_PREFIX,
     )
     kept = kept_tokens_cte()
+    # DBQ_EXPR is a pure AND-of-terms expression — mirror as INTERSECT
+    _DBQ_TERMS = [t for t in _DBQ_EXPR.split() if t != "AND"]
 
     from stacksearch_ray.pipelines.documents import BOOSTS as _BOOSTS
     from stacksearch_ray.text import clean_query as _cq2
@@ -3213,6 +3219,33 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # ES _delete_by_query: the delete SET is the boolean-DSL matched
+        # set (mirrors DBQ_EXPR via INTERSECT over a SECOND tokenization
+        # of the full corpus), then the bm25 chain runs over survivors
+        "delete_by_query_search": bm25_scores_sql(
+            BM25_QUERY, table="surv",
+            pre=kept_tokens_cte(names=("dtoks", "dkept")).lstrip() + f""",
+matched AS (
+  {' INTERSECT '.join(
+      f"SELECT DISTINCT doc_id FROM dkept WHERE term = '{t}'"
+      for t in _DBQ_TERMS)}),
+surv AS (SELECT * FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM matched)),"""
+        ) + """
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # ES rare_terms agg: bottom-K by df (df asc, term asc)
+        "rare_terms_agg": f"""
+WITH {kept},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+r AS (SELECT term, df,
+             row_number() OVER (ORDER BY df ASC, term ASC) AS rank
+      FROM df)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_RARE_K}""",
         # TPC-H Q10: returned lineitems in a quarter window, customer
         # grain, top-20 (revenue desc, custkey asc) — integer micros
         "returned_items": """

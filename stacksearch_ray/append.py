@@ -750,6 +750,28 @@ def delete_from_index(index_dir: str, doc_ids) -> dict:
     return stats
 
 
+def delete_by_query(index_dir: str, expr: str) -> dict:
+    """ES ``_delete_by_query`` analog: resolve a boolean-DSL expression
+    (``AND`` / ``OR`` / ``NOT`` / parens / ``prefix*`` atoms — the
+    search_boolean_dsl language) against the index's OWN postings, then
+    tombstone the matched set via :func:`delete_from_index`.
+
+    The match runs over alive docs only (tombstones are masked by the
+    DSL evaluator), so re-running the same expression is a no-op — the
+    op is idempotent, matching ES semantics where a second
+    _delete_by_query finds nothing. No corpus rescan: one sorted-set
+    postings evaluation, O(matched-set) delete. Returns the updated
+    stats (unchanged when nothing matches)."""
+    from .build import load_stats
+    from .query import QueryEngine
+
+    eng = QueryEngine(index_dir)  # open runs the recovery passes
+    ids = eng.search_boolean_dsl(expr)
+    if len(ids) == 0:
+        return load_stats(index_dir)
+    return delete_from_index(index_dir, np.asarray(ids, dtype=np.int64))
+
+
 def append_to_index(source, index_dir: str,
                     cfg: IndexBuildConfig | None = None,
                     content_col: str | None = None, id_col: str | None = None,

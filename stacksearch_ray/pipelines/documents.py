@@ -166,6 +166,26 @@ def heavy_terms(sf_dir: str):
                                k=4000)
 
 
+RARE_K = 10
+
+
+def rare_terms_agg(sf_dir: str):
+    """ES ``rare_terms`` aggregation readout: the K terms with the
+    LOWEST document frequency (df asc, term asc) — the long tail a
+    terms-agg top-df cut structurally hides. df comes from the exact
+    partial-sums reduce (term_df); the rank runs on the vocab-bounded
+    aggregate (≤ |vocab| rows on the driver)."""
+    df = term_df(sf_dir).to_pandas()  # vocab-bounded
+    order = np.lexsort((df["term"].to_numpy(dtype=object),
+                        df["df"].to_numpy(np.int64)))[:RARE_K]
+    out = df.iloc[order]
+    return pa.table({
+        "term": pa.array(out["term"].to_numpy(dtype=object), pa.string()),
+        "df": pa.array(out["df"].to_numpy(np.int64)),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+    })
+
+
 def token_stats(sf_dir: str):
     """(doc_id, n_tokens, n_kept, stopword_ratio_micros) per doc."""
     return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
@@ -4859,6 +4879,45 @@ def bm25_topk_deleted(sf_dir: str):
         open(done, "w").close()
 
     _ensure_built(done, _build_deleted)
+    eng = QueryEngine(index_dir)
+    res = eng.search(BM25_QUERY, 10, method="auto")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+    })
+
+
+DBQ_EXPR = "stream AND window"
+
+
+def delete_by_query_search(sf_dir: str):
+    """ES ``_delete_by_query`` surfaced end-to-end: build over ALL
+    documents, delete every doc matching ``DBQ_EXPR`` (the boolean DSL
+    resolved against the index's own postings — no corpus rescan), then
+    run the fixed BM25 query. Oracle: the bm25 chain over the corpus
+    minus the set-algebra matched set — the query-deleted index must
+    match it bitwise (same masked-exhaustive contract as
+    bm25_topk_deleted, with the delete SET itself now computed by the
+    engine rather than handed in)."""
+    from ..append import delete_by_query
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(CACHE_ROOT, tag, "index_dbq")
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_dbq():
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
+        build_index(_docs(sf_dir), index_dir, content_col="text",
+                    id_col="doc_id", meta_cols=("lang", "source"),
+                    num_shards=4, term_buckets=16)
+        delete_by_query(index_dir, DBQ_EXPR)
+        open(done, "w").close()
+
+    _ensure_built(done, _build_dbq)
     eng = QueryEngine(index_dir)
     res = eng.search(BM25_QUERY, 10, method="auto")
     return pa.table({

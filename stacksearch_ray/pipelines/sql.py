@@ -19,17 +19,23 @@ def sql_stopword_list() -> str:
 
 
 def kept_tokens_cte(table: str = "documents", text_col: str = "text",
-                    id_col: str = "doc_id") -> str:
+                    id_col: str = "doc_id",
+                    names: tuple[str, str] = ("toks", "kept")) -> str:
+    """``names`` renames the (raw, kept) CTE pair so a second
+    tokenization of a DIFFERENT relation can coexist in one WITH chain
+    (e.g. a delete-predicate over ``documents`` ahead of a bm25 chain
+    over the survivor relation)."""
+    tname, kname = names
     return f"""
-toks AS (
+{tname} AS (
   SELECT {id_col} AS doc_id,
          unnest(string_split_regex(
              lower(regexp_replace({text_col}, '[^a-zA-Z0-9 \n]+', '', 'g')),
              '\\s+')) AS term
   FROM {table}
 ),
-kept AS (
-  SELECT doc_id, term FROM toks
+{kname} AS (
+  SELECT doc_id, term FROM {tname}
   WHERE term <> '' AND term NOT IN ({sql_stopword_list()})
 )"""
 

@@ -272,3 +272,41 @@ def test_delete_then_append_stats_exact(ray_session, tmp_path):
     e, r = QueryEngine(idx), QueryEngine(ref)
     for q in QUERIES:
         assert e.search(q, 10, "auto") == r.search(q, 10, "exhaustive"), q
+
+
+def test_delete_by_query_equals_manual(ray_session, tmp_path):
+    """delete_by_query(expr) == delete_from_index(matched set): same
+    tombstones, same stats, same search results; idempotent on re-run;
+    a no-match expression is a stats no-op."""
+    from stacksearch_ray.append import delete_by_query, delete_from_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    kw = dict(content_col="text", id_col="doc_id", num_shards=4,
+              term_buckets=8)
+    idx = str(tmp_path / "idx")
+    ref = str(tmp_path / "ref")
+    build_index(DOCS, idx, **kw)
+    build_index(DOCS, ref, **kw)
+
+    expr = "merge AND sort"
+    matched = QueryEngine(ref).search_boolean_dsl(expr)
+    assert len(matched) > 0  # the probe must actually delete something
+    s1 = delete_by_query(idx, expr)
+    delete_from_index(ref, matched.tolist())
+    s2 = load_stats(ref)
+    for k in ("n_docs", "total_len", "avgdl", "n_tombstones"):
+        assert s1[k] == s2[k], k
+    e, r = QueryEngine(idx), QueryEngine(ref)
+    for q in QUERIES:
+        assert e.search(q, 10, "auto") == r.search(q, 10, "auto"), q
+
+    # idempotent: matched docs are tombstoned -> second run finds nothing
+    s3 = delete_by_query(idx, expr)
+    assert s3["n_tombstones"] == s1["n_tombstones"]
+    assert s3["n_docs"] == s1["n_docs"]
+
+    # no-match expression: stats unchanged (and no new sidecars)
+    s4 = delete_by_query(idx, "zzzmissingterm")
+    assert s4["n_tombstones"] == s1["n_tombstones"]
+    assert s4["tombstones_file"] == s1["tombstones_file"]
