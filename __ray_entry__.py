@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_by_label": P.top_hits_by_label,
         "rank_feature_search": P.rank_feature_search,
         "span_first_search": P.span_first_search,
+        "span_not_search": P.span_not_search,
+        "chunk_documents": P.chunk_documents,
         "phrase_prefix_search": P.phrase_prefix_search,
         "knn_hnsw": P.knn_hnsw,  # rows-only: graph ANN (recall-pinned by pytest)
         "pinned_search": P.pinned_search,
@@ -344,6 +346,11 @@ def oracle_sql() -> dict[str, str]:
         COMP_PAGE as _COMP_PAGE,
         DBQ_EXPR as _DBQ_EXPR,
         RARE_K as _RARE_K,
+        CHUNK_W as _CHUNK_W,
+        CHUNK_S as _CHUNK_S,
+        SPAN_NOT_INC as _SN_INC,
+        SPAN_NOT_EXC as _SN_EXC,
+        SPAN_NOT_DIST as _SN_D,
         ADJ_SRC_PREFIX as _ADJ_PRE,
         PS_PROBES as _PS_PROBES,
         PS_MAXD as _PS_MAXD,
@@ -3026,6 +3033,50 @@ LIMIT 10""",
         # within the leading kept-token positions (1-based, ≤ limit ⇔
         # membership in toks[1:limit], DuckDB slices are end-inclusive);
         # survivors keep their unfiltered bm25 scores
+        # Lucene SpanNotQuery gate: an include occurrence at i is clean
+        # iff no exclude occurrence within [i-D, i+D] (1-based both
+        # engines); survivors keep unfiltered bm25 scores
+        "span_not_search": bm25_scores_sql(
+            BM25_QUERY,
+            pre=token_list_cte().lstrip() + f""",
+sn_gate AS (
+  SELECT doc_id FROM doc_toks
+  WHERE len(list_filter(range(1, len(toks) + 1),
+        i -> toks[i] = '{_cq(_SN_INC)[0]}'
+             AND len(list_filter(
+                   range(greatest(1, i - {_SN_D}),
+                         least(len(toks), i + {_SN_D}) + 1),
+                   j -> toks[j] = '{_cq(_SN_EXC)[0]}')) = 0)) > 0),"""
+        ) + """
+SELECT s.doc_id,
+       CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores s JOIN sn_gate g ON g.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT 10""",
+        # sliding-window chunking: chunk c of a doc with n kept tokens
+        # covers positions [c*S, c*S+W); n_chunks = 1 + max(0,
+        # ceil((n-W)/S)) — identical floor-div formula both engines
+        "chunk_documents": f"""
+WITH {token_list_cte()},
+keptp AS (SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM doc_toks),
+cnt AS (SELECT doc_id, len(toks) AS n FROM doc_toks WHERE len(toks) > 0),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, 1 + greatest(0,
+             (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}))) AS chunk_id
+  FROM cnt)
+SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+       CAST(c.chunk_id * {_CHUNK_S} AS BIGINT) AS chunk_start,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(k.term, ' ' ORDER BY k.pos) AS chunk_text
+FROM chunks c JOIN keptp k ON k.doc_id = c.doc_id
+     AND k.pos >= c.chunk_id * {_CHUNK_S}
+     AND k.pos < c.chunk_id * {_CHUNK_S} + {_CHUNK_W}
+GROUP BY c.doc_id, c.chunk_id""",
         "span_first_search": bm25_scores_sql(
             BM25_QUERY,
             pre=token_list_cte() + f""",

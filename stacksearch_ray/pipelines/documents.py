@@ -515,6 +515,74 @@ def span_first_search(sf_dir: str):
     })
 
 
+SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_DIST = "merge", "sort", 2
+
+
+def span_not_search(sf_dir: str):
+    """Span-NOT-gated ranking (the Lucene ``SpanNotQuery`` shape,
+    pre = post = dist): docs eligible iff SOME 'merge' occurrence has
+    NO 'sort' occurrence within 2 kept-token positions on either side —
+    "merge, but not the merge of 'merge sort'". Survivors ranked by
+    the standard query with UNFILTERED scores (gate = filter). Both
+    position streams come off the positional sidecar; the
+    per-occurrence nearest-exclude check is one packed searchsorted."""
+    eng = _index_for(sf_dir)
+    res = eng.search_span_not(BM25_QUERY, 10,
+                              include_term=SPAN_NOT_INC,
+                              exclude_term=SPAN_NOT_EXC,
+                              dist=SPAN_NOT_DIST)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+CHUNK_W, CHUNK_S = 16, 8  # window / stride in kept tokens (overlap 8)
+
+
+def chunk_documents(sf_dir: str):
+    """Sliding-window document chunking — the RAG / pretraining
+    context-window splitter: each doc becomes overlapping chunks of
+    CHUNK_W kept tokens at stride CHUNK_S (chunk c covers kept-token
+    positions [c·S, c·S + W)); the last chunk may be short, docs with
+    zero kept tokens emit nothing. n_chunks = 1 + max(0, ⌈(n−W)/S⌉),
+    identical integer formula both engines. Entirely map-side and
+    vectorized: one tokenize pass, chunk counts by integer arithmetic,
+    chunk text via ONE flat range-gather + list-join (no per-chunk
+    Python). Output: (doc_id, chunk_id, chunk_start, n_tokens,
+    chunk_text)."""
+    def chunk(batch: pa.Table) -> pa.Table:
+        flat, _, doc_lens = tokenize_array(batch["text"])
+        n = doc_lens.astype(np.int64)
+        doc_starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+        nch = np.where(
+            n > 0,
+            1 + np.maximum(0, (n - CHUNK_W + CHUNK_S - 1) // CHUNK_S),
+            0).astype(np.int64)
+        doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), nch)
+        cid = (np.arange(int(nch.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(nch) - nch, nch))
+        cstart = cid * CHUNK_S
+        clen = np.minimum(CHUNK_W, n[doc_rep] - cstart)
+        b0 = doc_starts[doc_rep] + cstart
+        idx = _take_ranges(b0, b0 + clen)
+        vals = flat.take(pa.array(idx, pa.int64()))
+        offs = np.concatenate(([0], np.cumsum(clen))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        did = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(did[doc_rep], pa.int64()),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "chunk_start": pa.array(cstart, pa.int64()),
+            "n_tokens": pa.array(clen, pa.int64()),
+            "chunk_text": pc.binary_join(lists, " "),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(chunk, batch_format="pyarrow"))
+
+
 BOOSTS = {"merge": 2.0, "sort": 1.0, "join": 0.25,
           "stream": 1.5, "window": 0.5}
 

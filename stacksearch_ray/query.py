@@ -1885,6 +1885,78 @@ class QueryEngine:
         return self.search_filtered(query, k, allowed_doc_ids=allowed,
                                     scorer=scorer, plan=plan)
 
+    def search_span_not(self, query: str, k: int = 10, *,
+                        include_term: str, exclude_term: str, dist: int,
+                        scorer: str = "bm25",
+                        plan: str = "auto") -> list[tuple[int, float]]:
+        """Span-NOT-gated ranking (the Lucene ``SpanNotQuery`` shape,
+        pre = post = ``dist``): a doc is eligible iff SOME occurrence of
+        ``include_term`` has NO ``exclude_term`` occurrence within
+        ``dist`` kept-token positions on either side — "merge, but not
+        the merge that's part of 'merge sort'". Survivors are ranked by
+        the plain ``query`` scorer with their UNFILTERED scores
+        (search_filtered semantics — the positional gate is a filter,
+        never a score contribution; search_span_first's contract with a
+        negative gate).
+
+        Vectorized: both position streams come off the positional
+        sidecar; per-occurrence nearest-exclude distance is ONE global
+        searchsorted over (local-doc, pos) keys packed with a modulus
+        strictly larger than any position + dist, so cross-doc
+        neighbors can never sit within ``dist``."""
+        ti, te = clean_query(include_term), clean_query(exclude_term)
+        if len(ti) != 1 or len(te) != 1:
+            raise ValueError(
+                "include/exclude terms must each normalize to exactly "
+                f"one kept token, got {ti!r} / {te!r}")
+        ids_i, tfs_i, pos_i = self.term_positions(ti[0])
+        if len(ids_i) == 0:
+            return []
+        ids_e, tfs_e, pos_e = self.term_positions(te[0])
+        if len(ids_e) == 0:
+            allowed = ids_i
+        else:
+            j = np.searchsorted(ids_e, ids_i)
+            both = (j < len(ids_e)) & (ids_e[np.minimum(j, len(ids_e) - 1)]
+                                       == ids_i)
+            allowed_parts = [ids_i[~both]]  # no exclude in doc → clean
+            sel = np.flatnonzero(both)
+            if len(sel):
+                starts_i = np.cumsum(tfs_i) - tfs_i
+                starts_e = np.cumsum(tfs_e) - tfs_e
+                li = tfs_i[sel]
+                base_i = np.cumsum(li) - li
+                gi = (np.repeat(starts_i[sel], li)
+                      + np.arange(int(li.sum())) - np.repeat(base_i, li))
+                p_inc = pos_i[gi].astype(np.int64)
+                d_loc = np.repeat(np.arange(len(sel), dtype=np.int64), li)
+                je = j[sel]
+                le = tfs_e[je]
+                ebounds = np.concatenate(([0], np.cumsum(le)))
+                ge = (np.repeat(starts_e[je], le)
+                      + np.arange(int(le.sum()))
+                      - np.repeat(ebounds[:-1], le))
+                p_exc = pos_e[ge].astype(np.int64)
+                d_loc_e = np.repeat(np.arange(len(sel), dtype=np.int64), le)
+                m = np.int64(max(int(p_inc.max()), int(p_exc.max()))
+                             + dist + 2)
+                ke = d_loc_e * m + p_exc  # ascending: doc-major, pos asc
+                ki = d_loc * m + p_inc
+                far = np.int64(dist + 1)  # cross-doc diff ≥ m - maxpos > dist
+                ins = np.searchsorted(ke, ki)
+                ld = np.where(ins > 0, ki - ke[np.maximum(ins - 1, 0)], far)
+                rd = np.where(ins < len(ke),
+                              ke[np.minimum(ins, len(ke) - 1)] - ki, far)
+                clean = np.minimum(ld, rd) > dist
+                doc_clean = np.zeros(len(sel), dtype=bool)
+                doc_clean[d_loc[clean]] = True
+                allowed_parts.append(ids_i[sel[doc_clean]])
+            allowed = np.sort(np.concatenate(allowed_parts))
+        if len(allowed) == 0:
+            return []
+        return self.search_filtered(query, k, allowed_doc_ids=allowed,
+                                    scorer=scorer, plan=plan)
+
     def _positions_subset(self, term: str, common: np.ndarray
                           ) -> np.ndarray:
         """Like ``_positions_over`` for a term NOT guaranteed present in
@@ -2314,6 +2386,14 @@ class _ShardWorker:
                                              first_term=first_term,
                                              limit=limit)
 
+    def search_span_not(self, query: str, k: int, include_term: str,
+                        exclude_term: str, dist: int
+                        ) -> list[tuple[int, float]]:
+        return self.engine.search_span_not(query, k,
+                                           include_term=include_term,
+                                           exclude_term=exclude_term,
+                                           dist=dist)
+
     def search_phrase_prefix(self, phrase: str, k: int,
                              max_expansions: int
                              ) -> list[tuple[int, float]]:
@@ -2642,6 +2722,23 @@ class ShardedQueryEngine:
         import ray
 
         futs = [w.search_span_first.remote(query, k, first_term, limit)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_span_not(self, query: str, k: int = 10, *,
+                        include_term: str, exclude_term: str, dist: int
+                        ) -> list[tuple[int, float]]:
+        """Distributed span-NOT ranking: the negative positional gate
+        is doc-local (both terms' positions for a doc live in one
+        worker's shard subset), so each worker gates and scores its own
+        docs; merge is the standard disjoint top-k — bitwise identical
+        to the single engine (tested)."""
+        import ray
+
+        futs = [w.search_span_not.remote(query, k, include_term,
+                                         exclude_term, dist)
                 for w in self.workers]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))

@@ -1,0 +1,114 @@
+"""Wave-15 surfaces: delete_by_query (entry-level), span_not gating,
+sliding-window chunking."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    from stacksearch_ray.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("w15") / "idx")
+    build_index(DOCS, idx, content_col="text", id_col="doc_id",
+                num_shards=4, term_buckets=8, store_positions=True)
+    return idx
+
+
+def _brute_span_not(inc, exc, dist):
+    """Per-doc pure-Python SpanNot gate over the raw corpus."""
+    from stacksearch_ray.text import clean_query
+
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    ok = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = clean_query(txt)
+        inc_pos = [i + 1 for i, w in enumerate(toks) if w == inc]
+        exc_pos = [i + 1 for i, w in enumerate(toks) if w == exc]
+        if any(all(abs(p - q) > dist for q in exc_pos) for p in inc_pos):
+            ok.append(did)
+    return sorted(ok)
+
+
+def test_span_not_gate_matches_bruteforce(pos_index):
+    from stacksearch_ray.query import QueryEngine
+
+    eng = QueryEngine(pos_index)
+    want = _brute_span_not("merge", "sort", 2)
+    got = eng.search_span_not("merge", k=10_000, include_term="merge",
+                              exclude_term="sort", dist=2)
+    assert sorted(d for d, _ in got) == want
+    # scores are the UNFILTERED query scores (search_filtered contract)
+    full = dict(eng.search("merge", 10_000, "exhaustive"))
+    for d, s in got:
+        assert s == full[d]
+
+
+def test_span_not_edge_cases(pos_index):
+    from stacksearch_ray.query import QueryEngine
+
+    eng = QueryEngine(pos_index)
+    # exclude term absent from the corpus -> every include doc matches
+    all_inc = eng.search_span_not("merge", k=10_000,
+                                  include_term="merge",
+                                  exclude_term="zzzmissing", dist=2)
+    assert sorted(d for d, _ in all_inc) == sorted(
+        eng.term_doc_ids("merge").tolist())
+    # include term absent -> empty
+    assert eng.search_span_not("merge", k=10, include_term="zzzmissing",
+                               exclude_term="sort", dist=2) == []
+    # dist large enough to cover every doc -> only docs with merge but
+    # NO sort at all survive
+    got = eng.search_span_not("merge", k=10_000, include_term="merge",
+                              exclude_term="sort", dist=1_000_000)
+    inc = set(eng.term_doc_ids("merge").tolist())
+    exc = set(eng.term_doc_ids("sort").tolist())
+    assert sorted(d for d, _ in got) == sorted(inc - exc)
+
+
+def test_span_not_sharded_identity(pos_index):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(pos_index)
+    sh = ShardedQueryEngine(pos_index, num_workers=3)
+    want = eng.search_span_not("merge sort join", k=10,
+                               include_term="merge", exclude_term="sort",
+                               dist=2)
+    got = sh.search_span_not("merge sort join", k=10,
+                             include_term="merge", exclude_term="sort",
+                             dist=2)
+    assert got == want
+
+
+def test_chunk_documents_bruteforce(ray_session):
+    from stacksearch_ray.pipelines.documents import (
+        CHUNK_S, CHUNK_W, chunk_documents)
+    from stacksearch_ray.text import clean_query
+
+    got = chunk_documents(SF).to_pandas().sort_values(
+        ["doc_id", "chunk_id"]).reset_index(drop=True)
+
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    rows = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = clean_query(txt)
+        n = len(toks)
+        if n == 0:
+            continue
+        nch = 1 + max(0, -(-(n - CHUNK_W) // CHUNK_S))
+        for c in range(nch):
+            seg = toks[c * CHUNK_S: c * CHUNK_S + CHUNK_W]
+            rows.append((did, c, c * CHUNK_S, len(seg), " ".join(seg)))
+    rows.sort()
+    assert len(got) == len(rows)
+    for (did, c, st, nt, text), (_, r) in zip(rows, got.iterrows()):
+        assert (r["doc_id"], r["chunk_id"], r["chunk_start"],
+                r["n_tokens"], r["chunk_text"]) == (did, c, st, nt, text)
+    # every chunk is bounded by the window width
+    assert (got["n_tokens"] <= CHUNK_W).all()
+    assert (got["n_tokens"] >= 1).all()
