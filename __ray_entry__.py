@@ -116,7 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged": P.bm25_topk_merged,
         "bm25_topk_deleted": P.bm25_topk_deleted,
         "delete_by_query_search": P.delete_by_query_search,
+        "update_by_query_search": P.update_by_query_search,
         "rare_terms_agg": P.rare_terms_agg,
+        "matrix_stats_agg": P.matrix_stats_agg,
+        "geo_distance_search": P.geo_distance_search,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -346,6 +349,12 @@ def oracle_sql() -> dict[str, str]:
         COMP_PAGE as _COMP_PAGE,
         DBQ_EXPR as _DBQ_EXPR,
         RARE_K as _RARE_K,
+        UBQ_EXPR as _UBQ_EXPR,
+        UBQ_SUFFIX as _UBQ_SUFFIX,
+        GEO_LAT0 as _GEO_LAT0,
+        GEO_LON0 as _GEO_LON0,
+        GEO_RADIUS as _GEO_R,
+        GEO_K as _GEO_K,
         CHUNK_W as _CHUNK_W,
         CHUNK_S as _CHUNK_S,
         SPAN_NOT_INC as _SN_INC,
@@ -448,8 +457,9 @@ def oracle_sql() -> dict[str, str]:
         WILDCARD_PREFIX as _WILDCARD_PREFIX,
     )
     kept = kept_tokens_cte()
-    # DBQ_EXPR is a pure AND-of-terms expression — mirror as INTERSECT
+    # DBQ_EXPR / UBQ_EXPR are pure AND-of-terms — mirror as INTERSECT
     _DBQ_TERMS = [t for t in _DBQ_EXPR.split() if t != "AND"]
+    _UBQ_TERMS = [t for t in _UBQ_EXPR.split() if t != "AND"]
 
     from stacksearch_ray.pipelines.documents import BOOSTS as _BOOSTS
     from stacksearch_ray.text import clean_query as _cq2
@@ -3288,6 +3298,93 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # ES _update_by_query: matched docs (INTERSECT mirror of
+        # UBQ_EXPR) get UBQ_SUFFIX appended; bm25 runs over the
+        # CASE-rewritten corpus — the upserted index must match bitwise
+        "update_by_query_search": bm25_scores_sql(
+            BM25_QUERY, table="surv",
+            pre=kept_tokens_cte(names=("utoks", "ukept")).lstrip() + f""",
+umatched AS (
+  {' INTERSECT '.join(
+      f"SELECT DISTINCT doc_id FROM ukept WHERE term = '{t}'"
+      for t in _UBQ_TERMS)}),
+surv AS (SELECT d.doc_id,
+                CASE WHEN m.doc_id IS NOT NULL
+                     THEN d.text || '{_UBQ_SUFFIX}' ELSE d.text END AS text
+         FROM documents d LEFT JOIN umatched m ON m.doc_id = d.doc_id),"""
+        ) + """
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # ES matrix_stats: pairwise sample cov + Pearson corr from one
+        # pass of HUGEINT sufficient statistics (same scaling and float
+        # expression order as the driver: quantity as-is, price whole
+        # units, discount cents)
+        "matrix_stats_agg": """
+WITH s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(CAST(l_quantity AS BIGINT))::HUGEINT AS s1,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT))::HUGEINT AS s2,
+         sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::HUGEINT AS s3,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT))::HUGEINT AS s11,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice + 0.5) AS BIGINT))::HUGEINT
+             AS s22,
+         sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::HUGEINT
+             AS s33,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice + 0.5) AS BIGINT))::HUGEINT
+             AS s12,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::HUGEINT
+             AS s13,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+             * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::HUGEINT
+             AS s23
+  FROM lineitem),
+c AS (
+  SELECT 'l_quantity' AS field_a, 'l_extendedprice' AS field_b, n,
+         (n * s12 - s1 * s2) AS dn, (n * s11 - s1 * s1) AS ddx,
+         (n * s22 - s2 * s2) AS ddy
+  FROM s
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', n,
+         (n * s13 - s1 * s3), (n * s11 - s1 * s1), (n * s33 - s3 * s3)
+  FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', n,
+         (n * s23 - s2 * s3), (n * s22 - s2 * s2), (n * s33 - s3 * s3)
+  FROM s)
+SELECT field_a, field_b, CAST(n AS BIGINT) AS n,
+       CAST(floor((dn::DOUBLE / n / (n - 1)) * 1e6 + 0.5) AS BIGINT)
+           AS cov_micros,
+       CAST(floor((dn::DOUBLE / sqrt(ddx::DOUBLE) / sqrt(ddy::DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS corr_micros
+FROM c""",
+        # geo_distance over hash-derived coordinates: integer planar
+        # distance, bitwise (md5_number_lower == md5_low64)
+        "geo_distance_search": f"""
+WITH g AS (
+  SELECT c_custkey,
+         CAST(md5_number_lower('lat:' || CAST(c_custkey AS VARCHAR))
+              % 180000001 AS BIGINT) - 90000000 AS lat_micros,
+         CAST(md5_number_lower('lon:' || CAST(c_custkey AS VARCHAR))
+              % 360000001 AS BIGINT) - 180000000 AS lon_micros
+  FROM customer),
+d AS (SELECT c_custkey, lat_micros, lon_micros,
+             (lat_micros - {_GEO_LAT0}) * (lat_micros - {_GEO_LAT0})
+             + (lon_micros - {_GEO_LON0}) * (lon_micros - {_GEO_LON0})
+                 AS d2
+      FROM g)
+SELECT c_custkey, lat_micros, lon_micros, CAST(d2 AS BIGINT) AS d2,
+       CAST(row_number() OVER (ORDER BY d2 ASC, c_custkey ASC) AS BIGINT)
+           AS rank
+FROM d WHERE d2 <= {_GEO_R}::BIGINT * {_GEO_R}::BIGINT
+ORDER BY d2 ASC, c_custkey ASC LIMIT {_GEO_K}""",
         # ES rare_terms agg: bottom-K by df (df asc, term asc)
         "rare_terms_agg": f"""
 WITH {kept},

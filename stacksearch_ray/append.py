@@ -772,6 +772,48 @@ def delete_by_query(index_dir: str, expr: str) -> dict:
     return delete_from_index(index_dir, np.asarray(ids, dtype=np.int64))
 
 
+def update_by_query(index_dir: str, expr: str, source, transform_batch,
+                    **cfg_overrides) -> dict:
+    """ES ``_update_by_query`` analog: resolve the boolean-DSL matched
+    set against the index's own postings, re-read ONLY those docs from
+    ``source`` (the original corpus — the index's docs sidecar stores
+    metadata, not text), apply the vectorized ``transform_batch``
+    (pa.Table → pa.Table over the index's content/id columns) and
+    upsert the transformed delta (delete → surgical purge → append).
+
+    The matched-id set rides one ``ray.put`` broadcast into a
+    sorted-membership filter per batch (never re-shipped per batch);
+    the corpus scan is the only full pass. Matched set must fit a
+    worker's heap — for expression matching most of the corpus, a
+    rebuild is the right tool. Returns the final stats; results equal a
+    from-scratch rebuild of the transformed corpus (upsert contract,
+    tested)."""
+    import ray
+
+    from .build import load_stats
+    from .query import QueryEngine
+
+    eng = QueryEngine(index_dir)
+    ids = np.sort(eng.search_boolean_dsl(expr))
+    if len(ids) == 0:
+        return load_stats(index_dir)
+    id_col = eng.stats.get("id_col", "doc_id")
+    ids_ref = ray.put(ids)
+
+    def pick(b: pa.Table) -> pa.Table:
+        keys = ray.get(ids_ref)
+        col = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
+        j = np.searchsorted(keys, col)
+        hit = (j < len(keys)) & (keys[np.minimum(j, len(keys) - 1)] == col)
+        return b.filter(pa.array(hit))
+
+    src_ds = source if isinstance(source, rd.Dataset) \
+        else rd.read_parquet(source)
+    delta = (src_ds.map_batches(pick, batch_format="pyarrow")
+             .map_batches(transform_batch, batch_format="pyarrow"))
+    return upsert_to_index(delta, index_dir, **cfg_overrides)
+
+
 def append_to_index(source, index_dir: str,
                     cfg: IndexBuildConfig | None = None,
                     content_col: str | None = None, id_col: str | None = None,

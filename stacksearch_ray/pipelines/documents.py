@@ -2962,6 +2962,123 @@ def price_qty_corr(sf_dir: str):
     })
 
 
+MATRIX_FIELDS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def matrix_stats_agg(sf_dir: str):
+    """ES ``matrix_stats`` aggregation: pairwise sample covariance and
+    Pearson correlation over three lineitem numeric fields in ONE
+    streaming pass — exact integer sufficient statistics (n, Σxᵢ,
+    Σxᵢ², Σxᵢxⱼ) as map-side partials, one 10-column global sum, the
+    float tail on the driver in a fixed expression order shared with
+    the oracle. Scaling conventions (price_qty_corr's): quantity as-is,
+    price in WHOLE units floor(p+0.5) (Σy² headroom to sf100), discount
+    in cents floor(d·100+0.5). Cross terms exceed int64 → Python ints
+    on the 1-row final, HUGEINT in the oracle."""
+    import math
+
+    def part(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["l_quantity"].combine_chunks()
+                       .cast(pa.float64())).astype(np.int64)
+        y = np.floor(np.asarray(b["l_extendedprice"].combine_chunks()
+                                .cast(pa.float64())) + 0.5).astype(np.int64)
+        z = np.floor(np.asarray(b["l_discount"].combine_chunks()
+                                .cast(pa.float64())) * 100 + 0.5
+                     ).astype(np.int64)
+        t = pa.table({
+            "g": np.zeros(len(x), np.int64),
+            "n": np.ones(len(x), np.int64),
+            "s1": x, "s2": y, "s3": z,
+            "s11": x * x, "s22": y * y, "s33": z * z,
+            "s12": x * y, "s13": x * z, "s23": y * z,
+        })
+        cols = ("n", "s1", "s2", "s3", "s11", "s22", "s33",
+                "s12", "s13", "s23")
+        return _partial_sums(t, ["g"], {c: c for c in cols})
+
+    cols = ("n", "s1", "s2", "s3", "s11", "s22", "s33",
+            "s12", "s13", "s23")
+    rows = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=list(MATRIX_FIELDS))
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols])
+            .take_all())  # exactly one row — the global sums
+    r = rows[0]
+    n = int(r["n"])
+    s = {1: int(r["s1"]), 2: int(r["s2"]), 3: int(r["s3"])}
+    ss = {(1, 1): int(r["s11"]), (2, 2): int(r["s22"]),
+          (3, 3): int(r["s33"]), (1, 2): int(r["s12"]),
+          (1, 3): int(r["s13"]), (2, 3): int(r["s23"])}
+    fa, fb, covs, corrs = [], [], [], []
+    for i, j in ((1, 2), (1, 3), (2, 3)):
+        dn = n * ss[(i, j)] - s[i] * s[j]
+        ddx = n * ss[(i, i)] - s[i] * s[i]
+        ddy = n * ss[(j, j)] - s[j] * s[j]
+        cov = float(dn) / n / (n - 1)  # sample covariance, fixed order
+        corr = float(dn) / math.sqrt(float(ddx)) / math.sqrt(float(ddy))
+        fa.append(MATRIX_FIELDS[i - 1])
+        fb.append(MATRIX_FIELDS[j - 1])
+        covs.append(to_micros(cov))
+        corrs.append(to_micros(corr))
+    return pa.table({
+        "field_a": pa.array(fa, pa.string()),
+        "field_b": pa.array(fb, pa.string()),
+        "n": pa.array([n] * 3, pa.int64()),
+        "cov_micros": pa.array(covs, pa.int64()),
+        "corr_micros": pa.array(corrs, pa.int64()),
+    })
+
+
+GEO_LAT0, GEO_LON0 = 10_000_000, -20_000_000  # query point, micro-degrees
+GEO_RADIUS = 60_000_000                       # planar radius, micro-degrees
+GEO_K = 20
+
+
+def geo_distance_search(sf_dir: str):
+    """ES ``geo_distance`` query + geo-distance sort, float-hazard-free:
+    customers carry deterministic hash-derived coordinates (md5-low64 ==
+    DuckDB md5_number_lower — the repo's cross-engine hash convention),
+    the filter keeps points within a PLANAR radius of the query point
+    and ranks by squared distance (monotone in distance, so the order
+    is the geo sort's) — every quantity integer micro-degrees, so the
+    shortlist is bitwise-oracled. At 100 TB the planar gate is the
+    bounding-box prefilter a haversine re-rank would run behind; each
+    batch emits a partial top-K, the driver merges K-sized lists."""
+    from ..functions.dedup import md5_low64
+
+    def part(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["c_custkey"].combine_chunks()).astype(np.int64)
+        lat = (md5_low64(np.array([f"lat:{c}" for c in ck], dtype=object))
+               % np.uint64(180_000_001)).astype(np.int64) - 90_000_000
+        lon = (md5_low64(np.array([f"lon:{c}" for c in ck], dtype=object))
+               % np.uint64(360_000_001)).astype(np.int64) - 180_000_000
+        d2 = (lat - GEO_LAT0) ** 2 + (lon - GEO_LON0) ** 2
+        keep = d2 <= GEO_RADIUS * GEO_RADIUS
+        order = np.lexsort((ck[keep], d2[keep]))[:GEO_K]  # partial top-K
+        return pa.table({
+            "c_custkey": pa.array(ck[keep][order], pa.int64()),
+            "lat_micros": pa.array(lat[keep][order], pa.int64()),
+            "lon_micros": pa.array(lon[keep][order], pa.int64()),
+            "d2": pa.array(d2[keep][order], pa.int64()),
+        })
+
+    t = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+         .map_batches(part, batch_format="pyarrow")
+         .to_pandas())  # ≤ K rows per batch reach the driver
+    order = np.lexsort((t["c_custkey"].to_numpy(),
+                        t["d2"].to_numpy()))[:GEO_K]
+    out = t.iloc[order]
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+        "lat_micros": pa.array(out["lat_micros"].to_numpy(np.int64)),
+        "lon_micros": pa.array(out["lon_micros"].to_numpy(np.int64)),
+        "d2": pa.array(out["d2"].to_numpy(np.int64)),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+    })
+
+
 def nation_supplier_csv(sf_dir: str):
     """Ordered string_agg per group: each nation's supplier names as
     one comma-joined string, sorted — SQL ``string_agg(s_name, ','
@@ -4986,6 +5103,53 @@ def delete_by_query_search(sf_dir: str):
         open(done, "w").close()
 
     _ensure_built(done, _build_dbq)
+    eng = QueryEngine(index_dir)
+    res = eng.search(BM25_QUERY, 10, method="auto")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+    })
+
+
+UBQ_EXPR, UBQ_SUFFIX = "hash AND batch", " merge merge stream"
+
+
+def update_by_query_search(sf_dir: str):
+    """ES ``_update_by_query`` surfaced end-to-end: build over ALL
+    documents, rewrite every doc matching ``UBQ_EXPR`` by appending
+    ``UBQ_SUFFIX`` (a vectorized Arrow concat — the matched docs gain
+    'merge' weight), upsert the transformed delta (delete → purge →
+    append), then run the fixed BM25 query. Oracle: the bm25 chain over
+    a CASE-rewritten corpus — the updated index must match it bitwise
+    (the upsert contract: equal to a rebuild of the transformed
+    corpus)."""
+    from ..append import update_by_query
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(CACHE_ROOT, tag, "index_ubq")
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_ubq():
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
+        build_index(_docs(sf_dir), index_dir, content_col="text",
+                    id_col="doc_id", meta_cols=("lang", "source"),
+                    num_shards=4, term_buckets=16)
+
+        def patch(b: pa.Table) -> pa.Table:
+            new_text = pc.binary_join_element_wise(
+                b["text"].combine_chunks(),
+                pa.array([UBQ_SUFFIX] * b.num_rows, pa.string()), "")
+            return b.set_column(b.schema.get_field_index("text"),
+                                "text", new_text)
+
+        update_by_query(index_dir, UBQ_EXPR, _docs(sf_dir), patch)
+        open(done, "w").close()
+
+    _ensure_built(done, _build_ubq)
     eng = QueryEngine(index_dir)
     res = eng.search(BM25_QUERY, 10, method="auto")
     return pa.table({

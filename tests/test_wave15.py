@@ -112,3 +112,61 @@ def test_chunk_documents_bruteforce(ray_session):
     # every chunk is bounded by the window width
     assert (got["n_tokens"] <= CHUNK_W).all()
     assert (got["n_tokens"] >= 1).all()
+
+
+def test_update_by_query_equals_rebuild(ray_session, tmp_path):
+    """update_by_query(expr, transform) == from-scratch rebuild over
+    the transformed corpus (bitwise stats + search results), and a
+    no-match expression is a no-op."""
+    import pyarrow.compute as pc
+
+    from stacksearch_ray.append import update_by_query
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    kw = dict(content_col="text", id_col="doc_id", num_shards=4,
+              term_buckets=8)
+    idx = str(tmp_path / "idx")
+    build_index(DOCS, idx, **kw)
+
+    suffix = " merge merge stream"
+
+    def patch(b):
+        new_text = pc.binary_join_element_wise(
+            b["text"].combine_chunks(),
+            pa.array([suffix] * b.num_rows, pa.string()), "")
+        return b.set_column(b.schema.get_field_index("text"),
+                            "text", new_text)
+
+    expr = "hash AND batch"
+    matched = QueryEngine(idx).search_boolean_dsl(expr)
+    assert len(matched) > 0
+    update_by_query(idx, expr, DOCS, patch)
+
+    # reference: rebuild over the CASE-transformed corpus
+    t = pq.read_table(DOCS)
+    hit = pc.is_in(t["doc_id"], value_set=pa.array(matched, pa.int64()))
+    new_text = pc.if_else(
+        hit,
+        pc.binary_join_element_wise(
+            t["text"], pa.array([suffix] * t.num_rows, pa.string()), ""),
+        t["text"])
+    ref_tbl = t.set_column(t.schema.get_field_index("text"),
+                           "text", new_text)
+    ref_p = str(tmp_path / "ref.parquet")
+    pq.write_table(ref_tbl, ref_p)
+    ref = str(tmp_path / "ref_idx")
+    build_index(ref_p, ref, **kw)
+
+    si, sr = load_stats(idx), load_stats(ref)
+    assert si["n_docs"] == sr["n_docs"]
+    assert si["total_len"] == sr["total_len"]
+    assert si["avgdl"] == sr["avgdl"]
+    e, r = QueryEngine(idx), QueryEngine(ref)
+    for q in ("merge sort join stream window", "hash batch", "merge"):
+        assert e.search(q, 10, "auto") == r.search(q, 10, "exhaustive"), q
+
+    # no-match expression: stats object unchanged
+    s_before = load_stats(idx)
+    update_by_query(idx, "zzzmissingterm", DOCS, patch)
+    assert load_stats(idx) == s_before
