@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms_agg": P.rare_terms_agg,
         "matrix_stats_agg": P.matrix_stats_agg,
         "geo_distance_search": P.geo_distance_search,
+        "bucket_stats_pipeline": P.bucket_stats_pipeline,
+        "fim_transform": P.fim_transform,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -3385,6 +3387,39 @@ SELECT c_custkey, lat_micros, lon_micros, CAST(d2 AS BIGINT) AS d2,
            AS rank
 FROM d WHERE d2 <= {_GEO_R}::BIGINT * {_GEO_R}::BIGINT
 ORDER BY d2 ASC, c_custkey ASC LIMIT {_GEO_K}""",
+        # ES stats_bucket pipeline agg over the monthly histogram —
+        # integer floor-avg both engines
+        "bucket_stats_pipeline": """
+WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                  count(*) AS n
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n) AS BIGINT) AS min_n,
+       CAST(max(n) AS BIGINT) AS max_n,
+       CAST(sum(n) AS BIGINT) AS sum_n,
+       CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS avg_micros
+FROM b""",
+        # FIM split: cut points u,v = md5('fim:{a,b}:'||doc_id) mod
+        # (n+1), a=min b=max; DuckDB slices are 1-based end-inclusive so
+        # toks[1:a] / toks[a+1:b] / toks[b+1:n] mirror the [0,a) [a,b)
+        # [b,n) python spans
+        "fim_transform": f"""
+WITH {token_list_cte()},
+c AS (SELECT doc_id, toks, len(toks) AS n FROM doc_toks
+      WHERE len(toks) > 0),
+h AS (SELECT doc_id, toks, n,
+             CAST(md5_number_lower('fim:a:' || CAST(doc_id AS VARCHAR))
+                  % (n + 1) AS BIGINT) AS u,
+             CAST(md5_number_lower('fim:b:' || CAST(doc_id AS VARCHAR))
+                  % (n + 1) AS BIGINT) AS v
+      FROM c),
+cut AS (SELECT doc_id, toks, n, least(u, v) AS a, greatest(u, v) AS b
+        FROM h)
+SELECT doc_id, a AS cut_a, b AS cut_b,
+       coalesce(array_to_string(toks[1:a], ' '), '') AS prefix_text,
+       coalesce(array_to_string(toks[a+1:b], ' '), '') AS middle_text,
+       coalesce(array_to_string(toks[b+1:n], ' '), '') AS suffix_text
+FROM cut""",
         # ES rare_terms agg: bottom-K by df (df asc, term asc)
         "rare_terms_agg": f"""
 WITH {kept},

@@ -3201,6 +3201,71 @@ def orders_by_month(sf_dir: str):
                        Sum("revenue_micros", alias_name="revenue_micros")))
 
 
+def bucket_stats_pipeline(sf_dir: str):
+    """ES pipeline aggregation (stats_bucket over a date_histogram):
+    monthly order counts reduce to ONE stats row (n_buckets, min, max,
+    sum, integer-floor avg) — the sibling-agg readout layered on
+    orders_by_month's partial-sums histogram; the bucket table is
+    month-bounded, so the pipeline step is a driver-side fold."""
+    t = orders_by_month(sf_dir).to_pandas()  # ≤ months rows
+    n = t["n_orders"].to_numpy(np.int64)
+    return pa.table({
+        "n_buckets": pa.array([len(n)], pa.int64()),
+        "min_n": pa.array([int(n.min())], pa.int64()),
+        "max_n": pa.array([int(n.max())], pa.int64()),
+        "sum_n": pa.array([int(n.sum())], pa.int64()),
+        "avg_micros": pa.array([int(n.sum()) * 1_000_000 // len(n)],
+                               pa.int64()),
+    })
+
+
+def fim_transform(sf_dir: str):
+    """Fill-in-the-middle training transform (the FIM / infilling data
+    prep for code models): each doc's kept tokens split into
+    prefix/middle/suffix at two hash-derived cut points (md5-low64 ==
+    DuckDB md5_number_lower, mod n+1 — deterministic, reproducible
+    across engines and runs; empty parts allowed), emitted as separate
+    columns so downstream PSM/SPM re-assembly is a concat. Entirely
+    map-side: one tokenize pass, three flat range-gathers + list-joins
+    per batch, no shuffle."""
+    from ..functions.dedup import md5_low64
+
+    def fim(batch: pa.Table) -> pa.Table:
+        flat, _, doc_lens = tokenize_array(batch["text"])
+        all_n = doc_lens.astype(np.int64)
+        all_starts = np.concatenate(([0], np.cumsum(all_n)))[:-1]
+        keep = all_n > 0
+        did = np.asarray(batch["doc_id"].combine_chunks()
+                         ).astype(np.int64)[keep]
+        n, s0 = all_n[keep], all_starts[keep]
+        ha = md5_low64(np.array([f"fim:a:{d}" for d in did], dtype=object))
+        hb = md5_low64(np.array([f"fim:b:{d}" for d in did], dtype=object))
+        u = (ha % (n + 1).astype(np.uint64)).astype(np.int64)
+        v = (hb % (n + 1).astype(np.uint64)).astype(np.int64)
+        a, b = np.minimum(u, v), np.maximum(u, v)
+
+        def join_spans(begin, end):
+            idx = _take_ranges(begin, end)
+            vals = flat.take(pa.array(idx, pa.int64()))
+            offs = np.concatenate(
+                ([0], np.cumsum(end - begin))).astype(np.int32)
+            lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                             vals)
+            return pc.binary_join(lists, " ")
+
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "cut_a": pa.array(a, pa.int64()),
+            "cut_b": pa.array(b, pa.int64()),
+            "prefix_text": join_spans(s0, s0 + a),
+            "middle_text": join_spans(s0 + a, s0 + b),
+            "suffix_text": join_spans(s0 + b, s0 + n),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+            .map_batches(fim, batch_format="pyarrow"))
+
+
 def events_minmax(sf_dir: str):
     """Min/Max/Count per group via mergeable partials: each batch
     emits one (min, max, n) row per key, the groupby merges them —

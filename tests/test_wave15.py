@@ -170,3 +170,30 @@ def test_update_by_query_equals_rebuild(ray_session, tmp_path):
     s_before = load_stats(idx)
     update_by_query(idx, "zzzmissingterm", DOCS, patch)
     assert load_stats(idx) == s_before
+
+
+def test_fim_transform_reassembly(ray_session):
+    """prefix+middle+suffix tokens re-concatenate to exactly
+    clean_query(text) for every doc, and the cut points are within
+    [0, n] with a <= b."""
+    from stacksearch_ray.pipelines.documents import fim_transform
+    from stacksearch_ray.text import clean_query
+
+    got = fim_transform(SF).to_pandas().set_index("doc_id")
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    seen = 0
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = clean_query(txt)
+        if not toks:
+            assert did not in got.index
+            continue
+        r = got.loc[did]
+        a, b = int(r["cut_a"]), int(r["cut_b"])
+        assert 0 <= a <= b <= len(toks)
+        parts = [p for p in (r["prefix_text"], r["middle_text"],
+                             r["suffix_text"]) if p]
+        assert " ".join(parts).split() == toks
+        assert r["prefix_text"].split() == toks[:a]
+        assert r["middle_text"].split() == toks[a:b]
+        seen += 1
+    assert seen == len(got)
