@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance_search": P.geo_distance_search,
         "bucket_stats_pipeline": P.bucket_stats_pipeline,
         "fim_transform": P.fim_transform,
+        "pit_paged_search": P.pit_paged_search,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         COMP_AFTER as _COMP_AFTER,
         COMP_PAGE as _COMP_PAGE,
         DBQ_EXPR as _DBQ_EXPR,
+        PIT_PAGE as _PIT_PAGE,
         RARE_K as _RARE_K,
         UBQ_EXPR as _UBQ_EXPR,
         UBQ_SUFFIX as _UBQ_SUFFIX,
@@ -3282,6 +3284,16 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # PIT paged search: the snapshot preserves the PRE-delete state,
+        # so the oracle is the plain bm25 chain paged by rank
+        "pit_paged_search": bm25_scores_sql(BM25_QUERY) + f"""
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+       CAST((row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)
+            // {_PIT_PAGE} + 1 AS BIGINT) AS page
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT {2 * _PIT_PAGE}""",
         # ES _delete_by_query: the delete SET is the boolean-DSL matched
         # set (mirrors DBQ_EXPR via INTERSECT over a SECOND tokenization
         # of the full corpus), then the bm25 chain runs over survivors

@@ -5178,6 +5178,51 @@ def delete_by_query_search(sf_dir: str):
     })
 
 
+PIT_PAGE = 5
+
+
+def pit_paged_search(sf_dir: str):
+    """ES point-in-time (PIT) search: snapshot the index (hardlink PIT
+    — O(file count), zero data copied), run a MUTATING delete_by_query
+    on the live index, then page through the PIT reader with
+    search_after. Pages reflect the snapshot state bitwise — snapshot
+    isolation surfaced in the conformance harness — so the oracle is
+    the plain pre-delete bm25 chain with a page column. The cursor is
+    (score, doc_id) exactly as ES's search_after sort values."""
+    from ..append import delete_by_query, snapshot_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(CACHE_ROOT, tag)
+    index_dir = os.path.join(base, "index_pit")
+    snap_dir = os.path.join(base, "index_pit_snap")
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_pit():
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        build_index(_docs(sf_dir), index_dir, content_col="text",
+                    id_col="doc_id", meta_cols=("lang", "source"),
+                    num_shards=4, term_buckets=16)
+        snapshot_index(index_dir, snap_dir)
+        delete_by_query(index_dir, DBQ_EXPR)  # live mutates AFTER the PIT
+        open(done, "w").close()
+
+    _ensure_built(done, _build_pit)
+    eng = QueryEngine(snap_dir)
+    p1 = eng.search(BM25_QUERY, PIT_PAGE, method="auto")
+    p2 = eng.search_after(BM25_QUERY, p1[-1][1], p1[-1][0], PIT_PAGE)
+    res = p1 + p2
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+        "page": pa.array([1] * len(p1) + [2] * len(p2), pa.int64()),
+    })
+
+
 UBQ_EXPR, UBQ_SUFFIX = "hash AND batch", " merge merge stream"
 
 

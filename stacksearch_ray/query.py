@@ -2394,6 +2394,10 @@ class _ShardWorker:
                                            exclude_term=exclude_term,
                                            dist=dist)
 
+    def export_matches(self, query: str, scorer: str
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        return self.engine.export_matches(query, scorer=scorer)
+
     def search_phrase_prefix(self, phrase: str, k: int,
                              max_expansions: int
                              ) -> list[tuple[int, float]]:
@@ -2743,6 +2747,25 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    def export_matches(self, query: str, scorer: str = "bm25"
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed retrieval→Dataset bridge: every worker exports
+        its shard subset's full matched set (doc_ids, scores); shards
+        partition docs so the parts are disjoint and one merge-sort by
+        doc_id reproduces the single-engine export bitwise (tested).
+        This is the hot-term answer to export_matches' scale note — no
+        single process ever holds more than its shard subset's matched
+        set until the driver-side concat (callers that can't afford
+        that keep the parts as separate refs)."""
+        import ray
+
+        parts = ray.get([w.export_matches.remote(query, scorer)
+                         for w in self.workers])
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids, kind="stable")  # disjoint → plain sort
+        return ids[order], scores[order]
 
     def search_phrase_prefix(self, phrase: str, k: int = 10, *,
                              max_expansions: int = 50

@@ -197,3 +197,36 @@ def test_fim_transform_reassembly(ray_session):
         assert r["middle_text"].split() == toks[a:b]
         seen += 1
     assert seen == len(got)
+
+
+def test_sharded_export_matches_identity(pos_index):
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    eng = QueryEngine(pos_index)
+    sh = ShardedQueryEngine(pos_index, num_workers=3)
+    for q in ("merge sort join", "stream", "zzzmissing"):
+        ids1, s1 = eng.export_matches(q)
+        ids2, s2 = sh.export_matches(q)
+        assert ids1.tolist() == ids2.tolist(), q
+        assert s1.tolist() == s2.tolist(), q  # bitwise
+
+
+def test_snapshot_isolation_under_delete_by_query(ray_session, tmp_path):
+    """The PIT contract behind pit_paged_search: a hardlink snapshot
+    taken before delete_by_query keeps serving the pre-delete results
+    bitwise while the live index mutates."""
+    from stacksearch_ray.append import delete_by_query, snapshot_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    idx = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    build_index(DOCS, idx, content_col="text", id_col="doc_id",
+                num_shards=4, term_buckets=8)
+    before = QueryEngine(idx).search("merge sort join stream window", 10)
+    snapshot_index(idx, snap)
+    delete_by_query(idx, "stream AND window")
+    after_live = QueryEngine(idx).search("merge sort join stream window", 10)
+    from_snap = QueryEngine(snap).search("merge sort join stream window", 10)
+    assert from_snap == before
+    assert after_live != before  # the live index really mutated
