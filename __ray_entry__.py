@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_stats_pipeline": P.bucket_stats_pipeline,
         "fim_transform": P.fim_transform,
         "pit_paged_search": P.pit_paged_search,
+        "terms_agg_shard_error": P.terms_agg_shard_error,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -352,6 +353,9 @@ def oracle_sql() -> dict[str, str]:
         COMP_PAGE as _COMP_PAGE,
         DBQ_EXPR as _DBQ_EXPR,
         PIT_PAGE as _PIT_PAGE,
+        TA_SHARDS as _TA_S,
+        TA_SHARD_SIZE as _TA_SS,
+        TA_K as _TA_K,
         RARE_K as _RARE_K,
         UBQ_EXPR as _UBQ_EXPR,
         UBQ_SUFFIX as _UBQ_SUFFIX,
@@ -3432,6 +3436,39 @@ SELECT doc_id, a AS cut_a, b AS cut_b,
        coalesce(array_to_string(toks[a+1:b], ' '), '') AS middle_text,
        coalesce(array_to_string(toks[b+1:n], ' '), '') AS suffix_text
 FROM cut""",
+        # ES terms agg, REAL distributed protocol: per-shard top
+        # shard_size by df (shard = the index's own hash spread),
+        # coordinator sums reported partials (undercount when a term
+        # misses a shard's cut) and bounds the miss with ES's
+        # doc_count_error_upper_bound = Σ non-reporting shards' last
+        # reported df
+        "terms_agg_shard_error": f"""
+WITH {kept},
+sd AS (SELECT term,
+              CAST((((doc_id::HUGEINT * 11400714819323198485) % {_M64})
+                    // 1099511627776) % {_TA_S} AS BIGINT) AS shard,
+              count(DISTINCT doc_id) AS df
+       FROM kept GROUP BY 1, 2),
+top AS (SELECT shard, term, df,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY df DESC, term ASC) AS r
+        FROM sd),
+rep AS (SELECT shard, term, df FROM top WHERE r <= {_TA_SS}),
+cut AS (SELECT shard,
+               coalesce(max(CASE WHEN r = {_TA_SS} THEN df END), 0) AS cut
+        FROM top GROUP BY shard),
+agg AS (SELECT term, sum(df) AS df_sum FROM rep GROUP BY term),
+err AS (SELECT a.term, a.df_sum,
+               coalesce(sum(CASE WHEN r.term IS NULL THEN c.cut
+                            ELSE 0 END), 0) AS err_bound
+        FROM agg a CROSS JOIN cut c
+        LEFT JOIN rep r ON r.term = a.term AND r.shard = c.shard
+        GROUP BY a.term, a.df_sum)
+SELECT term, CAST(df_sum AS BIGINT) AS df_sum,
+       CAST(err_bound AS BIGINT) AS err_bound,
+       CAST(row_number() OVER (ORDER BY df_sum DESC, term ASC) AS BIGINT)
+           AS rank
+FROM err ORDER BY df_sum DESC, term ASC LIMIT {_TA_K}""",
         # ES rare_terms agg: bottom-K by df (df asc, term asc)
         "rare_terms_agg": f"""
 WITH {kept},

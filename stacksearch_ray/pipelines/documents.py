@@ -166,6 +166,66 @@ def heavy_terms(sf_dir: str):
                                k=4000)
 
 
+TA_SHARDS, TA_SHARD_SIZE, TA_K = 4, 5, 5
+
+
+def terms_agg_shard_error(sf_dir: str):
+    """ES terms aggregation with its REAL distributed semantics: each
+    shard reports only its local top ``shard_size`` terms by df, the
+    coordinator sums the received partial dfs (an undercount when a
+    term misses some shard's cut — that's ES's documented
+    approximation) and bounds the miss per term with
+    ``doc_count_error_upper_bound`` = Σ over non-reporting shards of
+    that shard's LAST reported df. Deterministic here because the
+    shard assignment is the index's own hash spread (shard_of), so the
+    whole protocol — cuts, undercounts, error bounds — is
+    SQL-oracle-able. One (term, shard) partial-sums reduce, a per-shard
+    map_groups cut (vocab-bounded groups), and a ≤ S·shard_size-row
+    driver merge."""
+    from ..schema import shard_of
+
+    def part(b: pa.Table) -> pa.Table:
+        # (doc, term) rows are unique → row counts are exact dfs
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        t = pa.table({
+            "term": b["term"].combine_chunks(),
+            "shard": shard_of(ids, TA_SHARDS).astype(np.int64),
+            "df": np.ones(b.num_rows, dtype=np.int64),
+        })
+        return _partial_sums(t, ["term", "shard"], {"df": "df"})
+
+    def shard_cut(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["term"].to_numpy(dtype=object),
+                            -g["df"].to_numpy()))
+        top = g.iloc[order[:TA_SHARD_SIZE]].copy()
+        cut = int(top["df"].iloc[-1]) if len(g) >= TA_SHARD_SIZE else 0
+        top["cut"] = np.int64(cut)
+        return top[["shard", "term", "df", "cut"]]
+
+    rep = (_postings_ds(sf_dir)
+           .map_batches(lambda b: part(b), batch_format="pyarrow")
+           .groupby(["term", "shard"]).aggregate(Sum("df", alias_name="df"))
+           .groupby("shard").map_groups(shard_cut, batch_format="pandas")
+           .to_pandas())  # ≤ S · shard_size rows
+    cuts = rep.drop_duplicates("shard").set_index("shard")["cut"]
+    agg = (rep.groupby("term", sort=True)
+           .agg(df_sum=("df", "sum"),
+                reporters=("shard", lambda s: set(s))))
+    err = [int(sum(cuts[s] for s in cuts.index
+                   if s not in r.reporters))
+           for r in agg.itertuples()]
+    agg["err"] = err
+    order = np.lexsort((np.array(agg.index, dtype=object),
+                        -agg["df_sum"].to_numpy()))[:TA_K]
+    out = agg.iloc[order]
+    return pa.table({
+        "term": pa.array(list(out.index), pa.string()),
+        "df_sum": pa.array(out["df_sum"].to_numpy(np.int64)),
+        "err_bound": pa.array(out["err"].to_numpy(np.int64)),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+    })
+
+
 RARE_K = 10
 
 
