@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": P.knn_ivfpq,
         "knn_ivfpq_rerank": P.knn_ivfpq_rerank,
         "knn_bq": P.knn_bq,
+        "knn_sq8": P.knn_sq8,
+        "knn_sq8_rerank": P.knn_sq8_rerank,
         "knn_bq_rerank": P.knn_bq_rerank,
         "knn_filtered": P.knn_filtered,
         "embedding_pairs": P.embedding_pairs,
@@ -1506,6 +1508,58 @@ SELECT vec_id, CAST(hamming AS BIGINT) AS hamming,
        CAST(row_number() OVER (ORDER BY hamming ASC, vec_id ASC)
             AS BIGINT) AS rank
 FROM d ORDER BY hamming ASC, vec_id ASC LIMIT 10""",
+        # SQ8 ANN: per-dim min-max micros quantizer, integer codes
+        # ((vm-mn)*255 // span, 0 on degenerate dims), integer squared
+        # L2 — bitwise like the BQ sibling (query = corpus vec 0, so
+        # the clamp is a no-op and its corpus code IS the query code)
+        "knn_sq8": """
+WITH e AS (SELECT vec_id,
+                  CAST(floor(unnest(embedding) * 1e6 + 0.5) AS BIGINT)
+                      AS vm,
+                  unnest(range(0, len(embedding))) AS j
+           FROM embeddings),
+r AS (SELECT j, min(vm) AS mn, max(vm) AS mx FROM e GROUP BY j),
+c AS (SELECT e.vec_id, e.j,
+             CASE WHEN r.mx > r.mn
+                  THEN (e.vm - r.mn) * 255 // (r.mx - r.mn)
+                  ELSE 0 END AS code
+      FROM e JOIN r USING (j)),
+q AS (SELECT j, code AS qcode FROM c WHERE vec_id = 0),
+d AS (SELECT c.vec_id,
+             sum((c.code - q.qcode) * (c.code - q.qcode)) AS d2
+      FROM c JOIN q USING (j) GROUP BY c.vec_id)
+SELECT vec_id, CAST(d2 AS BIGINT) AS d2,
+       CAST(row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS BIGINT)
+           AS rank
+FROM d ORDER BY d2 ASC, vec_id ASC LIMIT 10""",
+        # SQ8 top-50 shortlist -> exact cosine re-rank (knn_bq_rerank's
+        # proven float tail)
+        "knn_sq8_rerank": """
+WITH e AS (SELECT vec_id,
+                  CAST(floor(unnest(embedding) * 1e6 + 0.5) AS BIGINT)
+                      AS vm,
+                  unnest(range(0, len(embedding))) AS j
+           FROM embeddings),
+r AS (SELECT j, min(vm) AS mn, max(vm) AS mx FROM e GROUP BY j),
+c AS (SELECT e.vec_id, e.j,
+             CASE WHEN r.mx > r.mn
+                  THEN (e.vm - r.mn) * 255 // (r.mx - r.mn)
+                  ELSE 0 END AS code
+      FROM e JOIN r USING (j)),
+q AS (SELECT j, code AS qcode FROM c WHERE vec_id = 0),
+d AS (SELECT c.vec_id,
+             sum((c.code - q.qcode) * (c.code - q.qcode)) AS d2
+      FROM c JOIN q USING (j) GROUP BY c.vec_id),
+cand AS (SELECT vec_id FROM d
+         ORDER BY d2 ASC, vec_id ASC LIMIT 50),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT e2.vec_id,
+                list_cosine_similarity(e2.embedding::DOUBLE[], qv.qe) AS sim
+         FROM embeddings e2 JOIN cand USING (vec_id) CROSS JOIN qv)
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+           AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
         # Hamming top-50 shortlist (integer-exact candidate identity)
         # -> exact cosine re-rank, knn_cosine's proven float surface
         "knn_bq_rerank": """

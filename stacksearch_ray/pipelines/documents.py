@@ -4073,6 +4073,44 @@ def knn_bq_rerank(sf_dir: str):
     return hamming_shortlist_rerank(ds, q, k=10, candidates=BQ_CANDIDATES)
 
 
+SQ_CANDIDATES = 50
+
+
+def knn_sq8(sf_dir: str):
+    """Scalar-quantization (SQ8) ANN: integer squared-L2 top-10 over
+    per-dimension min-max 8-bit codes (faiss QT_8bit analog). The
+    quantizer trains in one per-dim (min, max) micros pass; codes and
+    distances are pure integers, so — like knn_bq — this ANN's
+    candidate stage is bitwise-oracled. At 100 TB the code table is
+    materialized once (8× smaller) and the shortlist never reads the
+    float column."""
+    from ..functions.sq import sq8_knn, sq8_train
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    mn, mx = sq8_train(ds)
+    return sq8_knn(ds, q, k=10, mn=mn, mx=mx)
+
+
+def knn_sq8_rerank(sf_dir: str):
+    """Two-stage SQ8 retrieval: integer-L2 top-50 shortlist
+    (cross-engine-exact candidate identity) → exact cosine re-rank of
+    only those rows → top-10. The fourth two-stage ANN next to
+    knn_bq_rerank (Hamming), knn_ivfpq_rerank (PQ) and minhash_search
+    (LSH)."""
+    from ..functions.sq import sq8_shortlist_rerank, sq8_train
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    mn, mx = sq8_train(ds)
+    return sq8_shortlist_rerank(ds, q, k=10, candidates=SQ_CANDIDATES,
+                                mn=mn, mx=mx)
+
+
 def multimodal_features(sf_dir: str):
     """Image features from REAL pixels: the synthetic media table's
     image rows are valid 24-bit BMPs, decoded by the pure-NumPy codec

@@ -230,3 +230,34 @@ def test_snapshot_isolation_under_delete_by_query(ray_session, tmp_path):
     from_snap = QueryEngine(snap).search("merge sort join stream window", 10)
     assert from_snap == before
     assert after_live != before  # the live index really mutated
+
+
+def test_sq8_quantizer_properties(ray_session):
+    """SQ8 codes stay in [0, 255], corpus vec 0's code IS the clamped
+    query code (the oracle identity), and recall@10 of the SQ shortlist
+    vs exact cosine is sane on the real table."""
+    import os
+
+    import ray.data as rd
+
+    from stacksearch_ray.functions.similarity import knn_brute_force
+    from stacksearch_ray.functions.sq import (
+        _emb_micros, sq8_encode, sq8_knn, sq8_train)
+
+    emb = os.path.join(SF, "embeddings.parquet")
+    ds = rd.read_parquet(emb, columns=["vec_id", "embedding"])
+    mn, mx = sq8_train(ds)
+    assert (mn <= mx).all()
+
+    t = pq.read_table(emb)
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    codes = sq8_encode(_emb_micros(t, "embedding"), mn, mx)
+    assert codes.min() >= 0 and codes.max() <= 255
+    qm = np.floor(q * 1e6 + 0.5).astype(np.int64)[None, :]
+    assert (sq8_encode(qm, mn, mx, clamp=True)[0] == codes[0]).all()
+
+    short = sq8_knn(ds, q, k=20, mn=mn, mx=mx)
+    exact = knn_brute_force(ds, q[None, :], k=10, max_rows=None)
+    got = set(short["vec_id"].to_pylist())
+    want = set(exact["vec_id"].to_pylist())
+    assert len(got & want) >= 5  # quantized L2 finds most of the top-10
