@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_stats_pipeline": P.bucket_stats_pipeline,
         "fim_transform": P.fim_transform,
         "pit_paged_search": P.pit_paged_search,
+        "reindex_search": P.reindex_search,
         "terms_agg_shard_error": P.terms_agg_shard_error,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         COMP_PAGE as _COMP_PAGE,
         DBQ_EXPR as _DBQ_EXPR,
         PIT_PAGE as _PIT_PAGE,
+        REIDX_MOD as _REIDX_MOD,
         TA_SHARDS as _TA_S,
         TA_SHARD_SIZE as _TA_SS,
         TA_K as _TA_K,
@@ -3336,6 +3338,19 @@ FROM g""",
         "bm25_topk_deleted": bm25_scores_sql(
             BM25_QUERY, table="surv",
             pre="surv AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),"
+        ) + """
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # ES _reindex from the index's own stored _source under a NEW
+        # layout, serving the alive (tombstone-masked) view — scores are
+        # layout-invariant, so the oracle is the plain survivor chain
+        "reindex_search": bm25_scores_sql(
+            BM25_QUERY, table="surv",
+            pre=f"surv AS (SELECT * FROM documents "
+                f"WHERE doc_id % {_REIDX_MOD} <> 0),"
         ) + """
 SELECT doc_id,
        CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,

@@ -772,6 +772,62 @@ def delete_by_query(index_dir: str, expr: str) -> dict:
     return delete_from_index(index_dir, np.asarray(ids, dtype=np.int64))
 
 
+def reindex_index(src_index: str, out_dir: str, content_col: str,
+                  **cfg_overrides) -> dict:
+    """ES ``_reindex`` analog: build a NEW index from an existing
+    index's OWN doc store — no re-read of the original corpus. Requires
+    the source to have stored the content column in its docs sidecar
+    (pass it in ``meta_cols`` at build time — the ES ``_source``
+    pattern); raises otherwise. The read is the ALIVE view: tombstoned
+    docs are excluded via a broadcast sorted-membership mask, so the
+    reindexed output equals a rebuild over the source's logical state —
+    under whatever new layout/analysis ``cfg_overrides`` selects
+    (num_shards, term_buckets, store_positions, tokenizer, ...).
+
+    Scale shape: one streaming docs-sidecar scan feeding the standard
+    fused build; the tombstone set is the only driver-held state."""
+    import ray
+
+    from .build import build_index, load_stats
+
+    recover_segments(src_index)
+    recover_appends(src_index)
+    recover_purges(src_index)
+    stats = load_stats(src_index)
+    docs_dir = os.path.join(src_index, "docs")
+    schema_names = pq.read_schema(
+        os.path.join(docs_dir, sorted(os.listdir(docs_dir))[0])).names
+    if content_col not in schema_names:
+        raise ValueError(
+            f"source index did not store {content_col!r} in its docs "
+            "sidecar — build it with the content column in meta_cols "
+            "(the _source pattern) to make it reindexable")
+    # drop derived columns; the new build recomputes them
+    cols = [c for c in schema_names
+            if c not in ("doc_len", "shard", "content_sha256")]
+    ds = rd.read_parquet(docs_dir, columns=cols)
+    tomb = load_tombstones(src_index, stats)
+    if len(tomb):
+        tomb_ref = ray.put(np.asarray(tomb, dtype=np.int64))
+
+        def alive(b: pa.Table) -> pa.Table:
+            dead = ray.get(tomb_ref)
+            ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+            j = np.searchsorted(dead, ids)
+            hit = (j < len(dead)) & (dead[np.minimum(j, len(dead) - 1)]
+                                     == ids)
+            return b.filter(pa.array(~hit))
+
+        ds = ds.map_batches(alive, batch_format="pyarrow")
+    # default: carry every stored column forward INCLUDING the content
+    # column, so the reindexed index keeps the _source property (stays
+    # reindexable); override meta_cols to drop it
+    meta = tuple(c for c in cols if c != "doc_id")
+    cfg_overrides.setdefault("meta_cols", meta)
+    return build_index(ds, out_dir, content_col=content_col,
+                       id_col="doc_id", **cfg_overrides)
+
+
 def update_by_query(index_dir: str, expr: str, source, transform_batch,
                     **cfg_overrides) -> dict:
     """ES ``_update_by_query`` analog: resolve the boolean-DSL matched

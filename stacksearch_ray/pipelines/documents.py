@@ -5276,6 +5276,52 @@ def delete_by_query_search(sf_dir: str):
     })
 
 
+REIDX_MOD = 11
+
+
+def reindex_search(sf_dir: str):
+    """ES ``_reindex`` surfaced end-to-end: the source index STORES its
+    content column in the docs sidecar (the _source pattern —
+    meta_cols), tombstones every doc_id % 11 == 0, then reindexes from
+    its own doc store into a DIFFERENT layout (2 shards / 8 term
+    buckets instead of 4/16) — no corpus re-read. The reindexed index
+    serves the alive view: oracle = the bm25 chain over the corpus
+    minus the tombstoned ids; matching it bitwise under the changed
+    layout also re-proves scores are layout-invariant."""
+    from ..append import delete_from_index, reindex_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(CACHE_ROOT, tag)
+    src_dir = os.path.join(base, "index_reidx_src")
+    out_dir = os.path.join(base, "index_reidx")
+    done = out_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_reidx():
+        import shutil
+
+        shutil.rmtree(src_dir, ignore_errors=True)  # heal partials
+        shutil.rmtree(out_dir, ignore_errors=True)
+        build_index(_docs(sf_dir), src_dir, content_col="text",
+                    id_col="doc_id", meta_cols=("lang", "source", "text"),
+                    num_shards=4, term_buckets=16)
+        ids = pq.read_table(_docs(sf_dir),
+                            columns=["doc_id"])["doc_id"].to_pylist()
+        delete_from_index(src_dir, [i for i in ids if i % REIDX_MOD == 0])
+        reindex_index(src_dir, out_dir, content_col="text",
+                      num_shards=2, term_buckets=8)
+        open(done, "w").close()
+
+    _ensure_built(done, _build_reidx)
+    eng = QueryEngine(out_dir)
+    res = eng.search(BM25_QUERY, 10, method="auto")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+    })
+
+
 PIT_PAGE = 5
 
 

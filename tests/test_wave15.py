@@ -261,3 +261,44 @@ def test_sq8_quantizer_properties(ray_session):
     got = set(short["vec_id"].to_pylist())
     want = set(exact["vec_id"].to_pylist())
     assert len(got & want) >= 5  # quantized L2 finds most of the top-10
+
+
+def test_reindex_from_index(ray_session, tmp_path):
+    """reindex_index rebuilds from the stored _source: alive view only,
+    layout-invariant scores, _source carried forward (the reindexed
+    index is itself reindexable); raises without a stored content
+    column."""
+    from stacksearch_ray.append import delete_from_index, reindex_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    src = str(tmp_path / "src")
+    build_index(DOCS, src, content_col="text", id_col="doc_id",
+                meta_cols=("lang", "text"), num_shards=4, term_buckets=8)
+    t = pq.read_table(DOCS, columns=["doc_id"])
+    del_ids = [i for i in t["doc_id"].to_pylist() if i % 9 == 0]
+    delete_from_index(src, del_ids)
+
+    out = str(tmp_path / "out")
+    reindex_index(src, out, content_col="text",
+                  num_shards=2, term_buckets=4)
+    so = load_stats(out)
+    ss = load_stats(src)
+    assert so["n_docs"] == ss["n_docs"]  # alive counts carried over
+    assert so["avgdl"] == ss["avgdl"]
+    e, r = QueryEngine(out), QueryEngine(src)
+    for q in ("merge sort join stream window", "hash batch"):
+        assert e.search(q, 10, "exhaustive") == r.search(q, 10, "auto"), q
+    # reindexed docs keep the content column -> chain a second reindex
+    out2 = str(tmp_path / "out2")
+    reindex_index(out, out2, content_col="text",
+                  num_shards=4, term_buckets=8)
+    assert QueryEngine(out2).search("merge", 10) == r.search("merge", 10)
+
+    # an index built WITHOUT stored content refuses to reindex
+    bare = str(tmp_path / "bare")
+    build_index(DOCS, bare, content_col="text", id_col="doc_id",
+                meta_cols=("lang",), num_shards=2, term_buckets=4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="did not store"):
+        reindex_index(bare, str(tmp_path / "nope"), content_col="text")
