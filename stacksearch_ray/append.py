@@ -795,8 +795,11 @@ def reindex_index(src_index: str, out_dir: str, content_col: str,
     recover_purges(src_index)
     stats = load_stats(src_index)
     docs_dir = os.path.join(src_index, "docs")
-    schema_names = pq.read_schema(
-        os.path.join(docs_dir, sorted(os.listdir(docs_dir))[0])).names
+    parts = sorted(f for f in os.listdir(docs_dir) if f.endswith(".parquet"))
+    if not parts:
+        raise ValueError(f"{src_index!r} has no docs part-files — "
+                         "nothing to reindex")
+    schema_names = pq.read_schema(os.path.join(docs_dir, parts[0])).names
     if content_col not in schema_names:
         raise ValueError(
             f"source index did not store {content_col!r} in its docs "
@@ -811,12 +814,11 @@ def reindex_index(src_index: str, out_dir: str, content_col: str,
         tomb_ref = ray.put(np.asarray(tomb, dtype=np.int64))
 
         def alive(b: pa.Table) -> pa.Table:
+            from .query import sorted_member_mask
+
             dead = ray.get(tomb_ref)
             ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
-            j = np.searchsorted(dead, ids)
-            hit = (j < len(dead)) & (dead[np.minimum(j, len(dead) - 1)]
-                                     == ids)
-            return b.filter(pa.array(~hit))
+            return b.filter(pa.array(~sorted_member_mask(dead, ids)))
 
         ds = ds.map_batches(alive, batch_format="pyarrow")
     # default: carry every stored column forward INCLUDING the content
@@ -857,11 +859,11 @@ def update_by_query(index_dir: str, expr: str, source, transform_batch,
     ids_ref = ray.put(ids)
 
     def pick(b: pa.Table) -> pa.Table:
+        from .query import sorted_member_mask
+
         keys = ray.get(ids_ref)
         col = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
-        j = np.searchsorted(keys, col)
-        hit = (j < len(keys)) & (keys[np.minimum(j, len(keys) - 1)] == col)
-        return b.filter(pa.array(hit))
+        return b.filter(pa.array(sorted_member_mask(keys, col)))
 
     src_ds = source if isinstance(source, rd.Dataset) \
         else rd.read_parquet(source)

@@ -203,7 +203,7 @@ def terms_agg_shard_error(sf_dir: str):
         return top[["shard", "term", "df", "cut"]]
 
     rep = (_postings_ds(sf_dir)
-           .map_batches(lambda b: part(b), batch_format="pyarrow")
+           .map_batches(part, batch_format="pyarrow")
            .groupby(["term", "shard"]).aggregate(Sum("df", alias_name="df"))
            .groupby("shard").map_groups(shard_cut, batch_format="pandas")
            .to_pandas())  # ≤ S · shard_size rows

@@ -1916,9 +1916,7 @@ class QueryEngine:
         if len(ids_e) == 0:
             allowed = ids_i
         else:
-            j = np.searchsorted(ids_e, ids_i)
-            both = (j < len(ids_e)) & (ids_e[np.minimum(j, len(ids_e) - 1)]
-                                       == ids_i)
+            both, j = sorted_member_mask(ids_e, ids_i, return_idx=True)
             allowed_parts = [ids_i[~both]]  # no exclude in doc → clean
             sel = np.flatnonzero(both)
             if len(sel):
