@@ -120,7 +120,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms_agg": P.rare_terms_agg,
         "matrix_stats_agg": P.matrix_stats_agg,
         "geo_distance_search": P.geo_distance_search,
-        "bucket_stats_pipeline": P.bucket_stats_pipeline,
         "fim_transform": P.fim_transform,
         "pit_paged_search": P.pit_paged_search,
         "reindex_search": P.reindex_search,
@@ -257,6 +256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bq": P.knn_bq,
         "knn_sq8": P.knn_sq8,
         "knn_sq8_rerank": P.knn_sq8_rerank,
+        "knn_mrl": P.knn_mrl,
+        "knn_mrl_rerank": P.knn_mrl_rerank,
+        "percentile_ranks": P.percentile_ranks,
+        "bucket_stats_pipeline": P.bucket_stats_pipeline,
         "knn_bq_rerank": P.knn_bq_rerank,
         "knn_filtered": P.knn_filtered,
         "embedding_pairs": P.embedding_pairs,
@@ -357,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         DBQ_EXPR as _DBQ_EXPR,
         PIT_PAGE as _PIT_PAGE,
         REIDX_MOD as _REIDX_MOD,
+        MRL_DIMS as _MRL_D,
+        PCTR_PROBES as _PCTR,
         TA_SHARDS as _TA_S,
         TA_SHARD_SIZE as _TA_SS,
         TA_K as _TA_K,
@@ -1562,6 +1567,50 @@ SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
        CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
            AS rank
 FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        # Matryoshka truncated-dim shortlist: EXACT integer micros dot
+        # over the first MRL_DIMS components — bitwise like SQ8/BQ
+        "knn_mrl": f"""
+WITH e AS (SELECT vec_id,
+                  CAST(floor(unnest(embedding) * 1e6 + 0.5) AS BIGINT)
+                      AS vm,
+                  unnest(range(0, len(embedding))) AS j
+           FROM embeddings),
+q AS (SELECT j, vm AS qm FROM e WHERE vec_id = 0 AND j < {_MRL_D}),
+d AS (SELECT e.vec_id, sum(e.vm * q.qm) AS dot
+      FROM e JOIN q USING (j) WHERE e.j < {_MRL_D} GROUP BY e.vec_id)
+SELECT vec_id, CAST(dot AS BIGINT) AS dot,
+       CAST(row_number() OVER (ORDER BY dot DESC, vec_id ASC) AS BIGINT)
+           AS rank
+FROM d ORDER BY dot DESC, vec_id ASC LIMIT 10""",
+        # MRL top-50 shortlist -> exact full-dim cosine re-rank
+        "knn_mrl_rerank": f"""
+WITH e AS (SELECT vec_id,
+                  CAST(floor(unnest(embedding) * 1e6 + 0.5) AS BIGINT)
+                      AS vm,
+                  unnest(range(0, len(embedding))) AS j
+           FROM embeddings),
+q AS (SELECT j, vm AS qm FROM e WHERE vec_id = 0 AND j < {_MRL_D}),
+d AS (SELECT e.vec_id, sum(e.vm * q.qm) AS dot
+      FROM e JOIN q USING (j) WHERE e.j < {_MRL_D} GROUP BY e.vec_id),
+cand AS (SELECT vec_id FROM d
+         ORDER BY dot DESC, vec_id ASC LIMIT 50),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT e2.vec_id,
+                list_cosine_similarity(e2.embedding::DOUBLE[], qv.qe) AS sim
+         FROM embeddings e2 JOIN cand USING (vec_id) CROSS JOIN qv)
+SELECT vec_id, CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+           AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        # ES percentile_ranks: count(value <= probe) * 1e6 // n — the
+        # comparison is on identical doubles, the tail pure integers
+        "percentile_ranks": f"""
+WITH n AS (SELECT count(*) AS n FROM events),
+p(probe) AS (VALUES {', '.join(f'({v!r})' for v in _PCTR)})
+SELECT CAST(floor(probe * 1e6 + 0.5) AS BIGINT) AS probe_micros,
+       CAST((SELECT count(*) FROM events WHERE value <= probe)
+            * 1000000 // n.n AS BIGINT) AS rank_micros
+FROM p CROSS JOIN n""",
         # Hamming top-50 shortlist (integer-exact candidate identity)
         # -> exact cosine re-rank, knn_cosine's proven float surface
         "knn_bq_rerank": """

@@ -115,6 +115,70 @@ def sq8_knn(ds: Dataset, query_vec: np.ndarray, k: int = 10, *,
     })
 
 
+def mrl_knn(ds: Dataset, query_vec: np.ndarray, k: int = 10, *,
+            dims: int, id_col: str = "vec_id",
+            emb_col: str = "embedding") -> pa.Table:
+    """Matryoshka / truncated-dimension shortlist (MRL adaptive
+    retrieval): rank by the EXACT integer dot product of the first
+    ``dims`` micros components (Σ vmᵢ·qmᵢ — int64-exact at embedding
+    scale, so unlike a float dot this surface is bitwise-oracled).
+    Returns (vec_id, dot, rank) ranked (dot desc, id asc). The scale
+    story: an MRL-trained model front-loads signal into the prefix
+    dims, so the shortlist reads dims/d of every vector — the
+    column-pruned first stage of adaptive retrieval."""
+    qm = to_micros(np.asarray(query_vec, dtype=np.float64))[:dims]
+    ref = ray.put(qm)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        ids = np.asarray(batch[id_col].combine_chunks()).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+        vm = _emb_micros(batch, emb_col)[:, :dims]
+        dot = vm @ q
+        order = np.lexsort((ids, -dot))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "dot": pa.array(dot[order], pa.int64())})
+
+    t = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((t[id_col].to_numpy(), -t["dot"].to_numpy()))[:k]
+    out = t.iloc[order]
+    return pa.table({
+        id_col: pa.array(out[id_col].to_numpy(np.int64)),
+        "dot": pa.array(out["dot"].to_numpy(np.int64)),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+    })
+
+
+def mrl_shortlist_rerank(ds: Dataset, query_vec: np.ndarray,
+                         k: int = 10, candidates: int = 50, *,
+                         dims: int, emb_col: str = "embedding",
+                         id_col: str = "vec_id") -> pa.Table:
+    """Two-stage MRL retrieval: truncated-dim integer-dot shortlist →
+    EXACT full-dimension cosine re-rank of only those rows."""
+    from ..query import sorted_member_mask
+    from .similarity import knn_brute_force
+
+    short = mrl_knn(ds, query_vec, k=candidates, dims=dims,
+                    emb_col=emb_col, id_col=id_col)
+    cand_ids = np.sort(np.asarray(short[id_col]).astype(np.int64))
+    ids_ref = ray.put(cand_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cids = ray.get(ids_ref)
+        ids = np.asarray(batch[id_col].combine_chunks()).astype(np.int64)
+        if len(ids) == 0:
+            return batch
+        return batch.filter(pa.array(sorted_member_mask(cids, ids)))
+
+    sub = ds.map_batches(keep, batch_format="pyarrow")
+    q2 = np.asarray(query_vec, dtype=np.float64)[None, :]
+    out = knn_brute_force(sub, q2, k=k, emb_col=emb_col, id_col=id_col,
+                          max_rows=None)
+    return out.drop_columns(["query_id"])
+
+
 def sq8_shortlist_rerank(ds: Dataset, query_vec: np.ndarray,
                          k: int = 10, candidates: int = 50, *,
                          mn: np.ndarray, mx: np.ndarray,

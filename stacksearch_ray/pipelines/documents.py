@@ -3261,6 +3261,41 @@ def orders_by_month(sf_dir: str):
                        Sum("revenue_micros", alias_name="revenue_micros")))
 
 
+PCTR_PROBES = (5.0, 25.0, 100.0, 400.0)
+
+
+def percentile_ranks(sf_dir: str):
+    """ES ``percentile_ranks`` aggregation (the inverse of percentiles):
+    for each probe value, the fraction of events.value at or below it —
+    rank_micros = count(value <= p) · 1e6 // n, pure integers after the
+    float comparison (identical doubles both engines). One streaming
+    pass: each batch emits one partial row of |probes|+1 counters."""
+    def part(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        cols = {"g": np.zeros(1, np.int64),
+                "n": np.array([len(v)], np.int64)}
+        for i, p in enumerate(PCTR_PROBES):
+            cols[f"le{i}"] = np.array([int((v <= p).sum())], np.int64)
+        return pa.table(cols)
+
+    names = ["n"] + [f"le{i}" for i in range(len(PCTR_PROBES))]
+    rows = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["value"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(*[Sum(c, alias_name=c) for c in names])
+            .take_all())
+    r = rows[0]
+    n = int(r["n"])
+    return pa.table({
+        "probe_micros": pa.array([to_micros(p) for p in PCTR_PROBES],
+                                 pa.int64()),
+        "rank_micros": pa.array(
+            [int(r[f"le{i}"]) * 1_000_000 // n
+             for i in range(len(PCTR_PROBES))], pa.int64()),
+    })
+
+
 def bucket_stats_pipeline(sf_dir: str):
     """ES pipeline aggregation (stats_bucket over a date_histogram):
     monthly order counts reduce to ONE stats row (n_buckets, min, max,
@@ -4109,6 +4144,37 @@ def knn_sq8_rerank(sf_dir: str):
     mn, mx = sq8_train(ds)
     return sq8_shortlist_rerank(ds, q, k=10, candidates=SQ_CANDIDATES,
                                 mn=mn, mx=mx)
+
+
+MRL_DIMS = 16
+
+
+def knn_mrl(sf_dir: str):
+    """Matryoshka (truncated-dimension) ANN shortlist: exact integer
+    micros dot product over the first 16 of 64 dims — the MRL adaptive-
+    retrieval first stage reads 1/4 of every vector. Integer surface →
+    bitwise-oracled (the fifth oracled candidate-stage family next to
+    Hamming/SQ8/PQ/IVF)."""
+    from ..functions.sq import mrl_knn
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return mrl_knn(ds, q, k=10, dims=MRL_DIMS)
+
+
+def knn_mrl_rerank(sf_dir: str):
+    """Two-stage MRL retrieval: truncated-dim integer-dot top-50
+    shortlist → exact full-dimension cosine re-rank → top-10."""
+    from ..functions.sq import mrl_shortlist_rerank
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return mrl_shortlist_rerank(ds, q, k=10, candidates=SQ_CANDIDATES,
+                                dims=MRL_DIMS)
 
 
 def multimodal_features(sf_dir: str):

@@ -302,3 +302,37 @@ def test_reindex_from_index(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="did not store"):
         reindex_index(bare, str(tmp_path / "nope"), content_col="text")
+
+
+def test_mrl_shortlist_recall(ray_session):
+    """Truncated-dim integer-dot shortlist keeps most of the exact
+    full-dim top-10 on the real table, and the integer dot equals the
+    micros dot computed brute-force."""
+    import os
+
+    import ray.data as rd
+
+    from stacksearch_ray.functions.similarity import knn_brute_force
+    from stacksearch_ray.functions.sq import mrl_knn
+
+    emb = os.path.join(SF, "embeddings.parquet")
+    ds = rd.read_parquet(emb, columns=["vec_id", "embedding"])
+    t = pq.read_table(emb)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = mat[0]
+    short = mrl_knn(ds, q, k=50, dims=16)
+    vm = np.floor(mat * 1e6 + 0.5).astype(np.int64)[:, :16]
+    qm = np.floor(q * 1e6 + 0.5).astype(np.int64)[:16]
+    dots = vm @ qm
+    by_id = dict(zip(t["vec_id"].to_pylist(), dots.tolist()))
+    for vid, dot in zip(short["vec_id"].to_pylist(),
+                        short["dot"].to_pylist()):
+        assert dot == by_id[vid]
+    # recall caveat: these synthetic embeddings are NOT MRL-trained (no
+    # front-loaded signal), so a 16/64-dim shortlist only bounds recall
+    # loosely — the entry's 50-candidate stage still finds the winner
+    exact = knn_brute_force(ds, q[None, :], k=10, max_rows=None)
+    overlap = set(short["vec_id"].to_pylist()) & set(
+        exact["vec_id"].to_pylist())
+    assert len(overlap) >= 3
+    assert exact["vec_id"][0].as_py() in set(short["vec_id"].to_pylist())
