@@ -760,8 +760,11 @@ def delete_by_query(index_dir: str, expr: str) -> dict:
     DSL evaluator), so re-running the same expression is a no-op — the
     op is idempotent, matching ES semantics where a second
     _delete_by_query finds nothing. No corpus rescan: one sorted-set
-    postings evaluation, O(matched-set) delete. Returns the updated
-    stats (unchanged when nothing matches)."""
+    postings evaluation resolves the set; the delete itself costs one
+    column-pruned segments scan (delete_from_index's exact-idf ddf
+    correction — scan-dominated, near-flat in matched-set size;
+    measured in BENCH/qlifecycle_r4.json) + O(matched). Returns the
+    updated stats (unchanged when nothing matches)."""
     from .build import load_stats
     from .query import QueryEngine
 
@@ -855,14 +858,21 @@ def update_by_query(index_dir: str, expr: str, source, transform_batch,
     ids = np.sort(eng.search_boolean_dsl(expr))
     if len(ids) == 0:
         return load_stats(index_dir)
-    id_col = eng.stats.get("id_col", "doc_id")
+    # resolve source ids EXACTLY as the build does — explicit id column
+    # or the derived key_cols hash (indexes built without an id_col)
+    from .build import _resolve_doc_ids
+
+    pick_cfg = IndexBuildConfig()
+    if eng.stats.get("content_col"):
+        pick_cfg.content_col = eng.stats["content_col"]
+    pick_cfg.id_col = eng.stats.get("id_col")
     ids_ref = ray.put(ids)
 
     def pick(b: pa.Table) -> pa.Table:
         from .query import sorted_member_mask
 
         keys = ray.get(ids_ref)
-        col = np.asarray(b[id_col].combine_chunks()).astype(np.int64)
+        col = np.asarray(_resolve_doc_ids(b, pick_cfg), dtype=np.int64)
         return b.filter(pa.array(sorted_member_mask(keys, col)))
 
     src_ds = source if isinstance(source, rd.Dataset) \
@@ -923,6 +933,11 @@ def append_to_index(source, index_dir: str,
     # a positional index stays positional: the delta's postings carry
     # per-doc position blobs so appended segments serve phrase/NEAR too
     cfg.store_positions = bool(prev.get("store_positions"))
+    # appended docs rows carry the SAME sidecar columns (stored-_source
+    # / reindexability survives appends); pre-meta_cols stats fall back
+    # to whatever the caller's cfg already had
+    if prev.get("meta_cols") is not None:
+        cfg.meta_cols = tuple(prev["meta_cols"])
 
     docs_dir = os.path.join(index_dir, "docs")
     segments_dir = os.path.join(index_dir, "segments")

@@ -449,6 +449,11 @@ def build_index(source, index_dir: str,
         "content_col": cfg.content_col,
         "id_col": cfg.id_col,
         "store_positions": cfg.store_positions,
+        # persisted so append/upsert keep writing the SAME docs-sidecar
+        # columns (the stored-_source / reindexability contract); a
+        # stats KEY addition, not a layout change — older readers
+        # ignore it, newer ones .get() a default
+        "meta_cols": list(cfg.meta_cols),
     }
     write_stats(index_dir, stats)
 

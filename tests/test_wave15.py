@@ -336,3 +336,34 @@ def test_mrl_shortlist_recall(ray_session):
         exact["vec_id"].to_pylist())
     assert len(overlap) >= 3
     assert exact["vec_id"][0].as_py() in set(short["vec_id"].to_pylist())
+
+
+def test_stored_source_survives_append(ray_session, tmp_path):
+    """meta_cols persist in stats and appends write the SAME docs-sidecar
+    columns, so a stored-_source index stays reindexable after an
+    append (the gap the qlifecycle drill caught)."""
+    import pyarrow.compute as pc
+
+    from stacksearch_ray.append import append_to_index, reindex_index
+    from stacksearch_ray.build import build_index, load_stats
+    from stacksearch_ray.query import QueryEngine
+
+    src = str(tmp_path / "src")
+    build_index(DOCS, src, content_col="text", id_col="doc_id",
+                meta_cols=("lang", "text"), num_shards=2, term_buckets=4)
+    assert load_stats(src)["meta_cols"] == ["lang", "text"]
+
+    t = pq.read_table(DOCS)
+    delta = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.add(t["doc_id"], 10_000_000)).select(
+        ["doc_id", "text", "lang"])
+    delta_p = str(tmp_path / "delta.parquet")
+    pq.write_table(delta, delta_p)
+    append_to_index(delta_p, src)
+
+    out = str(tmp_path / "out")
+    reindex_index(src, out, content_col="text",
+                  num_shards=2, term_buckets=4)  # raises if text missing
+    e, r = QueryEngine(out), QueryEngine(src)
+    assert e.search("merge sort", 10, "exhaustive") == \
+        r.search("merge sort", 10, "auto")
