@@ -1230,8 +1230,10 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
                     ddf_counts[term] = ddf_counts.get(term, 0) + int(ddf)
         stats_list.append(st)
     base = stats_list[0]
+    # meta_cols must also agree: a union of docs sidecars with
+    # different column sets would break stored-_source reads (reindex)
     for key in ("num_shards", "block_size", "k1", "b", "content_col",
-                "id_col", "store_positions"):
+                "id_col", "store_positions", "meta_cols"):
         vals = {json.dumps(st.get(key)) for st in stats_list}
         if len(vals) > 1:
             raise ValueError(
