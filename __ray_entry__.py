@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_by_query_search": P.update_by_query_search,
         "rare_terms_agg": P.rare_terms_agg,
         "matrix_stats_agg": P.matrix_stats_agg,
+        "weighted_avg_agg": P.weighted_avg_agg,
+        "t_test_agg": P.t_test_agg,
         "geo_distance_search": P.geo_distance_search,
         "fim_transform": P.fim_transform,
         "pit_paged_search": P.pit_paged_search,
@@ -361,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
         PIT_PAGE as _PIT_PAGE,
         REIDX_MOD as _REIDX_MOD,
         MRL_DIMS as _MRL_D,
+        TT_FLAG_A as _TT_A,
+        TT_FLAG_B as _TT_B,
         PCTR_PROBES as _PCTR,
         TA_SHARDS as _TA_S,
         TA_SHARD_SIZE as _TA_SS,
@@ -3501,6 +3505,42 @@ SELECT field_a, field_b, CAST(n AS BIGINT) AS n,
        CAST(floor((dn::DOUBLE / sqrt(ddx::DOUBLE) / sqrt(ddy::DOUBLE))
                   * 1e6 + 0.5) AS BIGINT) AS corr_micros
 FROM c""",
+        # ES weighted_avg: sum(w*v)/sum(w) from integer partials
+        "weighted_avg_agg": """
+WITH s AS (
+  SELECT l_returnflag,
+         sum(CAST(l_quantity AS BIGINT))::HUGEINT AS sw,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::HUGEINT
+             AS swv
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(floor((swv::DOUBLE / sw) * 1e6 + 0.5) AS BIGINT)
+           AS wavg_cents_micros
+FROM s""",
+        # ES t_test (Welch): HUGEINT sufficient stats per flag, one
+        # fixed-order float tail (same expression order as the driver)
+        "t_test_agg": f"""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*)::HUGEINT AS n,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT))::HUGEINT AS s,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice + 0.5) AS BIGINT))::HUGEINT
+             AS ss
+  FROM lineitem
+  WHERE l_returnflag IN ('{_TT_A}', '{_TT_B}') GROUP BY l_returnflag),
+m AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             s::DOUBLE / n AS mean,
+             (n * ss - s * s)::DOUBLE / n / (n - 1) AS var
+      FROM s),
+a AS (SELECT * FROM m WHERE l_returnflag = '{_TT_A}'),
+b AS (SELECT * FROM m WHERE l_returnflag = '{_TT_B}')
+SELECT '{_TT_A}' AS flag_a, '{_TT_B}' AS flag_b,
+       a.n AS n_a, b.n AS n_b,
+       CAST(floor(((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n))
+                  * 1e6 + 0.5) AS BIGINT) AS t_micros
+FROM a CROSS JOIN b""",
         # geo_distance over hash-derived coordinates: integer planar
         # distance, bitwise (md5_number_lower == md5_low64)
         "geo_distance_search": f"""

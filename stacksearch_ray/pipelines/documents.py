@@ -3090,6 +3090,91 @@ def matrix_stats_agg(sf_dir: str):
     })
 
 
+def weighted_avg_agg(sf_dir: str):
+    """ES ``weighted_avg`` aggregation: quantity-weighted average unit
+    price per returnflag — Σ(w·v)/Σw from exact integer partials
+    (price in cents, quantity as weight), float tail in one fixed
+    division, micros both engines."""
+    def part(b: pa.Table) -> pa.Table:
+        w = np.asarray(b["l_quantity"].combine_chunks()
+                       .cast(pa.float64())).astype(np.int64)
+        v = np.floor(np.asarray(b["l_extendedprice"].combine_chunks()
+                                .cast(pa.float64())) * 100 + 0.5
+                     ).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "sw": w, "swv": w * v,
+        })
+        return _partial_sums(t, ["l_returnflag"], {"sw": "sw",
+                                                   "swv": "swv"})
+
+    rows = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_quantity",
+                                     "l_extendedprice"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("sw", alias_name="sw"),
+                       Sum("swv", alias_name="swv"))
+            .take_all())  # 3 rows
+    rows.sort(key=lambda r: r["l_returnflag"])
+    return pa.table({
+        "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                 pa.string()),
+        "wavg_cents_micros": pa.array(
+            [to_micros(float(int(r["swv"])) / int(r["sw"]))
+             for r in rows], pa.int64()),
+    })
+
+
+TT_FLAG_A, TT_FLAG_B = "R", "N"
+
+
+def t_test_agg(sf_dir: str):
+    """ES ``t_test`` aggregation (Welch's unequal-variance t): is the
+    mean extendedprice of returned ('R') vs normal ('N') lineitems
+    different? Exact integer sufficient statistics per group (price in
+    whole units — the matrix_stats convention), the float tail in ONE
+    fixed expression order: t = (m1 - m2) / sqrt(v1/n1 + v2/n2) with
+    mᵢ = sᵢ/nᵢ and vᵢ the sample variance from HUGEINT-safe partials."""
+    import math
+
+    def part(b: pa.Table) -> pa.Table:
+        y = np.floor(np.asarray(b["l_extendedprice"].combine_chunks()
+                                .cast(pa.float64())) + 0.5).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "n": np.ones(len(y), np.int64), "s": y, "ss": y * y,
+        })
+        return _partial_sums(t, ["l_returnflag"],
+                             {"n": "n", "s": "s", "ss": "ss"})
+
+    rows = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_extendedprice"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss"))
+            .take_all())
+    by = {r["l_returnflag"]: r for r in rows}
+    stats = {}
+    for f in (TT_FLAG_A, TT_FLAG_B):
+        r = by[f]
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        mean = float(s) / n
+        var = float(n * ss - s * s) / n / (n - 1)  # sample variance
+        stats[f] = (n, mean, var)
+    n1, m1, v1 = stats[TT_FLAG_A]
+    n2, m2, v2 = stats[TT_FLAG_B]
+    t_stat = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    return pa.table({
+        "flag_a": pa.array([TT_FLAG_A], pa.string()),
+        "flag_b": pa.array([TT_FLAG_B], pa.string()),
+        "n_a": pa.array([n1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "t_micros": pa.array([to_micros(t_stat)], pa.int64()),
+    })
+
+
 GEO_LAT0, GEO_LON0 = 10_000_000, -20_000_000  # query point, micro-degrees
 GEO_RADIUS = 60_000_000                       # planar radius, micro-degrees
 GEO_K = 20

@@ -367,3 +367,44 @@ def test_stored_source_survives_append(ray_session, tmp_path):
     e, r = QueryEngine(out), QueryEngine(src)
     assert e.search("merge sort", 10, "exhaustive") == \
         r.search("merge sort", 10, "auto")
+
+
+def test_t_test_and_weighted_avg_bruteforce(ray_session):
+    """Pandas replay of the Welch t and weighted average from the raw
+    lineitem table (same integer conventions)."""
+    import math
+    import os
+
+    from stacksearch_ray.micros import to_micros
+    from stacksearch_ray.pipelines.documents import (
+        t_test_agg, weighted_avg_agg)
+
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet"),
+                       columns=["l_returnflag", "l_quantity",
+                                "l_extendedprice"]).to_pandas()
+    y = np.floor(li["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+
+    def group_stats(flag):
+        m = (li["l_returnflag"] == flag).to_numpy()
+        n = int(m.sum())
+        s, ss = int(y[m].sum()), int((y[m].astype(object) ** 2).sum())
+        mean = float(s) / n
+        var = float(n * ss - s * s) / n / (n - 1)
+        return n, mean, var
+
+    n1, m1, v1 = group_stats("R")
+    n2, m2, v2 = group_stats("N")
+    want_t = to_micros((m1 - m2) / math.sqrt(v1 / n1 + v2 / n2))
+    got = t_test_agg(SF)
+    assert got["t_micros"][0].as_py() == want_t
+    assert got["n_a"][0].as_py() == n1 and got["n_b"][0].as_py() == n2
+
+    w = li["l_quantity"].to_numpy().astype(np.int64)
+    v = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5
+                 ).astype(np.int64)
+    got_w = weighted_avg_agg(SF).to_pandas().set_index("l_returnflag")
+    for flag in got_w.index:
+        m = (li["l_returnflag"] == flag).to_numpy()
+        want = to_micros(float(int((w[m] * v[m]).sum()))
+                         / int(w[m].sum()))
+        assert got_w.loc[flag, "wavg_cents_micros"] == want
