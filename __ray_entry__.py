@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mrl_rerank": P.knn_mrl_rerank,
         "percentile_ranks": P.percentile_ranks,
         "bucket_stats_pipeline": P.bucket_stats_pipeline,
+        "moving_fn_pipeline": P.moving_fn_pipeline,
         "knn_bq_rerank": P.knn_bq_rerank,
         "knn_filtered": P.knn_filtered,
         "embedding_pairs": P.embedding_pairs,
@@ -3573,6 +3574,23 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(n) AS BIGINT) AS sum_n,
        CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS avg_micros
 FROM b""",
+        # ES moving_fn (integer EWMA, floor arithmetic) + derivative
+        # over the monthly histogram — recursive-CTE mirror
+        "moving_fn_pipeline": """
+WITH RECURSIVE b AS (SELECT year(o_orderdate) AS y,
+                            month(o_orderdate) AS m, count(*) AS n
+                     FROM orders GROUP BY 1, 2),
+o AS (SELECT y, m, n, row_number() OVER (ORDER BY y, m) AS i FROM b),
+r AS (
+  SELECT i, y, m, n, n AS ewma FROM o WHERE i = 1
+  UNION ALL
+  SELECT o.i, o.y, o.m, o.n, (o.n + 3 * r.ewma) // 4
+  FROM r JOIN o ON o.i = r.i + 1)
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n, CAST(ewma AS BIGINT) AS ewma,
+       CAST(coalesce(n - lag(n) OVER (ORDER BY y, m), 0) AS BIGINT)
+           AS deriv
+FROM r ORDER BY y, m""",
         # FIM split: cut points u,v = md5('fim:{a,b}:'||doc_id) mod
         # (n+1), a=min b=max; DuckDB slices are 1-based end-inclusive so
         # toks[1:a] / toks[a+1:b] / toks[b+1:n] mirror the [0,a) [a,b)

@@ -3399,6 +3399,31 @@ def bucket_stats_pipeline(sf_dir: str):
     })
 
 
+def moving_fn_pipeline(sf_dir: str):
+    """ES pipeline aggregations over the monthly histogram: moving_fn
+    (an integer EWMA, s_t = (n_t + 3·s_{t-1}) // 4 — rational α=1/4 in
+    pure floor arithmetic, so both engines agree bitwise without a
+    single float) and derivative (n_t − n_{t−1}, 0 on the first
+    bucket). The bucket table is month-bounded, so the sequential fold
+    is a driver-side loop over ≤ |months| rows; the oracle mirrors it
+    with a recursive CTE."""
+    t = orders_by_month(sf_dir).to_pandas()  # ≤ months rows
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
+    t = t.iloc[order].reset_index(drop=True)
+    n = t["n_orders"].to_numpy(np.int64)
+    ewma = np.empty(len(n), np.int64)
+    for i, v in enumerate(n):  # bounded: one row per month
+        ewma[i] = v if i == 0 else (v + 3 * ewma[i - 1]) // 4
+    deriv = np.concatenate(([0], np.diff(n)))
+    return pa.table({
+        "y": pa.array(t["y"].to_numpy(np.int64)),
+        "m": pa.array(t["m"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "ewma": pa.array(ewma),
+        "deriv": pa.array(deriv),
+    })
+
+
 def fim_transform(sf_dir: str):
     """Fill-in-the-middle training transform (the FIM / infilling data
     prep for code models): each doc's kept tokens split into
