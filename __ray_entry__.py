@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items": P.returned_items,
         "percolate": P.percolate,
         "snippet_windows": P.snippet_windows,
+        "snippet_fragments": P.snippet_fragments,
         "hot_term_shards": P.hot_term_shards,
         "events_debounce": P.events_debounce,
         "events_sessionize": P.events_sessionize,
@@ -364,6 +365,8 @@ def oracle_sql() -> dict[str, str]:
         PIT_PAGE as _PIT_PAGE,
         REIDX_MOD as _REIDX_MOD,
         MRL_DIMS as _MRL_D,
+        FRAG_W as _FRAG_W,
+        FRAG_K as _FRAG_K,
         TT_FLAG_A as _TT_A,
         TT_FLAG_B as _TT_B,
         PCTR_PROBES as _PCTR,
@@ -3574,6 +3577,30 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(n) AS BIGINT) AS sum_n,
        CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS avg_micros
 FROM b""",
+        # multi-fragment highlighter: fixed FRAG_W-token tiles, top
+        # FRAG_K per hit doc by (hits desc, tile asc)
+        "snippet_fragments": bm25_scores_sql(BM25_QUERY) + f""",
+top AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 10),
+dt AS (SELECT d.doc_id, list_filter(
+         string_split_regex(
+             lower(regexp_replace(d.text, '[^a-zA-Z0-9 \n]+', '', 'g')),
+             '\\s+'),
+         t -> t <> '' AND t NOT IN ({{stop}})) AS toks
+       FROM documents d JOIN top USING (doc_id)),
+kp AS (SELECT doc_id, unnest(toks) AS term,
+              generate_subscripts(toks, 1) - 1 AS pos FROM dt),
+h AS (SELECT doc_id, pos // {{fw}} AS frag_id FROM kp
+      WHERE term IN ({{terms}})),
+c AS (SELECT doc_id, frag_id, count(*) AS n_hits FROM h GROUP BY 1, 2),
+r AS (SELECT doc_id, frag_id, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, frag_id ASC) AS fr
+      FROM c)
+SELECT doc_id, CAST(frag_id AS BIGINT) AS frag_id,
+       CAST(n_hits AS BIGINT) AS n_hits, CAST(fr AS BIGINT) AS frag_rank
+FROM r WHERE fr <= {{fk}}""".format(stop=sql_stopword_list(),
+                                    fw=_FRAG_W, fk=_FRAG_K,
+                                    terms=_SNIP_TERMS),
         # ES moving_fn (integer EWMA, floor arithmetic) + derivative
         # over the monthly histogram — recursive-CTE mirror
         "moving_fn_pipeline": """

@@ -7397,6 +7397,60 @@ def snippet_windows(sf_dir: str):
             .map_batches(best_window, batch_format="pyarrow"))
 
 
+FRAG_W, FRAG_K = 12, 3
+
+
+def snippet_fragments(sf_dir: str):
+    """Multi-fragment highlighting for the BM25 top-10 (the Lucene
+    simple-fragmenter / ES number_of_fragments shape): each hit doc's
+    kept tokens split into fixed FRAG_W-token tiles, the up-to-FRAG_K
+    tiles containing the most query-term hits returned per doc (hits
+    desc, tile asc) — tiling makes fragments non-overlapping BY
+    CONSTRUCTION, which is what keeps the selection one vectorized
+    group-count instead of a sequential greedy (and makes it exactly
+    SQL-mirrorable). Output: (doc_id, frag_id, n_hits, frag_rank)."""
+    import pyarrow.dataset as pads
+
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, method="exhaustive")
+    ids = [int(d) for d, _ in res]
+    terms = sorted(set(clean_query(BM25_QUERY)))
+
+    def frags(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        bids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], doc_idx))))
+        runs = np.diff(np.concatenate((starts, [len(doc_idx)])))
+        pos0 = np.arange(len(doc_idx)) - np.repeat(starts, runs)
+        is_hit = np.zeros(len(doc_idx), dtype=bool)
+        for t in terms:
+            is_hit |= np.asarray(pc.equal(flat, t)).astype(bool)
+        d, tile = doc_idx[is_hit], pos0[is_hit] // FRAG_W
+        key = d * np.int64(1 << 32) + tile  # doc-major (tile < 2^32)
+        uk, c = np.unique(key, return_counts=True)
+        ud, ut = uk >> np.int64(32), uk & np.int64((1 << 32) - 1)
+        out_d, out_t, out_n, out_r = [], [], [], []
+        for row in np.unique(ud):
+            m = ud == row
+            order = np.lexsort((ut[m], -c[m]))[:FRAG_K]
+            out_d.extend([bids[row]] * len(order))
+            out_t.extend(ut[m][order].tolist())
+            out_n.extend(c[m][order].tolist())
+            out_r.extend(range(1, len(order) + 1))
+        return pa.table({
+            "doc_id": pa.array(np.array(out_d, np.int64)),
+            "frag_id": pa.array(np.array(out_t, np.int64)),
+            "n_hits": pa.array(np.array(out_n, np.int64)),
+            "frag_rank": pa.array(np.array(out_r, np.int64)),
+        })
+
+    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"],
+                            filter=pads.field("doc_id").isin(ids))
+            .map_batches(frags, batch_format="pyarrow"))
+
+
 def hot_term_shards(sf_dir: str):
     """Skew evidence straight from the index: the hottest term's
     postings per shard. Sharding by hash-spread doc_id IS the salt
