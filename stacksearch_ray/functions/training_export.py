@@ -91,3 +91,98 @@ def export_training_data(ds: Dataset, term_dict_dir: str, out_dir: str,
     encode_sequences(ds, vocab, seq_len, text_col, id_col).write_parquet(
         os.path.join(out_dir, "sequences"))
     return vocab
+
+
+def chunk_dataset(ds: Dataset, *, text_col: str = "text",
+                  id_col: str = "doc_id", width: int = 16,
+                  stride: int = 8) -> Dataset:
+    """Sliding-window chunking as a reusable dataset op (the RAG /
+    pretraining context-window splitter): chunk c of a doc with n kept
+    tokens covers positions [c·stride, c·stride + width); the last
+    chunk may be short, zero-token docs emit nothing. n_chunks = 1 +
+    max(0, ⌈(n−width)/stride⌉) by floor arithmetic. Entirely map-side
+    and vectorized: one tokenize pass, one flat range-gather +
+    list-join per batch — no shuffle, no per-chunk Python."""
+    if not 0 < stride <= width:
+        raise ValueError("need 0 < stride <= width")
+    from ..codec import gather_ranges
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        flat, _, doc_lens = tokenize_array(batch[text_col])
+        n = doc_lens.astype(np.int64)
+        doc_starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+        nch = np.where(
+            n > 0, 1 + np.maximum(0, (n - width + stride - 1) // stride),
+            0).astype(np.int64)
+        doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), nch)
+        cid = (np.arange(int(nch.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(nch) - nch, nch))
+        cstart = cid * stride
+        clen = np.minimum(width, n[doc_rep] - cstart)
+        b0 = doc_starts[doc_rep] + cstart
+        idx = gather_ranges(b0, b0 + clen)
+        vals = flat.take(pa.array(idx, pa.int64()))
+        offs = np.concatenate(([0], np.cumsum(clen))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        did = np.asarray(batch[id_col].combine_chunks()).astype(np.int64)
+        import pyarrow.compute as pc
+
+        return pa.table({
+            id_col: pa.array(did[doc_rep], pa.int64()),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "chunk_start": pa.array(cstart, pa.int64()),
+            "n_tokens": pa.array(clen, pa.int64()),
+            "chunk_text": pc.binary_join(lists, " "),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def fim_dataset(ds: Dataset, *, text_col: str = "text",
+                id_col: str = "doc_id", salt: str = "fim") -> Dataset:
+    """Fill-in-the-middle splits as a reusable dataset op: two
+    hash-derived cut points (md5-low64 of '{salt}:{a|b}:{id}' mod n+1,
+    a = min, b = max — deterministic across engines and runs; empty
+    parts allowed) emit prefix/middle/suffix columns for PSM/SPM
+    re-assembly downstream. Map-side only: one tokenize pass + three
+    flat range-gathers per batch."""
+    from ..codec import gather_ranges
+    from .dedup import md5_low64
+
+    def fim(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, _, doc_lens = tokenize_array(batch[text_col])
+        all_n = doc_lens.astype(np.int64)
+        all_starts = np.concatenate(([0], np.cumsum(all_n)))[:-1]
+        keep = all_n > 0
+        did = np.asarray(batch[id_col].combine_chunks()
+                         ).astype(np.int64)[keep]
+        n, s0 = all_n[keep], all_starts[keep]
+        ha = md5_low64(np.array([f"{salt}:a:{d}" for d in did],
+                                dtype=object))
+        hb = md5_low64(np.array([f"{salt}:b:{d}" for d in did],
+                                dtype=object))
+        u = (ha % (n + 1).astype(np.uint64)).astype(np.int64)
+        v = (hb % (n + 1).astype(np.uint64)).astype(np.int64)
+        a, b = np.minimum(u, v), np.maximum(u, v)
+
+        def join_spans(begin, end):
+            idx = gather_ranges(begin, end)
+            vals = flat.take(pa.array(idx, pa.int64()))
+            offs = np.concatenate(
+                ([0], np.cumsum(end - begin))).astype(np.int32)
+            lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                             vals)
+            return pc.binary_join(lists, " ")
+
+        return pa.table({
+            id_col: pa.array(did, pa.int64()),
+            "cut_a": pa.array(a, pa.int64()),
+            "cut_b": pa.array(b, pa.int64()),
+            "prefix_text": join_spans(s0, s0 + a),
+            "middle_text": join_spans(s0 + a, s0 + b),
+            "suffix_text": join_spans(s0 + b, s0 + n),
+        })
+
+    return ds.map_batches(fim, batch_format="pyarrow")

@@ -607,40 +607,14 @@ def chunk_documents(sf_dir: str):
     CHUNK_W kept tokens at stride CHUNK_S (chunk c covers kept-token
     positions [c·S, c·S + W)); the last chunk may be short, docs with
     zero kept tokens emit nothing. n_chunks = 1 + max(0, ⌈(n−W)/S⌉),
-    identical integer formula both engines. Entirely map-side and
-    vectorized: one tokenize pass, chunk counts by integer arithmetic,
-    chunk text via ONE flat range-gather + list-join (no per-chunk
-    Python). Output: (doc_id, chunk_id, chunk_start, n_tokens,
-    chunk_text)."""
-    def chunk(batch: pa.Table) -> pa.Table:
-        flat, _, doc_lens = tokenize_array(batch["text"])
-        n = doc_lens.astype(np.int64)
-        doc_starts = np.concatenate(([0], np.cumsum(n)))[:-1]
-        nch = np.where(
-            n > 0,
-            1 + np.maximum(0, (n - CHUNK_W + CHUNK_S - 1) // CHUNK_S),
-            0).astype(np.int64)
-        doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), nch)
-        cid = (np.arange(int(nch.sum()), dtype=np.int64)
-               - np.repeat(np.cumsum(nch) - nch, nch))
-        cstart = cid * CHUNK_S
-        clen = np.minimum(CHUNK_W, n[doc_rep] - cstart)
-        b0 = doc_starts[doc_rep] + cstart
-        idx = _take_ranges(b0, b0 + clen)
-        vals = flat.take(pa.array(idx, pa.int64()))
-        offs = np.concatenate(([0], np.cumsum(clen))).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
-        did = np.asarray(batch["doc_id"].combine_chunks()).astype(np.int64)
-        return pa.table({
-            "doc_id": pa.array(did[doc_rep], pa.int64()),
-            "chunk_id": pa.array(cid, pa.int64()),
-            "chunk_start": pa.array(cstart, pa.int64()),
-            "n_tokens": pa.array(clen, pa.int64()),
-            "chunk_text": pc.binary_join(lists, " "),
-        })
+    identical integer formula both engines. Delegates to the reusable
+    library op (functions/training_export.chunk_dataset — map-side, one
+    flat range-gather + list-join per batch)."""
+    from ..functions.training_export import chunk_dataset
 
-    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-            .map_batches(chunk, batch_format="pyarrow"))
+    return chunk_dataset(
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]),
+        width=CHUNK_W, stride=CHUNK_S)
 
 
 BOOSTS = {"merge": 2.0, "sort": 1.0, "join": 0.25,
@@ -3430,45 +3404,13 @@ def fim_transform(sf_dir: str):
     prefix/middle/suffix at two hash-derived cut points (md5-low64 ==
     DuckDB md5_number_lower, mod n+1 — deterministic, reproducible
     across engines and runs; empty parts allowed), emitted as separate
-    columns so downstream PSM/SPM re-assembly is a concat. Entirely
-    map-side: one tokenize pass, three flat range-gathers + list-joins
-    per batch, no shuffle."""
-    from ..functions.dedup import md5_low64
+    columns so downstream PSM/SPM re-assembly is a concat. Delegates to
+    the reusable library op (functions/training_export.fim_dataset —
+    map-side, one tokenize pass + three flat range-gathers)."""
+    from ..functions.training_export import fim_dataset
 
-    def fim(batch: pa.Table) -> pa.Table:
-        flat, _, doc_lens = tokenize_array(batch["text"])
-        all_n = doc_lens.astype(np.int64)
-        all_starts = np.concatenate(([0], np.cumsum(all_n)))[:-1]
-        keep = all_n > 0
-        did = np.asarray(batch["doc_id"].combine_chunks()
-                         ).astype(np.int64)[keep]
-        n, s0 = all_n[keep], all_starts[keep]
-        ha = md5_low64(np.array([f"fim:a:{d}" for d in did], dtype=object))
-        hb = md5_low64(np.array([f"fim:b:{d}" for d in did], dtype=object))
-        u = (ha % (n + 1).astype(np.uint64)).astype(np.int64)
-        v = (hb % (n + 1).astype(np.uint64)).astype(np.int64)
-        a, b = np.minimum(u, v), np.maximum(u, v)
-
-        def join_spans(begin, end):
-            idx = _take_ranges(begin, end)
-            vals = flat.take(pa.array(idx, pa.int64()))
-            offs = np.concatenate(
-                ([0], np.cumsum(end - begin))).astype(np.int32)
-            lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
-                                             vals)
-            return pc.binary_join(lists, " ")
-
-        return pa.table({
-            "doc_id": pa.array(did, pa.int64()),
-            "cut_a": pa.array(a, pa.int64()),
-            "cut_b": pa.array(b, pa.int64()),
-            "prefix_text": join_spans(s0, s0 + a),
-            "middle_text": join_spans(s0 + a, s0 + b),
-            "suffix_text": join_spans(s0 + b, s0 + n),
-        })
-
-    return (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
-            .map_batches(fim, batch_format="pyarrow"))
+    return fim_dataset(
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]))
 
 
 def events_minmax(sf_dir: str):
