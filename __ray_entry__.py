@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "federated_search": P.federated_search,
         "rollover_search": P.rollover_search,
         "cardinality_kmv": P.cardinality_kmv,
+        "grouped_cardinality_kmv": P.grouped_cardinality_kmv,
         "domain_temperature_mix": P.domain_temperature_mix,
         "value_quartile_buckets": P.value_quartile_buckets,
         "props_k_stats": P.props_k_stats,
@@ -935,6 +936,26 @@ ORDER BY vec_id""",
         "federated_search": bm25,  # union of disjoint halves == rebuild
         "rollover_search": bm25,   # generations union == rebuild, bitwise
         "cardinality_kmv": _kmv_sql,
+        # per-group KMV: same estimator, PARTITIONed bottom-k
+        "grouped_cardinality_kmv": f"""
+WITH h AS (SELECT event_type AS grp,
+                  md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+           FROM events),
+d AS (SELECT DISTINCT grp, h FROM h),
+r AS (SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY grp) AS c
+      FROM d),
+kth AS (SELECT grp, max(CASE WHEN rn = {_KK} THEN h END) AS hk,
+               max(c) AS c
+        FROM r GROUP BY grp)
+SELECT grp AS event_type,
+       CAST(least(c, {_KK}) AS BIGINT) AS kept,
+       CAST(floor((CASE WHEN c < {_KK} THEN CAST(c AS DOUBLE)
+                   ELSE ({_KK} - 1.0) * 18446744073709551616.0
+                        / CAST(hk AS DOUBLE) END) * 1e6 + 0.5) AS BIGINT)
+           AS est_micros
+FROM kth ORDER BY grp""",
         "bm25_topk_appended": bm25,  # incremental == rebuild, bitwise
         "bm25_topk_merged": bm25,   # merge lifecycle == rebuild, bitwise
         "pinned_search": bm25_scores_sql(BM25_QUERY) + f""",

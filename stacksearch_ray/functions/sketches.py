@@ -360,3 +360,36 @@ def kmv_distinct(ds: Dataset, string_cols: list[str], k: int = 64
             if rows else np.array([], np.uint64), k)
         out[c] = (len(merged), kmv_estimate(merged, k))
     return out
+
+
+def kmv_distinct_grouped(ds: Dataset, group_col: str, value_col: str,
+                         k: int = 64) -> dict[str, tuple[int, float]]:
+    """Per-GROUP bottom-k distinct sketches in one pass (the ES
+    cardinality agg under a terms agg): each batch emits one
+    (group, k-smallest-distinct hash partial) row per group present —
+    ≤ k·8 bytes per group per batch, values never shuffle; the driver
+    merges O(batches · |groups|) tiny list rows. Same estimator and
+    expression-order contract as kmv_distinct, so the grouped entry is
+    hash-oracled too. Returns {group: (kept, estimate)}."""
+    from .dedup import md5_low64_arrow
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].combine_chunks(), dtype=object)
+        h = md5_low64_arrow(batch[value_col].combine_chunks())
+        out_g, out_l = [], []
+        for grp in np.unique(g):  # groups per batch — bounded
+            out_g.append(str(grp))
+            out_l.append(kmv_k_smallest(h[g == grp], k))
+        return pa.table({
+            "grp": pa.array(out_g, pa.string()),
+            "part": pa.array(out_l, pa.list_(pa.uint64())),
+        })
+
+    t = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    out: dict[str, tuple[int, float]] = {}
+    for grp, sub in t.groupby("grp"):
+        merged = kmv_k_smallest(
+            np.concatenate([np.asarray(x, dtype=np.uint64)
+                            for x in sub["part"]]), k)
+        out[str(grp)] = (len(merged), kmv_estimate(merged, k))
+    return out

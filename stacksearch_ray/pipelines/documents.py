@@ -8168,6 +8168,34 @@ def cardinality_kmv(sf_dir: str):
     })
 
 
+def grouped_cardinality_kmv(sf_dir: str):
+    """ES cardinality-under-terms agg: distinct users PER EVENT TYPE via
+    per-group KMV bottom-k sketches — one pass, ≤ k·8 bytes per group
+    per batch shuffled, hash-oracled like the global twin (same
+    md5-low64 + pinned-order estimator)."""
+    from ..functions.sketches import kmv_distinct_grouped
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"].combine_chunks(),
+            "user_id": pc.cast(b["user_id"], pa.string()),
+        })
+
+    res = kmv_distinct_grouped(ev.map_batches(derive,
+                                              batch_format="pyarrow"),
+                               "event_type", "user_id", KMV_K)
+    keys = sorted(res)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "kept": pa.array([res[k][0] for k in keys], pa.int64()),
+        "est_micros": pa.array([to_micros(res[k][1]) for k in keys],
+                               pa.int64()),
+    })
+
+
 def rollover_search(sf_dir: str):
     """ILM-style rollover serving (rollover.py): the corpus ingested in
     arrival order through a max_docs policy cuts into three sealed
