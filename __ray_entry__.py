@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": P.percentile_ranks,
         "bucket_stats_pipeline": P.bucket_stats_pipeline,
         "moving_fn_pipeline": P.moving_fn_pipeline,
+        "auto_date_histogram": P.auto_date_histogram,
         "knn_bq_rerank": P.knn_bq_rerank,
         "knn_filtered": P.knn_filtered,
         "embedding_pairs": P.embedding_pairs,
@@ -366,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         PIT_PAGE as _PIT_PAGE,
         REIDX_MOD as _REIDX_MOD,
         MRL_DIMS as _MRL_D,
+        ADH_TARGET as _ADH_B,
         FRAG_W as _FRAG_W,
         FRAG_K as _FRAG_K,
         TT_FLAG_A as _TT_A,
@@ -3622,6 +3624,33 @@ SELECT doc_id, CAST(frag_id AS BIGINT) AS frag_id,
 FROM r WHERE fr <= {{fk}}""".format(stop=sql_stopword_list(),
                                     fw=_FRAG_W, fk=_FRAG_K,
                                     terms=_SNIP_TERMS),
+        # ES auto_date_histogram: integer bucket keys per candidate
+        # interval, finest fitting the target wins (CASE ladder)
+        "auto_date_histogram": f"""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS days,
+                  year(o_orderdate) AS y, month(o_orderdate) AS m
+           FROM orders),
+k AS (SELECT 'day' AS "interval", days AS bucket FROM d
+      UNION ALL SELECT 'week', days // 7 FROM d
+      UNION ALL SELECT 'month', y * 100 + m FROM d
+      UNION ALL SELECT 'quarter', y * 10 + ((m - 1) // 3 + 1) FROM d
+      UNION ALL SELECT 'year', y FROM d),
+c AS (SELECT "interval", bucket, count(*) AS n FROM k GROUP BY 1, 2),
+nb AS (SELECT "interval", count(*) AS nb FROM c GROUP BY 1),
+pick AS (SELECT CASE
+    WHEN (SELECT nb FROM nb WHERE "interval" = 'day') <= {_ADH_B}
+        THEN 'day'
+    WHEN (SELECT nb FROM nb WHERE "interval" = 'week') <= {_ADH_B}
+        THEN 'week'
+    WHEN (SELECT nb FROM nb WHERE "interval" = 'month') <= {_ADH_B}
+        THEN 'month'
+    WHEN (SELECT nb FROM nb WHERE "interval" = 'quarter') <= {_ADH_B}
+        THEN 'quarter'
+    ELSE 'year' END AS iv)
+SELECT c."interval", CAST(c.bucket AS BIGINT) AS bucket,
+       CAST(c.n AS BIGINT) AS n
+FROM c JOIN pick p ON c."interval" = p.iv
+ORDER BY c.bucket""",
         # ES moving_fn (integer EWMA, floor arithmetic) + derivative
         # over the monthly histogram — recursive-CTE mirror
         "moving_fn_pipeline": """

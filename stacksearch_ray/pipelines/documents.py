@@ -3373,6 +3373,57 @@ def bucket_stats_pipeline(sf_dir: str):
     })
 
 
+ADH_TARGET = 30  # auto_date_histogram bucket budget
+ADH_INTERVALS = ("day", "week", "month", "quarter", "year")
+
+
+def auto_date_histogram(sf_dir: str):
+    """ES ``auto_date_histogram``: the agg PICKS the finest calendar
+    interval (day → week → month → quarter → year) whose bucket count
+    fits the target, then returns that interval's histogram. One
+    streaming pass emits partial counts for ALL candidate intervals
+    (bucket keys are pure integer date arithmetic — epoch-day, week =
+    day//7, y·100+m, y·10+q, y — so both engines derive identical
+    keys); the combined bucket table is calendar-bounded (≈3k rows for
+    7 years), the pick and readout are driver-side."""
+    def part(b: pa.Table) -> pa.Table:
+        dt = b["o_orderdate"].combine_chunks()
+        days = np.asarray(dt.cast(pa.date32()).cast(pa.int32())
+                          ).astype(np.int64)
+        y = np.asarray(pc.year(dt)).astype(np.int64)
+        m = np.asarray(pc.month(dt)).astype(np.int64)
+        q = (m - 1) // 3 + 1
+        keys = {"day": days, "week": days // 7, "month": y * 100 + m,
+                "quarter": y * 10 + q, "year": y}
+        parts = []
+        for iv in ADH_INTERVALS:
+            t = pa.table({"interval": pa.array([iv] * len(days),
+                                               pa.string()),
+                          "bucket": pa.array(keys[iv], pa.int64()),
+                          "n": np.ones(len(days), dtype=np.int64)})
+            parts.append(_partial_sums(t, ["interval", "bucket"],
+                                       {"n": "n"}))
+        return pa.concat_tables(parts)
+
+    counts = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderdate"])
+              .map_batches(part, batch_format="pyarrow")
+              .groupby(["interval", "bucket"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # calendar-bounded
+    n_buckets = counts.groupby("interval")["bucket"].nunique()
+    pick = next((iv for iv in ADH_INTERVALS
+                 if int(n_buckets.get(iv, 0)) <= ADH_TARGET), "year")
+    sub = counts[counts["interval"] == pick]
+    order = np.argsort(sub["bucket"].to_numpy())
+    out = sub.iloc[order]
+    return pa.table({
+        "interval": pa.array([pick] * len(out), pa.string()),
+        "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+    })
+
+
 def moving_fn_pipeline(sf_dir: str):
     """ES pipeline aggregations over the monthly histogram: moving_fn
     (an integer EWMA, s_t = (n_t + 3·s_{t-1}) // 4 — rational α=1/4 in
