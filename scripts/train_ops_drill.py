@@ -54,8 +54,14 @@ def main() -> None:
                 pa.array([0], pa.int64()),
             })
 
-        t = ds.map_batches(agg, batch_format="pyarrow")
-        return int(t.sum("rows") or 0), int(t.sum("toks") or 0)
+        # ONE lineage execution: both sums in a single aggregate (two
+        # .sum() calls would re-run the whole transform and double the
+        # published timing)
+        from ray.data.aggregate import Sum
+
+        r = ds.map_batches(agg, batch_format="pyarrow").aggregate(
+            Sum("rows", alias_name="rows"), Sum("toks", alias_name="toks"))
+        return int(r["rows"] or 0), int(r["toks"] or 0)
 
     out: dict = {"metric": "training-transform throughput at 400k docs",
                  "rows": ROWS}

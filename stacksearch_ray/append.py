@@ -859,13 +859,19 @@ def update_by_query(index_dir: str, expr: str, source, transform_batch,
     if len(ids) == 0:
         return load_stats(index_dir)
     # resolve source ids EXACTLY as the build does — explicit id column
-    # or the derived key_cols hash (indexes built without an id_col)
+    # or the derived key_cols hash (indexes built without an id_col;
+    # the recipe is persisted in stats, caller overrides win for
+    # pre-key_cols indexes)
     from .build import _resolve_doc_ids
 
     pick_cfg = IndexBuildConfig()
     if eng.stats.get("content_col"):
         pick_cfg.content_col = eng.stats["content_col"]
     pick_cfg.id_col = eng.stats.get("id_col")
+    if cfg_overrides.get("key_cols") is not None:
+        pick_cfg.key_cols = tuple(cfg_overrides["key_cols"])
+    elif eng.stats.get("key_cols") is not None:
+        pick_cfg.key_cols = tuple(eng.stats["key_cols"])
     ids_ref = ray.put(ids)
 
     def pick(b: pa.Table) -> pa.Table:
@@ -935,9 +941,17 @@ def append_to_index(source, index_dir: str,
     cfg.store_positions = bool(prev.get("store_positions"))
     # appended docs rows carry the SAME sidecar columns (stored-_source
     # / reindexability survives appends); pre-meta_cols stats fall back
-    # to whatever the caller's cfg already had
+    # to whatever the caller's cfg already had. An EXPLICIT conflicting
+    # override is an error, like content_col/id_col above — silently
+    # writing different columns would corrupt the sidecar contract
     if prev.get("meta_cols") is not None:
-        cfg.meta_cols = tuple(prev["meta_cols"])
+        prev_meta = tuple(prev["meta_cols"])
+        if ("meta_cols" in cfg_overrides
+                and tuple(cfg_overrides["meta_cols"]) != prev_meta):
+            raise ValueError(
+                f"append meta_cols={tuple(cfg_overrides['meta_cols'])!r} "
+                f"!= index's {prev_meta!r} (stats.json)")
+        cfg.meta_cols = prev_meta
 
     docs_dir = os.path.join(index_dir, "docs")
     segments_dir = os.path.join(index_dir, "segments")
@@ -1231,10 +1245,15 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
         stats_list.append(st)
     base = stats_list[0]
     # meta_cols must also agree: a union of docs sidecars with
-    # different column sets would break stored-_source reads (reindex)
+    # different column sets would break stored-_source reads (reindex).
+    # A missing key (pre-meta_cols stats) normalizes to the build
+    # default — those indexes wrote exactly the default columns
+    _default_meta = list(IndexBuildConfig().meta_cols)
     for key in ("num_shards", "block_size", "k1", "b", "content_col",
                 "id_col", "store_positions", "meta_cols"):
-        vals = {json.dumps(st.get(key)) for st in stats_list}
+        vals = {json.dumps(st.get(key) if key != "meta_cols"
+                           else (st.get(key) or _default_meta))
+                for st in stats_list}
         if len(vals) > 1:
             raise ValueError(
                 f"merge_indexes: sources disagree on {key}: {sorted(vals)}")

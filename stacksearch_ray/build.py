@@ -454,6 +454,10 @@ def build_index(source, index_dir: str,
         # stats KEY addition, not a layout change — older readers
         # ignore it, newer ones .get() a default
         "meta_cols": list(cfg.meta_cols),
+        # the derived-id recipe (used when id_col is None) — persisted
+        # so query-driven mutation resolves source ids exactly as the
+        # build did
+        "key_cols": list(cfg.key_cols),
     }
     write_stats(index_dir, stats)
 

@@ -296,6 +296,10 @@ def build_index_resumable(source: str | list[str], index_dir: str,
         "k1": cfg.k1, "b": cfg.b, "num_shards": cfg.num_shards,
         "block_size": cfg.block_size, "content_col": cfg.content_col,
         "id_col": cfg.id_col, "store_positions": cfg.store_positions,
+        # same sidecar-column contract as build.py's stats — appends
+        # inherit these, keeping stored-_source indexes reindexable
+        "meta_cols": list(cfg.meta_cols),
+        "key_cols": list(cfg.key_cols),
     }
     import json as _json
 

@@ -374,8 +374,13 @@ def kmv_distinct_grouped(ds: Dataset, group_col: str, value_col: str,
     from .dedup import md5_low64_arrow
 
     def sketch(batch: pa.Table) -> pa.Table:
-        g = np.asarray(batch[group_col].combine_chunks(), dtype=object)
+        gcol = batch[group_col].combine_chunks()
+        g = np.asarray(gcol, dtype=object)
         h = md5_low64_arrow(batch[value_col].combine_chunks())
+        # null groups are dropped (ES missing-bucket semantics would
+        # need an explicit missing= value; None breaks object sort)
+        valid = np.asarray(gcol.is_valid())
+        g, h = g[valid], h[valid]
         out_g, out_l = [], []
         for grp in np.unique(g):  # groups per batch — bounded
             out_g.append(str(grp))
