@@ -776,7 +776,7 @@ def delete_by_query(index_dir: str, expr: str) -> dict:
 
 
 def reindex_index(src_index: str, out_dir: str, content_col: str,
-                  **cfg_overrides) -> dict:
+                  transform_batch=None, **cfg_overrides) -> dict:
     """ES ``_reindex`` analog: build a NEW index from an existing
     index's OWN doc store — no re-read of the original corpus. Requires
     the source to have stored the content column in its docs sidecar
@@ -786,6 +786,9 @@ def reindex_index(src_index: str, out_dir: str, content_col: str,
     reindexed output equals a rebuild over the source's logical state —
     under whatever new layout/analysis ``cfg_overrides`` selects
     (num_shards, term_buckets, store_positions, tokenizer, ...).
+    ``transform_batch`` is the ES _reindex "script": a vectorized
+    pa.Table → pa.Table applied to the alive rows before the rebuild
+    (rewrite the content, derive/drop stored columns en route).
 
     Scale shape: one streaming docs-sidecar scan feeding the standard
     fused build; the tombstone set is the only driver-held state."""
@@ -824,6 +827,8 @@ def reindex_index(src_index: str, out_dir: str, content_col: str,
             return b.filter(pa.array(~sorted_member_mask(dead, ids)))
 
         ds = ds.map_batches(alive, batch_format="pyarrow")
+    if transform_batch is not None:
+        ds = ds.map_batches(transform_batch, batch_format="pyarrow")
     # default: carry every stored column forward INCLUDING the content
     # column, so the reindexed index keeps the _source property (stays
     # reindexable); override meta_cols to drop it

@@ -408,3 +408,51 @@ def test_t_test_and_weighted_avg_bruteforce(ray_session):
         want = to_micros(float(int((w[m] * v[m]).sum()))
                          / int(w[m].sum()))
         assert got_w.loc[flag, "wavg_cents_micros"] == want
+
+
+def test_reindex_with_transform(ray_session, tmp_path):
+    """reindex_index(transform_batch=...) applies the ES _reindex
+    'script' to the alive rows: the reindexed index equals a rebuild
+    over the transformed survivor corpus."""
+    import pyarrow.compute as pc
+
+    from stacksearch_ray.append import delete_from_index, reindex_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    src = str(tmp_path / "src")
+    build_index(DOCS, src, content_col="text", id_col="doc_id",
+                meta_cols=("text",), num_shards=2, term_buckets=4)
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    del_ids = [i for i in t["doc_id"].to_pylist() if i % 6 == 0]
+    delete_from_index(src, del_ids)
+
+    suffix = " merge merge"
+
+    def script(b):
+        new_text = pc.binary_join_element_wise(
+            b["text"].combine_chunks(),
+            pa.array([suffix] * b.num_rows, pa.string()), "")
+        return b.set_column(b.schema.get_field_index("text"),
+                            "text", new_text)
+
+    out = str(tmp_path / "out")
+    reindex_index(src, out, content_col="text", transform_batch=script,
+                  num_shards=2, term_buckets=4)
+
+    surv = t.filter(pc.invert(pc.is_in(
+        t["doc_id"], value_set=pa.array(del_ids, pa.int64()))))
+    ref_tbl = surv.set_column(
+        surv.schema.get_field_index("text"), "text",
+        pc.binary_join_element_wise(
+            surv["text"], pa.array([suffix] * surv.num_rows, pa.string()),
+            ""))
+    ref_p = str(tmp_path / "ref.parquet")
+    pq.write_table(ref_tbl, ref_p)
+    ref = str(tmp_path / "ref_idx")
+    build_index(ref_p, ref, content_col="text", id_col="doc_id",
+                num_shards=2, term_buckets=4)
+    e, r = QueryEngine(out), QueryEngine(ref)
+    for q in ("merge sort join stream window", "merge"):
+        assert e.search(q, 10, "exhaustive") == \
+            r.search(q, 10, "exhaustive"), q
