@@ -158,3 +158,21 @@ def test_cms_token_counts_dataset(ray_session):
     truth = np.array([exact[t] for t in probe], dtype=np.int64)
     assert (est >= truth).all()
     assert (est - truth <= np.e * total / 4096 + 1).all()
+
+
+def test_kmv_grouped_null_groups(ray_session):
+    """Null group values are dropped (not a TypeError) and non-null
+    groups match exact distinct counts below k."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stacksearch_ray.functions.sketches import kmv_distinct_grouped
+
+    t = pa.table({
+        "g": pa.array(["a", None, "b", "a", None, "b", "a"]),
+        "v": pa.array(["x1", "x2", "x3", "x4", "x5", "x3", "x1"]),
+    })
+    res = kmv_distinct_grouped(rd.from_arrow(t), "g", "v", k=64)
+    assert set(res) == {"a", "b"}
+    assert res["a"][0] == 2 and res["a"][1] == 2.0  # {x1, x4}; x1 dup
+    assert res["b"][0] == 1 and res["b"][1] == 1.0  # {x3} twice
