@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first_search": P.span_first_search,
         "span_not_search": P.span_not_search,
         "chunk_documents": P.chunk_documents,
+        "passage_search": P.passage_search,
         "phrase_prefix_search": P.phrase_prefix_search,
         "knn_hnsw": P.knn_hnsw,  # rows-only: graph ANN (recall-pinned by pytest)
         "pinned_search": P.pinned_search,
@@ -3209,6 +3210,38 @@ SELECT s.doc_id,
 FROM scores s JOIN sn_gate g ON g.doc_id = s.doc_id
 ORDER BY s.score DESC, s.doc_id ASC
 LIMIT 10""",
+        # passage retrieval: bm25 over the CHUNK corpus (pid = doc·64 +
+        # chunk), docs ranked by their best passage (max-passage)
+        "passage_search": bm25_scores_sql(
+            BM25_QUERY, table="ptab",
+            pre=token_list_cte().lstrip() + f""",
+pkeptp AS (SELECT doc_id, unnest(toks) AS term,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM doc_toks),
+pcnt AS (SELECT doc_id, len(toks) AS n FROM doc_toks
+         WHERE len(toks) > 0),
+pchunks AS (
+  SELECT doc_id,
+         unnest(range(0, 1 + greatest(0,
+             (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S})))
+             AS chunk_id
+  FROM pcnt),
+ptab AS (
+  SELECT c.doc_id * 64 + c.chunk_id AS doc_id,
+         string_agg(k.term, ' ' ORDER BY k.pos) AS text
+  FROM pchunks c JOIN pkeptp k ON k.doc_id = c.doc_id
+       AND k.pos >= c.chunk_id * {_CHUNK_S}
+       AND k.pos < c.chunk_id * {_CHUNK_S} + {_CHUNK_W}
+  GROUP BY c.doc_id, c.chunk_id),"""
+        ) + """
+SELECT doc_id, score_micros,
+       CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM (SELECT s.doc_id // 64 AS doc_id,
+             CAST(floor(max(s.score) * 1e6 + 0.5) AS BIGINT)
+                 AS score_micros
+      FROM scores s GROUP BY 1)
+ORDER BY score_micros DESC, doc_id ASC LIMIT 10""",
         # sliding-window chunking: chunk c of a doc with n kept tokens
         # covers positions [c*S, c*S+W); n_chunks = 1 + max(0,
         # ceil((n-W)/S)) — identical floor-div formula both engines

@@ -617,6 +617,75 @@ def chunk_documents(sf_dir: str):
         width=CHUNK_W, stride=CHUNK_S)
 
 
+PASSAGE_STRIDE_IDS = 64  # pid = doc_id * 64 + chunk_id (chunk_id < 64)
+
+
+def passage_search(sf_dir: str):
+    """Passage-level retrieval — the RAG serving story end-to-end:
+    the corpus is CHUNKED (chunk_documents's sliding windows), a BM25
+    index is built over the passages (pid = doc_id·64 + chunk_id; the
+    chunk corpus defines its own n_docs/avgdl/df), and documents are
+    ranked by their best passage (max-passage aggregation, the
+    BERT-era passage-scoring convention). The full matched passage set
+    rides export_matches (scores bitwise == search); the per-doc max
+    is a vectorized driver fold over the bounded matched set — at
+    scale, per-shard exports feed a partial-max combine. Oracle: the
+    bm25 chain over a chunks CTE (the chunk_documents mirror), max per
+    pid // 64."""
+    from ..functions.training_export import chunk_dataset
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(CACHE_ROOT, tag)
+    chunks_dir = os.path.join(base, "chunks")
+    index_dir = os.path.join(base, "index_passages")
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_passages():
+        import shutil
+
+        shutil.rmtree(chunks_dir, ignore_errors=True)  # heal partials
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+        def with_pid(b: pa.Table) -> pa.Table:
+            pid = (np.asarray(b["doc_id"].combine_chunks()
+                              ).astype(np.int64) * PASSAGE_STRIDE_IDS
+                   + np.asarray(b["chunk_id"].combine_chunks()
+                                ).astype(np.int64))
+            if (np.asarray(b["chunk_id"].combine_chunks()).astype(np.int64)
+                    >= PASSAGE_STRIDE_IDS).any():
+                raise ValueError("chunk_id >= 64 breaks pid packing")
+            return pa.table({"pid": pa.array(pid, pa.int64()),
+                             "chunk_text": b["chunk_text"]})
+
+        (chunk_dataset(
+            rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]),
+            width=CHUNK_W, stride=CHUNK_S)
+         .map_batches(with_pid, batch_format="pyarrow")
+         .write_parquet(chunks_dir))
+        build_index(chunks_dir, index_dir, content_col="chunk_text",
+                    id_col="pid", num_shards=4, term_buckets=16)
+        open(done, "w").close()
+
+    _ensure_built(done, _build_passages)
+    eng = QueryEngine(index_dir)
+    pids, scores = eng.export_matches(BM25_QUERY)
+    docs = pids // PASSAGE_STRIDE_IDS
+    # per-doc max over the matched passages (docs is sorted — pids are)
+    starts = np.flatnonzero(np.diff(np.concatenate(([-1], docs))))
+    best = np.maximum.reduceat(scores, starts) if len(scores) else scores
+    udocs = docs[starts] if len(docs) else docs
+    # rank on MICROS: per-passage sums can differ by 1 ulp across
+    # engines (NOTES rule 9 — never sort cross-engine on a raw float);
+    # the micros rounding absorbs the gap, doc_id breaks ties
+    bm = to_micros(best) if len(best) else best.astype(np.int64)
+    order = np.lexsort((udocs, -bm))[:10]
+    return pa.table({
+        "doc_id": pa.array(udocs[order], pa.int64()),
+        "score_micros": pa.array(bm[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
 BOOSTS = {"merge": 2.0, "sort": 1.0, "join": 0.25,
           "stream": 1.5, "window": 0.5}
 
