@@ -68,6 +68,37 @@ def main() -> None:
            "sf": SF, "n_queries": len(q_idx), "n_vectors": int(len(ids))}
     for fam, r in recalls.items():
         out[f"recall_{fam}"] = round(float(np.mean(r)), 3)
+
+    # LSH (bucket-probed exact cosine, k=CAND) — different budget
+    # shape: candidates = probed buckets' contents
+    from stacksearch_ray.functions.similarity import knn_lsh
+
+    lsh = knn_lsh(ds, mat[q_idx], k=CAND, multiprobe=1).to_pandas()
+    lsh_rec = []
+    for qi_pos, qi in enumerate(q_idx):
+        sims = norm @ norm[qi]
+        exact = set(ids[np.lexsort((ids, -sims))[:K]].tolist())
+        cand = set(lsh[lsh["query_id"] == qi_pos]["vec_id"].tolist())
+        lsh_rec.append(len(cand & exact) / K)
+    out["recall_lsh"] = round(float(np.mean(lsh_rec)), 3)
+
+    # IVF (nprobe=2 of 8 cells) — candidate budget = probed cells'
+    # population, reported alongside
+    from stacksearch_ray.functions.ivf import (assign_centroids,
+                                               centroid_d2, kmeans_numpy)
+
+    cents = kmeans_numpy(mat, k=8, iters=4, seed=17)
+    cell = assign_centroids(mat, cents)
+    ivf_rec, ivf_cand = [], []
+    for qi in q_idx:
+        sims = norm @ norm[qi]
+        exact = set(ids[np.lexsort((ids, -sims))[:K]].tolist())
+        probe = np.argsort(centroid_d2(mat[qi][None, :], cents)[0])[:2]
+        cand = set(ids[np.isin(cell, probe)].tolist())
+        ivf_rec.append(len(cand & exact) / K)
+        ivf_cand.append(len(cand))
+    out["recall_ivf_nprobe2"] = round(float(np.mean(ivf_rec)), 3)
+    out["ivf_mean_candidates"] = round(float(np.mean(ivf_cand)), 1)
     print(json.dumps(out))
     bench = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH")
