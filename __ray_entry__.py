@@ -127,6 +127,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pit_paged_search": P.pit_paged_search,
         "reindex_search": P.reindex_search,
         "terms_agg_shard_error": P.terms_agg_shard_error,
+        "extended_stats_agg": P.extended_stats_agg,
+        "string_stats_agg": P.string_stats_agg,
+        "boxplot_agg": P.boxplot_agg,
+        "range_agg": P.range_agg,
+        "filters_agg": P.filters_agg,
+        "multi_terms_agg": P.multi_terms_agg,
+        "top_metrics_agg": P.top_metrics_agg,
+        "diversified_sampler_agg": P.diversified_sampler_agg,
+        "cumulative_sum_pipeline": P.cumulative_sum_pipeline,
+        "serial_diff_pipeline": P.serial_diff_pipeline,
+        "bucket_script_pipeline": P.bucket_script_pipeline,
+        "max_bucket_pipeline": P.max_bucket_pipeline,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -3913,6 +3925,148 @@ FROM w CROSS JOIN d""",
         # multimodal_features / video_frame_sample / audio_windows
         # (synthetic payload bytes are not SQL-derivable)
     }
+    # --- ES aggregation parity (wave 10): extended/string stats,
+    # boxplot, range/filters/multi_terms/top_metrics/sampler buckets,
+    # cumulative_sum/serial_diff/bucket_script/max_bucket pipelines ---
+    oracles["extended_stats_agg"] = """
+WITH s AS (
+  SELECT l_returnflag, count(*)::HUGEINT AS n,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::HUGEINT AS s,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+             * CAST(floor(l_quantity + 0.5) AS BIGINT))::HUGEINT AS ss,
+         min(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS mn,
+         max(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS mx
+  FROM lineitem GROUP BY l_returnflag),
+m AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n, mn, mx,
+             CAST(s AS BIGINT) AS sum_q,
+             s::DOUBLE / n AS mean,
+             (n * ss - s * s)::DOUBLE / n / n AS var
+      FROM s)
+SELECT l_returnflag, n, mn AS min_q, mx AS max_q, sum_q,
+       CAST(floor(mean * 1e6 + 0.5) AS BIGINT) AS avg_micros,
+       CAST(floor(var * 1e6 + 0.5) AS BIGINT) AS var_micros,
+       CAST(floor((mean + 2 * sqrt(var)) * 1e6 + 0.5) AS BIGINT)
+           AS std_upper_micros,
+       CAST(floor((mean - 2 * sqrt(var)) * 1e6 + 0.5) AS BIGINT)
+           AS std_lower_micros
+FROM m"""
+    # entropy follows rule 4 (per-char micros round-then-sum); corpus is
+    # ASCII so DuckDB's char split == the engine's byte bincount
+    oracles["string_stats_agg"] = """
+WITH ch AS (SELECT unnest(string_split(text, '')) AS c FROM documents),
+cc AS (SELECT c, count(*)::BIGINT AS cnt FROM ch GROUP BY c),
+tot AS (SELECT sum(cnt) AS total FROM cc),
+e AS (SELECT sum(CAST(floor((-(cnt::DOUBLE / total)
+                             * log2(cnt::DOUBLE / total)) * 1e6 + 0.5)
+                     AS BIGINT)) AS ent
+      FROM cc CROSS JOIN tot),
+ls AS (SELECT count(*) AS n_docs, min(length(text)) AS min_len,
+              max(length(text)) AS max_len, sum(length(text)) AS sum_len
+       FROM documents)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(min_len AS BIGINT) AS min_len,
+       CAST(max_len AS BIGINT) AS max_len,
+       CAST(sum_len * 1000000 // n_docs AS BIGINT) AS avg_len_micros,
+       CAST(ent AS BIGINT) AS entropy_micros
+FROM ls CROSS JOIN e"""
+    oracles["boxplot_agg"] = """
+WITH q AS (SELECT
+    CAST(floor(quantile_disc(value, 0.25) * 1e6 + 0.5) AS BIGINT) AS q1m,
+    CAST(floor(quantile_disc(value, 0.5) * 1e6 + 0.5) AS BIGINT) AS q2m,
+    CAST(floor(quantile_disc(value, 0.75) * 1e6 + 0.5) AS BIGINT) AS q3m
+  FROM events),
+f AS (SELECT q1m, q2m, q3m,
+             q1m - (15 * (q3m - q1m)) // 10 AS lo,
+             q3m + (15 * (q3m - q1m)) // 10 AS hi
+      FROM q),
+o AS (SELECT count(*)::BIGINT AS n_outliers
+      FROM events CROSS JOIN f
+      WHERE CAST(floor(value * 1e6 + 0.5) AS BIGINT) < lo
+         OR CAST(floor(value * 1e6 + 0.5) AS BIGINT) > hi)
+SELECT q1m AS q1_micros, q2m AS q2_micros, q3m AS q3_micros,
+       lo AS lo_fence_micros, hi AS hi_fence_micros, n_outliers
+FROM f CROSS JOIN o"""
+    oracles["range_agg"] = """
+WITH b AS (SELECT CASE WHEN value < 1.0 THEN 'lt_1'
+                       WHEN value < 10.0 THEN '1_10'
+                       WHEN value < 100.0 THEN '10_100'
+                       ELSE 'gte_100' END AS bucket,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+           FROM events)
+SELECT bucket, count(*)::BIGINT AS n, CAST(sum(vm) AS BIGINT) AS sum_micros
+FROM b GROUP BY bucket"""
+    oracles["filters_agg"] = """
+SELECT 'en' AS bucket, count(*)::BIGINT AS n_docs,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT 'long', count(*)::BIGINT,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+FROM documents WHERE n_chars >= 300
+UNION ALL
+SELECT 'src1x', count(*)::BIGINT,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+FROM documents WHERE source LIKE 'src1%'"""
+    oracles["multi_terms_agg"] = """
+WITH g AS (SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+                  CAST(sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_qty_micros
+           FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, n, sum_qty_micros,
+       CAST(row_number() OVER (ORDER BY n DESC, l_returnflag ASC,
+                               l_linestatus ASC) AS BIGINT) AS rank
+FROM g ORDER BY n DESC, l_returnflag, l_linestatus LIMIT 5"""
+    oracles["top_metrics_agg"] = """
+WITH r AS (SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id ASC)
+                      AS rn
+           FROM documents)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE rn = 1 ORDER BY lang"""
+    oracles["diversified_sampler_agg"] = """
+WITH h AS (SELECT doc_id, source,
+                  md5_number_lower('samp:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT doc_id, source, h,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY h ASC, doc_id ASC) AS rn
+      FROM h),
+k AS (SELECT doc_id, source, h FROM r WHERE rn <= 2)
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY h ASC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM k ORDER BY h ASC, doc_id ASC LIMIT 10"""
+    _monthly = """
+WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                  count(*) AS n
+           FROM orders GROUP BY 1, 2)"""
+    oracles["cumulative_sum_pipeline"] = _monthly + """
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (ORDER BY y, m) AS BIGINT) AS cum_n
+FROM b ORDER BY y, m"""
+    oracles["serial_diff_pipeline"] = _monthly + """
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n,
+       CAST(coalesce(n - lag(n, 3) OVER (ORDER BY y, m), 0) AS BIGINT)
+           AS sdiff
+FROM b ORDER BY y, m"""
+    oracles["bucket_script_pipeline"] = """
+WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                  count(*) AS n,
+                  count(*) FILTER (o_orderpriority = '1-URGENT')
+                      AS n_urgent
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n, CAST(n_urgent AS BIGINT) AS n_urgent,
+       CAST(n_urgent * 1000000 // n AS BIGINT) AS urgent_share_micros
+FROM b"""
+    oracles["max_bucket_pipeline"] = _monthly + """,
+mx AS (SELECT max(n) AS mx FROM b)
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(mx AS BIGINT) AS max_n
+FROM b CROSS JOIN mx WHERE n = mx ORDER BY y, m"""
     # the persistent-index screening path returns the same gate table:
     # one oracle, two mechanisms (the phrase_search_indexed pattern)
     oracles["ingest_dedup_indexed"] = oracles["ingest_dedup"]

@@ -8844,3 +8844,441 @@ def knn_ivf_compacted(sf_dir: str):
     t = pq.read_table(emb_path, filters=[("vec_id", "=", 0)])
     q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
     return idx.search(q, k=10, nprobe=2)
+
+
+# ---------------- ES aggregation parity (wave 10) ----------------
+
+def extended_stats_agg(sf_dir: str):
+    """ES ``extended_stats`` aggregation over lineitem quantity per
+    returnflag: count/min/max/sum plus avg, population variance and the
+    ±2σ std-deviation bounds. Exact integer sufficient statistics
+    (n, Σq, Σq² — quantity is integer-valued) shuffle as one partial
+    row per (flag, batch); the float tail runs ONCE per group on the
+    driver in a fixed expression order (mean = s/n, var =
+    (n·ss − s²)/n/n, bounds = mean ± 2·√var), micros both engines."""
+    def part(b: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(b["l_quantity"].combine_chunks()
+                                .cast(pa.float64())) + 0.5).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "n": np.ones(len(q), np.int64), "s": q, "ss": q * q,
+            "mn": q, "mx": q,
+        })
+        df = t.to_pandas()
+        g = (df.groupby("l_returnflag", sort=False, as_index=False)
+             .agg(n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
+                  mn=("mn", "min"), mx=("mx", "max")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_quantity"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss"),
+                       Min("mn", alias_name="mn"),
+                       Max("mx", alias_name="mx"))
+            .take_all())  # 3 rows
+    rows.sort(key=lambda r: r["l_returnflag"])
+    out = {"l_returnflag": [], "n": [], "min_q": [], "max_q": [],
+           "sum_q": [], "avg_micros": [], "var_micros": [],
+           "std_upper_micros": [], "std_lower_micros": []}
+    for r in rows:
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        mean = float(s) / n
+        var = float(n * ss - s * s) / n / n  # population (ES default)
+        std = math.sqrt(var)
+        out["l_returnflag"].append(r["l_returnflag"])
+        out["n"].append(n)
+        out["min_q"].append(int(r["mn"]))
+        out["max_q"].append(int(r["mx"]))
+        out["sum_q"].append(s)
+        out["avg_micros"].append(to_micros(mean))
+        out["var_micros"].append(to_micros(var))
+        out["std_upper_micros"].append(to_micros(mean + 2 * std))
+        out["std_lower_micros"].append(to_micros(mean - 2 * std))
+    return pa.table({k: pa.array(v, pa.string() if k == "l_returnflag"
+                                 else pa.int64())
+                     for k, v in out.items()})
+
+
+def string_stats_agg(sf_dir: str):
+    """ES ``string_stats`` (with show_distribution's entropy) over
+    documents.text: value count, min/max/avg length and the Shannon
+    entropy of the corpus character distribution. The corpus is pure
+    ASCII (pinned by the oracle's regex — bytes == chars), so each
+    batch bincounts the Arrow data buffer directly (zero-copy, no
+    Python per-row loop) and emits ≤ alphabet-size partial rows plus
+    one length-stats row keyed by the char=-1 sentinel. Entropy follows
+    rule 4: per-character −p·log2(p) is micros-rounded THEN summed, so
+    1-ulp log differences can't accumulate across engines."""
+    def part(b: pa.Table) -> pa.Table:
+        arr = b["text"].combine_chunks()
+        lens = np.asarray(pc.utf8_length(arr), dtype=np.int64)
+        off = np.frombuffer(arr.buffers()[1], np.int32,
+                            len(arr) + 1, offset=arr.offset * 4)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)[off[0]:off[-1]]
+        counts = np.bincount(data, minlength=256).astype(np.int64)
+        chars = np.nonzero(counts)[0].astype(np.int64)
+        big = np.int64(1 << 62)
+        return pa.table({
+            "char": np.concatenate((chars, [-1])),
+            "cnt": np.concatenate((counts[chars], [0])),
+            "n_docs": np.concatenate((np.zeros(len(chars), np.int64),
+                                      [len(arr)])),
+            "sum_len": np.concatenate((np.zeros(len(chars), np.int64),
+                                       [int(lens.sum())])),
+            "min_len": np.concatenate((np.full(len(chars), big),
+                                       [int(lens.min()) if len(lens)
+                                        else big])),
+            "max_len": np.concatenate((np.zeros(len(chars), np.int64),
+                                       [int(lens.max()) if len(lens)
+                                        else 0])),
+        })
+
+    rows = (rd.read_parquet(_docs(sf_dir), columns=["text"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("char")
+            .aggregate(Sum("cnt", alias_name="cnt"),
+                       Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_len", alias_name="sum_len"),
+                       Min("min_len", alias_name="min_len"),
+                       Max("max_len", alias_name="max_len"))
+            .take_all())  # ≤ 257 rows
+    cnts = {int(r["char"]): int(r["cnt"]) for r in rows
+            if int(r["char"]) >= 0}
+    meta = next(r for r in rows if int(r["char"]) == -1)
+    total = sum(cnts.values())
+    ent = 0
+    for c in sorted(cnts):
+        p = cnts[c] / total
+        ent += to_micros(-p * math.log2(p))
+    n_docs = int(meta["n_docs"])
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "min_len": pa.array([int(meta["min_len"])], pa.int64()),
+        "max_len": pa.array([int(meta["max_len"])], pa.int64()),
+        "avg_len_micros": pa.array(
+            [int(meta["sum_len"]) * 1_000_000 // n_docs], pa.int64()),
+        "entropy_micros": pa.array([ent], pa.int64()),
+    })
+
+
+def boxplot_agg(sf_dir: str):
+    """ES ``boxplot`` aggregation over events.value — exact order
+    statistics (no TDigest: the engine can afford exact selection via
+    quantiles_disc's histogram-narrowing passes, no global sort), IQR
+    whisker fences in pure integer micros arithmetic (lo = q1 −
+    (15·IQR)//10), and the outlier count from one more streaming pass
+    against the broadcast fences."""
+    from ..functions.quantiles import quantiles_disc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    q1, q2, q3 = quantiles_disc(ds, "value", [0.25, 0.5, 0.75])
+    q1m, q2m, q3m = to_micros(q1), to_micros(q2), to_micros(q3)
+    iqr = q3m - q1m
+    lo = q1m - (15 * iqr) // 10
+    hi = q3m + (15 * iqr) // 10
+
+    def cnt(b: pa.Table) -> pa.Table:
+        v = np.asarray(pc_micros(b["value"]))
+        return pa.table({"g": np.zeros(1, np.int64),
+                         "n_out": np.array([int(((v < lo) | (v > hi)).sum())],
+                                           np.int64)})
+
+    rows = (ds.map_batches(cnt, batch_format="pyarrow")
+            .groupby("g").aggregate(Sum("n_out", alias_name="n_out"))
+            .take_all())
+    return pa.table({
+        "q1_micros": pa.array([q1m], pa.int64()),
+        "q2_micros": pa.array([q2m], pa.int64()),
+        "q3_micros": pa.array([q3m], pa.int64()),
+        "lo_fence_micros": pa.array([lo], pa.int64()),
+        "hi_fence_micros": pa.array([hi], pa.int64()),
+        "n_outliers": pa.array([int(rows[0]["n_out"])], pa.int64()),
+    })
+
+
+RANGE_EDGES = (1.0, 10.0, 100.0)
+RANGE_KEYS = ("lt_1", "1_10", "10_100", "gte_100")
+
+
+def range_agg(sf_dir: str):
+    """ES ``range`` aggregation over events.value: fixed numeric bucket
+    edges, per-bucket doc count and value sum. Bucketing is a float
+    comparison against identical double literals (exact both engines);
+    sums travel as micros partials — one row per (bucket, batch)."""
+    def part(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        idx = np.digitize(v, RANGE_EDGES)  # right-open buckets
+        t = pa.table({
+            "bucket": pa.array([RANGE_KEYS[i] for i in idx], pa.string()),
+            "n": np.ones(len(v), np.int64),
+            "sum_micros": np.asarray(pc_micros(b["value"])),
+        })
+        return _partial_sums(t, ["bucket"], {"n": "n",
+                                             "sum_micros": "sum_micros"})
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["value"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_micros", alias_name="sum_micros")))
+
+
+FILTERS_LONG_CHARS = 300
+
+
+def filters_agg(sf_dir: str):
+    """ES ``filters`` aggregation: independent named filter buckets
+    (docs may land in several) over documents — language, length and a
+    source-prefix filter — each with doc count and char sum. One pass
+    emits one partial row per (bucket, batch); no shuffle of raw
+    rows."""
+    def part(b: pa.Table) -> pa.Table:
+        lang = np.asarray(b["lang"].combine_chunks().cast(pa.string())
+                          .to_pandas())
+        src = np.asarray(b["source"].combine_chunks().cast(pa.string())
+                         .to_pandas())
+        nch = np.asarray(b["n_chars"].combine_chunks()).astype(np.int64)
+        masks = {
+            "en": lang == "en",
+            "long": nch >= FILTERS_LONG_CHARS,
+            "src1x": np.char.startswith(src.astype(str), "src1"),
+        }
+        rows = {"bucket": [], "n_docs": [], "sum_chars": []}
+        for k, m in masks.items():
+            rows["bucket"].append(k)
+            rows["n_docs"].append(int(m.sum()))
+            rows["sum_chars"].append(int(nch[m].sum()))
+        return pa.table({"bucket": pa.array(rows["bucket"], pa.string()),
+                         "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                         "sum_chars": pa.array(rows["sum_chars"],
+                                               pa.int64())})
+
+    return (rd.read_parquet(_docs(sf_dir),
+                            columns=["lang", "source", "n_chars"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+
+
+MULTI_TERMS_K = 5
+
+
+def multi_terms_agg(sf_dir: str):
+    """ES ``multi_terms`` aggregation: compound-key terms over
+    (l_returnflag, l_linestatus) ranked by doc count (desc, keys asc),
+    top MULTI_TERMS_K. Key cardinality is bounded (|flags|×|statuses|),
+    so partial sums shuffle a handful of rows and the rank is a driver
+    fold."""
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "l_linestatus": b["l_linestatus"].combine_chunks(),
+            "n": np.ones(b.num_rows, np.int64),
+            "sum_qty_micros": np.asarray(pc_micros(b["l_quantity"])),
+        })
+        return _partial_sums(t, ["l_returnflag", "l_linestatus"],
+                             {"n": "n", "sum_qty_micros": "sum_qty_micros"})
+
+    rows = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_linestatus",
+                                     "l_quantity"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_qty_micros", alias_name="sum_qty_micros"))
+            .take_all())  # bounded: flag×status combos
+    rows.sort(key=lambda r: (-int(r["n"]), r["l_returnflag"],
+                             r["l_linestatus"]))
+    rows = rows[:MULTI_TERMS_K]
+    return pa.table({
+        "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                 pa.string()),
+        "l_linestatus": pa.array([r["l_linestatus"] for r in rows],
+                                 pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "sum_qty_micros": pa.array([int(r["sum_qty_micros"]) for r in rows],
+                                   pa.int64()),
+        "rank": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+    })
+
+
+def top_metrics_agg(sf_dir: str):
+    """ES ``top_metrics`` aggregation: per language, the metrics of the
+    document with the greatest sort value (n_chars DESC, doc_id ASC
+    tie-break). Each batch forwards at most one candidate per language
+    (map-side argmax), the driver folds |langs|×|blocks| candidate
+    rows."""
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": b["lang"].combine_chunks().to_pylist(),
+            "doc_id": np.asarray(b["doc_id"].combine_chunks()
+                                 ).astype(np.int64),
+            "n_chars": np.asarray(b["n_chars"].combine_chunks()
+                                  ).astype(np.int64),
+        })
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        top = df.groupby("lang", sort=False).head(1)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    cands = (rd.read_parquet(_docs(sf_dir),
+                             columns=["lang", "doc_id", "n_chars"])
+             .map_batches(part, batch_format="pyarrow")
+             .take_all())  # ≤ langs × blocks
+    best: dict[str, tuple[int, int]] = {}
+    for r in cands:
+        key = (-int(r["n_chars"]), int(r["doc_id"]))
+        if r["lang"] not in best or key < best[r["lang"]]:
+            best[r["lang"]] = key
+    langs = sorted(best)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "doc_id": pa.array([best[g][1] for g in langs], pa.int64()),
+        "n_chars": pa.array([-best[g][0] for g in langs], pa.int64()),
+    })
+
+
+SAMPLER_PER_SOURCE = 2
+SAMPLER_K = 10
+
+
+def diversified_sampler_agg(sf_dir: str):
+    """ES ``diversified_sampler`` aggregation: a deterministic sample
+    of SAMPLER_K docs with at most SAMPLER_PER_SOURCE per source
+    (de-bias by the diversity field), ranked by a reproducible
+    per-doc hash (md5-low64 of 'samp:'||doc_id — the repo's
+    cross-engine hash convention). Map-side per-source top-P keeps the
+    driver fold at sources×blocks candidates."""
+    from ..functions.dedup import md5_low64
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        h = md5_low64(np.array([f"samp:{i}" for i in ids], dtype=object)
+                      ).astype(np.uint64)
+        df = pd.DataFrame({
+            "doc_id": ids,
+            "source": b["source"].combine_chunks().to_pylist(),
+            "h": h.astype(np.float64),  # order-only; exact < 2^53? no —
+        })
+        # keep exact uint64 ordering: split into hi/lo int64 columns
+        df["h_hi"] = (h >> np.uint64(32)).astype(np.int64)
+        df["h_lo"] = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        df = df.drop(columns=["h"]).sort_values(
+            ["source", "h_hi", "h_lo", "doc_id"])
+        top = df.groupby("source", sort=False).head(SAMPLER_PER_SOURCE)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    cands = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "source"])
+             .map_batches(part, batch_format="pyarrow")
+             .to_pandas())  # ≤ sources × blocks × P
+    cands = cands.sort_values(["source", "h_hi", "h_lo", "doc_id"])
+    kept = cands.groupby("source", sort=False).head(SAMPLER_PER_SOURCE)
+    kept = kept.sort_values(["h_hi", "h_lo", "doc_id"]).head(SAMPLER_K)
+    return pa.table({
+        "doc_id": pa.array(kept["doc_id"].to_numpy(np.int64)),
+        "source": pa.array(kept["source"].tolist(), pa.string()),
+        "rank": pa.array(np.arange(1, len(kept) + 1, dtype=np.int64)),
+    })
+
+
+SERIAL_DIFF_LAG = 3
+
+
+def cumulative_sum_pipeline(sf_dir: str):
+    """ES ``cumulative_sum`` pipeline aggregation over the monthly
+    order histogram: running total of bucket counts in (y, m) order.
+    The bucket table is calendar-bounded, so the sequential fold is a
+    driver-side cumsum over ≤ |months| rows (the histogram itself is
+    the distributed part — orders_by_month's partial sums)."""
+    t = orders_by_month(sf_dir).to_pandas()
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
+    t = t.iloc[order].reset_index(drop=True)
+    n = t["n_orders"].to_numpy(np.int64)
+    return pa.table({
+        "y": pa.array(t["y"].to_numpy(np.int64)),
+        "m": pa.array(t["m"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "cum_n": pa.array(np.cumsum(n).astype(np.int64)),
+    })
+
+
+def serial_diff_pipeline(sf_dir: str):
+    """ES ``serial_diff`` pipeline aggregation (lag = SERIAL_DIFF_LAG
+    buckets) over the monthly histogram: n_t − n_{t−L} in row sequence,
+    0 where no lagged bucket exists (ES emits no bucket; a stable 0
+    keeps the schema rectangular for the driver hash)."""
+    t = orders_by_month(sf_dir).to_pandas()
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
+    t = t.iloc[order].reset_index(drop=True)
+    n = t["n_orders"].to_numpy(np.int64)
+    d = np.zeros(len(n), np.int64)
+    if len(n) > SERIAL_DIFF_LAG:
+        d[SERIAL_DIFF_LAG:] = n[SERIAL_DIFF_LAG:] - n[:-SERIAL_DIFF_LAG]
+    return pa.table({
+        "y": pa.array(t["y"].to_numpy(np.int64)),
+        "m": pa.array(t["m"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "sdiff": pa.array(d),
+    })
+
+
+def bucket_script_pipeline(sf_dir: str):
+    """ES ``bucket_script`` pipeline aggregation: a per-bucket derived
+    metric — the urgent-order share of each month, urgent·1e6 // total
+    in pure integer arithmetic. The histogram pass carries TWO counters
+    per partial row (total, urgent) so the script input needs no second
+    scan."""
+    def part(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].combine_chunks()
+        urgent = pc.equal(b["o_orderpriority"].combine_chunks(),
+                          "1-URGENT")
+        t = pa.table({
+            "y": pc.year(ts).cast(pa.int64()),
+            "m": pc.month(ts).cast(pa.int64()),
+            "n": np.ones(b.num_rows, np.int64),
+            "n_urgent": np.asarray(urgent).astype(np.int64),
+        })
+        return _partial_sums(t, ["y", "m"],
+                             {"n": "n", "n_urgent": "n_urgent"})
+
+    t = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderdate", "o_orderpriority"])
+         .map_batches(part, batch_format="pyarrow")
+         .groupby(["y", "m"])
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("n_urgent", alias_name="n_urgent"))
+         .to_pandas())  # calendar-bounded
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
+    t = t.iloc[order].reset_index(drop=True)
+    n = t["n"].to_numpy(np.int64)
+    nu = t["n_urgent"].to_numpy(np.int64)
+    return pa.table({
+        "y": pa.array(t["y"].to_numpy(np.int64)),
+        "m": pa.array(t["m"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "n_urgent": pa.array(nu),
+        "urgent_share_micros": pa.array(nu * 1_000_000 // n),
+    })
+
+
+def max_bucket_pipeline(sf_dir: str):
+    """ES ``max_bucket`` pipeline aggregation: the bucket key(s) of the
+    monthly histogram's maximum count (ES returns a keys LIST on ties —
+    mirrored as one row per tying bucket) plus the max value."""
+    t = orders_by_month(sf_dir).to_pandas()
+    n = t["n_orders"].to_numpy(np.int64)
+    mx = int(n.max())
+    hit = t.iloc[np.nonzero(n == mx)[0]]
+    order = np.lexsort((hit["m"].to_numpy(), hit["y"].to_numpy()))
+    hit = hit.iloc[order]
+    return pa.table({
+        "y": pa.array(hit["y"].to_numpy(np.int64)),
+        "m": pa.array(hit["m"].to_numpy(np.int64)),
+        "max_n": pa.array(np.full(len(hit), mx, np.int64)),
+    })
