@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
         "min_match_search": P.min_match_search,
+        "terms_set_search": P.terms_set_search,
+        "constant_score_search": P.constant_score_search,
+        "span_near_search": P.span_near_search,
         "embedding_decontamination": P.embedding_decontamination,
         "stemmed_search": P.stemmed_search,
         "dismax_search": P.dismax_search,
@@ -362,6 +365,9 @@ def oracle_sql() -> dict[str, str]:
         DECON_SIM_T as _DC_T,
         COMPLETION_K as _QC_K,
         MIN_MATCH_M as _MM_M,
+        TERMS_SET_MOD as _TS_MOD,
+        CONST_SCORE_BOOST as _CS_BOOST,
+        SPAN_NEAR_SLOP as _SN_SLOP,
         IR_EVAL_QUERIES as _IR_QUERIES,
         SPELL_PROBES as _SPELL_PROBES,
         STEM_QUERY as _STEM_Q,
@@ -421,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         spellfix_topk_sql,
         ir_eval_sql,
         min_match_topk_sql,
+        terms_set_topk_sql,
         stemmed_topk_sql,
         dismax_topk_sql,
         bm25f_topk_sql,
@@ -3925,6 +3932,47 @@ FROM w CROSS JOIN d""",
         # multimodal_features / video_frame_sample / audio_windows
         # (synthetic payload bytes are not SQL-derivable)
     }
+    # --- ES query parity (wave 10 search): terms_set (per-doc msm),
+    # constant_score (filter context), unordered span_near ---
+    oracles["terms_set_search"] = terms_set_topk_sql(BM25_QUERY,
+                                                     _TS_MOD, 10)
+    oracles["constant_score_search"] = f"""
+WITH {kept},
+s AS (SELECT doc_id,
+             bool_or(term = 'merge')  AS h_merge,
+             bool_or(term = 'sort')   AS h_sort,
+             bool_or(term = 'join')   AS h_join,
+             bool_or(term = 'window') AS h_window
+      FROM kept GROUP BY doc_id),
+m AS (SELECT doc_id FROM s
+      WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window))
+SELECT doc_id,
+       CAST(floor({_CS_BOOST} * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank
+FROM m ORDER BY doc_id ASC LIMIT 10"""
+    oracles["span_near_search"] = bm25_scores_sql(BM25_QUERY) + f""",
+{token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+q AS (SELECT doc_id, term, pos FROM pos WHERE term IN ({_SNIP_TERMS})),
+full_docs AS (SELECT doc_id FROM q GROUP BY doc_id
+              HAVING count(DISTINCT term) = {_MW_K}),
+starts AS (SELECT doc_id, pos AS p FROM q
+           WHERE doc_id IN (SELECT doc_id FROM full_docs)),
+nxt AS (SELECT s.doc_id, s.p, q.term, min(q.pos) AS np
+        FROM starts s JOIN q USING (doc_id)
+        WHERE q.pos >= s.p GROUP BY s.doc_id, s.p, q.term),
+cover AS (SELECT doc_id, p, count(*) AS nt, max(np) - p + 1 AS w
+          FROM nxt GROUP BY doc_id, p),
+g AS (SELECT doc_id, min(w) AS mw FROM cover WHERE nt = {_MW_K}
+      GROUP BY doc_id HAVING min(w) <= {_MW_K + _SN_SLOP})
+SELECT sc.doc_id,
+       CAST(floor(sc.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY sc.score DESC, sc.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores sc JOIN g ON g.doc_id = sc.doc_id
+ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
     # --- ES aggregation parity (wave 10): extended/string stats,
     # boxplot, range/filters/multi_terms/top_metrics/sampler buckets,
     # cumulative_sum/serial_diff/bucket_script/max_bucket pipelines ---

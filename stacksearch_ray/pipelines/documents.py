@@ -9282,3 +9282,63 @@ def max_bucket_pipeline(sf_dir: str):
         "m": pa.array(hit["m"].to_numpy(np.int64)),
         "max_n": pa.array(np.full(len(hit), mx, np.int64)),
     })
+
+
+# ---------------- ES query parity (wave 10 search) ----------------
+
+TERMS_SET_MOD = 3
+CONST_SCORE_BOOST = 1.5
+SPAN_NEAR_SLOP = 3
+
+
+def _terms_set_msm(ids: np.ndarray) -> np.ndarray:
+    """Per-doc minimum_should_match threshold (the stand-in for ES's
+    minimum_should_match_field doc values): 1 + doc_id % TERMS_SET_MOD
+    — deterministic, derivable by both engines."""
+    return 1 + (np.asarray(ids, dtype=np.int64) % TERMS_SET_MOD)
+
+
+def terms_set_search(sf_dir: str):
+    """ES ``terms_set`` query: per-DOC minimum-should-match from a
+    doc-values function — docs matching at least their OWN threshold
+    (1 + doc_id % 3) of the query terms, ranked by BM25 with full
+    accumulated scores (QueryEngine.search_terms_set)."""
+    eng = _index_for(sf_dir)
+    res = eng.search_terms_set(BM25_QUERY, _terms_set_msm, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+def constant_score_search(sf_dir: str):
+    """ES ``constant_score`` query: the boolean-DSL filter context with
+    every match scored exactly the boost — no per-term scoring work at
+    all; deterministic order is doc_id ascending (Lucene index order
+    on total ties)."""
+    eng = _index_for(sf_dir)
+    res = eng.search_constant_score(BOOL_DSL, CONST_SCORE_BOOST, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+def span_near_search(sf_dir: str):
+    """Lucene ``span_near`` with in_order=false: docs where some token
+    window of ≤ n_terms + slop covers EVERY query term in ANY order
+    (positional sidecar, min_cover_windows), ranked by BM25 — the
+    unordered sibling of phrase_ranked_search; survivor scores bitwise
+    equal their unfiltered scores."""
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    res = eng.search_span_near(clean_query(BM25_QUERY), 10,
+                               slop=SPAN_NEAR_SLOP)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })

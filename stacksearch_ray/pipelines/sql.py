@@ -981,3 +981,42 @@ SELECT doc_id,
 FROM fscores
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}""")
+
+
+def terms_set_topk_sql(query: str, mod: int, k: int = 10,
+                       k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of QueryEngine.search_terms_set: the plain bm25 chain with
+    a PER-DOC minimum-should-match — HAVING count(DISTINCT term) >=
+    1 + doc_id % mod (the doc-values threshold both engines derive from
+    the id); survivors keep their full accumulated scores."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (({k1} + 1.0) * tf.tf
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) >= 1 + tf.doc_id % {mod}
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""

@@ -2179,6 +2179,72 @@ class QueryEngine:
             return []
         return self._topk_dense(acc, hit, k)
 
+    def search_terms_set(self, query: str, msm_fn,
+                         k: int = 10) -> list[tuple[int, float]]:
+        """ES ``terms_set`` query: minimum-should-match is PER DOC,
+        supplied by a doc-values function (ES's
+        ``minimum_should_match_field``) — ``msm_fn`` maps an int64
+        array of global doc ids to their thresholds. At 100 TB the
+        thresholds are a per-shard doc-values sidecar loaded in worker
+        __init__ (the feature_boost pattern); here a deterministic
+        function of the id plays that role. Same scatter-added
+        matched-term counter as search_min_should_match; the gate
+        compares each doc's count against its OWN threshold, survivors
+        keep their full accumulated scores."""
+        terms = sorted(set(clean_query(query)))
+        if not terms:
+            return []
+        segs = self._segments_for(terms)
+        dfs = self._df_global(terms, segs)
+        n_local = len(self.doclens.ids)
+        acc = np.zeros(n_local, dtype=np.float64)
+        nmatch = np.zeros(n_local, dtype=np.int32)
+        for t in terms:  # sorted order → deterministic accumulation
+            rows = segs[t]
+            if not rows:
+                continue
+            w = idf_fn(self.n_docs, dfs[t])
+            for i, r in enumerate(rows):
+                ids, tfs, dls, part, didx = self._decoded(t, i, r)
+                acc[didx] += w * part
+                nmatch[didx] += 1
+        m = np.asarray(msm_fn(self.doclens.ids), dtype=np.int64)
+        hit = nmatch >= m
+        if not hit.any():
+            return []
+        return self._topk_dense(acc, hit, k)
+
+    def search_constant_score(self, expr: str, boost: float = 1.0,
+                              k: int = 10) -> list[tuple[int, float]]:
+        """ES ``constant_score`` query: a filter-context match (the
+        boolean DSL evaluator — no scoring work at all) where every
+        matching doc gets exactly ``boost``. Ties are total, so the
+        deterministic order is doc_id ascending (Lucene's index order
+        for equal scores)."""
+        ids = self.search_boolean_dsl(expr)
+        return [(int(d), float(boost)) for d in ids[:k]]
+
+    def search_span_near(self, terms: list[str], k: int = 10, *,
+                         slop: int = 2, scorer: str = "bm25"
+                         ) -> list[tuple[int, float]]:
+        """Unordered SpanNearQuery (Lucene ``span_near`` with
+        in_order=false): docs where SOME token window of length ≤
+        n_distinct_terms + slop covers every term — order-free, the
+        unordered sibling of search_phrase_ranked — ranked by the text
+        scorer over the terms. Matching comes from the positional
+        sidecar alone (min_cover_windows); survivors keep their full
+        unfiltered scores (the proven gate → search_filtered
+        composition). Requires store_positions=True."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            return []
+        ids, w = self.min_cover_windows(uniq)
+        allowed = ids[w <= len(uniq) + slop]
+        if len(allowed) == 0:
+            return []
+        return self.search_filtered(" ".join(uniq), k,
+                                    allowed_doc_ids=allowed, scorer=scorer)
+
     def search_coord(self, query: str, k: int = 10
                      ) -> list[tuple[int, float]]:
         """Coordination-factor ranking (classic Lucene coord(q,d),
@@ -2334,6 +2400,15 @@ class _ShardWorker:
     def search_min_should_match(self, query: str, min_match: int, k: int
                                 ) -> list[tuple[int, float]]:
         return self.engine.search_min_should_match(query, min_match, k)
+
+    def search_terms_set(self, query: str, msm_fn, k: int
+                         ) -> list[tuple[int, float]]:
+        return self.engine.search_terms_set(query, msm_fn, k)
+
+    def span_near(self, terms: list[str], k: int, slop: int,
+                  scorer: str = "bm25") -> list[tuple[int, float]]:
+        return self.engine.search_span_near(terms, k, slop=slop,
+                                            scorer=scorer)
 
     def search_after(self, query: str, after_score: float, after_doc: int,
                      k: int) -> list[tuple[int, float]]:
@@ -2692,6 +2767,44 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    def search_terms_set(self, query: str, msm_fn,
+                         k: int = 10) -> list[tuple[int, float]]:
+        """Distributed terms_set: thresholds derive from GLOBAL doc ids
+        (``msm_fn`` must be a picklable pure function of the id array),
+        so each worker gates its own shard subset exactly and the merge
+        is the standard disjoint top-k — bitwise identical to the
+        single engine."""
+        import ray
+
+        futs = [w.search_terms_set.remote(query, msm_fn, k)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_span_near(self, terms: list[str], k: int = 10, *,
+                         slop: int = 2, scorer: str = "bm25"
+                         ) -> list[tuple[int, float]]:
+        """Distributed unordered span-near: windows and filtered
+        scoring are both worker-local (a doc's positions live in one
+        shard; df comes from the term_dict), so the local top-k merge
+        is exact — the search_phrase_ranked argument verbatim."""
+        import ray
+
+        futs = [w.span_near.remote(list(terms), k, slop, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_constant_score(self, expr: str, boost: float = 1.0,
+                              k: int = 10) -> list[tuple[int, float]]:
+        """Distributed constant_score: the sharded boolean DSL already
+        returns the exact global matched set (local NOT complements
+        union exactly); scoring is the constant, order is doc_id."""
+        ids = self.search_boolean_dsl(expr)
+        return [(int(d), float(boost)) for d in ids[:k]]
 
     def search_filtered(self, query: str, k: int = 10,
                         allowed_doc_ids=None,

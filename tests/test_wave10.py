@@ -1,0 +1,205 @@
+"""Semantic properties of the wave-10 operators: terms_set (per-doc
+minimum_should_match), constant_score, unordered span_near, and the ES
+aggregation parity entries. The SQL oracle pins exact values
+(scripts/selfcheck.py); these pin the MEANING and the sharded
+identities."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def P(ray_session):
+    from stacksearch_ray.pipelines import documents as P
+
+    return P
+
+
+# ---------------- terms_set ----------------
+
+def test_terms_set_constant_fn_equals_min_should_match(P):
+    """A constant threshold function degenerates to plain
+    minimum_should_match — the two gates must agree bitwise."""
+    eng = P._index_for(SF)
+    q = P.BM25_QUERY
+    for m in (1, 2, 3):
+        got = eng.search_terms_set(q, lambda ids, m=m: np.full(len(ids), m),
+                                   25)
+        want = eng.search_min_should_match(q, m, 25)
+        assert got == want, m
+
+
+def test_terms_set_per_doc_gate(P):
+    """Every survivor matches at least its OWN threshold of distinct
+    query terms, keeps its unfiltered score, and no qualifying doc in
+    the full ranking is missed before the cutoff."""
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    q = P.BM25_QUERY
+    terms = sorted(set(clean_query(q)))
+    res = eng.search_terms_set(q, P._terms_set_msm, 1000)
+    full = dict(eng.search(q, 10_000, method="exhaustive"))
+
+    def matched(d):
+        n = 0
+        for t in terms:
+            ids = eng.term_doc_ids(t)
+            j = np.searchsorted(ids, d)
+            n += int(j < len(ids) and ids[j] == d)
+        return n
+
+    got = {d for d, _ in res}
+    for d, s in res:
+        assert matched(d) >= 1 + d % P.TERMS_SET_MOD
+        assert s == full[d]  # survivor keeps its unfiltered score
+    # completeness: every scored doc passing its own gate is in the set
+    for d in full:
+        if matched(d) >= 1 + d % P.TERMS_SET_MOD:
+            assert d in got, d
+
+
+def test_sharded_terms_set_identity(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    got = sharded.search_terms_set(P.BM25_QUERY, P._terms_set_msm, 12)
+    assert got == eng.search_terms_set(P.BM25_QUERY, P._terms_set_msm, 12)
+
+
+# ---------------- constant_score ----------------
+
+def test_constant_score_is_filter_context(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    ids = eng.search_boolean_dsl(P.BOOL_DSL)
+    res = eng.search_constant_score(P.BOOL_DSL, 2.5, 10)
+    assert [d for d, _ in res] == ids[:10].tolist()
+    assert all(s == 2.5 for _, s in res)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    assert sharded.search_constant_score(P.BOOL_DSL, 2.5, 10) == res
+
+
+# ---------------- span_near (unordered) ----------------
+
+def test_span_near_gate_and_scores(P):
+    """Matched set == the min-cover-window gate; survivors keep their
+    unfiltered scores; order-freeness: the gate is invariant under any
+    permutation of the terms list."""
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    terms = clean_query(P.BM25_QUERY)
+    ids, w = eng.min_cover_windows(sorted(set(terms)))
+    allowed = set(ids[w <= len(set(terms)) + P.SPAN_NEAR_SLOP].tolist())
+    res = eng.search_span_near(terms, 1000, slop=P.SPAN_NEAR_SLOP)
+    assert {d for d, _ in res} == allowed
+    full = dict(eng.search(" ".join(sorted(set(terms))), 10_000,
+                           method="exhaustive"))
+    for d, s in res:
+        assert s == full[d]
+    assert eng.search_span_near(list(reversed(terms)), 1000,
+                                slop=P.SPAN_NEAR_SLOP) == res
+
+
+def test_span_near_slop_monotone(P):
+    """Tightening slop can only shrink the matched set."""
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    terms = clean_query(P.BM25_QUERY)
+    prev: set = set()
+    for slop in (0, 2, 8, 64):
+        cur = {d for d, _ in eng.search_span_near(terms, 10_000, slop=slop)}
+        assert prev <= cur
+        prev = cur
+
+
+def test_sharded_span_near_identity(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    from stacksearch_ray.text import clean_query
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    terms = clean_query(P.BM25_QUERY)
+    assert (sharded.search_span_near(terms, 10, slop=P.SPAN_NEAR_SLOP)
+            == eng.search_span_near(terms, 10, slop=P.SPAN_NEAR_SLOP))
+
+
+# ---------------- aggregation entries: brute-force replays ----------------
+
+def test_extended_stats_brute(P):
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.micros import to_micros
+
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet"),
+                      columns=["l_returnflag", "l_quantity"]).to_pandas()
+    got = P.extended_stats_agg(SF).to_pandas().set_index("l_returnflag")
+    for flag, grp in t.groupby("l_returnflag"):
+        q = np.floor(grp["l_quantity"].to_numpy(np.float64) + 0.5
+                     ).astype(np.int64)
+        n, s, ss = len(q), int(q.sum()), int((q * q).sum())
+        mean = float(s) / n
+        var = float(n * ss - s * s) / n / n
+        row = got.loc[flag]
+        assert row["n"] == n and row["sum_q"] == s
+        assert row["min_q"] == q.min() and row["max_q"] == q.max()
+        assert row["avg_micros"] == to_micros(mean)
+        assert row["var_micros"] == to_micros(var)
+        assert row["std_upper_micros"] == to_micros(
+            mean + 2 * np.sqrt(var))
+
+
+def test_boxplot_brute(P):
+    import pyarrow.parquet as pq
+
+    got = P.boxplot_agg(SF).to_pandas().iloc[0]
+    v = pq.read_table(os.path.join(SF, "events.parquet"),
+                      columns=["value"])["value"].to_numpy()
+    vm = np.floor(v * 1e6 + 0.5).astype(np.int64)
+    iqr = got["q3_micros"] - got["q1_micros"]
+    assert got["lo_fence_micros"] == got["q1_micros"] - (15 * iqr) // 10
+    assert got["hi_fence_micros"] == got["q3_micros"] + (15 * iqr) // 10
+    assert got["n_outliers"] == int(((vm < got["lo_fence_micros"])
+                                     | (vm > got["hi_fence_micros"])).sum())
+    # the quartiles really are order statistics of the data
+    assert got["q1_micros"] in vm and got["q3_micros"] in vm
+
+
+def test_diversified_sampler_constraints(P):
+    got = P.diversified_sampler_agg(SF).to_pandas()
+    assert len(got) == P.SAMPLER_K
+    assert got["source"].value_counts().max() <= P.SAMPLER_PER_SOURCE
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_range_agg_partition(P):
+    """Buckets partition the events table: counts sum to the row count
+    and every bucket key is one of the four."""
+    import pyarrow.parquet as pq
+
+    got = P.range_agg(SF).to_pandas()
+    n = pq.read_metadata(os.path.join(SF, "events.parquet")).num_rows
+    assert got["n"].sum() == n
+    assert set(got["bucket"]) <= set(P.RANGE_KEYS)
+
+
+def test_cumulative_and_serial_pipelines(P):
+    c = P.cumulative_sum_pipeline(SF).to_pandas()
+    assert (np.cumsum(c["n"].to_numpy()) == c["cum_n"].to_numpy()).all()
+    s = P.serial_diff_pipeline(SF).to_pandas()
+    L = P.SERIAL_DIFF_LAG
+    n = s["n"].to_numpy(np.int64)
+    assert (s["sdiff"].to_numpy()[:L] == 0).all()
+    assert (s["sdiff"].to_numpy()[L:] == n[L:] - n[:-L]).all()
