@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_eval": P.ir_eval,
         "min_match_search": P.min_match_search,
         "terms_set_search": P.terms_set_search,
+        "query_string_search": P.query_string_search,
         "constant_score_search": P.constant_score_search,
         "span_near_search": P.span_near_search,
         "embedding_decontamination": P.embedding_decontamination,
@@ -3973,6 +3974,63 @@ SELECT sc.doc_id,
             AS BIGINT) AS rank
 FROM scores sc JOIN g ON g.doc_id = sc.doc_id
 ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
+    # Lucene query_string mirror for
+    # '("merge sort"~2 AND stream^2.0) OR (join AND NOT wind*)':
+    # matched set = (ordered merge→sort span ≤ 4 AND has stream) OR
+    # (has join AND no 'wind%' term); scores = boosted bm25 over the
+    # positive scoring terms (prefix atoms filter only); unscored
+    # matches coalesce to 0.0 after every scored doc
+    oracles["query_string_search"] = f"""
+WITH {kept},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, boost) AS (VALUES ('join', 1.0), ('merge', 1.0),
+                               ('sort', 1.0), ('stream', 2.0)),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * qterms.boost)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN qterms USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+{token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+p1 AS (SELECT doc_id, pos FROM pos WHERE term = 'merge'),
+p2 AS (SELECT doc_id, pos FROM pos WHERE term = 'sort'),
+c2 AS (SELECT p1.doc_id, p1.pos AS s, min(p2.pos) AS e
+       FROM p1 JOIN p2 USING (doc_id) WHERE p2.pos > p1.pos
+       GROUP BY p1.doc_id, p1.pos),
+ph AS (SELECT doc_id FROM c2 GROUP BY doc_id
+       HAVING min(e - s + 1) <= 4),
+fl AS (SELECT doc_id,
+              bool_or(term = 'stream') AS h_stream,
+              bool_or(term = 'join') AS h_join,
+              bool_or(term LIKE 'wind%') AS h_wind
+       FROM kept GROUP BY doc_id),
+m AS (SELECT f.doc_id FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
+      WHERE (ph.doc_id IS NOT NULL AND f.h_stream)
+         OR (f.h_join AND NOT f.h_wind))
+SELECT m.doc_id,
+       CAST(floor(coalesce(s.score, 0.0) * 1e6 + 0.5) AS BIGINT)
+           AS score_micros,
+       CAST(row_number() OVER (ORDER BY coalesce(s.score, 0.0) DESC,
+                               m.doc_id ASC) AS BIGINT) AS rank
+FROM m LEFT JOIN scores s ON s.doc_id = m.doc_id
+ORDER BY coalesce(s.score, 0.0) DESC, m.doc_id ASC LIMIT 10"""
     # --- ES aggregation parity (wave 10): extended/string stats,
     # boxplot, range/filters/multi_terms/top_metrics/sampler buckets,
     # cumulative_sum/serial_diff/bucket_script/max_bucket pipelines ---

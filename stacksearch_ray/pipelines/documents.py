@@ -9342,3 +9342,22 @@ def span_near_search(sf_dir: str):
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
+
+
+QS_QUERY = '("merge sort"~2 AND stream^2.0) OR (join AND NOT wind*)'
+
+
+def query_string_search(sf_dir: str):
+    """Lucene/ES ``query_string``: boolean structure + ranking hints in
+    ONE string — quoted sloppy phrase, per-term ^boost, prefix* filter
+    atoms, AND/OR/NOT/parens (QueryEngine.search_query_string). Matched
+    set by set algebra over postings / span gates / prefix unions;
+    ranked by boosted BM25 over the positive scoring terms, zero-scored
+    matches after every scored doc."""
+    eng = _index_for(sf_dir)
+    res = eng.search_query_string(QS_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })

@@ -35,6 +35,7 @@ throughput via ``map_batches``.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -845,6 +846,141 @@ class QueryEngine:
         if pos != len(toks):
             raise ValueError(f"trailing tokens in {expr!r}")
         return out
+
+    def search_query_string(self, qs: str, k: int = 10
+                            ) -> list[tuple[int, float]]:
+        """The Lucene/ES ``query_string`` surface: one string carrying
+        boolean structure AND ranking hints —
+
+            ("merge sort"~2 AND stream^2.0) OR (join AND NOT wind*)
+
+        Atoms: bare terms (optionally ``^boost``), quoted phrases
+        (optionally ``~slop`` — ordered minimal span ≤ n+slop from the
+        positional sidecar), and trailing-``*`` prefixes (optionally
+        ``^boost``). Operators: AND / OR / NOT with parentheses (OR
+        loosest, NOT tightest — the boolean-DSL grammar).
+
+        Semantics (documented, mirrored exactly by the SQL oracle):
+        the expression decides the MATCHED SET (set algebra over
+        postings / span gates / prefix unions, alive docs only);
+        ranking is the boosted BM25 sum over every term or phrase-term
+        appearing in POSITIVE context (repeated terms sum their
+        boosts); prefix atoms FILTER but never score (the Lucene
+        multi-term-query constant-score rewrite — scoring an unbounded
+        expansion is unsound at scale); matched docs containing no
+        scoring term rank after all scored docs at 0.0, doc_id
+        ascending. Scored survivors keep their unfiltered boosted
+        scores bitwise."""
+        toks = re.findall(r'"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
+                          r'|\(|\)|[^\s()]+', qs)
+        pos = 0
+        bmap: dict[str, float] = {}
+
+        def peek() -> str | None:
+            return toks[pos] if pos < len(toks) else None
+
+        def take() -> str:
+            nonlocal pos
+            t = toks[pos]
+            pos += 1
+            return t
+
+        def universe() -> np.ndarray:
+            ids = self.doclens.ids
+            return ids[self._alive] if self.has_deletes else ids
+
+        def score_term(t: str, boost: float) -> None:
+            bmap[t] = bmap.get(t, 0.0) + boost
+
+        def atom(positive: bool) -> np.ndarray:
+            if peek() is None:
+                raise ValueError(f"unexpected end of expression {qs!r}")
+            t = take()
+            if t == "(":
+                v = or_expr(positive)
+                if peek() != ")":
+                    raise ValueError(f"expected ')' in {qs!r}")
+                take()
+                return v
+            if t in (")", "AND", "OR", "NOT"):
+                raise ValueError(f"unexpected {t!r} in {qs!r}")
+            if t.startswith('"'):
+                m = re.fullmatch(
+                    r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?', t)
+                if m is None:
+                    raise ValueError(f"bad phrase atom {t!r}")
+                terms = clean_query(m.group(1), max_tokens=None)
+                if not terms:
+                    raise ValueError(f"phrase {t!r} normalizes to nothing")
+                slop = int(m.group(2) or 0)
+                boost = float(m.group(3) or 1.0)
+                ids, spans = self.min_ordered_spans(terms)
+                if positive:
+                    for w in terms:
+                        score_term(w, boost)
+                return ids[spans <= len(terms) + slop]
+            m = re.fullmatch(r'([^\s()^*]+)(\*)?(?:\^(\d+(?:\.\d+)?))?', t)
+            if m is None:
+                raise ValueError(f"bad atom {t!r}")
+            boost = float(m.group(3) or 1.0)
+            terms = clean_query(m.group(1))
+            if len(terms) != 1:
+                raise ValueError(
+                    f"query word {m.group(1)!r} does not normalize "
+                    "to one term")
+            if m.group(2):  # prefix atom: filter-only, never scores
+                return self._union_terms(self.prefix_terms(terms[0]))[0]
+            if positive:
+                score_term(terms[0], boost)
+            return self.term_doc_ids(terms[0])
+
+        def not_expr(positive: bool) -> np.ndarray:
+            if peek() == "NOT":
+                take()
+                return np.setdiff1d(universe(), not_expr(not positive),
+                                    assume_unique=True)
+            return atom(positive)
+
+        def and_expr(positive: bool) -> np.ndarray:
+            v = not_expr(positive)
+            while peek() == "AND":
+                take()
+                v = np.intersect1d(v, not_expr(positive),
+                                   assume_unique=True)
+            return v
+
+        def or_expr(positive: bool) -> np.ndarray:
+            v = and_expr(positive)
+            while peek() == "OR":
+                take()
+                v = np.union1d(v, and_expr(positive))
+            return v
+
+        if not toks:
+            raise ValueError("empty query string")
+        matched = or_expr(True)
+        if pos != len(toks):
+            raise ValueError(f"trailing tokens in {qs!r}")
+        if self.has_deletes:
+            matched = np.intersect1d(matched, universe(),
+                                     assume_unique=True)
+        if len(matched) == 0:
+            return []
+        res: list[tuple[int, float]] = []
+        if bmap:
+            res = self._search_exhaustive(sorted(bmap), k,
+                                          allowed=matched, boosts=bmap)
+        if len(res) < k:
+            # matched docs with no scoring-term hit: score 0.0, after
+            # every scored doc (bm25 contributions are strictly > 0),
+            # doc_id ascending
+            have = {d for d, _ in res}
+            for d in matched:
+                if len(res) >= k:
+                    break
+                if int(d) not in have:
+                    res.append((int(d), 0.0))
+        return res
 
     def search_bool_query(self, must, should=(), must_not=(),
                           k: int = 10, scorer: str = "bm25"
@@ -2405,6 +2541,9 @@ class _ShardWorker:
                          ) -> list[tuple[int, float]]:
         return self.engine.search_terms_set(query, msm_fn, k)
 
+    def query_string(self, qs: str, k: int) -> list[tuple[int, float]]:
+        return self.engine.search_query_string(qs, k)
+
     def span_near(self, terms: list[str], k: int, slop: int,
                   scorer: str = "bm25") -> list[tuple[int, float]]:
         return self.engine.search_span_near(terms, k, slop=slop,
@@ -2805,6 +2944,23 @@ class ShardedQueryEngine:
         union exactly); scoring is the constant, order is doc_id."""
         ids = self.search_boolean_dsl(expr)
         return [(int(d), float(boost)) for d in ids[:k]]
+
+    def search_query_string(self, qs: str, k: int = 10
+                            ) -> list[tuple[int, float]]:
+        """Distributed query_string: matching, span gates and boosted
+        scoring are all worker-local (a doc's postings and positions
+        live in one shard subset; df/idf comes from the global
+        term_dict; local NOT complements the local alive universe —
+        disjoint complements union to the global one). Zero-scored
+        fills sort after every scored doc in the same (score desc,
+        doc_id asc) total order, so the disjoint top-k merge is exact
+        and bitwise identical to the single engine."""
+        import ray
+
+        futs = [w.query_string.remote(qs, k) for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
 
     def search_filtered(self, query: str, k: int = 10,
                         allowed_doc_ids=None,

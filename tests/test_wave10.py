@@ -203,3 +203,56 @@ def test_cumulative_and_serial_pipelines(P):
     n = s["n"].to_numpy(np.int64)
     assert (s["sdiff"].to_numpy()[:L] == 0).all()
     assert (s["sdiff"].to_numpy()[L:] == n[L:] - n[:-L]).all()
+
+
+# ---------------- query_string ----------------
+
+def test_query_string_reduces_to_known_surfaces(P):
+    """Degenerate forms agree bitwise with the dedicated surfaces:
+    a lone quoted phrase == phrase_ranked; a lone boosted term ==
+    search_boosted; a pure boolean expression matches the DSL set."""
+    eng = P._index_for(SF)
+    assert (eng.search_query_string('"merge sort"~2', 10)
+            == eng.search_phrase_ranked("merge sort", 10, slop=2))
+    assert (eng.search_query_string("merge^2.0", 10)
+            == eng.search_boosted({"merge": 2.0}, 10))
+    qs = "(merge AND sort) OR (join AND NOT window)"
+    got = {d for d, _ in eng.search_query_string(qs, 10_000)}
+    assert got == set(eng.search_boolean_dsl(qs).tolist())
+
+
+def test_query_string_repeated_term_sums_boosts(P):
+    eng = P._index_for(SF)
+    assert (eng.search_query_string("merge^1.0 OR merge^2.5", 10)
+            == eng.search_boosted({"merge": 3.5}, 10))
+
+
+def test_query_string_prefix_filters_but_never_scores(P):
+    """A prefix-only query yields zero scores in doc order; adding a
+    scored term ranks scored docs first at their boosted-bm25 value."""
+    eng = P._index_for(SF)
+    res = eng.search_query_string("mer*", 10)
+    assert all(s == 0.0 for _, s in res)
+    assert [d for d, _ in res] == sorted(d for d, _ in res)
+    mixed = eng.search_query_string("mer* AND stream", 10_000)
+    boosted = dict(eng.search_boosted({"stream": 1.0}, 10_000))
+    for d, s in mixed:
+        assert s == boosted[d]  # every survivor contains stream
+
+
+def test_query_string_parse_errors(P):
+    eng = P._index_for(SF)
+    for bad in ["", "(merge", "merge AND", "AND merge", "the"]:
+        with pytest.raises(ValueError):
+            eng.search_query_string(bad, 10)
+
+
+def test_sharded_query_string_identity(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    for qs in [P.QS_QUERY, "mer* AND NOT sort",
+               '"merge sort"~1 OR stream^3.0']:
+        assert (sharded.search_query_string(qs, 10)
+                == eng.search_query_string(qs, 10)), qs
