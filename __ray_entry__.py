@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": P.tfidf_search,
         "lm_dirichlet_search": P.lm_dirichlet_search,
         "lm_jm_search": P.lm_jm_search,
+        "dfi_search": P.dfi_search,
+        "boosting_search": P.boosting_search,
         "bm25plus_search": P.bm25plus_search,
         "proximity_boost_search": P.proximity_boost_search,
         "rescore_search": P.rescore_search,
@@ -367,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         COMPLETION_K as _QC_K,
         MIN_MATCH_M as _MM_M,
         TERMS_SET_MOD as _TS_MOD,
+        BOOSTING_NB as _BOOSTING_NB,
         CONST_SCORE_BOOST as _CS_BOOST,
         SPAN_NEAR_SLOP as _SN_SLOP,
         IR_EVAL_QUERIES as _IR_QUERIES,
@@ -429,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         ir_eval_sql,
         min_match_topk_sql,
         terms_set_topk_sql,
+        dfi_topk_sql,
         stemmed_topk_sql,
         dismax_topk_sql,
         bm25f_topk_sql,
@@ -3974,6 +3978,25 @@ SELECT sc.doc_id,
             AS BIGINT) AS rank
 FROM scores sc JOIN g ON g.doc_id = sc.doc_id
 ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
+    oracles["dfi_search"] = dfi_topk_sql(BM25_QUERY, 10)
+    # ES boosting query: the bm25 chain with matched-negative docs
+    # multiplied by the negative_boost in ONE fixed multiply (engine:
+    # acc · feature; missing feature rows keep 1.0)
+    oracles["boosting_search"] = bm25_scores_sql(BM25_QUERY) + f""",
+nf AS (SELECT doc_id,
+              bool_or(term = 'window') AS h_window,
+              bool_or(term = 'filter') AS h_filter
+       FROM kept GROUP BY doc_id),
+demoted AS (SELECT s.doc_id,
+                   s.score * (CASE WHEN coalesce(n.h_window OR n.h_filter,
+                                                 FALSE)
+                              THEN {_BOOSTING_NB} ELSE 1.0 END) AS score
+            FROM scores s LEFT JOIN nf n ON n.doc_id = s.doc_id)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM demoted ORDER BY score DESC, doc_id ASC LIMIT 10"""
     # Lucene query_string mirror for
     # '("merge sort"~2 AND stream^2.0) OR (join AND NOT wind*)':
     # matched set = (ordered merge→sort span ≤ 4 AND has stream) OR

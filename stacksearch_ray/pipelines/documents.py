@@ -9361,3 +9361,35 @@ def query_string_search(sf_dir: str):
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
+
+
+def dfi_search(sf_dir: str):
+    """Top-10 under divergence-from-independence (Lucene DFISimilarity,
+    standardized measure) — the third collection-stats scorer through
+    the §2.10 registry hook: e = (cf·dl)/total_len, score per term =
+    log2(1 + max(tf−e, 0)/√e)."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, scorer="dfi")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+BOOSTING_NEG = "window OR filter"
+BOOSTING_NB = 0.25
+
+
+def boosting_search(sf_dir: str):
+    """ES ``boosting`` query: BM25 ranking of the positive query with
+    docs matching the negative boolean expression DEMOTED (score ·
+    negative_boost — never excluded, unlike must_not). Rides the
+    multiplicative feature path, negative set from the boolean DSL."""
+    eng = _index_for(sf_dir)
+    res = eng.search_boosting(BM25_QUERY, BOOSTING_NEG, BOOSTING_NB, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })

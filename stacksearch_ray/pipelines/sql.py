@@ -1020,3 +1020,40 @@ SELECT doc_id,
 FROM scores
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def dfi_topk_sql(query: str, k: int = 10) -> str:
+    """Mirror of the registry ``dfi`` collection-stats scorer (Lucene
+    DFISimilarity, standardized independence measure): per (doc, term)
+    log2(1 + greatest(tf − e, 0)/sqrt(e)) with e = (cf·dl)/total_len,
+    summed per doc — identical float expression order to
+    registry.dfi_scorer."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT sum(dl) AS total_len FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( log2(1.0 + greatest(tf.tf - (cf.cf * dl.dl) / stats.total_len,
+                                  0.0)
+                   / sqrt((cf.cf * dl.dl) / stats.total_len)) ) AS score
+  FROM tf
+  JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""

@@ -764,6 +764,23 @@ class QueryEngine:
         return self._search_exhaustive(terms, k, scorer,
                                        feature=feat, feature_op="mul")
 
+    def search_boosting(self, positive: str, negative: str,
+                        negative_boost: float = 0.3, k: int = 10,
+                        scorer: str = "bm25") -> list[tuple[int, float]]:
+        """The ES ``boosting`` query: rank by the positive query, but
+        DEMOTE (never exclude — the difference from must_not) docs
+        matching the negative expression, multiplying their scores by
+        ``negative_boost``. ``negative`` is a boolean-DSL expression
+        (terms / AND / OR / NOT / prefix*); the demotion rides the
+        proven multiplicative feature path (search_feature_scale), so
+        undemoted docs keep their text scores bitwise and demoted docs
+        are text · negative_boost in one fixed multiply."""
+        neg = self.search_boolean_dsl(negative)
+        return self.search_feature_scale(
+            positive, k, feature_ids=neg,
+            feature_vals=np.full(len(neg), float(negative_boost)),
+            scorer=scorer)
+
     def search_boolean_dsl(self, expr: str) -> np.ndarray:
         """Boolean retrieval over a query LANGUAGE (the Lucene
         BooleanQuery / classic IR set-algebra surface): ``AND`` /
@@ -2944,6 +2961,20 @@ class ShardedQueryEngine:
         union exactly); scoring is the constant, order is doc_id."""
         ids = self.search_boolean_dsl(expr)
         return [(int(d), float(boost)) for d in ids[:k]]
+
+    def search_boosting(self, positive: str, negative: str,
+                        negative_boost: float = 0.3, k: int = 10,
+                        scorer: str = "bm25") -> list[tuple[int, float]]:
+        """Distributed boosting query: the negative matched set comes
+        from the EXACT sharded boolean DSL (local NOT complements union
+        exactly), ships once via the feature-scale ray.put path, and
+        each worker demotes its own shard subset — bitwise identical to
+        the single engine."""
+        neg = self.search_boolean_dsl(negative)
+        return self.search_feature_scale(
+            positive, k, feature_ids=neg,
+            feature_vals=np.full(len(neg), float(negative_boost)),
+            scorer=scorer)
 
     def search_query_string(self, qs: str, k: int = 10
                             ) -> list[tuple[int, float]]:

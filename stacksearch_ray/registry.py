@@ -185,3 +185,25 @@ def lm_jelinek_mercer_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
     return np.log(1.0 + (coef * (tf.astype(np.float64)
                                  / doc_len.astype(np.float64)))
                   / (float(cf) / float(total_len)))
+
+
+@register_scorer("dfi")
+def dfi_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
+               n_docs: int, avgdl: float, *,
+               cf: int, total_len: int) -> np.ndarray:
+    """Divergence-from-independence (Kocabas/Dincer/Karaoglan 2014; the
+    Lucene ``DFISimilarity`` analog, standardized measure): the expected
+    tf under independence is e = (cf · dl) / total_len, the standardized
+    surprise is (tf − e)/√e, and
+
+        score(t, d) = log2(1 + max(tf − e, 0) / sqrt(e))
+
+    (the max-0 clamp keeps under-represented terms at exactly 0 and the
+    log argument ≥ 1 — Lucene likewise never lets a term contribute
+    negatively). Collection-stats scorer (cf/total_len binding, same
+    pending-tombstone caveat as lm_dirichlet). Expression order is
+    mirrored by the DuckDB oracle micros-bitwise: e first, then
+    greatest(tf − e, 0)/sqrt(e), then log2(1 + ·)."""
+    e = (float(cf) * doc_len.astype(np.float64)) / float(total_len)
+    return np.log2(1.0 + np.maximum(tf.astype(np.float64) - e, 0.0)
+                   / np.sqrt(e))

@@ -256,3 +256,39 @@ def test_sharded_query_string_identity(P, ray_session):
                '"merge sort"~1 OR stream^3.0']:
         assert (sharded.search_query_string(qs, 10)
                 == eng.search_query_string(qs, 10)), qs
+
+
+# ---------------- dfi scorer + boosting query ----------------
+
+def test_dfi_scorer_properties(P):
+    """DFI scores are finite and non-negative; a term appearing less
+    often than independence predicts contributes exactly 0 (so a doc
+    whose every query term is under-expected scores 0 and is still
+    ranked last among hits, never negative)."""
+    eng = P._index_for(SF)
+    res = eng.search(P.BM25_QUERY, 10_000, method="exhaustive",
+                     scorer="dfi")
+    assert res and all(np.isfinite(s) and s >= 0.0 for _, s in res)
+
+
+def test_boosting_demotes_never_excludes(P):
+    eng = P._index_for(SF)
+    base = dict(eng.search(P.BM25_QUERY, 10_000, method="exhaustive"))
+    neg = set(eng.search_boolean_dsl(P.BOOSTING_NEG).tolist())
+    res = eng.search_boosting(P.BM25_QUERY, P.BOOSTING_NEG,
+                              P.BOOSTING_NB, 10_000)
+    assert {d for d, _ in res} == set(base)  # nothing excluded
+    for d, s in res:
+        want = base[d] * P.BOOSTING_NB if d in neg else base[d]
+        assert s == want, d
+
+
+def test_sharded_boosting_identity(P, ray_session):
+    from stacksearch_ray.query import ShardedQueryEngine
+
+    eng = P._index_for(SF)
+    sharded = ShardedQueryEngine(eng.index_dir, num_workers=4)
+    assert (sharded.search_boosting(P.BM25_QUERY, P.BOOSTING_NEG,
+                                    P.BOOSTING_NB, 10)
+            == eng.search_boosting(P.BM25_QUERY, P.BOOSTING_NEG,
+                                   P.BOOSTING_NB, 10))
