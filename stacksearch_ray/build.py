@@ -459,7 +459,11 @@ def build_index(source, index_dir: str,
         # build did
         "key_cols": list(cfg.key_cols),
     }
-    write_stats(index_dir, stats)
+    # stats.json is written LAST (end of this function): it is THE
+    # commit point every reader and _ensure_built key on — writing it
+    # before the segment shuffle let a concurrent process open a
+    # partial index (observed: 4 cold parallel selfcheck shards, one
+    # read ~73% of the postings). avgdl flows to the encoder in-memory.
 
     # ---- term-partitioned merge (THE shuffle) over STAGED postings ----
     encoder = SegmentEncoder(avgdl=avgdl, k1=cfg.k1, b=cfg.b, block_size=cfg.block_size)
@@ -487,6 +491,7 @@ def build_index(source, index_dir: str,
     from .query import write_seg_bucket_map
 
     write_seg_bucket_map(index_dir)  # first reader prunes immediately
+    write_stats(index_dir, stats)    # COMMIT POINT: the index now opens
     return stats
 
 

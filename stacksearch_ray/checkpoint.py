@@ -305,7 +305,11 @@ def build_index_resumable(source: str | list[str], index_dir: str,
 
     from .build import write_stats
 
-    write_stats(index_dir, stats)
+    # resume record only — stats.json itself is written LAST (the
+    # commit point readers and _ensure_built key on; a mid-build
+    # stats.json let concurrent openers see a partial index). The
+    # recompute above is deterministic, so a resumed build writes the
+    # identical stats at the end.
     manifest.mark_phase("stats", n_docs=n_docs, avgdl=avgdl)
     manifest.save()
 
@@ -354,6 +358,7 @@ def build_index_resumable(source: str | list[str], index_dir: str,
     from .query import write_seg_bucket_map
 
     write_seg_bucket_map(index_dir)  # first reader prunes immediately
+    write_stats(index_dir, stats)    # COMMIT POINT: the index now opens
     return stats
 
 

@@ -292,3 +292,39 @@ def test_sharded_boosting_identity(P, ray_session):
                                     P.BOOSTING_NB, 10)
             == eng.search_boosting(P.BM25_QUERY, P.BOOSTING_NEG,
                                    P.BOOSTING_NB, 10))
+
+
+# ---------------- build commit point (stats.json written LAST) ----------------
+
+def test_build_crash_leaves_no_commit_point(P, ray_session, tmp_path,
+                                            monkeypatch):
+    """stats.json is the commit point _ensure_built and every reader
+    key on: a build that dies before the index is complete must leave
+    NO stats.json (a mid-build stats.json let concurrent openers read
+    a partial index — the cold 4-shard selfcheck race). Re-running the
+    build heals."""
+    from stacksearch_ray import checkpoint as ckpt
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.corpus import write_corpus
+    from stacksearch_ray.query import QueryEngine
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 120, rows_per_file=60)
+    idx = str(tmp_path / "idx")
+
+    real = ckpt._write_term_dict
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(ckpt, "_write_term_dict", boom)
+    with pytest.raises(RuntimeError):
+        build_index(corpus, idx, num_shards=2, term_buckets=4)
+    assert not os.path.exists(os.path.join(idx, "stats.json"))
+    with pytest.raises(Exception):
+        QueryEngine(idx)  # partial index cannot be opened
+
+    monkeypatch.setattr(ckpt, "_write_term_dict", real)
+    build_index(corpus, idx, num_shards=2, term_buckets=4)
+    assert os.path.exists(os.path.join(idx, "stats.json"))
+    assert QueryEngine(idx).search("def return", 5)
