@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg_agg": P.weighted_avg_agg,
         "t_test_agg": P.t_test_agg,
         "geo_distance_search": P.geo_distance_search,
+        "geo_bbox_search": P.geo_bbox_search,
+        "date_range_agg": P.date_range_agg,
+        "random_score_search": P.random_score_search,
         "fim_transform": P.fim_transform,
         "pit_paged_search": P.pit_paged_search,
         "reindex_search": P.reindex_search,
@@ -370,6 +373,10 @@ def oracle_sql() -> dict[str, str]:
         MIN_MATCH_M as _MM_M,
         TERMS_SET_MOD as _TS_MOD,
         BOOSTING_NB as _BOOSTING_NB,
+        GEO_BOX as _GEO_BOX,
+        DATE_RANGE_EDGES as _DR_EDGES,
+        RANDOM_SCORE_TERM as _RS_TERM,
+        RANDOM_SCORE_K as _RS_K,
         CONST_SCORE_BOOST as _CS_BOOST,
         SPAN_NEAR_SLOP as _SN_SLOP,
         IR_EVAL_QUERIES as _IR_QUERIES,
@@ -3979,6 +3986,40 @@ SELECT sc.doc_id,
 FROM scores sc JOIN g ON g.doc_id = sc.doc_id
 ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
     oracles["dfi_search"] = dfi_topk_sql(BM25_QUERY, 10)
+    _la0, _la1, _lo0, _lo1 = _GEO_BOX
+    oracles["geo_bbox_search"] = f"""
+WITH g AS (
+  SELECT c_custkey,
+         CAST(md5_number_lower('lat:' || CAST(c_custkey AS VARCHAR))
+              % 180000001 AS BIGINT) - 90000000 AS lat_micros,
+         CAST(md5_number_lower('lon:' || CAST(c_custkey AS VARCHAR))
+              % 360000001 AS BIGINT) - 180000000 AS lon_micros
+  FROM customer)
+SELECT c_custkey, lat_micros, lon_micros
+FROM g
+WHERE lat_micros BETWEEN {_la0} AND {_la1}
+  AND lon_micros BETWEEN {_lo0} AND {_lo1}"""
+    _dr0, _dr1 = _DR_EDGES
+    oracles["date_range_agg"] = f"""
+WITH b AS (SELECT CASE WHEN o_orderdate < DATE '{_dr0}' THEN 'early'
+                       WHEN o_orderdate < DATE '{_dr1}' THEN 'mid'
+                       ELSE 'late' END AS bucket,
+                  CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS rm
+           FROM orders)
+SELECT bucket, count(*)::BIGINT AS n,
+       CAST(sum(rm) AS BIGINT) AS revenue_micros
+FROM b GROUP BY bucket"""
+    oracles["random_score_search"] = f"""
+WITH {kept},
+m AS (SELECT DISTINCT doc_id FROM kept
+      WHERE term = '{_RS_TERM}'),
+h AS (SELECT doc_id,
+             md5_number_lower('rs:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM m)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h ASC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM h ORDER BY h ASC, doc_id ASC LIMIT {_RS_K}"""
     # ES boosting query: the bm25 chain with matched-negative docs
     # multiplied by the negative_boost in ONE fixed multiply (engine:
     # acc · feature; missing feature rows keep 1.0)

@@ -9393,3 +9393,97 @@ def boosting_search(sf_dir: str):
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
+
+
+GEO_BOX = (-30_000_000, 50_000_000, -90_000_000, 40_000_000)
+# (lat_lo, lat_hi, lon_lo, lon_hi) micro-degrees
+
+
+def geo_bbox_search(sf_dir: str):
+    """ES ``geo_bounding_box`` query: the planar box filter geo_distance
+    runs BEHIND — customers whose hash-derived coordinates (the
+    geo_distance derivation, md5-low64 == DuckDB md5_number_lower) fall
+    inside a fixed lat/lon box, ordered by (lat, lon, key). Pure integer
+    comparisons; each batch forwards only its in-box rows."""
+    from ..functions.dedup import md5_low64
+
+    la0, la1, lo0, lo1 = GEO_BOX
+
+    def part(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["c_custkey"].combine_chunks()).astype(np.int64)
+        lat = (md5_low64(np.array([f"lat:{c}" for c in ck], dtype=object))
+               % np.uint64(180_000_001)).astype(np.int64) - 90_000_000
+        lon = (md5_low64(np.array([f"lon:{c}" for c in ck], dtype=object))
+               % np.uint64(360_000_001)).astype(np.int64) - 180_000_000
+        keep = ((lat >= la0) & (lat <= la1) & (lon >= lo0) & (lon <= lo1))
+        return pa.table({
+            "c_custkey": pa.array(ck[keep], pa.int64()),
+            "lat_micros": pa.array(lat[keep], pa.int64()),
+            "lon_micros": pa.array(lon[keep], pa.int64()),
+        })
+
+    return (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey"])
+            .map_batches(part, batch_format="pyarrow"))
+
+
+DATE_RANGE_EDGES = ("1997-01-01", "1999-01-01")
+
+
+def date_range_agg(sf_dir: str):
+    """ES ``date_range`` aggregation over orders: fixed date edges split
+    the histogram into early / mid / late buckets with order count and
+    revenue. Bucketing is integer epoch-day comparison (DuckDB date -
+    date mirrors exactly); revenue travels as micros partial sums."""
+    import datetime
+
+    e0, e1 = (datetime.date.fromisoformat(d).toordinal()
+              - datetime.date(1970, 1, 1).toordinal()
+              for d in DATE_RANGE_EDGES)
+
+    def part(b: pa.Table) -> pa.Table:
+        days = np.asarray(b["o_orderdate"].combine_chunks()
+                          .cast(pa.date32()).cast(pa.int32())
+                          ).astype(np.int64)
+        idx = np.digitize(days, [e0, e1])  # right-open buckets
+        keys = np.array(["early", "mid", "late"])[idx]
+        t = pa.table({
+            "bucket": pa.array(keys, pa.string()),
+            "n": np.ones(len(days), np.int64),
+            "revenue_micros": pc_micros(b["o_totalprice"]),
+        })
+        return _partial_sums(t, ["bucket"],
+                             {"n": "n", "revenue_micros": "revenue_micros"})
+
+    return (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderdate", "o_totalprice"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("revenue_micros", alias_name="revenue_micros")))
+
+
+RANDOM_SCORE_TERM = "merge"
+RANDOM_SCORE_K = 10
+
+
+def random_score_search(sf_dir: str):
+    """ES ``function_score`` with ``random_score`` (seeded): a
+    DETERMINISTIC pseudo-random ranking of the matched set — score =
+    md5-low64('rs:'||doc_id) (the seeded per-doc hash ES derives from
+    seed+field), so reshuffles are reproducible across engines and
+    runs. The classic use is unbiased eyeballing/sampling of a result
+    set. Top-K by (hash asc, doc_id asc); the hash itself stays
+    internal (uint64), the output carries the rank."""
+    from ..functions.dedup import md5_low64
+
+    eng = _index_for(sf_dir)
+    ids = eng.term_doc_ids(RANDOM_SCORE_TERM)
+    h = md5_low64(np.array([f"rs:{int(d)}" for d in ids], dtype=object))
+    hi = (h >> np.uint64(32)).astype(np.int64)
+    lo = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    order = np.lexsort((ids, lo, hi))[:RANDOM_SCORE_K]
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
