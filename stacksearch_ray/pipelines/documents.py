@@ -8915,8 +8915,12 @@ def string_stats_agg(sf_dir: str):
     def part(b: pa.Table) -> pa.Table:
         arr = b["text"].combine_chunks()
         lens = np.asarray(pc.utf8_length(arr), dtype=np.int64)
-        off = np.frombuffer(arr.buffers()[1], np.int32,
-                            len(arr) + 1, offset=arr.offset * 4)
+        # offsets are int32 (string) or int64 (large_string — Ray can
+        # promote); read the right width or the buffer is garbage
+        wide = pa.types.is_large_string(arr.type)
+        odt, osz = (np.int64, 8) if wide else (np.int32, 4)
+        off = np.frombuffer(arr.buffers()[1], odt,
+                            len(arr) + 1, offset=arr.offset * osz)
         data = np.frombuffer(arr.buffers()[2], np.uint8)[off[0]:off[-1]]
         counts = np.bincount(data, minlength=256).astype(np.int64)
         chars = np.nonzero(counts)[0].astype(np.int64)
@@ -9161,16 +9165,15 @@ def diversified_sampler_agg(sf_dir: str):
         ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
         h = md5_low64(np.array([f"samp:{i}" for i in ids], dtype=object)
                       ).astype(np.uint64)
+        # exact uint64 ordering via hi/lo int64 split (a float64 cast
+        # would collapse hashes past 2^53)
         df = pd.DataFrame({
             "doc_id": ids,
             "source": b["source"].combine_chunks().to_pylist(),
-            "h": h.astype(np.float64),  # order-only; exact < 2^53? no —
+            "h_hi": (h >> np.uint64(32)).astype(np.int64),
+            "h_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64),
         })
-        # keep exact uint64 ordering: split into hi/lo int64 columns
-        df["h_hi"] = (h >> np.uint64(32)).astype(np.int64)
-        df["h_lo"] = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        df = df.drop(columns=["h"]).sort_values(
-            ["source", "h_hi", "h_lo", "doc_id"])
+        df = df.sort_values(["source", "h_hi", "h_lo", "doc_id"])
         top = df.groupby("source", sort=False).head(SAMPLER_PER_SOURCE)
         return pa.Table.from_pandas(top, preserve_index=False)
 
