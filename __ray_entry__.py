@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance_search": P.geo_distance_search,
         "geo_bbox_search": P.geo_bbox_search,
         "date_range_agg": P.date_range_agg,
+        "rate_agg": P.rate_agg,
+        "histogram_bounds_agg": P.histogram_bounds_agg,
         "random_score_search": P.random_score_search,
         "fim_transform": P.fim_transform,
         "pit_paged_search": P.pit_paged_search,
@@ -377,6 +379,9 @@ def oracle_sql() -> dict[str, str]:
         DATE_RANGE_EDGES as _DR_EDGES,
         RANDOM_SCORE_TERM as _RS_TERM,
         RANDOM_SCORE_K as _RS_K,
+        HIST_B_W as _HB_W,
+        HIST_B_LO as _HB_LO,
+        HIST_B_HI as _HB_HI,
         CONST_SCORE_BOOST as _CS_BOOST,
         SPAN_NEAR_SLOP as _SN_SLOP,
         IR_EVAL_QUERIES as _IR_QUERIES,
@@ -4009,6 +4014,27 @@ WITH b AS (SELECT CASE WHEN o_orderdate < DATE '{_dr0}' THEN 'early'
 SELECT bucket, count(*)::BIGINT AS n,
        CAST(sum(rm) AS BIGINT) AS revenue_micros
 FROM b GROUP BY bucket"""
+    oracles["rate_agg"] = """
+WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                  count(*) AS n
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n,
+       CAST(day(last_day(make_date(CAST(y AS INT), CAST(m AS INT), 1)))
+            AS BIGINT) AS days,
+       CAST(n * 1000000
+            // day(last_day(make_date(CAST(y AS INT), CAST(m AS INT), 1)))
+            AS BIGINT) AS rate_per_day_micros
+FROM b ORDER BY y, m"""
+    oracles["histogram_bounds_agg"] = f"""
+WITH c AS (SELECT CAST(floor(value / {_HB_W}) AS BIGINT) AS bucket,
+                  count(*) AS n
+           FROM events GROUP BY 1),
+rng AS (SELECT least({_HB_LO}, (SELECT min(bucket) FROM c)) AS lo,
+               greatest({_HB_HI}, (SELECT max(bucket) FROM c)) AS hi),
+g AS (SELECT unnest(generate_series(lo, hi)) AS bucket FROM rng)
+SELECT g.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM g LEFT JOIN c USING (bucket) ORDER BY g.bucket"""
     oracles["random_score_search"] = f"""
 WITH {kept},
 m AS (SELECT DISTINCT doc_id FROM kept

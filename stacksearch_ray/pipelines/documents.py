@@ -9490,3 +9490,62 @@ def random_score_search(sf_dir: str):
         "doc_id": pa.array(ids[order], pa.int64()),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+def rate_agg(sf_dir: str):
+    """ES ``rate`` aggregation (unit: day) under the monthly
+    date_histogram: each month's order count normalized to a per-day
+    rate — n · 1e6 // days_in_month, pure integer arithmetic (DuckDB's
+    last_day mirrors Python's calendar.monthrange exactly)."""
+    import calendar
+
+    t = orders_by_month(sf_dir).to_pandas()
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
+    t = t.iloc[order].reset_index(drop=True)
+    y = t["y"].to_numpy(np.int64)
+    m = t["m"].to_numpy(np.int64)
+    n = t["n_orders"].to_numpy(np.int64)
+    dim = np.array([calendar.monthrange(int(a), int(b))[1]
+                    for a, b in zip(y, m)], np.int64)  # ≤ months rows
+    return pa.table({
+        "y": pa.array(y), "m": pa.array(m), "n": pa.array(n),
+        "days": pa.array(dim),
+        "rate_per_day_micros": pa.array(n * 1_000_000 // dim),
+    })
+
+
+HIST_B_W = 25.0          # bucket width over events.value
+HIST_B_LO, HIST_B_HI = -2, 15   # extended_bounds (buckets, inclusive)
+
+
+def histogram_bounds_agg(sf_dir: str):
+    """ES ``histogram`` aggregation with ``extended_bounds``: fixed-width
+    value buckets where EMPTY buckets inside the extended range are
+    emitted with n = 0 (the distinction from the plain histogram — time
+    series and charting need the zeros). One partial-sums pass; the
+    driver fills the bounded bucket range; the oracle mirrors with
+    generate_series LEFT JOIN."""
+    def part(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        t = pa.table({
+            "bucket": np.floor(v / HIST_B_W).astype(np.int64),
+            "n": np.ones(len(v), np.int64),
+        })
+        return _partial_sums(t, ["bucket"], {"n": "n"})
+
+    got = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["value"])
+           .map_batches(part, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())  # value-range-bounded
+    counts = dict(zip(got["bucket"].astype(np.int64),
+                      got["n"].astype(np.int64)))
+    lo = min(HIST_B_LO, int(min(counts)) if counts else HIST_B_LO)
+    hi = max(HIST_B_HI, int(max(counts)) if counts else HIST_B_HI)
+    buckets = np.arange(lo, hi + 1, dtype=np.int64)
+    return pa.table({
+        "bucket": pa.array(buckets),
+        "n": pa.array([int(counts.get(int(b), 0)) for b in buckets],
+                      pa.int64()),
+    })
