@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_agg": P.rate_agg,
         "histogram_bounds_agg": P.histogram_bounds_agg,
         "random_score_search": P.random_score_search,
+        "maxsim_search": P.maxsim_search,
         "fim_transform": P.fim_transform,
         "pit_paged_search": P.pit_paged_search,
         "reindex_search": P.reindex_search,
@@ -380,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         RANDOM_SCORE_TERM as _RS_TERM,
         RANDOM_SCORE_K as _RS_K,
         HIST_B_W as _HB_W,
+        MAXSIM_DIM as _MS_DIM,
         HIST_B_LO as _HB_LO,
         HIST_B_HI as _HB_HI,
         CONST_SCORE_BOOST as _CS_BOOST,
@@ -4014,6 +4016,36 @@ WITH b AS (SELECT CASE WHEN o_orderdate < DATE '{_dr0}' THEN 'early'
 SELECT bucket, count(*)::BIGINT AS n,
        CAST(sum(rm) AS BIGINT) AS revenue_micros
 FROM b GROUP BY bucket"""
+    # ColBERT-style MaxSim: ±1 token vectors from md5 parity (dim 16),
+    # integer dots; per (doc, qterm) MAX over the doc's distinct terms,
+    # summed — every quantity integer, bitwise
+    _ms_q = sorted(set(_cq(BM25_QUERY)))
+    _ms_qv = ", ".join(f"('{t}')" for t in _ms_q)
+    oracles["maxsim_search"] = f"""
+WITH {kept},
+dt AS (SELECT DISTINCT doc_id, term FROM kept),
+dims AS (SELECT unnest(generate_series(0, {_MS_DIM - 1})) AS d),
+vocab AS (SELECT DISTINCT term FROM dt),
+tv AS (SELECT term, d,
+              CASE WHEN md5_number_lower('tv:' || term || ':'
+                                         || CAST(d AS VARCHAR)) % 2 = 0
+                   THEN 1 ELSE -1 END AS v
+       FROM vocab CROSS JOIN dims),
+qt(qterm) AS (VALUES {_ms_qv}),
+qv AS (SELECT qterm, d,
+              CASE WHEN md5_number_lower('tv:' || qterm || ':'
+                                         || CAST(d AS VARCHAR)) % 2 = 0
+                   THEN 1 ELSE -1 END AS v
+       FROM qt CROSS JOIN dims),
+dots AS (SELECT tv.term, qv.qterm, sum(tv.v * qv.v) AS dot
+         FROM tv JOIN qv USING (d) GROUP BY 1, 2),
+mx AS (SELECT dt.doc_id, dots.qterm, max(dots.dot) AS mx
+       FROM dt JOIN dots USING (term) GROUP BY 1, 2),
+sc AS (SELECT doc_id, sum(mx) AS score FROM mx GROUP BY doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10"""
     oracles["rate_agg"] = """
 WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
                   count(*) AS n

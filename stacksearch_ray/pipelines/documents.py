@@ -9549,3 +9549,87 @@ def histogram_bounds_agg(sf_dir: str):
         "n": pa.array([int(counts.get(int(b), 0)) for b in buckets],
                       pa.int64()),
     })
+
+
+MAXSIM_DIM = 16
+_MAXSIM_TV_CACHE: dict[str, np.ndarray] = {}
+
+
+def _maxsim_vec(terms: list[str]) -> np.ndarray:
+    """Deterministic ±1 'token embedding' per term: dim d of term t is
+    +1 iff md5-low64('tv:t:d') is even (== DuckDB md5_number_lower % 2)
+    — the hash-derived-geometry convention of knn_ann_lsh/simhash, so
+    late-interaction dots are INTEGERS and bitwise-oracled. Per-process
+    cache: the md5s run once per unique term."""
+    from ..functions.dedup import md5_low64
+
+    miss = [t for t in terms if t not in _MAXSIM_TV_CACHE]
+    if miss:
+        keys = np.array([f"tv:{t}:{d}" for t in miss
+                         for d in range(MAXSIM_DIM)], dtype=object)
+        bits = (md5_low64(keys) % np.uint64(2)).astype(np.int64)
+        vecs = (1 - 2 * bits).reshape(len(miss), MAXSIM_DIM)
+        for t, v in zip(miss, vecs):
+            _MAXSIM_TV_CACHE[t] = v
+    return np.stack([_MAXSIM_TV_CACHE[t] for t in terms])
+
+
+def maxsim_search(sf_dir: str):
+    """ColBERT-style LATE-INTERACTION retrieval (MaxSim): every doc
+    token and query token carries a vector; score(d) = Σ_q max_t
+    q·t over the doc's distinct terms — fine-grained token matching
+    instead of one pooled vector. Token vectors here are hash-derived
+    ±1 (integer dots, bitwise-oracled); in production they come from a
+    trained encoder and this pipeline's shape is unchanged. One
+    streaming pass: per batch, unique terms → vector gather → dot
+    matrix against the query tokens → per-doc partial MAX per query
+    token; a (doc × |q|) max-groupby (the only shuffle — rows are
+    |q| ints per doc, never vectors); score + partial top-10 per batch,
+    driver merges 10-row lists."""
+    from ..text import clean_query
+
+    qterms = sorted(set(clean_query(BM25_QUERY)))
+    Q = _maxsim_vec(qterms)  # |q| × DIM
+
+    def dots(b: pa.Table) -> pa.Table:
+        terms = b["term"].combine_chunks()
+        d = terms.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        codes = np.asarray(d.indices).astype(np.int64)
+        T = _maxsim_vec(uniq)                   # u × DIM
+        dm = T @ Q.T                            # u × |q| integer dots
+        per_pair = dm[codes]                    # rows × |q|
+        df = pd.DataFrame({"doc_id": np.asarray(
+            b["doc_id"].combine_chunks()).astype(np.int64)})
+        for j in range(len(qterms)):
+            df[f"m{j}"] = per_pair[:, j]
+        g = (df.groupby("doc_id", sort=False, as_index=False)
+             .max())  # map-side partial max
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    per_doc = (_postings_ds(sf_dir)
+               .map_batches(dots, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(*[Max(f"m{j}", alias_name=f"m{j}")
+                            for j in range(len(qterms))]))
+
+    def topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        score = sum(df[f"m{j}"].to_numpy(np.int64)
+                    for j in range(len(qterms)))
+        ids = df["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, -score))[:10]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score": pa.array(score[order], pa.int64())})
+
+    t = per_doc.map_batches(topk, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((t["doc_id"].to_numpy(),
+                        -t["score"].to_numpy()))[:10]
+    out = t.iloc[order]
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+        "score": pa.array(out["score"].to_numpy(np.int64)),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+    })

@@ -328,3 +328,28 @@ def test_build_crash_leaves_no_commit_point(P, ray_session, tmp_path,
     build_index(corpus, idx, num_shards=2, term_buckets=4)
     assert os.path.exists(os.path.join(idx, "stats.json"))
     assert QueryEngine(idx).search("def return", 5)
+
+
+# ---------------- maxsim late interaction ----------------
+
+def test_maxsim_brute_force(P):
+    """MaxSim == the brute-force replay: per doc, Σ over query tokens
+    of the max integer dot against the doc's distinct term vectors."""
+    import pyarrow.parquet as pq
+
+    from stacksearch_ray.text import clean_query
+
+    qterms = sorted(set(clean_query(P.BM25_QUERY)))
+    Q = P._maxsim_vec(qterms)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    scores = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        terms = sorted(set(clean_query(x, max_tokens=None)))
+        if not terms:
+            continue
+        T = P._maxsim_vec(terms)
+        scores[d] = int((T @ Q.T).max(axis=0).sum())
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = P.maxsim_search(SF).to_pandas()
+    assert list(zip(got["doc_id"], got["score"])) == want
