@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_bounds_agg": P.histogram_bounds_agg,
         "random_score_search": P.random_score_search,
         "maxsim_search": P.maxsim_search,
+        "maxsim_rerank": P.maxsim_rerank,
         "fim_transform": P.fim_transform,
         "pit_paged_search": P.pit_paged_search,
         "reindex_search": P.reindex_search,
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         RANDOM_SCORE_K as _RS_K,
         HIST_B_W as _HB_W,
         MAXSIM_DIM as _MS_DIM,
+        MAXSIM_SHORTLIST as _MS_SHORT,
         HIST_B_LO as _HB_LO,
         HIST_B_HI as _HB_HI,
         CONST_SCORE_BOOST as _CS_BOOST,
@@ -4046,6 +4048,36 @@ SELECT doc_id, CAST(score AS BIGINT) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
             AS BIGINT) AS rank
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    # maxsim over the BM25 top-N shortlist: the bm25 chain's cutoff is
+    # (score desc, doc_id asc) — exact both engines — then the maxsim
+    # chain restricted to those docs
+    oracles["maxsim_rerank"] = bm25_scores_sql(BM25_QUERY) + f""",
+short AS (SELECT doc_id FROM scores
+          ORDER BY score DESC, doc_id ASC LIMIT {_MS_SHORT}),
+dt AS (SELECT DISTINCT k.doc_id, k.term FROM kept k
+       JOIN short USING (doc_id)),
+dims AS (SELECT unnest(generate_series(0, {_MS_DIM - 1})) AS d),
+vocab AS (SELECT DISTINCT term FROM dt),
+tv AS (SELECT term, d,
+              CASE WHEN md5_number_lower('tv:' || term || ':'
+                                         || CAST(d AS VARCHAR)) % 2 = 0
+                   THEN 1 ELSE -1 END AS v
+       FROM vocab CROSS JOIN dims),
+qt(qterm) AS (VALUES {_ms_qv}),
+qv AS (SELECT qterm, d,
+              CASE WHEN md5_number_lower('tv:' || qterm || ':'
+                                         || CAST(d AS VARCHAR)) % 2 = 0
+                   THEN 1 ELSE -1 END AS v
+       FROM qt CROSS JOIN dims),
+dots AS (SELECT tv.term, qv.qterm, sum(tv.v * qv.v) AS dot
+         FROM tv JOIN qv USING (d) GROUP BY 1, 2),
+mx AS (SELECT dt.doc_id, dots.qterm, max(dots.dot) AS mx
+       FROM dt JOIN dots USING (term) GROUP BY 1, 2),
+sc AS (SELECT doc_id, sum(mx) AS msc FROM mx GROUP BY doc_id)
+SELECT doc_id, CAST(msc AS BIGINT) AS score,
+       CAST(row_number() OVER (ORDER BY msc DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM sc ORDER BY msc DESC, doc_id ASC LIMIT 10"""
     oracles["rate_agg"] = """
 WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
                   count(*) AS n

@@ -35,6 +35,10 @@ def main() -> int:
     p.add_argument("--min-match", type=int, default=0, metavar="M",
                    help="minimum-should-match: only docs matching >= M "
                         "distinct query terms (single-engine path)")
+    p.add_argument("--query-string", action="store_true",
+                   help="treat each query as a Lucene query_string "
+                        "(quoted \"phrase\"~slop, term^boost, prefix*, "
+                        "AND/OR/NOT/parens)")
     p.add_argument("query", nargs="+")
     args = p.parse_args()
 
@@ -48,6 +52,20 @@ def main() -> int:
               "(no stats.json/alias.json; run scripts/build_cli.py first)",
               file=sys.stderr)
         return 2
+    if args.sharded and args.query_string:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        eng = ShardedQueryEngine(args.index_dir, num_workers=args.sharded)
+        for q in args.query:
+            res = eng.search_query_string(q, args.k)
+            print(json.dumps({"query": q,
+                              "results": [{"doc_id": d, "score": s}
+                                          for d, s in res]}))
+        ray.shutdown()
+        return 0
     if args.sharded and (args.plan or args.min_match):
         # --plan is single-engine introspection and --min-match fans out
         # through a different entrypoint — refuse loudly rather than
@@ -85,7 +103,12 @@ def main() -> int:
         return 0
     eng = QueryEngine(args.index_dir)
     for q in args.query:
-        if args.plan:
+        if args.query_string:
+            res = eng.search_query_string(q, args.k)
+            print(json.dumps({"query": q,
+                              "results": [{"doc_id": d, "score": s}
+                                          for d, s in res]}))
+        elif args.plan:
             print(json.dumps({"query": q, "plan": eng.plan(q, args.k)}))
         elif args.min_match:
             res = eng.search_min_should_match(q, args.min_match, args.k)

@@ -9633,3 +9633,58 @@ def maxsim_search(sf_dir: str):
         "score": pa.array(out["score"].to_numpy(np.int64)),
         "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
     })
+
+
+MAXSIM_SHORTLIST = 50
+
+
+def maxsim_rerank(sf_dir: str):
+    """The production late-interaction serving shape: a cheap
+    first-stage retriever (BM25 top-MAXSIM_SHORTLIST from the index)
+    hands a SHORTLIST to the expensive MaxSim re-ranker — token-vector
+    scoring touches 50 docs, not the corpus. Shortlist cut is on
+    (score desc, doc_id asc), exact both engines; re-rank is the
+    integer MaxSim of maxsim_search restricted to the shortlist via a
+    broadcast membership probe."""
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    short = eng.search(BM25_QUERY, MAXSIM_SHORTLIST, method="exhaustive")
+    allowed = np.array(sorted(d for d, _ in short), dtype=np.int64)
+    qterms = sorted(set(clean_query(BM25_QUERY)))
+    Q = _maxsim_vec(qterms)
+
+    def dots(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        keep = np.isin(ids, allowed)  # broadcast shortlist probe
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             **{f"m{j}": pa.array([], pa.int64())
+                                for j in range(len(qterms))}})
+        terms = b["term"].combine_chunks().filter(pa.array(keep))
+        d = terms.dictionary_encode()
+        T = _maxsim_vec(d.dictionary.to_pylist())
+        per_pair = (T @ Q.T)[np.asarray(d.indices).astype(np.int64)]
+        df = pd.DataFrame({"doc_id": ids[keep]})
+        for j in range(len(qterms)):
+            df[f"m{j}"] = per_pair[:, j]
+        g = (df.groupby("doc_id", sort=False, as_index=False).max())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    t = (_postings_ds(sf_dir)
+         .map_batches(dots, batch_format="pyarrow")
+         .groupby("doc_id")
+         .aggregate(*[Max(f"m{j}", alias_name=f"m{j}")
+                      for j in range(len(qterms))])
+         .to_pandas())  # ≤ shortlist rows
+    score = sum(t[f"m{j}"].to_numpy(np.int64)
+                for j in range(len(qterms)))
+    ids = t["doc_id"].to_numpy(np.int64)
+    order = np.lexsort((ids, -score))[:10]
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "score": pa.array(score[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })

@@ -129,3 +129,104 @@ def test_ordered_spans_random_sequences(dsl_index, term_idx):
         if s is not None:
             want[d] = s
     assert got == want
+
+
+# ---- query_string: random trees with phrase / boost / prefix atoms ----
+# reference: per-doc matched-set evaluation over token sequences +
+# positive-context boost-map collection; scoring identity vs
+# search_boosted (whose oracle is separately pinned)
+
+def _qs_atom(depth):
+    leaf = st.integers(0, 7)
+    boost = st.sampled_from([1.0, 2.0, 2.5])
+    slop = st.integers(0, 3)
+    if depth == 0:
+        return st.one_of(
+            st.tuples(st.just("t"), leaf),
+            st.tuples(st.just("tb"), leaf, boost),
+            st.tuples(st.just("p"), leaf),
+            st.tuples(st.just("ph"), leaf, leaf, slop),
+        )
+    sub = _qs_atom(depth - 1)
+    return st.one_of(
+        st.tuples(st.just("t"), leaf),
+        st.tuples(st.just("tb"), leaf, boost),
+        st.tuples(st.just("p"), leaf),
+        st.tuples(st.just("ph"), leaf, leaf, slop),
+        st.tuples(st.just("not"), sub),
+        st.tuples(st.just("and"), sub, sub),
+        st.tuples(st.just("or"), sub, sub),
+    )
+
+
+def _qs_render(node, vocab):
+    kind = node[0]
+    if kind == "t":
+        return vocab[node[1]]
+    if kind == "tb":
+        return f"{vocab[node[1]]}^{node[2]}"
+    if kind == "p":
+        return vocab[node[1]][:3] + "*"
+    if kind == "ph":
+        return f'"{vocab[node[1]]} {vocab[node[2]]}"~{node[3]}'
+    if kind == "not":
+        return f"NOT ({_qs_render(node[1], vocab)})"
+    op = "AND" if kind == "and" else "OR"
+    return (f"({_qs_render(node[1], vocab)}) {op} "
+            f"({_qs_render(node[2], vocab)})")
+
+
+def _qs_eval(node, vocab, seq, term_set):
+    kind = node[0]
+    if kind in ("t", "tb"):
+        return vocab[node[1]] in term_set
+    if kind == "p":
+        pre = vocab[node[1]][:3]
+        return any(t.startswith(pre) for t in term_set)
+    if kind == "ph":
+        a, b, slop = vocab[node[1]], vocab[node[2]], node[3]
+        s = _brute_span(seq, [a, b])
+        return s is not None and s <= 2 + slop
+    if kind == "not":
+        return not _qs_eval(node[1], vocab, seq, term_set)
+    x = _qs_eval(node[1], vocab, seq, term_set)
+    y = _qs_eval(node[2], vocab, seq, term_set)
+    return (x and y) if kind == "and" else (x or y)
+
+
+def _qs_boosts(node, vocab, positive, bmap):
+    kind = node[0]
+    if kind == "t":
+        if positive:
+            bmap[vocab[node[1]]] = bmap.get(vocab[node[1]], 0.0) + 1.0
+    elif kind == "tb":
+        if positive:
+            t = vocab[node[1]]
+            bmap[t] = bmap.get(t, 0.0) + node[2]
+    elif kind == "ph":
+        if positive:
+            for t in (vocab[node[1]], vocab[node[2]]):
+                bmap[t] = bmap.get(t, 0.0) + 1.0
+    elif kind == "p":
+        pass  # prefix atoms never score
+    elif kind == "not":
+        _qs_boosts(node[1], vocab, not positive, bmap)
+    else:
+        _qs_boosts(node[1], vocab, positive, bmap)
+        _qs_boosts(node[2], vocab, positive, bmap)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_qs_atom(2))
+def test_query_string_random_trees(dsl_index, tree):
+    eng, toks, vocab = dsl_index
+    expr = _qs_render(tree, vocab)
+    got = eng.search_query_string(expr, k=N_DOCS + 10)
+    want_ids = sorted(d for d, seq in toks.items()
+                      if _qs_eval(tree, vocab, seq, set(seq)))
+    assert sorted(d for d, _ in got) == want_ids
+    bmap = {}
+    _qs_boosts(tree, vocab, True, bmap)
+    ref = dict(eng.search_boosted(bmap, N_DOCS + 10)) if bmap else {}
+    for d, s in got:
+        assert s == ref.get(d, 0.0), (expr, d)
