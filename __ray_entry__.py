@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serial_diff_pipeline": P.serial_diff_pipeline,
         "bucket_script_pipeline": P.bucket_script_pipeline,
         "max_bucket_pipeline": P.max_bucket_pipeline,
+        "bucket_sort_pipeline": P.bucket_sort_pipeline,
+        "bucket_selector_pipeline": P.bucket_selector_pipeline,
+        "geo_grid_agg": P.geo_grid_agg,
         "docstore_join": P.docstore_join,
         # dedup (§2.7 + training-data ops)
         "exact_dedup": P.exact_dedup,
@@ -4327,6 +4330,50 @@ mx AS (SELECT max(n) AS mx FROM b)
 SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
        CAST(mx AS BIGINT) AS max_n
 FROM b CROSS JOIN mx WHERE n = mx ORDER BY y, m"""
+    from stacksearch_ray.pipelines.documents import (
+        BSORT_FROM as _BS_FROM,
+        BSORT_SIZE as _BS_SIZE,
+        BSEL_NUM as _BSEL_NUM,
+        GEO_GRID_N as _GG_N,
+    )
+    oracles["bucket_sort_pipeline"] = _monthly + f""",
+r AS (SELECT y, m, n,
+             row_number() OVER (ORDER BY n DESC, y ASC, m ASC) AS pos
+      FROM b)
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos
+FROM r WHERE pos > {_BS_FROM} AND pos <= {_BS_FROM} + {_BS_SIZE}
+ORDER BY pos"""
+    oracles["bucket_selector_pipeline"] = f"""
+WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                  count(*) AS n,
+                  count(*) FILTER (o_orderpriority = '1-URGENT')
+                      AS n_urgent
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n, CAST(n_urgent AS BIGINT) AS n_urgent
+FROM b WHERE n_urgent * {_BSEL_NUM} > n ORDER BY y, m"""
+    # geotile-style grid + geo_centroid: all-integer cell math; shifted
+    # sums keep // numerators non-negative (floor == truncate)
+    oracles["geo_grid_agg"] = f"""
+WITH g AS (
+  SELECT CAST(md5_number_lower('lat:' || CAST(c_custkey AS VARCHAR))
+              % 180000001 AS BIGINT) - 90000000 AS lat_micros,
+         CAST(md5_number_lower('lon:' || CAST(c_custkey AS VARCHAR))
+              % 360000001 AS BIGINT) - 180000000 AS lon_micros
+  FROM customer),
+c AS (SELECT ((90000000 - lat_micros) * {_GG_N} // 180000001) * {_GG_N}
+             + ((lon_micros + 180000000) * {_GG_N} // 360000001) AS cell,
+             lat_micros + 90000000 AS slat,
+             lon_micros + 180000000 AS slon
+      FROM g)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(slat) // count(*) - 90000000 AS BIGINT)
+           AS centroid_lat_micros,
+       CAST(sum(slon) // count(*) - 180000000 AS BIGINT)
+           AS centroid_lon_micros
+FROM c GROUP BY cell ORDER BY cell"""
     # the persistent-index screening path returns the same gate table:
     # one oracle, two mechanisms (the phrase_search_indexed pattern)
     oracles["ingest_dedup_indexed"] = oracles["ingest_dedup"]

@@ -9688,3 +9688,125 @@ def maxsim_rerank(sf_dir: str):
         "score": pa.array(score[order], pa.int64()),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+# ---------------- ES pipeline-agg parity (round-4 s11) ----------------
+
+BSORT_FROM, BSORT_SIZE = 2, 6   # ES bucket_sort from/size
+BSEL_NUM = 5                    # bucket_selector: keep n_urgent*5 > n
+GEO_GRID_N = 16                 # zoom-4 grid: 16x16 cells per axis
+
+
+def bucket_sort_pipeline(sf_dir: str):
+    """ES ``bucket_sort`` pipeline aggregation over the monthly order
+    histogram: sort buckets by count DESC (ties by (y, m) ASC — a
+    deterministic tie-break ES leaves to insertion order), then apply
+    ``from``/``size`` truncation (skip BSORT_FROM, keep BSORT_SIZE).
+    The histogram is the distributed part; the sort/slice folds a
+    calendar-bounded bucket list on the driver."""
+    t = orders_by_month(sf_dir).to_pandas()
+    n = t["n_orders"].to_numpy(np.int64)
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy(), -n))
+    sel = order[BSORT_FROM:BSORT_FROM + BSORT_SIZE]
+    out = t.iloc[sel]
+    return pa.table({
+        "y": pa.array(out["y"].to_numpy(np.int64)),
+        "m": pa.array(out["m"].to_numpy(np.int64)),
+        "n": pa.array(out["n_orders"].to_numpy(np.int64)),
+        "pos": pa.array(
+            np.arange(BSORT_FROM + 1, BSORT_FROM + 1 + len(out),
+                      dtype=np.int64)),
+    })
+
+
+def bucket_selector_pipeline(sf_dir: str):
+    """ES ``bucket_selector`` pipeline aggregation: drop monthly buckets
+    failing a per-bucket script — keep months whose urgent-order share
+    exceeds 1/BSEL_NUM, evaluated in pure integer arithmetic
+    (n_urgent · BSEL_NUM > n). Rides bucket_script's two-counter
+    partial-sums pass (total, urgent) so the predicate needs no second
+    scan."""
+    def part(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].combine_chunks()
+        urgent = pc.equal(b["o_orderpriority"].combine_chunks(),
+                          "1-URGENT")
+        t = pa.table({
+            "y": pc.year(ts).cast(pa.int64()),
+            "m": pc.month(ts).cast(pa.int64()),
+            "n": np.ones(b.num_rows, np.int64),
+            "n_urgent": np.asarray(urgent).astype(np.int64),
+        })
+        return _partial_sums(t, ["y", "m"],
+                             {"n": "n", "n_urgent": "n_urgent"})
+
+    t = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderdate", "o_orderpriority"])
+         .map_batches(part, batch_format="pyarrow")
+         .groupby(["y", "m"])
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("n_urgent", alias_name="n_urgent"))
+         .to_pandas())  # calendar-bounded
+    keep = t["n_urgent"].to_numpy(np.int64) * BSEL_NUM \
+        > t["n"].to_numpy(np.int64)
+    t = t.iloc[np.nonzero(keep)[0]]
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
+    t = t.iloc[order]
+    return pa.table({
+        "y": pa.array(t["y"].to_numpy(np.int64)),
+        "m": pa.array(t["m"].to_numpy(np.int64)),
+        "n": pa.array(t["n"].to_numpy(np.int64)),
+        "n_urgent": pa.array(t["n_urgent"].to_numpy(np.int64)),
+    })
+
+
+def geo_grid_agg(sf_dir: str):
+    """ES ``geotile_grid`` + ``geo_centroid`` aggregation, float-hazard-
+    free: customers carry the repo's hash-derived micro-degree
+    coordinates (the geo_distance_search convention), bucketed into a
+    GEO_GRID_N × GEO_GRID_N equirectangular grid (the integer-exact
+    stand-in for Web-Mercator tiles — Mercator's ln/tan is a cross-
+    engine 1-ulp hazard; the cell ids differ but the aggregation
+    semantics are the same). Per cell: doc count + centroid as integer
+    floor-averages, computed on range-shifted sums so the numerator is
+    non-negative and // is floor in both engines. Map-side partial sums
+    → ≤ N² rows shuffle."""
+    from ..functions.dedup import md5_low64
+
+    g = GEO_GRID_N
+
+    def part(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["c_custkey"].combine_chunks()).astype(np.int64)
+        lat = (md5_low64(np.array([f"lat:{c}" for c in ck], dtype=object))
+               % np.uint64(180_000_001)).astype(np.int64) - 90_000_000
+        lon = (md5_low64(np.array([f"lon:{c}" for c in ck], dtype=object))
+               % np.uint64(360_000_001)).astype(np.int64) - 180_000_000
+        cx = (lon + 180_000_000) * g // 360_000_001
+        cy = (90_000_000 - lat) * g // 180_000_001
+        t = pa.table({
+            "cell": pa.array(cy * g + cx, pa.int64()),
+            "n": np.ones(len(ck), np.int64),
+            "slat": pa.array(lat + 90_000_000, pa.int64()),
+            "slon": pa.array(lon + 180_000_000, pa.int64()),
+        })
+        return _partial_sums(t, ["cell"],
+                             {"n": "n", "slat": "slat", "slon": "slon"})
+
+    t = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+         .map_batches(part, batch_format="pyarrow")
+         .groupby("cell")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("slat", alias_name="slat"),
+                    Sum("slon", alias_name="slon"))
+         .to_pandas())  # ≤ GEO_GRID_N² rows
+    order = np.argsort(t["cell"].to_numpy(np.int64), kind="stable")
+    t = t.iloc[order]
+    n = t["n"].to_numpy(np.int64)
+    return pa.table({
+        "cell": pa.array(t["cell"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "centroid_lat_micros": pa.array(
+            t["slat"].to_numpy(np.int64) // n - 90_000_000),
+        "centroid_lon_micros": pa.array(
+            t["slon"].to_numpy(np.int64) // n - 180_000_000),
+    })
