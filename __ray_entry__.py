@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_match_search": P.min_match_search,
         "terms_set_search": P.terms_set_search,
         "query_string_search": P.query_string_search,
+        "simple_query_string_search": P.simple_query_string_search,
         "constant_score_search": P.constant_score_search,
         "span_near_search": P.span_near_search,
         "embedding_decontamination": P.embedding_decontamination,
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_search": P.dismax_search,
         "bm25f_search": P.bm25f_search,
         "cross_fields_search": P.cross_fields_search,
+        "combined_fields_search": P.combined_fields_search,
         "term_vectors": P.term_vectors,
         "dsir_weights": P.dsir_weights,
         "query_completion": P.query_completion,
@@ -396,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         STEM_QUERY as _STEM_Q,
         SYN_GROUPS as _SYN_GROUPS,
         TITLE_K as P_TITLE_K,
+        CF_WT as _CF_WT,
+        CF_WB as _CF_WB,
         PINNED_IDS as _PINNED_IDS,
         HC_STATUS as _HC_STATUS,
         HC_SEGMENT as _HC_SEG,
@@ -455,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         stemmed_topk_sql,
         dismax_topk_sql,
         bm25f_topk_sql,
+        combined_fields_topk_sql,
         cross_fields_topk_sql,
         term_vectors_sql,
         dsir_weights_sql,
@@ -936,6 +941,8 @@ FROM dl""",
                                        _BF_WT, _BF_WB),
         "cross_fields_search": cross_fields_topk_sql(
             BM25_QUERY, 10, P_TITLE_K, _XF_WT, _XF_WB),
+        "combined_fields_search": combined_fields_topk_sql(
+            BM25_QUERY, 10, P_TITLE_K, _CF_WT, _CF_WB),
         "term_vectors": term_vectors_sql(_TV_DOC),
         "dsir_weights": dsir_weights_sql(_DSIR_LANG, _DSIR_K),
         "query_completion": f"""
@@ -4181,6 +4188,62 @@ fl AS (SELECT doc_id,
 m AS (SELECT f.doc_id FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
       WHERE (ph.doc_id IS NOT NULL AND f.h_stream)
          OR (f.h_join AND NOT f.h_wind))
+SELECT m.doc_id,
+       CAST(floor(coalesce(s.score, 0.0) * 1e6 + 0.5) AS BIGINT)
+           AS score_micros,
+       CAST(row_number() OVER (ORDER BY coalesce(s.score, 0.0) DESC,
+                               m.doc_id ASC) AS BIGINT) AS rank
+FROM m LEFT JOIN scores s ON s.doc_id = m.doc_id
+ORDER BY coalesce(s.score, 0.0) DESC, m.doc_id ASC LIMIT 10"""
+    # simple_query_string mirror for '"sort join"~2 +stream | spark
+    # -quer*' with default_operator=and: matched set = (ordered
+    # sort→join span ≤ 4 AND has stream) OR (has spark AND no 'quer%'
+    # term); all scoring boosts 1.0, prefix atoms filter-only,
+    # zero-scored matches coalesce to 0.0 after every scored doc
+    oracles["simple_query_string_search"] = f"""
+WITH {kept},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, boost) AS (VALUES ('join', 1.0), ('sort', 1.0),
+                               ('spark', 1.0), ('stream', 1.0)),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * qterms.boost)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN qterms USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+{token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+p1 AS (SELECT doc_id, pos FROM pos WHERE term = 'sort'),
+p2 AS (SELECT doc_id, pos FROM pos WHERE term = 'join'),
+c2 AS (SELECT p1.doc_id, p1.pos AS s, min(p2.pos) AS e
+       FROM p1 JOIN p2 USING (doc_id) WHERE p2.pos > p1.pos
+       GROUP BY p1.doc_id, p1.pos),
+ph AS (SELECT doc_id FROM c2 GROUP BY doc_id
+       HAVING min(e - s + 1) <= 4),
+fl AS (SELECT doc_id,
+              bool_or(term = 'stream') AS h_stream,
+              bool_or(term = 'spark') AS h_spark,
+              bool_or(term LIKE 'quer%') AS h_quer
+       FROM kept GROUP BY doc_id),
+m AS (SELECT f.doc_id FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
+      WHERE (ph.doc_id IS NOT NULL AND f.h_stream)
+         OR (f.h_spark AND NOT f.h_quer))
 SELECT m.doc_id,
        CAST(floor(coalesce(s.score, 0.0) * 1e6 + 0.5) AS BIGINT)
            AS score_micros,

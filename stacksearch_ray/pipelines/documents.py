@@ -9810,3 +9810,102 @@ def geo_grid_agg(sf_dir: str):
         "centroid_lon_micros": pa.array(
             t["slon"].to_numpy(np.int64) // n - 180_000_000),
     })
+
+
+# ---------------- ES query parity (round-4 s11) ----------------
+
+CF_WT, CF_WB, CF_K1, CF_B = 2.0, 1.0, 1.2, 0.75
+
+
+def _aligned_vals(ids: np.ndarray, vals: np.ndarray, u: np.ndarray
+                  ) -> np.ndarray:
+    """Value per union doc, 0.0 where the doc is absent from ``ids``
+    (sorted membership probe — the SQL coalesce(x, 0.0) left operand).
+    Shared by the fielded combiners that align per-field postings or
+    doclens onto a union doc-id axis."""
+    out = np.zeros(u.size, np.float64)
+    if ids.size:
+        pos = np.searchsorted(ids, u)
+        ok = pos < ids.size
+        safe = np.where(ok, pos, 0)
+        m = ok & (ids[safe] == u)
+        out[m] = vals[safe[m]]
+    return out
+
+
+def combined_fields_search(sf_dir: str):
+    """ES ``combined_fields`` (Lucene CombinedFieldQuery) over the
+    title/body split — the MERGED-FIELD combiner: the fields are scored
+    as ONE pseudo-field whose term frequency is the weighted sum of
+    per-field tfs (tf* = wt·tf_t + wb·tf_b), whose doc length is the
+    same weighted sum of field lengths, and whose avgdl is the corpus
+    mean of that combined length; plain BM25 runs once on (tf*, dl*,
+    avgdl*) with DOCUMENT-level df. Fifth member of the fielded family:
+    fielded (per-field BM25 sum), dismax (best field per query), bm25f
+    (per-field normalize → shared saturation), cross_fields (best field
+    per term), combined_fields (merge THEN score — the only one whose
+    weights act before any normalization, Lucene's "synthetic combined
+    field" semantics). All weighted quantities are exact (integer tfs/
+    lens scaled by small weights), so the only float work is the single
+    BM25 curve — same expression order as combined_fields_topk_sql."""
+    from ..text import clean_query
+
+    et, eb = _fielded_for(sf_dir)
+    terms = sorted(set(clean_query(BM25_QUERY)))
+    n_docs = float(len(et.doclens.ids))
+    sum_t = float(int(et.doclens.lens.sum()))
+    sum_b = float(int(eb.doclens.lens.sum()))
+    avgdl = (CF_WT * sum_t + CF_WB * sum_b) / n_docs
+
+    acc = np.zeros(len(et.doclens.ids), np.float64)
+    hit = np.zeros(len(et.doclens.ids), bool)
+    for t in terms:  # sorted → deterministic accumulation order
+        it, ft = et.term_postings(t)
+        ib, fb = eb.term_postings(t)
+        union = np.union1d(it, ib)
+        if union.size == 0:
+            continue
+        df = float(union.size)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        ctf = (CF_WT * _aligned_vals(it, ft.astype(np.float64), union)
+               + CF_WB * _aligned_vals(ib, fb.astype(np.float64), union))
+        cdl = (CF_WT * et.doclens.lookup(union).astype(np.float64)
+               + CF_WB * _aligned_vals(
+                   eb.doclens.ids, eb.doclens.lens.astype(np.float64),
+                   union))
+        contrib = idf * ((CF_K1 + 1.0) * ctf
+                         / (ctf + CF_K1 * (1.0 - CF_B
+                                           + CF_B * (cdl / avgdl))))
+        didx = np.searchsorted(et.doclens.ids, union)
+        acc[didx] += contrib
+        hit[didx] = True
+    m = np.flatnonzero(hit)
+    top = sorted(((int(et.doclens.ids[i]), float(acc[i])) for i in m),
+                 key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in top], pa.int64()),
+        "rank": pa.array(list(range(1, len(top) + 1)), pa.int64()),
+    })
+
+
+SQS_QUERY = '"sort join"~2 +stream | spark -quer*'
+SQS_DEFAULT_OP = "and"
+
+
+def simple_query_string_search(sf_dir: str):
+    """ES ``simple_query_string``: the end-user-safe grammar — ``+``
+    AND, ``|`` OR, ``-`` NOT, quoted sloppy phrase, trailing-* prefix,
+    implicit default_operator between adjacent clauses — translated
+    onto the query_string machinery
+    (QueryEngine.search_simple_query_string). Matched set =
+    (ordered sort→join span ≤ 4 AND has stream) OR (has spark AND no
+    'quer%' term); ranked by BM25 over the positive scoring terms,
+    prefix atoms filter-only, zero-scored matches last."""
+    eng = _index_for(sf_dir)
+    res = eng.search_simple_query_string(SQS_QUERY, 10, SQS_DEFAULT_OP)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })

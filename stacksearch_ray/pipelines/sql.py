@@ -1057,3 +1057,69 @@ SELECT doc_id,
 FROM scores
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def combined_fields_topk_sql(query: str, k: int = 10, title_k: int = 8,
+                             wt: float = 2.0, wb: float = 1.0,
+                             k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of the combined_fields_search entry (Lucene
+    CombinedFieldQuery): the fields merge into ONE pseudo-field BEFORE
+    scoring — tf* = wt·tf_title + wb·tf_body, dl* = wt·dl_title +
+    wb·dl_body, avgdl* = (wt·Σdl_title + wb·Σdl_body)/n_docs — then
+    plain BM25 runs once on the merged quantities with DOCUMENT-level
+    df. All weighted sums are exact (integer counts × small weights);
+    float expression order matches the entry's numpy forms."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {token_list_cte()},
+qterms(term) AS (VALUES {terms_values}),
+tkept AS (SELECT doc_id, unnest(toks[1:{title_k}]) AS term FROM doc_toks),
+bkept AS (SELECT doc_id, unnest(toks[{title_k + 1}:]) AS term FROM doc_toks),
+ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tkept
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM bkept
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+tdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tkept GROUP BY 1),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM bkept GROUP BY 1),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         ({float(wt)!r} * sum(dl)
+          + {float(wb)!r} * (SELECT coalesce(sum(dl), 0.0) FROM bdl))
+         / count(*)::DOUBLE AS avgdl
+  FROM tdl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT * FROM tkept UNION ALL SELECT * FROM bkept)
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+ctf AS (
+  SELECT coalesce(t.doc_id, bb.doc_id) AS doc_id,
+         coalesce(t.term, bb.term) AS term,
+         {float(wt)!r} * coalesce(t.tf, 0.0)
+         + {float(wb)!r} * coalesce(bb.tf, 0.0) AS ctf,
+         {float(wt)!r} * tdl.dl
+         + {float(wb)!r} * coalesce(bdl.dl, 0.0) AS cdl
+  FROM ttf t FULL OUTER JOIN btf bb
+    ON t.doc_id = bb.doc_id AND t.term = bb.term
+  LEFT JOIN tdl ON tdl.doc_id = coalesce(t.doc_id, bb.doc_id)
+  LEFT JOIN bdl ON bdl.doc_id = coalesce(t.doc_id, bb.doc_id)
+),
+scores AS (
+  SELECT ctf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (({float(k1)!r} + 1.0) * ctf.ctf
+                 / (ctf.ctf + {float(k1)!r}
+                    * (1.0 - {float(b)!r}
+                       + {float(b)!r} * (ctf.cdl / stats.avgdl)))) )
+           AS score
+  FROM ctf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""

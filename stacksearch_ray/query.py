@@ -999,6 +999,22 @@ class QueryEngine:
                     res.append((int(d), 0.0))
         return res
 
+    def search_simple_query_string(self, qs: str, k: int = 10,
+                                   default_operator: str = "or"
+                                   ) -> list[tuple[int, float]]:
+        """The ES ``simple_query_string`` surface: the end-user-safe
+        grammar — ``+`` AND, ``|`` OR, leading ``-`` NOT, quoted
+        phrases (``"..."~slop``), trailing-``*`` prefixes, parentheses,
+        and an implicit ``default_operator`` between adjacent clauses
+        (ES defaults to OR). Implemented as a grammar translation onto
+        search_query_string, so matching, span gates, scoring and the
+        zero-scored tail are EXACTLY the query_string semantics (prefix
+        atoms filter but never score — the MTQ constant-score rewrite).
+        ES's leniency toward malformed input is out of scope: bad
+        syntax raises like the other DSL surfaces."""
+        return self.search_query_string(
+            simple_query_string_to_dsl(qs, default_operator), k)
+
     def search_bool_query(self, must, should=(), must_not=(),
                           k: int = 10, scorer: str = "bm25"
                           ) -> list[tuple[int, float]]:
@@ -2993,6 +3009,15 @@ class ShardedQueryEngine:
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
 
+    def search_simple_query_string(self, qs: str, k: int = 10,
+                                   default_operator: str = "or"
+                                   ) -> list[tuple[int, float]]:
+        """Distributed simple_query_string: the grammar translation is
+        driver-side (pure string work); the translated expression fans
+        out through the proven distributed query_string path."""
+        return self.search_query_string(
+            simple_query_string_to_dsl(qs, default_operator), k)
+
     def search_filtered(self, query: str, k: int = 10,
                         allowed_doc_ids=None,
                         plan: str = "auto") -> list[tuple[int, float]]:
@@ -3450,3 +3475,51 @@ class FederatedQueryEngine:
                         "contribution": contrib})
             total = total + contrib
         return {"doc_id": doc_id, "score": total, "terms": out}
+
+
+_SQS_TOKEN = re.compile(
+    r'"[^"]*"(?:~\d+)?|\(|\)|\||\+|-|[^\s()|+\-][^\s()|+]*')
+
+
+def simple_query_string_to_dsl(qs: str, default_operator: str = "or"
+                               ) -> str:
+    """Translate ES ``simple_query_string`` syntax into the Lucene
+    query_string grammar search_query_string parses: ``|`` → OR, ``+``
+    → AND, a ``-`` preceding an atom → NOT, quoted phrases / trailing-*
+    prefixes / parens pass through, and ``default_operator`` is
+    inserted between adjacent clauses with no explicit operator (the ES
+    default is OR; most deployments set AND). A ``-`` may be attached
+    (``-wind*``) or spaced; hyphens INSIDE a word are part of the word
+    (the tokenizer strips them anyway). No boost syntax — ``^`` is not
+    an operator in simple_query_string."""
+    op = {"or": "OR", "and": "AND"}[default_operator.lower()]
+    out: list[str] = []
+    ends_atom = False  # previous emitted token completes a clause
+    for t in _SQS_TOKEN.findall(qs):
+        if t == "|":
+            out.append("OR")
+            ends_atom = False
+        elif t == "+":
+            out.append("AND")
+            ends_atom = False
+        elif t == "-":
+            if ends_atom:
+                out.append(op)
+            out.append("NOT")
+            ends_atom = False
+        elif t == "(":
+            if ends_atom:
+                out.append(op)
+            out.append("(")
+            ends_atom = False
+        elif t == ")":
+            out.append(")")
+            ends_atom = True
+        else:
+            if ends_atom:
+                out.append(op)
+            out.append(t)
+            ends_atom = True
+    if not out:
+        raise ValueError(f"empty simple_query_string {qs!r}")
+    return " ".join(out)

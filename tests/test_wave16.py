@@ -82,3 +82,96 @@ def test_geo_grid_partitions_and_centroids_contained(ray_session):
     lon_hi = ((cx + 1) * 360_000_001 // GEO_GRID_N) - 180_000_000
     assert (lat >= lat_lo - 1).all() and (lat <= lat_hi).all()
     assert (lon >= lon_lo - 1).all() and (lon <= lon_hi).all()
+
+
+# ---------------- simple_query_string ----------------
+
+
+def test_sqs_translation_grammar():
+    from stacksearch_ray.query import simple_query_string_to_dsl as f
+
+    # explicit operators pass through; implicit default op inserted
+    assert f('"merge sort"~2 +stream | join -wind*') == \
+        '"merge sort"~2 AND stream OR join OR NOT wind*'
+    # ES quirk preserved: with default OR, "foo -bar" is foo OR NOT bar
+    assert f("foo -bar") == "foo OR NOT bar"
+    assert f("foo -bar", "and") == "foo AND NOT bar"
+    # attached and spaced '-' are the same; parens group
+    assert f("-(c d)", "and") == "NOT ( c AND d )"
+    assert f("a (b | c)", "and") == "a AND ( b OR c )"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        f("   ")
+
+
+def test_sqs_equals_translated_query_string(ray_session, tmp_path_factory):
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import (QueryEngine, ShardedQueryEngine,
+                                       simple_query_string_to_dsl)
+
+    idx = str(tmp_path_factory.mktemp("sqs") / "idx")
+    build_index("/root/testdata/sf0.001/documents.parquet", idx,
+                content_col="text", id_col="doc_id",
+                num_shards=4, term_buckets=8, store_positions=True)
+    eng = QueryEngine(idx)
+    cases = [('"sort join"~2 +stream | spark -quer*', "and"),
+             ("merge sort -window", "or"),
+             ("(spark | batch) +filter", "and")]
+    for qs, op in cases:
+        direct = eng.search_query_string(
+            simple_query_string_to_dsl(qs, op), 10)
+        assert eng.search_simple_query_string(qs, 10, op) == direct, qs
+    sharded = ShardedQueryEngine(idx, num_workers=3)
+    for qs, op in cases:
+        assert sharded.search_simple_query_string(qs, 10, op) == \
+            eng.search_simple_query_string(qs, 10, op), qs
+
+
+# ---------------- combined_fields ----------------
+
+
+def test_combined_fields_matches_bruteforce_replay(ray_session):
+    """Independent pandas/numpy replay of Lucene CombinedFieldQuery over
+    the raw sf0.001 corpus: merge tf/dl across the title/body split
+    FIRST (weighted integer sums), then one BM25 pass with doc-level
+    df. Pins ids AND micros of the entry output."""
+    import math
+    from collections import Counter
+
+    from stacksearch_ray.pipelines.documents import (
+        BM25_QUERY, CF_B, CF_K1, CF_WB, CF_WT, TITLE_K,
+        combined_fields_search)
+    from stacksearch_ray.micros import to_micros
+    from stacksearch_ray.text import clean_query
+
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    toks = {d: clean_query(x or "") for d, x in
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    toks = {d: v for d, v in toks.items() if v}  # empty-doc filter
+    qterms = sorted(set(clean_query(BM25_QUERY)))
+    n_docs = float(len(toks))
+    sum_t = float(sum(min(len(v), TITLE_K) for v in toks.values()))
+    sum_b = float(sum(max(len(v) - TITLE_K, 0) for v in toks.values()))
+    avgdl = (CF_WT * sum_t + CF_WB * sum_b) / n_docs
+    scores = {}
+    for q in qterms:
+        hits = {d: (Counter(v[:TITLE_K])[q], Counter(v[TITLE_K:])[q])
+                for d, v in toks.items()}
+        hits = {d: c for d, c in hits.items() if c[0] or c[1]}
+        if not hits:
+            continue
+        df = float(len(hits))
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for d, (ct, cb) in hits.items():
+            ctf = CF_WT * float(ct) + CF_WB * float(cb)
+            cdl = (CF_WT * float(min(len(toks[d]), TITLE_K))
+                   + CF_WB * float(max(len(toks[d]) - TITLE_K, 0)))
+            contrib = idf * ((CF_K1 + 1.0) * ctf
+                             / (ctf + CF_K1 * (1.0 - CF_B
+                                               + CF_B * (cdl / avgdl))))
+            scores[d] = scores.get(d, 0.0) + contrib
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = combined_fields_search(SF).to_pandas()
+    assert out["doc_id"].tolist() == [d for d, _ in ref]
+    assert out["score_micros"].tolist() == [to_micros(s) for _, s in ref]
