@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serial_diff_pipeline": P.serial_diff_pipeline,
         "bucket_script_pipeline": P.bucket_script_pipeline,
         "max_bucket_pipeline": P.max_bucket_pipeline,
+        "normalize_pipeline": P.normalize_pipeline,
         "bucket_sort_pipeline": P.bucket_sort_pipeline,
         "bucket_selector_pipeline": P.bucket_selector_pipeline,
         "geo_grid_agg": P.geo_grid_agg,
@@ -284,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": P.knn_cosine,
         "knn_ann_lsh": P.knn_ann_lsh,
         "knn_ivf": P.knn_ivf,
+        "semdedup_corpus": P.semdedup_corpus,
         "knn_pq": P.knn_pq,
         "pq_dedup_groups": P.pq_dedup_groups,
         "knn_ivfpq": P.knn_ivfpq,
@@ -4399,6 +4401,14 @@ FROM b CROSS JOIN mx WHERE n = mx ORDER BY y, m"""
         BSEL_NUM as _BSEL_NUM,
         GEO_GRID_N as _GG_N,
     )
+    oracles["normalize_pipeline"] = _monthly + """,
+mm AS (SELECT min(n) AS lo, max(n) AS hi FROM b)
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN hi = lo THEN 0
+                 ELSE (n - lo) * 1000000 // (hi - lo) END AS BIGINT)
+           AS norm_micros
+FROM b CROSS JOIN mm ORDER BY y, m"""
     oracles["bucket_sort_pipeline"] = _monthly + f""",
 r AS (SELECT y, m, n,
              row_number() OVER (ORDER BY n DESC, y ASC, m ASC) AS pos
@@ -4462,7 +4472,34 @@ SELECT doc_id, cluster_id FROM rk WHERE rn = 1""")
     oracles["near_search_positional"] = oracles["near_search"]
     if not qt_rows:
         oracles.pop("eval_recall")  # literals unavailable (no sf0.01)
-    if ivf_cent_rows is None:
+    if ivf_cent_rows is not None:
+        from stacksearch_ray.pipelines.documents import SEMDEDUP_T_MICROS
+
+        # SemDeDup keep-first: assign via the SAME centroid literals as
+        # knn_ivf, then a strict lower-id within-cell EXISTS gate on the
+        # micros-rounded cosine (rule 4 — both engines compare int64)
+        oracles["semdedup_corpus"] = f"""
+WITH cents(cid, c) AS (VALUES {ivf_cent_rows}),
+assign AS (
+  SELECT e.vec_id, cc.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding::DOUBLE[],
+                                                   cc.c) ASC,
+                                     cc.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents cc),
+a AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+v AS (SELECT a.vec_id, a.cid, e.embedding::DOUBLE[] AS emb
+      FROM a JOIN embeddings e USING (vec_id)),
+d AS (SELECT x.vec_id,
+             max(CASE WHEN floor(list_cosine_similarity(x.emb, y.emb)
+                                 * 1e6 + 0.5) >= {SEMDEDUP_T_MICROS}
+                      THEN 1 ELSE 0 END) AS dup
+      FROM v x JOIN v y ON y.cid = x.cid AND y.vec_id < x.vec_id
+      GROUP BY x.vec_id)
+SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cell,
+       CAST(1 - coalesce(d.dup, 0) AS BIGINT) AS keep
+FROM v LEFT JOIN d USING (vec_id) ORDER BY v.vec_id"""
+    else:
         oracles.pop("knn_ivf")      # centroid literals need sf0.01
         oracles.pop("knn_ivf_appended")
         oracles.pop("knn_ivf_deleted")

@@ -9909,3 +9909,81 @@ def simple_query_string_search(sf_dir: str):
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
+
+
+SEMDEDUP_T_MICROS = 300_000  # within-cell cosine ≥ 0.30 (micros) = near-dup
+
+
+def semdedup_corpus(sf_dir: str):
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding corpus with the SAME
+    cached IVF coarse quantizer knn_ivf builds (k-means cells =
+    SemDeDup's clusters), then WITHIN each cell drop any vector whose
+    micros-rounded cosine against a LOWER-id cell-mate reaches the
+    threshold (keep-first — the deterministic stand-in for the paper's
+    keep-one-per-duplicate-set policy). Pairwise work is bounded by
+    cell size BY CONSTRUCTION — that is the whole point of SemDeDup:
+    at 100 TB, k scales with the corpus (k ≈ n/target_cell_size) so
+    the per-cell matmul stays constant-sized, cells are hive
+    partitions processed independently, and no cross-cell pair is ever
+    formed. The similarity gate compares int64 micros in BOTH engines
+    (rule 4), so a 1-ulp float gap cannot flip the kept set."""
+    from ..functions.ivf import IVFIndex
+    from ..functions.similarity import _emb_matrix
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(CACHE_ROOT, tag, "ivf_index")
+    _ensure_built(
+        os.path.join(idx_dir, "config.json"),  # written last by build()
+        lambda: IVFIndex.build(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            idx_dir, k=8, iters=4, seed=17))
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["vec_id"].combine_chunks()).astype(np.int64)
+        order = np.argsort(ids)  # keep-first = lowest vec_id wins
+        ids = ids[order]
+        x = _emb_matrix(g, "embedding")[order]
+        n = np.sqrt((x * x).sum(axis=1))
+        n[n == 0] = 1.0
+        simm = to_micros((x @ x.T) / np.outer(n, n))
+        dup = np.tril(simm >= SEMDEDUP_T_MICROS, -1).any(axis=1)
+        cid = int(g["cid"][0].as_py())
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cell": pa.array(np.full(len(ids), cid, np.int64)),
+            "keep": pa.array((~dup).astype(np.int64)),
+        })
+
+    t = (rd.read_parquet(os.path.join(idx_dir, "lists"))
+         .groupby("cid")
+         .map_groups(per_cell, batch_format="pyarrow")
+         .to_pandas()  # n rows at conformance scale; a sink at 100 TB
+         .sort_values("vec_id"))
+    return pa.table({
+        "vec_id": pa.array(t["vec_id"].to_numpy(np.int64)),
+        "cell": pa.array(t["cell"].to_numpy(np.int64)),
+        "keep": pa.array(t["keep"].to_numpy(np.int64)),
+    })
+
+
+def normalize_pipeline(sf_dir: str):
+    """ES ``normalize`` pipeline aggregation (method=rescale_0_1) over
+    the monthly order histogram, in pure integer arithmetic: norm =
+    (n − min)·1e6 // (max − min) micros. Degenerate single-value
+    histograms (max == min) emit 0 — the documented ES behavior of a
+    zero-range rescale."""
+    t = orders_by_month(sf_dir).to_pandas()
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
+    t = t.iloc[order].reset_index(drop=True)
+    n = t["n_orders"].to_numpy(np.int64)
+    lo, hi = int(n.min()), int(n.max())
+    norm = (np.zeros(len(n), np.int64) if hi == lo
+            else (n - lo) * 1_000_000 // (hi - lo))
+    return pa.table({
+        "y": pa.array(t["y"].to_numpy(np.int64)),
+        "m": pa.array(t["m"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "norm_micros": pa.array(norm),
+    })

@@ -8,6 +8,7 @@ import sys
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -175,3 +176,70 @@ def test_combined_fields_matches_bruteforce_replay(ray_session):
     out = combined_fields_search(SF).to_pandas()
     assert out["doc_id"].tolist() == [d for d, _ in ref]
     assert out["score_micros"].tolist() == [to_micros(s) for _, s in ref]
+
+
+# ---------------- semdedup ----------------
+
+
+def test_semdedup_keepfirst_matches_bruteforce(ray_session, tmp_path):
+    """Multi-cell synthetic vectors (the sf tables k-means-degenerate to
+    one cell — NOTES trap): SemDeDup's keep mask must equal a brute-
+    force replay that assigns cells by exact nearest-centroid and drops
+    on any lower-id cell-mate at the micros threshold; vectors in
+    DIFFERENT cells are never paired even at sim ≈ 1."""
+    import ray.data as rd
+
+    from stacksearch_ray.functions.ivf import IVFIndex, assign_centroids
+    from stacksearch_ray.functions.similarity import _emb_matrix
+    from stacksearch_ray.micros import to_micros
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 8))
+    rows, ids = [], []
+    for i in range(120):
+        proto = base[i % 6]
+        # half the rows are small perturbations → same-cell near-dups
+        v = proto + (0.02 if i % 2 else 0.6) * rng.standard_normal(8)
+        rows.append(v.tolist())
+        ids.append(i)
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+    }), src)
+    idx_dir = str(tmp_path / "ivf")
+    IVFIndex.build(rd.read_parquet(src), idx_dir, k=6, iters=4, seed=17)
+
+    TAU = 900_000  # cosine ≥ 0.90
+    t = pq.read_table(src)
+    x = _emb_matrix(t, "embedding")
+    order = np.argsort(t["vec_id"].to_numpy())
+    x = x[order]
+    cents = np.load(os.path.join(idx_dir, "centroids.npy"))
+    cid = assign_centroids(x, cents)
+    n = np.sqrt((x * x).sum(axis=1))
+    sims = to_micros((x @ x.T) / np.outer(n, n))
+    same = cid[:, None] == cid[None, :]
+    drop_ref = (np.tril(sims >= TAU, -1) & np.tril(same, -1)).any(axis=1)
+    assert 0 < drop_ref.sum() < len(ids)  # non-trivial both ways
+
+    # drive the entry code path directly: monkeypatch CACHE_ROOT + tau
+    import stacksearch_ray.pipelines.documents as docs_mod
+    old_root, old_tau = docs_mod.CACHE_ROOT, docs_mod.SEMDEDUP_T_MICROS
+    try:
+        docs_mod.SEMDEDUP_T_MICROS = TAU
+        cache = str(tmp_path / "cache")
+        docs_mod.CACHE_ROOT = cache
+        tag = str(tmp_path / "sf").strip("/").replace("/", "_")
+        os.makedirs(os.path.join(cache, tag), exist_ok=True)
+        import shutil
+        shutil.copytree(idx_dir, os.path.join(cache, tag, "ivf_index"))
+        sf_dir = str(tmp_path / "sf")
+        os.makedirs(sf_dir, exist_ok=True)
+        shutil.copy(src, os.path.join(sf_dir, "embeddings.parquet"))
+        out = docs_mod.semdedup_corpus(sf_dir).to_pandas()
+    finally:
+        docs_mod.CACHE_ROOT, docs_mod.SEMDEDUP_T_MICROS = old_root, old_tau
+    assert out["vec_id"].tolist() == list(range(120))
+    assert out["cell"].to_numpy(np.int64).tolist() == cid.tolist()
+    assert (out["keep"].to_numpy(np.int64) == (~drop_ref).astype(np.int64)).all()
