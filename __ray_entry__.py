@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_query_string_search": P.simple_query_string_search,
         "constant_score_search": P.constant_score_search,
         "span_near_search": P.span_near_search,
+        "intervals_search": P.intervals_search,
         "embedding_decontamination": P.embedding_decontamination,
         "stemmed_search": P.stemmed_search,
         "dismax_search": P.dismax_search,
@@ -4007,6 +4008,39 @@ SELECT sc.doc_id,
 FROM scores sc JOIN g ON g.doc_id = sc.doc_id
 ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
     oracles["dfi_search"] = dfi_topk_sql(BM25_QUERY, 10)
+    from stacksearch_ray.pipelines.documents import (
+        IV_MAX_GAPS as _IV_G,
+        IV_NOT as _IV_NOT,
+        IV_TERMS as _IV_T,
+    )
+    # ES intervals: ordered sort→join minimal interval per start (the
+    # greedy chain's SQL twin — min next-term pos per start), gap bound
+    # w ≤ n + max_gaps, then NOT EXISTS excluded occurrence in [s, e];
+    # rank survivors by bm25 over the interval terms
+    oracles["intervals_search"] = bm25_scores_sql(
+        " ".join(sorted(set(_IV_T)))) + f""",
+{token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+p1 AS (SELECT doc_id, pos FROM pos WHERE term = '{_IV_T[0]}'),
+p2 AS (SELECT doc_id, pos FROM pos WHERE term = '{_IV_T[1]}'),
+c2 AS (SELECT p1.doc_id, p1.pos AS s, min(p2.pos) AS e
+       FROM p1 JOIN p2 USING (doc_id) WHERE p2.pos > p1.pos
+       GROUP BY p1.doc_id, p1.pos),
+iv AS (SELECT doc_id, s, e FROM c2 WHERE e - s + 1 <= {2 + _IV_G}),
+ok AS (SELECT DISTINCT iv.doc_id FROM iv
+       WHERE NOT EXISTS (SELECT 1 FROM pos x
+                         WHERE x.doc_id = iv.doc_id
+                           AND x.term = '{_IV_NOT}'
+                           AND x.pos BETWEEN iv.s AND iv.e))
+SELECT sc.doc_id,
+       CAST(floor(sc.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY sc.score DESC, sc.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores sc JOIN ok ON ok.doc_id = sc.doc_id
+ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
+
     _la0, _la1, _lo0, _lo1 = _GEO_BOX
     oracles["geo_bbox_search"] = f"""
 WITH g AS (

@@ -9987,3 +9987,27 @@ def normalize_pipeline(sf_dir: str):
         "n": pa.array(n),
         "norm_micros": pa.array(norm),
     })
+
+
+IV_TERMS = ("sort", "join")   # ordered interval terms
+IV_MAX_GAPS = 2               # ES intervals max_gaps
+IV_NOT = "merge"              # not_containing filter term
+
+
+def intervals_search(sf_dir: str):
+    """ES ``intervals`` query: docs with an ORDERED sort→join interval
+    using ≤ IV_MAX_GAPS gap positions AND no 'merge' occurrence inside
+    the interval (the not_containing filter), ranked by BM25 over the
+    interval terms (QueryEngine.search_intervals — per-start greedy
+    minimal intervals, exact by the superset argument in its
+    docstring). Survivor scores bitwise equal their unfiltered
+    scores."""
+    eng = _index_for(sf_dir)
+    res = eng.search_intervals(list(IV_TERMS), 10,
+                               max_gaps=IV_MAX_GAPS,
+                               not_containing=IV_NOT)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })

@@ -2414,6 +2414,73 @@ class QueryEngine:
         return self.search_filtered(" ".join(uniq), k,
                                     allowed_doc_ids=allowed, scorer=scorer)
 
+    def intervals_match(self, terms: list[str], *, max_gaps: int = 0,
+                        not_containing: str | None = None) -> np.ndarray:
+        """ES ``intervals`` matching: docs with an ORDERED interval of
+        ``terms`` using at most ``max_gaps`` non-matching positions
+        between the first and last term, optionally filtered by
+        ``not_containing`` (no occurrence of that term inside the
+        interval). Exactness argument: for a fixed start (an occurrence
+        of terms[0]) the greedy earliest-next chain yields that start's
+        MINIMAL interval, and every other interval from the same start
+        spans a superset of it — so (a) if the minimal interval breaks
+        the gap bound, all do, and (b) an excluded-term occurrence
+        inside the minimal interval lies inside every interval from
+        that start. Checking one interval per start is therefore exact.
+        Returns sorted matching doc_ids. Requires
+        store_positions=True."""
+        if not terms:
+            return np.empty(0, np.int64)
+        common = self._common_docs(sorted(set(terms)))
+        if len(common) == 0:
+            return np.empty(0, np.int64)
+        packed = self._positions_over(terms, common)
+        starts = packed[0]
+        cur = starts
+        valid = np.ones(len(starts), dtype=bool)
+        big = np.iinfo(np.int64).max
+        for pk in packed[1:]:
+            j = np.searchsorted(pk, cur, side="right")
+            ok = valid & (j < len(pk))
+            cur = np.where(ok, pk[np.minimum(j, len(pk) - 1)], big)
+            valid = ok
+        sh = np.int64(32)
+        mask = (np.int64(1) << sh) - 1
+        valid &= (cur >> sh) == (starts >> sh)
+        w = (cur & mask) - (starts & mask) + 1
+        valid &= w <= len(terms) + max_gaps  # gaps = w - len(terms)
+        if not_containing is not None and valid.any():
+            ex = clean_query(not_containing)
+            if len(ex) != 1:
+                raise ValueError(
+                    f"not_containing {not_containing!r} must normalize "
+                    "to one term")
+            xpk = self._positions_subset(ex[0], common)
+            if len(xpk):
+                lo = np.searchsorted(xpk, starts, side="left")
+                hi = np.searchsorted(xpk, cur, side="right")
+                valid &= hi <= lo  # no excluded occurrence in [s, e]
+        if not valid.any():
+            return np.empty(0, np.int64)
+        return common[np.unique(starts[valid] >> sh).astype(np.int64)]
+
+    def search_intervals(self, terms: list[str], k: int = 10, *,
+                         max_gaps: int = 0,
+                         not_containing: str | None = None,
+                         scorer: str = "bm25"
+                         ) -> list[tuple[int, float]]:
+        """ES ``intervals`` query: the intervals_match gate (ordered,
+        max_gaps, optional not_containing filter) ranked by the text
+        scorer over the interval terms — survivors keep their full
+        unfiltered scores (the proven gate → search_filtered
+        composition, same as span_near/phrase_ranked)."""
+        allowed = self.intervals_match(terms, max_gaps=max_gaps,
+                                       not_containing=not_containing)
+        if len(allowed) == 0:
+            return []
+        return self.search_filtered(" ".join(sorted(set(terms))), k,
+                                    allowed_doc_ids=allowed, scorer=scorer)
+
     def search_coord(self, query: str, k: int = 10
                      ) -> list[tuple[int, float]]:
         """Coordination-factor ranking (classic Lucene coord(q,d),
@@ -2581,6 +2648,13 @@ class _ShardWorker:
                   scorer: str = "bm25") -> list[tuple[int, float]]:
         return self.engine.search_span_near(terms, k, slop=slop,
                                             scorer=scorer)
+
+    def intervals(self, terms: list[str], k: int, max_gaps: int,
+                  not_containing, scorer: str = "bm25"
+                  ) -> list[tuple[int, float]]:
+        return self.engine.search_intervals(
+            terms, k, max_gaps=max_gaps, not_containing=not_containing,
+            scorer=scorer)
 
     def search_after(self, query: str, after_score: float, after_doc: int,
                      k: int) -> list[tuple[int, float]]:
@@ -2965,6 +3039,24 @@ class ShardedQueryEngine:
         import ray
 
         futs = [w.span_near.remote(list(terms), k, slop, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_intervals(self, terms: list[str], k: int = 10, *,
+                         max_gaps: int = 0,
+                         not_containing: str | None = None,
+                         scorer: str = "bm25"
+                         ) -> list[tuple[int, float]]:
+        """Distributed intervals query: the gate and filtered scoring
+        are both worker-local (a doc's positions live in one shard; df
+        comes from the global term_dict), so the local top-k merge is
+        exact — the search_span_near argument verbatim."""
+        import ray
+
+        futs = [w.intervals.remote(list(terms), k, max_gaps,
+                                   not_containing, scorer)
                 for w in self.workers]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))

@@ -243,3 +243,54 @@ def test_semdedup_keepfirst_matches_bruteforce(ray_session, tmp_path):
     assert out["vec_id"].tolist() == list(range(120))
     assert out["cell"].to_numpy(np.int64).tolist() == cid.tolist()
     assert (out["keep"].to_numpy(np.int64) == (~drop_ref).astype(np.int64)).all()
+
+
+# ---------------- intervals query ----------------
+
+
+def test_intervals_match_bruteforce_and_sharded(ray_session,
+                                                tmp_path_factory):
+    """intervals_match == a per-doc pure-Python enumeration of EVERY
+    ordered (sort, join) occurrence pair (not just the greedy minimal
+    ones) under the gap bound and the not_containing filter — validates
+    the minimal-interval-per-start exactness argument. Sharded twin is
+    bitwise the single engine."""
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+    from stacksearch_ray.text import clean_query
+
+    idx = str(tmp_path_factory.mktemp("iv") / "idx")
+    build_index("/root/testdata/sf0.001/documents.parquet", idx,
+                content_col="text", id_col="doc_id",
+                num_shards=4, term_buckets=8, store_positions=True)
+    eng = QueryEngine(idx)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+
+    def brute(t1, t2, gaps, excl):
+        hits = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = clean_query(txt or "")
+            P1 = [i for i, w in enumerate(toks) if w == t1]
+            P2 = [i for i, w in enumerate(toks) if w == t2]
+            PX = [i for i, w in enumerate(toks) if w == excl] if excl \
+                else []
+            # ALL pairs, not just greedy minimal ones
+            if any(s < e and (e - s + 1) <= 2 + gaps
+                   and not any(s <= x <= e for x in PX)
+                   for s in P1 for e in P2):
+                hits.append(did)
+        return sorted(hits)
+
+    for gaps, excl in [(2, "merge"), (0, None), (5, "stream"),
+                       (2, None)]:
+        got = eng.intervals_match(["sort", "join"], max_gaps=gaps,
+                                  not_containing=excl).tolist()
+        assert got == brute("sort", "join", gaps, excl), (gaps, excl)
+
+    sh = ShardedQueryEngine(idx, num_workers=3)
+    assert sh.search_intervals(["sort", "join"], 10, max_gaps=2,
+                               not_containing="merge") == \
+        eng.search_intervals(["sort", "join"], 10, max_gaps=2,
+                             not_containing="merge")
