@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "constant_score_search": P.constant_score_search,
         "span_near_search": P.span_near_search,
         "intervals_search": P.intervals_search,
+        "span_containing_search": P.span_containing_search,
         "embedding_decontamination": P.embedding_decontamination,
         "stemmed_search": P.stemmed_search,
         "dismax_search": P.dismax_search,
@@ -4013,6 +4014,38 @@ ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
         IV_NOT as _IV_NOT,
         IV_TERMS as _IV_T,
     )
+    from stacksearch_ray.pipelines.documents import (
+        SC_BIG as _SC_B,
+        SC_LITTLE as _SC_L,
+        SC_MAX_GAPS as _SC_G,
+    )
+    # span_containing: SQL enumerates ALL big-span (s, e) pairs under
+    # the gap bound (no minimal-interval trick needed — the join is the
+    # enumeration) and keeps docs where some pair contains the little
+    oracles["span_containing_search"] = bm25_scores_sql(
+        " ".join(sorted(set(_SC_B)))) + f""",
+{token_list_cte()},
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM doc_toks),
+b1 AS (SELECT doc_id, pos FROM pos WHERE term = '{_SC_B[0]}'),
+b2 AS (SELECT doc_id, pos FROM pos WHERE term = '{_SC_B[1]}'),
+iv AS (SELECT b1.doc_id, b1.pos AS s, b2.pos AS e
+       FROM b1 JOIN b2 USING (doc_id)
+       WHERE b2.pos > b1.pos
+         AND b2.pos - b1.pos + 1 <= {2 + _SC_G}),
+ok AS (SELECT DISTINCT iv.doc_id FROM iv
+       WHERE EXISTS (SELECT 1 FROM pos x
+                     WHERE x.doc_id = iv.doc_id
+                       AND x.term = '{_SC_L}'
+                       AND x.pos BETWEEN iv.s AND iv.e))
+SELECT sc.doc_id,
+       CAST(floor(sc.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY sc.score DESC, sc.doc_id ASC)
+            AS BIGINT) AS rank
+FROM scores sc JOIN ok ON ok.doc_id = sc.doc_id
+ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
+
     # ES intervals: ordered sort→join minimal interval per start (the
     # greedy chain's SQL twin — min next-term pos per start), gap bound
     # w ≤ n + max_gaps, then NOT EXISTS excluded occurrence in [s, e];

@@ -10011,3 +10011,25 @@ def intervals_search(sf_dir: str):
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
+
+
+SC_BIG = ("merge", "sort")  # big ordered span
+SC_LITTLE = "join"          # span_term little query
+SC_MAX_GAPS = 6
+
+
+def span_containing_search(sf_dir: str):
+    """Lucene/ES ``span_containing``: docs where SOME ordered
+    merge→sort interval (≤ SC_MAX_GAPS gap positions) CONTAINS a
+    'join' occurrence, ranked by BM25 over the big-span terms
+    (QueryEngine.search_span_containing — widest-reachable-interval
+    construction, exact per its docstring). Survivor scores bitwise
+    equal their unfiltered scores."""
+    eng = _index_for(sf_dir)
+    res = eng.search_span_containing(list(SC_BIG), SC_LITTLE, 10,
+                                     max_gaps=SC_MAX_GAPS)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })

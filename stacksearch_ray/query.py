@@ -2464,6 +2464,75 @@ class QueryEngine:
             return np.empty(0, np.int64)
         return common[np.unique(starts[valid] >> sh).astype(np.int64)]
 
+    def span_containing_match(self, big: list[str], little: str, *,
+                              max_gaps: int = 0) -> np.ndarray:
+        """Lucene/ES ``span_containing`` with a span_term little query:
+        docs where SOME ordered interval of ``big`` (gap bound as in
+        intervals_match) CONTAINS an occurrence of ``little``.
+        Containment needs the WIDEST reachable interval per start, not
+        the minimal one: the chain over big[:-1] takes greedy-earliest
+        positions (any valid chain's prefix end is ≥ this, so it
+        maximizes the final term's room), then the final term's LATEST
+        occurrence within the width budget is the maximal end e_max —
+        an interval from start s contains x iff s ≤ x ≤ e_max (pick the
+        final occurrence ≥ x; it is valid by e_max's bound). Returns
+        sorted matching doc_ids. Requires store_positions=True."""
+        if len(big) < 2:
+            raise ValueError("big span needs ≥ 2 terms")
+        lt = clean_query(little)
+        if len(lt) != 1:
+            raise ValueError(f"little {little!r} must normalize to one "
+                             "term")
+        common = self._common_docs(sorted(set(big)))
+        if len(common) == 0:
+            return np.empty(0, np.int64)
+        packed = self._positions_over(big, common)
+        starts = packed[0]
+        cur = starts
+        valid = np.ones(len(starts), dtype=bool)
+        big_i = np.iinfo(np.int64).max
+        for pk in packed[1:-1]:  # greedy-earliest prefix chain
+            j = np.searchsorted(pk, cur, side="right")
+            ok = valid & (j < len(pk))
+            cur = np.where(ok, pk[np.minimum(j, len(pk) - 1)], big_i)
+            valid = ok
+        # final term: LATEST occurrence after the prefix end, within
+        # the width budget w ≤ len(big) + max_gaps (same-doc by packing)
+        budget = np.int64(len(big) + max_gaps)
+        last = packed[-1]
+        hi_key = np.where(valid, starts + budget - 1, np.int64(-1))
+        jlo = np.searchsorted(last, cur, side="right")
+        jhi = np.searchsorted(last, hi_key, side="right")
+        valid &= jhi > jlo  # ≥1 final occurrence in (prefix_end, s+b-1]
+        emax = last[np.maximum(jhi - 1, 0)]
+        sh = np.int64(32)
+        valid &= (emax >> sh) == (starts >> sh)
+        # little containment: ∃x with s ≤ x ≤ e_max (packed keys)
+        xpk = self._positions_subset(lt[0], common)
+        if len(xpk) == 0:
+            return np.empty(0, np.int64)
+        lo = np.searchsorted(xpk, starts, side="left")
+        hi = np.searchsorted(xpk, emax, side="right")
+        valid &= hi > lo
+        if not valid.any():
+            return np.empty(0, np.int64)
+        return common[np.unique(starts[valid] >> sh).astype(np.int64)]
+
+    def search_span_containing(self, big: list[str], little: str,
+                               k: int = 10, *, max_gaps: int = 0,
+                               scorer: str = "bm25"
+                               ) -> list[tuple[int, float]]:
+        """ES ``span_containing``: the span_containing_match gate ranked
+        by the text scorer over the big-span terms (gate →
+        search_filtered; survivors keep full unfiltered scores)."""
+        allowed = self.span_containing_match(big, little,
+                                             max_gaps=max_gaps)
+        if len(allowed) == 0:
+            return []
+        return self.search_filtered(" ".join(sorted(set(big))), k,
+                                    allowed_doc_ids=allowed,
+                                    scorer=scorer)
+
     def search_intervals(self, terms: list[str], k: int = 10, *,
                          max_gaps: int = 0,
                          not_containing: str | None = None,
@@ -2655,6 +2724,12 @@ class _ShardWorker:
         return self.engine.search_intervals(
             terms, k, max_gaps=max_gaps, not_containing=not_containing,
             scorer=scorer)
+
+    def span_containing(self, big: list[str], little: str, k: int,
+                        max_gaps: int, scorer: str = "bm25"
+                        ) -> list[tuple[int, float]]:
+        return self.engine.search_span_containing(
+            big, little, k, max_gaps=max_gaps, scorer=scorer)
 
     def search_after(self, query: str, after_score: float, after_doc: int,
                      k: int) -> list[tuple[int, float]]:
@@ -3057,6 +3132,22 @@ class ShardedQueryEngine:
 
         futs = [w.intervals.remote(list(terms), k, max_gaps,
                                    not_containing, scorer)
+                for w in self.workers]
+        merged = [r for part in ray.get(futs) for r in part]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def search_span_containing(self, big: list[str], little: str,
+                               k: int = 10, *, max_gaps: int = 0,
+                               scorer: str = "bm25"
+                               ) -> list[tuple[int, float]]:
+        """Distributed span_containing: gate + filtered scoring are
+        worker-local (positions live in one shard; df is global), so
+        the disjoint top-k merge is exact."""
+        import ray
+
+        futs = [w.span_containing.remote(list(big), little, k, max_gaps,
+                                         scorer)
                 for w in self.workers]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))

@@ -294,3 +294,71 @@ def test_intervals_match_bruteforce_and_sharded(ray_session,
                                not_containing="merge") == \
         eng.search_intervals(["sort", "join"], 10, max_gaps=2,
                              not_containing="merge")
+
+
+def test_span_containing_bruteforce_and_sharded(ray_session,
+                                                tmp_path_factory):
+    """span_containing_match == a per-doc enumeration of EVERY ordered
+    (merge, sort) pair under the gap bound, kept iff SOME pair contains
+    a 'join' occurrence — validates the widest-reachable-interval
+    construction (greedy-earliest prefix + latest final within budget).
+    Sharded twin bitwise the single engine."""
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+    from stacksearch_ray.text import clean_query
+
+    idx = str(tmp_path_factory.mktemp("sc") / "idx")
+    build_index("/root/testdata/sf0.001/documents.parquet", idx,
+                content_col="text", id_col="doc_id",
+                num_shards=4, term_buckets=8, store_positions=True)
+    eng = QueryEngine(idx)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"])
+
+    def brute(b1, b2, little, gaps):
+        hits = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = clean_query(txt or "")
+            P1 = [i for i, w in enumerate(toks) if w == b1]
+            P2 = [i for i, w in enumerate(toks) if w == b2]
+            PX = [i for i, w in enumerate(toks) if w == little]
+            if any(s < e and (e - s + 1) <= 2 + gaps
+                   and any(s <= x <= e for x in PX)
+                   for s in P1 for e in P2):
+                hits.append(did)
+        return sorted(hits)
+
+    for gaps in (0, 2, 6, 12):
+        got = eng.span_containing_match(["merge", "sort"], "join",
+                                        max_gaps=gaps).tolist()
+        assert got == brute("merge", "sort", "join", gaps), gaps
+
+    # 3-term big span: the greedy-earliest prefix chain must still find
+    # every containment an exhaustive chain enumeration finds
+    def brute3(b1, b2, b3, little, gaps):
+        hits = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = clean_query(txt or "")
+            P1 = [i for i, w in enumerate(toks) if w == b1]
+            P2 = [i for i, w in enumerate(toks) if w == b2]
+            P3 = [i for i, w in enumerate(toks) if w == b3]
+            PX = [i for i, w in enumerate(toks) if w == little]
+            if any(s < m < e and (e - s + 1) <= 3 + gaps
+                   and any(s <= x <= e for x in PX)
+                   for s in P1 for m in P2 for e in P3):
+                hits.append(did)
+        return sorted(hits)
+
+    for gaps in (0, 4, 10):
+        got = eng.span_containing_match(["merge", "sort", "stream"],
+                                        "join", max_gaps=gaps).tolist()
+        assert got == brute3("merge", "sort", "stream", "join",
+                             gaps), gaps
+
+    sh = ShardedQueryEngine(idx, num_workers=3)
+    assert sh.search_span_containing(["merge", "sort"], "join", 10,
+                                     max_gaps=6) == \
+        eng.search_span_containing(["merge", "sort"], "join", 10,
+                                   max_gaps=6)
