@@ -4265,10 +4265,10 @@ SELECT m.doc_id,
 FROM m LEFT JOIN scores s ON s.doc_id = m.doc_id
 ORDER BY coalesce(s.score, 0.0) DESC, m.doc_id ASC LIMIT 10"""
     # simple_query_string mirror for '"sort join"~2 +stream | spark
-    # -quer*' with default_operator=and: matched set = (ordered
-    # sort→join span ≤ 4 AND has stream) OR (has spark AND no 'quer%'
-    # term); all scoring boosts 1.0, prefix atoms filter-only,
-    # zero-scored matches coalesce to 0.0 after every scored doc
+    # -quer*' with default_operator=and — Lucene MUST_NOT hoisting:
+    # matched set = ((ordered sort→join span ≤ 4 AND has stream) OR
+    # has spark) AND no 'quer%' term; all scoring boosts 1.0, prefix
+    # atoms filter-only, zero-scored matches coalesce to 0.0 last
     oracles["simple_query_string_search"] = f"""
 WITH {kept},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
@@ -4311,8 +4311,8 @@ fl AS (SELECT doc_id,
               bool_or(term LIKE 'quer%') AS h_quer
        FROM kept GROUP BY doc_id),
 m AS (SELECT f.doc_id FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
-      WHERE (ph.doc_id IS NOT NULL AND f.h_stream)
-         OR (f.h_spark AND NOT f.h_quer))
+      WHERE ((ph.doc_id IS NOT NULL AND f.h_stream) OR f.h_spark)
+        AND NOT f.h_quer)
 SELECT m.doc_id,
        CAST(floor(coalesce(s.score, 0.0) * 1e6 + 0.5) AS BIGINT)
            AS score_micros,
@@ -4436,6 +4436,14 @@ FROM k ORDER BY h ASC, doc_id ASC LIMIT 10"""
 WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
                   count(*) AS n
            FROM orders GROUP BY 1, 2)"""
+    # the two-counter (total, urgent) sibling — shared by the
+    # bucket_script and bucket_selector oracles
+    _urgent_monthly = """
+WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                  count(*) AS n,
+                  count(*) FILTER (o_orderpriority = '1-URGENT')
+                      AS n_urgent
+           FROM orders GROUP BY 1, 2)"""
     oracles["cumulative_sum_pipeline"] = _monthly + """
 SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
        CAST(n AS BIGINT) AS n,
@@ -4447,12 +4455,7 @@ SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
        CAST(coalesce(n - lag(n, 3) OVER (ORDER BY y, m), 0) AS BIGINT)
            AS sdiff
 FROM b ORDER BY y, m"""
-    oracles["bucket_script_pipeline"] = """
-WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
-                  count(*) AS n,
-                  count(*) FILTER (o_orderpriority = '1-URGENT')
-                      AS n_urgent
-           FROM orders GROUP BY 1, 2)
+    oracles["bucket_script_pipeline"] = _urgent_monthly + """
 SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
        CAST(n AS BIGINT) AS n, CAST(n_urgent AS BIGINT) AS n_urgent,
        CAST(n_urgent * 1000000 // n AS BIGINT) AS urgent_share_micros
@@ -4484,12 +4487,7 @@ SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
        CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos
 FROM r WHERE pos > {_BS_FROM} AND pos <= {_BS_FROM} + {_BS_SIZE}
 ORDER BY pos"""
-    oracles["bucket_selector_pipeline"] = f"""
-WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
-                  count(*) AS n,
-                  count(*) FILTER (o_orderpriority = '1-URGENT')
-                      AS n_urgent
-           FROM orders GROUP BY 1, 2)
+    oracles["bucket_selector_pipeline"] = _urgent_monthly + f"""
 SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
        CAST(n AS BIGINT) AS n, CAST(n_urgent AS BIGINT) AS n_urgent
 FROM b WHERE n_urgent * {_BSEL_NUM} > n ORDER BY y, m"""

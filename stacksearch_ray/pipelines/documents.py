@@ -9231,12 +9231,10 @@ def serial_diff_pipeline(sf_dir: str):
     })
 
 
-def bucket_script_pipeline(sf_dir: str):
-    """ES ``bucket_script`` pipeline aggregation: a per-bucket derived
-    metric — the urgent-order share of each month, urgent·1e6 // total
-    in pure integer arithmetic. The histogram pass carries TWO counters
-    per partial row (total, urgent) so the script input needs no second
-    scan."""
+def _urgent_monthly(sf_dir: str):
+    """(y, m, n, n_urgent) monthly frame, (y, m)-sorted — the shared
+    two-counter histogram behind bucket_script / bucket_selector (one
+    partial-sums pass carries both counters; no second scan)."""
     def part(b: pa.Table) -> pa.Table:
         ts = b["o_orderdate"].combine_chunks()
         urgent = pc.equal(b["o_orderpriority"].combine_chunks(),
@@ -9258,7 +9256,15 @@ def bucket_script_pipeline(sf_dir: str):
                     Sum("n_urgent", alias_name="n_urgent"))
          .to_pandas())  # calendar-bounded
     order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
-    t = t.iloc[order].reset_index(drop=True)
+    return t.iloc[order].reset_index(drop=True)
+
+
+def bucket_script_pipeline(sf_dir: str):
+    """ES ``bucket_script`` pipeline aggregation: a per-bucket derived
+    metric — the urgent-order share of each month, urgent·1e6 // total
+    in pure integer arithmetic, over the shared two-counter monthly
+    histogram (_urgent_monthly)."""
+    t = _urgent_monthly(sf_dir)
     n = t["n"].to_numpy(np.int64)
     nu = t["n_urgent"].to_numpy(np.int64)
     return pa.table({
@@ -9723,34 +9729,12 @@ def bucket_selector_pipeline(sf_dir: str):
     """ES ``bucket_selector`` pipeline aggregation: drop monthly buckets
     failing a per-bucket script — keep months whose urgent-order share
     exceeds 1/BSEL_NUM, evaluated in pure integer arithmetic
-    (n_urgent · BSEL_NUM > n). Rides bucket_script's two-counter
-    partial-sums pass (total, urgent) so the predicate needs no second
-    scan."""
-    def part(b: pa.Table) -> pa.Table:
-        ts = b["o_orderdate"].combine_chunks()
-        urgent = pc.equal(b["o_orderpriority"].combine_chunks(),
-                          "1-URGENT")
-        t = pa.table({
-            "y": pc.year(ts).cast(pa.int64()),
-            "m": pc.month(ts).cast(pa.int64()),
-            "n": np.ones(b.num_rows, np.int64),
-            "n_urgent": np.asarray(urgent).astype(np.int64),
-        })
-        return _partial_sums(t, ["y", "m"],
-                             {"n": "n", "n_urgent": "n_urgent"})
-
-    t = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                         columns=["o_orderdate", "o_orderpriority"])
-         .map_batches(part, batch_format="pyarrow")
-         .groupby(["y", "m"])
-         .aggregate(Sum("n", alias_name="n"),
-                    Sum("n_urgent", alias_name="n_urgent"))
-         .to_pandas())  # calendar-bounded
+    (n_urgent · BSEL_NUM > n) over the shared two-counter monthly
+    histogram (_urgent_monthly)."""
+    t = _urgent_monthly(sf_dir)
     keep = t["n_urgent"].to_numpy(np.int64) * BSEL_NUM \
         > t["n"].to_numpy(np.int64)
-    t = t.iloc[np.nonzero(keep)[0]]
-    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
-    t = t.iloc[order]
+    t = t.iloc[np.nonzero(keep)[0]]  # already (y, m)-sorted
     return pa.table({
         "y": pa.array(t["y"].to_numpy(np.int64)),
         "m": pa.array(t["m"].to_numpy(np.int64)),
@@ -9897,10 +9881,10 @@ def simple_query_string_search(sf_dir: str):
     """ES ``simple_query_string``: the end-user-safe grammar — ``+``
     AND, ``|`` OR, ``-`` NOT, quoted sloppy phrase, trailing-* prefix,
     implicit default_operator between adjacent clauses — translated
-    onto the query_string machinery
+    onto the query_string machinery with Lucene MUST_NOT hoisting
     (QueryEngine.search_simple_query_string). Matched set =
-    (ordered sort→join span ≤ 4 AND has stream) OR (has spark AND no
-    'quer%' term); ranked by BM25 over the positive scoring terms,
+    ((ordered sort→join span ≤ 4 AND has stream) OR has spark) AND no
+    'quer%' term; ranked by BM25 over the positive scoring terms,
     prefix atoms filter-only, zero-scored matches last."""
     eng = _index_for(sf_dir)
     res = eng.search_simple_query_string(SQS_QUERY, 10, SQS_DEFAULT_OP)

@@ -1012,8 +1012,10 @@ class QueryEngine:
         atoms filter but never score — the MTQ constant-score rewrite).
         ES's leniency toward malformed input is out of scope: bad
         syntax raises like the other DSL surfaces."""
-        return self.search_query_string(
-            simple_query_string_to_dsl(qs, default_operator), k)
+        dsl = simple_query_string_to_dsl(qs, default_operator)
+        if dsl is None:
+            return []  # only-MUST_NOT query matches nothing (Lucene)
+        return self.search_query_string(dsl, k)
 
     def search_bool_query(self, must, should=(), must_not=(),
                           k: int = 10, scorer: str = "bm25"
@@ -1830,14 +1832,9 @@ class QueryEngine:
             return empty
         packed = self._positions_over(terms, common)
         starts = packed[0]
-        cur = starts
-        valid = np.ones(len(starts), dtype=bool)
         big = np.iinfo(np.int64).max
-        for pk in packed[1:]:
-            j = np.searchsorted(pk, cur, side="right")
-            ok = valid & (j < len(pk))
-            cur = np.where(ok, pk[np.minimum(j, len(pk) - 1)], big)
-            valid = ok
+        cur, valid = _chain_earliest(
+            packed[1:], starts, np.ones(len(starts), dtype=bool))
         sh = np.int64(32)
         mask = (np.int64(1) << sh) - 1
         valid &= (cur >> sh) == (starts >> sh)
@@ -2436,14 +2433,8 @@ class QueryEngine:
             return np.empty(0, np.int64)
         packed = self._positions_over(terms, common)
         starts = packed[0]
-        cur = starts
-        valid = np.ones(len(starts), dtype=bool)
-        big = np.iinfo(np.int64).max
-        for pk in packed[1:]:
-            j = np.searchsorted(pk, cur, side="right")
-            ok = valid & (j < len(pk))
-            cur = np.where(ok, pk[np.minimum(j, len(pk) - 1)], big)
-            valid = ok
+        cur, valid = _chain_earliest(
+            packed[1:], starts, np.ones(len(starts), dtype=bool))
         sh = np.int64(32)
         mask = (np.int64(1) << sh) - 1
         valid &= (cur >> sh) == (starts >> sh)
@@ -2488,14 +2479,9 @@ class QueryEngine:
             return np.empty(0, np.int64)
         packed = self._positions_over(big, common)
         starts = packed[0]
-        cur = starts
-        valid = np.ones(len(starts), dtype=bool)
-        big_i = np.iinfo(np.int64).max
-        for pk in packed[1:-1]:  # greedy-earliest prefix chain
-            j = np.searchsorted(pk, cur, side="right")
-            ok = valid & (j < len(pk))
-            cur = np.where(ok, pk[np.minimum(j, len(pk) - 1)], big_i)
-            valid = ok
+        # greedy-earliest prefix chain over big[1:-1]
+        cur, valid = _chain_earliest(
+            packed[1:-1], starts, np.ones(len(starts), dtype=bool))
         # final term: LATEST occurrence after the prefix end, within
         # the width budget w ≤ len(big) + max_gaps (same-doc by packing)
         budget = np.int64(len(big) + max_gaps)
@@ -3198,8 +3184,10 @@ class ShardedQueryEngine:
         """Distributed simple_query_string: the grammar translation is
         driver-side (pure string work); the translated expression fans
         out through the proven distributed query_string path."""
-        return self.search_query_string(
-            simple_query_string_to_dsl(qs, default_operator), k)
+        dsl = simple_query_string_to_dsl(qs, default_operator)
+        if dsl is None:
+            return []  # only-MUST_NOT query matches nothing (Lucene)
+        return self.search_query_string(dsl, k)
 
     def search_filtered(self, query: str, k: int = 10,
                         allowed_doc_ids=None,
@@ -3660,49 +3648,124 @@ class FederatedQueryEngine:
         return {"doc_id": doc_id, "score": total, "terms": out}
 
 
+
+def _chain_earliest(packed_rest, cur, valid):
+    """Greedy earliest-next packed-key chain (the sloppy-phrase /
+    intervals / span_containing kernel): for each candidate start state
+    (cur, valid), advance through every stream in ``packed_rest`` taking
+    the FIRST key strictly greater than the running end. Earliest-next
+    is end-minimal for a fixed start, so downstream minimal-span and
+    widest-final constructions are exact. Invalid rows hold int64-max.
+    Returns (cur, valid)."""
+    big = np.iinfo(np.int64).max
+    for pk in packed_rest:
+        j = np.searchsorted(pk, cur, side="right")
+        ok = valid & (j < len(pk))
+        cur = np.where(ok, pk[np.minimum(j, len(pk) - 1)], big)
+        valid = ok
+    return cur, valid
+
+
 _SQS_TOKEN = re.compile(
     r'"[^"]*"(?:~\d+)?|\(|\)|\||\+|-|[^\s()|+\-][^\s()|+]*')
 
 
 def simple_query_string_to_dsl(qs: str, default_operator: str = "or"
-                               ) -> str:
+                               ) -> str | None:
     """Translate ES ``simple_query_string`` syntax into the Lucene
-    query_string grammar search_query_string parses: ``|`` → OR, ``+``
-    → AND, a ``-`` preceding an atom → NOT, quoted phrases / trailing-*
-    prefixes / parens pass through, and ``default_operator`` is
-    inserted between adjacent clauses with no explicit operator (the ES
-    default is OR; most deployments set AND). A ``-`` may be attached
-    (``-wind*``) or spaced; hyphens INSIDE a word are part of the word
-    (the tokenizer strips them anyway). No boost syntax — ``^`` is not
-    an operator in simple_query_string."""
+    query_string grammar search_query_string parses, with FAITHFUL
+    Lucene SimpleQueryParser boolean semantics: at each parenthesis
+    level, ``-``-negated clauses are MUST_NOT regardless of the
+    surrounding operator — they hoist OUT of the positive expression
+    ("a | b -c" → "( a OR b ) AND NOT ( c )") — and a level with no
+    positive clause matches NOTHING (Lucene's only-MUST_NOT
+    BooleanQuery), returned as None and propagated (None under AND
+    poisons the level; under OR it drops out; a negated None exclusion
+    excludes nothing). Positive clauses fold with ``+`` (AND, binds
+    tighter) / ``|`` (OR) / the implicit ``default_operator``. Quoted
+    phrases (``"..."~slop``) and trailing-``*`` prefixes pass through;
+    ``^`` in a word is LITERAL TEXT in simple_query_string (never a
+    boost) — it is stripped here exactly as the analyzer would strip
+    it."""
     op = {"or": "OR", "and": "AND"}[default_operator.lower()]
-    out: list[str] = []
-    ends_atom = False  # previous emitted token completes a clause
-    for t in _SQS_TOKEN.findall(qs):
-        if t == "|":
-            out.append("OR")
-            ends_atom = False
-        elif t == "+":
-            out.append("AND")
-            ends_atom = False
-        elif t == "-":
-            if ends_atom:
-                out.append(op)
-            out.append("NOT")
-            ends_atom = False
-        elif t == "(":
-            if ends_atom:
-                out.append(op)
-            out.append("(")
-            ends_atom = False
-        elif t == ")":
-            out.append(")")
-            ends_atom = True
+    toks = _SQS_TOKEN.findall(qs)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def level() -> str | None:
+        nonlocal pos
+        positives: list[str | None] = []
+        gaps: list[str] = []       # operator between positives i-1, i
+        negatives: list[str] = []
+        pending: str | None = None  # explicit op awaiting next clause
+        neg = False
+        while True:
+            t = peek()
+            if t is None or t == ")":
+                break
+            pos += 1
+            if t == "|":
+                pending = "OR"
+                continue
+            if t == "+":
+                pending = "AND"
+                continue
+            if t == "-":
+                neg = True
+                continue
+            if t == "(":
+                sub = level()
+                if peek() != ")":
+                    raise ValueError(f"expected ')' in {qs!r}")
+                pos += 1
+                clause = None if sub is None else f"( {sub} )"
+            else:
+                if not t.startswith('"'):
+                    t = t.replace("^", "")  # literal text, not a boost
+                    if not t or t == "*":
+                        raise ValueError(f"empty atom in {qs!r}")
+                clause = t
+            if neg:
+                # MUST_NOT hoists; the operator before it is consumed
+                # (Lucene attaches occur per clause, not per gap); a
+                # match-nothing exclusion excludes nothing
+                if clause is not None:
+                    negatives.append(clause)
+                neg = False
+                pending = None
+            else:
+                gaps.append(pending or op)
+                positives.append(clause)
+                pending = None
+        # fold positives: AND binds tighter than OR (the query_string
+        # grammar's precedence); a None positive poisons its AND-run
+        # (MUST of match-nothing) and drops from its OR (SHOULD of
+        # match-nothing)
+        runs: list[list[str | None]] = []
+        for g, c in zip(gaps, positives):
+            if g == "AND" and runs:
+                runs[-1].append(c)
+            else:
+                runs.append([c])
+        or_terms = [" AND ".join(r) for r in runs
+                    if all(c is not None for c in r)]
+        if not or_terms:
+            expr = None
+        elif len(or_terms) == 1:
+            expr = or_terms[0]
         else:
-            if ends_atom:
-                out.append(op)
-            out.append(t)
-            ends_atom = True
-    if not out:
+            expr = " OR ".join(or_terms)
+        if expr is None:
+            return None  # only-MUST_NOT (or empty) level matches nothing
+        for n in negatives:
+            expr = f"( {expr} ) AND NOT ( {n} )"
+        return expr
+
+    if not toks:
         raise ValueError(f"empty simple_query_string {qs!r}")
-    return " ".join(out)
+    out = level()
+    if peek() is not None:
+        raise ValueError(f"unbalanced ')' in {qs!r}")
+    return out

@@ -16,6 +16,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = "/root/testdata/sf0.001"
 
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pos_idx_001(ray_session, tmp_path_factory):
+    """ONE positional sf0.001 index for every retrieval test in this
+    module (the suite's slowest setup step — build it once)."""
+    from stacksearch_ray.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("w16") / "idx")
+    build_index("/root/testdata/sf0.001/documents.parquet", idx,
+                content_col="text", id_col="doc_id",
+                num_shards=4, term_buckets=8, store_positions=True)
+    return idx
+
+
 def _monthly_hist():
     t = pq.read_table(os.path.join(SF, "orders.parquet"),
                       columns=["o_orderdate", "o_orderpriority"]).to_pandas()
@@ -91,29 +107,37 @@ def test_geo_grid_partitions_and_centroids_contained(ray_session):
 def test_sqs_translation_grammar():
     from stacksearch_ray.query import simple_query_string_to_dsl as f
 
-    # explicit operators pass through; implicit default op inserted
+    # Lucene SimpleQueryParser semantics: '-' is MUST_NOT at its
+    # parenthesis level REGARDLESS of the default operator — negations
+    # hoist out of the positive expression
+    assert f("foo -bar") == "( foo ) AND NOT ( bar )"
+    assert f("foo -bar", "and") == "( foo ) AND NOT ( bar )"
+    assert f("a b -c") == "( a OR b ) AND NOT ( c )"
     assert f('"merge sort"~2 +stream | join -wind*') == \
-        '"merge sort"~2 AND stream OR join OR NOT wind*'
-    # ES quirk preserved: with default OR, "foo -bar" is foo OR NOT bar
-    assert f("foo -bar") == "foo OR NOT bar"
-    assert f("foo -bar", "and") == "foo AND NOT bar"
-    # attached and spaced '-' are the same; parens group
-    assert f("-(c d)", "and") == "NOT ( c AND d )"
+        '( "merge sort"~2 AND stream OR join ) AND NOT ( wind* )'
+    # a level with no positive clause matches NOTHING (None), and the
+    # nothing propagates: MUST of nothing poisons, SHOULD of nothing
+    # drops, MUST_NOT of nothing excludes nothing
+    assert f("-bar") is None
+    assert f("a (-b)", "and") is None
+    assert f("a | (-b)") == "a"
+    assert f("a -(-b)", "and") == "a"
+    # '^' is literal analyzed text in simple_query_string, not a boost
+    assert f("stream^2 spark", "and") == "stream2 AND spark"
+    # parens group; explicit ops pass through
     assert f("a (b | c)", "and") == "a AND ( b OR c )"
     import pytest as _pytest
     with _pytest.raises(ValueError):
         f("   ")
+    with _pytest.raises(ValueError):
+        f("a (b")
 
 
-def test_sqs_equals_translated_query_string(ray_session, tmp_path_factory):
-    from stacksearch_ray.build import build_index
+def test_sqs_equals_translated_query_string(pos_idx_001):
     from stacksearch_ray.query import (QueryEngine, ShardedQueryEngine,
                                        simple_query_string_to_dsl)
 
-    idx = str(tmp_path_factory.mktemp("sqs") / "idx")
-    build_index("/root/testdata/sf0.001/documents.parquet", idx,
-                content_col="text", id_col="doc_id",
-                num_shards=4, term_buckets=8, store_positions=True)
+    idx = pos_idx_001
     eng = QueryEngine(idx)
     cases = [('"sort join"~2 +stream | spark -quer*', "and"),
              ("merge sort -window", "or"),
@@ -248,21 +272,16 @@ def test_semdedup_keepfirst_matches_bruteforce(ray_session, tmp_path):
 # ---------------- intervals query ----------------
 
 
-def test_intervals_match_bruteforce_and_sharded(ray_session,
-                                                tmp_path_factory):
+def test_intervals_match_bruteforce_and_sharded(pos_idx_001):
     """intervals_match == a per-doc pure-Python enumeration of EVERY
     ordered (sort, join) occurrence pair (not just the greedy minimal
     ones) under the gap bound and the not_containing filter — validates
     the minimal-interval-per-start exactness argument. Sharded twin is
     bitwise the single engine."""
-    from stacksearch_ray.build import build_index
     from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
     from stacksearch_ray.text import clean_query
 
-    idx = str(tmp_path_factory.mktemp("iv") / "idx")
-    build_index("/root/testdata/sf0.001/documents.parquet", idx,
-                content_col="text", id_col="doc_id",
-                num_shards=4, term_buckets=8, store_positions=True)
+    idx = pos_idx_001
     eng = QueryEngine(idx)
     t = pq.read_table(os.path.join(SF, "documents.parquet"),
                       columns=["doc_id", "text"])
@@ -296,21 +315,16 @@ def test_intervals_match_bruteforce_and_sharded(ray_session,
                              not_containing="merge")
 
 
-def test_span_containing_bruteforce_and_sharded(ray_session,
-                                                tmp_path_factory):
+def test_span_containing_bruteforce_and_sharded(pos_idx_001):
     """span_containing_match == a per-doc enumeration of EVERY ordered
     (merge, sort) pair under the gap bound, kept iff SOME pair contains
     a 'join' occurrence — validates the widest-reachable-interval
     construction (greedy-earliest prefix + latest final within budget).
     Sharded twin bitwise the single engine."""
-    from stacksearch_ray.build import build_index
     from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
     from stacksearch_ray.text import clean_query
 
-    idx = str(tmp_path_factory.mktemp("sc") / "idx")
-    build_index("/root/testdata/sf0.001/documents.parquet", idx,
-                content_col="text", id_col="doc_id",
-                num_shards=4, term_buckets=8, store_positions=True)
+    idx = pos_idx_001
     eng = QueryEngine(idx)
     t = pq.read_table(os.path.join(SF, "documents.parquet"),
                       columns=["doc_id", "text"])
