@@ -290,6 +290,58 @@ class IVFIndex:
         # config.json written LAST = the commit point
         return IVFIndex(dst_dir)
 
+    def semdedup(self, tau_micros: int, block: int = 1024):
+        """SemDeDup keep-first pass over this index's cells (Abbas et
+        al. 2023, arXiv:2303.09540): ONE Ray task per centroid cell —
+        the compact_to fan-out — each reading ONLY its cell's
+        partitions (base + committed append generations, tombstones
+        masked), sorting by id, and applying the BLOCKED lower-id
+        cosine keep mask (functions.similarity.semdedup_keep_mask).
+        NO shuffle: the coarse quantizer already partitioned the data
+        on disk, so re-grouping through a Dataset groupby would move
+        every vector again just to rebuild this layout (measured: the
+        task-per-cell path beats the groupby re-shuffle at 500k×64 and
+        the gap widens with k — BENCH/semdedup_drill_r4.json). Returns
+        a Dataset of (vec_id, cell, keep) assembled from the per-cell
+        result refs without driver materialization."""
+        import ray.data as rd
+
+        from .similarity import semdedup_keep_mask
+
+        tomb_ref = ray.put(self.tombstones)
+        id_col, emb_col = self.id_col, self.emb_col
+
+        @ray.remote
+        def dedup_cell(cid: int, src_dirs: list[str], tomb) -> pa.Table:
+            ts = ray.get(tomb) if not isinstance(tomb, np.ndarray) else tomb
+            t = pa.concat_tables([
+                pq.read_table(d, columns=[id_col, emb_col])
+                for d in src_dirs])
+            ids = np.asarray(t[id_col].combine_chunks()).astype(np.int64)
+            if len(ts):
+                pos = np.searchsorted(ts, ids)
+                dead = pos < len(ts)
+                dead[dead] = ts[pos[dead]] == ids[dead]
+                alive = ~dead
+                t = t.filter(pa.array(alive))
+                ids = ids[alive]
+            order = np.argsort(ids)  # keep-first = lowest id wins
+            ids = ids[order]
+            x = _emb_matrix(t, emb_col)[order]
+            keep = semdedup_keep_mask(x, tau_micros, block=block)
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(np.full(len(ids), cid, np.int64)),
+                "keep": pa.array(keep.astype(np.int64)),
+            })
+
+        futs = []
+        for cid in range(len(self.centroids)):
+            dirs = self._part_dirs(cid)
+            if dirs:
+                futs.append(dedup_cell.remote(cid, dirs, tomb_ref))
+        return rd.from_arrow_refs(futs)
+
     def _part_dirs(self, cid: int) -> list[str]:
         """Base partition + every COMMITTED append generation's
         partition for one cell, in commit order."""

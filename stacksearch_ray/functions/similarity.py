@@ -306,3 +306,36 @@ def cosine_pairs(ds: Dataset, threshold: float = 0.95,
         "b": pa.array(pdf["b"], pa.int64()),
         "sim_micros": pa.array(to_micros(pdf["sim"].to_numpy()), pa.int64()),
     })
+
+
+def semdedup_keep_mask(x: np.ndarray, tau_micros: int,
+                       block: int = 1024) -> np.ndarray:
+    """SemDeDup keep-first mask over ONE cluster's vectors (rows are
+    vec_id-ascending): row i is dropped iff some LOWER row j < i has
+    micros-rounded cosine ≥ ``tau_micros``. Blocked matmul — each pass
+    scores ``block`` rows against every earlier row, so peak memory is
+    block·i floats instead of the m² full matrix (the per-cell bound
+    that matters when a hot cluster holds 10⁵+ vectors at 100 TB).
+    Each entry uses the SAME expression as the unblocked form — raw-row
+    dot over the norm product — and the gate compares int64 micros
+    (micros.py rule), absorbing any sub-micro float jitter between
+    blocked and unblocked evaluation."""
+    from ..micros import to_micros
+
+    m = len(x)
+    keep = np.ones(m, dtype=bool)
+    if m <= 1:
+        return keep
+    n = np.sqrt((x * x).sum(axis=1))
+    n[n == 0] = 1.0
+    for i0 in range(1, m, block):
+        i1 = min(i0 + block, m)
+        # rows i0:i1 against ALL earlier rows 0:i1 (strictly lower by
+        # the tril mask below) — dot/outer(norms), the unblocked
+        # matrix's per-entry expression
+        sims = to_micros((x[i0:i1] @ x[:i1].T)
+                         / np.outer(n[i0:i1], n[:i1]))
+        lower = np.tril(np.ones((i1 - i0, i1), dtype=bool),
+                        k=i0 - 1)
+        keep[i0:i1] = ~((sims >= tau_micros) & lower).any(axis=1)
+    return keep

@@ -9908,12 +9908,13 @@ def semdedup_corpus(sf_dir: str):
     keep-one-per-duplicate-set policy). Pairwise work is bounded by
     cell size BY CONSTRUCTION — that is the whole point of SemDeDup:
     at 100 TB, k scales with the corpus (k ≈ n/target_cell_size) so
-    the per-cell matmul stays constant-sized, cells are hive
-    partitions processed independently, and no cross-cell pair is ever
-    formed. The similarity gate compares int64 micros in BOTH engines
-    (rule 4), so a 1-ulp float gap cannot flip the kept set."""
+    the per-cell matmul stays constant-sized (and BLOCKED — see
+    functions.similarity.semdedup_keep_mask — so a hot cell never
+    materializes an m² matrix), cells are hive partitions processed
+    independently, and no cross-cell pair is ever formed. The
+    similarity gate compares int64 micros in BOTH engines (rule 4), so
+    a 1-ulp float gap cannot flip the kept set."""
     from ..functions.ivf import IVFIndex
-    from ..functions.similarity import _emb_matrix
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     tag = sf_dir.strip("/").replace("/", "_")
@@ -9924,25 +9925,8 @@ def semdedup_corpus(sf_dir: str):
             rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
             idx_dir, k=8, iters=4, seed=17))
 
-    def per_cell(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["vec_id"].combine_chunks()).astype(np.int64)
-        order = np.argsort(ids)  # keep-first = lowest vec_id wins
-        ids = ids[order]
-        x = _emb_matrix(g, "embedding")[order]
-        n = np.sqrt((x * x).sum(axis=1))
-        n[n == 0] = 1.0
-        simm = to_micros((x @ x.T) / np.outer(n, n))
-        dup = np.tril(simm >= SEMDEDUP_T_MICROS, -1).any(axis=1)
-        cid = int(g["cid"][0].as_py())
-        return pa.table({
-            "vec_id": pa.array(ids, pa.int64()),
-            "cell": pa.array(np.full(len(ids), cid, np.int64)),
-            "keep": pa.array((~dup).astype(np.int64)),
-        })
-
-    t = (rd.read_parquet(os.path.join(idx_dir, "lists"))
-         .groupby("cid")
-         .map_groups(per_cell, batch_format="pyarrow")
+    idx = IVFIndex(idx_dir)
+    t = (idx.semdedup(SEMDEDUP_T_MICROS)  # one task per cell, NO shuffle
          .to_pandas()  # n rows at conformance scale; a sink at 100 TB
          .sort_values("vec_id"))
     return pa.table({
