@@ -376,3 +376,37 @@ def test_span_containing_bruteforce_and_sharded(pos_idx_001):
                                      max_gaps=6) == \
         eng.search_span_containing(["merge", "sort"], "join", 10,
                                    max_gaps=6)
+
+
+def test_semdedup_masks_tombstones_before_keep(ray_session, tmp_path):
+    """IVFIndex.semdedup under the delete lifecycle: a tombstoned
+    vector never surfaces in the output AND never poisons a survivor's
+    keep decision (the lowest-id cell-mate that caused a drop may be
+    deleted — the survivor must then be kept)."""
+    import ray.data as rd
+
+    from stacksearch_ray.functions.ivf import IVFIndex
+
+    rng = np.random.default_rng(5)
+    proto = rng.standard_normal(8)
+    # ids 0,1,2 are near-identical (one family); 3..20 are far
+    rows = [proto + 0.01 * rng.standard_normal(8) for _ in range(3)]
+    rows += [rng.standard_normal(8) * 2 for _ in range(18)]
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(21), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    }), src)
+    idx = IVFIndex.build(rd.read_parquet(src), str(tmp_path / "ivf"),
+                         k=3, iters=3, seed=17)
+    before = idx.semdedup(900_000).to_pandas().set_index("vec_id")
+    assert before.loc[0, "keep"] == 1  # keep-first
+    assert before.loc[1, "keep"] == 0 and before.loc[2, "keep"] == 0
+
+    idx.delete([0, 1])
+    after = idx.semdedup(900_000).to_pandas().set_index("vec_id")
+    assert 0 not in after.index and 1 not in after.index
+    # with both lower family members gone, 2 becomes the keeper
+    assert after.loc[2, "keep"] == 1
+    assert len(after) == len(before) - 2
