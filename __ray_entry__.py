@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_set_search": P.terms_set_search,
         "query_string_search": P.query_string_search,
         "simple_query_string_search": P.simple_query_string_search,
+        "match_bool_prefix_search": P.match_bool_prefix_search,
         "constant_score_search": P.constant_score_search,
         "span_near_search": P.span_near_search,
         "intervals_search": P.intervals_search,
@@ -128,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": P.bm25_topk_deleted,
         "delete_by_query_search": P.delete_by_query_search,
         "update_by_query_search": P.update_by_query_search,
+        "bulk_search": P.bulk_search,
         "rare_terms_agg": P.rare_terms_agg,
         "matrix_stats_agg": P.matrix_stats_agg,
         "weighted_avg_agg": P.weighted_avg_agg,
@@ -197,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": P.phrase_search,
         # keyword extraction / LM+entropy quality scores / mixing / decay
         "rrf_hybrid": P.rrf_hybrid,
+        "hybrid_linear_search": P.hybrid_linear_search,
         "tfidf_keywords": P.tfidf_keywords,
         "doc_entropy": P.doc_entropy,
         "bigram_logprob": P.bigram_logprob,
@@ -402,6 +405,11 @@ def oracle_sql() -> dict[str, str]:
         STEM_QUERY as _STEM_Q,
         SYN_GROUPS as _SYN_GROUPS,
         TITLE_K as P_TITLE_K,
+        BULK_DEL_ID as _BULK_DEL,
+        BULK_UPD_ID as _BULK_UPD,
+        BULK_NEW_ID as _BULK_NEW,
+        BULK_UPD_SUFFIX as _BULK_SUF,
+        BULK_NEW_TEXT as _BULK_NEW_TXT,
         CF_WT as _CF_WT,
         CF_WB as _CF_WB,
         PINNED_IDS as _PINNED_IDS,
@@ -2164,6 +2172,49 @@ SELECT doc_id, CAST(floor(rrf * 1e6 + 0.5) AS BIGINT) AS rrf_micros,
        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
+        # score-based linear hybrid: min-max normalize each leg's
+        # top-10 MICROS window, fuse 0.7·lex + 0.3·sem, missing leg 0.0
+        "hybrid_linear_search": bm25_scores_sql(BM25_QUERY) + """,
+rb AS (SELECT doc_id, sm, r FROM (
+         SELECT doc_id,
+                CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS sm,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         FROM scores) WHERE r <= 10),
+h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept),
+w AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS bucket,
+             sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+      FROM h GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM w GROUP BY doc_id),
+qh AS (SELECT md5_number_lower(term) AS h FROM qterms),
+qw AS (SELECT CAST(h % 64 AS BIGINT) AS bucket,
+              sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+       FROM qh GROUP BY bucket),
+qn AS (SELECT sqrt(sum(w * w)) AS n FROM qw),
+dots AS (SELECT w.doc_id, sum(w.w * qw.w) AS dot
+         FROM w JOIN qw USING (bucket) GROUP BY w.doc_id),
+sims AS (SELECT n.doc_id, coalesce(d.dot, 0) / (n.n * qn.n) AS sim
+         FROM norms n LEFT JOIN dots d ON n.doc_id = d.doc_id
+         CROSS JOIN qn WHERE n.n > 0 AND qn.n > 0),
+rk AS (SELECT doc_id, sm, r FROM (
+         SELECT doc_id,
+                CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sm,
+                row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+         FROM sims) WHERE r <= 10),
+bs AS (SELECT min(sm) AS lo, max(sm) AS hi FROM rb),
+ks AS (SELECT min(sm) AS lo, max(sm) AS hi FROM rk),
+fused AS (
+  SELECT coalesce(rb.doc_id, rk.doc_id) AS doc_id,
+         0.7 * coalesce(CASE WHEN bs.hi = bs.lo THEN 1.0
+                  ELSE (rb.sm - bs.lo)::DOUBLE / (bs.hi - bs.lo) END, 0.0)
+         + 0.3 * coalesce(CASE WHEN ks.hi = ks.lo THEN 1.0
+                  ELSE (rk.sm - ks.lo)::DOUBLE / (ks.hi - ks.lo) END, 0.0)
+             AS f
+  FROM rb FULL OUTER JOIN rk ON rb.doc_id = rk.doc_id
+  CROSS JOIN bs CROSS JOIN ks)
+SELECT doc_id, CAST(floor(f * 1e6 + 0.5) AS BIGINT) AS fused_micros,
+       CAST(row_number() OVER (ORDER BY f DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM fused ORDER BY f DESC, doc_id ASC LIMIT 10""",
         "tfidf_keywords": f"""
 WITH {kept},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),
@@ -3572,6 +3623,25 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # ES _bulk: the oracle reconstructs the post-batch corpus —
+        # minus the deleted id, the replaced doc rewritten, the created
+        # doc appended (the conflicting create never lands)
+        "bulk_search": bm25_scores_sql(
+            BM25_QUERY, table="surv",
+            pre=f"""surv AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN ({_BULK_DEL}, {_BULK_UPD})
+  UNION ALL
+  SELECT doc_id, text || '{_BULK_SUF}' FROM documents
+  WHERE doc_id = {_BULK_UPD}
+  UNION ALL
+  SELECT {_BULK_NEW}, '{_BULK_NEW_TXT}'),"""
+        ) + """
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10""",
         # ES matrix_stats: pairwise sample cov + Pearson corr from one
         # pass of HUGEINT sufficient statistics (same scaling and float
         # expression order as the driver: quantity as-is, price whole
@@ -4313,6 +4383,44 @@ fl AS (SELECT doc_id,
 m AS (SELECT f.doc_id FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
       WHERE ((ph.doc_id IS NOT NULL AND f.h_stream) OR f.h_spark)
         AND NOT f.h_quer)
+SELECT m.doc_id,
+       CAST(floor(coalesce(s.score, 0.0) * 1e6 + 0.5) AS BIGINT)
+           AS score_micros,
+       CAST(row_number() OVER (ORDER BY coalesce(s.score, 0.0) DESC,
+                               m.doc_id ASC) AS BIGINT) AS rank
+FROM m LEFT JOIN scores s ON s.doc_id = m.doc_id
+ORDER BY coalesce(s.score, 0.0) DESC, m.doc_id ASC LIMIT 10"""
+    # match_bool_prefix: SHOULD disjunction, 'str%' prefix filter-only
+    oracles["match_bool_prefix_search"] = f"""
+WITH {kept},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term, boost) AS (VALUES ('merge', 1.0), ('sort', 1.0)),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * qterms.boost)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN qterms USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+fl AS (SELECT doc_id,
+              bool_or(term = 'merge') AS h_merge,
+              bool_or(term = 'sort') AS h_sort,
+              bool_or(term LIKE 'str%') AS h_str
+       FROM kept GROUP BY doc_id),
+m AS (SELECT doc_id FROM fl WHERE h_merge OR h_sort OR h_str)
 SELECT m.doc_id,
        CAST(floor(coalesce(s.score, 0.0) * 1e6 + 0.5) AS BIGINT)
            AS score_micros,

@@ -1724,3 +1724,88 @@ def compact_index(index_dir: str, term_buckets: int = 32,
 
     write_seg_bucket_map(index_dir)  # compaction replaced every file
     return stats
+
+
+def bulk_apply(index_dir: str, ops: list[dict]) -> dict:
+    """ES ``_bulk`` analog: ONE mixed batch of actions —
+    ``{"op": "index"|"create"|"update"|"delete", <id_col>: id, ...doc
+    fields}`` — applied to a live index with the ES per-item result
+    contract. Actions fold SEQUENTIALLY per id against the index's
+    alive set ("create" after an in-batch "delete" of the same id
+    succeeds; "create" on an alive id is a per-item ``conflict`` that
+    does NOT abort the batch — the ES 409 item result; "update"
+    requires the doc to exist and replaces it whole — stored fields
+    are full documents here; "delete" of a missing id reports
+    ``not_found`` and is a no-op). The net effect then applies as ONE
+    delete_from_index + ONE upsert_to_index — the MERGE-batch shape: a
+    bulk request is client-bounded by definition, so the per-item fold
+    is driver-side, while the delete/purge/append legs stay the proven
+    distributed paths. Returns {"items": per-item results, "stats":
+    final index stats}."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .build import load_stats
+
+    recover_segments(index_dir)
+    recover_appends(index_dir)
+    recover_purges(index_dir)
+    stats = load_stats(index_dir)
+    id_col = stats.get("id_col", "doc_id")
+    batch_ids = sorted({int(o[id_col]) for o in ops})
+    docs_dir = os.path.join(index_dir, "docs")
+    present = pq.read_table(docs_dir, columns=["doc_id"],
+                            filters=[("doc_id", "in", batch_ids)])
+    tombs = set(np.asarray(load_tombstones(index_dir, stats)).tolist())
+    alive = set(np.asarray(present["doc_id"].combine_chunks())
+                .astype(np.int64).tolist()) - tombs
+
+    items: list[dict] = []
+    final: dict[int, dict | None] = {}  # id → doc (write) | None (del)
+
+    def cur_alive(did: int) -> bool:
+        if did in final:
+            return final[did] is not None
+        return did in alive
+
+    for i, op in enumerate(ops):
+        action = op["op"]
+        did = int(op[id_col])
+        if action == "create":
+            if cur_alive(did):
+                items.append({"item": i, "op": action, "id": did,
+                              "result": "conflict"})
+                continue
+            final[did] = {k: v for k, v in op.items() if k != "op"}
+            items.append({"item": i, "op": action, "id": did,
+                          "result": "created"})
+        elif action == "index":
+            res = "updated" if cur_alive(did) else "created"
+            final[did] = {k: v for k, v in op.items() if k != "op"}
+            items.append({"item": i, "op": action, "id": did,
+                          "result": res})
+        elif action == "update":
+            if not cur_alive(did):
+                items.append({"item": i, "op": action, "id": did,
+                              "result": "document_missing"})
+                continue
+            final[did] = {k: v for k, v in op.items() if k != "op"}
+            items.append({"item": i, "op": action, "id": did,
+                          "result": "updated"})
+        elif action == "delete":
+            res = "deleted" if cur_alive(did) else "not_found"
+            final[did] = None
+            items.append({"item": i, "op": action, "id": did,
+                          "result": res})
+        else:
+            raise ValueError(f"unknown bulk op {action!r}")
+
+    del_ids = [d for d, v in final.items() if v is None and d in alive]
+    writes = [v for v in final.values() if v is not None]
+    if del_ids:
+        delete_from_index(index_dir, del_ids)
+    if writes:
+        upsert_to_index(rd.from_arrow(pa.Table.from_pylist(writes)),
+                        index_dir)
+    return {"items": items, "stats": load_stats(index_dir)}

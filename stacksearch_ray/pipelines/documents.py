@@ -10001,3 +10001,118 @@ def span_containing_search(sf_dir: str):
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
+
+
+MBP_TEXT = "merge sort str"  # last token is the as-you-type prefix
+
+
+def match_bool_prefix_search(sf_dir: str):
+    """ES ``match_bool_prefix`` (search-as-you-type): SHOULD
+    disjunction of the analyzed terms with the LAST as a prefix —
+    docs with merge OR sort OR any 'str…' term, BM25-scored over the
+    full terms only (prefix filters, never scores), zero-scored
+    matches last (QueryEngine.search_match_bool_prefix)."""
+    eng = _index_for(sf_dir)
+    res = eng.search_match_bool_prefix(MBP_TEXT, 10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })
+
+
+HYB_WL, HYB_WS = 0.7, 0.3  # lexical / semantic fusion weights
+
+
+def hybrid_linear_search(sf_dir: str):
+    """ES linear hybrid retriever (normalizer=minmax): the BM25
+    lexical top-10 and the hash-embedding cosine top-10 are each
+    min-max normalized WITHIN their leg's window, then fused as
+    wl·norm_lex + ws·norm_sem (missing leg contributes 0.0) — the
+    score-based sibling of rrf_hybrid (rank-based). Normalization runs
+    on the legs' int64 MICROS (identical inputs in both engines), so
+    the only float work is (v−lo)/(hi−lo) and the weighted sum —
+    identical expression order to the SQL mirror. A degenerate window
+    (hi == lo) normalizes to 1.0 (every doc is the leg's best)."""
+    bt = bm25_topk(sf_dir)
+    b_micros = dict(zip(bt["doc_id"].to_pylist(),
+                        bt["score_micros"].to_pylist()))
+    kt = _hashed_cosine_top10(sf_dir, BM25_QUERY)
+    k_micros = {int(d): int(to_micros(sv))
+                for d, sv in zip(kt["doc_id"], kt["sim"])}
+
+    def norm(m: dict) -> dict:
+        lo, hi = min(m.values()), max(m.values())
+        if hi == lo:
+            return {d: 1.0 for d in m}
+        return {d: (v - lo) / (hi - lo) for d, v in m.items()}
+
+    nb = norm(b_micros) if b_micros else {}
+    nk = norm(k_micros) if k_micros else {}
+    docs = sorted(set(nb) | set(nk))
+    fused = np.array([HYB_WL * nb.get(d, 0.0) + HYB_WS * nk.get(d, 0.0)
+                      for d in docs])
+    ids = np.array(docs, dtype=np.int64)
+    order = np.lexsort((ids, -fused))[:10]
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "fused_micros": pa.array(to_micros(fused[order]), pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+    })
+
+
+BULK_DEL_ID, BULK_UPD_ID = 3, 1
+BULK_NEW_ID, BULK_CONFLICT_ID = 900001, 5
+BULK_UPD_SUFFIX = " bulk merge sort"
+BULK_NEW_TEXT = "bulk merge sort stream window fresh"
+
+
+def bulk_search(sf_dir: str):
+    """ES ``_bulk`` surfaced end-to-end: build over ALL documents, then
+    apply ONE mixed batch — delete doc 3, index (replace) doc 1 with a
+    suffix-extended text, create a brand-new doc 900001, and a
+    CONFLICTING create on alive doc 5 (per-item 409, batch continues) —
+    via append.bulk_apply (sequential per-id fold → one delete + one
+    upsert), then run the fixed BM25 query. Oracle: the bm25 chain
+    over the reconstructed corpus (minus 3, doc 1 rewritten, plus the
+    new doc; doc 5 untouched) — the bulk-applied index must match it
+    bitwise (the upsert rebuild contract)."""
+    from ..append import bulk_apply
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(CACHE_ROOT, tag, "index_bulk")
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_bulk():
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
+        build_index(_docs(sf_dir), index_dir, content_col="text",
+                    id_col="doc_id", meta_cols=(),
+                    num_shards=4, term_buckets=16)
+        old = pq.read_table(_docs(sf_dir),
+                            filters=[("doc_id", "=", BULK_UPD_ID)],
+                            columns=["text"])["text"][0].as_py()
+        out = bulk_apply(index_dir, [
+            {"op": "delete", "doc_id": BULK_DEL_ID},
+            {"op": "index", "doc_id": BULK_UPD_ID,
+             "text": old + BULK_UPD_SUFFIX},
+            {"op": "create", "doc_id": BULK_NEW_ID,
+             "text": BULK_NEW_TEXT},
+            {"op": "create", "doc_id": BULK_CONFLICT_ID,
+             "text": "never applied"},
+        ])
+        results = [it["result"] for it in out["items"]]
+        assert results == ["deleted", "updated", "created",
+                           "conflict"], results
+        open(done, "w").close()
+
+    _ensure_built(done, _build_bulk)
+    eng = QueryEngine(index_dir)
+    res = eng.search(BM25_QUERY, 10, method="auto")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+    })

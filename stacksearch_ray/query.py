@@ -999,6 +999,21 @@ class QueryEngine:
                     res.append((int(d), 0.0))
         return res
 
+    def search_match_bool_prefix(self, text: str, k: int = 10
+                                 ) -> list[tuple[int, float]]:
+        """ES ``match_bool_prefix``: every analyzed term is a SHOULD
+        term clause except the LAST, which matches as a prefix — the
+        search-as-you-type disjunction ("merge sort st" hits docs with
+        merge OR sort OR any st… term). Expressed on the query_string
+        machinery: full terms score BM25, the prefix atom filters but
+        never scores (Lucene's constant-score multi-term rewrite),
+        zero-scored matches rank last."""
+        terms = clean_query(text, max_tokens=None)
+        if not terms:
+            return []
+        atoms = terms[:-1] + [terms[-1] + "*"]
+        return self.search_query_string(" OR ".join(atoms), k)
+
     def search_simple_query_string(self, qs: str, k: int = 10,
                                    default_operator: str = "or"
                                    ) -> list[tuple[int, float]]:
@@ -3177,6 +3192,16 @@ class ShardedQueryEngine:
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    def search_match_bool_prefix(self, text: str, k: int = 10
+                                 ) -> list[tuple[int, float]]:
+        """Distributed match_bool_prefix: translation is driver-side,
+        the disjunction fans out through distributed query_string."""
+        terms = clean_query(text, max_tokens=None)
+        if not terms:
+            return []
+        atoms = terms[:-1] + [terms[-1] + "*"]
+        return self.search_query_string(" OR ".join(atoms), k)
 
     def search_simple_query_string(self, qs: str, k: int = 10,
                                    default_operator: str = "or"

@@ -410,3 +410,59 @@ def test_semdedup_masks_tombstones_before_keep(ray_session, tmp_path):
     # with both lower family members gone, 2 becomes the keeper
     assert after.loc[2, "keep"] == 1
     assert len(after) == len(before) - 2
+
+
+# ---------------- _bulk ----------------
+
+
+def test_bulk_apply_sequential_fold_and_rebuild_identity(ray_session,
+                                                         tmp_path):
+    """bulk_apply: per-item ES result contract (conflict / not_found /
+    document_missing never abort the batch), SEQUENTIAL per-id folding
+    (delete-then-create of the same id succeeds), and the final index
+    answers bitwise like a from-scratch rebuild of the net corpus."""
+    from stacksearch_ray.append import bulk_apply
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    texts = ["merge sort algorithm", "binary merge tree",
+             "hash join plan", "sort merge join", "stream window agg",
+             "filter batch spark"]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, content_col="text", id_col="doc_id",
+                meta_cols=(), num_shards=2, term_buckets=4)
+
+    out = bulk_apply(idx, [
+        {"op": "delete", "doc_id": 0},
+        {"op": "create", "doc_id": 0, "text": "reborn merge doc"},
+        {"op": "create", "doc_id": 1, "text": "never lands"},
+        {"op": "update", "doc_id": 99, "text": "missing"},
+        {"op": "update", "doc_id": 2, "text": "hash join rewritten"},
+        {"op": "index", "doc_id": 7, "text": "brand new stream doc"},
+        {"op": "delete", "doc_id": 42},
+    ])
+    assert [i["result"] for i in out["items"]] == [
+        "deleted", "created", "conflict", "document_missing",
+        "updated", "created", "not_found"]
+
+    # net corpus: 0 reborn, 1 untouched, 2 rewritten, 3-5 untouched, +7
+    net = {0: "reborn merge doc", 1: texts[1],
+           2: "hash join rewritten", 3: texts[3], 4: texts[4],
+           5: texts[5], 7: "brand new stream doc"}
+    ref_src = str(tmp_path / "ref.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(net), pa.int64()),
+        "text": pa.array([net[d] for d in sorted(net)], pa.string()),
+    }), ref_src)
+    ref_idx = str(tmp_path / "ref_idx")
+    build_index(ref_src, ref_idx, content_col="text", id_col="doc_id",
+                meta_cols=(), num_shards=2, term_buckets=4)
+    e, r = QueryEngine(idx), QueryEngine(ref_idx)
+    for q in ("merge sort join", "stream window", "hash", "reborn"):
+        assert e.search(q, 10, "exhaustive") == \
+            r.search(q, 10, "exhaustive"), q
