@@ -230,3 +230,80 @@ def test_query_string_random_trees(dsl_index, tree):
     ref = dict(eng.search_boosted(bmap, N_DOCS + 10)) if bmap else {}
     for d, s in got:
         assert s == ref.get(d, 0.0), (expr, d)
+
+
+# ---- simple_query_string: random levels with MUST_NOT hoisting ----
+# reference: an INDEPENDENT per-doc evaluator of the Lucene
+# SimpleQueryParser semantics — at each paren level, positives fold
+# into AND-runs OR'd together, '-'-negated clauses exclude at the
+# level, an empty/no-positive group is an always-False clause (and its
+# negation excludes nothing) — compared doc-for-doc with the engine's
+# translate-and-search path.
+
+def _sqs_level(depth):
+    atom = st.one_of(
+        st.tuples(st.just("t"), st.integers(0, 7)),
+        st.tuples(st.just("p"), st.integers(0, 7)),
+    )
+    if depth > 0:
+        atom = st.one_of(
+            atom, st.tuples(st.just("g"), st.deferred(
+                lambda: _sqs_level(depth - 1))))
+    item = st.tuples(st.sampled_from([None, "|", "+"]),
+                     st.booleans(), atom)
+    return st.lists(item, min_size=1, max_size=4)
+
+
+def _sqs_render(level, vocab):
+    parts = []
+    for i, (op, neg, atom) in enumerate(level):
+        if i > 0 and op is not None:
+            parts.append(op)
+        parts.append(("-" if neg else "") + _sqs_atom_render(atom, vocab))
+    return " ".join(parts)
+
+
+def _sqs_atom_render(atom, vocab):
+    if atom[0] == "t":
+        return vocab[atom[1]]
+    if atom[0] == "p":
+        return vocab[atom[1]][:3] + "*"
+    return "(" + _sqs_render(atom[1], vocab) + ")"
+
+
+def _sqs_eval_atom(atom, vocab, term_set):
+    if atom[0] == "t":
+        return vocab[atom[1]] in term_set
+    if atom[0] == "p":
+        pre = vocab[atom[1]][:3]
+        return any(t.startswith(pre) for t in term_set)
+    return _sqs_eval_level(atom[1], vocab, term_set)
+
+
+def _sqs_eval_level(level, vocab, term_set, default_op="|"):
+    runs, negatives = [], []
+    for i, (op, neg, atom) in enumerate(level):
+        if neg:
+            negatives.append(atom)
+            continue
+        eff = default_op if (i == 0 or op is None) else op
+        if eff == "+" and runs:
+            runs[-1].append(atom)
+        else:
+            runs.append([atom])
+    pos = any(all(_sqs_eval_atom(a, vocab, term_set) for a in run)
+              for run in runs)
+    return pos and not any(_sqs_eval_atom(n, vocab, term_set)
+                           for n in negatives)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_sqs_level(2))
+def test_simple_query_string_random_levels(dsl_index, level):
+    eng, toks, vocab = dsl_index
+    qs = _sqs_render(level, vocab)
+    res = eng.search_simple_query_string(qs, len(toks))
+    got = sorted(d for d, _ in res)
+    want = sorted(d for d, ts in toks.items()
+                  if ts and _sqs_eval_level(level, vocab, set(ts)))
+    assert got == want, qs
