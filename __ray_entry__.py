@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": P.term_vectors,
         "dsir_weights": P.dsir_weights,
         "query_completion": P.query_completion,
+        "context_completion": P.context_completion,
         "synonym_search": P.synonym_search,
         "fielded_search": P.fielded_search,
         "prf_search": P.prf_search,
@@ -957,6 +958,28 @@ FROM dl""",
             BM25_QUERY, 10, P_TITLE_K, _CF_WT, _CF_WB),
         "term_vectors": term_vectors_sql(_TV_DOC),
         "dsir_weights": dsir_weights_sql(_DSIR_LANG, _DSIR_K),
+        "context_completion": f"""
+WITH {token_list_cte()},
+pairs AS (
+  SELECT d.lang AS ctx,
+         unnest(t.toks[1:len(t.toks) - 1]) AS prefix,
+         unnest(t.toks[2:]) AS term
+  FROM doc_toks t JOIN documents d USING (doc_id)
+  WHERE d.lang IN (SELECT unnest(['en', 'es']))
+),
+cnt AS (
+  SELECT ctx, prefix, term, count(*)::BIGINT AS c FROM pairs
+  WHERE prefix IN (SELECT unnest(['merge', 'sort', 'window']))
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT ctx, prefix, term, c, CAST(row_number() OVER (
+      PARTITION BY ctx, prefix ORDER BY c DESC, term ASC) AS BIGINT)
+      AS rank
+  FROM cnt
+)
+SELECT ctx, prefix, term, c, rank FROM r WHERE rank <= {_QC_K}
+ORDER BY ctx, prefix, rank""",
         "query_completion": f"""
 WITH {token_list_cte()},
 pairs AS (

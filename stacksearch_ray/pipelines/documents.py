@@ -10116,3 +10116,76 @@ def bulk_search(sf_dir: str):
                                  pa.int64()),
         "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
     })
+
+
+CTX_LANGS = ("en", "es")  # completion contexts (ES category contexts)
+
+
+def context_completion(sf_dir: str):
+    """ES completion suggester with CATEGORY CONTEXTS: next-word
+    suggestions computed PER (lang, prefix) — a query box scoped to a
+    language sees only that language's bigram statistics. Same
+    map-side zero-copy pair counting as query_completion with the
+    context column carried through the partial sums; ≤ |contexts| ·
+    |prefixes| · vocab rows ever shuffle."""
+    prefixes = pa.array(sorted(COMPLETION_PREFIXES), pa.string())
+    ctxs = pa.array(sorted(CTX_LANGS), pa.string())
+
+    def part(b: pa.Table) -> pa.Table:
+        empty = pa.table({"ctx": pa.array([], pa.string()),
+                          "prefix": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        keep_doc = pc.is_in(b["lang"].combine_chunks(), value_set=ctxs)
+        b = b.filter(keep_doc)
+        if b.num_rows == 0:
+            return empty
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        m = len(flat) - 1
+        if m <= 0:
+            return empty
+        valid = doc_idx[:m] == doc_idx[1:]
+        first, second = flat.slice(0, m), flat.slice(1, m)
+        keep = pc.and_(pa.array(valid),
+                       pc.is_in(first, value_set=prefixes))
+        langs = b["lang"].combine_chunks().take(
+            pa.array(doc_idx[:m], pa.int64())).filter(keep)
+        first, second = first.filter(keep), second.filter(keep)
+        if len(first) == 0:
+            return empty
+        df = pd.DataFrame({"ctx": langs.to_pylist(),
+                           "prefix": first.to_pylist(),
+                           "term": second.to_pylist()})
+        g = (df.groupby(["ctx", "prefix", "term"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        return pa.table({
+            "ctx": pa.array(g["ctx"].to_numpy(dtype=object)),
+            "prefix": pa.array(g["prefix"].to_numpy(dtype=object)),
+            "term": pa.array(g["term"].to_numpy(dtype=object)),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+        })
+
+    parts = (rd.read_parquet(_docs(sf_dir), columns=["text", "lang"])
+             .map_batches(part, batch_format="pyarrow").to_pandas())
+    out = {c: [] for c in ("ctx", "prefix", "term", "c", "rank")}
+    if len(parts):
+        cnt = (parts.groupby(["ctx", "prefix", "term"],
+                             as_index=False)["c"].sum())
+        for cx in sorted(set(cnt["ctx"])):
+            for p in sorted(set(cnt[cnt["ctx"] == cx]["prefix"])):
+                g = cnt[(cnt["ctx"] == cx) & (cnt["prefix"] == p)]
+                order = np.lexsort((g["term"].to_numpy(dtype=object),
+                                    -g["c"].to_numpy(np.int64)))
+                g = g.iloc[order[:COMPLETION_K]]
+                out["ctx"] += [cx] * len(g)
+                out["prefix"] += [p] * len(g)
+                out["term"] += g["term"].tolist()
+                out["c"] += g["c"].tolist()
+                out["rank"] += list(range(1, len(g) + 1))
+    return pa.table({
+        "ctx": pa.array(out["ctx"], pa.string()),
+        "prefix": pa.array(out["prefix"], pa.string()),
+        "term": pa.array(out["term"], pa.string()),
+        "c": pa.array(out["c"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })
