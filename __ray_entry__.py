@@ -2227,10 +2227,12 @@ bs AS (SELECT min(sm) AS lo, max(sm) AS hi FROM rb),
 ks AS (SELECT min(sm) AS lo, max(sm) AS hi FROM rk),
 fused AS (
   SELECT coalesce(rb.doc_id, rk.doc_id) AS doc_id,
-         0.7 * coalesce(CASE WHEN bs.hi = bs.lo THEN 1.0
-                  ELSE (rb.sm - bs.lo)::DOUBLE / (bs.hi - bs.lo) END, 0.0)
-         + 0.3 * coalesce(CASE WHEN ks.hi = ks.lo THEN 1.0
-                  ELSE (rk.sm - ks.lo)::DOUBLE / (ks.hi - ks.lo) END, 0.0)
+         0.7 * (CASE WHEN rb.sm IS NULL THEN 0.0
+                     WHEN bs.hi = bs.lo THEN 1.0
+                     ELSE (rb.sm - bs.lo)::DOUBLE / (bs.hi - bs.lo) END)
+         + 0.3 * (CASE WHEN rk.sm IS NULL THEN 0.0
+                       WHEN ks.hi = ks.lo THEN 1.0
+                       ELSE (rk.sm - ks.lo)::DOUBLE / (ks.hi - ks.lo) END)
              AS f
   FROM rb FULL OUTER JOIN rk ON rb.doc_id = rk.doc_id
   CROSS JOIN bs CROSS JOIN ks)

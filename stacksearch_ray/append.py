@@ -1742,10 +1742,6 @@ def bulk_apply(index_dir: str, ops: list[dict]) -> dict:
     is driver-side, while the delete/purge/append legs stay the proven
     distributed paths. Returns {"items": per-item results, "stats":
     final index stats}."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from .build import load_stats
 
     recover_segments(index_dir)

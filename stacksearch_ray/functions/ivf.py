@@ -258,8 +258,10 @@ class IVFIndex:
         @ray.remote
         def compact_cell(cid: int, src_dirs: list[str], out_dir: str,
                          tomb) -> int:
+            pa.set_cpu_count(1)  # rule 3: no Arrow pool per fanned task
             ts = ray.get(tomb) if not isinstance(tomb, np.ndarray) else tomb
-            tabs = [pq.read_table(d, columns=[id_col, emb_col])
+            tabs = [pq.read_table(d, columns=[id_col, emb_col],
+                                  use_threads=False)
                     for d in src_dirs]
             t = pa.concat_tables(tabs)
             ids = np.asarray(t[id_col].combine_chunks()).astype(np.int64)
@@ -313,9 +315,11 @@ class IVFIndex:
 
         @ray.remote
         def dedup_cell(cid: int, src_dirs: list[str], tomb) -> pa.Table:
+            pa.set_cpu_count(1)  # rule 3: no Arrow pool per fanned task
             ts = ray.get(tomb) if not isinstance(tomb, np.ndarray) else tomb
             t = pa.concat_tables([
-                pq.read_table(d, columns=[id_col, emb_col])
+                pq.read_table(d, columns=[id_col, emb_col],
+                              use_threads=False)
                 for d in src_dirs])
             ids = np.asarray(t[id_col].combine_chunks()).astype(np.int64)
             if len(ts):

@@ -6545,20 +6545,32 @@ COMPLETION_PREFIXES = ("merge", "sort", "window")
 COMPLETION_K = 3
 
 
-def query_completion(sf_dir: str):
-    """Search-as-you-type next-word suggestion: for each prefix term,
-    the top-3 following terms by adjacent-bigram count over the corpus
-    ((count desc, term asc) tie-break) — the suggest-next-token surface
-    a query box needs, mined from the corpus itself. The prefix filter
-    runs map-side on zero-copy token-array slices, so only the
-    (prefix, next) pair counts — ≤ |prefixes|·vocab rows — ever reach
-    the driver."""
+def _completion_suggestions(sf_dir: str,
+                            ctx_langs: tuple | None = None) -> pa.Table:
+    """Shared next-word suggestion kernel behind query_completion and
+    context_completion: map-side adjacent-bigram counting over
+    zero-copy token-array slices, prefix-filtered to
+    COMPLETION_PREFIXES, optionally keyed by a language CONTEXT column
+    (ES category contexts); per (ctx?, prefix) top-COMPLETION_K by
+    (count desc, term asc). Only (ctx?, prefix, next) pair counts —
+    ≤ |contexts|·|prefixes|·vocab rows — ever reach the driver."""
     prefixes = pa.array(sorted(COMPLETION_PREFIXES), pa.string())
+    ctxs = (pa.array(sorted(ctx_langs), pa.string())
+            if ctx_langs is not None else None)
+    keys = (["ctx"] if ctxs is not None else []) + ["prefix", "term"]
 
     def part(b: pa.Table) -> pa.Table:
-        empty = pa.table({"prefix": pa.array([], pa.string()),
-                          "term": pa.array([], pa.string()),
-                          "c": pa.array([], pa.int64())})
+        cols = {"prefix": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64())}
+        if ctxs is not None:
+            cols = {"ctx": pa.array([], pa.string()), **cols}
+        empty = pa.table(cols)
+        if ctxs is not None:
+            b = b.filter(pc.is_in(b["lang"].combine_chunks(),
+                                  value_set=ctxs))
+            if b.num_rows == 0:
+                return empty
         flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
         m = len(flat) - 1
         if m <= 0:
@@ -6567,40 +6579,51 @@ def query_completion(sf_dir: str):
         first, second = flat.slice(0, m), flat.slice(1, m)
         keep = pc.and_(pa.array(valid),
                        pc.is_in(first, value_set=prefixes))
-        first, second = first.filter(keep), second.filter(keep)
-        if len(first) == 0:
+        data = {"prefix": first.filter(keep).to_pylist(),
+                "term": second.filter(keep).to_pylist()}
+        if not data["prefix"]:
             return empty
-        df = pd.DataFrame({"prefix": first.to_pylist(),
-                           "term": second.to_pylist()})
-        g = (df.groupby(["prefix", "term"], as_index=False)
+        if ctxs is not None:
+            data = {"ctx": b["lang"].combine_chunks().take(
+                pa.array(doc_idx[:m], pa.int64())).filter(keep)
+                .to_pylist(), **data}
+        g = (pd.DataFrame(data).groupby(keys, as_index=False)
              .size().rename(columns={"size": "c"}))
-        return pa.table({
-            "prefix": pa.array(g["prefix"].to_numpy(dtype=object)),
-            "term": pa.array(g["term"].to_numpy(dtype=object)),
-            "c": pa.array(g["c"].to_numpy(np.int64)),
-        })
+        out = {k: pa.array(g[k].to_numpy(dtype=object)) for k in keys[:-1]}
+        out["term"] = pa.array(g["term"].to_numpy(dtype=object))
+        out["c"] = pa.array(g["c"].to_numpy(np.int64))
+        return pa.table(out)
 
-    parts = (rd.read_parquet(_docs(sf_dir), columns=["text"])
+    cols = ["text"] + (["lang"] if ctxs is not None else [])
+    parts = (rd.read_parquet(_docs(sf_dir), columns=cols)
              .map_batches(part, batch_format="pyarrow").to_pandas())
-    out = {c: [] for c in ("prefix", "term", "c", "rank")}
+    group_keys = keys[:-1]  # (ctx?, prefix)
+    out = {c: [] for c in keys + ["c", "rank"]}
     if len(parts):
-        cnt = (parts.groupby(["prefix", "term"], as_index=False)["c"]
-               .sum())
-        for p in sorted(set(cnt["prefix"])):
-            g = cnt[cnt["prefix"] == p]
+        cnt = parts.groupby(keys, as_index=False)["c"].sum()
+        gk = cnt[group_keys].apply(tuple, axis=1)
+        for key in sorted(set(gk)):
+            g = cnt[gk == key]
             order = np.lexsort((g["term"].to_numpy(dtype=object),
                                 -g["c"].to_numpy(np.int64)))
             g = g.iloc[order[:COMPLETION_K]]
-            out["prefix"].extend(g["prefix"])
-            out["term"].extend(g["term"])
+            for k in keys:
+                out[k].extend(g[k])
             out["c"].extend(int(x) for x in g["c"])
             out["rank"].extend(range(1, len(g) + 1))
-    return pa.table({
-        "prefix": pa.array(out["prefix"], pa.string()),
-        "term": pa.array(out["term"], pa.string()),
-        "c": pa.array(out["c"], pa.int64()),
-        "rank": pa.array(out["rank"], pa.int64()),
-    })
+    cols_out = {k: pa.array(out[k], pa.string()) for k in keys}
+    cols_out["c"] = pa.array(out["c"], pa.int64())
+    cols_out["rank"] = pa.array(out["rank"], pa.int64())
+    return pa.table(cols_out)
+
+
+def query_completion(sf_dir: str):
+    """Search-as-you-type next-word suggestion: for each prefix term,
+    the top-3 following terms by adjacent-bigram count over the corpus
+    ((count desc, term asc) tie-break) — the suggest-next-token surface
+    a query box needs, mined from the corpus itself
+    (_completion_suggestions kernel)."""
+    return _completion_suggestions(sf_dir)
 
 
 DECON_MOD = 50
@@ -10059,6 +10082,75 @@ def hybrid_linear_search(sf_dir: str):
         "fused_micros": pa.array(to_micros(fused[order]), pa.int64()),
         "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
     })
+
+
+BULK_DEL_ID, BULK_UPD_ID = 3, 1
+BULK_NEW_ID, BULK_CONFLICT_ID = 900001, 5
+BULK_UPD_SUFFIX = " bulk merge sort"
+BULK_NEW_TEXT = "bulk merge sort stream window fresh"
+
+
+def bulk_search(sf_dir: str):
+    """ES ``_bulk`` surfaced end-to-end: build over ALL documents, then
+    apply ONE mixed batch — delete doc 3, index (replace) doc 1 with a
+    suffix-extended text, create a brand-new doc 900001, and a
+    CONFLICTING create on alive doc 5 (per-item 409, batch continues) —
+    via append.bulk_apply (sequential per-id fold → one delete + one
+    upsert), then run the fixed BM25 query. Oracle: the bm25 chain
+    over the reconstructed corpus (minus 3, doc 1 rewritten, plus the
+    new doc; doc 5 untouched) — the bulk-applied index must match it
+    bitwise (the upsert rebuild contract)."""
+    from ..append import bulk_apply
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(CACHE_ROOT, tag, "index_bulk")
+    done = index_dir + "._done"  # multi-step build → explicit marker
+
+    def _build_bulk():
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
+        build_index(_docs(sf_dir), index_dir, content_col="text",
+                    id_col="doc_id", meta_cols=(),
+                    num_shards=4, term_buckets=16)
+        old = pq.read_table(_docs(sf_dir),
+                            filters=[("doc_id", "=", BULK_UPD_ID)],
+                            columns=["text"])["text"][0].as_py()
+        out = bulk_apply(index_dir, [
+            {"op": "delete", "doc_id": BULK_DEL_ID},
+            {"op": "index", "doc_id": BULK_UPD_ID,
+             "text": old + BULK_UPD_SUFFIX},
+            {"op": "create", "doc_id": BULK_NEW_ID,
+             "text": BULK_NEW_TEXT},
+            {"op": "create", "doc_id": BULK_CONFLICT_ID,
+             "text": "never applied"},
+        ])
+        results = [it["result"] for it in out["items"]]
+        assert results == ["deleted", "updated", "created",
+                           "conflict"], results
+        open(done, "w").close()
+
+    _ensure_built(done, _build_bulk)
+    eng = QueryEngine(index_dir)
+    res = eng.search(BM25_QUERY, 10, method="auto")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res],
+                                 pa.int64()),
+        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
+    })
+
+
+CTX_LANGS = ("en", "es")  # completion contexts (ES category contexts)
+
+
+def context_completion(sf_dir: str):
+    """ES completion suggester with CATEGORY CONTEXTS: next-word
+    suggestions computed PER (lang, prefix) — a query box scoped to a
+    language sees only that language's bigram statistics
+    (_completion_suggestions kernel with the context column threaded
+    through the partial sums)."""
+    return _completion_suggestions(sf_dir, CTX_LANGS)
 
 
 BULK_DEL_ID, BULK_UPD_ID = 3, 1
