@@ -466,3 +466,42 @@ def test_bulk_apply_sequential_fold_and_rebuild_identity(ray_session,
     for q in ("merge sort join", "stream window", "hash", "reborn"):
         assert e.search(q, 10, "exhaustive") == \
             r.search(q, 10, "exhaustive"), q
+
+
+def test_hybrid_linear_degenerate_window_matches_oracle(ray_session,
+                                                        tmp_path):
+    """Regression (review finding): when a leg's min-max window is
+    DEGENERATE (hi == lo — here the lexical leg matches exactly one
+    doc), a doc ABSENT from that leg must fuse with 0.0 for it, not
+    the degenerate 1.0 — entry and DuckDB oracle must agree on a
+    crafted corpus that actually exercises the branch."""
+    import duckdb
+
+    import __ray_entry__ as entry_mod
+    from stacksearch_ray.pipelines import documents as docs_mod
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    texts = ["merge sort join stream window",   # the ONLY lexical match
+             "alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+             "kappa lam mu", "nu xi omicron", "alpha delta eta"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(sf, "documents.parquet"))
+
+    # precondition: the lexical window is truly degenerate
+    bt = docs_mod.bm25_topk(sf).to_pandas()
+    assert bt["score_micros"].nunique() == 1
+
+    got = docs_mod.hybrid_linear_search(sf).to_pandas()
+    # semantic-only docs must appear (the branch under test)
+    assert set(got["doc_id"]) - set(bt["doc_id"])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(sf, 'documents.parquet')}'")
+    want = con.sql(entry_mod.oracle_sql()["hybrid_linear_search"]).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["fused_micros"].tolist() == \
+        want["fused_micros"].astype(int).tolist()
