@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats_agg": P.match_stats_agg,
         "match_histogram": P.match_histogram,
         "significant_terms": P.significant_terms,
+        "significant_text_agg": P.significant_text_agg,
         "feature_boost_search": P.feature_boost_search,
         "spellfix_search": P.spellfix_search,
         "ir_eval": P.ir_eval,
@@ -3199,6 +3200,35 @@ df AS (SELECT term, count(DISTINCT doc_id) AS bg,
               count(DISTINCT CASE WHEN doc_id IN (SELECT doc_id FROM m)
                              THEN doc_id END) AS fg
        FROM kept GROUP BY term),
+r AS (SELECT term, bg, fg,
+             CAST(floor(((fg::DOUBLE / stats.n_fg)
+                         / (bg::DOUBLE / stats.n_bg)) * 1e6 + 0.5)
+                  AS BIGINT) AS ratio_micros
+      FROM df CROSS JOIN stats WHERE fg > 0)
+SELECT term, CAST(fg AS BIGINT) AS fg_df, CAST(bg AS BIGINT) AS bg_df,
+       ratio_micros
+FROM r ORDER BY ratio_micros DESC, term ASC LIMIT {_SIG_K}""",
+        # significant_text: the significant_terms chain restricted to
+        # exact-duplicate-text representatives (min doc_id per text) on
+        # BOTH fg and bg sides — filter_duplicate_text
+        "significant_text_agg": f"""
+WITH {kept},
+rep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+kt AS (SELECT k.doc_id, k.term FROM kept k JOIN rep USING (doc_id)),
+s AS (SELECT doc_id,
+             bool_or(term = 'merge')  AS h_merge,
+             bool_or(term = 'sort')   AS h_sort,
+             bool_or(term = 'join')   AS h_join,
+             bool_or(term = 'window') AS h_window
+      FROM kt GROUP BY doc_id),
+m AS (SELECT doc_id FROM s
+      WHERE (h_merge AND h_sort) OR (h_join AND NOT h_window)),
+stats AS (SELECT (SELECT count(DISTINCT doc_id) FROM kt) AS n_bg,
+                 (SELECT count(*) FROM m) AS n_fg),
+df AS (SELECT term, count(DISTINCT doc_id) AS bg,
+              count(DISTINCT CASE WHEN doc_id IN (SELECT doc_id FROM m)
+                             THEN doc_id END) AS fg
+       FROM kt GROUP BY term),
 r AS (SELECT term, bg, fg,
              CAST(floor(((fg::DOUBLE / stats.n_fg)
                          / (bg::DOUBLE / stats.n_bg)) * 1e6 + 0.5)

@@ -10281,3 +10281,78 @@ def context_completion(sf_dir: str):
         "c": pa.array(out["c"], pa.int64()),
         "rank": pa.array(out["rank"], pa.int64()),
     })
+
+
+def significant_text_agg(sf_dir: str):
+    """ES ``significant_text`` aggregation: significant_terms with
+    ``filter_duplicate_text`` — each DISTINCT text counts at most once
+    (representative = lowest doc_id per content hash,
+    functions.dedup.exact_dedup_drop_ids), so a copy-pasted doc can
+    never inflate a term's significance. Dedup applies to BOTH
+    foreground and background counts here (both come from the same
+    corpus pass — numerator and denominator stay on one doc universe;
+    ES leaves bg as raw index stats, a documented deviation). Same
+    one-pass fg/bg chain as significant_terms over the surviving
+    docs; the drop-set broadcast is sized by the duplicate count (the
+    dedup_corpus pattern)."""
+    from ..functions.dedup import exact_dedup_drop_ids
+    from ..query import sorted_member_mask
+
+    src = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    ddf = exact_dedup_drop_ids(src).to_pandas()  # sized by dup count
+    drop = (np.sort(ddf["doc_id"].to_numpy(np.int64))
+            if len(ddf) else np.empty(0, np.int64))
+    eng = _index_for(sf_dir)
+    matched = eng.search_boolean_dsl(BOOL_DSL)
+    matched = matched[~sorted_member_mask(drop, matched)]
+    n_fg = len(matched)
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "fg_df": pa.array([], pa.int64()),
+                      "bg_df": pa.array([], pa.int64()),
+                      "ratio_micros": pa.array([], pa.int64())})
+    if n_fg == 0:
+        return empty
+
+    NDOCS_KEY = "\x00ndocs"
+
+    def flags(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        b = b.filter(pa.array(~sorted_member_mask(drop, ids)))
+        if b.num_rows == 0:  # all-duplicate batch: typed empty partial
+            return pa.table({"term": pa.array([], pa.string()),
+                             "bg": pa.array([], pa.int64()),
+                             "fg": pa.array([], pa.int64())})
+        tf = term_frequencies(b["text"].combine_chunks())
+        doc_ids = np.asarray(b["doc_id"].combine_chunks()
+                             ).astype(np.int64)[tf.doc_idx]
+        fg = sorted_member_mask(matched, doc_ids).astype(np.int64)
+        t = pa.table({"term": tf.terms, "bg": np.ones(len(fg), np.int64),
+                      "fg": fg})
+        part = _partial_sums(t, ["term"], {"bg": "bg", "fg": "fg"})
+        sent = pa.table({"term": pa.array([NDOCS_KEY], pa.string()),
+                         "bg": pa.array([len(np.unique(tf.doc_idx))],
+                                        pa.int64()),
+                         "fg": pa.array([0], pa.int64())})
+        return pa.concat_tables([part, sent])
+
+    t = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+         .map_batches(flags, batch_format="pyarrow")
+         .groupby("term").aggregate(Sum("bg", alias_name="bg"),
+                                    Sum("fg", alias_name="fg"))
+         .to_pandas())  # vocab-sized (bounded), documented
+    sent = t[t["term"] == NDOCS_KEY]
+    n_bg = int(sent["bg"].iloc[0]) if len(sent) else 0
+    t = t[(t["term"] != NDOCS_KEY) & (t["fg"] > 0)]
+    if n_bg == 0 or len(t) == 0:
+        return empty
+    ratio = ((t["fg"].to_numpy().astype(np.float64) / n_fg)
+             / (t["bg"].to_numpy().astype(np.float64) / n_bg))
+    t = t.assign(ratio_micros=np.floor(ratio * 1e6 + 0.5).astype(np.int64))
+    t = t.sort_values(["ratio_micros", "term"],
+                      ascending=[False, True]).head(SIG_K)
+    return pa.table({
+        "term": pa.array(t["term"].tolist(), pa.string()),
+        "fg_df": pa.array(t["fg"].tolist(), pa.int64()),
+        "bg_df": pa.array(t["bg"].tolist(), pa.int64()),
+        "ratio_micros": pa.array(t["ratio_micros"].tolist(), pa.int64()),
+    })

@@ -505,3 +505,39 @@ def test_hybrid_linear_degenerate_window_matches_oracle(ray_session,
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["fused_micros"].tolist() == \
         want["fused_micros"].astype(int).tolist()
+
+
+def test_significant_text_counts_duplicate_text_once(ray_session,
+                                                     tmp_path):
+    """significant_text vs significant_terms on a corpus with PLANTED
+    exact-duplicate texts: the duplicated matched doc inflates the
+    plain fg_df but counts ONCE under filter_duplicate_text, and the
+    dedup applies to bg too (both-sides variant, documented)."""
+    import stacksearch_ray.pipelines.documents as docs_mod
+
+    # BOOL_DSL matched set needs (merge AND sort) OR (join AND NOT
+    # window); the dup'd doc matches via merge+sort and carries the
+    # marker term 'spark'
+    texts = (["merge sort spark alpha"] * 4
+             + ["join beta gamma", "merge delta", "sort epsilon",
+                "window join zeta", "eta theta"])
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(sf, "documents.parquet"))
+
+    plain = docs_mod.significant_terms(sf).to_pandas().set_index("term")
+    dedup = docs_mod.significant_text_agg(sf).to_pandas().set_index("term")
+    # plain: 4 copies each contribute fg+bg for 'spark'
+    assert plain.loc["spark", "fg_df"] == 4
+    assert plain.loc["spark", "bg_df"] == 4
+    # filter_duplicate_text: the text counts once on both sides
+    assert dedup.loc["spark", "fg_df"] == 1
+    assert dedup.loc["spark", "bg_df"] == 1
+    # brute-force ratio replay on the deduped universe:
+    # reps = docs 0,4,5,6,7,8 (6 docs); matched = {0 (merge+sort),
+    # 4 (join, no window)} → n_fg=2, n_bg=6
+    assert dedup.loc["spark", "ratio_micros"] == \
+        int(np.floor(((1 / 2) / (1 / 6)) * 1e6 + 0.5))
