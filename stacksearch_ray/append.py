@@ -1726,37 +1726,15 @@ def compact_index(index_dir: str, term_buckets: int = 32,
     return stats
 
 
-def bulk_apply(index_dir: str, ops: list[dict]) -> dict:
-    """ES ``_bulk`` analog: ONE mixed batch of actions —
-    ``{"op": "index"|"create"|"update"|"delete", <id_col>: id, ...doc
-    fields}`` — applied to a live index with the ES per-item result
-    contract. Actions fold SEQUENTIALLY per id against the index's
-    alive set ("create" after an in-batch "delete" of the same id
-    succeeds; "create" on an alive id is a per-item ``conflict`` that
-    does NOT abort the batch — the ES 409 item result; "update"
-    requires the doc to exist and replaces it whole — stored fields
-    are full documents here; "delete" of a missing id reports
-    ``not_found`` and is a no-op). The net effect then applies as ONE
-    delete_from_index + ONE upsert_to_index — the MERGE-batch shape: a
-    bulk request is client-bounded by definition, so the per-item fold
-    is driver-side, while the delete/purge/append legs stay the proven
-    distributed paths. Returns {"items": per-item results, "stats":
-    final index stats}."""
-    from .build import load_stats
-
-    recover_segments(index_dir)
-    recover_appends(index_dir)
-    recover_purges(index_dir)
-    stats = load_stats(index_dir)
-    id_col = stats.get("id_col", "doc_id")
-    batch_ids = sorted({int(o[id_col]) for o in ops})
-    docs_dir = os.path.join(index_dir, "docs")
-    present = pq.read_table(docs_dir, columns=["doc_id"],
-                            filters=[("doc_id", "in", batch_ids)])
-    tombs = set(np.asarray(load_tombstones(index_dir, stats)).tolist())
-    alive = set(np.asarray(present["doc_id"].combine_chunks())
-                .astype(np.int64).tolist()) - tombs
-
+def fold_bulk_ops(ops: list[dict], alive: set, id_col: str
+                  ) -> tuple[list[dict], dict]:
+    """The pure sequential fold behind bulk_apply (ES per-item result
+    contract): given the initially-alive id set, walk the batch in
+    order tracking per-id liveness, and return (per-item results,
+    final per-id effect) where the effect is the doc dict to write or
+    None for delete — the LAST successful action per id wins. Separated
+    from the I/O so the contract is property-testable against a
+    sequential one-op-at-a-time simulator."""
     items: list[dict] = []
     final: dict[int, dict | None] = {}  # id → doc (write) | None (del)
 
@@ -1796,7 +1774,41 @@ def bulk_apply(index_dir: str, ops: list[dict]) -> dict:
                           "result": res})
         else:
             raise ValueError(f"unknown bulk op {action!r}")
+    return items, final
 
+
+def bulk_apply(index_dir: str, ops: list[dict]) -> dict:
+    """ES ``_bulk`` analog: ONE mixed batch of actions —
+    ``{"op": "index"|"create"|"update"|"delete", <id_col>: id, ...doc
+    fields}`` — applied to a live index with the ES per-item result
+    contract. Actions fold SEQUENTIALLY per id against the index's
+    alive set ("create" after an in-batch "delete" of the same id
+    succeeds; "create" on an alive id is a per-item ``conflict`` that
+    does NOT abort the batch — the ES 409 item result; "update"
+    requires the doc to exist and replaces it whole — stored fields
+    are full documents here; "delete" of a missing id reports
+    ``not_found`` and is a no-op). The net effect then applies as ONE
+    delete_from_index + ONE upsert_to_index — the MERGE-batch shape: a
+    bulk request is client-bounded by definition, so the per-item fold
+    is driver-side, while the delete/purge/append legs stay the proven
+    distributed paths. Returns {"items": per-item results, "stats":
+    final index stats}."""
+    from .build import load_stats
+
+    recover_segments(index_dir)
+    recover_appends(index_dir)
+    recover_purges(index_dir)
+    stats = load_stats(index_dir)
+    id_col = stats.get("id_col", "doc_id")
+    batch_ids = sorted({int(o[id_col]) for o in ops})
+    docs_dir = os.path.join(index_dir, "docs")
+    present = pq.read_table(docs_dir, columns=["doc_id"],
+                            filters=[("doc_id", "in", batch_ids)])
+    tombs = set(np.asarray(load_tombstones(index_dir, stats)).tolist())
+    alive = set(np.asarray(present["doc_id"].combine_chunks())
+                .astype(np.int64).tolist()) - tombs
+
+    items, final = fold_bulk_ops(ops, alive, id_col)
     del_ids = [d for d, v in final.items() if v is None and d in alive]
     writes = [v for v in final.values() if v is not None]
     if del_ids:

@@ -307,3 +307,56 @@ def test_simple_query_string_random_levels(dsl_index, level):
     want = sorted(d for d, ts in toks.items()
                   if ts and _sqs_eval_level(level, vocab, set(ts)))
     assert got == want, qs
+
+
+# ---- bulk fold: random batches vs a one-op-at-a-time simulator ----
+
+_bulk_op = st.tuples(
+    st.sampled_from(["index", "create", "update", "delete"]),
+    st.integers(0, 9))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(st.integers(0, 9), max_size=6),
+       st.lists(_bulk_op, max_size=12))
+def test_bulk_fold_random_batches(alive0, raw_ops):
+    """fold_bulk_ops == a naive simulator that applies one op at a
+    time to a dict-of-docs store, for every random (initial alive set,
+    op sequence): per-item results AND the net final state agree."""
+    from stacksearch_ray.append import fold_bulk_ops
+
+    ops = [{"op": a, "doc_id": d, "text": f"{a}-{d}-{i}"}
+           for i, (a, d) in enumerate(raw_ops)]
+    items, final = fold_bulk_ops(ops, set(alive0), "doc_id")
+
+    # naive simulator: store maps id → doc|None; None = deleted
+    store = {d: {"doc_id": d, "text": "orig"} for d in alive0}
+    want_items = []
+    for i, op in enumerate(ops):
+        a, d = op["op"], op["doc_id"]
+        doc = {k: v for k, v in op.items() if k != "op"}
+        exists = store.get(d) is not None and d in store
+        if a == "create":
+            if exists:
+                want_items.append("conflict")
+            else:
+                store[d] = doc
+                want_items.append("created")
+        elif a == "index":
+            want_items.append("updated" if exists else "created")
+            store[d] = doc
+        elif a == "update":
+            if exists:
+                store[d] = doc
+                want_items.append("updated")
+            else:
+                want_items.append("document_missing")
+        else:  # delete
+            want_items.append("deleted" if exists else "not_found")
+            store[d] = None
+    assert [it["result"] for it in items] == want_items
+    # net effect: every touched id's final doc/delete state agrees
+    for d, eff in final.items():
+        assert store[d] == eff or (eff is None and store[d] is None)
+    # untouched alive ids never appear in the effect map
+    assert set(final) <= {d for _, d in raw_ops}
