@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_terms_agg": P.multi_terms_agg,
         "top_metrics_agg": P.top_metrics_agg,
         "diversified_sampler_agg": P.diversified_sampler_agg,
+        "sampler_agg": P.sampler_agg,
+        "ip_range_agg": P.ip_range_agg,
+        "moving_percentiles_pipeline": P.moving_percentiles_pipeline,
         "cumulative_sum_pipeline": P.cumulative_sum_pipeline,
         "serial_diff_pipeline": P.serial_diff_pipeline,
         "bucket_script_pipeline": P.bucket_script_pipeline,
@@ -4595,6 +4598,41 @@ SELECT doc_id, source,
        CAST(row_number() OVER (ORDER BY h ASC, doc_id ASC) AS BIGINT)
            AS rank
 FROM k ORDER BY h ASC, doc_id ASC LIMIT 10"""
+    from stacksearch_ray.pipelines.documents import (
+        IP_RANGE_EDGES as _IPR_E,
+        MOVP_W as _MOVP_W,
+        SAMPLER_PLAIN_K as _SAMP_K,
+    )
+    # plain sampler: hash-ordered K-sample (no diversity cap) feeding a
+    # per-lang sub-agg; same uint64-exact hi/lo ordering trick
+    oracles["sampler_agg"] = f"""
+WITH h AS (SELECT doc_id, lang, n_chars,
+                  md5_number_lower('samp:' || CAST(doc_id AS VARCHAR))
+                      AS h
+           FROM documents),
+r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY h ASC, doc_id ASC) AS rn
+      FROM h),
+k AS (SELECT lang, n_chars FROM r WHERE rn <= {_SAMP_K})
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT)
+           AS avg_chars_micros
+FROM k GROUP BY lang ORDER BY lang"""
+    oracles["ip_range_agg"] = f"""
+WITH ip AS (
+  SELECT CAST(md5_number_lower('ip:' || CAST(c_custkey AS VARCHAR))
+              % 4294967296 AS BIGINT) AS ip
+  FROM customer),
+b AS (SELECT ip, CASE WHEN ip < {_IPR_E[0]} THEN 0
+                      WHEN ip < {_IPR_E[1]} THEN 1
+                      WHEN ip < {_IPR_E[2]} THEN 2
+                      ELSE 3 END AS bucket
+      FROM ip)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(ip) AS BIGINT) AS min_ip,
+       CAST(max(ip) AS BIGINT) AS max_ip
+FROM b GROUP BY bucket ORDER BY bucket"""
     _monthly = """
 WITH b AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
                   count(*) AS n
@@ -4642,6 +4680,16 @@ SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
                  ELSE (n - lo) * 1000000 // (hi - lo) END AS BIGINT)
            AS norm_micros
 FROM b CROSS JOIN mm ORDER BY y, m"""
+    oracles["moving_percentiles_pipeline"] = _monthly + f""",
+w AS (SELECT y, m, n,
+             list_sort(list(n) OVER (ORDER BY y, m
+                 ROWS BETWEEN {_MOVP_W - 1} PRECEDING AND CURRENT ROW))
+                 AS win
+      FROM b)
+SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n,
+       CAST(win[(len(win) + 1) // 2] AS BIGINT) AS moving_median
+FROM w ORDER BY y, m"""
     oracles["bucket_sort_pipeline"] = _monthly + f""",
 r AS (SELECT y, m, n,
              row_number() OVER (ORDER BY n DESC, y ASC, m ASC) AS pos

@@ -10356,3 +10356,117 @@ def significant_text_agg(sf_dir: str):
         "bg_df": pa.array(t["bg"].tolist(), pa.int64()),
         "ratio_micros": pa.array(t["ratio_micros"].tolist(), pa.int64()),
     })
+
+
+SAMPLER_PLAIN_K = 100  # plain sampler shard_size
+
+
+def sampler_agg(sf_dir: str):
+    """ES ``sampler`` aggregation: a deterministic SAMPLER_PLAIN_K-doc
+    sample by the reproducible per-doc hash (md5-low64 of
+    'samp:'||doc_id — the diversified_sampler convention WITHOUT the
+    per-source diversity cap), feeding a sub-aggregation per lang
+    (count + integer floor-avg n_chars) — ES returns the sub-agg over
+    the sample, not the sample itself. Map-side per-block top-K keeps
+    the driver fold at blocks×K candidates."""
+    from ..functions.dedup import md5_low64
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        h = md5_low64(np.array([f"samp:{i}" for i in ids], dtype=object)
+                      ).astype(np.uint64)
+        df = pd.DataFrame({
+            "doc_id": ids,
+            "lang": b["lang"].combine_chunks().to_pylist(),
+            "n_chars": np.asarray(b["n_chars"].combine_chunks()
+                                  ).astype(np.int64),
+            "h_hi": (h >> np.uint64(32)).astype(np.int64),
+            "h_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        })
+        df = df.sort_values(["h_hi", "h_lo", "doc_id"]
+                            ).head(SAMPLER_PLAIN_K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = (rd.read_parquet(_docs(sf_dir),
+                             columns=["doc_id", "lang", "n_chars"])
+             .map_batches(part, batch_format="pyarrow")
+             .to_pandas())  # ≤ blocks × K
+    kept = cands.sort_values(["h_hi", "h_lo", "doc_id"]
+                             ).head(SAMPLER_PLAIN_K)
+    g = (kept.groupby("lang", as_index=False)
+         .agg(n=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+         .sort_values("lang"))
+    return pa.table({
+        "lang": pa.array(g["lang"].tolist(), pa.string()),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "avg_chars_micros": pa.array(
+            g["sum_chars"].to_numpy(np.int64) * 1_000_000
+            // g["n"].to_numpy(np.int64)),
+    })
+
+
+IP_RANGE_EDGES = (1 << 30, 2 << 30, 3 << 30)  # 64.0.0.0 / 128.* / 192.*
+
+
+def ip_range_agg(sf_dir: str):
+    """ES ``ip_range`` aggregation over hash-derived IPv4 addresses
+    (md5-low64 of 'ip:'||c_custkey mod 2³² — the repo's synthetic-
+    attribute convention, geo_distance's sibling): bucket counts +
+    min/max address per range, all integer. Map-side partial sums per
+    bucket; ≤ 4 rows shuffle per batch."""
+    from ..functions.dedup import md5_low64
+
+    edges = np.array(IP_RANGE_EDGES, dtype=np.int64)
+
+    def part(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["c_custkey"].combine_chunks()).astype(np.int64)
+        ip = (md5_low64(np.array([f"ip:{c}" for c in ck], dtype=object))
+              % np.uint64(1 << 32)).astype(np.int64)
+        bucket = np.searchsorted(edges, ip, side="right").astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "ip": ip})
+        g = (df.groupby("bucket", as_index=False)
+             .agg(n=("ip", "size"), min_ip=("ip", "min"),
+                  max_ip=("ip", "max")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min
+
+    t = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+         .map_batches(part, batch_format="pyarrow")
+         .groupby("bucket")
+         .aggregate(Sum("n", alias_name="n"),
+                    Min("min_ip", alias_name="min_ip"),
+                    Max("max_ip", alias_name="max_ip"))
+         .to_pandas().sort_values("bucket"))
+    return pa.table({
+        "bucket": pa.array(t["bucket"].to_numpy(np.int64)),
+        "n": pa.array(t["n"].to_numpy(np.int64)),
+        "min_ip": pa.array(t["min_ip"].to_numpy(np.int64)),
+        "max_ip": pa.array(t["max_ip"].to_numpy(np.int64)),
+    })
+
+
+MOVP_W = 6  # moving_percentiles window (buckets, incl. current)
+
+
+def moving_percentiles_pipeline(sf_dir: str):
+    """ES ``moving_percentiles`` pipeline aggregation (the median
+    case): over the monthly order histogram in (y, m) order, the LOWER
+    MEDIAN of the trailing MOVP_W-bucket window — integer-exact (the
+    sorted window's element at 1-based position (len+1)//2, so both
+    engines pick the same element; no interpolation)."""
+    t = orders_by_month(sf_dir).to_pandas()
+    order = np.lexsort((t["m"].to_numpy(), t["y"].to_numpy()))
+    t = t.iloc[order].reset_index(drop=True)
+    n = t["n_orders"].to_numpy(np.int64)
+    med = np.empty(len(n), np.int64)
+    for i in range(len(n)):
+        win = np.sort(n[max(0, i - MOVP_W + 1):i + 1])
+        med[i] = win[(len(win) - 1) // 2]  # lower median
+    return pa.table({
+        "y": pa.array(t["y"].to_numpy(np.int64)),
+        "m": pa.array(t["m"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "moving_median": pa.array(med),
+    })
