@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_vocab_match": P.fuzzy_vocab_match,
         "global_shuffle": P.global_shuffle,
         "more_like_this": P.more_like_this,
+        "mlt_unlike_search": P.mlt_unlike_search,
         "bpe_merges": P.bpe_merges,
         "bpe_encode_stats": P.bpe_encode_stats,
         "ingest_dedup": P.ingest_dedup,
@@ -410,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         STEM_QUERY as _STEM_Q,
         SYN_GROUPS as _SYN_GROUPS,
         TITLE_K as P_TITLE_K,
+        MLT_UNLIKE_DOC as _MLT_UNLIKE,
         BULK_DEL_ID as _BULK_DEL,
         BULK_UPD_ID as _BULK_UPD,
         BULK_NEW_ID as _BULK_NEW,
@@ -2826,6 +2828,42 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
            AS rank
 FROM scores WHERE doc_id <> {_MLT_DOC}
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # MLT with unlike: the negative doc's terms veto candidates;
+        # both example docs filtered from the results
+        "mlt_unlike_search": f"""
+WITH {kept},
+tfq AS (SELECT term, count(*) AS tf FROM kept WHERE doc_id = {_MLT_DOC}
+        GROUP BY 1),
+veto AS (SELECT DISTINCT term FROM kept
+         WHERE doc_id = {_MLT_UNLIKE}),
+dfall AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+q AS (SELECT tfq.term
+      FROM tfq JOIN dfall USING (term) CROSS JOIN nd
+      WHERE tfq.term NOT IN (SELECT term FROM veto)
+      ORDER BY tfq.tf::DOUBLE * ln(nd.n::DOUBLE / dfall.df::DOUBLE) DESC,
+               tfq.term ASC LIMIT 5),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM kept
+       WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * ((1.2 + 1.0) * tf.tf
+                 / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * (dl.dl / stats.avgdl)))) )
+           AS score
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM scores WHERE doc_id NOT IN ({_MLT_DOC}, {_MLT_UNLIKE})
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "bpe_merges": (_bpe_prefix
                        + f"\nSELECT * FROM ({_bpe_steps}) ORDER BY step"),

@@ -10470,3 +10470,50 @@ def moving_percentiles_pipeline(sf_dir: str):
         "n": pa.array(n),
         "moving_median": pa.array(med),
     })
+
+
+MLT_UNLIKE_DOC = 2
+
+
+def mlt_unlike_search(sf_dir: str):
+    """ES ``more_like_this`` with ``unlike``: the negative example's
+    terms VETO candidate terms — the query is the top-5 TF-IDF terms
+    of MLT_DOC drawn after dropping every term the unlike doc
+    contains, and both example docs are filtered from the results.
+    Same term-selection and retrieval chain as more_like_this
+    otherwise (integer tf/df ties, bitwise-shared ln)."""
+    from ..text import clean_query
+
+    eng = _index_for(sf_dir)
+    t = pq.read_table(_docs(sf_dir), columns=["doc_id", "text"],
+                      filters=[("doc_id", "=", MLT_DOC)])
+    tf = term_frequencies(t["text"].combine_chunks())
+    terms = np.asarray(tf.vocab.to_pylist(), dtype=object)[tf.codes]
+    ut = pq.read_table(_docs(sf_dir), columns=["text"],
+                       filters=[("doc_id", "=", MLT_UNLIKE_DOC)])
+    veto = set(clean_query(ut["text"][0].as_py(), max_tokens=None))
+    keep = ~np.isin(terms, np.array(sorted(veto), dtype=object)) \
+        if veto else np.ones(len(terms), bool)
+    terms, tfs = terms[keep], tf.tf[keep]
+    if len(terms) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_micros": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    df_pd = term_df(sf_dir).to_pandas()  # vocab-sized
+    n_docs = pq.read_metadata(_docs(sf_dir)).num_rows
+    idf = pd.Series(
+        np.log(float(n_docs) / df_pd["df"].to_numpy(np.float64)),
+        index=df_pd["term"].to_numpy())
+    score = tfs.astype(np.float64) * idf.reindex(terms).to_numpy()
+    top = np.lexsort((terms, -score))[:5]
+    qterms = [str(x) for x in terms[top]]
+    res = eng.search(" ".join(qterms), 12, method="exhaustive")
+    out = [(d, s) for d, s in res
+           if d not in (MLT_DOC, MLT_UNLIKE_DOC)][:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in out], pa.int64()),
+        "score_micros": pa.array(
+            to_micros(np.array([s for _, s in out], np.float64)),
+            pa.int64()),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+    })
