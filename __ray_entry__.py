@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": P.shipping_priority,
         "returned_items": P.returned_items,
         "percolate": P.percolate,
+        "percolate_dsl": P.percolate_dsl,
         "snippet_windows": P.snippet_windows,
         "snippet_fragments": P.snippet_fragments,
         "hot_term_shards": P.hot_term_shards,
@@ -4524,6 +4525,30 @@ SELECT m.doc_id,
                                m.doc_id ASC) AS BIGINT) AS rank
 FROM m LEFT JOIN scores s ON s.doc_id = m.doc_id
 ORDER BY coalesce(s.score, 0.0) DESC, m.doc_id ASC LIMIT 10"""
+    # boolean-DSL percolation: one flags row per doc, four stored
+    # queries as WHERE clauses over the flags
+    oracles["percolate_dsl"] = f"""
+WITH {kept},
+fl AS (SELECT doc_id,
+              bool_or(term = 'merge')  AS h_merge,
+              bool_or(term = 'sort')   AS h_sort,
+              bool_or(term = 'join')   AS h_join,
+              bool_or(term = 'window') AS h_window,
+              bool_or(term = 'spark')  AS h_spark,
+              bool_or(term = 'batch')  AS h_batch,
+              bool_or(term = 'filter') AS h_filter,
+              bool_or(term LIKE 'quer%') AS h_quer,
+              bool_or(term = 'stream') AS h_stream
+       FROM kept GROUP BY doc_id)
+SELECT doc_id, CAST(query_id AS BIGINT) AS query_id FROM (
+  SELECT doc_id, 0 AS query_id FROM fl WHERE h_merge AND h_sort
+  UNION ALL
+  SELECT doc_id, 1 FROM fl WHERE h_join AND NOT h_window
+  UNION ALL
+  SELECT doc_id, 2 FROM fl WHERE (h_spark OR h_batch) AND h_filter
+  UNION ALL
+  SELECT doc_id, 3 FROM fl WHERE h_quer AND NOT h_stream)
+ORDER BY query_id, doc_id"""
     # --- ES aggregation parity (wave 10): extended/string stats,
     # boxplot, range/filters/multi_terms/top_metrics/sampler buckets,
     # cumulative_sum/serial_diff/bucket_script/max_bucket pipelines ---

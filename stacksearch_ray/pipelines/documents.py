@@ -10517,3 +10517,133 @@ def mlt_unlike_search(sf_dir: str):
             pa.int64()),
         "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
     })
+
+
+PERCOLATE_DSL_QUERIES = (
+    "merge AND sort",
+    "join AND NOT window",
+    "( spark OR batch ) AND filter",
+    "quer* AND NOT stream",
+)
+
+
+def _parse_bool_dsl(expr: str):
+    """Tiny recursive-descent parser for the boolean-DSL grammar
+    (AND / OR / NOT / parens / trailing-* prefix atoms) into an AST of
+    nested tuples — the percolation twin of search_boolean_dsl's
+    inline set-algebra walk (same grammar, but percolation needs the
+    TREE so each batch can evaluate it over membership masks)."""
+    import re as _re
+
+    toks = _re.findall(r"\(|\)|\S+", expr)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def atom():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        if t == "(":
+            v = or_expr()
+            if peek() != ")":
+                raise ValueError(f"expected ')' in {expr!r}")
+            pos += 1
+            return v
+        if t in (")", "AND", "OR", "NOT"):
+            raise ValueError(f"unexpected {t!r} in {expr!r}")
+        if t.endswith("*"):
+            return ("prefix", t[:-1])
+        return ("term", t)
+
+    def not_expr():
+        nonlocal pos
+        if peek() == "NOT":
+            pos += 1
+            return ("not", not_expr())
+        return atom()
+
+    def and_expr():
+        nonlocal pos
+        v = not_expr()
+        while peek() == "AND":
+            pos += 1
+            v = ("and", v, not_expr())
+        return v
+
+    def or_expr():
+        nonlocal pos
+        v = and_expr()
+        while peek() == "OR":
+            pos += 1
+            v = ("or", v, and_expr())
+        return v
+
+    out = or_expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {expr!r}")
+    return out
+
+
+def percolate_dsl(sf_dir: str):
+    """Boolean-DSL percolation: every doc matched against STORED
+    queries carrying full boolean structure (AND / OR / NOT / parens /
+    prefix* atoms) — the alerting upgrade over conjunctive percolate.
+    Pure map-side: per batch, ONE membership mask per distinct atom
+    (vectorized equality / starts_with scatter), then each stored
+    AST folds masks with numpy boolean ops; no index, no shuffle —
+    queries are the tiny side, the corpus streams once."""
+    asts = [_parse_bool_dsl(q) for q in PERCOLATE_DSL_QUERIES]
+
+    def atoms_of(node, acc):
+        if node[0] in ("term", "prefix"):
+            acc.add(node)
+        elif node[0] == "not":
+            atoms_of(node[1], acc)
+        else:
+            atoms_of(node[1], acc)
+            atoms_of(node[2], acc)
+        return acc
+
+    atoms = sorted(set().union(*[atoms_of(a, set()) for a in asts]))
+
+    def match(b: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
+        ids = np.asarray(b["doc_id"].combine_chunks()).astype(np.int64)
+        n = b.num_rows
+        masks = {}
+        for kind, val in atoms:
+            if kind == "term":
+                hit = np.asarray(pc.equal(flat, val)).astype(bool)
+            else:
+                hit = np.asarray(pc.starts_with(flat, val)).astype(bool)
+            has = np.zeros(n, dtype=bool)
+            has[doc_idx[hit]] = True
+            masks[(kind, val)] = has
+
+        def ev(node):
+            if node[0] in ("term", "prefix"):
+                return masks[node]
+            if node[0] == "not":
+                return ~ev(node[1])
+            a, b_ = ev(node[1]), ev(node[2])
+            return (a & b_) if node[0] == "and" else (a | b_)
+
+        out_d, out_q = [], []
+        for qi, ast in enumerate(asts):
+            ok = ev(ast)
+            out_d.append(ids[ok])
+            out_q.append(np.full(int(ok.sum()), qi, dtype=np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        })
+
+    t = (rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+         .map_batches(match, batch_format="pyarrow")
+         .to_pandas().sort_values(["query_id", "doc_id"]))
+    return pa.table({
+        "doc_id": pa.array(t["doc_id"].to_numpy(np.int64)),
+        "query_id": pa.array(t["query_id"].to_numpy(np.int64)),
+    })
