@@ -183,7 +183,8 @@ class QueryEngine:
     df comes from the term_dict (a subset's local df would skew idf);
     scores stay bitwise identical to the full engine."""
 
-    def __init__(self, index_dir: str, shard_subset: list[int] | None = None):
+    def __init__(self, index_dir: str, shard_subset: list[int] | None = None,
+                 request_cache: int = 0):
         from .append import recover_appends, recover_purges, recover_segments
 
         recover_segments(index_dir)  # heal interrupted compaction swaps
@@ -228,6 +229,18 @@ class QueryEngine:
         self._df_cache: dict[str, int] = {}
         self._dec_cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
         self._blk_cache: dict[tuple[str, int, int], tuple[np.ndarray, np.ndarray]] = {}
+        # ES-style request cache: memoize full search() results, LRU
+        # over ``request_cache`` entries (0 = off). Correct BY
+        # CONSTRUCTION: an open engine's view is frozen (mutations
+        # write new files + an atomic stats swap; this reader keeps
+        # serving its open snapshot — the serving_mutation drill pins
+        # that), so a cached result can never go stale within one
+        # engine lifetime. Fresh results appear by REOPENING, exactly
+        # like ES's per-segment request cache keyed on refresh.
+        from collections import OrderedDict
+
+        self._req_cache_size = int(request_cache)
+        self._req_cache: "OrderedDict[tuple, list]" = OrderedDict()
         self.max_cached_segments = 20_000
         # candidate-postings threshold below which vectorized exhaustive
         # scoring beats pruning scorers (method="auto"): NumPy TAAT costs
@@ -1905,7 +1918,26 @@ class QueryEngine:
 
         ``scorer``: a registry.py scorer name (§2.10 pluggable-ranking
         hook); non-bm25 scorers use the exhaustive path (block-max
-        metadata only upper-bounds BM25)."""
+        metadata only upper-bounds BM25).
+
+        With ``request_cache`` enabled at construction, results are
+        LRU-memoized on (query, k, method, scorer) — see __init__ for
+        the freshness contract."""
+        if self._req_cache_size:
+            key = (query, k, method, scorer)
+            hit = self._req_cache.get(key)
+            if hit is not None:
+                self._req_cache.move_to_end(key)
+                return list(hit)
+            res = self._search_uncached(query, k, method, scorer)
+            self._req_cache[key] = list(res)
+            if len(self._req_cache) > self._req_cache_size:
+                self._req_cache.popitem(last=False)
+            return res
+        return self._search_uncached(query, k, method, scorer)
+
+    def _search_uncached(self, query: str, k: int, method: str,
+                         scorer: str) -> list[tuple[int, float]]:
         terms = sorted(set(clean_query(query)))
         if not terms:
             return []

@@ -541,3 +541,49 @@ def test_significant_text_counts_duplicate_text_once(ray_session,
     # 4 (join, no window)} → n_fg=2, n_bg=6
     assert dedup.loc["spark", "ratio_micros"] == \
         int(np.floor(((1 / 2) / (1 / 6)) * 1e6 + 0.5))
+
+
+# ---------------- request cache ----------------
+
+
+def test_request_cache_identity_and_frozen_view(ray_session, tmp_path):
+    """Request cache: cached results are EQUAL to uncached ones and
+    survive LRU churn; an open cached engine keeps serving its frozen
+    snapshot across a live mutation (the documented contract), while a
+    REOPENED engine sees the new state."""
+    from stacksearch_ray.append import delete_from_index
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    texts = ["merge sort algorithm", "binary merge tree",
+             "hash join plan", "sort merge join", "stream window agg"]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, content_col="text", id_col="doc_id",
+                num_shards=2, term_buckets=4)
+
+    plain = QueryEngine(idx)
+    cached = QueryEngine(idx, request_cache=2)
+    queries = ["merge sort", "hash join", "stream", "merge"]
+    for q in queries:  # fills + churns the 2-entry LRU
+        assert cached.search(q, 10) == plain.search(q, 10), q
+    for q in queries:  # second pass: mix of hits and re-computes
+        assert cached.search(q, 10) == plain.search(q, 10), q
+    # mutation result isolation: cached copies are defensive
+    r = cached.search("merge", 10)
+    r.append(("tamper", 0.0))
+    assert cached.search("merge", 10)[-1] != ("tamper", 0.0)
+
+    before = cached.search("merge sort", 10)
+    delete_from_index(idx, [0])
+    # the open engine's view is frozen — cache stays consistent with it
+    assert cached.search("merge sort", 10) == before
+    # a reopened engine sees the post-delete state
+    fresh = QueryEngine(idx, request_cache=2)
+    after = fresh.search("merge sort", 10)
+    assert 0 not in [d for d, _ in after]
+    assert fresh.search("merge sort", 10) == after  # cached, post-state
