@@ -601,3 +601,36 @@ def idf(n_docs: int, df: int) -> float:
     """ln((N - df + 0.5)/(df + 0.5) + 1) — identical expression to the
     oracle (oracle.py) for bitwise score identity."""
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def index_disk_usage(index_dir: str) -> dict:
+    """Per-component on-disk byte accounting for one index (the ES
+    ``_disk_usage`` API analog): segments (postings + block-max
+    metadata + positional sidecar when present), docs sidecar,
+    term_dict, delete artifacts (tombstones/deleted-df parquets),
+    pruning sidecar, stats — plus totals and the n_docs denominator so
+    bytes/doc is one division away. Pure directory walk; no index
+    open."""
+    comp = {"segments": 0, "docs": 0, "term_dict": 0,
+            "delete_artifacts": 0, "sidecars": 0, "other": 0}
+    for root, _dirs, files in os.walk(index_dir):
+        rel = os.path.relpath(root, index_dir)
+        top = rel.split(os.sep, 1)[0]
+        for f in files:
+            sz = os.path.getsize(os.path.join(root, f))
+            if top == "segments":
+                comp["segments"] += sz
+            elif top == "docs":
+                comp["docs"] += sz
+            elif top == "term_dict":
+                comp["term_dict"] += sz
+            elif f.startswith(("tombstones-", "deleted-df-")):
+                comp["delete_artifacts"] += sz
+            elif f in ("seg_bucket_map.json", "alias.json"):
+                comp["sidecars"] += sz
+            else:
+                comp["other"] += sz
+    stats = load_stats(index_dir)
+    comp["total"] = sum(v for k, v in comp.items())
+    comp["n_docs"] = int(stats["n_docs"])
+    return comp

@@ -2916,7 +2916,7 @@ class ShardedQueryEngine:
 
     def __init__(self, index_dir: str, num_workers: int = 8,
                  num_cpus_per_worker: float = 1.0,
-                 route_terms: bool = False):
+                 route_terms: bool = False, request_cache: int = 0):
         import ray
 
         from .append import resolve_index_alias
@@ -2934,8 +2934,18 @@ class ShardedQueryEngine:
                                  for wi, c in enumerate(chunks)
                                  for s in c}
         self._route_bits: np.ndarray | None = None
+        # driver-side request cache over MERGED results (the workers'
+        # open views are frozen — the single-engine cache contract)
+        from collections import OrderedDict
+
+        self._req_cache_size = int(request_cache)
+        self._req_cache: "OrderedDict[tuple, list]" = OrderedDict()
         if route_terms:
             self.enable_term_routing()
+
+    def clear_request_cache(self) -> None:
+        """Drop every cached merged result (the ES clear-cache API)."""
+        self._req_cache.clear()
 
     def enable_term_routing(self, bits: int = 1 << 20) -> None:
         """Term-based shard selection (the resource-selection idea from
@@ -2980,11 +2990,22 @@ class ShardedQueryEngine:
                scorer: str = "bm25") -> list[tuple[int, float]]:
         import ray
 
+        if self._req_cache_size:
+            key = (query, k, method, scorer)
+            hit = self._req_cache.get(key)
+            if hit is not None:
+                self._req_cache.move_to_end(key)
+                return list(hit)
         futs = [w.search.remote(query, k, method, scorer)
                 for w in self._routed_workers([query])]
         merged = [r for part in ray.get(futs) for r in part]
         merged.sort(key=lambda x: (-x[1], x[0]))
-        return merged[:k]
+        merged = merged[:k]
+        if self._req_cache_size:
+            self._req_cache[(query, k, method, scorer)] = list(merged)
+            if len(self._req_cache) > self._req_cache_size:
+                self._req_cache.popitem(last=False)
+        return merged
 
     def explain(self, query: str, doc_id: int,
                 scorer: str = "bm25") -> dict:

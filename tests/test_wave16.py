@@ -587,3 +587,40 @@ def test_request_cache_identity_and_frozen_view(ray_session, tmp_path):
     after = fresh.search("merge sort", 10)
     assert 0 not in [d for d, _ in after]
     assert fresh.search("merge sort", 10) == after  # cached, post-state
+
+
+def test_sharded_request_cache_and_disk_usage(ray_session, tmp_path):
+    from stacksearch_ray.build import build_index, index_disk_usage
+    from stacksearch_ray.query import QueryEngine, ShardedQueryEngine
+
+    texts = ["merge sort algorithm", "binary merge tree",
+             "hash join plan", "sort merge join", "stream window agg",
+             "filter batch spark"]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, content_col="text", id_col="doc_id",
+                num_shards=4, term_buckets=4)
+
+    eng = QueryEngine(idx)
+    sh = ShardedQueryEngine(idx, num_workers=2, request_cache=2)
+    for q in ["merge sort", "hash join", "stream", "merge sort"]:
+        assert sh.search(q, 10) == eng.search(q, 10), q
+    r = sh.search("merge sort", 10)
+    r.append(("tamper", 0.0))
+    assert sh.search("merge sort", 10)[-1] != ("tamper", 0.0)
+    sh.clear_request_cache()
+    assert sh.search("merge sort", 10) == eng.search("merge sort", 10)
+
+    du = index_disk_usage(idx)
+    assert du["segments"] > 0 and du["docs"] > 0 and du["term_dict"] > 0
+    assert du["n_docs"] == len(texts)
+    assert du["total"] >= du["segments"] + du["docs"] + du["term_dict"]
+    # delete artifacts appear once a delete lands
+    from stacksearch_ray.append import delete_from_index
+
+    delete_from_index(idx, [0])
+    assert index_disk_usage(idx)["delete_artifacts"] > 0
