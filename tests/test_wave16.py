@@ -624,3 +624,69 @@ def test_sharded_request_cache_and_disk_usage(ray_session, tmp_path):
 
     delete_from_index(idx, [0])
     assert index_disk_usage(idx)["delete_artifacts"] > 0
+
+
+def test_bulk_apply_crash_between_legs_converges_on_rerun(ray_session,
+                                                          tmp_path,
+                                                          monkeypatch):
+    """bulk_apply is NOT atomic (ES's isn't either): a crash between
+    the delete leg and the upsert leg leaves deletes applied and
+    writes missing — but RE-RUNNING the same batch converges to the
+    same final state a crash-free run produces (per-item results may
+    differ: the delete now reports not_found)."""
+    from stacksearch_ray import append as append_mod
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+
+    texts = ["merge sort algorithm", "binary merge tree",
+             "hash join plan", "sort merge join"]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, content_col="text", id_col="doc_id",
+                meta_cols=(), num_shards=2, term_buckets=4)
+
+    ops = [{"op": "delete", "doc_id": 0},
+           {"op": "index", "doc_id": 1, "text": "rewritten merge"},
+           {"op": "create", "doc_id": 9, "text": "brand new doc"}]
+
+    real_upsert = append_mod.upsert_to_index
+    calls = {"n": 0}
+
+    def exploding_upsert(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash between bulk legs")
+
+    monkeypatch.setattr(append_mod, "upsert_to_index", exploding_upsert)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        append_mod.bulk_apply(idx, ops)
+    assert calls["n"] == 1
+    # deletes landed, writes did not
+    mid = QueryEngine(idx)
+    assert 0 not in [d for d, _ in mid.search("merge", 10)]
+    assert not any(d == 9 for d, _ in mid.search("brand", 10))
+
+    monkeypatch.setattr(append_mod, "upsert_to_index", real_upsert)
+    out = append_mod.bulk_apply(idx, ops)  # re-run the SAME batch
+    assert [i["result"] for i in out["items"]] == [
+        "not_found", "updated", "created"]  # delete already applied
+
+    # final state == a crash-free run from scratch (rebuild oracle)
+    net = {1: "rewritten merge", 2: texts[2], 3: texts[3],
+           9: "brand new doc"}
+    ref_src = str(tmp_path / "ref.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(net), pa.int64()),
+        "text": pa.array([net[d] for d in sorted(net)], pa.string()),
+    }), ref_src)
+    ref_idx = str(tmp_path / "ref_idx")
+    build_index(ref_src, ref_idx, content_col="text", id_col="doc_id",
+                meta_cols=(), num_shards=2, term_buckets=4)
+    e, r = QueryEngine(idx), QueryEngine(ref_idx)
+    for q in ("merge sort join", "rewritten", "brand new", "hash"):
+        assert e.search(q, 10, "exhaustive") == \
+            r.search(q, 10, "exhaustive"), q
