@@ -1791,8 +1791,13 @@ def bulk_apply(index_dir: str, ops: list[dict]) -> dict:
     delete_from_index + ONE upsert_to_index — the MERGE-batch shape: a
     bulk request is client-bounded by definition, so the per-item fold
     is driver-side, while the delete/purge/append legs stay the proven
-    distributed paths. Returns {"items": per-item results, "stats":
-    final index stats}."""
+    distributed paths. NOT atomic (neither is ES's _bulk): a crash
+    between the delete and upsert legs leaves deletes applied and
+    writes missing — RE-RUNNING the same batch converges to the
+    crash-free final state (pytest-pinned; per-item results may
+    differ, e.g. an already-applied delete reports not_found).
+    Returns {"items": per-item results, "stats": final index
+    stats}."""
     from .build import load_stats
 
     recover_segments(index_dir)
