@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_dirichlet_search": P.lm_dirichlet_search,
         "lm_jm_search": P.lm_jm_search,
         "dfi_search": P.dfi_search,
+        "dfr_search": P.dfr_search,
         "boosting_search": P.boosting_search,
         "bm25plus_search": P.bm25plus_search,
         "proximity_boost_search": P.proximity_boost_search,
@@ -476,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         min_match_topk_sql,
         terms_set_topk_sql,
         dfi_topk_sql,
+        dfr_topk_sql,
         stemmed_topk_sql,
         dismax_topk_sql,
         bm25f_topk_sql,
@@ -4176,6 +4178,7 @@ SELECT sc.doc_id,
 FROM scores sc JOIN g ON g.doc_id = sc.doc_id
 ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"""
     oracles["dfi_search"] = dfi_topk_sql(BM25_QUERY, 10)
+    oracles["dfr_search"] = dfr_topk_sql(BM25_QUERY, 10)
     from stacksearch_ray.pipelines.documents import (
         IV_MAX_GAPS as _IV_G,
         IV_NOT as _IV_NOT,

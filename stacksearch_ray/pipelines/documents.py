@@ -10647,3 +10647,18 @@ def percolate_dsl(sf_dir: str):
         "doc_id": pa.array(t["doc_id"].to_numpy(np.int64)),
         "query_id": pa.array(t["query_id"].to_numpy(np.int64)),
     })
+
+
+def dfr_search(sf_dir: str):
+    """Top-10 under divergence-from-randomness (Lucene DFRSimilarity,
+    basic model G + Laplace after-effect + H2 length normalization) —
+    the FOURTH collection-stats scorer through the §2.10 registry hook
+    (after lm_dirichlet / lm_jm / dfi): λ = cf/n_docs, tfn =
+    tf·log2(1 + avgdl/dl), gain Laplace-normalized, clamped ≥ 0."""
+    eng = _index_for(sf_dir)
+    res = eng.search(BM25_QUERY, 10, scorer="dfr")
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in res], pa.int64()),
+        "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
+        "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
+    })

@@ -1123,3 +1123,45 @@ SELECT doc_id,
 FROM scores
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def dfr_topk_sql(query: str, k: int = 10) -> str:
+    """Mirror of the registry ``dfr`` scorer (Lucene DFRSimilarity
+    G/L/H2): per (doc, term) max(0, (log2(1/(1+λ)) +
+    tfn·log2((1+λ)/λ)) / (tfn+1)) with tfn = tf·log2(1 + avgdl/dl) and
+    λ = cf/n_docs, summed per doc — identical float expression order;
+    λ and tfn appear as repeated copies of the SAME subexpression, so
+    every occurrence evaluates to the identical double."""
+    terms = sorted(set(clean_query(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {kept_tokens_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM kept GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM kept GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {terms_values}),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM kept
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( greatest(0.0,
+              (log2(1.0 / (1.0 + (cf.cf / stats.n_docs)))
+               + (tf.tf * log2(1.0 + stats.avgdl / dl.dl))
+                 * log2((1.0 + (cf.cf / stats.n_docs))
+                        / (cf.cf / stats.n_docs)))
+              / ((tf.tf * log2(1.0 + stats.avgdl / dl.dl)) + 1.0)) )
+           AS score
+  FROM tf
+  JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""

@@ -207,3 +207,30 @@ def dfi_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
     e = (float(cf) * doc_len.astype(np.float64)) / float(total_len)
     return np.log2(1.0 + np.maximum(tf.astype(np.float64) - e, 0.0)
                    / np.sqrt(e))
+
+
+@register_scorer("dfr")
+def dfr_scorer(tf: np.ndarray, doc_len: np.ndarray, df: int,
+               n_docs: int, avgdl: float, *,
+               cf: int, total_len: int) -> np.ndarray:
+    """Divergence-from-randomness, Lucene ``DFRSimilarity`` with basic
+    model G (geometric), after-effect L (Laplace), normalization H2
+    (Amati & van Rijsbergen 2002):
+
+        tfn = tf · log2(1 + avgdl/dl)          (H2, c = 1)
+        λ   = F/N  (collection freq / doc count)
+        score = max(0, (log2(1/(1+λ)) + tfn·log2((1+λ)/λ)) / (tfn+1))
+
+    The max-0 clamp matches Lucene's non-negative-scores contract
+    (common terms with λ ≥ 1 and tiny tfn can push the raw gain
+    negative). Fourth collection-stats scorer (cf binding; total_len
+    unused by the formula but part of the hook signature). Expression
+    order mirrored by dfr_topk_sql micros-bitwise: λ recomputed per
+    use from the SAME division, tfn per use from the SAME product —
+    identical doubles either way."""
+    tfn = tf.astype(np.float64) * np.log2(1.0 + avgdl
+                                          / doc_len.astype(np.float64))
+    lam = float(cf) / float(n_docs)
+    raw = (np.log2(1.0 / (1.0 + lam))
+           + tfn * np.log2((1.0 + lam) / lam)) / (tfn + 1.0)
+    return np.maximum(0.0, raw)
