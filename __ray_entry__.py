@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_range_agg": P.date_range_agg,
         "rate_agg": P.rate_agg,
         "histogram_bounds_agg": P.histogram_bounds_agg,
+        "variable_width_histogram": P.variable_width_histogram,
         "random_score_search": P.random_score_search,
         "maxsim_search": P.maxsim_search,
         "maxsim_rerank": P.maxsim_rerank,
@@ -865,6 +866,7 @@ FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10"""
     # k-means mirror; LUT entries are Python-computed int64 micros, so
     # the only cross-engine float surface is the assignment argmin
     pq_cb_rows = pq_lut_rows = None
+    vwh_cent_rows = None
     try:
         from stacksearch_ray.functions.ivf import kmeans_numpy
         from stacksearch_ray.functions.pq import (adc_lut_micros,
@@ -875,6 +877,13 @@ FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10"""
                              columns=["vec_id", "embedding"])
         _x2 = np.asarray(_e2["embedding"].to_pylist(), dtype=np.float64)
         _x2 = _x2[np.argsort(_e2["vec_id"].to_numpy())]
+        from stacksearch_ray.functions.quantiles import kmeans_1d
+        from stacksearch_ray.pipelines.documents import VWH_K
+
+        _nv2 = np.floor(_x2[:, 0] * 1e6 + 0.5).astype(np.int64)
+        vwh_cent_rows = ", ".join(
+            f"({i}, {c!r})"
+            for i, c in enumerate(kmeans_1d(_nv2, VWH_K).tolist()))
         _cbs = train_pq_codebooks(_x2, m=PQ_M, k=PQ_K, iters=4, seed=17)
         _lut = adc_lut_micros(_x2[0], _cbs)
         pq_cb_rows = ", ".join(
@@ -4846,6 +4855,24 @@ FROM v LEFT JOIN d USING (vec_id) ORDER BY v.vec_id"""
         oracles.pop("knn_ivf_appended")
         oracles.pop("knn_ivf_deleted")
         oracles.pop("knn_ivf_compacted")
+    if vwh_cent_rows is not None:  # centroid literals need sf0.01
+        # adaptive (k-means) histogram: assignment replayed from the
+        # centroid literals (the knn_ivf pattern), 1-D over norm micros
+        oracles["variable_width_histogram"] = f"""
+WITH v AS (
+  SELECT vec_id,
+         CAST(floor(embedding[1]::DOUBLE * 1e6 + 0.5) AS BIGINT) AS nv
+  FROM embeddings),
+cents(cid, c) AS (VALUES {vwh_cent_rows}),
+a AS (SELECT v.vec_id, v.nv, cents.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY abs(v.nv - cents.c) ASC,
+                                         cents.cid ASC) AS rn
+      FROM v CROSS JOIN cents),
+b AS (SELECT nv, cid FROM a WHERE rn = 1)
+SELECT CAST(cid AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(nv) AS BIGINT) AS min_v, CAST(max(nv) AS BIGINT) AS max_v
+FROM b GROUP BY cid ORDER BY cid"""
     if pq_cb_rows is not None:     # codebook literals need sf0.01
         # the ONE assignment CTE prefix both PQ oracles share — edits
         # to slice bounds / tie-break / casts apply to both by design

@@ -327,3 +327,31 @@ def quantile_sketch(ds: Dataset, col: str, qs: list[float],
         key = np.int64(agg["min_key"].to_numpy()[i]).view(np.uint64)
         out.append((_key_to_float(int(key)), int(counts[i])))
     return out
+
+
+def kmeans_1d(values: "np.ndarray", k: int, iters: int = 4
+              ) -> "np.ndarray":
+    """Deterministic 1-D Lloyd's for adaptive histograms (the ES
+    ``variable_width_histogram`` primitive): QUANTILE-POSITION init
+    (evenly spaced picks from the sorted values — data-scaled, no
+    random init to get absorbed by out-of-scale data), argmin |v−c|
+    assignment with first-min tie-break, exact integer-sum mean
+    updates (inputs are int64 micros), empty clusters keep their
+    centroid. Returns k float64 centroids in ascending order (1-D
+    Lloyd's preserves the order of an ascending init)."""
+    import numpy as np
+
+    v = np.sort(np.asarray(values, dtype=np.int64)).astype(np.float64)
+    if len(v) == 0:
+        raise ValueError("kmeans_1d needs at least one value")
+    idx = (np.arange(k, dtype=np.int64) * (len(v) - 1)) // max(k - 1, 1)
+    c = v[idx].copy()
+    for _ in range(iters):
+        a = np.argmin(np.abs(v[:, None] - c[None, :]), axis=1)
+        sums = np.zeros(k, np.int64)
+        np.add.at(sums, a, v.astype(np.int64))
+        counts = np.bincount(a, minlength=k)
+        nz = counts > 0
+        c = c.copy()
+        c[nz] = sums[nz] / counts[nz]
+    return c

@@ -10662,3 +10662,78 @@ def dfr_search(sf_dir: str):
         "score_micros": pa.array([to_micros(s) for _, s in res], pa.int64()),
         "rank": pa.array(list(range(1, len(res) + 1)), pa.int64()),
     })
+
+
+VWH_K = 6  # variable_width_histogram bucket count
+
+
+def _dim0_micros_batch(b: pa.Table) -> pa.Table:
+    """Per-vector FIRST-COORDINATE micros — the 1-D value the adaptive
+    histogram clusters (scale-stable: the embeddings table is
+    identical at every sf; the L2 norm is useless here — the vectors
+    are unit-normalized, so every norm is exactly 1.0). A single
+    stored float has no summation-order hazard: to_micros(x[0]) is
+    bitwise the SQL's floor(embedding[1]·1e6 + 0.5)."""
+    from ..functions.similarity import _emb_matrix
+
+    x = _emb_matrix(b, "embedding")
+    nv = to_micros(x[:, 0])
+    return pa.table({
+        "vec_id": b["vec_id"],
+        "nv": pa.array(nv, pa.int64()),
+    })
+
+
+def variable_width_histogram(sf_dir: str):
+    """ES ``variable_width_histogram``: bucket bounds come from 1-D
+    k-means over the values instead of fixed intervals — buckets
+    follow the data's modes. Values = first-coordinate micros of the
+    embeddings;
+    centroids train driver-side on the collected value column (bounded
+    here; at corpus scale the mergeable-partials trainer in
+    functions.ivf runs the same Lloyd's distributed), then ONE
+    broadcast-assignment pass emits per-bucket count/min/max partials.
+    Oracle replays the assignment from centroid literals (the knn_ivf
+    pattern); the only cross-engine float surface is the |v−c|
+    argmin (the value itself is one stored float, micros-exact).
+    sf0.01-oracled ONLY (the knn_ivf precedent): the centroid literals
+    are data-dependent and the sf0.001 embeddings differ, so a manual
+    sf0.001 selfcheck mismatches by construction — the driver grades
+    at sf0.01."""
+    from ..functions.quantiles import kmeans_1d
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    vals = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(_dim0_micros_batch, batch_format="pyarrow")
+            .to_pandas())  # value column only — bounded (see docstring)
+    cents = kmeans_1d(vals["nv"].to_numpy(np.int64), VWH_K)
+    import ray as _ray
+    c_ref = _ray.put(cents)
+
+    def part(b: pa.Table) -> pa.Table:
+        c = _ray.get(c_ref)
+        t = _dim0_micros_batch(b)
+        nv = np.asarray(t["nv"]).astype(np.int64)
+        a = np.argmin(np.abs(nv[:, None].astype(np.float64)
+                             - c[None, :]), axis=1)
+        df = pd.DataFrame({"bucket": a.astype(np.int64), "nv": nv})
+        g = (df.groupby("bucket", as_index=False)
+             .agg(n=("nv", "size"), min_v=("nv", "min"),
+                  max_v=("nv", "max")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min
+
+    t = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+         .map_batches(part, batch_format="pyarrow")
+         .groupby("bucket")
+         .aggregate(Sum("n", alias_name="n"),
+                    Min("min_v", alias_name="min_v"),
+                    Max("max_v", alias_name="max_v"))
+         .to_pandas().sort_values("bucket"))
+    return pa.table({
+        "bucket": pa.array(t["bucket"].to_numpy(np.int64)),
+        "n": pa.array(t["n"].to_numpy(np.int64)),
+        "min_v": pa.array(t["min_v"].to_numpy(np.int64)),
+        "max_v": pa.array(t["max_v"].to_numpy(np.int64)),
+    })
