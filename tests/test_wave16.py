@@ -690,3 +690,23 @@ def test_bulk_apply_crash_between_legs_converges_on_rerun(ray_session,
     for q in ("merge sort join", "rewritten", "brand new", "hash"):
         assert e.search(q, 10, "exhaustive") == \
             r.search(q, 10, "exhaustive"), q
+
+
+def test_kmeans_1d_adaptive_buckets():
+    from stacksearch_ray.functions.quantiles import kmeans_1d
+
+    # two clear modes → centroids split them; determinism across calls
+    v = np.concatenate([np.arange(100), 10_000 + np.arange(100)])
+    c = kmeans_1d(v, 2)
+    assert (c == kmeans_1d(v, 2)).all()
+    assert c[0] < 200 and c[1] > 9_000
+    a = np.argmin(np.abs(v[:, None].astype(np.float64)
+                         - c[None, :]), axis=1)
+    assert (a[:100] == 0).all() and (a[100:] == 1).all()
+    # ascending-init order is preserved
+    assert (np.diff(kmeans_1d(np.arange(1000), 6)) > 0).all()
+    # degenerate single value: every centroid collapses, no crash
+    assert (kmeans_1d(np.full(50, 7), 3) == 7.0).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmeans_1d(np.array([], dtype=np.int64), 2)
