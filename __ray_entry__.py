@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ann_lsh": P.knn_ann_lsh,
         "knn_ivf": P.knn_ivf,
         "semdedup_corpus": P.semdedup_corpus,
+        "prototype_prune": P.prototype_prune,
         "knn_pq": P.knn_pq,
         "pq_dedup_groups": P.pq_dedup_groups,
         "knn_ivfpq": P.knn_ivfpq,
@@ -4850,6 +4851,50 @@ d AS (SELECT x.vec_id,
 SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cell,
        CAST(1 - coalesce(d.dup, 0) AS BIGINT) AS keep
 FROM v LEFT JOIN d USING (vec_id) ORDER BY v.vec_id"""
+        from stacksearch_ray.pipelines.documents import (D4_KEEP_DEN,
+                                                         D4_KEEP_NUM)
+
+        # D4: the semdedup chain + per-cell farthest-from-centroid
+        # ranking among survivors; keep floor(n·4/5), nearest pruned
+        oracles["prototype_prune"] = f"""
+WITH cents(cid, c) AS (VALUES {ivf_cent_rows}),
+assign AS (
+  SELECT e.vec_id, cc.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding::DOUBLE[],
+                                                   cc.c) ASC,
+                                     cc.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents cc),
+a AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+v AS (SELECT a.vec_id, a.cid, e.embedding::DOUBLE[] AS emb
+      FROM a JOIN embeddings e USING (vec_id)),
+dd AS (SELECT v.vec_id, v.cid,
+              CAST(floor(list_distance(v.emb, cents.c)
+                         * list_distance(v.emb, cents.c) * 1e6 + 0.5)
+                   AS BIGINT) AS d2_micros
+       FROM v JOIN cents ON cents.cid = v.cid),
+dup AS (SELECT x.vec_id,
+               max(CASE WHEN floor(list_cosine_similarity(x.emb, y.emb)
+                                   * 1e6 + 0.5) >= {SEMDEDUP_T_MICROS}
+                        THEN 1 ELSE 0 END) AS dup
+        FROM v x JOIN v y ON y.cid = x.cid AND y.vec_id < x.vec_id
+        GROUP BY x.vec_id),
+sem AS (SELECT dd.vec_id, dd.cid, dd.d2_micros,
+               1 - coalesce(dup.dup, 0) AS sem_keep
+        FROM dd LEFT JOIN dup USING (vec_id)),
+rk AS (SELECT vec_id, cid, d2_micros, sem_keep,
+              row_number() OVER (PARTITION BY cid
+                                 ORDER BY d2_micros DESC, vec_id DESC)
+                  AS rn,
+              count(*) OVER (PARTITION BY cid) AS n_cell
+       FROM sem WHERE sem_keep = 1)
+SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cell, s.d2_micros,
+       CAST(s.sem_keep AS BIGINT) AS sem_keep,
+       CAST(CASE WHEN r.rn IS NOT NULL
+                  AND r.rn <= (r.n_cell * {D4_KEEP_NUM}) // {D4_KEEP_DEN}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sem s LEFT JOIN rk r ON r.vec_id = s.vec_id
+ORDER BY s.vec_id"""
     else:
         oracles.pop("knn_ivf")      # centroid literals need sf0.01
         oracles.pop("knn_ivf_appended")

@@ -10737,3 +10737,74 @@ def variable_width_histogram(sf_dir: str):
         "min_v": pa.array(t["min_v"].to_numpy(np.int64)),
         "max_v": pa.array(t["max_v"].to_numpy(np.int64)),
     })
+
+
+D4_KEEP_NUM, D4_KEEP_DEN = 4, 5  # keep the 4/5 LEAST prototypical
+
+
+def prototype_prune(sf_dir: str):
+    """D4-style data pruning (public arXiv:2308.12284 — SemDeDup then
+    SSL-prototype pruning): after the semdedup keep-first pass, each
+    cell drops its most PROTOTYPICAL survivors — the points closest to
+    their cluster centroid carry the least marginal information, so
+    per cell the ⌈n·1/5⌉ nearest-to-centroid survivors are pruned and
+    the 4/5 farthest kept (ties by vec_id — farther survives).
+    Distances are exact squared-L2 against the broadcast centroids
+    (the knn_ivf convention: assignment and d² replay from centroid
+    literals in the oracle). Output: every alive vector with its cell,
+    semdedup keep flag, and the final D4 keep flag. sf0.01-oracled
+    ONLY (the variable_width_histogram class): d² against the literal
+    centroids is data-dependent and the sf0.001 embeddings differ."""
+    from ..functions.ivf import IVFIndex, centroid_d2
+    from ..functions.similarity import _emb_matrix
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(CACHE_ROOT, tag, "ivf_index")
+    _ensure_built(
+        os.path.join(idx_dir, "config.json"),  # written last by build()
+        lambda: IVFIndex.build(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            idx_dir, k=8, iters=4, seed=17))
+    idx = IVFIndex(idx_dir)
+    sem = idx.semdedup(SEMDEDUP_T_MICROS).to_pandas()  # bounded here
+    cents = idx.centroids
+    import ray as _ray
+    c_ref = _ray.put(cents)
+    keep_map = dict(zip(sem["vec_id"], sem["keep"]))
+    k_ref = _ray.put(keep_map)
+
+    def dists(b: pa.Table) -> pa.Table:
+        c = _ray.get(c_ref)
+        km = _ray.get(k_ref)
+        ids = np.asarray(b["vec_id"].combine_chunks()).astype(np.int64)
+        x = _emb_matrix(b, "embedding")
+        d2 = centroid_d2(x, c)
+        cell = np.argmin(d2, axis=1).astype(np.int64)
+        dd = d2[np.arange(len(ids)), cell]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
+            "d2_micros": pa.array(to_micros(dd), pa.int64()),
+            "sem_keep": pa.array(
+                np.array([km.get(int(i), 0) for i in ids], np.int64)),
+        })
+
+    t = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+         .map_batches(dists, batch_format="pyarrow")
+         .to_pandas())  # n rows at conformance scale; a sink at 100 TB
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    keep = np.zeros(len(t), np.int64)
+    for cell, g in t[t["sem_keep"] == 1].groupby("cell"):
+        # farthest-from-centroid survive; ties → larger vec_id farther
+        order = np.lexsort((-g["vec_id"].to_numpy(np.int64),
+                            -g["d2_micros"].to_numpy(np.int64)))
+        n_keep = (len(g) * D4_KEEP_NUM) // D4_KEEP_DEN
+        keep[g.index.to_numpy()[order[:n_keep]]] = 1
+    return pa.table({
+        "vec_id": pa.array(t["vec_id"].to_numpy(np.int64)),
+        "cell": pa.array(t["cell"].to_numpy(np.int64)),
+        "d2_micros": pa.array(t["d2_micros"].to_numpy(np.int64)),
+        "sem_keep": pa.array(t["sem_keep"].to_numpy(np.int64)),
+        "keep": pa.array(keep),
+    })

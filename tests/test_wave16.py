@@ -710,3 +710,51 @@ def test_kmeans_1d_adaptive_buckets():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kmeans_1d(np.array([], dtype=np.int64), 2)
+
+
+def test_prototype_prune_drops_nearest_to_centroid(ray_session,
+                                                   tmp_path):
+    """D4 semantics on synthetic multi-cell vectors: per cell, among
+    semdedup survivors exactly ⌊n·4/5⌋ keep, and every pruned survivor
+    is NEARER its centroid (micros d²) than every kept one (ties by
+    vec_id — farther survives). Duplicates never reach the prototype
+    stage."""
+    import shutil
+
+    import stacksearch_ray.pipelines.documents as docs_mod
+    from stacksearch_ray.pipelines.documents import (D4_KEEP_DEN,
+                                                     D4_KEEP_NUM)
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((8, 8)) * 3
+    rows, ids = [], []
+    for i in range(160):
+        eps = 0.01 if i % 8 == 0 else 0.5
+        rows.append((base[i % 8] + eps * rng.standard_normal(8)).tolist())
+        ids.append(i)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+    }), sf + "/embeddings.parquet")
+    old_root = docs_mod.CACHE_ROOT
+    try:
+        docs_mod.CACHE_ROOT = str(tmp_path / "cache")
+        out = docs_mod.prototype_prune(sf).to_pandas()
+    finally:
+        docs_mod.CACHE_ROOT = old_root
+    assert len(out) == 160
+    assert ((out["keep"] == 1) <= (out["sem_keep"] == 1)).all()
+    for cell, g in out[out["sem_keep"] == 1].groupby("cell"):
+        n_keep = (len(g) * D4_KEEP_NUM) // D4_KEEP_DEN
+        assert int(g["keep"].sum()) == n_keep
+        kept = g[g["keep"] == 1]
+        pruned = g[g["keep"] == 0]
+        if len(kept) and len(pruned):
+            worst_kept = kept.sort_values(
+                ["d2_micros", "vec_id"]).iloc[0]
+            best_pruned = pruned.sort_values(
+                ["d2_micros", "vec_id"], ascending=False).iloc[0]
+            assert (worst_kept["d2_micros"], worst_kept["vec_id"]) >= \
+                (best_pruned["d2_micros"], best_pruned["vec_id"])
