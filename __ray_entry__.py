@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyword extraction / LM+entropy quality scores / mixing / decay
         "rrf_hybrid": P.rrf_hybrid,
         "hybrid_linear_search": P.hybrid_linear_search,
+        "retriever_tree_search": P.retriever_tree_search,
         "tfidf_keywords": P.tfidf_keywords,
         "doc_entropy": P.doc_entropy,
         "bigram_logprob": P.bigram_logprob,
@@ -2210,6 +2211,61 @@ fused AS (
          coalesce(1.0 / (60 + rb.r), 0.0)
          + coalesce(1.0 / (60 + rk.r), 0.0) AS rrf
   FROM rb FULL OUTER JOIN rk ON rb.doc_id = rk.doc_id)
+SELECT doc_id, CAST(floor(rrf * 1e6 + 0.5) AS BIGINT) AS rrf_micros,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
+        # retriever tree: RRF over three heterogeneous legs (bm25,
+        # hash-cosine, LM-Dirichlet) — fixed leg order in the sum
+        "retriever_tree_search": bm25_scores_sql(BM25_QUERY) + """,
+rb AS (SELECT doc_id, r FROM (
+         SELECT doc_id,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         FROM scores) WHERE r <= 10),
+h AS (SELECT doc_id, md5_number_lower(term) AS h FROM kept),
+w AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS bucket,
+             sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+      FROM h GROUP BY doc_id, bucket),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM w GROUP BY doc_id),
+qh AS (SELECT md5_number_lower(term) AS h FROM qterms),
+qw AS (SELECT CAST(h % 64 AS BIGINT) AS bucket,
+              sum(CASE WHEN ((h >> 63) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+       FROM qh GROUP BY bucket),
+qn AS (SELECT sqrt(sum(w * w)) AS n FROM qw),
+dots AS (SELECT w.doc_id, sum(w.w * qw.w) AS dot
+         FROM w JOIN qw USING (bucket) GROUP BY w.doc_id),
+sims AS (SELECT n.doc_id, coalesce(d.dot, 0) / (n.n * qn.n) AS sim
+         FROM norms n LEFT JOIN dots d ON n.doc_id = d.doc_id
+         CROSS JOIN qn WHERE n.n > 0 AND qn.n > 0),
+rk AS (SELECT doc_id, r FROM (
+         SELECT doc_id,
+                row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+         FROM sims) WHERE r <= 10),
+lmstats AS (SELECT sum(dl) AS total_len FROM dl),
+lmcf AS (SELECT term, count(*)::DOUBLE AS cf FROM kept
+         WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+lmscores AS (
+  SELECT tf.doc_id,
+         sum( greatest(0.0,
+              ln(1.0 + tf.tf / ((2000.0 * lmcf.cf) / lmstats.total_len))
+              + ln(2000.0 / (dl.dl + 2000.0))) ) AS score
+  FROM tf
+  JOIN lmcf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN lmstats
+  GROUP BY tf.doc_id),
+rl AS (SELECT doc_id, r FROM (
+         SELECT doc_id,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         FROM lmscores) WHERE r <= 10),
+fused AS (
+  SELECT coalesce(rb.doc_id, rk.doc_id, rl.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + rb.r), 0.0)
+         + coalesce(1.0 / (60 + rk.r), 0.0)
+         + coalesce(1.0 / (60 + rl.r), 0.0) AS rrf
+  FROM rb FULL OUTER JOIN rk ON rb.doc_id = rk.doc_id
+          FULL OUTER JOIN rl
+            ON coalesce(rb.doc_id, rk.doc_id) = rl.doc_id)
 SELECT doc_id, CAST(floor(rrf * 1e6 + 0.5) AS BIGINT) AS rrf_micros,
        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
            AS rank

@@ -10808,3 +10808,35 @@ def prototype_prune(sf_dir: str):
         "sem_keep": pa.array(t["sem_keep"].to_numpy(np.int64)),
         "keep": pa.array(keep),
     })
+
+
+def retriever_tree_search(sf_dir: str):
+    """ES 8.x retriever-TREE composition: reciprocal-rank fusion over
+    THREE heterogeneous legs — the BM25 lexical top-10, the
+    hash-embedding cosine top-10, and the LM-Dirichlet top-10 (a
+    different ranking FAMILY through the registry hook) — rrf =
+    Σ coalesce(1/(60+r_leg), 0) in fixed leg order (bm25, knn, lm).
+    Each leg is an existing audited retriever; fusion touches ≤30 rows
+    on the driver. The rank-based fusion needs no score normalization
+    across families — exactly why ES trees default to RRF."""
+    bt = bm25_topk(sf_dir)
+    b_rank = dict(zip(bt["doc_id"].to_pylist(), bt["rank"].to_pylist()))
+    kt = _hashed_cosine_top10(sf_dir, BM25_QUERY)
+    k_rank = {int(d): i + 1
+              for i, d in enumerate(kt["doc_id"].to_numpy())}
+    eng = _index_for(sf_dir)
+    lm = eng.search(BM25_QUERY, 10, scorer="lm_dirichlet")
+    l_rank = {int(d): i + 1 for i, (d, _) in enumerate(lm)}
+    docs = sorted(set(b_rank) | set(k_rank) | set(l_rank))
+    rrf = np.array([
+        (1.0 / (60 + b_rank[d]) if d in b_rank else 0.0)
+        + (1.0 / (60 + k_rank[d]) if d in k_rank else 0.0)
+        + (1.0 / (60 + l_rank[d]) if d in l_rank else 0.0)
+        for d in docs])
+    ids = np.array(docs, dtype=np.int64)
+    order = np.lexsort((ids, -rrf))[:10]
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "rrf_micros": pa.array(to_micros(rrf[order]), pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+    })
