@@ -758,3 +758,61 @@ def test_prototype_prune_drops_nearest_to_centroid(ray_session,
                 ["d2_micros", "vec_id"], ascending=False).iloc[0]
             assert (worst_kept["d2_micros"], worst_kept["vec_id"]) >= \
                 (best_pruned["d2_micros"], best_pruned["vec_id"])
+
+
+# ---------------- Posts.xml streaming source ----------------
+
+
+def _write_posts_xml(path, n_questions=12, answers_per=2):
+    rows = []
+    pid = 0
+    for q in range(n_questions):
+        for a in range(answers_per):
+            pid += 1
+            rows.append(f'<row Id="{pid}" PostTypeId="2" '
+                        f'Body="answer {q} alpha{a} &lt;b&gt;bold&lt;/b&gt;"/>')
+        pid += 1
+        rows.append(f'<row Id="{pid}" PostTypeId="1" '
+                    f'Title="question {q} merge sort" '
+                    f'Body="&lt;p&gt;body {q} join stream&lt;/p&gt;"/>')
+    with open(path, "w") as f:
+        f.write("<posts>\n" + "\n".join(rows) + "\n</posts>")
+    return path
+
+
+def test_posts_xml_source_grouping_ranges_and_build(ray_session,
+                                                    tmp_path):
+    """S1 closure: the streaming Posts.xml source reproduces the
+    reference iterator's stream-adjacent answer grouping and [min,max)
+    question range, HTML-stripped; the emitted Dataset feeds build →
+    search end-to-end."""
+    from stacksearch_ray.build import build_index
+    from stacksearch_ray.query import QueryEngine
+    from stacksearch_ray.sources.xml_source import (iter_posts,
+                                                    read_posts_xml)
+
+    xml = _write_posts_xml(str(tmp_path / "Posts.xml"))
+    posts = list(iter_posts(xml))
+    assert len(posts) == 12
+    assert all(p["n_answers"] == 2 for p in posts)
+    # answers precede their question in the stream and attach to it
+    assert "alpha0" in posts[0]["answers"] and "alpha1" in posts[0]["answers"]
+    # html stripped everywhere
+    assert "<p>" not in posts[3]["body"] and "<b>" not in posts[3]["answers"]
+    assert "body 3 join stream" in posts[3]["text"]
+    # [min, max): reference yields FROM question #min THROUGH #max
+    ranged = list(iter_posts(xml, min_samples=3, max_samples=7))
+    assert [p["title"] for p in ranged] == \
+        [f"question {q} merge sort" for q in (2, 3, 4, 5, 6)]
+
+    ds = read_posts_xml(xml, batch_size=5)
+    t = ds.to_pandas().sort_values("doc_id")
+    assert len(t) == 12
+    assert (t["n_answers"] == 2).all()
+
+    idx = str(tmp_path / "idx")
+    build_index(read_posts_xml(xml), idx, content_col="text",
+                id_col="doc_id", num_shards=2, term_buckets=4)
+    eng = QueryEngine(idx)
+    res = eng.search("merge sort join", 5)
+    assert len(res) == 5  # every question carries all three terms
