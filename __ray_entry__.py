@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_knn": P.text_knn,
         "semantic_knn": P.semantic_knn,
         "autoencoder_embed": P.autoencoder_embed,
+        "conv_autoencoder_embed": P.conv_autoencoder_embed,  # rows-only: learned model
         # invariant surfaced as a driver-checked query
         "content_hashes": P.content_hashes,
         # streaming-shaped + generic columnar + joins

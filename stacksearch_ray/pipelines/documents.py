@@ -1490,6 +1490,41 @@ def autoencoder_embed(sf_dir: str):
                      fn_constructor_kwargs={"artifact_dir": art_dir})
 
 
+def conv_autoencoder_embed(sf_dir: str):
+    """The reference's CNN-autoencoder topology closed (models/
+    SimpleCnnAutoencoder.py:17-77 — previously the one deliberately
+    unreplicated architecture): 1-D conv encoder → ReLU → dense latent
+    → linear decoder, trained by the SAME exact data-parallel GD +
+    curriculum-noise machinery as the linear DAE, all NumPy (no TF in
+    the sandbox — the capability, not the framework). Codes served by
+    an actor-pool encoder. Learned-model output — rows-only (pytest
+    pins finite-difference gradient correctness, convergence, and
+    cross-run determinism via the arrival-order-proof fold)."""
+    from ..functions.autoencoder import (
+        ConvAutoencoderEncoder,
+        train_conv_autoencoder,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    art_dir = os.path.join(CACHE_ROOT, tag, "conv_dae")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def _train_conv():
+        import shutil
+
+        shutil.rmtree(art_dir, ignore_errors=True)  # heal partial trains
+        train_conv_autoencoder(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            art_dir, dim_out=8, epochs=10)
+        open(art_dir + "._done", "w").close()
+
+    _ensure_built(art_dir + "._done", _train_conv)
+    return rd.read_parquet(emb_path, columns=["vec_id", "embedding"]) \
+        .map_batches(ConvAutoencoderEncoder, batch_format="pyarrow",
+                     batch_size=256, concurrency=2,
+                     fn_constructor_kwargs={"artifact_dir": art_dir})
+
+
 def content_hashes(sf_dir: str):
     """Per-row sha256 invariant, driver-checkable: the engine's docs table
     (built via the full index pipeline) vs SQL sha256(text)."""

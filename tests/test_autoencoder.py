@@ -103,3 +103,82 @@ def test_actor_pool_encode(ray_session, tmp_path):
     m = np.stack([np.asarray(v) for v in out["code"]])
     assert m.shape == (200, 4)
     assert np.allclose(np.linalg.norm(m, axis=1), 1.0)
+
+
+# ---- conv DAE (the reference's CNN topology, numpy exact GD) ----
+
+
+def test_conv_dae_gradients_match_finite_differences():
+    from stacksearch_ray.functions.autoencoder import conv_dae_grads
+
+    rng = np.random.default_rng(3)
+    n, d, K, S, C, k = 5, 10, 3, 2, 2, 3
+    L = (d - K) // S + 1
+    x = rng.standard_normal((n, d))
+    xt = x + 0.1 * rng.standard_normal((n, d))
+    wc = rng.standard_normal((K, C)) * 0.5
+    w1 = rng.standard_normal((L * C, k)) * 0.5
+    w2 = rng.standard_normal((k, d)) * 0.5
+    loss, gwc, gw1, gw2 = conv_dae_grads(x, xt, wc, w1, w2, K, S)
+    eps = 1e-6
+    for w, g in ((wc, gwc), (w1, gw1), (w2, gw2)):
+        it = np.nditer(w, flags=["multi_index"])
+        for _ in range(6):  # spot-check several coordinates
+            i = it.multi_index
+            old = w[i]
+            w[i] = old + eps
+            lp = conv_dae_grads(x, xt, wc, w1, w2, K, S)[0]
+            w[i] = old - eps
+            lm = conv_dae_grads(x, xt, wc, w1, w2, K, S)[0]
+            w[i] = old
+            num = (lp - lm) / (2 * eps)
+            assert abs(num - g[i]) <= 1e-4 * max(1.0, abs(num)), (i, num, g[i])
+            next(it, None)
+
+
+def test_conv_dae_trains_deterministically_and_converges(ray_session,
+                                                         tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stacksearch_ray.functions.autoencoder import (
+        ConvAutoencoderEncoder, train_conv_autoencoder)
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((4, 16))
+    rows = [(base[i % 4] + 0.1 * rng.standard_normal(16)).tolist()
+            for i in range(200)]
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+    }), src)
+    p1 = train_conv_autoencoder(rd.read_parquet(src),
+                                str(tmp_path / "a1"), ksize=5,
+                                stride=2, channels=3, dim_out=4,
+                                epochs=10)
+    p2 = train_conv_autoencoder(rd.read_parquet(src),
+                                str(tmp_path / "a2"), ksize=5,
+                                stride=2, channels=3, dim_out=4,
+                                epochs=10)
+    import json as _json
+
+    c1 = _json.load(open(p1 + "/config.json"))
+    c2 = _json.load(open(p2 + "/config.json"))
+    assert c1["loss_curve"] == c2["loss_curve"]  # determinism
+    assert c1["loss_curve"][-1] < c1["loss_curve"][0]  # converges
+    w1 = np.load(p1 + "/weights.npz")
+    w2 = np.load(p2 + "/weights.npz")
+    for key in ("wc", "w1", "w2"):
+        assert (w1[key] == w2[key]).all()
+    enc = ConvAutoencoderEncoder(str(tmp_path / "a1"))
+    out = (rd.read_parquet(src)
+           .map_batches(enc.__class__, batch_format="pyarrow",
+                        batch_size=64, concurrency=2,
+                        fn_constructor_kwargs={
+                            "artifact_dir": str(tmp_path / "a1")})
+           .to_pandas())
+    assert len(out) == 200 and len(out["code"].iloc[0]) == 4
+    norms = np.linalg.norm(np.stack(out["code"].to_numpy()), axis=1)
+    assert np.allclose(norms, 1.0)
