@@ -203,6 +203,9 @@ def conv_dae_grads(x: np.ndarray, xt: np.ndarray, wc: np.ndarray,
     — pure matmul/einsum backprop, numerically gradient-checked by
     pytest (finite differences)."""
     n = len(x)
+    if n == 0:  # empty block: exact-zero partials, no reshape crash
+        return (0.0, np.zeros_like(wc), np.zeros_like(w1),
+                np.zeros_like(w2))
     C = wc.shape[1]
     xc = _im2col(xt, ksize, stride)          # (n, L, K)
     a = xc @ wc                              # (n, L, C)
@@ -329,6 +332,8 @@ class ConvAutoencoderEncoder:
         self.normalize = normalize
 
     def encode(self, x: np.ndarray) -> np.ndarray:
+        if len(x) == 0:
+            return np.zeros((0, self.dim_out))
         xc = _im2col(x, self.ksize, self.stride)
         z = np.maximum(xc @ self.wc, 0.0).reshape(len(x), -1)
         h = z @ self.w1

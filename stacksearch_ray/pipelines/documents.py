@@ -1390,6 +1390,25 @@ def text_knn(sf_dir: str):
     })
 
 
+def _rrf_fuse(rank_maps: list[dict], k: int = 10,
+              rrf_k: int = 60) -> pa.Table:
+    """Reciprocal-rank fusion over any number of leg rank maps, in the
+    GIVEN leg order (the float sum order both oracles mirror):
+    rrf(d) = Σ_leg coalesce(1/(rrf_k + r_leg(d)), 0)."""
+    docs = sorted(set().union(*rank_maps))
+    rrf = np.array([
+        sum((1.0 / (rrf_k + m[d]) if d in m else 0.0)
+            for m in rank_maps)
+        for d in docs])
+    ids = np.array(docs, dtype=np.int64)
+    order = np.lexsort((ids, -rrf))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "rrf_micros": pa.array(to_micros(rrf[order]), pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
+
+
 def rrf_hybrid(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     k=60) of the BM25 lexical top-10 and the hash-embedding cosine
@@ -1405,18 +1424,7 @@ def rrf_hybrid(sf_dir: str):
     kt = _hashed_cosine_top10(sf_dir, BM25_QUERY)
     k_rank = {int(d): i + 1
               for i, d in enumerate(kt["doc_id"].to_numpy())}
-    docs = sorted(set(b_rank) | set(k_rank))
-    rrf = np.array([
-        (1.0 / (60 + b_rank[d]) if d in b_rank else 0.0)
-        + (1.0 / (60 + k_rank[d]) if d in k_rank else 0.0)
-        for d in docs])
-    ids = np.array(docs, dtype=np.int64)
-    order = np.lexsort((ids, -rrf))[:10]
-    return pa.table({
-        "doc_id": pa.array(ids[order], pa.int64()),
-        "rrf_micros": pa.array(to_micros(rrf[order]), pa.int64()),
-        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-    })
+    return _rrf_fuse([b_rank, k_rank])
 
 
 def semantic_knn(sf_dir: str):
@@ -10784,9 +10792,9 @@ def prototype_prune(sf_dir: str):
     their cluster centroid carry the least marginal information, so
     per cell the ⌈n·1/5⌉ nearest-to-centroid survivors are pruned and
     the 4/5 farthest kept (ties by vec_id — farther survives).
-    Distances are exact squared-L2 against the broadcast centroids
-    (the knn_ivf convention: assignment and d² replay from centroid
-    literals in the oracle). Output: every alive vector with its cell,
+    Assignment replays from centroid literals in the oracle (the
+    knn_ivf convention); the GRADED d² column uses the direct
+    difference form on both sides (see the in-body comment). Output: every alive vector with its cell,
     semdedup keep flag, and the final D4 keep flag. sf0.01-oracled
     ONLY (the variable_width_histogram class): d² against the literal
     centroids is data-dependent and the sf0.001 embeddings differ."""
@@ -10814,9 +10822,14 @@ def prototype_prune(sf_dir: str):
         km = _ray.get(k_ref)
         ids = np.asarray(b["vec_id"].combine_chunks()).astype(np.int64)
         x = _emb_matrix(b, "embedding")
-        d2 = centroid_d2(x, c)
-        cell = np.argmin(d2, axis=1).astype(np.int64)
-        dd = d2[np.arange(len(ids)), cell]
+        cell = np.argmin(centroid_d2(x, c), axis=1).astype(np.int64)
+        # graded d² uses the DIRECT Σ(x−c)² form — the expanded
+        # x²−2xc+c² suffers catastrophic cancellation near centroids,
+        # which is exactly where this entry ranks; residual risk vs
+        # the oracle's squared list_distance is the usual sub-micro
+        # sum-order jitter (the sim_micros class), not cancellation
+        diff = x - c[cell]
+        dd = (diff * diff).sum(axis=1)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "cell": pa.array(cell, pa.int64()),
@@ -10862,16 +10875,4 @@ def retriever_tree_search(sf_dir: str):
     eng = _index_for(sf_dir)
     lm = eng.search(BM25_QUERY, 10, scorer="lm_dirichlet")
     l_rank = {int(d): i + 1 for i, (d, _) in enumerate(lm)}
-    docs = sorted(set(b_rank) | set(k_rank) | set(l_rank))
-    rrf = np.array([
-        (1.0 / (60 + b_rank[d]) if d in b_rank else 0.0)
-        + (1.0 / (60 + k_rank[d]) if d in k_rank else 0.0)
-        + (1.0 / (60 + l_rank[d]) if d in l_rank else 0.0)
-        for d in docs])
-    ids = np.array(docs, dtype=np.int64)
-    order = np.lexsort((ids, -rrf))[:10]
-    return pa.table({
-        "doc_id": pa.array(ids[order], pa.int64()),
-        "rrf_micros": pa.array(to_micros(rrf[order]), pa.int64()),
-        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-    })
+    return _rrf_fuse([b_rank, k_rank, l_rank])

@@ -5,7 +5,10 @@ The reference's XmlParser (/root/reference/dataprocess/parser.py:71-89)
 streams StackExchange ``Posts.xml`` via ``etree.iterparse``: rows with
 ``PostTypeId == '2'`` accumulate as the pending answer list, any OTHER
 row is a question that takes the pending answers (stream-adjacent
-grouping), and ``[min, max)`` skips / early-stops the question stream.
+grouping), and min/max sample bounds skip / early-stop the question
+stream — question ordinals [min, max], 1-based and INCLUSIVE at both
+ends (reference parity: the break fires AFTER yielding #max), so
+adjacent shards must use max_k = min_{k+1} − 1.
 
 Ray-Data-first shape: XML has no row offsets, so a single file is one
 streaming READ TASK (bounded memory — iterparse clears elements), and
@@ -19,8 +22,11 @@ Faithful semantics, two documented cleanups vs the reference:
 - answers pending when a question is SKIPPED by ``min_samples`` are
   dropped with it (the reference leaks them into the first yielded
   post — a bug, not a behavior worth porting);
-- the element tree is freed as we go (``elem.clear()``), which the
-  reference omits and which matters for multi-GB dumps.
+- the element tree is freed as we go: processed elements are cleared
+  AND the document root drops its reference to them each row
+  (``root.clear()`` — without it the root's child list still grows
+  O(rows)); the reference omits both, which matters for multi-GB
+  dumps.
 """
 
 from __future__ import annotations
@@ -36,8 +42,6 @@ from ray.data import Dataset
 
 from ..text import clean_string
 
-_COLS = ("doc_id", "title", "body", "answers", "text", "n_answers")
-
 
 def iter_posts(path: str, min_samples: int = 0,
                max_samples: int | None = None,
@@ -45,11 +49,16 @@ def iter_posts(path: str, min_samples: int = 0,
     """The reference's question iterator: yields one dict per question
     row with its stream-adjacent answers folded in. ``text`` is the
     searchable concatenation (title + body + answer bodies) the
-    reference's Post.toWordsArray tokenizes."""
+    reference's Post.toWordsArray tokenizes. Yields question ordinals
+    [min_samples, max_samples] 1-based INCLUSIVE (reference parity)."""
     pending: list[str] = []
     taken = 0
-    for _event, elem in etree.iterparse(path):
-        if elem.tag != "row":
+    context = etree.iterparse(path, events=("start", "end"))
+    root = None
+    for event, elem in context:
+        if root is None:
+            root = elem  # first start event = document root
+        if event != "end" or elem.tag != "row":
             continue
         attrib = elem.attrib
         if attrib.get("PostTypeId") == "2":
@@ -80,14 +89,16 @@ def iter_posts(path: str, min_samples: int = 0,
             if max_samples is not None and taken >= max_samples:
                 break
         elem.clear()
+        root.clear()  # drop the root's reference to processed rows
 
 
 def read_posts_xml(source: str | list[str], *, batch_size: int = 1024,
                    min_samples: int = 0, max_samples: int | None = None,
                    strip_html: bool = True) -> Dataset:
     """Posts.xml → streaming Dataset of (doc_id, title, body, answers,
-    text, n_answers). One parse task per file; per-file row ranges via
-    ``min_samples``/``max_samples`` (the reference's parseRange)."""
+    text, n_answers). One parse task per file; per-file question
+    ranges via ``min_samples``/``max_samples`` — 1-based INCLUSIVE at
+    both ends, the reference's parseRange semantics."""
     if isinstance(source, str):
         if os.path.isdir(source):
             paths = sorted(
