@@ -1804,7 +1804,13 @@ def bulk_apply(index_dir: str, ops: list[dict]) -> dict:
     recover_appends(index_dir)
     recover_purges(index_dir)
     stats = load_stats(index_dir)
-    id_col = stats.get("id_col", "doc_id")
+    id_col = stats.get("id_col") or None
+    if id_col is None:
+        raise ValueError(
+            "bulk_apply needs an explicit-id index (built with "
+            "id_col=...): derived-id indexes would need every op to "
+            "carry the key_cols — route those through "
+            "delete_from_index / upsert_to_index directly")
     batch_ids = sorted({int(o[id_col]) for o in ops})
     docs_dir = os.path.join(index_dir, "docs")
     present = pq.read_table(docs_dir, columns=["doc_id"],
