@@ -16,8 +16,9 @@ public specs:
 
 These give DecodeImageFeatures / ExtractAudioFeatures /
 SampleVideoFrames real pixels, samples and frames to compute from;
-formats whose entropy coders need codec libraries (jpeg/mp4) remain
-honestly stubbed in multimodal.py.
+formats whose entropy coders need codec libraries (mp4) remain
+honestly stubbed in multimodal.py; baseline jpeg now encodes AND
+decodes natively via functions/jpeg_codec.py.
 """
 
 from __future__ import annotations

@@ -7,7 +7,7 @@ libraries: BMP and PNG payloads decode to pixels (PNG via stdlib zlib
 + the filter algebra in media_codec.py), WAV payloads to PCM samples,
 and uncompressed-DIB AVI payloads to frame arrays; features and frame
 fingerprints are computed from the actual pixels/samples. Formats
-whose entropy coders need external libraries (jpeg/mp4) remain
+whose entropy coders need external libraries (mp4) remain
 honestly stubbed —
 ``NotImplementedError`` unless ``fake=True``, in which case a
 deterministic fake decoder (seeded by payload bytes) produces stable
@@ -123,10 +123,16 @@ class DecodeImageFeatures:
 
             return image_features(png_to_rgb(decode_png(payload)),
                                   self.FEATURE_DIM, self.resize_to)
+        if fmt in ("jpeg", "jpg"):
+            from .jpeg_codec import decode_jpeg
+            from .media_codec import image_features
+
+            return image_features(decode_jpeg(payload),
+                                  self.FEATURE_DIM, self.resize_to)
         raise NotImplementedError(
             f"image format {fmt!r} needs a decoder library not present "
-            "in this environment (bmp and png decode natively; fake=True "
-            "for plumbing tests)")
+            "in this environment (bmp, png and baseline jpeg decode "
+            "natively; fake=True for plumbing tests)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

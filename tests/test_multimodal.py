@@ -117,11 +117,11 @@ def test_decode_stub_raises_on_compressed_format():
     t = pa.table({
         "media_id": pa.array([0], pa.int64()),
         "kind": pa.array(["image"]),
-        "format": pa.array(["jpeg"]),
+        "format": pa.array(["webp"]),  # jpeg decodes natively now
         "width": pa.array([4], pa.int32()),
         "height": pa.array([4], pa.int32()),
         "duration_ms": pa.array([0], pa.int32()),
-        "payload": pa.array([b"\xff\xd8 fake"], pa.binary()),
+        "payload": pa.array([b"RIFF fake"], pa.binary()),
     })
     with pytest.raises(NotImplementedError):
         d(t)
@@ -359,3 +359,58 @@ def test_image_features_bounded_property(h, w, seed):
     assert np.isfinite(f).all()
     assert (0.0 <= f[:3]).all() and (f[:3] <= 1.0).all()
     assert abs(f[6:14].sum() - 1.0) < 1e-5
+
+
+# ---- baseline JPEG codec (jpeg_codec.py, pure numpy + stdlib) ----
+
+
+def test_jpeg_roundtrip_quality_and_structure():
+    import numpy as np
+
+    from stacksearch_ray.functions.jpeg_codec import (decode_jpeg,
+                                                      encode_jpeg)
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        xx * 255 // (w - 1),
+        yy * 255 // (h - 1),
+        ((xx // 8 + yy // 8) % 2) * 200 + 20,
+    ], axis=-1).astype(np.uint8)
+    data = encode_jpeg(img, quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    mse = float(((out.astype(np.float64) - img) ** 2).mean())
+    assert 10 * np.log10(255 ** 2 / mse) > 35.0  # PSNR
+    # flat block survives exactly (DC-only path)
+    flat = np.full((16, 16, 3), 130, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 90)) == 130).all()
+    # quality knob monotone in size
+    assert len(encode_jpeg(img, 95)) > len(encode_jpeg(img, 30))
+    # non-multiple-of-8 dims round-trip at the right size
+    odd = img[:41, :53]
+    assert decode_jpeg(encode_jpeg(odd, 80)).shape == odd.shape
+    # progressive marker rejected with a clear error
+    import pytest as _pytest
+
+    bad = bytearray(data)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_feeds_multimodal_features(ray_session):
+    import numpy as np
+
+    from stacksearch_ray.functions.jpeg_codec import encode_jpeg
+    from stacksearch_ray.functions.multimodal import DecodeImageFeatures
+
+    rng = np.random.default_rng(2)
+    img = (rng.integers(0, 8, (32, 32, 3)) * 32).astype(np.uint8)
+    payload = encode_jpeg(img, 90)
+    dec = DecodeImageFeatures()
+    feats = dec._decode_one(payload, "jpeg")
+    assert feats.shape == (DecodeImageFeatures.FEATURE_DIM,)
+    assert np.isfinite(feats).all()
