@@ -41,11 +41,13 @@ MEDIA_SCHEMA = pa.schema([
 def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
                       audio_rate: int = 4000) -> pa.Table:
     """Deterministic media rows with REAL payloads across all three
-    modalities: images alternate valid 24-bit BMPs and PNGs (mixed
-    per-row filters, so every decoder path runs), audio is valid mono
+    modalities: images rotate valid 24-bit BMPs, PNGs (mixed
+    per-row filters) and baseline JPEGs (jpeg_codec.py), so every
+    decoder path runs; audio is valid mono
     16-bit PCM WAV (sine + noise), video is valid uncompressed-DIB AVI
     (random frames) — every payload decodes with the pure-NumPy/stdlib
     codecs in media_codec.py."""
+    from .jpeg_codec import encode_jpeg
     from .media_codec import encode_avi, encode_bmp, encode_png, encode_wav
 
     rng = np.random.default_rng(seed)
@@ -58,7 +60,7 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         if kind == "image":
-            fmt = "bmp" if n_images % 2 == 0 else "png"
+            fmt = ("bmp", "png", "jpeg")[n_images % 3]
             n_images += 1
             rows["format"].append(fmt)
             w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
@@ -68,7 +70,8 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
             rows["duration_ms"].append(0)
             rows["payload"].append(
                 encode_bmp(img) if fmt == "bmp"
-                else encode_png(img, filter_type="mixed"))
+                else encode_png(img, filter_type="mixed")
+                if fmt == "png" else encode_jpeg(img, quality=90))
         elif kind == "audio":
             rows["format"].append("wav")
             dur = int(rng.integers(500, 30_000))

