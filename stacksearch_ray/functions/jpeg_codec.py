@@ -6,9 +6,10 @@ construction (C.2), the F.1.2 DC-difference/AC run-length entropy
 model, and the JFIF/BT.601 color transform.
 
 Scope (documented, enforced): baseline DCT, 8-bit, single scan,
-4:4:4 sampling, no restart intervals — exactly what ``encode_jpeg``
-emits, plus any third-party stream within that envelope. Progressive
-(SOF2) and subsampled streams raise with a clear message.
+4:4:4 or 4:2:0 sampling (the real-world default), no restart
+intervals — exactly what ``encode_jpeg`` emits, plus any third-party
+stream within that envelope. Progressive (SOF2) and other sampling
+layouts raise with a clear message.
 
 The DCT uses the orthonormal matrix form (T A Tᵀ with T[0]=1/√8,
 T[u,x]=½cos((2x+1)uπ/16)) which equals the spec's ¼C(u)C(v)Σ form.
@@ -175,12 +176,55 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
                    0, 255).astype(np.uint8)
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
-    """(H, W, 3) uint8 → baseline JFIF bytes (4:4:4, standard Huffman
-    tables, IJG quality scaling of the Annex-K quant tables)."""
+def _write_block(bw, zz, dc_codes, ac_codes, prev_dc, ci) -> None:
+    """Entropy-encode ONE zigzagged quantized block (F.1.2)."""
+    diff = int(zz[0]) - prev_dc[ci]
+    prev_dc[ci] = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[ci][size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c0, l0 = ac_codes[ci][0xF0]  # ZRL
+            bw.write(c0, l0)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[ci][(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        c0, l0 = ac_codes[ci][0x00]  # EOB
+        bw.write(c0, l0)
+
+
+def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
+    return np.pad(plane, ((0, H - plane.shape[0]),
+                          (0, W - plane.shape[1])), mode="edge")
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 75,
+                subsampling: str = "444") -> bytes:
+    """(H, W, 3) uint8 → baseline JFIF bytes. ``subsampling``:
+    "444" (one block per component per MCU) or "420" (the real-world
+    default — chroma 2×2 box-downsampled, MCU = 4 Y + Cb + Cr).
+    Standard Huffman tables, IJG quality scaling of the Annex-K quant
+    tables."""
     rgb = np.asarray(rgb)
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError("encode_jpeg needs (H, W, 3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = rgb.shape[:2]
     q = max(1, min(100, int(quality)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
@@ -188,17 +232,31 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
     qc = np.clip((QC * scale + 50) // 100, 1, 255).astype(np.int32)
 
     ycc = rgb_to_ycbcr(rgb)
-    comps = [(_blocks(ycc[..., 0]), qy), (_blocks(ycc[..., 1]), qc),
-             (_blocks(ycc[..., 2]), qc)]
-    # quantized zigzag coefficients per component, MCU order
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    if subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        he, we = h + (h % 2), w + (w % 2)
+        cbp, crp = _pad_to(cb, he, we), _pad_to(cr, he, we)
+        cb = (cbp[0::2, 0::2] + cbp[1::2, 0::2]
+              + cbp[0::2, 1::2] + cbp[1::2, 1::2]) / 4.0
+        cr = (crp[0::2, 0::2] + crp[1::2, 0::2]
+              + crp[0::2, 1::2] + crp[1::2, 1::2]) / 4.0
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(si[0] for si in samp)
+    vmax = max(si[1] for si in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
     coeffs = []
-    for blocks, qt in comps:
+    for (plane, qt), (hi, vi) in zip(
+            ((y, qy), (cb, qc), (cr, qc)), samp):
+        blocks = _blocks(_pad_to(plane, mcuy * 8 * vi, mcux * 8 * hi))
         by, bx = blocks.shape[:2]
         flat = blocks.reshape(-1, 8, 8) - 128.0
         dct = np.einsum("ux,nxy,vy->nuv", _T, flat, _T)
         quant = np.round(dct / qt[None, :, :]).astype(np.int32)
         coeffs.append(quant.reshape(by, bx, 8, 8))
-    by, bx = comps[0][0].shape[:2]
 
     dc_codes = [_canonical_codes(*DC_L), _canonical_codes(*DC_C),
                 _canonical_codes(*DC_C)]
@@ -206,39 +264,14 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
                 _canonical_codes(*AC_C)]
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for my in range(by):
-        for mx in range(bx):
-            for ci in range(3):
-                zz = coeffs[ci][my, mx].reshape(64)[_Z]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_codes[ci][size]
-                bw.write(code, length)
-                if size:
-                    bw.write(bits, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if \
-                    np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c0, l0 = ac_codes[ci][0xF0]  # ZRL
-                        bw.write(c0, l0)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = ac_codes[ci][(run << 4) | size]
-                    bw.write(code, length)
-                    bw.write(bits, size)
-                    run = 0
-                    if k == last_nz:
-                        break
-                if last_nz < 63:
-                    c0, l0 = ac_codes[ci][0x00]  # EOB
-                    bw.write(c0, l0)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        blk = coeffs[ci][my * vi + byi, mx * hi + bxi]
+                        _write_block(bw, blk.reshape(64)[_Z],
+                                     dc_codes, ac_codes, prev_dc, ci)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -248,8 +281,11 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + bytes(qy.reshape(64)[_Z].astype(np.uint8)))
     out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_Z].astype(np.uint8)))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
-               + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hi, vi), tq in ((1, samp[0], 0), (2, samp[1], 1),
+                              (3, samp[2], 1)):
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += seg(0xFFC0, sof)
     for cls_dest, (bits, vals) in ((0x00, DC_L), (0x10, AC_L),
                                    (0x01, DC_C), (0x11, AC_C)):
         out += seg(0xFFC4, bytes([cls_dest]) + bytes(bits)
@@ -327,7 +363,7 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (H, W, 3) uint8 RGB. Supports the
     ``encode_jpeg`` envelope: baseline sequential (SOF0), 8-bit, 3
-    components at 4:4:4, single scan, no restarts."""
+    components at 4:4:4 or 4:2:0, single scan, no restarts."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a jpeg (missing SOI)")
     pos = 2
@@ -335,6 +371,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
     comp_q: list[int] = []
+    comp_samp: list[tuple[int, int]] = []
     scan_comps: list[tuple[int, int]] = []
     scan_start = None
     while pos < len(data):
@@ -365,11 +402,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if nc != 3:
                 raise NotImplementedError("only 3-component jpeg")
             for ci in range(nc):
-                cid, samp, tq = payload[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 (no subsampling) is supported")
+                cid, sampb, tq = payload[6 + 3 * ci:9 + 3 * ci]
+                comp_samp.append((sampb >> 4, sampb & 0xF))
                 comp_q.append(tq)
+            if comp_samp not in ([(1, 1)] * 3,
+                                 [(2, 2), (1, 1), (1, 1)]):
+                raise NotImplementedError(
+                    "only 4:4:4 or 4:2:0 sampling is supported")
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
@@ -391,36 +430,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("jpeg missing SOF/SOS")
     # scan ends at EOI (or any unstuffed marker)
     br = _BitReader(data[scan_start:])
-    by, bx = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((by * 8, bx * 8)) for _ in range(3)]
+    hmax = max(si[0] for si in comp_samp)
+    vmax = max(si[1] for si in comp_samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * 8 * vi, mcux * 8 * hi))
+              for hi, vi in comp_samp]
     prev_dc = [0, 0, 0]
-    for my in range(by):
-        for mx in range(bx):
-            for ci in range(3):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(comp_samp):
                 td, ta = scan_comps[ci]
-                s = _read_symbol(br, huff[(0, td)])
-                diff = _extend(br.read_bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz = np.zeros(64, np.int32)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_symbol(br, huff[(1, ta)])
-                    r, s = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(br.read_bits(s), s)
-                    k += 1
-                blk = np.zeros(64, np.float64)
-                blk[_Z] = zz * qt[comp_q[ci]].reshape(64)[_Z]
-                b2 = blk.reshape(8, 8)
-                pix = _T.T @ b2 @ _T + 128.0
-                planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pix
-    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
-    return ycbcr_to_rgb(ycc)
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        s = _read_symbol(br, huff[(0, td)])
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz = np.zeros(64, np.int32)
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, huff[(1, ta)])
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[_Z] = zz * qt[comp_q[ci]].reshape(64)[_Z]
+                        pix = _T.T @ blk.reshape(8, 8) @ _T + 128.0
+                        y0 = (my * vi + byi) * 8
+                        x0 = (mx * hi + bxi) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    full = []
+    for (hi, vi), plane in zip(comp_samp, planes):
+        up = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                       hmax // hi, axis=1)
+        full.append(up[:h, :w])
+    return ycbcr_to_rgb(np.stack(full, axis=-1))

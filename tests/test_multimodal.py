@@ -388,9 +388,16 @@ def test_jpeg_roundtrip_quality_and_structure():
     assert (decode_jpeg(encode_jpeg(flat, 90)) == 130).all()
     # quality knob monotone in size
     assert len(encode_jpeg(img, 95)) > len(encode_jpeg(img, 30))
-    # non-multiple-of-8 dims round-trip at the right size
+    # non-multiple-of-8 dims round-trip at the right size, both samplings
     odd = img[:41, :53]
     assert decode_jpeg(encode_jpeg(odd, 80)).shape == odd.shape
+    assert decode_jpeg(encode_jpeg(odd, 80, subsampling="420")
+                       ).shape == odd.shape
+    # 4:2:0 keeps luma detail: smooth image stays high-PSNR
+    smooth = np.stack([xx * 255 // (w - 1)] * 3, axis=-1).astype(np.uint8)
+    s2 = decode_jpeg(encode_jpeg(smooth, 85, subsampling="420"))
+    mse2 = float(((s2.astype(np.float64) - smooth) ** 2).mean())
+    assert 10 * np.log10(255 ** 2 / mse2) > 35.0
     # progressive marker rejected with a clear error
     import pytest as _pytest
 
@@ -429,11 +436,12 @@ def test_jpeg_roundtrip_fuzz():
 
     @settings(max_examples=40, deadline=None)
     @given(st.integers(1, 40), st.integers(1, 40),
-           st.integers(1, 100), st.integers(0, 2**32 - 1))
-    def inner(h, w, q, seed):
+           st.integers(1, 100), st.integers(0, 2**32 - 1),
+           st.sampled_from(["444", "420"]))
+    def inner(h, w, q, seed, sub):
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        out = decode_jpeg(encode_jpeg(img, q))
+        out = decode_jpeg(encode_jpeg(img, q, subsampling=sub))
         assert out.shape == img.shape and out.dtype == np.uint8
 
     inner()
