@@ -16,9 +16,10 @@ public specs:
 
 These give DecodeImageFeatures / ExtractAudioFeatures /
 SampleVideoFrames real pixels, samples and frames to compute from;
-formats whose entropy coders need codec libraries (mp4) remain
-honestly stubbed in multimodal.py; baseline jpeg now encodes AND
-decodes natively via functions/jpeg_codec.py.
+formats whose entropy coders need codec libraries (mp4/h264) remain
+honestly stubbed in multimodal.py; baseline jpeg encodes AND decodes
+natively via functions/jpeg_codec.py, and MJPEG AVI (intra-only
+compressed video) rides it.
 """
 
 from __future__ import annotations
@@ -327,15 +328,58 @@ def encode_avi(frames: np.ndarray, fps: int = 4) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_mjpeg_avi(frames: np.ndarray, fps: int = 4,
+                     quality: int = 85) -> bytes:
+    """uint8 (N, H, W, 3) RGB frames → MJPEG AVI ('MJPG' fourcc, one
+    baseline-JPEG payload per 00dc chunk) — the COMPRESSED video
+    sibling of the DIB writer, unlocked by functions/jpeg_codec.py.
+    MJPEG is the classic intra-only format (every frame independent),
+    so it needs no motion-compensation entropy machinery."""
+    from .jpeg_codec import encode_jpeg
+
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_mjpeg_avi expects (N, H, W, 3) uint8")
+    n, h, w, _ = frames.shape
+    payloads = [encode_jpeg(frames[i], quality, subsampling="420")
+                for i in range(n)]
+    movi_items = b"".join(
+        b"00dc" + struct.pack("<I", len(p)) + p + (b"\x00" * (len(p) & 1))
+        for p in payloads)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" \
+        + movi_items
+    max_size = max(len(p) for p in payloads)
+
+    avih = b"avih" + struct.pack("<I", _AVIH.size) + _AVIH.pack(
+        1_000_000 // fps, max_size * fps, 0, 0, n, 0, 1, max_size,
+        w, h, 0, 0, 0, 0)
+    strf_body = _BMP_INFO.pack(_BMP_INFO.size, w, h, 1, 24,
+                               struct.unpack("<I", b"MJPG")[0],
+                               max_size, 0, 0, 0, 0)
+    strh = b"strh" + struct.pack("<I", _STRH.size) + _STRH.pack(
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0, 0,
+        0, 0, w, h)
+    strf = b"strf" + struct.pack("<I", len(strf_body)) + strf_body
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) \
+        + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) \
+        + b"hdrl" + avih + strl
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
-    """Uncompressed AVI bytes → (uint8 (N, H, W, 3) RGB frames, fps)."""
+    """AVI bytes → (uint8 (N, H, W, 3) RGB frames, fps). Handles the
+    two streams this repo writes: uncompressed 'DIB ' and MJPEG
+    ('MJPG' — one baseline JPEG per frame chunk)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     w = h = fps = None
+    handler = b"DIB "
     frames: list[np.ndarray] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, handler
         off = start
         while off + 8 <= end:
             fourcc = payload[off:off + 4]
@@ -348,9 +392,18 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 usec = vals[0]
                 fps = round(1_000_000 / usec) if usec else 0
                 w, h = vals[8], vals[9]
+            elif fourcc == b"strh":
+                handler = payload[data0 + 4:data0 + 8]
             elif fourcc in (b"00db", b"00dc"):
                 if w is None or h is None:
                     raise ValueError("frame chunk before avih header")
+                if handler == b"MJPG":
+                    from .jpeg_codec import decode_jpeg
+
+                    frames.append(decode_jpeg(
+                        payload[data0:data0 + size]))
+                    off = data0 + size + (size & 1)
+                    continue
                 row_bytes = w * 3
                 stride = row_bytes + ((-row_bytes) % 4)
                 rows = np.frombuffer(payload, np.uint8, stride * h,

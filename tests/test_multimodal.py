@@ -445,3 +445,25 @@ def test_jpeg_roundtrip_fuzz():
         assert out.shape == img.shape and out.dtype == np.uint8
 
     inner()
+
+
+def test_mjpeg_avi_roundtrip_and_frame_sampling():
+    import numpy as np
+
+    from stacksearch_ray.functions.media_codec import (decode_avi,
+                                                       encode_mjpeg_avi)
+
+    rng = np.random.default_rng(6)
+    frames = np.stack([
+        np.full((24, 32, 3), 40 + 30 * i, np.uint8)
+        + rng.integers(0, 16, (24, 32, 3), dtype=np.uint8)
+        for i in range(6)])
+    data = encode_mjpeg_avi(frames, fps=3, quality=90)
+    out, fps = decode_avi(data)
+    assert out.shape == frames.shape and fps == 3
+    # intra-only lossy: every frame close to its source
+    err = np.abs(out.astype(int) - frames.astype(int)).mean(axis=(1, 2, 3))
+    assert (err < 8).all()
+    # frames stay ORDERED (brightness ramp survives)
+    means = out.astype(np.float64).mean(axis=(1, 2, 3))
+    assert (np.diff(means) > 10).all()
