@@ -44,11 +44,13 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
     modalities: images rotate valid 24-bit BMPs, PNGs (mixed
     per-row filters) and baseline JPEGs (jpeg_codec.py), so every
     decoder path runs; audio is valid mono
-    16-bit PCM WAV (sine + noise), video is valid uncompressed-DIB AVI
-    (random frames) — every payload decodes with the pure-NumPy/stdlib
+    16-bit PCM WAV (sine + noise), video alternates uncompressed-DIB
+    and MJPEG AVI (random frames) — every payload decodes with the pure-NumPy/stdlib
     codecs in media_codec.py."""
     from .jpeg_codec import encode_jpeg
-    from .media_codec import encode_avi, encode_bmp, encode_png, encode_wav
+    from .media_codec import (encode_avi, encode_bmp,
+                              encode_mjpeg_avi, encode_png,
+                              encode_wav)
 
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
@@ -94,7 +96,11 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
             rows["width"].append(w)
             rows["height"].append(h)
             rows["duration_ms"].append(n_frames * 1000 // fps)
-            rows["payload"].append(encode_avi(frames, fps))
+            # alternate uncompressed DIB and MJPEG (decode_avi handles
+            # both by the stream handler fourcc)
+            rows["payload"].append(
+                encode_avi(frames, fps) if i % 2 == 0
+                else encode_mjpeg_avi(frames, fps))
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
