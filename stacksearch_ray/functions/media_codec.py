@@ -340,6 +340,8 @@ def encode_mjpeg_avi(frames: np.ndarray, fps: int = 4,
     if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
         raise ValueError("encode_mjpeg_avi expects (N, H, W, 3) uint8")
     n, h, w, _ = frames.shape
+    if n == 0:
+        raise ValueError("encode_mjpeg_avi needs at least one frame")
     payloads = [encode_jpeg(frames[i], quality, subsampling="420")
                 for i in range(n)]
     movi_items = b"".join(
@@ -376,6 +378,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not an AVI payload")
     w = h = fps = None
     handler = b"DIB "
+    handler_set = [False]
     frames: list[np.ndarray] = []
 
     def walk(start: int, end: int) -> None:
@@ -393,7 +396,13 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 fps = round(1_000_000 / usec) if usec else 0
                 w, h = vals[8], vals[9]
             elif fourcc == b"strh":
-                handler = payload[data0 + 4:data0 + 8]
+                # bind the codec handler to the FIRST video stream
+                # only — a later strl (e.g. an audio stream) must not
+                # misroute frame decoding
+                if payload[data0:data0 + 4] == b"vids" \
+                        and not handler_set[0]:
+                    handler_set[0] = True
+                    handler = payload[data0 + 4:data0 + 8]
             elif fourcc in (b"00db", b"00dc"):
                 if w is None or h is None:
                     raise ValueError("frame chunk before avih header")
@@ -403,7 +412,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                     frames.append(decode_jpeg(
                         payload[data0:data0 + size]))
                     off = data0 + size + (size & 1)
-                    continue
+                    continue  # shared tail also indexes rows — skip it
                 row_bytes = w * 3
                 stride = row_bytes + ((-row_bytes) % 4)
                 rows = np.frombuffer(payload, np.uint8, stride * h,
@@ -413,7 +422,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
 
     walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
     if not frames:
-        raise ValueError("AVI contains no uncompressed frame chunks")
+        raise ValueError("AVI contains no video frame chunks")
     return np.stack(frames), int(fps or 0)
 
 

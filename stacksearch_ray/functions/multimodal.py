@@ -5,7 +5,7 @@ stages.
 Decode is REAL for the public formats reachable without codec
 libraries: BMP and PNG payloads decode to pixels (PNG via stdlib zlib
 + the filter algebra in media_codec.py), WAV payloads to PCM samples,
-and uncompressed-DIB AVI payloads to frame arrays; features and frame
+and DIB or MJPEG AVI payloads to frame arrays; features and frame
 fingerprints are computed from the actual pixels/samples. Formats
 whose entropy coders need external libraries (mp4) remain
 honestly stubbed —
@@ -224,7 +224,7 @@ class ExtractAudioFeatures:
 class SampleVideoFrames:
     """Actor-pool stage for frame sampling: emits one row per sampled
     frame (every ``stride_ms``). AVI payloads decode to REAL frames
-    (media_codec.decode_avi — uncompressed DIB) and ``frame_sha``
+    (media_codec.decode_avi — DIB or MJPEG) and ``frame_sha``
     fingerprints the actual pixel bytes; compressed containers (mp4)
     raise unless ``fake=True`` (hash-seeded plumbing rows)."""
 

@@ -4404,9 +4404,10 @@ def multimodal_features(sf_dir: str):
 
 def video_frame_sample(sf_dir: str):
     """Frame sampling from REAL decoded frames: the synthetic media
-    table's video rows are valid uncompressed-DIB AVIs, decoded by the
-    pure-NumPy codec in an actor pool (fake=False); frame_sha
-    fingerprints actual pixel bytes."""
+    table's video rows alternate uncompressed-DIB and MJPEG AVIs,
+    decoded by the pure-NumPy codecs in an actor pool (fake=False);
+    frame_sha fingerprints actual DECODED pixel bytes (exact for DIB,
+    deterministic-lossy for MJPEG)."""
     from ..functions.multimodal import sample_frames, synth_media_table
 
     ds = rd.from_arrow(synth_media_table(60))

@@ -467,3 +467,35 @@ def test_mjpeg_avi_roundtrip_and_frame_sampling():
     # frames stay ORDERED (brightness ramp survives)
     means = out.astype(np.float64).mean(axis=(1, 2, 3))
     assert (np.diff(means) > 10).all()
+
+
+def test_mjpeg_decode_ignores_later_stream_headers():
+    """Regression (review finding): a second strl (e.g. an audio
+    stream) AFTER the video strl must not overwrite the codec handler
+    — frame chunks still decode as MJPEG, not as raw DIB garbage."""
+    import struct
+
+    import numpy as np
+
+    from stacksearch_ray.functions.media_codec import (_STRH, decode_avi,
+                                                       encode_mjpeg_avi)
+
+    frames = np.full((3, 16, 16, 3), 90, np.uint8)
+    b = encode_mjpeg_avi(frames, 4)
+    strh = b"strh" + struct.pack("<I", _STRH.size) + _STRH.pack(
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 100, 4,
+        0, 0, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh)) + b"strl" + strh
+    pos = 12
+    while pos + 12 <= len(b):
+        if b[pos:pos + 4] == b"LIST" and b[pos + 8:pos + 12] == b"movi":
+            break
+        pos += 1
+    new = b[:pos] + strl + b[pos:]
+    new = b"RIFF" + struct.pack("<I", len(new) - 8) + new[8:]
+    out, _fps = decode_avi(new)
+    assert out.shape == frames.shape
+    assert abs(float(out.mean()) - 90.0) < 5.0  # real pixels, not noise
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_mjpeg_avi(np.zeros((0, 8, 8, 3), np.uint8))
