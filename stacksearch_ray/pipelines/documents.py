@@ -10197,134 +10197,6 @@ def context_completion(sf_dir: str):
     return _completion_suggestions(sf_dir, CTX_LANGS)
 
 
-BULK_DEL_ID, BULK_UPD_ID = 3, 1
-BULK_NEW_ID, BULK_CONFLICT_ID = 900001, 5
-BULK_UPD_SUFFIX = " bulk merge sort"
-BULK_NEW_TEXT = "bulk merge sort stream window fresh"
-
-
-def bulk_search(sf_dir: str):
-    """ES ``_bulk`` surfaced end-to-end: build over ALL documents, then
-    apply ONE mixed batch — delete doc 3, index (replace) doc 1 with a
-    suffix-extended text, create a brand-new doc 900001, and a
-    CONFLICTING create on alive doc 5 (per-item 409, batch continues) —
-    via append.bulk_apply (sequential per-id fold → one delete + one
-    upsert), then run the fixed BM25 query. Oracle: the bm25 chain
-    over the reconstructed corpus (minus 3, doc 1 rewritten, plus the
-    new doc; doc 5 untouched) — the bulk-applied index must match it
-    bitwise (the upsert rebuild contract)."""
-    from ..append import bulk_apply
-
-    tag = sf_dir.strip("/").replace("/", "_")
-    index_dir = os.path.join(CACHE_ROOT, tag, "index_bulk")
-    done = index_dir + "._done"  # multi-step build → explicit marker
-
-    def _build_bulk():
-        import shutil
-
-        shutil.rmtree(index_dir, ignore_errors=True)  # heal partials
-        build_index(_docs(sf_dir), index_dir, content_col="text",
-                    id_col="doc_id", meta_cols=(),
-                    num_shards=4, term_buckets=16)
-        old = pq.read_table(_docs(sf_dir),
-                            filters=[("doc_id", "=", BULK_UPD_ID)],
-                            columns=["text"])["text"][0].as_py()
-        out = bulk_apply(index_dir, [
-            {"op": "delete", "doc_id": BULK_DEL_ID},
-            {"op": "index", "doc_id": BULK_UPD_ID,
-             "text": old + BULK_UPD_SUFFIX},
-            {"op": "create", "doc_id": BULK_NEW_ID,
-             "text": BULK_NEW_TEXT},
-            {"op": "create", "doc_id": BULK_CONFLICT_ID,
-             "text": "never applied"},
-        ])
-        results = [it["result"] for it in out["items"]]
-        assert results == ["deleted", "updated", "created",
-                           "conflict"], results
-        open(done, "w").close()
-
-    _ensure_built(done, _build_bulk)
-    eng = QueryEngine(index_dir)
-    res = eng.search(BM25_QUERY, 10, method="auto")
-    return pa.table({
-        "doc_id": pa.array([d for d, _ in res], pa.int64()),
-        "score_micros": pa.array([to_micros(s) for _, s in res],
-                                 pa.int64()),
-        "rank": pa.array(np.arange(1, len(res) + 1), pa.int64()),
-    })
-
-
-CTX_LANGS = ("en", "es")  # completion contexts (ES category contexts)
-
-
-def context_completion(sf_dir: str):
-    """ES completion suggester with CATEGORY CONTEXTS: next-word
-    suggestions computed PER (lang, prefix) — a query box scoped to a
-    language sees only that language's bigram statistics. Same
-    map-side zero-copy pair counting as query_completion with the
-    context column carried through the partial sums; ≤ |contexts| ·
-    |prefixes| · vocab rows ever shuffle."""
-    prefixes = pa.array(sorted(COMPLETION_PREFIXES), pa.string())
-    ctxs = pa.array(sorted(CTX_LANGS), pa.string())
-
-    def part(b: pa.Table) -> pa.Table:
-        empty = pa.table({"ctx": pa.array([], pa.string()),
-                          "prefix": pa.array([], pa.string()),
-                          "term": pa.array([], pa.string()),
-                          "c": pa.array([], pa.int64())})
-        keep_doc = pc.is_in(b["lang"].combine_chunks(), value_set=ctxs)
-        b = b.filter(keep_doc)
-        if b.num_rows == 0:
-            return empty
-        flat, doc_idx, _ = tokenize_array(b["text"].combine_chunks())
-        m = len(flat) - 1
-        if m <= 0:
-            return empty
-        valid = doc_idx[:m] == doc_idx[1:]
-        first, second = flat.slice(0, m), flat.slice(1, m)
-        keep = pc.and_(pa.array(valid),
-                       pc.is_in(first, value_set=prefixes))
-        langs = b["lang"].combine_chunks().take(
-            pa.array(doc_idx[:m], pa.int64())).filter(keep)
-        first, second = first.filter(keep), second.filter(keep)
-        if len(first) == 0:
-            return empty
-        df = pd.DataFrame({"ctx": langs.to_pylist(),
-                           "prefix": first.to_pylist(),
-                           "term": second.to_pylist()})
-        g = (df.groupby(["ctx", "prefix", "term"], as_index=False)
-             .size().rename(columns={"size": "c"}))
-        return pa.table({
-            "ctx": pa.array(g["ctx"].to_numpy(dtype=object)),
-            "prefix": pa.array(g["prefix"].to_numpy(dtype=object)),
-            "term": pa.array(g["term"].to_numpy(dtype=object)),
-            "c": pa.array(g["c"].to_numpy(np.int64)),
-        })
-
-    parts = (rd.read_parquet(_docs(sf_dir), columns=["text", "lang"])
-             .map_batches(part, batch_format="pyarrow").to_pandas())
-    out = {c: [] for c in ("ctx", "prefix", "term", "c", "rank")}
-    if len(parts):
-        cnt = (parts.groupby(["ctx", "prefix", "term"],
-                             as_index=False)["c"].sum())
-        for cx in sorted(set(cnt["ctx"])):
-            for p in sorted(set(cnt[cnt["ctx"] == cx]["prefix"])):
-                g = cnt[(cnt["ctx"] == cx) & (cnt["prefix"] == p)]
-                order = np.lexsort((g["term"].to_numpy(dtype=object),
-                                    -g["c"].to_numpy(np.int64)))
-                g = g.iloc[order[:COMPLETION_K]]
-                out["ctx"] += [cx] * len(g)
-                out["prefix"] += [p] * len(g)
-                out["term"] += g["term"].tolist()
-                out["c"] += g["c"].tolist()
-                out["rank"] += list(range(1, len(g) + 1))
-    return pa.table({
-        "ctx": pa.array(out["ctx"], pa.string()),
-        "prefix": pa.array(out["prefix"], pa.string()),
-        "term": pa.array(out["term"], pa.string()),
-        "c": pa.array(out["c"], pa.int64()),
-        "rank": pa.array(out["rank"], pa.int64()),
-    })
 
 
 def significant_text_agg(sf_dir: str):

