@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": P.chunk_documents,
         "passage_search": P.passage_search,
         "phrase_prefix_search": P.phrase_prefix_search,
-        "knn_hnsw": P.knn_hnsw,  # rows-only: graph ANN (recall-pinned by pytest)
+        "knn_hnsw": P.knn_hnsw,
         "pinned_search": P.pinned_search,
         "has_child_search": P.has_child_search,
         "has_parent_search": P.has_parent_search,
@@ -1679,6 +1679,30 @@ SELECT vec_id, CAST(d2 AS BIGINT) AS d2,
 FROM d ORDER BY d2 ASC, vec_id ASC LIMIT 10""",
         # SQ8 top-50 shortlist -> exact cosine re-rank (knn_bq_rerank's
         # proven float tail)
+        # HNSW two-stage retrieval: the graph walk is not
+        # SQL-expressible, but the entry re-ranks its shortlist with
+        # EXACT cosine and probes every partition at this scale, so —
+        # with shortlist recall@10 = 1 (pytest-pinned at both sf
+        # scales) — the output IS the exact per-query brute-force
+        # top-10 (top-k of any candidate superset of the true top-k
+        # equals the true top-k). Queries = the HNSW_NQ smallest
+        # vec_ids, query_id = their ascending-vec_id position.
+        "knn_hnsw": """
+WITH q AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                       AS BIGINT) AS query_id,
+                  embedding::DOUBLE[] AS qe
+           FROM embeddings ORDER BY vec_id ASC LIMIT 5),
+sims AS (SELECT q.query_id, e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+         FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id ASC)
+                  AS BIGINT) AS rank
+      FROM sims)
+SELECT query_id, vec_id,
+       CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micros, rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
         "knn_sq8_rerank": """
 WITH e AS (SELECT vec_id,
                   CAST(floor(unnest(embedding) * 1e6 + 0.5) AS BIGINT)

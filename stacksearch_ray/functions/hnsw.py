@@ -236,3 +236,49 @@ def hnsw_partitioned_knn(ds: Dataset, queries: np.ndarray, k: int = 10,
         "sim_micros": pa.array(pdf["sim_micros"].astype(np.int64)),
         "rank": pa.array(pdf["rank"].astype(np.int64)),
     })
+
+
+def hnsw_shortlist_rerank(ds: Dataset, queries: np.ndarray,
+                          k: int = 10, candidates: int = 50,
+                          n_clusters: int = 8, nprobe: int = 2,
+                          emb_col: str = "embedding",
+                          id_col: str = "vec_id", m: int = 8,
+                          ef: int = 64) -> pa.Table:
+    """Two-stage graph ANN: HNSW top-``candidates`` shortlist per query
+    (hnsw_partitioned_knn — deterministic graphs, nprobe-bounded) →
+    EXACT cosine re-rank of the shortlist union → top-k. Rows:
+    (query_id, vec_id, sim_micros, rank) — knn_brute_force's contract.
+
+    This is the knn_bq_rerank / knn_sq8_rerank shape applied to the
+    graph family, and it is what makes HNSW *oracle-able*: the graph
+    walk itself is not SQL-expressible, but whenever the per-query
+    shortlist contains the true top-k (recall@k = 1 — the ef / nprobe
+    knob, pinned by pytest at conformance scales), the re-ranked output
+    IS the exact brute-force top-k, which a plain SQL window mirrors.
+    Re-ranking over the UNION of shortlists is safe: top-k of any
+    superset of the true top-k equals the true top-k, so a candidate
+    contributed by another query can only be outscored, never wrongly
+    promoted. The float column is re-read only for candidate rows
+    (broadcast sorted id set — the two-stage-ANN read-pruning story)."""
+    import ray
+
+    from ..query import sorted_member_mask
+    from .similarity import knn_brute_force
+
+    short = hnsw_partitioned_knn(ds, queries, k=candidates,
+                                 n_clusters=n_clusters, nprobe=nprobe,
+                                 emb_col=emb_col, id_col=id_col,
+                                 m=m, ef=ef)
+    cand_ids = np.unique(np.asarray(short[id_col]).astype(np.int64))
+    ids_ref = ray.put(cand_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cids = ray.get(ids_ref)
+        ids = np.asarray(batch[id_col].combine_chunks()).astype(np.int64)
+        if len(ids) == 0:
+            return batch
+        return batch.filter(pa.array(sorted_member_mask(cids, ids)))
+
+    sub = ds.map_batches(keep, batch_format="pyarrow")
+    return knn_brute_force(sub, queries, k=k, emb_col=emb_col,
+                           id_col=id_col, max_rows=None)

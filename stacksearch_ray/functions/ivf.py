@@ -57,6 +57,33 @@ def _init_centroids(k: int, dim: int, seed: int) -> np.ndarray:
     return rng.standard_normal((k, dim))
 
 
+def _data_seeded_kmeans(x: np.ndarray, k: int, iters: int = 2
+                        ) -> np.ndarray:
+    """Deterministic Lloyd with DATA-seeded init (evenly spaced rows of
+    the id-sorted input) — the in-task splitter for hot SemDeDup
+    cells. A standard-normal init (kmeans_numpy) degenerates to one
+    cluster when the cell's vectors live far from the origin — which
+    is exactly the hot-cell shape (a dense off-center blob) — so the
+    splitter seeds from the data itself. Exact int64-micros centroid
+    updates via sort + reduceat (no float accumulation order, no
+    np.add.at scatter cost on 10⁶-row cells)."""
+    x = np.asarray(x, dtype=np.float64)
+    sel = np.linspace(0, len(x) - 1, k).astype(np.int64)
+    c = x[sel].copy()
+    m = to_micros(x)
+    for _ in range(iters):
+        a = assign_centroids(x, c)
+        order = np.argsort(a, kind="stable")
+        sa = a[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(sa)) + 1]
+        sums_g = np.add.reduceat(m[order], starts, axis=0)
+        present = sa[starts]
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        c = c.copy()
+        c[present] = sums_g / (counts[present, None] * 1e6)
+    return c
+
+
 def kmeans_numpy(x: np.ndarray, k: int = 8, iters: int = 4,
                  seed: int = 17) -> np.ndarray:
     """Single-process mirror of the distributed trainer — bitwise
@@ -292,7 +319,8 @@ class IVFIndex:
         # config.json written LAST = the commit point
         return IVFIndex(dst_dir)
 
-    def semdedup(self, tau_micros: int, block: int = 1024):
+    def semdedup(self, tau_micros: int, block: int = 1024,
+                 max_cell_rows: int = 65536):
         """SemDeDup keep-first pass over this index's cells (Abbas et
         al. 2023, arXiv:2303.09540): ONE Ray task per centroid cell —
         the compact_to fan-out — each reading ONLY its cell's
@@ -305,13 +333,36 @@ class IVFIndex:
         task-per-cell path beats the groupby re-shuffle at 500k×64 and
         the gap widens with k — BENCH/semdedup_drill_r4.json). Returns
         a Dataset of (vec_id, cell, keep) assembled from the per-cell
-        result refs without driver materialization."""
+        result refs without driver materialization.
+
+        HOT-CELL BOUND: per-cell work is O(cell²/block), so on a
+        skewed embedding distribution one hot cell would stall the
+        whole pass (the quadratic law measured in
+        BENCH/semdedup_drill_2m_r4.json). A cell with more than
+        ``max_cell_rows`` alive rows auto-splits: recursive
+        deterministic in-task k-means (kmeans_numpy — no RNG state)
+        partitions it into worker-sized sub-cells, each deduped in its
+        OWN child Ray task, so per-task wall time stays bounded by the
+        cap whatever the skew (BENCH/semdedup_skew_r5.json). Keep-first
+        semantics hold WITHIN each sub-cell (ids stay globally sorted;
+        the finer granularity is the same approximation dial as
+        raising k — SemDeDup never compares across cells to begin
+        with). Identical-vector pathologies that k-means cannot split
+        fall back to id-ordered chunks of the cap (still bounded, one
+        keeper per chunk). The default cap never triggers at
+        conformance scale, so the semdedup_corpus oracle sees the
+        exact per-cell pass."""
         import ray.data as rd
 
         from .similarity import semdedup_keep_mask
 
         tomb_ref = ray.put(self.tombstones)
         id_col, emb_col = self.id_col, self.emb_col
+
+        @ray.remote
+        def subcell_keep(ids: np.ndarray, x: np.ndarray) -> tuple:
+            keep = semdedup_keep_mask(x, tau_micros, block=block)
+            return ids, keep
 
         @ray.remote
         def dedup_cell(cid: int, src_dirs: list[str], tomb) -> pa.Table:
@@ -332,7 +383,42 @@ class IVFIndex:
             order = np.argsort(ids)  # keep-first = lowest id wins
             ids = ids[order]
             x = _emb_matrix(t, emb_col)[order]
-            keep = semdedup_keep_mask(x, tau_micros, block=block)
+            if len(ids) <= max_cell_rows:
+                keep = semdedup_keep_mask(x, tau_micros, block=block)
+            else:
+                # hot cell: recursive deterministic split, then one
+                # CHILD task per worker-sized sub-cell (the parent's
+                # CPU is released while blocked in ray.get)
+                pieces: list[tuple[np.ndarray, np.ndarray]] = []
+                work = [(ids, x, 0)]
+                while work:
+                    pi, px, depth = work.pop()
+                    if len(pi) <= max_cell_rows or depth >= 8:
+                        pieces.append((pi, px))
+                        continue
+                    kk = min(int(np.ceil(len(pi) / max_cell_rows)) + 1,
+                             64)
+                    cents = _data_seeded_kmeans(px, kk, iters=2)
+                    a = assign_centroids(px, cents)
+                    sizes = np.bincount(a, minlength=kk)
+                    if sizes.max() == len(pi):
+                        # unsplittable (e.g. identical vectors):
+                        # id-order chunks keep the bound; one keeper
+                        # per chunk is the documented approximation
+                        for s in range(0, len(pi), max_cell_rows):
+                            pieces.append((pi[s:s + max_cell_rows],
+                                           px[s:s + max_cell_rows]))
+                        continue
+                    for j in range(kk):
+                        sel = a == j
+                        if sel.any():
+                            work.append((pi[sel], px[sel], depth + 1))
+                futs = [subcell_keep.remote(pi, px) for pi, px in pieces]
+                parts = ray.get(futs)
+                ids = np.concatenate([p[0] for p in parts])
+                keep = np.concatenate([p[1] for p in parts])
+                order = np.argsort(ids)
+                ids, keep = ids[order], keep[order]
             return pa.table({
                 "vec_id": pa.array(ids, pa.int64()),
                 "cell": pa.array(np.full(len(ids), cid, np.int64)),

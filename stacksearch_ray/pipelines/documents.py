@@ -8446,16 +8446,25 @@ HNSW_NQ = 5
 
 
 def knn_hnsw(sf_dir: str):
-    """Graph ANN (HNSW, Malkov & Yashunin 2016) in its distributed
-    form: IVF centroids partition the vectors, map_groups builds one
-    deterministic graph per partition (hash-seeded layer draws — no RNG
-    state, rebuilds identical), each query greedy-searches its 2
-    nearest partitions' graphs only. Rows-only at the driver (graph
-    traversal is not SQL-expressible); pytest pins recall ≥ 0.9 for
-    the single-graph kernel and ≥ 0.8 for this nprobe-bounded
-    distributed entry (vs the exact brute-force oracle), plus exact
-    determinism across rebuilds."""
-    from ..functions.hnsw import hnsw_partitioned_knn
+    """Graph ANN (HNSW, Malkov & Yashunin 2016) in its distributed,
+    two-stage form: IVF centroids partition the vectors, map_groups
+    builds one deterministic graph per partition (hash-seeded layer
+    draws — no RNG state, rebuilds identical), each query
+    greedy-searches its probed partitions' graphs for a top-50
+    shortlist, then the shortlist union is EXACTLY cosine-re-ranked
+    (knn_brute_force restricted to candidate rows — the
+    knn_bq_rerank/knn_sq8_rerank shape applied to the graph family).
+
+    SQL-oracled: the graph walk is not SQL-expressible, but the
+    re-ranked OUTPUT is — at conformance scale every partition is
+    probed (nprobe = n_clusters; at 100 TB nprobe shrinks, the recall
+    knob) and the per-query shortlist contains the true top-10
+    (recall@10 = 1, pinned by pytest at BOTH sf scales), so the result
+    equals the exact brute-force top-10 and the oracle is the plain
+    per-query cosine window over the HNSW_NQ smallest vec_ids. Pytest
+    additionally pins single-graph recall ≥ 0.9 and nprobe-bounded
+    distributed recall ≥ 0.8 plus rebuild determinism."""
+    from ..functions.hnsw import hnsw_shortlist_rerank
     from ..functions.similarity import _emb_matrix
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -8466,8 +8475,8 @@ def knn_hnsw(sf_dir: str):
     mat = _emb_matrix(t, "embedding")
     queries = mat[np.argsort(ids)][:HNSW_NQ]
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    return hnsw_partitioned_knn(ds, queries, k=10, n_clusters=4,
-                                nprobe=2)
+    return hnsw_shortlist_rerank(ds, queries, k=10, candidates=50,
+                                 n_clusters=4, nprobe=4, ef=128)
 
 
 # ---------------- ES join-field / pinned / composite surfaces ----------------

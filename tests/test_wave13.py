@@ -347,36 +347,73 @@ def test_hnsw_recall_and_determinism():
         assert g.search(q, 10) == g2.search(q, 10)
 
 
-def test_hnsw_partitioned_entry(ray_session):
-    """Distributed form: per-query results are ranked, high-recall vs
-    the exact scan over the probed-partition UNION's ground truth, and
-    deterministic across runs."""
-    from stacksearch_ray.pipelines import documents as P
-
-    t1 = P.knn_hnsw(SF).to_pandas()
-    t2 = P.knn_hnsw(SF).to_pandas()
-    assert t1.equals(t2)  # hash-seeded layers + pinned kmeans
-    assert set(t1["query_id"]) == set(range(P.HNSW_NQ))
+def _hnsw_entry_vs_brute(sf_dir):
+    """The oracle contract behind the knn_hnsw entry: its two-stage
+    output (HNSW shortlist → exact cosine re-rank) must EQUAL the
+    exact brute-force per-query top-10 — i.e. shortlist recall@10 = 1
+    at conformance scale (every partition probed, ef=128)."""
     import pyarrow.parquet as pq_
 
-    t = pq_.read_table(os.path.join(SF, "embeddings.parquet"),
+    from stacksearch_ray.pipelines import documents as P
+
+    t1 = P.knn_hnsw(sf_dir).to_pandas()
+    assert set(t1["query_id"]) == set(range(P.HNSW_NQ))
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                        columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy()
     mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     order = np.argsort(ids)
     queries = mat[order][:P.HNSW_NQ]
+    for qi in range(P.HNSW_NQ):
+        qn = queries[qi] / np.linalg.norm(queries[qi])
+        sims = vn @ qn
+        top = np.lexsort((ids, -sims))[:10]
+        sub = t1[t1["query_id"] == qi]
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+        assert list(sub["vec_id"]) == [int(i) for i in ids[top]]
+        assert (np.diff(sub["sim_micros"].to_numpy()) <= 0).all()
+    return t1
+
+
+def test_hnsw_partitioned_entry(ray_session):
+    """Distributed two-stage form at sf0.001: deterministic across
+    runs and exactly the brute-force top-10 (the SQL-oracle contract);
+    the nprobe-BOUNDED raw path (the 100 TB read-pruning shape) stays
+    high-recall."""
+    from stacksearch_ray.functions.hnsw import hnsw_partitioned_knn
+    from stacksearch_ray.pipelines import documents as P
+
+    t1 = _hnsw_entry_vs_brute(SF)
+    t2 = P.knn_hnsw(SF).to_pandas()
+    assert t1.equals(t2)  # hash-seeded layers + pinned kmeans
+    # nprobe=2/4 partitions + in-graph approximation: stay ≥ 0.8
+    # against the FULL-corpus truth (each query is itself a corpus
+    # vector, so its own partition holds most true neighbors)
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    t = pq_.read_table(os.path.join(SF, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[np.argsort(ids)][:P.HNSW_NQ]
+    ds = rd.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    raw = hnsw_partitioned_knn(ds, queries, k=10, n_clusters=4,
+                               nprobe=2).to_pandas()
     hits = total = 0
     for qi in range(P.HNSW_NQ):
         qn = queries[qi] / np.linalg.norm(queries[qi])
         truth = set(ids[np.lexsort((ids, -(vn @ qn)))[:10]])
-        got = set(t1[t1["query_id"] == qi]["vec_id"])
-        sub = t1[t1["query_id"] == qi]
-        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
-        assert (np.diff(sub["sim_micros"].to_numpy()) <= 0).all()
+        got = set(raw[raw["query_id"] == qi]["vec_id"])
         hits += len(truth & got)
         total += 10
-    # nprobe=2/4 partitions + in-graph approximation: stay ≥ 0.8
-    # against the FULL-corpus truth (each query is itself a corpus
-    # vector, so its own partition holds most true neighbors)
     assert hits / total >= 0.8, hits / total
+
+
+def test_hnsw_entry_exact_at_sf001(ray_session):
+    """The same oracle contract at sf0.01 — the driver's grading
+    scale (the sf0.01 embeddings genuinely differ from sf0.001)."""
+    _hnsw_entry_vs_brute("/root/testdata/sf0.01")

@@ -816,3 +816,101 @@ def test_posts_xml_source_grouping_ranges_and_build(ray_session,
     eng = QueryEngine(idx)
     res = eng.search("merge sort join", 5)
     assert len(res) == 5  # every question carries all three terms
+
+
+def test_semdedup_hot_cell_autosplit(ray_session, tmp_path):
+    """Hot-cell bound: a cell above max_cell_rows auto-splits via
+    recursive deterministic k-means into child tasks. Split keeps are
+    a pointwise SUPERSET of the unsplit keeps (splitting only removes
+    comparisons — monotone), planted same-prototype dup families still
+    collapse, the identical-vector pathology k-means cannot split hits
+    the bounded id-chunk fallback, and the whole pass is deterministic
+    across runs."""
+    import ray.data as rd
+
+    from stacksearch_ray.functions.ivf import IVFIndex
+
+    rng = np.random.default_rng(23)
+    hot_center = rng.standard_normal(8) * 4.0
+    rows, ids = [], []
+    vid = 0
+    # hot region: 900 vectors in 30 tight prototype families near one
+    # center -> one hot coarse cell with in-cell structure to split on
+    protos = hot_center + 0.5 * rng.standard_normal((30, 8))
+    for i in range(900):
+        v = protos[i % 30] + 0.01 * rng.standard_normal(8)
+        rows.append(v.tolist()); ids.append(vid); vid += 1
+    # identical-vector pathology: 150 byte-identical rows
+    same = (hot_center + 0.5 * rng.standard_normal(8)).tolist()
+    for i in range(150):
+        rows.append(same); ids.append(vid); vid += 1
+    # background spread far from the hot center
+    for i in range(200):
+        rows.append((-hot_center + 0.8 * rng.standard_normal(8)).tolist())
+        ids.append(vid); vid += 1
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+    }), src)
+    idx_dir = str(tmp_path / "ivf")
+    IVFIndex.build(rd.read_parquet(src), idx_dir, k=3, iters=4, seed=17)
+    idx = IVFIndex(idx_dir)
+    TAU = 950_000
+
+    nosplit = (idx.semdedup(TAU, max_cell_rows=10_000).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+    split = (idx.semdedup(TAU, max_cell_rows=120).to_pandas()
+             .sort_values("vec_id").reset_index(drop=True))
+    split2 = (idx.semdedup(TAU, max_cell_rows=120).to_pandas()
+              .sort_values("vec_id").reset_index(drop=True))
+    # every vector appears exactly once, cells unchanged by the split
+    assert split["vec_id"].tolist() == sorted(ids)
+    assert split["cell"].tolist() == nosplit["cell"].tolist()
+    assert split.equals(split2)  # deterministic k-means, no RNG state
+    k_no = nosplit["keep"].to_numpy(np.int64)
+    k_sp = split["keep"].to_numpy(np.int64)
+    # monotone: a row kept without splitting is kept with it
+    assert (k_sp >= k_no).all()
+    # the split pass still collapses the planted families hard
+    assert k_no.sum() < len(ids)
+    assert k_sp.sum() < 0.5 * len(ids), int(k_sp.sum())
+    # identical-vector block: exact pass keeps 1; chunked fallback
+    # keeps at most one per id-chunk of the cap
+    ident = split[(split["vec_id"] >= 900) & (split["vec_id"] < 1050)]
+    assert 1 <= ident["keep"].sum() <= int(np.ceil(150 / 120)) + 1
+
+
+def test_md5_low64_paths_identical():
+    """The three md5-low64 paths — hashlib loop, DuckDB batch
+    (md5_number_lower, the oracle convention), and the open-vocab
+    Arrow fast path that skips to_pylist — produce identical uint64
+    values, including non-ASCII and empty tokens."""
+    import hashlib
+    import struct
+
+    import stacksearch_ray.functions.dedup as D
+
+    toks = ([f"tok{i}x{i * i}" for i in range(5000)]
+            + ["hello", "wörld", "", "a" * 300, "日本語", "x"])
+    expect = np.array([struct.unpack(
+        "<Q", hashlib.md5(t.encode()).digest()[8:16])[0]
+        for t in toks], dtype=np.uint64)
+    arr = pa.array(toks, pa.string())
+    saved_min, saved_cache = D._MD5_DUCK_MIN, dict(D._MD5_CACHE)
+    try:
+        D._MD5_CACHE.clear()
+        D._MD5_DUCK_MIN = 1  # force the DuckDB batch path
+        duck = D.md5_low64_arrow(arr)
+        assert (duck == expect).all()
+        D._MD5_CACHE.clear()
+        D._MD5_DUCK_MIN = 10**9  # force the hashlib loop
+        loop = D.md5_low64_arrow(arr)
+        assert (loop == expect).all()
+        # warm-cache replay stays identical
+        again = D.md5_low64(np.array(toks, dtype=object))
+        assert (again == expect).all()
+    finally:
+        D._MD5_DUCK_MIN = saved_min
+        D._MD5_CACHE.clear()
+        D._MD5_CACHE.update(saved_cache)
