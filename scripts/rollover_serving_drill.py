@@ -5,7 +5,7 @@ generation-roll with queries in flight.
 Protocol (ROWS-doc bench corpus):
 1. monolithic build (the bitwise reference).
 2. rollover_ingest at G in {8, 16, 32} generations; for each: warm
-   federated p50/p95 over GOLDEN_QUERIES and a bitwise top-10
+   federated p50/p95 over QUERIES and a bitwise top-10
    cross-check vs the monolithic engine on every query.
 3. QUERY-UNDER-ROLL at G=8: an open FederatedQueryEngine keeps
    serving while rollover_append ingests ROWS/8 NEW docs in a
@@ -31,7 +31,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import GOLDEN_QUERIES, _ensure_scale_corpus  # noqa: E402
+from bench import _ensure_scale_corpus  # noqa: E402
+
+# corpus-vocabulary queries (the generated code corpus does not
+# contain bench.GOLDEN_QUERIES' testdata terms -- NOTES trap; empty
+# result sets would make every latency and bitwise check vacuous)
+QUERIES = ["def return var_1 helper_3", "var_7 helper_11 field_13",
+           "class import field_2 var_19", "def var_3 return helper_7"]
 
 ROWS = 400_000
 WARM = 2
@@ -72,7 +78,7 @@ def main():
     corpus = _ensure_scale_corpus()
     shutil.rmtree(BASE, ignore_errors=True)
     os.makedirs(BASE)
-    out = {"rows": ROWS, "queries": len(GOLDEN_QUERIES)}
+    out = {"rows": ROWS, "queries": len(QUERIES)}
 
     mono_dir = os.path.join(BASE, "mono")
     t0 = time.perf_counter()
@@ -80,7 +86,8 @@ def main():
     out["monolithic_build_s"] = round(time.perf_counter() - t0, 2)
     mono = QueryEngine(mono_dir)
     mono_top = {q: mono.search(q, 10, method="exhaustive")
-                for q in GOLDEN_QUERIES}
+                for q in QUERIES}
+    assert all(len(v) == 10 for v in mono_top.values())
 
     # ---- generation-count sweep ----
     for gens in (8, 16, 32):
@@ -90,10 +97,10 @@ def main():
                         num_shards=32, term_buckets=64)
         ingest_s = time.perf_counter() - t0
         fed = open_rollover(base)
-        for q in GOLDEN_QUERIES:
+        for q in QUERIES:
             assert fed.search(q, 10) == mono_top[q], (gens, q)
-        _lats(fed, GOLDEN_QUERIES, WARM)  # warm
-        ls = _lats(fed, GOLDEN_QUERIES, REPS)
+        _lats(fed, QUERIES, WARM)  # warm
+        ls = _lats(fed, QUERIES, REPS)
         out[f"gens{gens}"] = {
             "ingest_s": round(ingest_s, 2),
             "p50_ms": round(_pctl(ls, 0.5) * 1e3, 2),
@@ -106,8 +113,8 @@ def main():
     # ---- query-under-roll at G=8 ----
     roll_base = os.path.join(BASE, "roll8")
     fed = open_rollover(roll_base)
-    pre_top = {q: fed.search(q, 10) for q in GOLDEN_QUERIES}
-    quiet = _lats(fed, GOLDEN_QUERIES, REPS)
+    pre_top = {q: fed.search(q, 10) for q in QUERIES}
+    quiet = _lats(fed, QUERIES, REPS)
 
     new_src = os.path.join(BASE, "new_docs")
     write_corpus(new_src, ROWS // 8, rows_per_file=10_000,
@@ -124,7 +131,7 @@ def main():
     th.start()
     during, stable = [], True
     while not state["done"]:
-        for q in GOLDEN_QUERIES:
+        for q in QUERIES:
             t0 = time.perf_counter()
             got = fed.search(q, 10)
             during.append(time.perf_counter() - t0)
@@ -138,7 +145,7 @@ def main():
     live_docs = sum(g["n_docs"] for g in status["generations"]
                     if g["committed"])
     new_visible = live_docs == ROWS + ROWS // 8
-    assert len(post_open.search(GOLDEN_QUERIES[0], 10)) == 10
+    assert len(post_open.search(QUERIES[0], 10)) == 10
     out["under_roll"] = {
         "roll_s": state["roll_s"],
         "quiet_p50_ms": round(_pctl(quiet, 0.5) * 1e3, 2),
