@@ -246,8 +246,12 @@ def make_fused_build_fn(cfg: IndexBuildConfig, docs_dir: str,
         tag = uuid.uuid4().hex
 
         def atomic(t: pa.Table, path: str) -> None:
+            from .schema import segment_compression
+
+            comp = segment_compression(t.schema)  # v4: staged pos → zstd
             tmp = path + ".tmp"
-            pq.write_table(t, tmp)
+            pq.write_table(t, tmp,
+                           **({"compression": comp} if comp else {}))
             os.replace(tmp, path)
 
         if docs.num_rows:
@@ -477,11 +481,22 @@ def build_index(source, index_dir: str,
             .groupby("gkey")
             .map_groups(encode_group, batch_format="pyarrow")
         )
-        seg_ds.write_parquet(segments_dir)
+        from .schema import segment_compression
+
+        comp = segment_compression(
+            _empty_segments_table(cfg.store_positions).schema)
+        seg_ds.write_parquet(
+            segments_dir,
+            **({"compression": comp} if comp else {}))
     else:  # zero-batch source: empty segments table keeps readers happy
         os.makedirs(segments_dir, exist_ok=True)
-        pq.write_table(_empty_segments_table(cfg.store_positions),
-                       os.path.join(segments_dir, "segments-empty.parquet"))
+        from .schema import segment_compression
+
+        _et = _empty_segments_table(cfg.store_positions)
+        _ec = segment_compression(_et.schema)
+        pq.write_table(_et,
+                       os.path.join(segments_dir, "segments-empty.parquet"),
+                       **({"compression": _ec} if _ec else {}))
     shutil.rmtree(stage_dir, ignore_errors=True)
 
     # ---- global term dictionary (df, cf summed over shards) ----

@@ -78,7 +78,15 @@ TERM_DICT_SCHEMA = pa.schema(
 # Bump when the on-disk index layout changes (segments schema, codec,
 # stats fields) — consumers embed it in cache paths so stale indexes from
 # older code are never read.
-INDEX_FORMAT_VERSION = 3  # v3: tombstone lifecycle sidecars
+INDEX_FORMAT_VERSION = 4  # v4: positions column stored under parquet
+#     zstd (BENCH/positions_codec_r5.json: −41% position bytes, −8%
+#     segment dirs, decode no slower than snappy). Readers are
+#     codec-transparent (parquet column-chunk metadata carries the
+#     codec) — the bump exists so conformance caches rebuild and every
+#     write path provably shares one policy (segment_compression()).
+#     Serving + phrase results off re-compressed segments pinned
+#     bitwise-equal in the drill.
+# v3: tombstone lifecycle sidecars
 #     (tombstones-*/deleted-df-* files; stats.json keys tombstones_file,
 #     deleted_df_file, n_tombstones, last_append_id; append.pending-*
 #     journals). A v2 reader opening a tombstoned index would silently
@@ -132,3 +140,24 @@ def shard_of(doc_ids: np.ndarray, num_shards: int) -> np.ndarray:
     """
     spread = (doc_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
     return (spread % np.uint64(num_shards)).astype(np.int32)
+
+
+def segment_compression(schema: pa.Schema) -> dict[str, str] | None:
+    """THE per-column parquet codec policy for index artifacts: the
+    position-blob column (``positions`` in segments, ``pos`` in staged
+    postings) writes under zstd — measured −41% of its bytes vs the
+    snappy default with decode no slower (BENCH/positions_codec_r5.json)
+    — everything else stays snappy (zstd-all cost +26% decode on the
+    cold-scan path, rejected). Returns None when the schema has no
+    position column so plain writers keep their default single-codec
+    footer. EVERY segment writer (build, checkpoint shards, append
+    staging, compact, purge rewrite, empty tables) must route through
+    this one function: bitwise file-identity tests (compact == rebuild,
+    merge == rebuild) compare artifact bytes, so a writer with a
+    different codec is a test failure, not a silent drift."""
+    names = set(schema.names)
+    poscols = names & {"positions", "pos"}
+    if not poscols:
+        return None
+    return {n: ("zstd" if n in poscols else "snappy")
+            for n in schema.names}

@@ -84,14 +84,19 @@ def atomic_write_parquet(table, final_path: str,
     task decompresses every partition's full postings)."""
     import pyarrow.parquet as pq
 
+    from ..schema import segment_compression
+
     os.makedirs(os.path.dirname(final_path), exist_ok=True)
     tmp = final_path + ".tmp"
+    # per-column codec policy (v4): position-blob columns write zstd
+    comp = segment_compression(table.schema)
+    kw = {"compression": comp} if comp is not None else {}
     if row_group_boundaries is None:
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, **kw)
     else:
         bounds = [0, *row_group_boundaries, table.num_rows]
         bounds = sorted({b for b in bounds if 0 <= b <= table.num_rows})
-        with pq.ParquetWriter(tmp, table.schema) as w:
+        with pq.ParquetWriter(tmp, table.schema, **kw) as w:
             for lo, hi in zip(bounds[:-1], bounds[1:]):
                 if hi > lo:
                     w.write_table(table.slice(lo, hi - lo))
