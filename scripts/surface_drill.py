@@ -76,9 +76,12 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             res = qmap[n](SF_DIR)
-            rows = (res.num_rows if hasattr(res, "num_rows")
-                    else (len(res) if hasattr(res, "__len__")
-                          else res.count()))
+            if hasattr(res, "num_rows"):      # pyarrow.Table
+                rows = res.num_rows
+            elif hasattr(res, "count"):       # ray.data.Dataset
+                rows = res.count()            # (its __len__ raises)
+            else:                             # pandas.DataFrame
+                rows = len(res)
             out["entries"][n] = {"s": round(time.perf_counter() - t0, 3),
                                  "rows": int(rows)}
         except Exception as e:  # keep going; record the failure
