@@ -4219,14 +4219,49 @@ d AS (SELECT sum(w_micros) AS dsum FROM w)
 SELECT source, CAST(n AS BIGINT) AS n_docs, w_micros,
        CAST(w_micros * 1000000 // d.dsum AS BIGINT) AS rate_micros
 FROM w CROSS JOIN d""",
-        # rows-only (non-SQL-expressible): approx_vocab (HLL,
-        # approximate by design), semantic_knn (trained PPMI+SVD model
-        # — synonym geometry pinned by pytest instead),
+        # rows-only (non-SQL-expressible): semantic_knn (trained
+        # PPMI+SVD model — synonym geometry pinned by pytest instead),
         # autoencoder_embed (iteratively trained model — gradient/
         # convergence/determinism pinned by pytest),
         # multimodal_features / video_frame_sample / audio_windows
         # (synthetic payload bytes are not SQL-derivable)
     }
+    # --- HLL vocabulary sketch, fully mirrored (r5): md5-low64 hash,
+    # bucket = h >> 52, rank = MSB-first set-bit position of the low 52
+    # bits shifted into a sentinel'd 64-bit word (low == 0 → 53), per-
+    # bucket max over ALL 4096 registers, harmonic denominator as an
+    # EXACT HUGEINT Σ 2^(53−reg), linear-counting branch on identical
+    # integers. Float ops appear in the same left-to-right order as
+    # HLL.estimate — the only float surface is one divide (+ one ln). ---
+    oracles["approx_vocab"] = f"""
+WITH {kept},
+hh AS (SELECT DISTINCT md5_number_lower(term) AS h FROM kept),
+parts AS (SELECT h >> 52 AS idx, h % (1::UBIGINT << 52) AS low FROM hh),
+ranks AS (
+  SELECT p.idx,
+         CASE WHEN p.low = 0 THEN 53
+              ELSE 52 - (SELECT max(g.g)
+                         FROM generate_series(0, 51) g(g)
+                         WHERE (p.low >> g.g) % 2 = 1) END AS rank
+  FROM parts p),
+regs AS (SELECT b.bucket, coalesce(max(r.rank), 0) AS reg
+         FROM generate_series(0, 4095) b(bucket)
+         LEFT JOIN ranks r ON r.idx = CAST(b.bucket AS UBIGINT)
+         GROUP BY b.bucket),
+agg AS (SELECT sum(1::HUGEINT << (53 - reg)) AS s,
+               sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+        FROM regs),
+est AS (SELECT CASE
+          WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+               * 9007199254740992.0 / CAST(s AS DOUBLE) <= 2.5 * 4096.0
+               AND zeros > 0
+          THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+          ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+               * 9007199254740992.0 / CAST(s AS DOUBLE) END AS e
+        FROM agg)
+SELECT CAST(floor(e * 1e6 + 0.5) AS BIGINT) AS est_micros,
+       CAST(4096 AS BIGINT) AS m
+FROM est"""
     # --- ES query parity (wave 10 search): terms_set (per-doc msm),
     # constant_score (filter context), unordered span_near ---
     oracles["terms_set_search"] = terms_set_topk_sql(BM25_QUERY,

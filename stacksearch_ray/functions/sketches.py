@@ -52,10 +52,19 @@ class HLL:
         return self
 
     def estimate(self) -> float:
+        """HLL estimate with the harmonic denominator as an EXACT
+        integer: Σ 2^(−M_j) = (Σ 2^(53−M_j)) / 2^53 with M_j ≤ 53
+        guaranteed by the sentinel bit in add_hashes, so S is an exact
+        (Python) integer and the whole estimate is ONE float divide on
+        identical inputs in both engines — no 4096-term float
+        summation whose order could differ. This is what makes
+        approx_vocab SQL-oracleable (DuckDB mirrors S as a HUGEINT
+        sum of shifts); the linear-counting branch is m·ln(m/V) on
+        identical integers (np.log == DuckDB ln bitwise, NOTES rule 9)."""
         m = float(self.m)
         alpha = 0.7213 / (1.0 + 1.079 / m)
-        inv = np.power(2.0, -self.registers.astype(np.float64))
-        e = alpha * m * m / inv.sum()
+        s_exact = sum(1 << (53 - int(r)) for r in self.registers)
+        e = alpha * m * m * 9007199254740992.0 / float(s_exact)
         zeros = int((self.registers == 0).sum())
         if e <= 2.5 * m and zeros:
             return m * np.log(m / zeros)  # linear counting
@@ -291,11 +300,16 @@ def approx_distinct_tokens(ds: Dataset, text_col: str = "text",
     from ..text import tokenize_array
 
     def sketch(batch: pa.Table) -> pa.Table:
+        from .dedup import md5_low64_arrow
+
         flat, _, _ = tokenize_array(batch[text_col].combine_chunks())
         h = HLL(p)
         if len(flat):
-            h.add_hashes(pd.util.hash_array(
-                np.asarray(flat.to_pylist(), dtype=object)))
+            # md5-low64 (== DuckDB md5_number_lower) instead of the
+            # pandas hash: same uniformity, and it makes every HLL
+            # register — and with the exact-integer estimate, the
+            # whole approx_vocab entry — SQL-reproducible
+            h.add_hashes(md5_low64_arrow(flat))
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()

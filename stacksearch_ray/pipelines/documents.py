@@ -3994,14 +3994,22 @@ def char_histograms(sf_dir: str):
 
 
 def approx_vocab(sf_dir: str):
-    """HLL approximate vocabulary size (mergeable-sketch pre-aggregation;
-    rows-only — approximate by design, accuracy pinned in pytest)."""
+    """HLL approximate vocabulary size (mergeable-sketch
+    pre-aggregation). SQL-ORACLED despite being an approximation: the
+    hash is md5-low64 (== DuckDB md5_number_lower), register rank is
+    pure integer bit arithmetic, and HLL.estimate's harmonic
+    denominator is an EXACT integer (Σ 2^(53−reg), HUGEINT in the
+    mirror), so the whole sketch — like KMV and terms_agg_shard_error
+    — is a deterministic function both engines compute identically.
+    Accuracy vs true distinct count stays pytest-pinned."""
     from ..functions.sketches import approx_distinct_tokens
 
     ds = rd.read_parquet(_docs(sf_dir), columns=["text"])
     est = approx_distinct_tokens(ds)
-    return pa.table({"approx_distinct_terms": pa.array([int(round(est))],
-                                                       pa.int64())})
+    return pa.table({
+        "est_micros": pa.array([to_micros(est)], pa.int64()),
+        "m": pa.array([4096], pa.int64()),
+    })
 
 
 def eval_recall(sf_dir: str):
