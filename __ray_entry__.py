@@ -4262,6 +4262,45 @@ est AS (SELECT CASE
 SELECT CAST(floor(e * 1e6 + 0.5) AS BIGINT) AS est_micros,
        CAST(4096 AS BIGINT) AS m
 FROM est"""
+    # --- one-pass quantile sketch, fully mirrored (r5): the
+    # float-bit bucket (top 16 bits of the monotone IEEE key) is
+    # reconstructed arithmetically for the all-positive events.value —
+    # exponent from an EXACT powers-of-two table (2^g ≤ v gives e;
+    # shifts for g ≥ 0, exact reciprocals for g < 0), top-4 mantissa
+    # bits via (v/2^e − 1)·16 (power-of-two divide and Sterbenz
+    # subtraction are EXACT, so floor is unambiguous; equivalence to
+    # the numpy bit path verified on 5k random values). Buckets,
+    # counts, per-bucket min and the rank walk are then pure
+    # integers/mins — the approximation itself is oracled, like
+    # terms_agg_shard_error and approx_vocab. ---
+    oracles["value_quantiles_sketch"] = """
+WITH pw AS (SELECT g, CASE WHEN g >= 0 THEN CAST(1::HUGEINT << g AS DOUBLE)
+                           ELSE 1.0 / CAST(1::HUGEINT << (-g) AS DOUBLE)
+                      END AS p
+            FROM generate_series(-60, 60) s(g)),
+ex AS (SELECT value AS v,
+              (SELECT max(g) FROM pw WHERE pw.p <= events.value) AS e
+       FROM events),
+bk AS (SELECT v, 32768 + ((e + 1023) << 4)
+              + CAST(floor((v / (SELECT p FROM pw WHERE pw.g = ex.e)
+                            - 1.0) * 16.0) AS BIGINT) AS b16
+       FROM ex),
+g AS (SELECT b16, count(*) AS cnt, min(v) AS mv FROM bk GROUP BY b16),
+c AS (SELECT b16, cnt, mv, sum(cnt) OVER (ORDER BY b16) AS cum FROM g),
+nn AS (SELECT count(*) AS n FROM events),
+qs(q) AS (VALUES (0.1), (0.5), (0.9)),
+r AS (SELECT q, greatest(0, CAST(ceil(CAST(q AS DOUBLE) * nn.n)
+                                 AS BIGINT) - 1) AS r
+      FROM qs CROSS JOIN nn),
+pick AS (SELECT r.q,
+                (SELECT min(b16) FROM c WHERE c.cum >= r.r + 1) AS pb
+         FROM r)
+SELECT CAST(floor(CAST(pick.q AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS q_micros,
+       CAST(floor(c.mv * 1e6 + 0.5) AS BIGINT) AS value_micros,
+       CAST(c.cnt AS BIGINT) AS rank_err_bound
+FROM pick JOIN c ON c.b16 = pick.pb
+ORDER BY q_micros"""
     # --- ES query parity (wave 10 search): terms_set (per-doc msm),
     # constant_score (filter context), unordered span_near ---
     oracles["terms_set_search"] = terms_set_topk_sql(BM25_QUERY,

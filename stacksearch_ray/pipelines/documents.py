@@ -2783,8 +2783,11 @@ def value_quantiles_sketch(sf_dir: str):
     + per-bucket min key): the streaming alternative to the exact
     multi-pass value_quantiles when bounded rank error suffices. Each
     estimate is an actual data value with its rank-error bound
-    alongside (rows-only entry — the float-bit bucketing has no SQL
-    expression; the error bound is pytest-pinned)."""
+    alongside. SQL-ORACLED (r5): for the all-positive events.value the
+    16-bit monotone float-key bucket is reconstructed arithmetically —
+    exponent from an exact powers-of-two table, top-4 mantissa bits
+    via the exact (v/2^e − 1)·16 — so the approximation itself is
+    mirrored, not just sanity-checked."""
     from ..functions.quantiles import quantile_sketch
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
