@@ -123,9 +123,14 @@ def main():
 
     def do_roll():
         t0 = time.perf_counter()
-        rollover_append(new_src, roll_base)
-        state["roll_s"] = round(time.perf_counter() - t0, 2)
-        state["done"] = True
+        try:
+            rollover_append(new_src, roll_base)
+            state["roll_s"] = round(time.perf_counter() - t0, 2)
+        except BaseException as e:  # never leave the poll loop spinning
+            state["err"] = repr(e)
+            raise
+        finally:
+            state["done"] = True
 
     th = threading.Thread(target=do_roll)
     th.start()
@@ -138,6 +143,8 @@ def main():
             if got != pre_top[q]:
                 stable = False
     th.join()
+    if "err" in state:
+        raise RuntimeError(f"rollover_append failed: {state['err']}")
     post_open = open_rollover(roll_base)
     status = rollover_status(roll_base)
     # visibility check on COUNTS, not ranking (the appended docs score

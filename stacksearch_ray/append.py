@@ -418,11 +418,11 @@ def _purge_segment_file(fpath: str, out_path: str, D: np.ndarray,
         return "removal", counts
     new_tb = pa.concat_tables(pieces)
     if new_tb.num_rows:
-        from .schema import segment_compression
+        from .schema import segment_write_kwargs
 
-        comp = segment_compression(new_tb.schema)  # v4: pos → zstd
+        # v4 codec policy: pos → zstd
         pq.write_table(new_tb, out_path,
-                       **({"compression": comp} if comp else {}))
+                       **segment_write_kwargs(new_tb.schema))
         return "rename", counts
     return "removal", counts
 
@@ -1028,16 +1028,14 @@ def append_to_index(source, index_dir: str,
             return encoder(group)
 
         from .build import _empty_segments_table
-        from .schema import segment_compression
+        from .schema import segment_write_kwargs
 
-        comp = segment_compression(
-            _empty_segments_table(cfg.store_positions).schema)
         (src_ds.map_batches(make_postings_fn(cfg), batch_format="pyarrow",
                             batch_size=cfg.batch_size)
          .groupby("gkey")
          .map_groups(encode_group, batch_format="pyarrow")
-         .write_parquet(seg_staged,
-                        **({"compression": comp} if comp else {})))
+         .write_parquet(seg_staged, **segment_write_kwargs(
+             _empty_segments_table(cfg.store_positions).schema)))
     except BaseException:
         shutil.rmtree(staged_dir, ignore_errors=True)
         shutil.rmtree(seg_staged, ignore_errors=True)

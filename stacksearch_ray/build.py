@@ -246,12 +246,10 @@ def make_fused_build_fn(cfg: IndexBuildConfig, docs_dir: str,
         tag = uuid.uuid4().hex
 
         def atomic(t: pa.Table, path: str) -> None:
-            from .schema import segment_compression
+            from .schema import segment_write_kwargs
 
-            comp = segment_compression(t.schema)  # v4: staged pos → zstd
-            tmp = path + ".tmp"
-            pq.write_table(t, tmp,
-                           **({"compression": comp} if comp else {}))
+            tmp = path + ".tmp"  # v4 codec policy: staged pos → zstd
+            pq.write_table(t, tmp, **segment_write_kwargs(t.schema))
             os.replace(tmp, path)
 
         if docs.num_rows:
@@ -481,22 +479,20 @@ def build_index(source, index_dir: str,
             .groupby("gkey")
             .map_groups(encode_group, batch_format="pyarrow")
         )
-        from .schema import segment_compression
+        from .schema import segment_write_kwargs
 
-        comp = segment_compression(
-            _empty_segments_table(cfg.store_positions).schema)
         seg_ds.write_parquet(
             segments_dir,
-            **({"compression": comp} if comp else {}))
+            **segment_write_kwargs(
+                _empty_segments_table(cfg.store_positions).schema))
     else:  # zero-batch source: empty segments table keeps readers happy
         os.makedirs(segments_dir, exist_ok=True)
-        from .schema import segment_compression
+        from .schema import segment_write_kwargs
 
         _et = _empty_segments_table(cfg.store_positions)
-        _ec = segment_compression(_et.schema)
         pq.write_table(_et,
                        os.path.join(segments_dir, "segments-empty.parquet"),
-                       **({"compression": _ec} if _ec else {}))
+                       **segment_write_kwargs(_et.schema))
     shutil.rmtree(stage_dir, ignore_errors=True)
 
     # ---- global term dictionary (df, cf summed over shards) ----

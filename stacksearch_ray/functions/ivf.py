@@ -340,10 +340,14 @@ class IVFIndex:
         whole pass (the quadratic law measured in
         BENCH/semdedup_drill_2m_r4.json). A cell with more than
         ``max_cell_rows`` alive rows auto-splits: recursive
-        deterministic in-task k-means (kmeans_numpy — no RNG state)
-        partitions it into worker-sized sub-cells, each deduped in its
-        OWN child Ray task, so per-task wall time stays bounded by the
-        cap whatever the skew (BENCH/semdedup_skew_r5.json). Keep-first
+        deterministic in-task k-means (_data_seeded_kmeans — data-
+        seeded init, no RNG state; kmeans_numpy's standard-normal init
+        degenerates on exactly this off-center-blob shape) partitions
+        it into worker-sized sub-cells, each deduped in its OWN child
+        Ray task, so per-task wall time stays bounded by the cap
+        whatever the skew (BENCH/semdedup_skew_r5.json); pieces still
+        over the cap at the recursion limit fall back to id-chunks,
+        keeping the bound unconditional. Keep-first
         semantics hold WITHIN each sub-cell (ids stay globally sorted;
         the finer granularity is the same approximation dial as
         raising k — SemDeDup never compares across cells to begin
@@ -393,8 +397,18 @@ class IVFIndex:
                 work = [(ids, x, 0)]
                 while work:
                     pi, px, depth = work.pop()
-                    if len(pi) <= max_cell_rows or depth >= 8:
+                    if len(pi) <= max_cell_rows:
                         pieces.append((pi, px))
+                        continue
+                    if depth >= 8:
+                        # recursion limit with the piece still over the
+                        # cap (nested heavy tail k-means keeps failing
+                        # to halve): id-chunk like the degenerate case
+                        # so the per-task bound holds REGARDLESS of
+                        # how the geometry splits
+                        for s in range(0, len(pi), max_cell_rows):
+                            pieces.append((pi[s:s + max_cell_rows],
+                                           px[s:s + max_cell_rows]))
                         continue
                     kk = min(int(np.ceil(len(pi) / max_cell_rows)) + 1,
                              64)

@@ -161,3 +161,13 @@ def segment_compression(schema: pa.Schema) -> dict[str, str] | None:
         return None
     return {n: ("zstd" if n in poscols else "snappy")
             for n in schema.names}
+
+
+def segment_write_kwargs(schema: pa.Schema) -> dict:
+    """The policy above as ready-to-splat writer kwargs:
+    ``pq.write_table(t, path, **segment_write_kwargs(t.schema))`` /
+    ``ds.write_parquet(dir, **segment_write_kwargs(seg_schema))``.
+    One helper instead of six hand-copied ``if comp`` blocks, so a new
+    segment writer cannot silently omit the codec policy."""
+    comp = segment_compression(schema)
+    return {"compression": comp} if comp is not None else {}

@@ -84,13 +84,12 @@ def atomic_write_parquet(table, final_path: str,
     task decompresses every partition's full postings)."""
     import pyarrow.parquet as pq
 
-    from ..schema import segment_compression
+    from ..schema import segment_write_kwargs
 
     os.makedirs(os.path.dirname(final_path), exist_ok=True)
     tmp = final_path + ".tmp"
     # per-column codec policy (v4): position-blob columns write zstd
-    comp = segment_compression(table.schema)
-    kw = {"compression": comp} if comp is not None else {}
+    kw = segment_write_kwargs(table.schema)
     if row_group_boundaries is None:
         pq.write_table(table, tmp, **kw)
     else:

@@ -413,7 +413,7 @@ def test_hnsw_partitioned_entry(ray_session):
     assert hits / total >= 0.8, hits / total
 
 
-def test_hnsw_entry_exact_at_sf001(ray_session):
+def test_hnsw_entry_exact_at_sf01(ray_session):
     """The same oracle contract at sf0.01 — the driver's grading
     scale (the sf0.01 embeddings genuinely differ from sf0.001)."""
     _hnsw_entry_vs_brute("/root/testdata/sf0.01")
