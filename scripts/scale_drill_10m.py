@@ -7,7 +7,7 @@ instead of one ~15 GB table), the resumable checkpointed build at
 1024 shards, then the serving surface: cold open + first query,
 warm p50/p99, sharded fan-out p50.
 
-    python scripts/scale_drill_10m.py     # writes BENCH/scale_drill_10m_r4.json
+    python scripts/scale_drill_10m.py     # writes BENCH/scale_drill_10m_r5.json
 
 Env: GRAFT_DRILL_ROWS (default 10_000_000), GRAFT_DRILL_SHARDS (1024).
 Run on a QUIET host — this is a measurement script.
@@ -126,7 +126,7 @@ def main() -> None:
 
     ray.shutdown()
     dest = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH", "scale_drill_10m_r4.json")
+        os.path.abspath(__file__))), "BENCH", "scale_drill_10m_r5.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
