@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_dsl_search": P.boolean_dsl_search,
         "sorted_boolean_search": P.sorted_boolean_search,
         "bool_query_search": P.bool_query_search,
+        "es_request_search": P.es_request_search,
         "match_stats_agg": P.match_stats_agg,
         "match_histogram": P.match_histogram,
         "significant_terms": P.significant_terms,
@@ -4303,6 +4304,10 @@ FROM pick JOIN c ON c.b16 = pick.pb
 ORDER BY q_micros"""
     # --- ES query parity (wave 10 search): terms_set (per-doc msm),
     # constant_score (filter context), unordered span_near ---
+    # the ES request-body adapter routes its bool body onto
+    # search_bool_query with the same constants — same chain, same
+    # oracle (the adapter is a translator, not a new scorer)
+    oracles["es_request_search"] = oracles["bool_query_search"]
     oracles["terms_set_search"] = terms_set_topk_sql(BM25_QUERY,
                                                      _TS_MOD, 10)
     oracles["constant_score_search"] = f"""

@@ -1,0 +1,242 @@
+"""Elasticsearch ``_search`` request-body adapter — the integration
+surface a user switching FROM Elasticsearch actually calls.
+
+``es_search(engine, body)`` accepts a dict shaped like an ES 8
+``_search`` request body and routes it onto the engine's proven (and
+driver-oracled) retrieval surfaces; the response is ES-shaped
+(``hits.total`` / ``hits.hits`` with ``_id`` / ``_score``). The
+adapter is a TRANSLATOR, not a new scorer: every query type maps onto
+an existing QueryEngine method, so scores are bitwise the scores those
+surfaces already prove against DuckDB, and anything outside the
+supported subset raises ``UnsupportedEsQuery`` loudly (silent
+approximations of ES semantics are how migrations rot).
+
+Supported query subset (single text field — this engine indexes one
+analyzed field, like the reference):
+
+- ``match`` (operator and/or, minimum_should_match)
+- ``match_phrase`` (slop) / ``match_bool_prefix``
+- ``term`` / ``terms`` (text-field token semantics)
+- ``bool`` with one level of term/match/terms clauses in
+  must / filter / should / must_not
+- ``constant_score`` (term/terms filter, boost)
+- ``simple_query_string`` / ``query_string``
+- ``pinned`` (ids + organic match)
+- ``match_all``
+
+Request-level: ``size`` / ``from`` pagination (retrieval runs at
+``from + size`` then slices — ES's own deep-pagination cost model),
+``min_score``. Anything else present in the body raises.
+
+Works identically over a ``ShardedQueryEngine`` (same method names).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from .text import clean_query
+
+
+class UnsupportedEsQuery(ValueError):
+    """Raised for any body/query element outside the supported subset."""
+
+
+_TOP_KEYS = {"query", "size", "from", "min_score"}
+
+
+def _one(d: dict, what: str) -> tuple[str, Any]:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise UnsupportedEsQuery(f"{what} must be a single-key dict, "
+                                 f"got {d!r}")
+    return next(iter(d.items()))
+
+
+def _field_query(spec: Any, what: str) -> dict:
+    """ES lets leaf queries be ``{"field": "text"}`` or
+    ``{"field": {"query": ..., ...opts}}`` — normalize to the dict."""
+    field, val = _one(spec, what)
+    del field  # single-field engine: the field name is accepted, not routed
+    return val if isinstance(val, dict) else {"query": val}
+
+
+def _terms_of(text: str, what: str) -> list[str]:
+    toks = clean_query(str(text))
+    if not toks:
+        raise UnsupportedEsQuery(f"{what} analyzes to zero tokens: {text!r}")
+    return toks
+
+
+def _leaf_terms(q: dict, what: str) -> list[str]:
+    """Fold a term/terms/match leaf into its analyzed token list —
+    the shape bool clauses combine."""
+    kind, spec = _one(q, what)
+    if kind == "term":
+        return _terms_of(_field_query(spec, kind)["query"], what)
+    if kind == "terms":
+        _, vals = _one(spec, kind)
+        out: list[str] = []
+        for v in vals:
+            out.extend(_terms_of(v, what))
+        return out
+    if kind == "match":
+        return _terms_of(_field_query(spec, kind)["query"], what)
+    raise UnsupportedEsQuery(
+        f"unsupported clause {kind!r} inside {what} (supported there: "
+        "term, terms, match)")
+
+
+def _run_query(engine, q: dict, k: int) -> list[tuple[int, float]]:
+    kind, spec = _one(q, "query")
+
+    if kind == "match_all":
+        return _match_all(engine, k)
+    if kind == "match":
+        fq = _field_query(spec, kind)
+        text = fq["query"]
+        op = str(fq.get("operator", "or")).lower()
+        msm = fq.get("minimum_should_match")
+        terms = _terms_of(text, kind)
+        if msm is not None:
+            return engine.search_min_should_match(" ".join(terms),
+                                                  int(msm), k)
+        if op == "and":
+            return engine.search_min_should_match(" ".join(terms),
+                                                  len(set(terms)), k)
+        if op != "or":
+            raise UnsupportedEsQuery(f"match operator {op!r}")
+        return engine.search(" ".join(terms), k)
+    if kind == "match_phrase":
+        fq = _field_query(spec, kind)
+        return engine.search_phrase_ranked(str(fq["query"]), k,
+                                           slop=int(fq.get("slop", 0)))
+    if kind == "match_bool_prefix":
+        fq = _field_query(spec, kind)
+        return engine.search_match_bool_prefix(str(fq["query"]), k)
+    if kind == "term":
+        # ES term query on a text field: BM25 score of that one token
+        terms = _leaf_terms(q, kind)
+        if len(terms) != 1:
+            raise UnsupportedEsQuery(
+                f"term value analyzes to {len(terms)} tokens; use match")
+        return engine.search(terms[0], k)
+    if kind == "terms":
+        # Lucene TermInSetQuery is CONSTANT-score: every doc holding
+        # any of the terms scores the boost (1.0), doc_id order
+        terms = _leaf_terms(q, kind)
+        expr = " OR ".join(dict.fromkeys(terms))
+        return engine.search_constant_score(expr, 1.0, k)
+    if kind == "bool":
+        if not isinstance(spec, dict):
+            raise UnsupportedEsQuery("bool body must be a dict")
+        extra = set(spec) - {"must", "filter", "should", "must_not"}
+        if extra:
+            raise UnsupportedEsQuery(f"unsupported bool keys {extra}")
+
+        def clauses(key: str) -> list[str]:
+            cs = spec.get(key, [])
+            cs = cs if isinstance(cs, list) else [cs]
+            out: list[str] = []
+            for c in cs:
+                out.extend(_leaf_terms(c, f"bool.{key}"))
+            return out
+
+        # ES: filter matches like must but does not score; this
+        # engine's bool query scores over must+should, and filter-only
+        # constraints join the must set for matching. A filter term
+        # therefore CONTRIBUTES score here — documented deviation for
+        # the single-field subset (exact ES split would need a
+        # scoring-mask variant).
+        must = clauses("must") + clauses("filter")
+        should, must_not = clauses("should"), clauses("must_not")
+        if must:
+            return engine.search_bool_query(tuple(must),
+                                            should=tuple(should),
+                                            must_not=tuple(must_not),
+                                            k=k)
+        if should:
+            # no positive must: ES matches on should (implicit
+            # minimum_should_match=1); route through the query_string
+            # machinery, whose OR/NOT scoring is the proven surface
+            qs = "( " + " OR ".join(dict.fromkeys(should)) + " )"
+            for t in dict.fromkeys(must_not):
+                qs += f" AND NOT ( {t} )"
+            return engine.search_query_string(qs, k)
+        raise UnsupportedEsQuery(
+            "bool with only must_not is not supported (ES treats it "
+            "as match_all minus exclusions — query that explicitly)")
+    if kind == "constant_score":
+        if set(spec) - {"filter", "boost"}:
+            raise UnsupportedEsQuery(
+                f"constant_score keys {set(spec) - {'filter', 'boost'}}")
+        terms = _leaf_terms(spec["filter"], "constant_score.filter")
+        expr = " OR ".join(terms) if len(terms) > 1 else terms[0]
+        return engine.search_constant_score(expr,
+                                            float(spec.get("boost", 1.0)),
+                                            k)
+    if kind == "simple_query_string":
+        return engine.search_simple_query_string(
+            str(spec["query"]), k,
+            default_operator=str(spec.get("default_operator", "or")))
+    if kind == "query_string":
+        return engine.search_query_string(str(spec["query"]), k)
+    if kind == "pinned":
+        if set(spec) - {"ids", "organic"}:
+            raise UnsupportedEsQuery(
+                f"pinned keys {set(spec) - {'ids', 'organic'}}")
+        okind, ospec = _one(spec["organic"], "pinned.organic")
+        if okind != "match":
+            raise UnsupportedEsQuery("pinned.organic must be a match query")
+        text = _field_query(ospec, okind)["query"]
+        res = engine.search_pinned(str(text),
+                                   [int(i) for i in spec["ids"]], k)
+        return [(d, s) for d, s, _pinned in res]
+    raise UnsupportedEsQuery(f"unsupported query type {kind!r}")
+
+
+def _match_all(engine, k: int) -> list[tuple[int, float]]:
+    """match_all: every alive doc at constant score 1.0, doc_id
+    ascending (Lucene index order for equal scores). Needs the local
+    doc universe (QueryEngine / FederatedQueryEngine expose doclens);
+    a sharded fan-out engine raises rather than guessing."""
+    if not hasattr(engine, "doclens"):
+        raise UnsupportedEsQuery(
+            "match_all needs an engine with a local doc universe "
+            "(QueryEngine); use a concrete query on sharded engines")
+    ids = engine.doclens.ids
+    if getattr(engine, "has_deletes", False):
+        ids = ids[engine._alive]
+    return [(int(d), 1.0) for d in ids[:k]]
+
+
+def es_search(engine, body: dict) -> dict:
+    """Run an ES-shaped ``_search`` request body against an open
+    engine. Returns an ES-shaped response dict (see module doc)."""
+    if not isinstance(body, dict):
+        raise UnsupportedEsQuery("body must be a dict")
+    extra = set(body) - _TOP_KEYS
+    if extra:
+        raise UnsupportedEsQuery(f"unsupported request keys {extra}")
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    if size < 0 or offset < 0:
+        raise UnsupportedEsQuery("size/from must be non-negative")
+    q = body.get("query", {"match_all": {}})
+    t0 = time.perf_counter()
+    ranked = _run_query(engine, q, offset + size)
+    if "min_score" in body:
+        ms = float(body["min_score"])
+        ranked = [(d, s) for d, s in ranked if s >= ms]
+    page = ranked[offset:offset + size]
+    took = int((time.perf_counter() - t0) * 1000)
+    return {
+        "took": took,
+        "timed_out": False,
+        "hits": {
+            "total": {"value": len(ranked), "relation":
+                      "gte" if len(ranked) == offset + size else "eq"},
+            "max_score": (float(ranked[0][1]) if ranked else None),
+            "hits": [{"_id": str(d), "_score": float(s)} for d, s in page],
+        },
+    }

@@ -6254,6 +6254,33 @@ BQ_SHOULD = ("stream", "window")
 BQ_NOT = ("dup",)
 
 
+def es_request_search(sf_dir: str):
+    """The ES ``_search`` REQUEST-BODY surface (es_api.es_search): a
+    JSON body with a bool query — a match must clause, term should /
+    must_not clauses, size — is translated onto search_bool_query, so
+    the response hits are bitwise the bool_query_search results and
+    the entry shares its oracle verbatim. This is the integration
+    point a user migrating off Elasticsearch calls; the adapter
+    raises UnsupportedEsQuery outside its documented subset instead
+    of approximating (tests/test_es_api.py pins every supported shape
+    against its direct engine surface)."""
+    from ..es_api import es_search
+
+    eng = _index_for(sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": " ".join(BQ_MUST)}}],
+        "should": [{"term": {"text": t}} for t in BQ_SHOULD],
+        "must_not": [{"term": {"text": t}} for t in BQ_NOT],
+    }}, "size": 10}
+    hits = es_search(eng, body)["hits"]["hits"]
+    return pa.table({
+        "doc_id": pa.array([int(h["_id"]) for h in hits], pa.int64()),
+        "score_micros": pa.array([to_micros(h["_score"]) for h in hits],
+                                 pa.int64()),
+        "rank": pa.array(list(range(1, len(hits) + 1)), pa.int64()),
+    })
+
+
 def bool_query_search(sf_dir: str):
     """The ES ``bool`` query with scoring: must-match AND filter,
     must_not exclusion, should terms boosting the score of survivors —
