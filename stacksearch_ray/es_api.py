@@ -43,7 +43,7 @@ class UnsupportedEsQuery(ValueError):
     """Raised for any body/query element outside the supported subset."""
 
 
-_TOP_KEYS = {"query", "size", "from", "min_score"}
+_TOP_KEYS = {"query", "size", "from", "min_score", "explain"}
 
 
 def _one(d: dict, what: str) -> tuple[str, Any]:
@@ -55,10 +55,16 @@ def _one(d: dict, what: str) -> tuple[str, Any]:
 
 def _field_query(spec: Any, what: str) -> dict:
     """ES lets leaf queries be ``{"field": "text"}`` or
-    ``{"field": {"query": ..., ...opts}}`` — normalize to the dict."""
+    ``{"field": {"query": ..., ...opts}}`` — normalize to the dict.
+    ``term`` queries spell their text ``value`` (ES grammar); fold
+    that onto ``query`` so callers read one key."""
     field, val = _one(spec, what)
     del field  # single-field engine: the field name is accepted, not routed
-    return val if isinstance(val, dict) else {"query": val}
+    if not isinstance(val, dict):
+        return {"query": val}
+    if "value" in val and "query" not in val:
+        val = {**val, "query": val["value"]}
+    return val
 
 
 def _terms_of(text: str, what: str) -> list[str]:
@@ -97,7 +103,17 @@ def _run_query(engine, q: dict, k: int) -> list[tuple[int, float]]:
         text = fq["query"]
         op = str(fq.get("operator", "or")).lower()
         msm = fq.get("minimum_should_match")
+        boost = fq.get("boost")
         terms = _terms_of(text, kind)
+        if boost is not None:
+            if msm is not None or op != "or":
+                raise UnsupportedEsQuery(
+                    "match boost composes only with the default "
+                    "operator here")
+            # Lucene BoostQuery: clause score × boost — exactly
+            # search_boosted with a uniform per-term boost
+            return engine.search_boosted(
+                {t: float(boost) for t in terms}, k)
         if msm is not None:
             return engine.search_min_should_match(" ".join(terms),
                                                   int(msm), k)
@@ -116,10 +132,13 @@ def _run_query(engine, q: dict, k: int) -> list[tuple[int, float]]:
         return engine.search_match_bool_prefix(str(fq["query"]), k)
     if kind == "term":
         # ES term query on a text field: BM25 score of that one token
-        terms = _leaf_terms(q, kind)
+        fq = _field_query(spec, kind)
+        terms = _terms_of(fq["query"], kind)
         if len(terms) != 1:
             raise UnsupportedEsQuery(
                 f"term value analyzes to {len(terms)} tokens; use match")
+        if "boost" in fq:
+            return engine.search_boosted({terms[0]: float(fq["boost"])}, k)
         return engine.search(terms[0], k)
     if kind == "terms":
         # Lucene TermInSetQuery is CONSTANT-score: every doc holding
@@ -230,6 +249,36 @@ def es_search(engine, body: dict) -> dict:
         ranked = [(d, s) for d, s in ranked if s >= ms]
     page = ranked[offset:offset + size]
     took = int((time.perf_counter() - t0) * 1000)
+    hits = [{"_id": str(d), "_score": float(s)} for d, s in page]
+    if body.get("explain"):
+        # ES "explain": true — per-hit score breakdown. Rides
+        # QueryEngine.explain, whose total is BITWISE the search score
+        # (the repo's pinned contract), so _explanation.value ==
+        # _score exactly. Supported for the plain-BM25 query kinds the
+        # explain surface covers.
+        kind, spec = _one(q, "query")
+        if kind == "match":
+            fq = _field_query(spec, kind)
+            if (set(fq) - {"query"}):
+                raise UnsupportedEsQuery(
+                    "explain supports plain OR match only")
+            text = str(fq["query"])
+        elif kind == "term":
+            text = str(_field_query(spec, kind)["query"])
+        else:
+            raise UnsupportedEsQuery(
+                f"explain not supported for query type {kind!r}")
+        for h in hits:
+            ex = engine.explain(text, int(h["_id"]))
+            h["_explanation"] = {
+                "value": ex["score"],
+                "description": f"sum of {ex['scorer']} term "
+                               "contributions",
+                "details": [{"value": t["contribution"],
+                             "description": f"weight(text:{t['term']}) "
+                                            f"[df={t['df']}, tf={t['tf']}]"}
+                            for t in ex["terms"]],
+            }
     return {
         "took": took,
         "timed_out": False,
@@ -237,6 +286,6 @@ def es_search(engine, body: dict) -> dict:
             "total": {"value": len(ranked), "relation":
                       "gte" if len(ranked) == offset + size else "eq"},
             "max_score": (float(ranked[0][1]) if ranked else None),
-            "hits": [{"_id": str(d), "_score": float(s)} for d, s in page],
+            "hits": hits,
         },
     }

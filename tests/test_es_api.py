@@ -135,3 +135,29 @@ def test_sharded_passthrough(ray_session, eng):
     body = {"query": {"bool": {"must": [{"term": {"text": "merge"}}],
                                "should": [{"term": {"text": "stream"}}]}}}
     assert hits(es_search(sh, body)) == hits(es_search(eng, body))
+
+
+def test_boost_and_explain(eng):
+    # clause boost = Lucene BoostQuery: score × boost, bitwise via
+    # search_boosted
+    want = eng.search_boosted({"merge": 2.0, "sort": 2.0}, 10)
+    got = es_search(eng, {"query": {"match": {"text": {
+        "query": "merge sort", "boost": 2.0}}}})
+    assert hits(got) == want
+    want_t = eng.search_boosted({"merge": 3.0}, 10)
+    got_t = es_search(eng, {"query": {"term": {"text": {
+        "value": "merge", "boost": 3.0}}}})
+    assert hits(got_t) == want_t
+    # "explain": true — _explanation.value is BITWISE the hit score
+    resp = es_search(eng, {"query": {"match": {"text": "merge sort"}},
+                           "size": 3, "explain": True})
+    for h in resp["hits"]["hits"]:
+        ex = h["_explanation"]
+        assert ex["value"] == h["_score"]
+        assert sum(d["value"] for d in ex["details"]) == pytest.approx(
+            h["_score"], abs=0)
+        assert any("weight(text:merge)" in d["description"]
+                   for d in ex["details"])
+    with pytest.raises(UnsupportedEsQuery):
+        es_search(eng, {"query": {"match_phrase": {"text": "merge sort"}},
+                        "explain": True})
