@@ -161,3 +161,13 @@ def test_boost_and_explain(eng):
     with pytest.raises(UnsupportedEsQuery):
         es_search(eng, {"query": {"match_phrase": {"text": "merge sort"}},
                         "explain": True})
+
+
+def test_es_request_search_entry(ray_session):
+    """Driver entry es_request_search: the adapter-routed bool body is
+    bitwise bool_query_search (they share one oracle)."""
+    from stacksearch_ray.pipelines import documents as P
+
+    a = P.es_request_search(SF).to_pydict()
+    b = P.bool_query_search(SF).to_pydict()
+    assert a == b
