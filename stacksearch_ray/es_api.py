@@ -43,7 +43,29 @@ class UnsupportedEsQuery(ValueError):
     """Raised for any body/query element outside the supported subset."""
 
 
-_TOP_KEYS = {"query", "size", "from", "min_score", "explain"}
+_TOP_KEYS = {"query", "size", "from", "min_score", "explain",
+             "search_after", "sort"}
+
+
+def _check_sort(sort: Any) -> None:
+    """The engine's one total order is (score desc, doc_id asc) — ES's
+    default. Accept only sort specs naming exactly that, so a body
+    expecting a field sort fails loudly instead of silently getting
+    score order."""
+    allowed_keys = {"_score": "desc", "_id": "asc", "_doc": "asc"}
+    if not isinstance(sort, list) or not sort:
+        raise UnsupportedEsQuery("sort must be a non-empty list")
+    for s in sort:
+        if isinstance(s, str):
+            key, order = s, allowed_keys.get(s)
+        else:
+            key, val = _one(s, "sort element")
+            order = val.get("order", allowed_keys.get(key)) \
+                if isinstance(val, dict) else val
+        if key not in allowed_keys or order != allowed_keys[key]:
+            raise UnsupportedEsQuery(
+                f"unsupported sort {s!r} (this engine's total order is "
+                "_score desc, _id asc)")
 
 
 def _one(d: dict, what: str) -> tuple[str, Any]:
@@ -243,7 +265,31 @@ def es_search(engine, body: dict) -> dict:
         raise UnsupportedEsQuery("size/from must be non-negative")
     q = body.get("query", {"match_all": {}})
     t0 = time.perf_counter()
-    ranked = _run_query(engine, q, offset + size)
+    if "sort" in body:
+        _check_sort(body["sort"])
+    if "search_after" in body:
+        # ES cursor pagination: strictly after [score, id] in the
+        # (score desc, id asc) order; ES rejects combining it with
+        # `from`, and so do we
+        if offset:
+            raise UnsupportedEsQuery(
+                "search_after cannot be combined with from (ES rule)")
+        kind, spec = _one(q, "query")
+        if kind != "match":
+            raise UnsupportedEsQuery(
+                "search_after supports the match query here")
+        fq = _field_query(spec, kind)
+        if set(fq) - {"query"}:
+            raise UnsupportedEsQuery(
+                "search_after supports plain OR match only")
+        cursor = body["search_after"]
+        if not (isinstance(cursor, (list, tuple)) and len(cursor) == 2):
+            raise UnsupportedEsQuery("search_after must be [score, id]")
+        ranked = engine.search_after(str(fq["query"]),
+                                     float(cursor[0]), int(cursor[1]),
+                                     size)
+    else:
+        ranked = _run_query(engine, q, offset + size)
     if "min_score" in body:
         ms = float(body["min_score"])
         ranked = [(d, s) for d, s in ranked if s >= ms]

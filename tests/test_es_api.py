@@ -171,3 +171,20 @@ def test_es_request_search_entry(ray_session):
     a = P.es_request_search(SF).to_pydict()
     b = P.bool_query_search(SF).to_pydict()
     assert a == b
+
+
+def test_search_after_cursor(eng):
+    full = eng.search("merge sort join", 10)
+    p1 = es_search(eng, {"query": {"match": {"text": "merge sort join"}},
+                         "size": 3, "sort": ["_score", "_id"]})
+    last = p1["hits"]["hits"][-1]
+    p2 = es_search(eng, {"query": {"match": {"text": "merge sort join"}},
+                         "size": 3, "sort": [{"_score": {"order": "desc"}}],
+                         "search_after": [last["_score"], int(last["_id"])]})
+    assert hits(p1) + hits(p2) == full[:6]
+    with pytest.raises(UnsupportedEsQuery):
+        es_search(eng, {"query": {"match": {"text": "merge"}},
+                        "from": 2, "search_after": [1.0, 0]})
+    with pytest.raises(UnsupportedEsQuery):
+        es_search(eng, {"query": {"match": {"text": "merge"}},
+                        "sort": [{"n_chars": "asc"}]})
