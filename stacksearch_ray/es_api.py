@@ -168,6 +168,22 @@ def _run_query(engine, q: dict, k: int) -> list[tuple[int, float]]:
         terms = _leaf_terms(q, kind)
         expr = " OR ".join(dict.fromkeys(terms))
         return engine.search_constant_score(expr, 1.0, k)
+    if kind == "fuzzy":
+        fq = _field_query(spec, kind)
+        if set(fq) - {"query", "value", "fuzziness", "max_expansions",
+                      "prefix_length"}:
+            raise UnsupportedEsQuery(
+                f"fuzzy keys {set(fq) - {'query', 'value', 'fuzziness'}}")
+        terms = _terms_of(fq["query"], kind)
+        if len(terms) != 1:
+            raise UnsupportedEsQuery("fuzzy value must be one token")
+        bmap = _fuzzy_boosts(engine, terms[0],
+                             fq.get("fuzziness", "AUTO"),
+                             int(fq.get("max_expansions", 50)),
+                             int(fq.get("prefix_length", 0)))
+        if not bmap:
+            return []
+        return engine.search_boosted(bmap, k)
     if kind == "bool":
         if not isinstance(spec, dict):
             raise UnsupportedEsQuery("bool body must be a dict")
@@ -234,6 +250,64 @@ def _run_query(engine, q: dict, k: int) -> list[tuple[int, float]]:
                                    [int(i) for i in spec["ids"]], k)
         return [(d, s) for d, s, _pinned in res]
     raise UnsupportedEsQuery(f"unsupported query type {kind!r}")
+
+
+def _auto_fuzziness(token: str) -> int:
+    """Lucene AUTO: 0 edits for 1-2 chars, 1 for 3-5, 2 beyond."""
+    n = len(token)
+    return 0 if n <= 2 else (1 if n <= 5 else 2)
+
+
+def _fuzzy_boosts(engine, token: str, fuzziness, max_expansions: int,
+                  prefix_length: int) -> dict[str, float]:
+    """Lucene FuzzyQuery expansion over the index vocabulary: vocab
+    terms within ``fuzziness`` edits (Myers — the spellfix kernel),
+    sharing the required ``prefix_length``, capped at
+    ``max_expansions`` by (distance asc, df desc, term asc) — the
+    TopTermsRewrite order. Each expansion carries Lucene's fuzzy boost
+    ``1 − d / min(|token|, |term|)``; the boosted scorer then SUMS
+    boosted BM25 contributions. Two documented deviations: (a) the
+    blending is this engine's additive scorer, not BlendedTermQuery's
+    df-blending; (b) distance is classic Levenshtein — a transposition
+    counts as 2 edits, where ES's default ``transpositions: true``
+    (Damerau) counts 1, so e.g. "srot" does not reach "sort" under
+    AUTO here."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .functions.curation import _encode_ascii, myers_levenshtein
+
+    if not hasattr(engine, "_term_dict_dir"):
+        raise UnsupportedEsQuery(
+            "fuzzy needs an engine with a local term dictionary")
+    fz = (_auto_fuzziness(token) if str(fuzziness).upper() == "AUTO"
+          else int(fuzziness))
+    td = pq.read_table(engine._term_dict_dir, columns=["term", "df"])
+    terms = np.asarray(td["term"].to_pylist(), dtype=object)
+    dfv = np.asarray(td["df"].to_pylist()).astype(np.int64)
+    if prefix_length:
+        pre = token[:prefix_length]
+        keep = np.array([str(t).startswith(pre) for t in terms])
+        terms, dfv = terms[keep], dfv[keep]
+    if len(terms) == 0:
+        return {}
+    if fz == 0:
+        return {token: 1.0} if token in set(terms.tolist()) else {}
+    t_codes, t_lens = _encode_ascii(pd.Series(terms), 64)
+    p_codes, p_lens = _encode_ascii(pd.Series([token]), 64)
+    d = myers_levenshtein(
+        np.repeat(p_codes, len(terms), axis=0),
+        np.full(len(terms), p_lens[0], dtype=np.int64),
+        t_codes, t_lens)
+    hit = d <= fz
+    if not hit.any():
+        return {}
+    ht, hd, hdf = terms[hit], d[hit], dfv[hit]
+    order = np.lexsort((ht, -hdf, hd))[:max_expansions]
+    return {str(ht[i]): 1.0 - float(hd[i]) / min(len(token),
+                                                 len(str(ht[i])))
+            for i in order}
 
 
 def _match_all(engine, k: int) -> list[tuple[int, float]]:

@@ -118,7 +118,7 @@ def test_pagination_min_score_match_all(eng):
 
 def test_unsupported_raise(eng):
     for bad in (
-        {"query": {"fuzzy": {"text": "mrge"}}},
+        {"query": {"more_like_this": {"like": "mrge"}}},
         {"query": {"match": {"text": "merge"}}, "aggs": {}},
         {"query": {"bool": {"must": [{"bool": {"must": []}}]}}},
         {"query": {"match": {"text": {"query": "merge",
@@ -188,3 +188,26 @@ def test_search_after_cursor(eng):
     with pytest.raises(UnsupportedEsQuery):
         es_search(eng, {"query": {"match": {"text": "merge"}},
                         "sort": [{"n_chars": "asc"}]})
+
+
+def test_fuzzy_query(eng):
+    # "mergge" is 1 edit from "merge" (extra g); AUTO on a 6-char
+    # token allows 2. Expansion must find the real term and rank via
+    # the boosted scorer with Lucene's fuzzy boost
+    import numpy as np
+
+    from stacksearch_ray.es_api import _fuzzy_boosts
+
+    bmap = _fuzzy_boosts(eng, "mergge", "AUTO", 50, 0)
+    assert "merge" in bmap
+    assert bmap["merge"] == 1.0 - 1.0 / 5  # d=1, min(6,5)=5
+    got = hits(es_search(eng, {"query": {"fuzzy": {"text": "mergge"}}}))
+    assert got == eng.search_boosted(bmap, 10)
+    assert len(got) == 10
+    # fuzziness=0 on an exact vocab term == plain term scoring
+    got0 = hits(es_search(eng, {"query": {"fuzzy": {"text": {
+        "value": "merge", "fuzziness": 0}}}}))
+    assert [d for d, _ in got0] == [d for d, _ in eng.search("merge", 10)]
+    # prefix_length gates expansions; an impossible prefix matches none
+    assert hits(es_search(eng, {"query": {"fuzzy": {"text": {
+        "value": "zzzqq", "fuzziness": 2, "prefix_length": 3}}}})) == []
