@@ -184,6 +184,34 @@ def _run_query(engine, q: dict, k: int) -> list[tuple[int, float]]:
         if not bmap:
             return []
         return engine.search_boosted(bmap, k)
+    if kind in ("prefix", "wildcard", "regexp"):
+        # ES multi-term queries rewrite to CONSTANT score (the MTQ
+        # constant_score rewrite): every doc holding any matching
+        # indexed term scores the boost, doc_id order. wildcard
+        # translates * / ? onto the regex engine; regexp uses Python
+        # ``re`` fullmatch semantics (documented dialect deviation
+        # from Lucene regex syntax).
+        fq = _field_query(spec, kind)
+        if set(fq) - {"query", "value", "boost"}:
+            raise UnsupportedEsQuery(
+                f"{kind} keys {set(fq) - {'query', 'value', 'boost'}}")
+        pat = str(fq["query"])
+        boost = float(fq.get("boost", 1.0))
+        if kind == "prefix":
+            ids = engine.search_wildcard(pat.lower())[0]
+        elif kind == "wildcard":
+            import re as _re
+
+            if pat.endswith("*") and "*" not in pat[:-1] \
+                    and "?" not in pat:
+                ids = engine.search_wildcard(pat[:-1].lower())[0]
+            else:
+                rx = "".join(".*" if c == "*" else "." if c == "?"
+                             else _re.escape(c) for c in pat.lower())
+                ids = engine.search_regex(rx)[0]
+        else:
+            ids = engine.search_regex(pat)[0]
+        return [(int(d), boost) for d in ids[:k]]
     if kind == "bool":
         if not isinstance(spec, dict):
             raise UnsupportedEsQuery("bool body must be a dict")

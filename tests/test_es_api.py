@@ -211,3 +211,23 @@ def test_fuzzy_query(eng):
     # prefix_length gates expansions; an impossible prefix matches none
     assert hits(es_search(eng, {"query": {"fuzzy": {"text": {
         "value": "zzzqq", "fuzziness": 2, "prefix_length": 3}}}})) == []
+
+
+def test_prefix_wildcard_regexp(eng):
+    # prefix / trailing-* wildcard: same doc set, constant score,
+    # doc_id order (the MTQ constant-score rewrite)
+    ids = [int(d) for d in eng.search_wildcard("mer")[0][:10]]
+    got_p = hits(es_search(eng, {"query": {"prefix": {"text": "mer"}}}))
+    assert got_p == [(d, 1.0) for d in ids]
+    got_w = hits(es_search(eng, {"query": {"wildcard": {"text": {
+        "value": "mer*", "boost": 2.0}}}}))
+    assert got_w == [(d, 2.0) for d in ids]
+    # inner wildcard routes through the regex engine
+    got_mid = hits(es_search(eng, {"query": {"wildcard": {"text":
+                                                          "m*ge"}}}))
+    want_mid = [int(d) for d in eng.search_regex("m.*ge")[0][:10]]
+    assert [d for d, _ in got_mid] == want_mid
+    got_r = hits(es_search(eng, {"query": {"regexp": {"text":
+                                                      "mer.e"}}}))
+    want_r = [int(d) for d in eng.search_regex("mer.e")[0][:10]]
+    assert [d for d, _ in got_r] == want_r and want_r  # non-vacuous
